@@ -1,0 +1,68 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Named-dataset catalog — the Spark-native analog of Disco's DDFS tags
+  * (reference: lib/disco/ddfs.py:98-114 `blobs`, :334-364 `walk`): a tag is a
+  * named, mutable pointer to data; here a name resolves to a parquet path (or
+  * a registered temp view for tag→tag DAGs, see [[TagCatalog]]).
+  *
+  * Scale notes: readers are plain `spark.read.parquet` so Catalyst keeps
+  * predicate pushdown / column pruning / partition pruning; no eager caching
+  * (100 TB tables must stream, not pin).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
+    * reads as a long (`spark.sql.legacy.parquet.nanosAsLong=true`). The data
+    * is microsecond-precision, so nanos→micros is lossless; normalize to a
+    * proper TimestampType column here.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` works over a scale
+    * dir — mirrors DDFS tag resolution (tag name → data).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Session factory with the configuration this engine assumes everywhere:
+  * AQE on (runtime re-plan: skew-join splitting, partition coalescing),
+  * shuffle partitions sized to the local core count (on a real cluster this
+  * would be ~2-3x total executor cores), UTC for oracle parity.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cores: Int = 4): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

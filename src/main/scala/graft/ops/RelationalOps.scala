@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational operators demonstrated by the reference's examples/tests,
+  * expressed declaratively so Catalyst picks the physical strategy
+  * (broadcast vs shuffled-hash vs sort-merge join, partial aggregation,
+  * range-partitioned total sort).
+  */
+object RelationalOps {
+
+  /** Partitioned inner equi-join.
+    * Reference: tests/test_query.py:14-63 (md5 % 160 buckets, co-grouped
+    * reduce) and examples/util/simple_innerjoin.py (sort-merge).
+    * In Spark the bucket count is `spark.sql.shuffle.partitions` and the
+    * join strategy is Catalyst's choice; pass `broadcastRight = true` for a
+    * dimension table small enough to ship to every executor (no shuffle of
+    * the fact side at all — the scale-path for fact⋈dim at 100 TB).
+    */
+  def innerJoin(left: DataFrame, right: DataFrame, leftKey: String,
+                rightKey: String, broadcastRight: Boolean = false): DataFrame = {
+    val r = if (broadcastRight) broadcast(right) else right
+    left.join(r, left(leftKey) === r(rightKey), "inner")
+  }
+
+  /** Total sort by key — Disco's external disk sort (lib/disco/util.py:362-388
+    * `disk_sort` via Unix sort). Spark: `orderBy` = range partitioning
+    * (sampled bounds) + per-partition spill-capable sort; scales linearly
+    * with data because no single node sees the whole dataset.
+    */
+  def totalSort(df: DataFrame, keys: Column*): DataFrame = df.orderBy(keys: _*)
+
+  /** Top-k by ordering — planned as TakeOrderedAndProject: each partition
+    * keeps a k-size heap, driver merges k*numPartitions rows. No full sort,
+    * no full shuffle — O(k) memory per task at any scale.
+    */
+  def topK(df: DataFrame, k: Int, keys: Column*): DataFrame =
+    df.orderBy(keys: _*).limit(k)
+
+  /** Group values of equal keys into a deterministic (sorted) list —
+    * Disco's `kvgroup` over sorted reduce input (lib/disco/util.py:101-110).
+    * Emitted as a joined string for engine-portable comparison; the
+    * list-valued variant is `sort_array(collect_list(v))`.
+    */
+  def kvGroupConcat(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(keyCol)
+      .agg(array_join(array_sort(collect_list(col(valCol).cast("string"))), ",")
+        .as("vals"))
+
+  /** Disco `make_range_partition` (func.py:131-141): fixed-width range
+    * label, `floor((k - min) / width)`. Unlike Spark's sampled
+    * RangePartitioner this is deterministic given (min, max, n) — exposed
+    * as a pure Column expression so it stays in codegen.
+    */
+  def fixedWidthRangeLabel(key: Column, min: Double, max: Double, n: Int): Column = {
+    val width = (max - min) / n
+    least(greatest(floor((key - lit(min)) / lit(width)), lit(0)), lit(n - 1)).cast("int")
+  }
+
+  /** Disco `default_partition` = hash(key) % n (func.py:128-129). The result
+    * contract is grouping correctness, not bit-identical placement, so we use
+    * Spark's Murmur3 hash. Returned as a label column; `repartition(n, key)`
+    * is the physical equivalent.
+    */
+  def hashLabel(key: Column, n: Int): Column = pmod(hash(key), lit(n)).cast("int")
+}

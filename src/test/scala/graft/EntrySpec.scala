@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantics checks for the SparkEntry query inventory at sf0.001.
+  * Exact value parity vs DuckDB is the driver's gate (tools/check.py locally);
+  * here we assert shapes and hand-computable invariants.
+  */
+class EntrySpec extends SparkTestBase {
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query with an oracle is declared, and vice-versa names align") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("wordcount total equals token count") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val wc = graft.ops.TextOps.wordCount(docs, "text")
+    val totalFromCounts = wc.agg(sum("cnt")).head.getLong(0)
+    val tokens = docs
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(totalFromCounts == tokens)
+  }
+
+  test("topk is the global top by totalprice") {
+    val o = graft.core.Tables.orders(spark, sfDir)
+    val got = SparkEntry.queries("q_topk")(spark, sfDir)
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    val want = o.select("o_totalprice").collect().map(_.getDouble(0))
+      .sorted(Ordering[Double].reverse).take(10)
+    assert(got.sameElements(want))
+  }
+
+  test("range partition labels cover [0, 8) and sum to table size") {
+    val res = SparkEntry.queries("q_range_partition")(spark, sfDir).collect()
+    assert(res.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+    val total = res.map(_.getLong(1)).sum
+    assert(total == graft.core.Tables.orders(spark, sfDir).count())
+  }
+}
