@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.api.{Classic, Pipeline}
 import graft.core.Tables
-import graft.ops.{RelationalOps, TextOps}
+import graft.ops.{AsOfJoin, RelationalOps, TextOps, WindowOps}
+import graft.query.QExpr
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -126,7 +128,151 @@ object SparkEntry {
       Tables.orders(s, dir)
         .select(col("o_orderkey").as("key"),
           col("o_orderkey").cast("string").as("value"))
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // §2.5 extension — window: running sum per key (one shuffle on key).
+    "q_window_running" -> ((s, dir) =>
+      WindowOps.runningSum(
+        Tables.orders(s, dir)
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        "o_custkey", Seq("o_orderdate", "o_orderkey"), "o_totalprice")
+        .select("o_custkey", "o_orderkey", "running")
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // §2.5 extension — window: top-n per group via row_number.
+    "q_window_topn" -> ((s, dir) =>
+      WindowOps.topNPerGroup(
+        Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey", Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // §2.5 extension — window: lag (previous value per key in time order).
+    "q_window_lag" -> ((s, dir) =>
+      WindowOps.lagPerKey(Tables.events(s, dir)
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", Seq("ts", "event_id"), "value")
+        .select("event_id", "user_id", "prev")
+        .orderBy("event_id")),
+
+    // §2.5 extension — rollup (hierarchical subtotals).
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // §2.5 extension — cube (all grouping combinations).
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // §2.5 extension — grouping sets (SQL surface over the tag catalog).
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // §2.6 extension — as-of join (union+window formulation, single shuffle).
+    // For each purchase, the most recent click value at or before it.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      AsOfJoin.lastValueAsOf(purchases, clicks, "user_id", "ts", "click_value")
+        .select("event_id", "user_id", "asof_click_value")
+        .orderBy("event_id")
+    }),
+
+    // §2.1 — classic facade end-to-end: map → combiner → shuffle → reduce
+    // (the canonical wordcount through the Disco-style API, func.py shapes).
+    "q_classic_wordcount" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Tables.documents(s, dir).select("text").as[String]
+      val job = Classic.Job(
+        map = line => line.toLowerCase.split("[^a-z0-9]+").iterator
+          .filter(_.nonEmpty).map(w => (w, "1")),
+        combiner = Some((k, vs) => Iterator((k, vs.map(_.toLong).sum.toString))),
+        reduce = Some((k, vs) => Iterator((k, vs.map(_.toLong).sum.toString))))
+      Classic.run(s, lines, job)
+        .select(col("_1").as("word"), col("_2").cast("long").as("cnt"))
+        .orderBy("word")
+    }),
+
+    // §2.2 — pipeline facade: GroupNodeLabel pre-combine → GroupLabel sorted
+    // reduce (tests/test_pipe.py / test_pipeline_sort.py shape).
+    "q_pipeline_count" -> ((s, dir) => {
+      import s.implicits._
+      val input = Tables.events(s, dir).select("event_type").as[String]
+        .map(et => Pipeline.LKV(math.floorMod(et.hashCode, 8), et, "1"))
+      val combineStage = Pipeline.Stage("node_combine", { it =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[(Int, String), Long]
+        it.foreach(r => acc((r.label, r.key)) = acc.getOrElse((r.label, r.key), 0L) + r.value.toLong)
+        acc.iterator.map { case ((l, k), n) => Pipeline.LKV(l, k, n.toString) }
+      })
+      val reduceStage = Pipeline.Stage("reduce", { it =>
+        // sorted input: sum consecutive equal keys (kvgroup, util.py:101-110)
+        new Iterator[Pipeline.LKV] {
+          private val buf = it.buffered
+          def hasNext = buf.hasNext
+          def next() = {
+            val head = buf.next(); var sum = head.value.toLong
+            while (buf.hasNext && buf.head.key == head.key) { sum += buf.next().value.toLong }
+            Pipeline.LKV(head.label, head.key, sum.toString)
+          }
+        }
+      }, sort = true)
+      Pipeline.run(s, input,
+        Seq(Pipeline.GroupNodeLabel -> combineStage, Pipeline.GroupLabel -> reduceStage),
+        labels = 8)
+        .select(col("key").as("event_type"), col("value").cast("long").as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    // §2.3 #35 — DiscoDB CNF query over an inverted index.
+    "q_cnf_query" -> ((s, dir) => {
+      val tokens = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("word"))
+        .filter(col("word") =!= "")
+      val index = QExpr.build(tokens, "word", "doc_id")
+      QExpr.lookup(index, QExpr.parse("(data | query) & ~the"))
+        .groupBy(col("key").as("word")).agg(count(lit(1)).as("occurrences"))
+        .select("word", "occurrences")
+        .orderBy("word")
+    }),
+
+    // §2.3 #35 — DiscoDB set semantics: docs whose key set satisfies the CNF.
+    "q_cnf_docs" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("keys", split(lower(col("text")), "[^a-z0-9]+"))
+        .filter(QExpr.setPredicate(QExpr.parse("(data | batch) & ~window"), col("keys")))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // §2.3 #36 — metaquery: merge lookups across several dbs, sum counts
+    // (query_ddb.py:14-18 client-side merge).
+    "q_metaquery" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val indexes = Seq(0, 1).map { half =>
+        val tokens = docs.filter(pmod(col("doc_id"), lit(2)) === half)
+          .select(TextOps.tokens(col("text")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).cast("string").as("cnt"))
+        QExpr.build(tokens, "word", "cnt")
+      }
+      QExpr.metaQuery(indexes, QExpr.parse("data | model | query"))
+        .orderBy("key")
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -191,6 +337,93 @@ object SparkEntry {
 
     "q_identity_map" ->
       """SELECT o_orderkey AS key, CAST(o_orderkey AS VARCHAR) AS value
-        |FROM orders ORDER BY key""".stripMargin
+        |FROM orders ORDER BY key""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        |       lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, c.click_value AS asof_click_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_classic_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_pipeline_count" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_cnf_query" ->
+      """SELECT word, count(*) AS occurrences
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |      FROM documents)
+        |WHERE (word = 'data' OR word = 'query') AND NOT word = 'the'
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_cnf_docs" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'data')
+        |       OR list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'batch'))
+        |  AND NOT list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'window')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_metaquery" ->
+      """SELECT word AS key, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+        |  SELECT word, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' AND doc_id % 2 = 0 GROUP BY word
+        |  UNION ALL
+        |  SELECT word, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' AND doc_id % 2 = 1 GROUP BY word)
+        |WHERE word = 'data' OR word = 'model' OR word = 'query'
+        |GROUP BY key ORDER BY key""".stripMargin
   )
 }

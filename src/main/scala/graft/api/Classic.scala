@@ -1,0 +1,79 @@
+package graft.api
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import scala.collection.mutable
+
+/** The "classic" Disco job facade: `map → [combiner] → shuffle(partition) →
+  * [sort] → reduce`, re-expressed on typed Datasets.
+  *
+  * Reference semantics:
+  *  - map: per-record fn emitting 0..n (k,v) pairs
+  *    (lib/disco/worker/classic/func.py:20-37; exec loop
+  *    lib/disco/worker/classic/worker.py:332-355)
+  *  - combiner: map-side bounded-buffer accumulation flushed at task end
+  *    (func.py:48-71)
+  *  - partition: hash(key) % nr_partitions (func.py:128-129)
+  *  - sort: external sort of reduce input by key (worker.py:397-404)
+  *  - reduce: iterator over grouped pairs (func.py:73-114)
+  *
+  * Spark mapping: `flatMap` → per-partition combine (`mapPartitions` with a
+  * bounded hash buffer — same spill discipline as Disco's `done()` flush) →
+  * `groupByKey.flatMapGroups` (hash shuffle) or `.flatMapSortedGroups`
+  * (sort=true). Closures here are NOT codegen'd — this facade exists for
+  * API parity with arbitrary user functions; the relational operators in
+  * `graft.ops` are the performance path. At 100 TB the plan is still sane:
+  * one shuffle, map-side combine bounds shuffle volume, sorted groups use
+  * Spark's spillable external sorter.
+  */
+object Classic {
+
+  type KV = (String, String)
+
+  final case class Job(
+      map: String => IterableOnce[KV],
+      combiner: Option[(String, Iterator[String]) => Iterator[KV]] = None,
+      reduce: Option[(String, Iterator[String]) => Iterator[KV]] = None,
+      partitions: Int = 32,
+      sort: Boolean = false,
+      /** combiner buffer cap, à la Disco's user-managed flush (func.py:60-66) */
+      combinerBufferSize: Int = 1 << 16)
+
+  /** Run a classic job over a dataset of input records ("lines"). */
+  def run(spark: SparkSession, input: Dataset[String], job: Job): Dataset[KV] = {
+    import spark.implicits._
+    val mapped: Dataset[KV] = input.flatMap(job.map)
+
+    val preCombined: Dataset[KV] = job.combiner match {
+      case None => mapped
+      case Some(c) =>
+        mapped.mapPartitions { it =>
+          val buf = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
+          var out = Iterator.empty: Iterator[KV]
+          def flush(): Iterator[KV] = {
+            val flushed = buf.iterator.flatMap { case (k, vs) => c(k, vs.iterator) }.toList
+            buf.clear()
+            flushed.iterator
+          }
+          val body = it.flatMap { case (k, v) =>
+            buf.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += v
+            if (buf.size >= job.combinerBufferSize) flush() else Iterator.empty
+          }
+          body ++ new Iterator[KV] {
+            private var tail: Iterator[KV] = null
+            def hasNext = { if (tail == null) tail = flush(); tail.hasNext }
+            def next() = { if (tail == null) tail = flush(); tail.next() }
+          } ++ out
+        }
+    }
+
+    job.reduce match {
+      case None => preCombined.repartition(job.partitions, $"_1")
+      case Some(r) =>
+        val grouped = preCombined.groupByKey(_._1)
+        if (job.sort)
+          grouped.flatMapSortedGroups($"_2")((k, it) => r(k, it.map(_._2)))
+        else
+          grouped.flatMapGroups((k, it) => r(k, it.map(_._2)))
+    }
+  }
+}

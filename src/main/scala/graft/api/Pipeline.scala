@@ -1,0 +1,75 @@
+package graft.api
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The Disco *pipeline* model: a linear sequence of `{grouping, Stage}`
+  * pairs over labeled (label, key, value) records.
+  *
+  * Reference: lib/disco/worker/pipeline/worker.py:44-125 (Stage lifecycle),
+  * master/include/pipeline.hrl:11-28 (groupings), semantics in
+  * master/src/pipeline_utils.erl:106-181.
+  *
+  * Grouping → Spark lowering (SURVEY.md §2.2):
+  *  - Split          → keep current partitioning (one task per input split)
+  *  - GroupLabel     → `repartition(n, label)` — shuffle-by-label
+  *  - GroupAll       → `repartition(1)` — single global task
+  *  - GroupNode      → no-op: node-local compaction is a locality artifact;
+  *                     Spark's AQE partition coalescing owns this
+  *  - GroupNodeLabel → no shuffle: stage runs per existing partition as a
+  *                     map-side pre-combine (Disco uses it to cut shuffle
+  *                     volume; here the subsequent GroupLabel shuffle moves
+  *                     already-combined records)
+  *
+  * `Stage.process` receives the whole task iterator (init/done = code before/
+  * after consuming it, exactly Disco's init → process* → done lifecycle);
+  * `sort=true` sorts the task's records by (label, key) first — Spark's
+  * spillable external sort, the analog of Disco's Unix-sort spill
+  * (lib/disco/util.py:319-388).
+  */
+object Pipeline {
+
+  /** A labeled record: Disco's (label, key, value). */
+  final case class LKV(label: Int, key: String, value: String)
+
+  sealed trait Grouping
+  case object Split extends Grouping
+  case object GroupLabel extends Grouping
+  case object GroupAll extends Grouping
+  case object GroupNode extends Grouping
+  case object GroupNodeLabel extends Grouping
+
+  final case class Stage(
+      name: String,
+      process: Iterator[LKV] => Iterator[LKV],
+      sort: Boolean = false)
+
+  /** Compile and run the pipeline. `labels` is accepted for API parity with
+    * Disco's nr-of-labels but the GroupLabel shuffle degree is Spark's
+    * shuffle-partition setting (AQE may coalesce).
+    */
+  def run(spark: SparkSession, input: Dataset[LKV],
+          stages: Seq[(Grouping, Stage)], labels: Int = 32): Dataset[LKV] = {
+    import spark.implicits._
+    stages.foldLeft(input) { case (ds, (grouping, stage)) =>
+      grouping match {
+        case GroupLabel =>
+          // one task per label, exactly pipeline_utils.erl:147-159: the stage
+          // sees ALL (and only) records of a single label.
+          val grouped = ds.groupByKey(_.label)
+          if (stage.sort)
+            grouped.flatMapSortedGroups($"key")((_, it) => stage.process(it))
+          else grouped.flatMapGroups((_, it) => stage.process(it))
+        case other =>
+          val regrouped = other match {
+            case GroupAll => ds.repartition(1)
+            case _        => ds // Split / GroupNode / GroupNodeLabel: in place
+          }
+          val sorted =
+            if (stage.sort) regrouped.sortWithinPartitions(col("label"), col("key"))
+            else regrouped
+          sorted.mapPartitions(stage.process)
+      }
+    }
+  }
+}

@@ -42,10 +42,14 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` works over a scale
-    * dir — mirrors DDFS tag resolution (tag name → data).
+    * dir — mirrors DDFS tag resolution (tag name → data). Uses the
+    * normalizing loaders (events gets its timestamp fixed).
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
 
 /** Session factory with the configuration this engine assumes everywhere:

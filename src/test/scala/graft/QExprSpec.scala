@@ -1,0 +1,45 @@
+package graft
+
+import graft.query.QExpr
+import graft.query.QExpr._
+
+class QExprSpec extends SparkTestBase {
+
+  test("parser: precedence ~ > & > |") {
+    assert(parse("a | b & c") == Or(Lit("a"), And(Lit("b"), Lit("c"))))
+    assert(parse("~a & b") == And(Not(Lit("a")), Lit("b")))
+    assert(parse("(a | b) & ~c") == And(Or(Lit("a"), Lit("b")), Not(Lit("c"))))
+    assert(parse("this | word") == Or(Lit("this"), Lit("word")))
+  }
+
+  test("parser: rejects malformed input") {
+    intercept[IllegalArgumentException](parse("(a | b"))
+    intercept[IllegalArgumentException](parse("& a"))
+  }
+
+  test("set predicate selects docs by CNF over key sets") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq("a", "b")), (2, Seq("a", "c")), (3, Seq("b", "c")), (4, Seq("c"))
+    ).toDF("id", "keys")
+    val got = df.filter(setPredicate(parse("(a | b) & ~c"), df("keys")))
+      .select("id").as[Int].collect().sorted
+    assert(got.sameElements(Array(1)))
+  }
+
+  test("lookup returns exploded values of matching keys") {
+    import spark.implicits._
+    val kv = Seq(("a", "1"), ("a", "2"), ("b", "3"), ("c", "4")).toDF("k", "v")
+    val idx = build(kv, "k", "v")
+    val got = lookup(idx, parse("a | c")).as[(String, String)].collect().sorted
+    assert(got.sameElements(Array(("a", "1"), ("a", "2"), ("c", "4"))))
+  }
+
+  test("metaQuery sums counts across indexes (query_ddb merge)") {
+    import spark.implicits._
+    val i1 = build(Seq(("w", "2"), ("x", "1")).toDF("k", "v"), "k", "v")
+    val i2 = build(Seq(("w", "3")).toDF("k", "v"), "k", "v")
+    val got = metaQuery(Seq(i1, i2), parse("w")).as[(String, Long)].collect()
+    assert(got.sameElements(Array(("w", 5L))))
+  }
+}
