@@ -4,8 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{Classic, Pipeline}
 import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.TextAnalysis
 import graft.ops.{AsOfJoin, RelationalOps, TextOps, WindowOps}
 import graft.query.QExpr
+import graft.similarity.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -272,6 +275,85 @@ object SparkEntry {
       }
       QExpr.metaQuery(indexes, QExpr.parse("data | model | query"))
         .orderBy("key")
+    }),
+
+    // -------- LLM-pipeline extension surface: text analysis ---------------
+
+    // token counting (whitespace tokenizer + BPE-ish chunk estimate).
+    "q_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_est"))
+        .orderBy("doc_id")),
+
+    // language-ID heuristic + quality scoring.
+    "q_lang_quality" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // document fingerprinting: md5 content digest + rolling polynomial hash
+    // (custom codegen'd Catalyst expression).
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+          TextAnalysis.fingerprintRolling(col("text")).as("fp_roll"))
+        .orderBy("doc_id")),
+
+    // -------- LLM-pipeline extension surface: dedup ------------------------
+
+    // exact dedup by normalized-content digest (shuffle on 16-byte key).
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("fp")),
+
+    // n-gram (token-set) Jaccard near-dup with lossless prefix filtering —
+    // the oracle is the naive all-pairs spec, the plan is the PPJoin shape.
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.9)
+        .orderBy("a", "b")),
+
+    // MinHash+LSH near-dup: md5 minhash signatures, 4 bands x 4 rows,
+    // band-bucket join, exact shingle-Jaccard verification.
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+        .orderBy("a", "b")),
+
+    // 32-bit SimHash fingerprints.
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // embedding-cosine near-dup pairs (exact all-pairs spec).
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.35)
+        .orderBy("a", "b")),
+
+    // -------- LLM-pipeline extension surface: similarity search ------------
+
+    // brute-force cosine top-10 for 5 query vectors (exactness baseline).
+    "q_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "vec_id")
+    }),
+
+    // sign-LSH bucketed ANN (the scale path; recall checked in SimilaritySpec
+    // vs brute force — not SQL-expressible compactly, driver does rows-only).
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, bits = 6)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "vec_id")
     })
   )
 
@@ -424,6 +506,126 @@ object SparkEntry {
         |        FROM documents)
         |  WHERE word <> '' AND doc_id % 2 = 1 GROUP BY word)
         |WHERE word = 'data' OR word = 'model' OR word = 'query'
-        |GROUP BY key ORDER BY key""".stripMargin
+        |GROUP BY key ORDER BY key""".stripMargin,
+
+    "q_token_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |       CAST(list_sum(list_transform(toks, w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) AS bpe_est
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_lang_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |FROM documents),
+        |s AS (SELECT doc_id, text, toks,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS c_de,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS c_en,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','y','es'))) AS c_es,
+        |  len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS c_fr,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS c_zh
+        |FROM t),
+        |m AS (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS best FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN c_de = best THEN 'de' WHEN c_en = best THEN 'en'
+        |       WHEN c_es = best THEN 'es' WHEN c_fr = best THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred,
+        |  round(
+        |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.25
+        |    + least((CASE WHEN len(toks) > 0
+        |        THEN CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |        ELSE 0.0 END) / 8.0, 1.0) * 0.25
+        |    + (1.0 - (CASE WHEN len(toks) > 0
+        |        THEN CAST(c_en AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END)) * 0.25
+        |    + (CASE WHEN length(text) > 0
+        |        THEN CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+        |             / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.25, 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ''),
+        |                   c -> unicode(c)::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS fp_roll
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |       min(doc_id) AS rep_id, count(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |          FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+        |ORDER BY a, b""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH arr AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |FROM documents),
+        |tok AS (SELECT doc_id, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |sh AS (SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w AS shingle
+        |       FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        |seeds AS (SELECT unnest(range(16)) AS seed),
+        |mh AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+        |       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        |bh AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+        |       FROM mh GROUP BY doc_id, seed // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bh x JOIN bh y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a, c.b, count(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a
+        |          JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+        |          GROUP BY c.a, c.b)
+        |SELECT i.a, i.b, round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+        |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+        |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8
+        |ORDER BY i.a, i.b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h, (SELECT unnest(range(32)) AS j) js GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |        list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT a, b, round(sim, 6) AS sim FROM p WHERE sim >= 0.35 ORDER BY a, b""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |        list_dot_product(e.v, q.qv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        |      FROM e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM (
+        |  SELECT query_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM s)
+        |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin
   )
 }

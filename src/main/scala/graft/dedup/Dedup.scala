@@ -1,0 +1,142 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard (with lossless prefix filtering), and
+  * embedding-cosine near-dup.
+  *
+  * Scale design notes (the 100 TB contract):
+  *  - exact dedup = one shuffle on a 16-byte digest, never on raw text;
+  *  - n-gram Jaccard uses PREFIX FILTERING (PPJoin-style): candidates are
+  *    generated only from each document's rarest `|A| - ceil(tau*|A|) + 1`
+  *    tokens, which is lossless for threshold tau but shrinks the
+  *    inverted-index join by orders of magnitude and avoids the
+  *    stop-word-key skew explosion;
+  *  - MinHash/LSH replaces the O(n²) similarity join with a band-bucket
+  *    equi-join: shuffle keys are (band, bandHash), candidate volume is
+  *    ~ sum of bucket² instead of n²;
+  *  - all hashing is md5-based (deterministic, engine-portable — the DuckDB
+  *    oracles reproduce signatures bit-for-bit).
+  */
+object Dedup {
+
+  /** Exact duplicates by normalized-content digest: representative = min id,
+    * plus group size. Output one row per distinct content.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, token) pairs. */
+  def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokensArr(col(textCol))).as("tok"))
+      .distinct()
+
+  /** All pairs (a < b) whose token-set Jaccard >= tau, via prefix filtering.
+    *
+    * Lossless: if J(A,B) >= tau then |A∩B| >= ceil(tau/(1+tau)*(|A|+|B|)) and
+    * the rarest-token prefixes of length |A| - ceil(tau*|A|) + 1 must
+    * intersect — so joining only prefixes loses no qualifying pair. The
+    * DuckDB oracle is therefore the naive all-pairs spec, while this plan
+    * scales.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   tau: Double): DataFrame = {
+    val toks = tokenSet(df, idCol, textCol).cache()
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    // global token frequency → rarest-first ordering (classic PPJoin order)
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val ranked = toks.join(freq, "tok")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(col("tf").asc, col("tok").asc)))
+      .join(sizes, "id")
+      .filter(col("r") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select("id", "tok")
+    val cands = ranked.as("x").join(ranked.as("y"),
+        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    // verify candidates against full sets
+    val sets = toks.groupBy("id").agg(collect_set(col("tok")).as("set"))
+    cands
+      .join(sets.as("sa"), col("a") === col("sa.id"))
+      .join(sets.as("sb"), col("b") === col("sb.id"))
+      .withColumn("inter", size(array_intersect(col("sa.set"), col("sb.set"))).cast("double"))
+      .withColumn("jac", col("inter") /
+        (size(col("sa.set")) + size(col("sb.set")) - col("inter")))
+      .filter(col("jac") >= tau)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** Word n-gram shingles per document (distinct). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.tokensArr(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("shingle"))
+      .distinct()
+
+  /** MinHash signature: for seed s, min over shingles of md5(s':'shingle). */
+  private def minhash(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
+        col("shingle"))
+      .groupBy("id", "seed")
+      .agg(min(md5(to_binary(concat(col("seed").cast("string"), lit(":"), col("shingle")),
+        lit("utf-8")))).as("mh"))
+
+  /** MinHash + LSH banding: near-dup candidate pairs (a < b) that share at
+    * least one band, verified by exact shingle-set Jaccard >= tau.
+    * numHashes = bands * rowsPerBand.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                      tau: Double = 0.7): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN).cache()
+    val mh = minhash(sh, bands * rowsPerBand)
+    val bandHash = mh
+      .withColumn("band", floor(col("seed") / rowsPerBand))
+      .groupBy("id", "band")
+      .agg(md5(to_binary(array_join(transform(
+        array_sort(collect_list(struct(col("seed"), col("mh")))), x => x("mh")),
+        ","), lit("utf-8"))).as("bh"))
+    val cands = bandHash.as("x").join(bandHash.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val sets = sh.groupBy("id").agg(collect_set(col("shingle")).as("set"))
+    cands
+      .join(sets.as("sa"), col("a") === col("sa.id"))
+      .join(sets.as("sb"), col("b") === col("sb.id"))
+      .withColumn("inter", size(array_intersect(col("sa.set"), col("sb.set"))).cast("double"))
+      .withColumn("jac", col("inter") /
+        (size(col("sa.set")) + size(col("sb.set")) - col("inter")))
+      .filter(col("jac") >= tau)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over distinct tokens: bit j of the fingerprint is 1 iff
+    * sum over tokens of ±1 (sign = bit j of md5-derived 32-bit token hash)
+    * is positive.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokenSet(df, idCol, textCol)
+      .withColumn("h", conv(substring(md5(to_binary(col("tok"), lit("utf-8"))), 1, 8), 16, 10)
+        .cast("long"))
+    toks
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
+      .withColumn("sign", when(expr("shiftright(h, j) % 2") === 1, 1).otherwise(-1))
+      .groupBy("id", "j")
+      .agg(sum(col("sign")).as("s"))
+      .groupBy("id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L)).as("simhash"))
+  }
+}

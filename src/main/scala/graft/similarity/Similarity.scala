@@ -1,0 +1,118 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; one scan, no shuffle of the corpus, a
+  *    per-partition top-k heap via window row_number after repartition by
+  *    query. The exactness baseline.
+  *  - [[lshTopK]]: random-hyperplane (sign) LSH — corpus and queries get a
+  *    b-bit bucket from md5-derived ±1 hyperplanes; candidates are
+  *    bucket-equal rows, then exact cosine re-rank. At 100 TB the bucket
+  *    join replaces the full crossJoin: cost ~ (corpus/2^b) per query.
+  *    Hyperplane signs are md5-derived so signatures are deterministic and
+  *    engine-portable; the near-zero-dot sign decision goes through
+  *    DECIMAL so it is order-independent exact.
+  *
+  * All arithmetic casts float → double before multiplying (both engines do
+  * the same widening), cosine folds left-to-right via `aggregate`.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns (fold, fixed order). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector (queries small → broadcast).
+    * Output: query_id, vec_id, rank, sim (rounded for cross-engine output
+    * stability; ranking uses full precision with vec_id tie-break).
+    */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int): DataFrame = {
+    val joined = corpus.select(col(corpusId).as("vec_id"),
+        asDouble(col(corpusVec)).as("cv"))
+      .crossJoin(broadcast(queries.select(col(queryId).as("query_id"),
+        asDouble(col(queryVec)).as("qv"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("cv"), col("qv")))
+    joined
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic ±1 hyperplane component for (table t, plane j, dim d):
+    * +1 iff the first hex digit of md5("t:j_d") < '8'. Engine-portable.
+    */
+  private def planeSign(t: Int, j: Int, d: Column): Column =
+    when(substring(md5(to_binary(concat(lit(s"$t:$j"), lit("_"), d.cast("string")),
+      lit("utf-8"))), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"), 1.0)
+      .otherwise(-1.0)
+
+  /** b-bit sign-LSH bucket of a vector (table t): bit j = [dot(plane_j,v)>0].
+    * The dot goes through DECIMAL(28,12) so the sign is order-independent
+    * exact — identical in any engine at any parallelism.
+    */
+  def lshBucket(vec: Column, bits: Int, table: Int = 0): Column = {
+    val terms = (0 until bits).map { j =>
+      val signedSum = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => (x * planeSign(table, j, d)).cast("decimal(28,12)")),
+        lit(BigDecimal(0)).cast("decimal(38,12)"),
+        (acc, v) => (acc + v).cast("decimal(38,12)"))
+      when(signedSum > 0, 1L << j).otherwise(0L)
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** ANN: same-bucket candidates re-ranked by exact cosine; top-k per query.
+    * `tables` independent hash tables amplify recall (candidates = union of
+    * same-bucket matches across tables) at `tables`× the probe cost — the
+    * classic L-table LSH tradeoff. At scale each table is one equi-join on a
+    * bucket id; corpus signatures are computed once per table in the same
+    * scan. Recall < 1 by construction; determinism = exact.
+    */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, bits: Int = 8, tables: Int = 1): DataFrame = {
+    val c0 = corpus.select(col(corpusId).as("vec_id"), asDouble(col(corpusVec)).as("cv"))
+    val q0 = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qv"))
+    val cands = (0 until tables).map { t =>
+      val c = c0.withColumn("bucket", lshBucket(col("cv"), bits, t))
+      val q = q0.withColumn("bucket", lshBucket(col("qv"), bits, t))
+      c.join(broadcast(q), "bucket").drop("bucket")
+    }.reduce(_ unionByName _).distinct()
+    cands
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b, sim >= tau). Exact
+    * all-pairs — the verification-grade spec; for scale, bucket first with
+    * [[lshBucket]] and verify within buckets.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   tau: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+      .withColumn("sim", cosine(col("x.v"), col("y.v")))
+      .filter(col("sim") >= tau)
+      .select(col("x.id").as("a"), col("y.id").as("b"), round(col("sim"), 6).as("sim"))
+  }
+}

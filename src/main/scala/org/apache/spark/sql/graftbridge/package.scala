@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark's `private[sql]` Column↔Expression converters — the only
+  * supported way in Spark 4's split API to wrap a custom Catalyst
+  * `Expression` as a user-facing `Column` (see
+  * org.apache.spark.sql.classic.ExpressionUtils in the Spark source).
+  */
+package object graftbridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

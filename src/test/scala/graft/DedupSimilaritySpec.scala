@@ -1,0 +1,95 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.TextAnalysis
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkTestBase {
+
+  lazy val docs = graft.core.Tables.documents(spark, sfDir)
+  lazy val embs = graft.core.Tables.embeddings(spark, sfDir)
+
+  test("rolling hash matches the reference recurrence") {
+    import spark.implicits._
+    def ref(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+    val samples = Seq("", "a", "ab", "hello world", "ümlaut ß")
+    val got = samples.toDF("s")
+      .select(TextAnalysis.fingerprintRolling(col("s"))).as[Long].collect()
+    assert(got.sameElements(samples.map(ref)))
+  }
+
+  test("prefix-filtered jaccard equals the naive all-pairs result") {
+    import spark.implicits._
+    val sample = docs.filter(col("doc_id") < 100)
+    val fast = Dedup.jaccardPairs(sample, "doc_id", "text", 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // naive spec: full token-set cross compare
+    val toks = Dedup.tokenSet(sample, "doc_id", "text")
+      .groupBy("id").agg(collect_set("tok").as("set"))
+    val naive = toks.as("x").join(toks.as("y"), col("x.id") < col("y.id"))
+      .withColumn("i", size(array_intersect(col("x.set"), col("y.set"))).cast("double"))
+      .withColumn("j", col("i") / (size(col("x.set")) + size(col("y.set")) - col("i")))
+      .filter(col("j") >= 0.8)
+      .select(col("x.id"), col("y.id")).as[(Long, Long)].collect().toSet
+    assert(fast == naive)
+  }
+
+  test("minhash LSH pairs are a subset of true near-dups and catch jac=1 pairs") {
+    import spark.implicits._
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 >= 0.8))
+    // identical shingle sets always share every band → must be found
+    val sh = Dedup.shingles(docs, "doc_id", "text", 2)
+      .groupBy("id").agg(sort_array(collect_set("shingle")).as("set"))
+    val identical = sh.as("x").join(sh.as("y"),
+        col("x.id") < col("y.id") && col("x.set") === col("y.set"))
+      .select(col("x.id"), col("y.id")).as[(Long, Long)].collect().toSet
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    assert(identical.subsetOf(gotPairs))
+  }
+
+  test("simhash: near-identical docs get close fingerprints (hamming)") {
+    import spark.implicits._
+    val fp = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(fp.size == docs.count())
+    // compare vs an exact-dup pair found via distinct token sets
+    val toks = Dedup.tokenSet(docs, "doc_id", "text")
+      .groupBy("id").agg(sort_array(collect_set("tok")).as("set"))
+    val samePair = toks.as("x").join(toks.as("y"),
+        col("x.id") < col("y.id") && col("x.set") === col("y.set"))
+      .select(col("x.id"), col("y.id")).as[(Long, Long)].head()
+    assert(fp(samePair._1) == fp(samePair._2)) // same token set -> same simhash
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force") {
+    import spark.implicits._
+    val queries = embs.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(embs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10, bits = 4, tables = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val single = Similarity.lshTopK(embs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10, bits = 4, tables = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    val recall1 = (exact intersect single).size.toDouble / exact.size
+    info(f"LSH recall@10 (4 bits): 1 table $recall1%.2f, 4 tables $recall%.2f")
+    assert(recall > 0.3)       // multi-table amplification
+    assert(recall >= recall1)  // more tables never hurt recall
+  }
+
+  test("brute-force ANN ranks by true cosine") {
+    import spark.implicits._
+    val got = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      embs.filter(col("vec_id") === 0), "vec_id", "embedding", 5)
+      .orderBy("rank").select("sim").as[Double].collect()
+    assert(got.sameElements(got.sorted(Ordering[Double].reverse)))
+  }
+}
