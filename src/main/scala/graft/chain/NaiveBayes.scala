@@ -1,0 +1,57 @@
+package graft.chain
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Naive Bayes with the reference's exact estimation semantics
+  * (examples/datamining/naive_bayes.py:46-159): document-level binary
+  * events, 2×2 contingency counts per (class, feature) with +1 pseudocounts,
+  * `ll(y,i) = log(a) - log(b)` and a per-class prior term
+  * `ll(y) = Σ_i log(a+c) - log(b+d)` where, for class y and feature i over N
+  * training docs: a = docs with both, b = docs with i but not y,
+  * c = docs with y but not i, d = the rest (each +1).
+  *
+  * Spark shape: counts are three aggregations (docs-per-class,
+  * docs-per-feature, docs-per-pair) joined into the (class × feature) grid —
+  * the grid is |classes|·|features| rows, tiny next to the corpus, so the
+  * predict join broadcasts it. Training scans the corpus once.
+  */
+object NaiveBayes {
+
+  /** train: (docId, cls, feature-set exploded as rows (docId, cls, feature)).
+    * Returns the loglikelihood grid: (cls, feature, ll_pair, ll_class).
+    */
+  def train(events: DataFrame): DataFrame = {
+    val docs = events.select("docId", "cls").distinct().cache()
+    val total = docs.count()
+    val classes = docs.groupBy("cls").agg(count(lit(1)).as("n_y"))
+    val items = events.select("docId", "feature").distinct()
+      .groupBy("feature").agg(count(lit(1)).as("n_i"))
+    val pairs = events.select("docId", "cls", "feature").distinct()
+      .groupBy("cls", "feature").agg(count(lit(1)).as("n_yi"))
+    val grid = classes.crossJoin(items)
+      .join(pairs, Seq("cls", "feature"), "left")
+      .withColumn("a", coalesce(col("n_yi"), lit(0L)) + 1)
+      .withColumn("b", col("n_i") - coalesce(col("n_yi"), lit(0L)) + 1)
+      .withColumn("c", col("n_y") - coalesce(col("n_yi"), lit(0L)) + 1)
+      .withColumn("d", lit(total) - col("n_i") - col("n_y") +
+        coalesce(col("n_yi"), lit(0L)) + 1)
+    val llPair = log(col("a")) - log(col("b"))
+    val llTerm = log(col("a") + col("c")) - log(col("b") + col("d"))
+    val llClass = grid.groupBy("cls").agg(sum(llTerm).as("ll_class"))
+    grid.select(col("cls"), col("feature"), llPair.as("ll_pair"))
+      .join(llClass, "cls")
+  }
+
+  /** predict: (docId, feature) rows × trained grid → (docId, cls, score).
+    * Unseen features contribute 0 (the reference would KeyError; we relax).
+    */
+  def predict(events: DataFrame, model: DataFrame): DataFrame = {
+    val perClass = model.select("cls", "ll_class").distinct()
+    events
+      .join(broadcast(model), Seq("feature"))
+      .groupBy("docId", "cls").agg(sum("ll_pair").as("s"))
+      .join(broadcast(perClass), "cls")
+      .select(col("docId"), col("cls"), (col("ll_class") + col("s")).as("score"))
+  }
+}
