@@ -28,7 +28,7 @@ object SparkEntry {
     * orders ⋈ customer (broadcast dim) → per-nation revenue.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
@@ -330,9 +330,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
-    // embedding-cosine near-dup pairs (exact all-pairs spec).
+    // embedding-cosine near-dup pairs — the SCALE plan: sign-LSH bucketed
+    // candidates (4 tables × 8 bits), exact-cosine verify. Recall < 1 by
+    // the L-table LSH contract; the oracle replicates the bucketing
+    // bit-for-bit, so the result is still hash-exact. The exact all-pairs
+    // spec lives on as Similarity.nearDupPairsExact (tested in
+    // DedupSimilaritySpec against this plan's precision).
     "q_embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.35)
+      Similarity.nearDupPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+          0.35, bits = 8, tables = 4)
         .orderBy("a", "b")),
 
     // -------- LLM-pipeline extension surface: similarity search ------------
@@ -346,8 +352,10 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
-    // sign-LSH bucketed ANN (the scale path; recall checked in SimilaritySpec
-    // vs brute force — not SQL-expressible compactly, driver does rows-only).
+    // sign-LSH bucketed ANN (the scale path): bucket equi-join + exact
+    // cosine re-rank. The oracle replicates the md5-derived bucketing
+    // bit-for-bit; recall vs brute force is additionally checked in
+    // DedupSimilaritySpec.
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e, "vec_id", "embedding",
@@ -607,13 +615,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Replicates the Spark plan's sign-LSH bucketing bit-for-bit (4 tables ×
+    // 8 bits; left-to-right IEEE double folds = Spark's array `aggregate`),
+    // then the same exact-cosine verify — the bucketed-candidates contract,
+    // not the all-pairs spec.
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
-        |        list_dot_product(a.v, b.v) /
-        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
-        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT a, b, round(sim, 6) AS sim FROM p WHERE sim >= 0.35 ORDER BY a, b""".stripMargin,
+        |ht AS (SELECT unnest(range(4)) AS t),
+        |b AS (SELECT e.vec_id, e.v, ht.t,
+        |  list_sum(list_transform(range(0, 8), j ->
+        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(e.v)+1),
+        |        d -> e.v[d] * (CASE WHEN substr(md5(CAST(ht.t AS VARCHAR) || ':' || CAST(j AS VARCHAR) || '_' || CAST(d-1 AS VARCHAR)), 1, 1)
+        |                       IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END))),
+        |      (acc, x) -> acc + x) > 0
+        |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS bucket
+        |  FROM e CROSS JOIN ht),
+        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
+        |         FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        |s AS (SELECT a, b,
+        |        list_dot_product(va, vb) /
+        |        (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS sim
+        |      FROM cand)
+        |SELECT a, b, round(sim, 6) AS sim FROM s WHERE sim >= 0.35 ORDER BY a, b""".stripMargin,
 
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -622,6 +645,33 @@ object SparkEntry {
         |        list_dot_product(e.v, q.qv) /
         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
         |      FROM e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM (
+        |  SELECT query_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM s)
+        |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
+
+    // Replicates lshTopK's single-table 6-bit bucketing (same IEEE fold as
+    // the Spark plan) + exact cosine re-rank: candidates are same-bucket
+    // rows, top-10 per query.
+    "q_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |  list_sum(list_transform(range(0, 6), j ->
+        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1),
+        |        d -> v[d] * (CASE WHEN substr(md5('0:' || CAST(j AS VARCHAR) || '_' || CAST(d-1 AS VARCHAR)), 1, 1)
+        |                     IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END))),
+        |      (acc, x) -> acc + x) > 0
+        |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS bucket
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+        |cand AS (SELECT DISTINCT b.vec_id, b.v, q.query_id, q.qv
+        |         FROM b JOIN q USING (bucket)
+        |         WHERE b.vec_id <> q.query_id),
+        |s AS (SELECT query_id, vec_id,
+        |        list_dot_product(v, qv) /
+        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        |      FROM cand)
         |SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM (
         |  SELECT query_id, vec_id, sim,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank

@@ -35,7 +35,9 @@ object Classic {
       reduce: Option[(String, Iterator[String]) => Iterator[KV]] = None,
       partitions: Int = 32,
       sort: Boolean = false,
-      /** combiner buffer cap, à la Disco's user-managed flush (func.py:60-66) */
+      /** combiner buffer cap in TOTAL buffered values (not keys), à la
+        * Disco's user-managed flush (func.py:60-66) — a single hot key can
+        * never accumulate unboundedly before the combiner runs. */
       combinerBufferSize: Int = 1 << 16)
 
   /** Run a classic job over a dataset of input records ("lines"). */
@@ -48,21 +50,22 @@ object Classic {
       case Some(c) =>
         mapped.mapPartitions { it =>
           val buf = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
-          var out = Iterator.empty: Iterator[KV]
+          var buffered = 0L // total values across all keys — the memory bound
           def flush(): Iterator[KV] = {
             val flushed = buf.iterator.flatMap { case (k, vs) => c(k, vs.iterator) }.toList
-            buf.clear()
+            buf.clear(); buffered = 0L
             flushed.iterator
           }
           val body = it.flatMap { case (k, v) =>
             buf.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += v
-            if (buf.size >= job.combinerBufferSize) flush() else Iterator.empty
+            buffered += 1
+            if (buffered >= job.combinerBufferSize) flush() else Iterator.empty
           }
           body ++ new Iterator[KV] {
             private var tail: Iterator[KV] = null
             def hasNext = { if (tail == null) tail = flush(); tail.hasNext }
             def next() = { if (tail == null) tail = flush(); tail.next() }
-          } ++ out
+          }
         }
     }
 

@@ -44,9 +44,11 @@ object Pipeline {
       process: Iterator[LKV] => Iterator[LKV],
       sort: Boolean = false)
 
-  /** Compile and run the pipeline. `labels` is accepted for API parity with
-    * Disco's nr-of-labels but the GroupLabel shuffle degree is Spark's
-    * shuffle-partition setting (AQE may coalesce).
+  /** Compile and run the pipeline. `labels` is Disco's nr-of-labels: it sets
+    * the GroupLabel shuffle degree (`repartition(labels, label)`), so a job
+    * declaring 8 labels runs 8 reduce tasks, exactly like Disco. Several
+    * labels may hash to one task; the stage is still invoked once per label
+    * with ALL (and only) that label's records (pipeline_utils.erl:147-159).
     */
   def run(spark: SparkSession, input: Dataset[LKV],
           stages: Seq[(Grouping, Stage)], labels: Int = 32): Dataset[LKV] = {
@@ -54,12 +56,31 @@ object Pipeline {
     stages.foldLeft(input) { case (ds, (grouping, stage)) =>
       grouping match {
         case GroupLabel =>
-          // one task per label, exactly pipeline_utils.erl:147-159: the stage
-          // sees ALL (and only) records of a single label.
-          val grouped = ds.groupByKey(_.label)
-          if (stage.sort)
-            grouped.flatMapSortedGroups($"key")((_, it) => stage.process(it))
-          else grouped.flatMapGroups((_, it) => stage.process(it))
+          // labels-wide shuffle on label; records of one label are contiguous
+          // after the partition-local (spillable) sort, so one pass invokes
+          // the stage per label run.
+          val parted = ds.repartition(labels, col("label"))
+          val sorted =
+            if (stage.sort) parted.sortWithinPartitions(col("label"), col("key"))
+            else parted.sortWithinPartitions(col("label"))
+          sorted.mapPartitions { it =>
+            val buf = it.buffered
+            new Iterator[Iterator[LKV]] {
+              def hasNext = buf.hasNext
+              def next() = {
+                val l = buf.head.label
+                val run = new Iterator[LKV] {
+                  def hasNext = buf.hasNext && buf.head.label == l
+                  def next() = buf.next()
+                }
+                // drain any records the stage didn't consume before moving on
+                stage.process(run) ++ new Iterator[LKV] {
+                  def hasNext = { while (run.hasNext) run.next(); false }
+                  def next() = throw new NoSuchElementException
+                }
+              }
+            }.flatten
+          }
         case other =>
           val regrouped = other match {
             case GroupAll => ds.repartition(1)

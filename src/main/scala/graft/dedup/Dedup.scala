@@ -38,39 +38,75 @@ object Dedup {
         explode(TextAnalysis.tokensArr(col(textCol))).as("tok"))
       .distinct()
 
-  /** All pairs (a < b) whose token-set Jaccard >= tau, via prefix filtering.
+  /** All pairs (a < b) whose token-set Jaccard >= tau. Same result as the
+    * naive all-pairs spec (the DuckDB oracle), via a three-stage scale plan:
     *
-    * Lossless: if J(A,B) >= tau then |A∩B| >= ceil(tau/(1+tau)*(|A|+|B|)) and
-    * the rarest-token prefixes of length |A| - ceil(tau*|A|) + 1 must
-    * intersect — so joining only prefixes loses no qualifying pair. The
-    * DuckDB oracle is therefore the naive all-pairs spec, while this plan
-    * scales.
+    *  1. COLLAPSE identical token sets (exact-dedup before near-dedup, the
+    *     standard training-pipeline move): Jaccard depends only on the token
+    *     set, so documents with equal sets — the bulk of real dup clusters —
+    *     reduce to one representative each. A cluster of m copies costs 1
+    *     unit of similarity work instead of m²/2.
+    *  2. PPJOIN over the unique sets: candidates come only from each set's
+    *     rarest `|A| - ceil(tau*|A|) + 1` tokens (prefix filter), kept only
+    *     if sizes are within ratio tau (length filter: J>=tau ⇒
+    *     min >= tau*max) and the matching token's positions leave enough
+    *     room for the required overlap (positional filter:
+    *     1 + min(|A|-i, |B|-j) >= ceil(tau/(1+tau)*(|A|+|B|))). All three
+    *     are lossless for threshold tau.
+    *  3. VERIFY with a columnar token join (count matching tokens per
+    *     candidate group pair — no array materialization), then EXPAND
+    *     qualifying group pairs back to document pairs: cross pairs between
+    *     the two clusters, plus all intra-cluster pairs (Jaccard exactly 1).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    tau: Double): DataFrame = {
-    val toks = tokenSet(df, idCol, textCol).cache()
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
-    // global token frequency → rarest-first ordering (classic PPJoin order)
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val ranked = toks.join(freq, "tok")
+    val toks = tokenSet(df, idCol, textCol)
+    // 1. collapse equal token sets: gid = md5 of the sorted token list
+    val docSets = toks.groupBy("id")
+      .agg(md5(to_binary(concat_ws("\u0001",
+        array_sort(collect_set(col("tok")))), lit("utf-8"))).as("gid"))
+      .cache()
+    val members = docSets // (id, gid)
+    val reps = docSets.groupBy("gid").agg(min(col("id")).as("rep"))
+    val utoks = reps.join(toks, reps("rep") === toks("id"))
+      .select(col("gid"), col("tok")).cache() // one token set per unique set
+    val sizes = utoks.groupBy("gid").agg(count(lit(1)).as("sz"))
+    // 2. PPJoin over unique sets: rarest-first global order (df asc, tok asc)
+    val freq = utoks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val ranked = utoks.join(freq, "tok")
       .withColumn("r", row_number().over(
-        Window.partitionBy("id").orderBy(col("tf").asc, col("tok").asc)))
-      .join(sizes, "id")
+        Window.partitionBy("gid").orderBy(col("tf").asc, col("tok").asc)))
+      .join(sizes, "gid")
       .filter(col("r") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
-      .select("id", "tok")
-    val cands = ranked.as("x").join(ranked.as("y"),
-        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .select("gid", "tok", "r", "sz")
+    val minOverlap = ceil(lit(tau) / (1 + tau) * (col("x.sz") + col("y.sz")))
+    val gcands = ranked.as("x").join(ranked.as("y"),
+        col("x.tok") === col("y.tok") && col("x.gid") < col("y.gid") &&
+          least(col("x.sz"), col("y.sz")) >= ceil(lit(tau) * greatest(col("x.sz"), col("y.sz"))) &&
+          lit(1) + least(col("x.sz") - col("x.r"), col("y.sz") - col("y.r")) >= minOverlap)
+      .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
       .distinct()
-    // verify candidates against full sets
-    val sets = toks.groupBy("id").agg(collect_set(col("tok")).as("set"))
-    cands
-      .join(sets.as("sa"), col("a") === col("sa.id"))
-      .join(sets.as("sb"), col("b") === col("sb.id"))
-      .withColumn("inter", size(array_intersect(col("sa.set"), col("sb.set"))).cast("double"))
-      .withColumn("jac", col("inter") /
-        (size(col("sa.set")) + size(col("sb.set")) - col("inter")))
+    // 3. verify: intersection size via token equi-join, columnar end-to-end
+    val inter = gcands
+      .join(utoks.as("ta"), col("ga") === col("ta.gid"))
+      .join(utoks.as("tb"), col("gb") === col("tb.gid") && col("ta.tok") === col("tb.tok"))
+      .groupBy("ga", "gb").agg(count(lit(1)).cast("double").as("i"))
+    val qual = inter
+      .join(sizes.as("za"), col("ga") === col("za.gid"))
+      .join(sizes.as("zb"), col("gb") === col("zb.gid"))
+      .withColumn("jac", col("i") / (col("za.sz") + col("zb.sz") - col("i")))
       .filter(col("jac") >= tau)
+      .select(col("ga"), col("gb"), col("jac"))
+    // expand group pairs to doc pairs; intra-cluster pairs have Jaccard 1
+    val cross = qual
+      .join(members.as("ma"), col("ga") === col("ma.gid"))
+      .join(members.as("mb"), col("gb") === col("mb.gid"))
+      .select(least(col("ma.id"), col("mb.id")).as("a"),
+        greatest(col("ma.id"), col("mb.id")).as("b"), col("jac"))
+    val intra = members.as("ma").join(members.as("mb"),
+        col("ma.gid") === col("mb.gid") && col("ma.id") < col("mb.id"))
+      .select(col("ma.id").as("a"), col("mb.id").as("b"), lit(1.0).as("jac"))
+    cross.unionByName(intra)
       .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
   }
 

@@ -62,16 +62,17 @@ object Similarity {
       .otherwise(-1.0)
 
   /** b-bit sign-LSH bucket of a vector (table t): bit j = [dot(plane_j,v)>0].
-    * The dot goes through DECIMAL(28,12) so the sign is order-independent
-    * exact — identical in any engine at any parallelism.
+    * The signed dot is a fixed left-to-right double fold — per-row
+    * sequential (array `aggregate` never parallelizes inside a row), so the
+    * result is bit-identical at any partitioning and in any IEEE-754 engine
+    * folding in the same order (the DuckDB oracle uses list_reduce).
     */
   def lshBucket(vec: Column, bits: Int, table: Int = 0): Column = {
     val terms = (0 until bits).map { j =>
       val signedSum = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => (x * planeSign(table, j, d)).cast("decimal(28,12)")),
-        lit(BigDecimal(0)).cast("decimal(38,12)"),
-        (acc, v) => (acc + v).cast("decimal(38,12)"))
+          (x, d) => x * planeSign(table, j, d)),
+        lit(0.0), (acc, v) => acc + v)
       when(signedSum > 0, 1L << j).otherwise(0L)
     }
     terms.reduce(_ + _)
@@ -104,15 +105,44 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, sim >= tau). Exact
-    * all-pairs — the verification-grade spec; for scale, bucket first with
-    * [[lshBucket]] and verify within buckets.
+    * all-pairs — the verification-grade spec. O(n²): use only on small
+    * inputs / as a test oracle; the scale path is [[nearDupPairsLsh]].
     */
-  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                   tau: Double): DataFrame = {
+  def nearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
+                        tau: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .withColumn("sim", cosine(col("x.v"), col("y.v")))
       .filter(col("sim") >= tau)
       .select(col("x.id").as("a"), col("y.id").as("b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Scale-path near-dup pairs: candidates = same sign-LSH bucket in ANY of
+    * `tables` hash tables (bucket equi-join per table, unioned, distinct),
+    * verified by exact cosine >= tau.
+    *
+    * Contract: recall < 1 by construction — a qualifying pair is found only
+    * if some table buckets it together (the classic L-table LSH tradeoff:
+    * P[found] = 1-(1-p^bits)^tables, p = 1-θ/π). Precision = 1 (every output
+    * pair is exactly verified). Candidate volume ~ Σ bucket² per table
+    * instead of n² — at 100 TB this is the difference between a bucket-keyed
+    * shuffle join and an impossible cartesian. Deterministic: buckets are
+    * md5-derived, verification exact, so results are engine-reproducible
+    * (the DuckDB oracle replicates the bucketing bit-for-bit).
+    */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                      tau: Double, bits: Int = 8, tables: Int = 4): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cands = (0 until tables).map { t =>
+      val b = v.withColumn("bucket", lshBucket(col("v"), bits, t))
+      b.as("x").join(b.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"),
+          col("x.v").as("va"), col("y.v").as("vb"))
+    }.reduce(_ unionByName _).distinct()
+    cands
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= tau)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
   }
 }
