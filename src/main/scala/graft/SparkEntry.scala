@@ -362,6 +362,62 @@ object SparkEntry {
           e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, bits = 6)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "vec_id")
+    }),
+
+    // -------- §2.3 #30-32 — chained-job analytics (JobChain analog) --------
+
+    // PageRank, 5 unrolled iterations over a 50-node graph derived from
+    // orders (src = custkey%50, dst = orderkey%50, uniform out-weights) —
+    // page_rank.py:62-120. Decimal-exact contribution sums make the scores
+    // engine-reproducible; the oracle is the same chain as unrolled CTEs.
+    "q_pagerank" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val edges = o.select((col("o_custkey") % 50).as("src"),
+          (col("o_orderkey") % 50).as("dst")).distinct()
+      chain.PageRank.run(s, chain.PageRank.uniformWeights(edges), iterations = 5)
+        .select(col("node"), round(col("score"), 6).as("score"))
+        .orderBy("node")
+    }),
+
+    // Lloyd's k-means (k=4, 3 iterations) over the embeddings table —
+    // kclustering.py:49-120. Init = first k vectors by id; decimal-exact
+    // center sums; assignment = codegen'd argmin with lowest-id tie-break.
+    "q_kmeans_assign" -> ((s, dir) => {
+      val (_, assigned) = chain.KMeans.run(s, Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 4, iterations = 3)
+      assigned.select(col("id").as("vec_id"), col("cluster")).orderBy("vec_id")
+    }),
+
+    // Naive Bayes training grid — naive_bayes.py:46-159 semantics:
+    // document-level binary events (docId, cls=lang, feature=token),
+    // +1-pseudocount contingency grid, ll_pair = log a - log b,
+    // ll_class = Σ log(a+c)-log(b+d) (decimal sum).
+    "q_nb_train" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val ev = d.select(col("doc_id").as("docId"), col("lang").as("cls"),
+        explode(TextAnalysis.tokensArr(col("text"))).as("feature"))
+      chain.NaiveBayes.train(ev)
+        .select(col("cls"), col("feature"),
+          round(col("ll_pair"), 6).as("ll_pair"),
+          round(col("ll_class"), 6).as("ll_class"))
+        .orderBy("cls", "feature")
+    }),
+
+    // Naive Bayes prediction: argmax class per document over the trained
+    // grid (broadcast join — the grid is |classes|·|features| rows).
+    "q_nb_predict" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val ev = d.select(col("doc_id").as("docId"), col("lang").as("cls"),
+        explode(TextAnalysis.tokensArr(col("text"))).as("feature"))
+      val model = chain.NaiveBayes.train(ev)
+      val scored = chain.NaiveBayes.predict(
+        ev.select("docId", "feature").distinct(), model)
+      import org.apache.spark.sql.expressions.Window
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy("docId").orderBy(col("score").desc, col("cls").asc)))
+        .filter(col("rn") === 1)
+        .select(col("docId").as("doc_id"), col("cls").as("pred"))
+        .orderBy("doc_id")
     })
   )
 
@@ -676,6 +732,130 @@ object SparkEntry {
         |  SELECT query_id, vec_id, sim,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
         |  FROM s)
-        |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin
+        |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
+
+    // PageRank unrolled: 5 CTE iterations of the exact chain the Spark loop
+    // runs — decimal(38,18) contribution sums (order-independent), then
+    // score = (1-0.85) + 0.85*received with the same double op order.
+    "q_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""s$i AS (
+           |  SELECT n.node,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) +
+           |      CAST(0.85 AS DOUBLE) * coalesce(r.rec, CAST(0 AS DOUBLE)) AS score
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |           CAST(sum(CAST(s.score * e.w AS DECIMAL(38,18))) AS DOUBLE) AS rec
+           |    FROM s${i - 1} s JOIN e ON s.node = e.src GROUP BY e.dst) r USING (node))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS (SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst FROM orders),
+         |od AS (SELECT src, count(*) AS od FROM ed GROUP BY src),
+         |e AS (SELECT ed.src, ed.dst, CAST(1.0 AS DOUBLE) / od.od AS w FROM ed JOIN od USING (src)),
+         |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+         |s0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+         |$iters
+         |SELECT node, round(score, 6) AS score FROM s5 ORDER BY node""".stripMargin
+    },
+
+    // k-means unrolled: init = first k vectors by id; each iteration =
+    // argmin assignment (same left-to-right IEEE distance fold as Spark's
+    // `aggregate`, lowest-cluster tie-break) + decimal-exact per-dim center
+    // means; output = final assignment. Generic in dim via the dims CTE.
+    "q_kmeans_assign" -> {
+      def sqd(p: String, c: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, len($p)+1), d -> ($p[d]-$c[d])*($p[d]-$c[d]))), (acc,x) -> acc+x)"
+      def assign(a: String, cPrev: String) =
+        s"""$a AS (
+           |  SELECT vec_id, v, cluster FROM (
+           |    SELECT e.vec_id, e.v, c.cluster,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqd("e.v", "c.v")} ASC, c.cluster ASC) AS rn
+           |    FROM e CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
+      def update(i: Int) =
+        s"""u$i AS (
+           |  SELECT cluster, d,
+           |    CAST(sum(CAST(v[d] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+           |  FROM a$i CROSS JOIN dims GROUP BY cluster, d),
+           |c$i AS (
+           |  SELECT c.cluster, coalesce(nv.v, c.v) AS v
+           |  FROM c${i - 1} c LEFT JOIN (
+           |    SELECT cluster, list(m ORDER BY d) AS v FROM u$i GROUP BY cluster) nv
+           |  USING (cluster))""".stripMargin
+      val body = (1 to 3).map(i => assign(s"a$i", s"c${i - 1}") + ",\n" + update(i))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |dims AS (SELECT unnest(range(1, 65)) AS d),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+         |$body,
+         |${assign("afinal", "c3")}
+         |SELECT vec_id, cluster FROM afinal ORDER BY vec_id""".stripMargin
+    },
+
+    "q_nb_train" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang AS cls, tok AS feature FROM (
+        |    SELECT doc_id, lang,
+        |           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |docs AS (SELECT DISTINCT doc_id, cls FROM toks),
+        |ny AS (SELECT cls, count(*) AS n_y FROM docs GROUP BY cls),
+        |ni AS (SELECT feature, count(*) AS n_i
+        |       FROM (SELECT DISTINCT doc_id, feature FROM toks) GROUP BY feature),
+        |pairs AS (SELECT cls, feature, count(*) AS n_yi
+        |          FROM (SELECT DISTINCT doc_id, cls, feature FROM toks) GROUP BY cls, feature),
+        |tot AS (SELECT count(*) AS n FROM docs),
+        |grid AS (SELECT y.cls, i.feature,
+        |           coalesce(p.n_yi, 0) + 1 AS a,
+        |           i.n_i - coalesce(p.n_yi, 0) + 1 AS b,
+        |           y.n_y - coalesce(p.n_yi, 0) + 1 AS c,
+        |           t.n - i.n_i - y.n_y + coalesce(p.n_yi, 0) + 1 AS d
+        |         FROM ny y CROSS JOIN ni i CROSS JOIN tot t
+        |         LEFT JOIN pairs p ON p.cls = y.cls AND p.feature = i.feature),
+        |llc AS (SELECT cls,
+        |          CAST(sum(CAST(ln(a + c) - ln(b + d) AS DECIMAL(38,18))) AS DOUBLE) AS ll_class
+        |        FROM grid GROUP BY cls)
+        |SELECT g.cls, g.feature,
+        |       round(ln(g.a) - ln(g.b), 6) AS ll_pair,
+        |       round(l.ll_class, 6) AS ll_class
+        |FROM grid g JOIN llc l ON g.cls = l.cls
+        |ORDER BY g.cls, g.feature""".stripMargin,
+
+    "q_nb_predict" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang AS cls, tok AS feature FROM (
+        |    SELECT doc_id, lang,
+        |           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |docs AS (SELECT DISTINCT doc_id, cls FROM toks),
+        |ny AS (SELECT cls, count(*) AS n_y FROM docs GROUP BY cls),
+        |ni AS (SELECT feature, count(*) AS n_i
+        |       FROM (SELECT DISTINCT doc_id, feature FROM toks) GROUP BY feature),
+        |pairs AS (SELECT cls, feature, count(*) AS n_yi
+        |          FROM (SELECT DISTINCT doc_id, cls, feature FROM toks) GROUP BY cls, feature),
+        |tot AS (SELECT count(*) AS n FROM docs),
+        |grid AS (SELECT y.cls, i.feature,
+        |           coalesce(p.n_yi, 0) + 1 AS a,
+        |           i.n_i - coalesce(p.n_yi, 0) + 1 AS b,
+        |           y.n_y - coalesce(p.n_yi, 0) + 1 AS c,
+        |           t.n - i.n_i - y.n_y + coalesce(p.n_yi, 0) + 1 AS d
+        |         FROM ny y CROSS JOIN ni i CROSS JOIN tot t
+        |         LEFT JOIN pairs p ON p.cls = y.cls AND p.feature = i.feature),
+        |llc AS (SELECT cls,
+        |          CAST(sum(CAST(ln(a + c) - ln(b + d) AS DECIMAL(38,18))) AS DOUBLE) AS ll_class
+        |        FROM grid GROUP BY cls),
+        |feats AS (SELECT DISTINCT doc_id, feature FROM toks),
+        |scores AS (SELECT f.doc_id, g.cls,
+        |             CAST(sum(CAST(ln(g.a) - ln(g.b) AS DECIMAL(38,18))) AS DOUBLE) AS s
+        |           FROM feats f JOIN grid g USING (feature) GROUP BY f.doc_id, g.cls),
+        |final AS (SELECT s.doc_id, s.cls, l.ll_class + s.s AS score
+        |          FROM scores s JOIN llc l USING (cls))
+        |SELECT doc_id, pred FROM (
+        |  SELECT doc_id, cls AS pred,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+        |  FROM final)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -50,9 +50,12 @@ object KMeans {
       .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 1 to iterations) {
       val assigned = assign(pts, "id", "v", centers)
+      // per-dimension sums in DECIMAL(38,18): order-independent exact, so
+      // centers are bit-identical at any partitioning / in any engine
       val sums = assigned.groupBy("cluster").agg(
         count(lit(1)).as("n"),
-        array((0 until dim).map(d => sum(element_at(col("v"), d + 1))): _*).as("s"))
+        array((0 until dim).map(d =>
+          sum(element_at(col("v"), d + 1).cast("decimal(38,18)")).cast("double")): _*).as("s"))
       val updated = sums.select(col("cluster"),
           transform(col("s"), x => x / col("n")).as("c"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap

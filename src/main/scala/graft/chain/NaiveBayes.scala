@@ -38,7 +38,9 @@ object NaiveBayes {
         coalesce(col("n_yi"), lit(0L)) + 1)
     val llPair = log(col("a")) - log(col("b"))
     val llTerm = log(col("a") + col("c")) - log(col("b") + col("d"))
-    val llClass = grid.groupBy("cls").agg(sum(llTerm).as("ll_class"))
+    // decimal sum: order-independent, so ll_class is partition-stable
+    val llClass = grid.groupBy("cls")
+      .agg(sum(llTerm.cast("decimal(38,18)")).cast("double").as("ll_class"))
     grid.select(col("cls"), col("feature"), llPair.as("ll_pair"))
       .join(llClass, "cls")
   }
@@ -50,7 +52,8 @@ object NaiveBayes {
     val perClass = model.select("cls", "ll_class").distinct()
     events
       .join(broadcast(model), Seq("feature"))
-      .groupBy("docId", "cls").agg(sum("ll_pair").as("s"))
+      .groupBy("docId", "cls")
+      .agg(sum(col("ll_pair").cast("decimal(38,18)")).cast("double").as("s"))
       .join(broadcast(perClass), "cls")
       .select(col("docId"), col("cls"), (col("ll_class") + col("s")).as("score"))
   }

@@ -26,9 +26,13 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct().cache()
     var scores = nodes.withColumn("score", lit(1.0))
     for (i <- 1 to iterations) {
+      // contribution sum goes through DECIMAL(38,18): order-independent
+      // exact, so the result is bit-identical at any partitioning and
+      // reproducible in any engine (the DuckDB oracle sums the same way)
       val contribs = scores.join(e, scores("node") === e("src"))
-        .select(col("dst").as("node"), (col("score") * col("weight")).as("c"))
-        .groupBy("node").agg(sum("c").as("received"))
+        .select(col("dst").as("node"),
+          (col("score") * col("weight")).cast("decimal(38,18)").as("c"))
+        .groupBy("node").agg(sum("c").cast("double").as("received"))
       scores = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("received"), lit(0.0)))

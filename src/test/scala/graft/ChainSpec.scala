@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.chain.{KMeans, NaiveBayes, PageRank}
+
+/** Chained-job analytics (SURVEY §2.3 #30-32) against hand-computed truths.
+  * The CORRECTNESS gate (q_pagerank / q_kmeans_assign / q_nb_*) covers the
+  * fixture-scale behavior; these specs pin the math on tiny inputs.
+  */
+class ChainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("PageRank on a 3-node cycle converges to uniform scores") {
+    // a->b->c->a: perfectly symmetric, every score stays exactly 1.0
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val scores = PageRank.run(spark, PageRank.uniformWeights(edges), iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores.size == 3)
+    scores.values.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("PageRank star graph: hub absorbs leaf mass, leaves settle at 1-d") {
+    // x->hub, y->hub, hub->x (out-weight 1): after enough iterations
+    // leaf y (no in-edges) = 0.15; x = 0.15 + 0.85*hub; hub = 0.15+0.85*(x+y)
+    val edges = Seq(("x", "hub"), ("y", "hub"), ("hub", "x")).toDF("src", "dst")
+    val s = PageRank.run(spark, PageRank.uniformWeights(edges), iterations = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(s("y") - 0.15) < 1e-9)
+    // fixed point: hub = 0.15 + 0.85*(x + y), x = 0.15 + 0.85*hub.
+    // convergence is geometric at 0.85^2 per round-trip → ~7e-3 after 30
+    // iterations; assert within that bound
+    assert(math.abs(s("hub") - (0.15 + 0.85 * (s("x") + s("y")))) < 0.01)
+    assert(math.abs(s("x") - (0.15 + 0.85 * s("hub"))) < 0.01)
+  }
+
+  test("KMeans separates two obvious clusters and assigns all points") {
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)), // init centers (first k by id)
+      (2L, Seq(0.1, -0.1)), (3L, Seq(0.2, 0.1)),
+      (4L, Seq(9.9, 10.1)), (5L, Seq(10.2, 9.8))
+    ).toDF("id", "vec")
+    val (centers, assigned) = KMeans.run(spark, pts, "id", "vec", k = 2, iterations = 3)
+    val byId = assigned.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(Set(0L, 2L, 3L).map(byId) == Set(byId(0L))) // one cluster
+    assert(Set(1L, 4L, 5L).map(byId) == Set(byId(1L))) // the other
+    assert(byId(0L) != byId(1L))
+    // center of the origin cluster = mean of its members
+    val c0 = centers(byId(0L))
+    assert(math.abs(c0.head - (0.0 + 0.1 + 0.2) / 3) < 1e-12)
+    assert(KMeans.inertia(pts, "id", "vec", centers) < 0.2)
+  }
+
+  test("NaiveBayes contingency math matches hand counts") {
+    // 4 docs: two classes, feature f1 only in class A, f2 in both
+    val ev = Seq(
+      (1L, "A", "f1"), (1L, "A", "f2"),
+      (2L, "A", "f1"),
+      (3L, "B", "f2"),
+      (4L, "B", "f2")
+    ).toDF("docId", "cls", "feature")
+    val m = NaiveBayes.train(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // (A,f1): a = n_yi+1 = 3, b = n_i-n_yi+1 = 1 → ll = ln 3
+    assert(math.abs(m(("A", "f1")) - math.log(3.0)) < 1e-12)
+    // (B,f1): a = 0+1 = 1, b = 2-0+1 = 3 → ll = -ln 3
+    assert(math.abs(m(("B", "f1")) + math.log(3.0)) < 1e-12)
+    // predict: a doc with f1 must be A
+    val pred = NaiveBayes.predict(Seq((9L, "f1")).toDF("docId", "feature"),
+        NaiveBayes.train(ev))
+      .orderBy(desc("score")).select("cls").head().getString(0)
+    assert(pred == "A")
+  }
+}
