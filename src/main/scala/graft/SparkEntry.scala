@@ -6,7 +6,7 @@ import graft.api.{Classic, Pipeline}
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.functions.TextAnalysis
-import graft.ops.{AsOfJoin, RelationalOps, TextOps, WindowOps}
+import graft.ops.{AsOfJoin, EstimatePi, RelationalOps, TextOps, WindowOps}
 import graft.query.QExpr
 import graft.similarity.Similarity
 
@@ -363,6 +363,11 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "vec_id")
     }),
+
+    // §2.3 #33 — estimate π (examples/util/estimate_pi.py) with a
+    // deterministic hash-uniform instead of random(); input-free generator,
+    // map-side partial aggregation — one codegen pass at any scale.
+    "q_estimate_pi" -> ((s, _) => EstimatePi.estimate(s, 100000L)),
 
     // -------- §2.3 #30-32 — chained-job analytics (JobChain analog) --------
 
@@ -733,6 +738,25 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
         |  FROM s)
         |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
+
+    // Same hash-uniform replayed digit-by-digit (strpos over the md5 hex);
+    // sums of exact-integer-valued doubles are order-independent exact.
+    "q_estimate_pi" ->
+      """WITH i AS (SELECT unnest(range(100000)) AS id),
+        |h AS (SELECT md5(CAST(id AS VARCHAR) || ':x') AS hx,
+        |             md5(CAST(id AS VARCHAR) || ':y') AS hy FROM i),
+        |u AS (SELECT
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    (strpos('0123456789abcdef', substr(hx, j, 1)) - 1) * 16 ** (8 - j)))::DOUBLE
+        |    / 4294967296.0 AS x,
+        |  list_sum(list_transform(range(1, 9), j ->
+        |    (strpos('0123456789abcdef', substr(hy, j, 1)) - 1) * 16 ** (8 - j)))::DOUBLE
+        |    / 4294967296.0 AS y
+        |  FROM h)
+        |SELECT count(*) AS n,
+        |       sum(CASE WHEN x*x + y*y <= CAST(1.0 AS DOUBLE) THEN 1 ELSE 0 END) AS inside,
+        |       round(CAST(4.0 AS DOUBLE) * sum(CASE WHEN x*x + y*y <= CAST(1.0 AS DOUBLE) THEN 1 ELSE 0 END) / count(*), 6) AS pi_est
+        |FROM u""".stripMargin,
 
     // PageRank unrolled: 5 CTE iterations of the exact chain the Spark loop
     // runs — decimal(38,18) contribution sums (order-independent), then
