@@ -369,6 +369,68 @@ object SparkEntry {
     // map-side partial aggregation — one codegen pass at any scale.
     "q_estimate_pi" -> ((s, _) => EstimatePi.estimate(s, 100000L)),
 
+    // -------- SURVEY M6 — io surface (schemes + readers + sinks) ----------
+
+    // #49/#54 — CSV sink + csv_reader round-trip: documents → CSV files →
+    // read back (explicit schema: no inference scan) → per-lang aggregate.
+    // Oracle reads the parquet directly, so any loss in the CSV path fails
+    // the hash.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val path = graft.io.IoScratch.dir + "/documents_csv"
+      graft.io.Sinks.writeCsv(d, path)
+      graft.io.Sources.readCsv(s, path, schema = d.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy("lang")
+    }),
+
+    // #47/#54 — plain-text sink + raw line reader round-trip: document text
+    // → .txt part files → readText → word count (same oracle as
+    // q_wordcount over parquet: the text path must be lossless).
+    "q_text_roundtrip" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val path = graft.io.IoScratch.dir + "/documents_txt"
+      graft.io.Sinks.writeText(d.select("text"), path)
+      TextOps.wordCount(
+        graft.io.Sources.readText(s, path).withColumnRenamed("line", "text"),
+        "text").orderBy("word")
+    }),
+
+    // #48 — re_reader: regex record parser over the events.props payload;
+    // every match yields one record (finditer semantics), groups → columns.
+    "q_re_reader" -> ((s, dir) =>
+      graft.io.Sources.reReader(Tables.events(s, dir), "props",
+          """"k": (\d+)""", Seq("k"))
+        .select((col("k").cast("int") % 10).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+
+    // #39 — raw:// literal source (scheme_raw.py:1-11): driver literals as
+    // records, here fed through word count.
+    "q_raw_literal" -> ((s, _) =>
+      TextOps.wordCount(
+        graft.io.Sources.raw(s,
+          Seq("spark maps the rows", "spark reduces the rows", "tags name the rows"))
+          .withColumnRenamed("line", "text"), "text")
+        .orderBy("word")),
+
+    // #40 — tag catalog DAG: parent tag → two child tags → concrete paths;
+    // blob multiplicity preserved (same path under both children appears
+    // twice, ddfs.py walk semantics).
+    "q_tag_union" -> ((s, dir) => {
+      val cat = new graft.io.TagCatalog(s)
+      cat.put("docs_a", Seq(s"$dir/documents.parquet"))
+      cat.put("docs_b", Seq(s"$dir/documents.parquet"))
+      cat.put("docs_all", Seq("tag://docs_a", "tag://docs_b"))
+      cat.setAttr("docs_all", "owner", "graft")
+      cat.read("docs_all")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    }),
+
     // -------- §2.3 #30-32 — chained-job analytics (JobChain analog) --------
 
     // PageRank, 5 unrolled iterations over a 50-node graph derived from
@@ -738,6 +800,37 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
         |  FROM s)
         |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
+
+    // io round-trips: the oracle reads the PARQUET source — the Spark side
+    // must round-trip losslessly through CSV/text to match.
+    "q_csv_roundtrip" ->
+      """SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars,
+        |       sum(length(text)) AS sum_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_roundtrip" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_re_reader" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS bucket,
+        |       count(*) AS cnt
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_raw_literal" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(line), '[^a-z0-9]+')) AS word
+        |      FROM (VALUES ('spark maps the rows'), ('spark reduces the rows'),
+        |                   ('tags name the rows')) AS t(line))
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_tag_union" ->
+      """SELECT lang, count(*) * 2 AS cnt
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Same hash-uniform replayed digit-by-digit (strpos over the md5 hex);
     // sums of exact-integer-valued doubles are order-independent exact.

@@ -1,0 +1,34 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Output surface — the analog of Disco's task output streams
+  * (reference: worker/task_io.py:319-331 plain-text out, DDFS blob save).
+  * Writes go through Spark's commit protocol (staging + atomic rename), the
+  * same guarantee Disco gets from DDFS tag flips.
+  */
+object Sinks {
+
+  /** Plain text sink (task_io.py:319-331): one record per line, columns
+    * joined by `sep`. Overwrite is atomic per the commit protocol.
+    */
+  def writeText(df: DataFrame, path: String, sep: String = "\t"): Unit =
+    df.select(concat_ws(sep, df.columns.map(col): _*).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** CSV sink with header. */
+  def writeCsv(df: DataFrame, path: String, sep: String = ","): Unit =
+    df.write.mode("overwrite").option("header", "true").option("sep", sep)
+      .csv(path)
+
+  /** Parquet sink — the default chunk format (replaces Disco chunks). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
+
+/** Scratch dir for io round-trip queries (DDFS temp-space analog). */
+object IoScratch {
+  val dir: String =
+    sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/io_scratch")
+}

@@ -1,0 +1,56 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Input surface — the Spark-native analog of Disco's io schemes + readers
+  * (reference: lib/disco/schemes/__init__.py:28-42 dispatch,
+  * scheme_raw.py:1-11, worker/task_io.py:251-317 readers).
+  *
+  * Everything returns a lazy DataFrame scan: Catalyst keeps pushdown and
+  * pruning, Spark's FileSourceScan splits large files into tasks
+  * (maxPartitionBytes) — a 100 TB text/CSV corpus parallelizes for free,
+  * with codec inference (gzip et al.) handled by the datasource layer.
+  */
+object Sources {
+
+  /** Raw text line reader (`file://` + line iterator, task_io.py chain
+    * default): one row per line, column `line`.
+    */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).withColumnRenamed("value", "line")
+
+  /** CSV reader (csv_reader, examples/util/simple_innerjoin.py:12-17).
+    * Pass an explicit schema for production reads — schema inference is a
+    * second full scan at 100 TB.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType = null,
+              header: Boolean = true, sep: String = ","): DataFrame = {
+    val r = spark.read.option("header", header.toString).option("sep", sep)
+    (if (schema != null) r.schema(schema) else r.option("inferSchema", "true"))
+      .csv(path)
+  }
+
+  /** `raw://` literal source (scheme_raw.py:1-11): the payload IS the
+    * record. Driver-side literals, parallelized — for seeds and unit inputs.
+    */
+  def raw(spark: SparkSession, records: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(records).toDF("line")
+  }
+
+  /** Regex record parser (re_reader, task_io.py:251-317): every match of
+    * `pattern` in `textCol` becomes one record; capture group i becomes
+    * column `groups(i)`. Non-matching content yields no records (the
+    * reference's finditer semantics). Pure codegen'd expressions.
+    */
+  def reReader(df: DataFrame, textCol: String, pattern: String,
+               groups: Seq[String]): DataFrame = {
+    val base = df.select(
+      explode(regexp_extract_all(col(textCol), lit(pattern), lit(0))).as("_m"))
+    groups.zipWithIndex.foldLeft(base) { case (d, (g, i)) =>
+      d.withColumn(g, regexp_extract(col("_m"), pattern, i + 1))
+    }.drop("_m")
+  }
+}

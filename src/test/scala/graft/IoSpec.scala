@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{OOB, Params}
+import graft.io.{Sinks, Sources, TagCatalog}
+
+/** io surface (SURVEY M6) + §2.9 OOB/Params. The CORRECTNESS gate covers
+  * the fixture-scale round-trips (q_csv_roundtrip etc.); these pin the
+  * semantics the oracles can't see: tag DAG walks, cycle safety, finditer
+  * multi-match, executor-side OOB puts.
+  */
+class IoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("reReader yields one record per match with group columns") {
+    val df = Seq("a=1 b=2 c=33", "d=4", "nothing here").toDF("line")
+    val out = Sources.reReader(df, "line", """(\w)=(\d+)""", Seq("name", "num"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq(("a", "1"), ("b", "2"), ("c", "33"), ("d", "4")))
+  }
+
+  test("raw literal source parallelizes driver records") {
+    assert(Sources.raw(spark, Seq("x", "y", "z")).count() == 3)
+  }
+
+  test("tag catalog walks DAGs, survives cycles, keeps blob multiplicity") {
+    val cat = new TagCatalog(spark)
+    cat.put("leaf1", Seq("/data/p1"))
+    cat.put("leaf2", Seq("/data/p2", "/data/p1"))
+    cat.put("mid", Seq("tag://leaf1", "tag://leaf2"))
+    cat.put("top", Seq("tag://mid", "/data/p3"))
+    assert(cat.urls("top") == Seq("/data/p1", "/data/p2", "/data/p1", "/data/p3"))
+    // cycle: a -> b -> a terminates (ddfs walk visited-set semantics)
+    cat.put("a", Seq("tag://b", "/data/a"))
+    cat.put("b", Seq("tag://a", "/data/b"))
+    assert(cat.urls("a") == Seq("/data/b", "/data/a"))
+    // attributes
+    cat.setAttr("top", "owner", "graft")
+    assert(cat.getAttr("top", "owner").contains("graft"))
+    assert(cat.getAttr("top", "missing").isEmpty)
+  }
+
+  test("text sink + reader round-trips lines") {
+    val path = graft.io.IoScratch.dir + "/spec_txt"
+    Sinks.writeText(Seq(("r1", 1), ("r2", 2)).toDF("s", "n"), path)
+    val back = Sources.readText(spark, path).as[String].collect().sorted
+    assert(back.toSeq == Seq("r1\t1", "r2\t2"))
+  }
+
+  test("OOB: executor-side puts are visible to the driver and persist (test_oob.py shape)") {
+    val oob = new OOB(spark, "spec_job")
+    val ds = spark.range(0, 8).repartition(4)
+    ds.mapPartitions { it =>
+      val n = it.size
+      oob.put(s"part_seen_$n", n.toString) // executor-side put
+      Iterator.single(n)
+    }.collect()
+    assert(oob.get("part_seen_2").contains("2")) // 8 rows / 4 partitions
+    oob.put("driver_key", "v")
+    oob.save(graft.io.IoScratch.dir)
+    val loaded = OOB.load(spark, graft.io.IoScratch.dir, "spec_job")
+    assert(loaded("driver_key") == "v")
+    assert(loaded.keys.exists(_.startsWith("part_seen")))
+  }
+
+  test("Params broadcast is readable from executor closures") {
+    val params = Params(spark, Map("threshold" -> 3))
+    val n = spark.range(0, 10)
+      .filter(id => id >= params()("threshold")).count()
+    assert(n == 7)
+  }
+}
