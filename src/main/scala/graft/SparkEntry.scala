@@ -7,6 +7,7 @@ import graft.core.Tables
 import graft.dedup.Dedup
 import graft.functions.TextAnalysis
 import graft.ops.{AsOfJoin, EstimatePi, RelationalOps, TextOps, WindowOps}
+import graft.multimodal.Multimodal
 import graft.query.QExpr
 import graft.similarity.Similarity
 
@@ -368,6 +369,59 @@ object SparkEntry {
     // deterministic hash-uniform instead of random(); input-free generator,
     // map-side partial aggregation — one codegen pass at any scale.
     "q_estimate_pi" -> ((s, _) => EstimatePi.estimate(s, 100000L)),
+
+    // §2.6 extension — left semi join (EXISTS): customers having a
+    // 'P'-status order; only the key side of orders crosses the shuffle.
+    "q_semi_join" -> ((s, dir) =>
+      RelationalOps.semiJoin(
+        Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+        "c_custkey", "o_custkey")
+        .orderBy("c_custkey")),
+
+    // §2.6 extension — left anti join (NOT EXISTS): customers with no
+    // 'P'-status order.
+    "q_anti_join" -> ((s, dir) =>
+      RelationalOps.antiJoin(
+        Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+        "c_custkey", "o_custkey")
+        .orderBy("c_custkey")),
+
+    // §2.7 extension — EXCEPT (set difference, distinct): big spenders who
+    // never placed a 'P'-status order.
+    "q_except" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      RelationalOps.except(
+        o.filter(col("o_totalprice") > 250000).select(col("o_custkey").as("custkey")),
+        o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    }),
+
+    // -------- multimodal columns (builder brief) ---------------------------
+
+    // Opaque-payload stats without decoding: byte length + md5 over the
+    // binary column — the integrity/dedupe pass that must stay
+    // payload-blind at 100 TB. Payload = UTF-8 bytes of text (the fixture
+    // carries no real media; the binary plumbing is what's under test).
+    "q_media_stats" -> ((s, dir) =>
+      Multimodal.payloadStats(
+        Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+        .select(col("id").as("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("fp"))
+        .orderBy("doc_id")),
+
+    // Batched per-partition feature extraction (mapInPandas shape): 4-bin
+    // byte histogram by top-2 bits of each payload byte. The oracle
+    // recomputes it from the hex dump — byte-level, not codepoint-level.
+    "q_media_hist" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.extractFeatures(s, media).toDF()
+        .select(col("id").as("doc_id"),
+          col("hist")(0).as("b0"), col("hist")(1).as("b1"),
+          col("hist")(2).as("b2"), col("hist")(3).as("b3"))
+        .orderBy("doc_id")
+    }),
 
     // -------- SURVEY M6 — io surface (schemes + readers + sinks) ----------
 
@@ -800,6 +854,44 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
         |  FROM s)
         |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT custkey FROM (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY custkey""".stripMargin,
+
+    "q_media_stats" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // byte histogram from the hex dump: char 2i+1 (1-based) of hex(bytes)
+    // is byte i's high nibble; nibble/4 = the Spark side's (b >> 6) bucket.
+    "q_media_hist" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS n FROM documents),
+        |nib AS (SELECT doc_id,
+        |          list_transform(range(0, n), i -> substr(hx, CAST(2*i+1 AS INT), 1)) AS ns
+        |        FROM h)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(ns, c -> c IN ('0','1','2','3'))) AS BIGINT) AS b0,
+        |  CAST(len(list_filter(ns, c -> c IN ('4','5','6','7'))) AS BIGINT) AS b1,
+        |  CAST(len(list_filter(ns, c -> c IN ('8','9','A','B'))) AS BIGINT) AS b2,
+        |  CAST(len(list_filter(ns, c -> c IN ('C','D','E','F'))) AS BIGINT) AS b3
+        |FROM nib ORDER BY doc_id""".stripMargin,
 
     // io round-trips: the oracle reads the PARQUET source — the Spark side
     // must round-trip losslessly through CSV/text to match.

@@ -64,4 +64,24 @@ object RelationalOps {
     * is the physical equivalent.
     */
   def hashLabel(key: Column, n: Int): Column = pmod(hash(key), lit(n)).cast("int")
+
+  /** Left semi join — EXISTS: left rows with a match, left columns only.
+    * Ships only the key side of `right` through the shuffle (or broadcast);
+    * at scale this beats inner-join+distinct by the width of `right`.
+    */
+  def semiJoin(left: DataFrame, right: DataFrame, leftKey: String,
+               rightKey: String, broadcastRight: Boolean = false): DataFrame = {
+    val r = if (broadcastRight) broadcast(right) else right
+    left.join(r, left(leftKey) === r(rightKey), "left_semi")
+  }
+
+  /** Left anti join — NOT EXISTS: left rows with no match. */
+  def antiJoin(left: DataFrame, right: DataFrame, leftKey: String,
+               rightKey: String, broadcastRight: Boolean = false): DataFrame = {
+    val r = if (broadcastRight) broadcast(right) else right
+    left.join(r, left(leftKey) === r(rightKey), "left_anti")
+  }
+
+  /** Set difference (distinct), SQL EXCEPT. */
+  def except(left: DataFrame, right: DataFrame): DataFrame = left.except(right)
 }
