@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 
@@ -53,48 +52,56 @@ object Dedup {
     *     room for the required overlap (positional filter:
     *     1 + min(|A|-i, |B|-j) >= ceil(tau/(1+tau)*(|A|+|B|))). All three
     *     are lossless for threshold tau.
-    *  3. VERIFY with a columnar token join (count matching tokens per
-    *     candidate group pair — no array materialization), then EXPAND
+    *  3. VERIFY candidates by sorted-array intersection on the carried
+    *     per-set arrays (bounded by document length), then EXPAND
     *     qualifying group pairs back to document pairs: cross pairs between
     *     the two clusters, plus all intra-cluster pairs (Jaccard exactly 1).
+    *
+    * Plan economy: the rarest-first order is computed ONCE as a sorted
+    * array per document (one aggregation - no per-group window sort), the
+    * prefix is a slice + posexplode (no extra shuffle), and the set arrays
+    * ride the same rows from grouping to verification (no re-join against
+    * the token table).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    tau: Double): DataFrame = {
     val toks = tokenSet(df, idCol, textCol)
-    // 1. collapse equal token sets: gid = md5 of the sorted token list
-    val docSets = toks.groupBy("id")
-      .agg(md5(to_binary(concat_ws("\u0001",
-        array_sort(collect_set(col("tok")))), lit("utf-8"))).as("gid"))
+    // global token frequency - corpus-small, Catalyst broadcasts the join
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    // 1. one row per doc: tokens sorted rarest-first ((tf, tok) asc) +
+    //    canonical set id
+    val docs = toks.join(freq, "tok")
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("tf"), col("tok")))),
+        x => x("tok")).as("ordered"))
+      .withColumn("gid",
+        md5(to_binary(concat_ws("\u0001", col("ordered")), lit("utf-8"))))
       .cache()
-    val members = docSets // (id, gid)
-    val reps = docSets.groupBy("gid").agg(min(col("id")).as("rep"))
-    val utoks = reps.join(toks, reps("rep") === toks("id"))
-      .select(col("gid"), col("tok")).cache() // one token set per unique set
-    val sizes = utoks.groupBy("gid").agg(count(lit(1)).as("sz"))
-    // 2. PPJoin over unique sets: rarest-first global order (df asc, tok asc)
-    val freq = utoks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val ranked = utoks.join(freq, "tok")
-      .withColumn("r", row_number().over(
-        Window.partitionBy("gid").orderBy(col("tf").asc, col("tok").asc)))
-      .join(sizes, "gid")
-      .filter(col("r") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
-      .select("gid", "tok", "r", "sz")
+    val members = docs.select("id", "gid")
+    val gsets = docs.groupBy("gid").agg(first(col("ordered")).as("ordered"))
+      .withColumn("sz", size(col("ordered")))
+      .cache()
+    // 2. PPJoin: prefix = the sz - ceil(tau*sz) + 1 rarest tokens
+    val prefLen = (col("sz") - ceil(lit(tau) * col("sz")) + 1).cast("int")
+    val pref = gsets
+      .select(col("gid"), col("sz"),
+        posexplode(slice(col("ordered"), lit(1), prefLen)))
+      .select(col("gid"), col("sz"), (col("pos") + 1).as("r"), col("col").as("tok"))
     val minOverlap = ceil(lit(tau) / (1 + tau) * (col("x.sz") + col("y.sz")))
-    val gcands = ranked.as("x").join(ranked.as("y"),
+    val gcands = pref.as("x").join(pref.as("y"),
         col("x.tok") === col("y.tok") && col("x.gid") < col("y.gid") &&
           least(col("x.sz"), col("y.sz")) >= ceil(lit(tau) * greatest(col("x.sz"), col("y.sz"))) &&
           lit(1) + least(col("x.sz") - col("x.r"), col("y.sz") - col("y.r")) >= minOverlap)
       .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
       .distinct()
-    // 3. verify: intersection size via token equi-join, columnar end-to-end
-    val inter = gcands
-      .join(utoks.as("ta"), col("ga") === col("ta.gid"))
-      .join(utoks.as("tb"), col("gb") === col("tb.gid") && col("ta.tok") === col("tb.tok"))
-      .groupBy("ga", "gb").agg(count(lit(1)).cast("double").as("i"))
-    val qual = inter
-      .join(sizes.as("za"), col("ga") === col("za.gid"))
-      .join(sizes.as("zb"), col("gb") === col("zb.gid"))
-      .withColumn("jac", col("i") / (col("za.sz") + col("zb.sz") - col("i")))
+    // 3. verify on the carried sorted arrays
+    val qual = gcands
+      .join(gsets.select(col("gid").as("ga"), col("ordered").as("seta"),
+        col("sz").as("sza")), "ga")
+      .join(gsets.select(col("gid").as("gb"), col("ordered").as("setb"),
+        col("sz").as("szb")), "gb")
+      .withColumn("i", size(array_intersect(col("seta"), col("setb"))).cast("double"))
+      .withColumn("jac", col("i") / (col("sza") + col("szb") - col("i")))
       .filter(col("jac") >= tau)
       .select(col("ga"), col("gb"), col("jac"))
     // expand group pairs to doc pairs; intra-cluster pairs have Jaccard 1
