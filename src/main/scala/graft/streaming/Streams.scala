@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One closed user session: the state emitted when a gap timeout fires. */
+case class SessionResult(userId: Long, nEvents: Long, totalValue: Double,
+                         firstTs: Long, lastTs: Long)
+
+/** Running per-key session state. */
+case class SessionState(nEvents: Long, totalValue: Double,
+                        firstTs: Long, lastTs: Long)
+
+/** Incremental processing — the Spark-native answer to the reference's
+  * concurrent stages / incremental inputs (master/src/job_coordinator.erl:
+  * 276-294: a stage may start consuming while upstream still produces).
+  * Structured Streaming runs the SAME declarative plan incrementally:
+  * micro-batches flow through shuffle-partitioned stateful operators, state
+  * lives in the state store (RocksDB at cluster scale), and watermarks bound
+  * it — the 100 TB/day contract is "state ∝ open windows, not history".
+  *
+  * Every transform here takes and returns streaming Datasets, so they
+  * compose with the batch operators (same Column expressions both ways).
+  */
+object Streams {
+
+  /** Tumbling-window counts+sums per key with a watermark: late data beyond
+    * `watermarkDelay` is dropped and window state is reclaimed — bounded
+    * memory under unbounded input.
+    */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  valCol: String, windowLen: String,
+                  watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valCol).cast("decimal(18,2)")).cast("double").as("total"))
+
+  /** Streaming exact dedup: first occurrence wins within the watermark
+    * horizon (the incremental form of [[graft.dedup.Dedup.exact]]).
+    */
+  def dedupStream(events: DataFrame, tsCol: String, idCols: Seq[String],
+                  watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(idCols :+ tsCol)
+
+  /** Gap-timeout sessionization via flatMapGroupsWithState — the custom
+    * per-key state machine surface (Disco's stage `process` with carried
+    * state, but incremental and fault-tolerant). A session closes when the
+    * EVENT-TIME watermark passes `lastTs + gapMs` for the key — the
+    * deterministic, replay-safe timeout (processing-time timeouts depend on
+    * wall clocks and re-run differently on recovery).
+    *
+    * Input: (userId, ts, value); the watermark column is `_2`.
+    */
+  def sessionize(spark: SparkSession,
+                 events: Dataset[(Long, java.sql.Timestamp, Double)],
+                 gapMs: Long, watermarkDelay: String = "0 seconds"): Dataset[SessionResult] = {
+    import spark.implicits._
+    events.toDF("userId", "ts", "value")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionResult(userId, s.nEvents, s.totalValue,
+              s.firstTs, s.lastTs))
+          } else {
+            val cur = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MaxValue, 0L))
+            val next = it.foldLeft(cur) { case (s, (_, ts, v)) =>
+              SessionState(s.nEvents + 1, s.totalValue + v,
+                math.min(s.firstTs, ts.getTime), math.max(s.lastTs, ts.getTime))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Incremental word count — the reference's flagship job as a stream. */
+  def wordCountStream(lines: DataFrame, textCol: String): DataFrame =
+    lines.select(explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        w => w =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Plan auditor: prints the formatted physical plan for the given queries
+  * (default: a scale-critical subset) so shuffle counts, broadcast choices,
+  * pushed filters and codegen spans can be reviewed per round.
+  *
+  * Usage: runMain graft.tools.ExplainAudit [sfDir] [query ...]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_join_agg", "q_dedup_jaccard", "q_embed_neardup",
+        "q_pagerank", "q_semi_join", "q_media_hist")
+    val spark = graft.core.GraftSession.builder("graft-explain", cores = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
