@@ -398,6 +398,30 @@ object SparkEntry {
         .orderBy("custkey")
     }),
 
+    // §2.10 — external program interface (external.py:56-170): documents
+    // text piped through `tr a-z A-Z` (one process per partition), then
+    // word-counted. Oracle = upper() in SQL.
+    "q_pipe_upper" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Tables.documents(s, dir).select("text").as[String]
+      TextOps.wordCount(
+        graft.api.External.pipe(s, lines, Seq("tr", "a-z", "A-Z")).toDF("text")
+          .withColumn("text", lower(col("text"))), "text")
+        .orderBy("word")
+    }),
+
+    // §2.10 — registered Aggregator UDAFs callable from SQL text
+    // (graft_sum = sum_combiner/sum_reduce, graft_kvgroup = kvgroup).
+    "q_udaf_sql" -> ((s, dir) => {
+      graft.functions.Udafs.register(s)
+      Tables.orders(s, dir).createOrReplaceTempView("orders_udaf")
+      s.sql("""SELECT o_custkey,
+              |       graft_sum(o_orderkey) AS key_sum,
+              |       graft_kvgroup(CAST(o_orderkey AS STRING)) AS keys
+              |FROM orders_udaf WHERE o_custkey < 50
+              |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    }),
+
     // -------- multimodal columns (builder brief) ---------------------------
 
     // Opaque-payload stats without decoding: byte length + md5 over the
@@ -873,6 +897,21 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
         |ORDER BY custkey""".stripMargin,
+
+    // pipe round-trip: tr A-Z then lower() must be identity on this corpus
+    // (tokens are already lowercase alphanumerics) — same spec as wordcount.
+    "q_pipe_upper" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_udaf_sql" ->
+      """SELECT o_custkey, sum(o_orderkey) AS key_sum,
+        |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS keys
+        |FROM orders WHERE o_custkey < 50
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_media_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS fp

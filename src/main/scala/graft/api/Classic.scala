@@ -38,12 +38,20 @@ object Classic {
       /** combiner buffer cap in TOTAL buffered values (not keys), à la
         * Disco's user-managed flush (func.py:60-66) — a single hot key can
         * never accumulate unboundedly before the combiner runs. */
-      combinerBufferSize: Int = 1 << 16)
+      combinerBufferSize: Int = 1 << 16,
+      /** map_init (func.py:39-46): once per map task before the first
+        * record — connection setup, dictionaries, etc. */
+      mapInit: Option[() => Unit] = None,
+      /** reduce_init: once per reduce task before the first group. */
+      reduceInit: Option[() => Unit] = None)
 
   /** Run a classic job over a dataset of input records ("lines"). */
   def run(spark: SparkSession, input: Dataset[String], job: Job): Dataset[KV] = {
     import spark.implicits._
-    val mapped: Dataset[KV] = input.flatMap(job.map)
+    val mapped: Dataset[KV] = job.mapInit match {
+      case None       => input.flatMap(job.map)
+      case Some(init) => input.mapPartitions { it => init(); it.flatMap(job.map) }
+    }
 
     val preCombined: Dataset[KV] = job.combiner match {
       case None => mapped
@@ -71,12 +79,41 @@ object Classic {
 
     job.reduce match {
       case None => preCombined.repartition(job.partitions, $"_1")
-      case Some(r) =>
+      case Some(r0) =>
+        // reduce_init: once per task before its first group
+        // (flatMap(Sorted)Groups has no per-partition hook; the guard is
+        // @transient state re-created when the task deserializes its
+        // closure — Disco-style idempotent setup, func.py:39-46)
+        val r: (String, Iterator[String]) => Iterator[KV] = job.reduceInit match {
+          case None    => r0
+          case Some(f) =>
+            val once = new InitOnce(f)
+            (k, it) => { once(); r0(k, it) }
+        }
         val grouped = preCombined.groupByKey(_._1)
         if (job.sort)
           grouped.flatMapSortedGroups($"_2")((k, it) => r(k, it.map(_._2)))
         else
           grouped.flatMapGroups((k, it) => r(k, it.map(_._2)))
     }
+  }
+
+  /** result_iterator (lib/disco/core.py:283-311): stream job output back to
+    * the driver one partition at a time — no full collect, the driver holds
+    * at most one partition.
+    */
+  def resultIterator(results: Dataset[KV]): Iterator[KV] = {
+    import scala.jdk.CollectionConverters._
+    results.toLocalIterator().asScala
+  }
+
+  /** Runs `f` at most once per deserialized closure instance (= per task)
+    * and at most once per thread thereafter.
+    */
+  private final class InitOnce(f: () => Unit) extends Serializable {
+    @transient private lazy val done = new ThreadLocal[java.lang.Boolean] {
+      override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+    }
+    def apply(): Unit = if (!done.get()) { f(); done.set(true) }
   }
 }

@@ -40,6 +40,31 @@ object Sources {
     spark.createDataset(records).toDF("line")
   }
 
+  /** `http(s)://` (or any URL) line source (scheme_http.py): the task list
+    * is the URL list; each task pulls ITS url and streams lines — Disco's
+    * exact worker model (inputs are http urls served by peer nodes). One
+    * task per URL; for many small urls Spark schedules them across the
+    * cluster, for few big ones prefer a real datasource. Connection setup
+    * amortizes per URL, bytes never touch the driver.
+    */
+  def readUrls(spark: SparkSession, urls: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(urls).repartition(urls.size)
+      .flatMap { u =>
+        val src = scala.io.Source.fromURL(u)("UTF-8")
+        // getLines is lazy; materialize within the task, then close
+        try src.getLines().toVector finally src.close()
+      }.toDF("line")
+  }
+
+  /** Input-stream chain (task_io.py:339-363): readers compose — each stage
+    * wraps the previous stream. Here a chain is a fold of DataFrame
+    * transforms over the base source (gzip is already below this layer, as
+    * in Disco).
+    */
+  def chain(base: DataFrame, stages: (DataFrame => DataFrame)*): DataFrame =
+    stages.foldLeft(base)((df, f) => f(df))
+
   /** Regex record parser (re_reader, task_io.py:251-317): every match of
     * `pattern` in `textCol` becomes one record; capture group i becomes
     * column `groups(i)`. Non-matching content yields no records (the

@@ -53,10 +53,13 @@ class TagCatalog(spark: SparkSession) {
     walk(name)
   }
 
-  /** Read a tag as one DataFrame: resolve, load each path with `reader`,
-    * union. Default reader = parquet.
+  /** Read a tag as one DataFrame: resolve, apply `inputHook` to the
+    * resolved list (Disco's input_hook, worker/__init__.py: reorder /
+    * filter / sample inputs before the job sees them), load each path with
+    * `reader`, union. Default reader = parquet.
     */
   def read(name: String,
-           reader: String => DataFrame = p => spark.read.parquet(p)): DataFrame =
-    urls(name).map(reader).reduce(_ unionByName _)
+           reader: String => DataFrame = p => spark.read.parquet(p),
+           inputHook: Seq[String] => Seq[String] = identity): DataFrame =
+    inputHook(urls(name)).map(reader).reduce(_ unionByName _)
 }

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.api.{Classic, External}
+import graft.functions.Udafs
+import graft.io.{Sources, TagCatalog}
+
+/** The long-tail API rows from SURVEY §2: init hooks, result_iterator,
+  * external pipe, registered UDAFs, URL source, reader chains, input_hook.
+  */
+class ApiCompletionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("map_init and reduce_init run before processing (func.py:39-46 shape)") {
+    val mapInits = spark.sparkContext.longAccumulator("mapInits")
+    val redInits = spark.sparkContext.longAccumulator("redInits")
+    val in = spark.createDataset(Seq("a b", "b c", "c d")).repartition(2)
+    val out = Classic.run(spark, in, Classic.Job(
+      map = line => line.split(" ").map(_ -> "1"),
+      reduce = Some((k, vs) => Iterator.single(k -> vs.size.toString)),
+      mapInit = Some(() => mapInits.add(1)),
+      reduceInit = Some(() => redInits.add(1))))
+    val m = out.collect().toMap
+    assert(m == Map("a" -> "1", "b" -> "2", "c" -> "2", "d" -> "1"))
+    assert(mapInits.value == 2) // once per map partition
+    assert(redInits.value >= 1) // at most once per reduce thread
+  }
+
+  test("resultIterator streams results without a full collect") {
+    val in = spark.createDataset(Seq("x y", "y z"))
+    val out = Classic.run(spark, in, Classic.Job(
+      map = line => line.split(" ").map(_ -> "1"),
+      reduce = Some((k, vs) => Iterator.single(k -> vs.size.toString))))
+    val viaIter = Classic.resultIterator(out).toSeq.sortBy(_._1)
+    assert(viaIter == Seq("x" -> "1", "y" -> "2", "z" -> "1"))
+  }
+
+  test("External.pipe streams partitions through a process (external.py shape)") {
+    val in = spark.createDataset(Seq("alpha", "beta", "gamma")).repartition(2)
+    val out = External.pipe(spark, in, Seq("tr", "a-z", "A-Z"))
+      .collect().sorted
+    assert(out.toSeq == Seq("ALPHA", "BETA", "GAMMA"))
+  }
+
+  test("External.pipeRows tab-joins columns for stdin") {
+    val df = Seq((1, "a"), (2, "b")).toDF("n", "s")
+    val out = External.pipeRows(df, Seq("cat")).as[String].collect().sorted
+    assert(out.toSeq == Seq("1\ta", "2\tb"))
+  }
+
+  test("registered UDAFs work from SQL with partial aggregation") {
+    Udafs.register(spark)
+    Seq(("k1", 1L, "x"), ("k1", 2L, "y"), ("k2", 5L, "z"))
+      .toDF("k", "n", "v").createOrReplaceTempView("udaf_in")
+    val rows = spark.sql(
+      "SELECT k, graft_sum(n) AS s, graft_kvgroup(v) AS vs FROM udaf_in GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("k1", 3L, "x,y"), ("k2", 5L, "z")))
+  }
+
+  test("readUrls pulls lines per url task (scheme_http model, file:// stand-in)") {
+    val d = Files.createTempDirectory("graft_url").toFile
+    val f1 = new java.io.File(d, "a.txt"); val f2 = new java.io.File(d, "b.txt")
+    Files.write(f1.toPath, "l1\nl2\n".getBytes); Files.write(f2.toPath, "l3\n".getBytes)
+    val lines = Sources.readUrls(spark,
+      Seq(f1.toURI.toString, f2.toURI.toString))
+      .as[String].collect().sorted
+    assert(lines.toSeq == Seq("l1", "l2", "l3"))
+  }
+
+  test("reader chains compose and tag input_hook filters/reorders inputs") {
+    val base = Seq("a=1", "b=2", "skip").toDF("line")
+    val chained = Sources.chain(base,
+      df => Sources.reReader(df, "line", """(\w+)=(\d+)""", Seq("k", "v")),
+      df => df.filter(col("v") > 1))
+    assert(chained.collect().map(_.getString(0)).toSeq == Seq("b"))
+
+    val cat = new TagCatalog(spark)
+    cat.put("t1", Seq(s"$sfDir/region.parquet", s"$sfDir/nation.parquet"))
+    val onlyNation = cat.read("t1", inputHook = _.filter(_.contains("nation")))
+    assert(onlyNation.columns.exists(_.startsWith("n_")))
+  }
+}
