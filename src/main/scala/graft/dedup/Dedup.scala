@@ -126,13 +126,18 @@ object Dedup {
         i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("shingle"))
       .distinct()
 
-  /** MinHash signature: for seed s, min over shingles of md5(s':'shingle). */
-  private def minhash(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
-        col("shingle"))
-      .groupBy("id", "seed")
-      .agg(min(md5(to_binary(concat(col("seed").cast("string"), lit(":"), col("shingle")),
-        lit("utf-8")))).as("mh"))
+  /** All minhashes in ONE aggregation: column `mh<s>` = min over shingles
+    * of md5(s':'shingle). One wide groupBy instead of a numHashes×
+    * row-explosion + (id,seed) shuffle — same signatures, 1/numHashes the
+    * shuffle volume (the plan-shape that survives a 100× scale-up).
+    */
+  private def minhashWide(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map { s =>
+      min(md5(to_binary(concat(lit(s.toString), lit(":"), col("shingle")),
+        lit("utf-8")))).as(s"mh$s")
+    }
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** MinHash + LSH banding: near-dup candidate pairs (a < b) that share at
     * least one band, verified by exact shingle-set Jaccard >= tau.
@@ -142,13 +147,15 @@ object Dedup {
                       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                       tau: Double = 0.7): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleN).cache()
-    val mh = minhash(sh, bands * rowsPerBand)
-    val bandHash = mh
-      .withColumn("band", floor(col("seed") / rowsPerBand))
-      .groupBy("id", "band")
-      .agg(md5(to_binary(array_join(transform(
-        array_sort(collect_list(struct(col("seed"), col("mh")))), x => x("mh")),
-        ","), lit("utf-8"))).as("bh"))
+    val mh = minhashWide(sh, bands * rowsPerBand)
+    // band hash = md5 of the band's minhashes joined in seed order — the
+    // same bytes the per-seed formulation produced (oracle-compatible)
+    val bandHash = mh.select(col("id"), posexplode(array((0 until bands).map { b =>
+        md5(to_binary(array_join(array(
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*),
+          ","), lit("utf-8")))
+      }: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
     val cands = bandHash.as("x").join(bandHash.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
