@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale tools with no single-node reference analog — the operators a
+  * 100 TB deployment reaches for when the default shuffle plan stops
+  * working. (Disco ran these patterns operationally: pre-placed DDFS blobs
+  * = co-location, label skew = the same hot-key problem.)
+  */
+object ScaleOps {
+
+  /** Write `df` as a bucketed, sorted table: co-locates future equi-joins
+    * and aggregations on `keyCol` — two tables bucketed the same way join
+    * with ZERO exchange (the bucketing IS the shuffle, paid once at write
+    * time). The Spark-native analog of Disco's pre-partitioned DDFS tag
+    * layout (`dir://` partition index, util.py:249-259).
+    */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .format("parquet").saveAsTable(table)
+
+  /** Salted equi-join for skewed keys: explode the SMALL side `salt` ways,
+    * scatter the big side's hot keys uniformly with a deterministic
+    * per-row salt, join on (key, salt). Result-identical to the plain
+    * join; the hot key's rows land on `salt` tasks instead of one.
+    * (AQE skew-join splitting handles moderate skew automatically; salting
+    * is the explicit tool for the pathological tail.)
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, salt: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(col(bigKey), monotonically_increasing_id()), lit(salt)))
+    val saltedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig.join(saltedSmall,
+        saltedBig(bigKey) === saltedSmall(smallKey) &&
+          saltedBig("_salt") === saltedSmall("_salt"))
+      .drop("_salt")
+  }
+
+  /** Per-key cardinality profile — the skew detector that decides between
+    * the plain, AQE, and salted plans: top-k heaviest keys + share of total.
+    */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    counts.crossJoin(broadcast(counts.agg(sum("cnt").as("total"))))
+      .withColumn("share", round(col("cnt") / col("total"), 6))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(topK)
+      .select(col(keyCol), col("cnt"), col("share"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ScaleOps
+
+/** The 100 TB toolbox: bucketed co-located joins (zero-exchange), salted
+  * skew joins (result-identical to plain), skew profiling.
+  */
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed tables join with no shuffle exchange") {
+    val o = graft.core.Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = graft.core.Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    ScaleOps.writeBucketed(o, "orders_b", "o_custkey", buckets = 8)
+    ScaleOps.writeBucketed(c, "cust_b", "c_custkey", buckets = 8)
+    val ob = spark.table("orders_b")
+    val cb = spark.table("cust_b")
+    // disable broadcast so the join would otherwise shuffle both sides
+    val joined = ob.hint("merge").join(cb, ob("o_custkey") === cb("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle; plan:\n$plan")
+    assert(joined.count() ==
+      o.join(c, o("o_custkey") === c("c_custkey")).count())
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    // heavy skew: 90% of rows share one key
+    val big = spark.range(0, 2000)
+      .select(when(col("id") < 1800, 7L).otherwise(col("id") % 40).as("k"),
+        col("id").as("payload"))
+    val small = (0L until 40L).map(k => (k, s"dim_$k")).toDF("sk", "name")
+    val plain = big.join(small, big("k") === small("sk"))
+      .select("k", "payload", "name")
+    val salted = ScaleOps.saltedJoin(big, small, "k", "sk", salt = 8)
+      .select("k", "payload", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("skew profile surfaces the hot key with its share") {
+    val df = spark.range(0, 1000)
+      .select(when(col("id") < 900, lit("hot")).otherwise(lit("cold")).as("k"))
+    val top = ScaleOps.skewProfile(df, "k", topK = 1).collect().head
+    assert(top.getString(0) == "hot" && top.getLong(1) == 900L)
+    assert(math.abs(top.getDouble(2) - 0.9) < 1e-9)
+  }
+}
