@@ -39,10 +39,17 @@ object Pipeline {
   case object GroupNode extends Grouping
   case object GroupNodeLabel extends Grouping
 
+  /** Stage lifecycle = Disco's init → process* → done
+    * (pipeline/worker.py:44-125): `init` runs once per task before any
+    * record; `done` runs once per task after the last record and may emit
+    * trailing output (the combiner-flush idiom, worker.py:117-125).
+    */
   final case class Stage(
       name: String,
       process: Iterator[LKV] => Iterator[LKV],
-      sort: Boolean = false)
+      sort: Boolean = false,
+      init: () => Unit = () => (),
+      done: () => Iterator[LKV] = () => Iterator.empty)
 
   /** Compile and run the pipeline. `labels` is Disco's nr-of-labels: it sets
     * the GroupLabel shuffle degree (`repartition(labels, label)`), so a job
@@ -64,6 +71,7 @@ object Pipeline {
             if (stage.sort) parted.sortWithinPartitions(col("label"), col("key"))
             else parted.sortWithinPartitions(col("label"))
           sorted.mapPartitions { it =>
+            stage.init()
             val buf = it.buffered
             new Iterator[Iterator[LKV]] {
               def hasNext = buf.hasNext
@@ -79,7 +87,7 @@ object Pipeline {
                   def next() = throw new NoSuchElementException
                 }
               }
-            }.flatten
+            }.flatten ++ stage.done()
           }
         case other =>
           val regrouped = other match {
@@ -89,7 +97,7 @@ object Pipeline {
           val sorted =
             if (stage.sort) regrouped.sortWithinPartitions(col("label"), col("key"))
             else regrouped
-          sorted.mapPartitions(stage.process)
+          sorted.mapPartitions { it => stage.init(); stage.process(it) ++ stage.done() }
       }
     }
   }

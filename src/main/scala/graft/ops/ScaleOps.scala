@@ -17,10 +17,21 @@ object ScaleOps {
     * layout (`dir://` partition index, util.py:249-259).
     */
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // true overwrite: drop a previous registration AND an orphaned
+    // location from an earlier catalog (managed-table locations survive
+    // in-memory catalogs; saveAsTable refuses to reuse them)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .format("parquet").saveAsTable(table)
+  }
 
   /** Salted equi-join for skewed keys: explode the SMALL side `salt` ways,
     * scatter the big side's hot keys uniformly with a deterministic

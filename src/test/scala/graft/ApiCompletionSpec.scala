@@ -69,6 +69,25 @@ class ApiCompletionSpec extends SparkTestBase {
     assert(lines.toSeq == Seq("l1", "l2", "l3"))
   }
 
+  test("Pipeline Stage init runs per task and done emits trailing output") {
+    import graft.api.Pipeline
+    import graft.api.Pipeline.{GroupLabel, LKV, Stage}
+    val inits = spark.sparkContext.longAccumulator("stage_inits")
+    val in = spark.createDataset(
+      (0 until 6).map(i => LKV(i % 2, s"k$i", "v")))
+    val out = Pipeline.run(spark, in, Seq(
+      GroupLabel -> Stage("count_per_label",
+        process = it => Iterator.single(it.foldLeft(LKV(0, "n", "0")) {
+          (acc, r) => LKV(r.label, "n", (acc.value.toInt + 1).toString)
+        }),
+        init = () => inits.add(1),
+        done = () => Iterator.single(LKV(-1, "done", "1")))), labels = 2)
+      .collect()
+    assert(out.count(_.key == "n") == 2) // one count record per label
+    assert(out.count(_.key == "done") == 2) // one done record per task
+    assert(inits.value == 2) // one init per task (labels=2)
+  }
+
   test("reader chains compose and tag input_hook filters/reorders inputs") {
     val base = Seq("a=1", "b=2", "skip").toDF("line")
     val chained = Sources.chain(base,
