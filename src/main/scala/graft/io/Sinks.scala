@@ -14,7 +14,11 @@ object Sinks {
     * joined by `sep`. Overwrite is atomic per the commit protocol.
     */
   def writeText(df: DataFrame, path: String, sep: String = "\t"): Unit =
-    df.select(concat_ws(sep, df.columns.map(col): _*).as("value"))
+    // null-safe: concat_ws silently DROPS nulls, which would shift every
+    // later field left; empty-string them to keep field positions stable
+    df.select(concat_ws(sep,
+        df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+        .as("value"))
       .write.mode("overwrite").text(path)
 
   /** CSV sink with header. */

@@ -60,6 +60,10 @@ class TagCatalog(spark: SparkSession) {
     */
   def read(name: String,
            reader: String => DataFrame = p => spark.read.parquet(p),
-           inputHook: Seq[String] => Seq[String] = identity): DataFrame =
-    inputHook(urls(name)).map(reader).reduce(_ unionByName _)
+           inputHook: Seq[String] => Seq[String] = identity): DataFrame = {
+    val paths = inputHook(urls(name))
+    require(paths.nonEmpty,
+      s"tag '$name' resolves to no inputs (unknown tag, empty tag, or input_hook filtered everything)")
+    paths.map(reader).reduce(_ unionByName _)
+  }
 }

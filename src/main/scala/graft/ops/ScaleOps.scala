@@ -39,11 +39,16 @@ object ScaleOps {
     * join; the hot key's rows land on `salt` tasks instead of one.
     * (AQE skew-join splitting handles moderate skew automatically; salting
     * is the explicit tool for the pathological tail.)
+    *
+    * The salt is a pure function of the row's CONTENT (hash of all
+    * columns) — recomputation under task retry assigns the same salt, so
+    * a lost shuffle block can never duplicate or drop rows (a
+    * position-derived salt like monotonically_increasing_id would).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, salt: Int): DataFrame = {
     val saltedBig = big.withColumn("_salt",
-      pmod(hash(col(bigKey), monotonically_increasing_id()), lit(salt)))
+      pmod(hash(big.columns.map(col): _*), lit(salt)))
     val saltedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig.join(saltedSmall,

@@ -36,7 +36,9 @@ object Streams {
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("cnt"),
-        sum(col(valCol).cast("decimal(18,2)")).cast("double").as("total"))
+        // decimal(38,18): order-independent sum that PRESERVES precision
+        // (an (18,2) cast would round every element to cents)
+        sum(col(valCol).cast("decimal(38,18)")).cast("double").as("total"))
 
   /** Streaming exact dedup: first occurrence wins within the watermark
     * horizon (the incremental form of [[graft.dedup.Dedup.exact]]).
