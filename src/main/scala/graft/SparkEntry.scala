@@ -325,6 +325,16 @@ object SparkEntry {
         shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
         .orderBy("a", "b")),
 
+    // Near-dup CLUSTERING: minhash pairs → connected components → every doc
+    // mapped to its cluster's canonical (min-id) member; singletons map to
+    // themselves. The "keep one per dup cluster" step of a data pipeline.
+    "q_dedup_cluster" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+      Dedup.canonicalize(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
     // 32-bit SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
@@ -638,7 +648,7 @@ object SparkEntry {
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_window_topn" ->
-      """SELECT o_custkey, o_orderkey, rn FROM (
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey,
         |         row_number() OVER (PARTITION BY o_custkey
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -805,6 +815,41 @@ object SparkEntry {
         |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8
         |ORDER BY i.a, i.b""".stripMargin,
 
+    // Same pair derivation as q_dedup_minhash (bit-for-bit), then the
+    // transitive closure via a recursive CTE and min-reachable-id labels —
+    // the declarative spec of the Spark side's min-label propagation.
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE arr AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |FROM documents),
+        |tok AS (SELECT doc_id, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |sh AS (SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w AS shingle
+        |       FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        |seeds AS (SELECT unnest(range(16)) AS seed),
+        |mh AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+        |       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        |bh AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+        |       FROM mh GROUP BY doc_id, seed // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bh x JOIN bh y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a, c.b, count(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a
+        |          JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+        |          GROUP BY c.a, c.b),
+        |pairs AS (SELECT i.a, i.b
+        |          FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+        |          WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8),
+        |und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM und)
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+        |lbl AS (SELECT src AS id, min(dst) AS canon FROM reach GROUP BY src)
+        |SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
+        |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_dedup_simhash" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(list_filter(
@@ -908,7 +953,7 @@ object SparkEntry {
         |GROUP BY word ORDER BY word""".stripMargin,
 
     "q_udaf_sql" ->
-      """SELECT o_custkey, sum(o_orderkey) AS key_sum,
+      """SELECT o_custkey, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS keys
         |FROM orders WHERE o_custkey < 50
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
@@ -935,8 +980,8 @@ object SparkEntry {
     // io round-trips: the oracle reads the PARQUET source — the Spark side
     // must round-trip losslessly through CSV/text to match.
     "q_csv_roundtrip" ->
-      """SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars,
-        |       sum(length(text)) AS sum_len
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_roundtrip" ->
@@ -946,10 +991,15 @@ object SparkEntry {
         |WHERE word <> ''
         |GROUP BY word ORDER BY word""".stripMargin,
 
+    // match-complete like Sources.reReader's finditer semantics: EVERY
+    // '"k": N' occurrence in props is a record, not just the first per row
+    // (the fixture happens to have exactly one per row; this stays correct
+    // if that ever changes).
     "q_re_reader" ->
-      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS bucket,
-        |       count(*) AS cnt
-        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+      """SELECT CAST(m AS INT) % 10 AS bucket, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_extract_all(props, '"k": (\d+)', 1)) AS m
+        |      FROM events)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_raw_literal" ->
       """SELECT word, count(*) AS cnt
@@ -978,7 +1028,7 @@ object SparkEntry {
         |    / 4294967296.0 AS y
         |  FROM h)
         |SELECT count(*) AS n,
-        |       sum(CASE WHEN x*x + y*y <= CAST(1.0 AS DOUBLE) THEN 1 ELSE 0 END) AS inside,
+        |       CAST(sum(CASE WHEN x*x + y*y <= CAST(1.0 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS inside,
         |       round(CAST(4.0 AS DOUBLE) * sum(CASE WHEN x*x + y*y <= CAST(1.0 AS DOUBLE) THEN 1 ELSE 0 END) / count(*), 6) AS pi_est
         |FROM u""".stripMargin,
 
@@ -1034,7 +1084,7 @@ object SparkEntry {
       val body = (1 to 3).map(i => assign(s"a$i", s"c${i - 1}") + ",\n" + update(i))
         .mkString(",\n")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |dims AS (SELECT unnest(range(1, 65)) AS d),
+         |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS d),
          |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
          |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
          |$body,

@@ -32,4 +32,70 @@ object External {
       .pipe(command)
     spark.createDataset(lines).toDF("line")
   }
+
+  /** Binary-safe external pipe — Disco's actual wire format
+    * (external.py:63-95): each record is a length-prefixed (key, value)
+    * frame pair, `<u32 len><key bytes><u32 len><value bytes>`, u32s
+    * little-endian like the reference's `struct.pack("I", …)`. Values may
+    * contain `\n`, NUL, anything — unlike [[pipe]]'s line mode (which stays
+    * the default for text tools).
+    *
+    * One process per partition; a daemon writer thread feeds stdin while
+    * the task thread consumes stdout, so a full pipe buffer can't deadlock.
+    * Non-zero exit fails the task (Spark retries it — same recovery unit
+    * as a Disco task restart).
+    */
+  def pipeFramed(input: Dataset[(Array[Byte], Array[Byte])],
+                 command: Seq[String]): Dataset[(Array[Byte], Array[Byte])] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    input.mapPartitions { rows =>
+      import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException}
+      val proc = new ProcessBuilder(command: _*)
+        .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+      val out = new BufferedOutputStream(proc.getOutputStream)
+      val in = new DataInputStream(new BufferedInputStream(proc.getInputStream))
+      def writeFrame(b: Array[Byte]): Unit = {
+        val len = java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(b.length).array()
+        out.write(len); out.write(b)
+      }
+      val writer = new Thread(() => {
+        try { rows.foreach { case (k, v) => writeFrame(k); writeFrame(v) }; out.close() }
+        catch { case _: java.io.IOException => () } // process died; reader reports exit code
+      }, "graft-external-writer")
+      writer.setDaemon(true)
+      writer.start()
+      def readFrame(): Array[Byte] = {
+        val hdr = new Array[Byte](4)
+        in.readFully(hdr)
+        val len = java.nio.ByteBuffer.wrap(hdr)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+        require(len >= 0, s"corrupt frame length $len from external process")
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        buf
+      }
+      new Iterator[(Array[Byte], Array[Byte])] {
+        private var pending: (Array[Byte], Array[Byte]) = null
+        private var finished = false
+        private def advance(): Unit = if (!finished && pending == null) {
+          try pending = (readFrame(), readFrame())
+          catch {
+            case _: EOFException =>
+              finished = true
+              in.close()
+              val code = proc.waitFor()
+              require(code == 0, s"external process '${command.head}' exited $code")
+          }
+        }
+        def hasNext: Boolean = { advance(); !finished }
+        def next(): (Array[Byte], Array[Byte]) = {
+          advance()
+          if (finished) throw new NoSuchElementException("external stream drained")
+          val r = pending; pending = null; r
+        }
+      }
+    }
+  }
 }

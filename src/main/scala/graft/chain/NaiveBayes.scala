@@ -47,11 +47,18 @@ object NaiveBayes {
 
   /** predict: (docId, feature) rows × trained grid → (docId, cls, score).
     * Unseen features contribute 0 (the reference would KeyError; we relax).
+    *
+    * The model join is deliberately NOT hinted `broadcast`: the grid is
+    * |classes|×|features| rows, and at web-scale vocab (1e8 features) that
+    * exceeds executor memory. AQE broadcasts it at runtime whenever it is
+    * actually small (the common case), and falls back to a shuffle join on
+    * `feature` when it isn't — the scale-safe default. `perClass` stays
+    * hinted: |classes| rows is always tiny.
     */
   def predict(events: DataFrame, model: DataFrame): DataFrame = {
     val perClass = model.select("cls", "ll_class").distinct()
     events
-      .join(broadcast(model), Seq("feature"))
+      .join(model, Seq("feature"))
       .groupBy("docId", "cls")
       .agg(sum(col("ll_pair").cast("decimal(38,18)")).cast("double").as("s"))
       .join(broadcast(perClass), "cls")

@@ -29,6 +29,17 @@ object Sinks {
   /** Parquet sink — the default chunk format (replaces Disco chunks). */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Parquet sink that also registers the output under the job-results tag
+    * `job:results:<jobName>` (ddfs.py:288-292, `disco:job:results:<jobname>`
+    * — Disco auto-tags every job's outputs so downstream jobs can consume
+    * them by name). Read it back with `catalog.read("job:results:<name>")`.
+    */
+  def writeResults(df: DataFrame, path: String,
+                   catalog: TagCatalog, jobName: String): Unit = {
+    writeParquet(df, path)
+    catalog.put(s"job:results:$jobName", Seq(path))
+  }
 }
 
 /** Scratch dir for io round-trip queries (DDFS temp-space analog). */

@@ -24,10 +24,18 @@ object Sources {
   /** CSV reader (csv_reader, examples/util/simple_innerjoin.py:12-17).
     * Pass an explicit schema for production reads — schema inference is a
     * second full scan at 100 TB.
+    *
+    * Newline contract: [[Sinks.writeCsv]] quotes embedded newlines, but
+    * parsing them back needs `multiLine = true`, which makes each file
+    * UNSPLITTABLE (one task per file — a 10 GB file becomes one task).
+    * Default is false (splittable, byte-range parallel); flip it only when
+    * text fields genuinely carry newlines.
     */
   def readCsv(spark: SparkSession, path: String, schema: StructType = null,
-              header: Boolean = true, sep: String = ","): DataFrame = {
+              header: Boolean = true, sep: String = ",",
+              multiLine: Boolean = false): DataFrame = {
     val r = spark.read.option("header", header.toString).option("sep", sep)
+      .option("multiLine", multiLine.toString)
     (if (schema != null) r.schema(schema) else r.option("inferSchema", "true"))
       .csv(path)
   }
@@ -47,14 +55,58 @@ object Sources {
     * cluster, for few big ones prefer a real datasource. Connection setup
     * amortizes per URL, bytes never touch the driver.
     */
-  def readUrls(spark: SparkSession, urls: Seq[String]): DataFrame = {
+  def readUrls(spark: SparkSession, urls: Seq[String], maxRetries: Int = 3,
+               backoffMs: Long = 100): DataFrame =
+    readUrlsWith(spark, urls, maxRetries, backoffMs,
+      u => scala.io.Source.fromURL(u)("UTF-8"))
+
+  /** Opener-injectable variant (tests swap in a flaky opener). The URL body
+    * is STREAMED — lines flow through the task iterator-to-iterator, never
+    * materialized whole, so a multi-GB URL holds one line in memory, not the
+    * file (round-2 fix: was getLines().toVector). Opens are retried with
+    * bounded exponential backoff (comm.py:57-117 semantics — retry the
+    * request, give up after `maxRetries`); a failure mid-stream is NOT
+    * silently resumed (Disco resumes via HTTP Range; without a byte offset
+    * a line-count resume could duplicate records, so we fail the task and
+    * let Spark's task retry re-pull the URL idempotently).
+    */
+  private[graft] def readUrlsWith(spark: SparkSession, urls: Seq[String],
+                                  maxRetries: Int, backoffMs: Long,
+                                  opener: String => scala.io.Source): DataFrame = {
     import spark.implicits._
     spark.createDataset(urls).repartition(urls.size)
       .flatMap { u =>
-        val src = scala.io.Source.fromURL(u)("UTF-8")
-        // getLines is lazy; materialize within the task, then close
-        try src.getLines().toVector finally src.close()
+        val src = openWithRetry(u, maxRetries, backoffMs, opener)
+        val it = src.getLines()
+        // close-on-exhaustion wrapper: the source closes when the task
+        // drains the iterator (flatMap consumers always drain or fail-task)
+        new Iterator[String] {
+          private var closed = false
+          def hasNext: Boolean = {
+            val h = !closed && it.hasNext
+            if (!h && !closed) { closed = true; src.close() }
+            h
+          }
+          def next(): String = it.next()
+        }
       }.toDF("line")
+  }
+
+  private def openWithRetry(u: String, maxRetries: Int, backoffMs: Long,
+                            opener: String => scala.io.Source): scala.io.Source = {
+    var attempt = 0
+    var delay = backoffMs
+    while (true) {
+      try return opener(u)
+      catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(delay)
+          delay *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Input-stream chain (task_io.py:339-363): readers compose — each stage

@@ -55,15 +55,27 @@ class TagCatalog(spark: SparkSession) {
 
   /** Read a tag as one DataFrame: resolve, apply `inputHook` to the
     * resolved list (Disco's input_hook, worker/__init__.py: reorder /
-    * filter / sample inputs before the job sees them), load each path with
-    * `reader`, union. Default reader = parquet.
+    * filter / sample inputs before the job sees them), then load with
+    * `reader`. Default reader = parquet.
+    *
+    * The reader takes the WHOLE path batch, so a 10k-blob tag is one
+    * multi-path scan node, not a 10k-node union plan. Blob multiplicity is
+    * preserved (a path listed under two parents appears twice in the
+    * result): paths are grouped by repeat count and each group is scanned
+    * once, then unioned copy-per-repeat — plan size is O(distinct repeat
+    * counts), which is 1 for the overwhelmingly common all-unique case.
     */
   def read(name: String,
-           reader: String => DataFrame = p => spark.read.parquet(p),
+           reader: Seq[String] => DataFrame = ps => spark.read.parquet(ps: _*),
            inputHook: Seq[String] => Seq[String] = identity): DataFrame = {
     val paths = inputHook(urls(name))
     require(paths.nonEmpty,
       s"tag '$name' resolves to no inputs (unknown tag, empty tag, or input_hook filtered everything)")
-    paths.map(reader).reduce(_ unionByName _)
+    val byMultiplicity = paths.groupBy(identity).toSeq
+      .groupMap(_._2.size)(_._1).toSeq.sortBy(_._1)
+    byMultiplicity.iterator.map { case (m, ps) =>
+      val once = reader(ps.sorted)
+      Iterator.fill(m)(once).reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
   }
 }

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *    bucket-equal rows, then exact cosine re-rank. At 100 TB the bucket
   *    join replaces the full crossJoin: cost ~ (corpus/2^b) per query.
   *    Hyperplane signs are md5-derived so signatures are deterministic and
-  *    engine-portable; the near-zero-dot sign decision goes through
-  *    DECIMAL so it is order-independent exact.
+  *    engine-portable; the signed dot is a fixed left-to-right IEEE double
+  *    fold (see [[lshBucket]]), bit-identical at any partitioning and in
+  *    any engine that folds in the same order.
   *
   * All arithmetic casts float → double before multiplying (both engines do
   * the same widening), cosine folds left-to-right via `aggregate`.

@@ -49,6 +49,18 @@ class ApiCompletionSpec extends SparkTestBase {
     assert(out.toSeq == Seq("1\ta", "2\tb"))
   }
 
+  test("External.pipeFramed round-trips binary values with \\n and NUL (external.py:63-95 framing)") {
+    val recs: Seq[(Array[Byte], Array[Byte])] = Seq(
+      ("k1".getBytes("UTF-8"), Array[Byte](0, 10, 13, 0, 65)),
+      ("k\n2".getBytes("UTF-8"), "line1\nline2\u0000tail".getBytes("UTF-8")),
+      ("empty".getBytes("UTF-8"), Array.emptyByteArray))
+    val in = spark.createDataset(recs).repartition(2)
+    val out = External.pipeFramed(in, Seq("cat")).collect()
+    def render(rs: Seq[(Array[Byte], Array[Byte])]) =
+      rs.map { case (k, v) => (k.toSeq, v.toSeq) }.sortBy(_._1.toString)
+    assert(render(out.toSeq) == render(recs))
+  }
+
   test("registered UDAFs work from SQL with partial aggregation") {
     Udafs.register(spark)
     Seq(("k1", 1L, "x"), ("k1", 2L, "y"), ("k2", 5L, "z"))

@@ -69,4 +69,71 @@ class IoSpec extends SparkTestBase {
       .filter(id => id >= params()("threshold")).count()
     assert(n == 7)
   }
+
+  test("TagCatalog.read batches a many-blob tag into ONE scan node") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val dir = graft.io.IoScratch.dir + "/tag_batch"
+    spark.range(0, 1000).toDF("id").repartition(50)
+      .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSeq
+    assert(parts.size == 50)
+    val cat = new TagCatalog(spark)
+    cat.put("big", parts)
+    val df = cat.read("big")
+    assert(df.count() == 1000)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l
+    }
+    assert(scans.size == 1) // 50 blobs -> one multi-path scan, not 50 unions
+    // blob multiplicity survives batching: a path listed twice counts twice
+    val firstCount = spark.read.parquet(parts.head).count()
+    cat.put("dup", parts.head +: parts)
+    assert(cat.read("dup").count() == 1000 + firstCount)
+  }
+
+  test("writeResults registers job:results:<name>, readable via the tag") {
+    val cat = new TagCatalog(spark)
+    val path = graft.io.IoScratch.dir + "/job_out"
+    Sinks.writeResults(Seq((1, "a"), (2, "b")).toDF("n", "s"), path, cat, "myjob")
+    assert(cat.exists("job:results:myjob"))
+    val back = cat.read("job:results:myjob")
+    assert(back.orderBy("n").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("readUrls retries flaky opens with backoff, fails after maxRetries") {
+    FlakyOpener.attempts.set(0)
+    val lines = Sources.readUrlsWith(spark, Seq("flaky://x"),
+      maxRetries = 3, backoffMs = 1, FlakyOpener.open)
+      .as[String].collect().sorted
+    assert(lines.toSeq == Seq("a", "b"))
+    assert(FlakyOpener.attempts.get() == 3) // 2 IOExceptions + 1 success
+
+    FlakyOpener.attempts.set(0)
+    intercept[org.apache.spark.SparkException] { // 1 retry < 2 failures
+      Sources.readUrlsWith(spark, Seq("flaky://x"),
+        maxRetries = 1, backoffMs = 1, FlakyOpener.open).collect()
+    }
+  }
+
+  test("readUrls streams a large url without materializing it") {
+    val f = java.nio.file.Files.createTempFile("graft_big_url", ".txt")
+    val w = java.nio.file.Files.newBufferedWriter(f)
+    (0 until 100000).foreach { i => w.write(s"line$i"); w.newLine() }
+    w.close()
+    val df = Sources.readUrls(spark, Seq(f.toUri.toString))
+    assert(df.count() == 100000)
+    assert(df.as[String].head() == "line0")
+  }
+}
+
+/** Deterministic flaky URL opener: fails the first two opens per test run.
+  * JVM-static counter — valid in local mode where tasks share the JVM.
+  */
+object FlakyOpener {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  def open(u: String): scala.io.Source =
+    if (attempts.incrementAndGet() <= 2) throw new java.io.IOException(s"flaky open of $u")
+    else scala.io.Source.fromString("a\nb\n")
 }

@@ -1,0 +1,37 @@
+package graft
+
+/** Scale guard: no benched similarity/dedup plan may contain an all-pairs
+  * physical join. Every scale path (PPJoin prefix index, minhash bands,
+  * sign-LSH buckets) is bucket-keyed by design — if a refactor ever
+  * reintroduces a CartesianProduct or BroadcastNestedLoopJoin into one of
+  * these plans, this spec fails before the driver benches it at 100× the
+  * data. Plans are inspected pre-execution (AQE's initial plan): AQE can
+  * turn a shuffle join into a broadcast HASH join at runtime, but never
+  * introduces a nested-loop join that isn't already in the initial plan.
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  private val guarded = Seq(
+    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash",
+    "q_dedup_simhash", "q_embed_neardup", "q_ann_lsh")
+
+  test("no CartesianProduct / BroadcastNestedLoopJoin in any scale-path similarity plan") {
+    for (name <- guarded) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains CartesianProduct — all-pairs join regression")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains BroadcastNestedLoopJoin — all-pairs join regression")
+    }
+  }
+
+  test("q_ann_topk is the one sanctioned nested-loop plan (exactness baseline)") {
+    // bruteForceTopK is DOCUMENTED as corpus-scan × broadcast-queries; it
+    // must stay a broadcast NLJ (small side broadcast), never a cartesian.
+    val plan = SparkEntry.queries("q_ann_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

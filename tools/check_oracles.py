@@ -37,6 +37,12 @@ def canon(rows, cols):
         out.append(tuple(repr(row[i]) for i in order))
     return sorted(out)
 
+def canon_types(rel):
+    # DuckDB fetchall() collapses HUGEINT/INT/BIGINT to Python int, so repr
+    # comparison alone is blind to the type mismatches the driver gate
+    # detects (e.g. un-cast integer sum() -> HUGEINT vs Spark BIGINT).
+    return [str(t) for _, t in sorted(zip(rel.columns, rel.types))]
+
 fails = []
 for name in names:
     spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
@@ -53,9 +59,15 @@ for name in names:
         fails.append(name); continue
     ok_rows = len(srows) == len(orows)
     ok_schema = sorted(scols) == sorted(ocols)
-    ok_hash = ok_rows and ok_schema and canon(srows, scols) == canon(orows, ocols)
+    ok_types = canon_types(spark_rel) == canon_types(orel)
+    ok_hash = (ok_rows and ok_schema and ok_types
+               and canon(srows, scols) == canon(orows, ocols))
     status = "OK" if ok_hash else "FAIL"
-    print(f"{name:24s} {status:5s} rows={len(srows)}/{len(orows)} schema={ok_schema}")
+    print(f"{name:24s} {status:5s} rows={len(srows)}/{len(orows)} "
+          f"schema={ok_schema} types={ok_types}")
+    if not ok_types:
+        print(f"    spark types={canon_types(spark_rel)}")
+        print(f"    orcle types={canon_types(orel)}")
     if not ok_hash:
         fails.append(name)
         if ok_rows and ok_schema:
