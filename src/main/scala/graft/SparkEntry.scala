@@ -6,7 +6,7 @@ import graft.api.{Classic, Pipeline}
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.functions.TextAnalysis
-import graft.ops.{AsOfJoin, EstimatePi, RelationalOps, TextOps, WindowOps}
+import graft.ops.{AsOfJoin, EstimatePi, RelationalOps, Sampling, TextOps, WindowOps}
 import graft.multimodal.Multimodal
 import graft.query.QExpr
 import graft.similarity.Similarity
@@ -158,6 +158,38 @@ object SparkEntry {
         "user_id", Seq("ts", "event_id"), "value")
         .select("event_id", "user_id", "prev")
         .orderBy("event_id")),
+
+    // §2.5 extension — batch sessionization: 30-min inactivity gap, session
+    // stats per (user, session). Integer epoch-micros arithmetic (exact).
+    "q_sessionize" -> ((s, dir) =>
+      WindowOps.sessionize(Tables.events(s, dir), "user_id", "ts", "event_id", 1800)
+        .groupBy("user_id", "session_n")
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("first_event"), max("event_id").as("last_event"))
+        .orderBy("user_id", "session_n")),
+
+    // Deterministic stratified sampling: en kept at 50%, other langs at 10%;
+    // the draw is a pure function of doc_id so the sample is reproducible
+    // under retry / rerun / repartition and the oracle replays it exactly.
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), col("doc_id"),
+        col("lang"), Map("en" -> 0.5), 0.1, salt = "s3")
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // End-to-end training-data prep: language filter → token-count quality
+    // gate → exact dedup (min-id canonical per content fingerprint) →
+    // deterministic 50% sample. The composite pipeline a 100 TB corpus
+    // actually runs; every stage is a codegen'd Column op or one shuffle.
+    "q_prep_pipeline" -> ((s, dir) => {
+      val en = Tables.documents(s, dir)
+        .filter(col("lang") === "en" &&
+          TextAnalysis.tokenCount(col("text")) >= lit(10))
+      val canon = en
+        .groupBy(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      Sampling.hashSample(canon, col("doc_id"), 0.5, salt = "prep")
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     // §2.5 extension — rollup (hierarchical subtotals).
     "q_rollup" -> ((s, dir) =>
@@ -776,6 +808,45 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    // epoch_us on both sides: integer micros, no float time arithmetic.
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT user_id, event_id, us,
+        |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |             OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |             THEN 1 ELSE 0 END AS opener
+        |      FROM e),
+        |t AS (SELECT user_id, event_id,
+        |        CAST(sum(opener) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+        |      FROM s)
+        |SELECT user_id, session_n, count(*) AS n_events,
+        |       min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM t GROUP BY user_id, session_n ORDER BY user_id, session_n""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${Sampling.hashDrawSql("doc_id", "s3")} <
+         |      CASE WHEN lang = 'en' THEN ${math.floor(0.5 * 4294967296.0).toLong}
+         |           ELSE ${math.floor(0.1 * 4294967296.0).toLong} END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_prep_pipeline" ->
+      s"""WITH en AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE lang = 'en'
+         |    AND len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |                        x -> x <> '')) >= 10),
+         |canon AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id,
+         |          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |        FROM en)
+         |  GROUP BY fp)
+         |SELECT doc_id FROM canon
+         |WHERE ${Sampling.hashDrawSql("doc_id", "prep")} < ${math.floor(0.5 * 4294967296.0).toLong}
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_jaccard" ->
       """WITH tok AS (

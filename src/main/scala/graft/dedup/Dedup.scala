@@ -172,6 +172,57 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Connected components over an undirected edge list `(a, b)` by min-label
+    * propagation: each node's label converges to the smallest id reachable
+    * from it. Rounds are bounded by the component DIAMETER, and near-dup
+    * graphs are dense clusters with 2-3-hop diameters, so a handful of
+    * rounds suffices even at 100 TB; each round is one groupBy(node)
+    * shuffle + a broadcast-or-shuffle join that AQE sizes at runtime.
+    * Lineage is truncated per round (localCheckpoint, the PageRank-chain
+    * pattern) so plans stay flat across iterations. Throws if `maxIter`
+    * rounds don't converge — an unstable labeling must never be returned.
+    *
+    * Output: (id, lbl) for every node that appears in an edge.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = und.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(min("lbl").as("nbr"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"),
+          (col("nbr") < col("lbl")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select("id", "lbl")
+      i += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds bound")
+    labels
+  }
+
+  /** Near-dup canonicalization — the "keep one doc per dup cluster" step of
+    * a training-data pipeline: every document maps to the canonical
+    * (smallest-id) member of its near-dup cluster; documents in no pair map
+    * to themselves. `pairs` is any near-dup pair set ([[minhashLshPairs]],
+    * [[jaccardPairs]], embedding near-dup — they all emit (a, b)).
+    */
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    docs.select(col(idCol).as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canon_id"))
+  }
+
   /** 32-bit SimHash over distinct tokens: bit j of the fingerprint is 1 iff
     * sum over tokens of ±1 (sign = bit j of md5-derived 32-bit token hash)
     * is positive.

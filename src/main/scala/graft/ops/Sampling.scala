@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling is useless at 100 TB: it changes under task
+  * retry (a re-run partition draws different rows), isn't reproducible
+  * across runs, and can't be audited. These samplers derive the draw from
+  * the ROW itself — a uniform 32-bit value from md5(key:salt) — so the
+  * sample is a pure, engine-portable filter: same rows on every run, every
+  * partitioning, every engine (the DuckDB oracle replays it exactly), and
+  * it pushes down to the scan as a codegen'd predicate with zero shuffle.
+  * Changing `salt` yields an independent resample.
+  */
+object Sampling {
+
+  /** Uniform 32-bit draw for a row: first 8 hex digits of md5(key ':' salt). */
+  def hashDraw(key: Column, salt: String): Column =
+    conv(substring(md5(to_binary(concat(key.cast("string"), lit(":" + salt)),
+      lit("utf-8"))), 1, 8), 16, 10).cast("long")
+
+  private def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    math.floor(rate * 4294967296.0).toLong
+  }
+
+  /** Keep ~`rate` of rows, deterministically (draw < rate·2³²). */
+  def hashSample(df: DataFrame, key: Column, rate: Double,
+                 salt: String = "graft"): DataFrame =
+    df.filter(hashDraw(key, salt) < threshold(rate))
+
+  /** Stratified sample: per-stratum keep rates, `defaultRate` for strata
+    * not listed. One codegen'd CASE — no per-stratum passes, no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "graft"): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (stratum, r)) =>
+        when(strata === stratum, lit(threshold(r))).otherwise(acc)
+    }
+    df.filter(hashDraw(key, salt) < thr)
+  }
+
+  /** The SQL a DuckDB/ANSI engine needs to replay [[hashDraw]] — kept next
+    * to the Scala so the two formulas can't drift apart.
+    */
+  def hashDrawSql(keyExpr: String, salt: String): String =
+    s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 8)) AS BIGINT)"
+}

@@ -41,4 +41,25 @@ object WindowOps {
     val w = Window.partitionBy(partCol).orderBy(orderCols.map(col): _*)
     df.withColumn("prev", lag(col(valCol), 1).over(w))
   }
+
+  /** Batch sessionization: per-user session numbers from inactivity gaps —
+    * the batch analog of [[graft.streaming.Streams]] session windows.
+    * `session_n` = running count of gap-openers (first event, or > gap
+    * since the previous one), so ids are 1,2,3… per user in time order.
+    * All arithmetic on integer epoch-micros (exact, engine-portable);
+    * `idCol` breaks timestamp ties deterministically. One shuffle on the
+    * user key; window state is O(1) per row.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val us = unix_micros(col(tsCol))
+    val gap = us - lag(us, 1).over(w)
+    events
+      .withColumn("_open",
+        when(gap.isNull || gap > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_n", sum(col("_open"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_open")
+  }
 }

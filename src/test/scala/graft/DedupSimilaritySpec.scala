@@ -85,6 +85,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= recall1)  // more tables never hurt recall
   }
 
+  test("connectedComponents labels every node with its component's min id") {
+    import spark.implicits._
+    // two components: {1,2,3,4} (a path — worst-case diameter) and {10,11};
+    // 20 is absent from every edge
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents refuses to return an unconverged labeling") {
+    import spark.implicits._
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+  }
+
+  test("canonicalize maps singletons to themselves, cluster members to min id") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Dedup.canonicalize(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 9L -> 9L))
+  }
+
   test("brute-force ANN ranks by true cosine") {
     import spark.implicits._
     val got = Similarity.bruteForceTopK(embs, "vec_id", "embedding",

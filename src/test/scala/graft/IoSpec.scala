@@ -117,6 +117,35 @@ class IoSpec extends SparkTestBase {
     }
   }
 
+  test("netstring reader round-trips binary-ish values (old_netstr_reader format)") {
+    import graft.io.Netstring
+    val pairs = Seq(
+      ("k1", "plain"),
+      ("k2", "value with\nnewline and \u0000 NUL"),
+      ("", "empty key ok"),
+      ("k4", ""))
+    val f = java.nio.file.Files.createTempFile("graft_netstr", ".bin")
+    java.nio.file.Files.write(f, Netstring.encode(pairs))
+    val back = Netstring.read(spark, f.toString)
+      .as[(String, String)].collect().toSeq
+    assert(back.sorted == pairs.sorted)
+  }
+
+  test("xml records parse via reReader (xml_reader worked example)") {
+    // ref examples/util/xml_reader.py: one record per <entry> element,
+    // fields pulled from child tags — same finditer mechanism as reReader.
+    val xml = Seq(
+      "<feed><entry><id>1</id><lang>en</lang></entry>" +
+        "<entry><id>2</id><lang>fr</lang></entry></feed>",
+      "<feed><entry><id>3</id><lang>en</lang></entry></feed>").toDF("line")
+    val entries = Sources.chain(xml,
+      df => Sources.reReader(df, "line", """<entry>(.*?)</entry>""", Seq("body")),
+      df => Sources.reReader(df, "body",
+        """<id>(\d+)</id><lang>(\w+)</lang>""", Seq("id", "lang")))
+    val got = entries.collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq(("1", "en"), ("2", "fr"), ("3", "en")))
+  }
+
   test("readUrls streams a large url without materializing it") {
     val f = java.nio.file.Files.createTempFile("graft_big_url", ".txt")
     val w = java.nio.file.Files.newBufferedWriter(f)

@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.{Sampling, WindowOps}
+
+/** Deterministic sampling + batch sessionization semantics (the oracle gate
+  * checks fixture-scale values; these pin the properties that make the ops
+  * scale-safe: retry-stable draws, nested samples, gap-exact sessions).
+  */
+class SamplingSessionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hashSample is deterministic and repartition-invariant") {
+    val df = spark.range(0, 5000).toDF("id")
+    val a = Sampling.hashSample(df, col("id"), 0.3).as[Long].collect().sorted
+    val b = Sampling.hashSample(df.repartition(13), col("id"), 0.3)
+      .as[Long].collect().sorted
+    assert(a.sameElements(b))
+    assert(math.abs(a.length / 5000.0 - 0.3) < 0.03) // ~binomial tolerance
+  }
+
+  test("samples at increasing rates nest (same salt => monotone thresholds)") {
+    val df = spark.range(0, 2000).toDF("id")
+    val small = Sampling.hashSample(df, col("id"), 0.1).as[Long].collect().toSet
+    val big = Sampling.hashSample(df, col("id"), 0.4).as[Long].collect().toSet
+    assert(small.subsetOf(big))
+    // a different salt draws an (almost surely) different sample
+    val other = Sampling.hashSample(df, col("id"), 0.1, salt = "b").as[Long].collect().toSet
+    assert(small != other)
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val df = spark.range(0, 4000)
+      .select(col("id"), when(col("id") % 2 === 0, "keep").otherwise("thin").as("s"))
+    val got = Sampling.stratifiedSample(df, col("id"), col("s"),
+      Map("keep" -> 1.0), 0.0)
+    val strata = got.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(strata == Map("keep" -> 2000L)) // rate 1.0 keeps all, 0.0 drops all
+  }
+
+  test("sessionize splits on gap > threshold, numbers sessions per user") {
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    val ev = Seq(
+      ("u1", 1L, ts(0)), ("u1", 2L, ts(10)),   // session 1
+      ("u1", 3L, ts(50)),                       // gap 40 min -> session 2
+      ("u1", 4L, ts(55)),
+      ("u2", 5L, ts(0))                         // separate user
+    ).toDF("user_id", "event_id", "ts")
+    val got = WindowOps.sessionize(ev, "user_id", "ts", "event_id", gapSeconds = 1800)
+      .select("event_id", "session_n").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+}
