@@ -407,6 +407,18 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
+    // IVF ANN (the second scale path): coarse k-means quantizer (4 cells,
+    // deterministic Lloyd), 2-cell probe, exact cosine re-rank. Recall < 1
+    // by construction; the oracle replicates quantizer + probe exactly.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, cells = 4, nProbe = 2, lloydIters = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     // §2.3 #33 — estimate π (examples/util/estimate_pi.py) with a
     // deterministic hash-uniform instead of random(); input-free generator,
     // map-side partial aggregation — one codegen pass at any scale.
@@ -994,6 +1006,56 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
         |  FROM s)
         |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
+
+    // IVF: the q_kmeans_assign quantizer CTEs (4 cells, 3 decimal-exact
+    // Lloyd steps, same init/tie-breaks) + 2-cell probe + exact re-rank.
+    "q_ann_ivf" -> {
+      def sqd(p: String, c: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, len($p)+1), d -> ($p[d]-$c[d])*($p[d]-$c[d]))), (acc,x) -> acc+x)"
+      def assign(a: String, cPrev: String) =
+        s"""$a AS (
+           |  SELECT vec_id, v, cluster FROM (
+           |    SELECT e.vec_id, e.v, c.cluster,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqd("e.v", "c.v")} ASC, c.cluster ASC) AS rn
+           |    FROM e CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
+      def update(i: Int) =
+        s"""u$i AS (
+           |  SELECT cluster, d,
+           |    CAST(sum(CAST(v[d] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+           |  FROM a$i CROSS JOIN dims GROUP BY cluster, d),
+           |c$i AS (
+           |  SELECT c.cluster, coalesce(nv.v, c.v) AS v
+           |  FROM c${i - 1} c LEFT JOIN (
+           |    SELECT cluster, list(m ORDER BY d) AS v FROM u$i GROUP BY cluster) nv
+           |  USING (cluster))""".stripMargin
+      val body = (1 to 3).map(i => assign(s"a$i", s"c${i - 1}") + ",\n" + update(i))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS d),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+         |$body,
+         |${assign("afinal", "c3")},
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |probe AS (SELECT query_id, qv, cell FROM (
+         |  SELECT q.query_id, q.qv, c.cluster AS cell,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqd("q.qv", "c.v")} ASC, c.cluster ASC) AS pr
+         |  FROM q CROSS JOIN c3 c) WHERE pr <= 2),
+         |cand AS (SELECT p.query_id, p.qv, a.vec_id, a.v
+         |         FROM probe p JOIN afinal a ON a.cluster = p.cell AND a.vec_id <> p.query_id),
+         |s AS (SELECT query_id, vec_id,
+         |        list_dot_product(v, qv) /
+         |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+         |      FROM cand)
+         |SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM (
+         |  SELECT query_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM s)
+         |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin
+    },
 
     "q_semi_join" ->
       """SELECT c_custkey, c_nationkey FROM customer c

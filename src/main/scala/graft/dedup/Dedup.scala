@@ -126,16 +126,18 @@ object Dedup {
         i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("shingle"))
       .distinct()
 
-  /** All minhashes in ONE aggregation: column `mh<s>` = min over shingles
-    * of md5(s':'shingle). One wide groupBy instead of a numHashes×
-    * row-explosion + (id,seed) shuffle — same signatures, 1/numHashes the
-    * shuffle volume (the plan-shape that survives a 100× scale-up).
+  /** All minhashes AND the verification shingle set in ONE aggregation:
+    * column `mh<s>` = min over shingles of md5(s':'shingle), plus the
+    * per-doc shingle set carried alongside. One wide groupBy instead of a
+    * numHashes× row-explosion + a second sets-groupBy over the same shingle
+    * table — same signatures, one shuffle of the shingle corpus instead of
+    * two (the plan-shape that survives a 100× scale-up).
     */
   private def minhashWide(sh: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map { s =>
       min(md5(to_binary(concat(lit(s.toString), lit(":"), col("shingle")),
         lit("utf-8")))).as(s"mh$s")
-    }
+    } :+ collect_set(col("shingle")).as("set")
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -146,8 +148,8 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                       tau: Double = 0.7): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN).cache()
-    val mh = minhashWide(sh, bands * rowsPerBand)
+    val mh = minhashWide(shingles(df, idCol, textCol, shingleN),
+      bands * rowsPerBand).cache()
     // band hash = md5 of the band's minhashes joined in seed order — the
     // same bytes the per-seed formulation produced (oracle-compatible)
     val bandHash = mh.select(col("id"), posexplode(array((0 until bands).map { b =>
@@ -161,7 +163,7 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    val sets = sh.groupBy("id").agg(collect_set(col("shingle")).as("set"))
+    val sets = mh.select(col("id"), col("set"))
     cands
       .join(sets.as("sa"), col("a") === col("sa.id"))
       .join(sets.as("sb"), col("b") === col("sb.id"))

@@ -105,6 +105,52 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF ANN — the inverted-file scale path: a coarse k-means quantizer
+    * ([[graft.chain.KMeans]], deterministic init + decimal-exact centers)
+    * partitions the corpus into `cells`; each query probes its `nProbe`
+    * nearest cells and exact-cosine re-ranks only those cells' vectors.
+    *
+    * Scale shape: corpus assignment is a codegen'd argmin scan (centers are
+    * a broadcast literal — k×dim doubles), the probe list is |Q|×nProbe
+    * rows broadcast to a cell equi-join, so candidate volume is
+    * ~ corpus·nProbe/cells per query set instead of a full scan per query.
+    * At 100 TB you'd train the quantizer on a [[graft.ops.Sampling]]
+    * hashSample of the corpus and raise `cells` to keep cells scan-sized.
+    * Recall < 1 by construction (a neighbor outside the probed cells is
+    * missed) — the classic IVF tradeoff; determinism = exact (k-means init,
+    * centers, tie-breaks are all fixed).
+    */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, cells: Int = 16, nProbe: Int = 2,
+              lloydIters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val (centers, assigned) =
+      graft.chain.KMeans.run(spark, corpus, corpusId, corpusVec, cells, lloydIters)
+    val corpusCells = assigned.select(
+      col("id").as("vec_id"), col("v").as("cv"), col("cluster").as("cell"))
+    val q0 = queries.select(col(queryId).as("query_id"),
+      asDouble(col(queryVec)).as("qv"))
+    val centArr = array(centers.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), lit(c.toArray).as("cv"))
+    }: _*)
+    val probes = q0.select(col("query_id"), col("qv"), explode(centArr).as("cent"))
+      .withColumn("d", aggregate(
+        zip_with(col("qv"), col("cent.cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d").asc, col("cent.cell").asc)))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent.cell").as("cell"))
+    corpusCells.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, sim >= tau). Exact
     * all-pairs — the verification-grade spec. O(n²): use only on small
     * inputs / as a test oracle; the scale path is [[nearDupPairsLsh]].

@@ -85,6 +85,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= recall1)  // more tables never hurt recall
   }
 
+  test("IVF ANN achieves reasonable recall vs brute force; more probes never hurt") {
+    import spark.implicits._
+    val queries = embs.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def ivf(nProbe: Int) = Similarity.ivfTopK(embs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10, cells = 8, nProbe = nProbe)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val r2 = (exact intersect ivf(2)).size.toDouble / exact.size
+    val r1 = (exact intersect ivf(1)).size.toDouble / exact.size
+    info(f"IVF recall@10 (8 cells): 1 probe $r1%.2f, 2 probes $r2%.2f")
+    assert(r2 > 0.5)
+    assert(r2 >= r1)
+  }
+
   test("connectedComponents labels every node with its component's min id") {
     import spark.implicits._
     // two components: {1,2,3,4} (a path — worst-case diameter) and {10,11};
