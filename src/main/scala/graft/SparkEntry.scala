@@ -159,6 +159,17 @@ object SparkEntry {
         .select("event_id", "user_id", "prev")
         .orderBy("event_id")),
 
+    // Corpus trigram frequency table (occurrence counts, wordcount shape).
+    "q_ngrams" -> ((s, dir) =>
+      TextOps.ngramCounts(Tables.documents(s, dir), "text", 3)
+        .orderBy("ngram")),
+
+    // TF-IDF weights for the first 20 docs' tokens (tf · ln(N/df)).
+    "q_tfidf" -> ((s, dir) =>
+      TextOps.tfidf(Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("doc_id") < 20)
+        .orderBy("doc_id", "tok")),
+
     // §2.5 extension — batch sessionization: 30-min inactivity gap, session
     // stats per (user, session). Integer epoch-micros arithmetic (exact).
     "q_sessionize" -> ((s, dir) =>
@@ -820,6 +831,29 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q_ngrams" ->
+      """WITH arr AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                                x -> x <> '') AS a
+        |             FROM documents)
+        |SELECT ngram, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(1, len(a) - 3 + 2),
+        |                               i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS ngram
+        |  FROM arr WHERE len(a) >= 3)
+        |GROUP BY ngram ORDER BY ngram""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT t.doc_id, t.tok,
+        |       round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)), 6) AS tfidf
+        |FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n
+        |WHERE t.doc_id < 20
+        |ORDER BY doc_id, tok""".stripMargin,
 
     // epoch_us on both sides: integer micros, no float time arithmetic.
     "q_sessionize" ->

@@ -42,4 +42,37 @@ object TextOps {
       .filter(col("word") =!= "")
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n_tokens"))
+
+  /** Corpus n-gram frequency table (word n-grams, occurrence counts — NOT
+    * per-doc-distinct like [[graft.dedup.Dedup.shingles]]). Wordcount's
+    * plan shape at any n: explode → two-phase count, shuffle volume
+    * O(distinct n-grams).
+    */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(graft.functions.TextAnalysis.tokensArr(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n) // sequence(0, neg) would descend
+      .select(explode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** TF-IDF per (doc, token): tf(d,t) · ln(N / df(t)) — the classic
+    * retrieval / feature-weighting op. Two aggregations (term freq, doc
+    * freq) + a broadcast-or-shuffle join on token; the corpus size is a
+    * 1-row broadcast. All counts integer-exact; the final score is
+    * rounded for cross-engine stability.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("tfidf"))
+  }
 }
