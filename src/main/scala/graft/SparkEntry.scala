@@ -202,6 +202,18 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // §2.5 extension — exact group quantiles (order statistics): linear-
+    // interpolated percentile, the ANSI quantile_cont contract on both
+    // sides. Spark's exact `percentile` sorts within the hash-aggregate
+    // buffer — one shuffle on the group key.
+    "q_quantiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(transform(
+          percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))),
+          x => round(x, 6)).as("qs"))
+        .orderBy("l_returnflag")),
+
     // §2.5 extension — rollup (hierarchical subtotals).
     "q_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -831,6 +843,12 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |       list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+        |                      x -> round(x, 6)) AS qs
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_ngrams" ->
       """WITH arr AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

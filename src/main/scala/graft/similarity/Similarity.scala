@@ -37,6 +37,12 @@ object Similarity {
   /** Exact top-k neighbors for each query vector (queries small → broadcast).
     * Output: query_id, vec_id, rank, sim (rounded for cross-engine output
     * stability; ranking uses full precision with vec_id tie-break).
+    *
+    * Ranking note (applies to every topK here): the row_number window puts
+    * one query's candidates on one task. That is the design contract — the
+    * query set is small and per-query candidates are bucket-bounded (LSH/
+    * IVF) or corpus-partial (brute force top-k could pre-reduce per
+    * partition if a single query's candidate list ever outgrew a task).
     */
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                      queries: DataFrame, queryId: String, queryVec: String,

@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Synthetic sf1-equivalent scale probe for the similarity suite.
+  *
+  * The driver ships fixtures up to sf0.1 (~5k documents); this tool
+  * generates a structurally similar corpus at ANY size — deterministic
+  * murmur3-derived tokens, ~2% planted near-duplicates (one perturbed
+  * token / one perturbed dim) — and times the similarity operators on it.
+  * Two runs at n and 10n give a clean scaling exponent on identical data
+  * distributions, without touching the read-only fixture dirs.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [nDocs] (default 50000 ≈ sf1)
+  * Prints one JSON line: {"n":…,"secs":{op:…},"rows":{op:…}}
+  */
+object ScaleProbe {
+
+  /** n synthetic documents: 80-200 tokens from a 5000-word vocabulary,
+    * ids >= 98% of n are near-copies of (id - 0.98n) with one token
+    * perturbed — so near-dup structure exists at every scale.
+    */
+  def documents(spark: SparkSession, n: Long): DataFrame = {
+    val nBase = (n * 98) / 100
+    val base = when(col("id") >= nBase, col("id") - nBase).otherwise(col("id"))
+    val len = (lit(80) + pmod(hash(base, lit(-1)), lit(120))).cast("int")
+    val perturbAt = pmod(col("id"), len.cast("bigint"))
+    val toks = transform(sequence(lit(0), len - 1), j =>
+      when(col("id") >= nBase && j.cast("bigint") === perturbAt,
+        concat(lit("w"), pmod(hash(base, j), lit(5000)), lit("x")))
+        .otherwise(concat(lit("w"), pmod(hash(base, j), lit(5000)))))
+    spark.range(0, n)
+      .select(col("id").as("doc_id"), array_join(toks, " ").as("text"))
+  }
+
+  /** n synthetic 64-dim embeddings, same 2% near-copy structure (one dim
+    * nudged by 1e-3).
+    */
+  def embeddings(spark: SparkSession, n: Long): DataFrame = {
+    val nBase = (n * 98) / 100
+    val base = when(col("id") >= nBase, col("id") - nBase).otherwise(col("id"))
+    val vec = transform(sequence(lit(0), lit(63)), d =>
+      (pmod(hash(base, d), lit(1000)).cast("double") / 1000.0 - 0.5) +
+        when(col("id") >= nBase && d.cast("bigint") === pmod(col("id"), lit(64L)),
+          lit(0.001)).otherwise(lit(0.0)))
+    spark.range(0, n).select(col("id").as("vec_id"), vec.as("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(50000L)
+    val spark = graft.core.GraftSession
+      .builder("graft-scale-probe", cores = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = documents(spark, n).cache()
+    val embs = embeddings(spark, n).cache()
+    docs.count(); embs.count() // materialize: probe times the operator, not the generator
+
+    val secs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def timed(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      rows(name) = df.count()
+      secs(name) = (System.nanoTime() - t0) / 1e9
+    }
+
+    timed("dedup_exact") { Dedup.exact(docs, "doc_id", "text") }
+    timed("jaccard_ppjoin") { Dedup.jaccardPairs(docs, "doc_id", "text", 0.9) }
+    timed("minhash_lsh") { Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8) }
+    timed("dedup_cluster") { Dedup.canonicalize(docs, "doc_id",
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 4, 4, 0.8)) }
+    timed("embed_neardup_lsh") { Similarity.nearDupPairsLsh(
+      embs, "vec_id", "embedding", tau = 0.999) }
+    // the scale knob: bits grow with log(n) so bucket sizes stay flat —
+    // candidates ~ n²/2^bits; +4 bits pays for a 16× corpus
+    timed("embed_neardup_lsh12") { Similarity.nearDupPairsLsh(
+      embs, "vec_id", "embedding", tau = 0.999, bits = 12) }
+
+    def j(m: collection.Map[String, Any]) =
+      m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    println(s"""{"n":$n,"secs":${j(secs)},"rows":${j(rows)}}""")
+    spark.stop()
+  }
+}

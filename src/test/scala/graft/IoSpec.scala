@@ -117,6 +117,16 @@ class IoSpec extends SparkTestBase {
     }
   }
 
+  test("csv round-trips embedded newlines/commas/quotes with multiLine=true") {
+    val path = graft.io.IoScratch.dir + "/spec_csv_ml"
+    val df = Seq((1L, "line1\nline2"), (2L, "with,comma and \"quote\""))
+      .toDF("id", "s")
+    Sinks.writeCsv(df, path)
+    val back = Sources.readCsv(spark, path, multiLine = true)
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(back == Seq("line1\nline2", "with,comma and \"quote\""))
+  }
+
   test("netstring reader round-trips binary-ish values (old_netstr_reader format)") {
     import graft.io.Netstring
     val pairs = Seq(
