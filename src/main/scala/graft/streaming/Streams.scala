@@ -74,14 +74,30 @@ object Streams {
             Iterator.single(SessionResult(userId, s.nEvents, s.totalValue,
               s.firstTs, s.lastTs))
           } else {
-            val cur = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MaxValue, 0L))
-            val next = it.foldLeft(cur) { case (s, (_, ts, v)) =>
-              SessionState(s.nEvents + 1, s.totalValue + v,
-                math.min(s.firstTs, ts.getTime), math.max(s.lastTs, ts.getTime))
+            // fold the batch in event-time order and split on gaps WITHIN
+            // it too — a micro-batch may span several sessions, and batch/
+            // streaming sessionization must agree (StreamsSpec parity test)
+            val evs = it.toArray.sortBy(_._2.getTime)
+            var closed = List.empty[SessionResult]
+            var cur = state.getOption
+            evs.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.lastTs > gapMs =>
+                  closed ::= SessionResult(userId, s.nEvents, s.totalValue,
+                    s.firstTs, s.lastTs)
+                  Some(SessionState(1L, v, t, t))
+                case Some(s) =>
+                  Some(SessionState(s.nEvents + 1, s.totalValue + v,
+                    math.min(s.firstTs, t), math.max(s.lastTs, t)))
+                case None => Some(SessionState(1L, v, t, t))
+              }
             }
-            state.update(next)
-            state.setTimeoutTimestamp(next.lastTs + gapMs)
-            Iterator.empty
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverse.iterator
           }
       }
   }

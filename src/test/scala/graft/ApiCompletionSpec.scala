@@ -61,6 +61,15 @@ class ApiCompletionSpec extends SparkTestBase {
     assert(render(out.toSeq) == render(recs))
   }
 
+  test("External.pipeFramed fails the task on non-zero exit (Spark retry = Disco task restart)") {
+    val in = spark.createDataset(Seq(
+      ("k".getBytes("UTF-8"), "v".getBytes("UTF-8")))).repartition(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      External.pipeFramed(in, Seq("false")).collect()
+    }
+    assert(e.getMessage.contains("exited") || e.getCause != null)
+  }
+
   test("registered UDAFs work from SQL with partial aggregation") {
     Udafs.register(spark)
     Seq(("k1", 1L, "x"), ("k1", 2L, "y"), ("k2", 5L, "z"))

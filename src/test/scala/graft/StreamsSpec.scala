@@ -69,6 +69,43 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch and streaming sessionization agree on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // user 1: events at 1s,11s (one session), 101s (second session);
+    // user 2: 5s | 50s,56s — the 45s gap splits at gap=30s.
+    // (No ts(0): an event AT the initial watermark is late by definition.)
+    val events = Seq(
+      (1L, 10L, ts(1), 1.0), (1L, 11L, ts(11), 1.0), (1L, 12L, ts(101), 1.0),
+      (2L, 20L, ts(5), 1.0), (2L, 21L, ts(50), 1.0), (2L, 22L, ts(56), 1.0))
+
+    val batch = graft.ops.WindowOps.sessionize(
+        events.toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", "event_id", gapSeconds = 30)
+      .groupBy("user_id", "session_n")
+      .agg(count(lit(1)).as("n"),
+        min(unix_millis(col("ts"))).as("firstMs"),
+        max(unix_millis(col("ts"))).as("lastMs"))
+      .select("user_id", "n", "firstMs", "lastMs")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val out = Streams.sessionize(spark, in.toDS, gapMs = 30000)
+    val q = out.writeStream.format("memory").queryName("sessions_parity")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      in.addData(events.map(e => (e._1, e._3, e._4)): _*)
+      q.processAllAvailable()
+      in.addData((999L, ts(100000), 0.0)) // advance watermark: close everything
+      q.processAllAvailable()
+      spark.table("sessions_parity").as[graft.streaming.SessionResult]
+        .collect().filter(_.userId != 999L)
+        .map(s => (s.userId, s.nEvents, s.firstTs, s.lastTs)).toSet
+    } finally q.stop()
+
+    assert(streamed == batch) // same sessions, same stats, both engines
+  }
+
   test("incremental word count matches the batch operator semantics") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
