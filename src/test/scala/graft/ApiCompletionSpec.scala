@@ -80,6 +80,20 @@ class ApiCompletionSpec extends SparkTestBase {
     assert(rows.toSeq == Seq(("k1", 3L, "x,y"), ("k2", 5L, "z")))
   }
 
+  test("Jobs.run persists output and registers the results tag (job.py run/wait flow)") {
+    import graft.api.Jobs
+    val cat = new TagCatalog(spark)
+    val in = spark.createDataset(Seq("a b", "b c"))
+    val res = Jobs.run(spark, "wc_job", in, Classic.Job(
+      map = line => line.split(" ").map(_ -> "1"),
+      reduce = Some((k, vs) => Iterator.single(k -> vs.size.toString))),
+      graft.io.IoScratch.dir, cat)
+    assert(res.tag == "job:results:wc_job")
+    val back = Jobs.results(cat, "wc_job")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(back == Map("a" -> "1", "b" -> "2", "c" -> "1"))
+  }
+
   test("readUrls pulls lines per url task (scheme_http model, file:// stand-in)") {
     val d = Files.createTempDirectory("graft_url").toFile
     val f1 = new java.io.File(d, "a.txt"); val f2 = new java.io.File(d, "b.txt")
