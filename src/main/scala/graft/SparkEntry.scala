@@ -274,11 +274,9 @@ object SparkEntry {
       import s.implicits._
       val input = Tables.events(s, dir).select("event_type").as[String]
         .map(et => Pipeline.LKV(math.floorMod(et.hashCode, 8), et, "1"))
-      val combineStage = Pipeline.Stage("node_combine", { it =>
-        val acc = scala.collection.mutable.LinkedHashMap.empty[(Int, String), Long]
-        it.foreach(r => acc((r.label, r.key)) = acc.getOrElse((r.label, r.key), 0L) + r.value.toLong)
-        acc.iterator.map { case ((l, k), n) => Pipeline.LKV(l, k, n.toString) }
-      })
+      // library bounded combiner: flush-on-limit partial sums (memory
+      // bounded at any key cardinality; partials merge in the reduce)
+      val combineStage = Pipeline.combineStage("node_combine")
       val reduceStage = Pipeline.Stage("reduce", { it =>
         // sorted input: sum consecutive equal keys (kvgroup, util.py:101-110)
         new Iterator[Pipeline.LKV] {

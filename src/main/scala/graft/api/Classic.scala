@@ -45,8 +45,21 @@ object Classic {
       /** reduce_init: once per reduce task before the first group. */
       reduceInit: Option[() => Unit] = None)
 
+  /** Per-stage results of a classic job — Disco's `job.stageresults(stage)`
+    * (tests/test_mapresults.py, core.py stage results): the map stage's
+    * output is observable independently of the final reduce output. Both
+    * are lazy plans over the same lineage; cache `map` if reading both
+    * (otherwise the map stage recomputes — same as Disco re-reading the
+    * stage's DDFS outputs is a re-fetch, not a re-run, so cache = parity).
+    */
+  final case class StageResults(map: Dataset[KV], results: Dataset[KV])
+
   /** Run a classic job over a dataset of input records ("lines"). */
-  def run(spark: SparkSession, input: Dataset[String], job: Job): Dataset[KV] = {
+  def run(spark: SparkSession, input: Dataset[String], job: Job): Dataset[KV] =
+    runStaged(spark, input, job).results
+
+  /** [[run]], also exposing the map-stage output (stageresults parity). */
+  def runStaged(spark: SparkSession, input: Dataset[String], job: Job): StageResults = {
     import spark.implicits._
     val mapped: Dataset[KV] = job.mapInit match {
       case None       => input.flatMap(job.map)
@@ -77,7 +90,7 @@ object Classic {
         }
     }
 
-    job.reduce match {
+    val results = job.reduce match {
       case None => preCombined.repartition(job.partitions, $"_1")
       case Some(r0) =>
         // reduce_init: once per task before its first group
@@ -96,6 +109,7 @@ object Classic {
         else
           grouped.flatMapGroups((k, it) => r(k, it.map(_._2)))
     }
+    StageResults(mapped, results)
   }
 
   /** result_iterator (lib/disco/core.py:283-311): stream job output back to

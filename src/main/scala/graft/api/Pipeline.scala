@@ -51,6 +51,33 @@ object Pipeline {
       init: () => Unit = () => (),
       done: () => Iterator[LKV] = () => Iterator.empty)
 
+  /** Value-bounded pre-combine stage (the Classic combiner pattern,
+    * func.py:48-71 flush-on-limit, lifted to the pipeline model): sums
+    * integer values per (label, key) in a task-local buffer that FLUSHES
+    * whenever `maxEntries` distinct keys accumulate — partial aggregation
+    * with bounded memory at ANY key cardinality. Safe under flushing
+    * because partial sums are additive: a downstream sorted GroupLabel
+    * reduce merges multiple partials of one key.
+    */
+  def combineStage(name: String, maxEntries: Int = 1 << 16): Stage =
+    Stage(name, { it =>
+      val acc = scala.collection.mutable.LinkedHashMap.empty[(Int, String), Long]
+      def flush(): Iterator[LKV] = {
+        val out = acc.iterator.map { case ((l, k), n) => LKV(l, k, n.toString) }.toList
+        acc.clear()
+        out.iterator
+      }
+      val body = it.flatMap { r =>
+        acc((r.label, r.key)) = acc.getOrElse((r.label, r.key), 0L) + r.value.toLong
+        if (acc.size >= maxEntries) flush() else Iterator.empty
+      }
+      body ++ new Iterator[LKV] {
+        private var tail: Iterator[LKV] = null
+        def hasNext = { if (tail == null) tail = flush(); tail.hasNext }
+        def next() = { if (tail == null) tail = flush(); tail.next() }
+      }
+    })
+
   /** Compile and run the pipeline. `labels` is Disco's nr-of-labels: it sets
     * the GroupLabel shuffle degree (`repartition(labels, label)`), so a job
     * declaring 8 labels runs 8 reduce tasks, exactly like Disco. Several

@@ -80,6 +80,15 @@ class ApiCompletionSpec extends SparkTestBase {
     assert(rows.toSeq == Seq(("k1", 3L, "x,y"), ("k2", 5L, "z")))
   }
 
+  test("stageresults: map output observable next to reduce output (test_mapresults.py shape)") {
+    val ducks = Seq("huey", "dewey", "louie")
+    val staged = Classic.runStaged(spark, spark.createDataset(ducks), Classic.Job(
+      map = d => Iterator.single((d + "!", "")),
+      reduce = Some((k, vs) => vs.map(v => (k + "?", v)))))
+    assert(staged.map.collect().map(_._1).sorted.toSeq == ducks.map(_ + "!").sorted)
+    assert(staged.results.collect().map(_._1).sorted.toSeq == ducks.map(_ + "!?").sorted)
+  }
+
   test("Jobs.run persists output and registers the results tag (job.py run/wait flow)") {
     import graft.api.Jobs
     val cat = new TagCatalog(spark)

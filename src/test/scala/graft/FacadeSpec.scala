@@ -64,6 +64,32 @@ class FacadeSpec extends SparkTestBase {
     assert(got.length == 1 && got.head.value == "100")
   }
 
+  test("pipeline: bounded combineStage flushes at cap without losing counts") {
+    import graft.api.Pipeline
+    import graft.api.Pipeline.{GroupLabel, GroupNodeLabel, LKV}
+    val in = spark.createDataset(
+      (0 until 40).map(i => LKV(0, s"k${i % 5}", "1")))(
+      org.apache.spark.sql.Encoders.product[LKV]).repartition(2)
+    // cap of 2 forces many flushes; the sorted reduce must still see
+    // additive partials totaling 8 per key (40 rows / 5 keys)
+    val reduce = Pipeline.Stage("sum", { it =>
+      val buf = it.buffered
+      new Iterator[LKV] {
+        def hasNext = buf.hasNext
+        def next() = {
+          val h = buf.next(); var s = h.value.toLong
+          while (buf.hasNext && buf.head.key == h.key) s += buf.next().value.toLong
+          LKV(h.label, h.key, s.toString)
+        }
+      }
+    }, sort = true)
+    val out = Pipeline.run(spark, in, Seq(
+      GroupNodeLabel -> Pipeline.combineStage("combine", maxEntries = 2),
+      GroupLabel -> reduce), labels = 2)
+      .collect().map(r => r.key -> r.value.toLong).toMap
+    assert(out == (0 until 5).map(i => s"k$i" -> 8L).toMap)
+  }
+
   test("pipeline: GroupLabel co-locates equal labels") {
     import spark.implicits._
     val in = (1 to 64).map(i => Pipeline.LKV(i % 4, s"k${i % 4}", "1")).toDS().repartition(8)
