@@ -170,6 +170,15 @@ object SparkEntry {
         .filter(col("doc_id") < 20)
         .orderBy("doc_id", "tok")),
 
+    // Token-budget shard packing via DISTRIBUTED prefix sum (range-partition
+    // local windows + P-value offset scan — never a one-task global window).
+    "q_shard_pack" -> ((s, dir) =>
+      graft.ops.PrefixSum.packShards(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        "doc_id", "n_chars", budget = 20000L)
+        .select(col("doc_id"), col("cum"), col("shard"))
+        .orderBy("doc_id")),
+
     // §2.5 extension — batch sessionization: 30-min inactivity gap, session
     // stats per (user, session). Integer epoch-micros arithmetic (exact).
     "q_sessionize" -> ((s, dir) =>
@@ -841,6 +850,12 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q_shard_pack" ->
+      """SELECT doc_id,
+        |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 20000 AS BIGINT) AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_quantiles" ->
       """SELECT l_returnflag,

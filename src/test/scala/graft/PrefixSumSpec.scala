@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.PrefixSum
+
+/** Distributed prefix sum: must equal the one-task global window
+  * bit-for-bit at any partition count, without ever RUNNING a one-task
+  * global window.
+  */
+class PrefixSumSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("prefixSum equals a global window at any partitioning") {
+    val df = spark.range(0, 3000).select(col("id"),
+      pmod(hash(col("id")), lit(97)).cast("long").as("v"))
+    val expect = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    for (p <- Seq(1, 7, 32)) {
+      val got = PrefixSum.prefixSum(df, "id", "v", partitions = p)
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"prefix sum diverged at partitions=$p")
+    }
+  }
+
+  test("packShards: shards are contiguous, ordered, and budget-shaped") {
+    val df = spark.range(0, 500).select(col("id"),
+      (pmod(hash(col("id")), lit(50)) + 1).cast("long").as("n"))
+    val shards = PrefixSum.packShards(df, "id", "n", budget = 300L)
+      .select("id", "n", "shard").as[(Long, Long, Long)].collect().sortBy(_._1)
+    // shard ids never decrease in doc order and skip nothing
+    val ids = shards.map(_._3)
+    assert(ids.zip(ids.tail).forall { case (a, b) => b == a || b == a + 1 })
+    assert(ids.head == 0L)
+    // every full shard's payload reaches the budget before it closes:
+    // (start of the NEXT shard) - (start of this one) >= budget
+    val starts = shards.groupBy(_._3).map { case (s, rows) =>
+      s -> rows.map(r => r._2).sum
+    }
+    starts.toSeq.sortBy(_._1).dropRight(1).foreach { case (s, tot) =>
+      assert(tot >= 300L - 50L, s"shard $s undersized: $tot") // crossing doc rule
+    }
+  }
+}
