@@ -170,6 +170,13 @@ object SparkEntry {
         .filter(col("doc_id") < 20)
         .orderBy("doc_id", "tok")),
 
+    // Sequential funnel: users completing view -> click -> purchase in
+    // strict time order; per-step frontier joins, no whole-user windows.
+    "q_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnel(Tables.events(s, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy("step")),
+
     // Token-budget shard packing via DISTRIBUTED prefix sum (range-partition
     // local windows + P-value offset scan — never a one-task global window).
     "q_shard_pack" -> ((s, dir) =>
@@ -850,6 +857,19 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id AS u, min(ts) AS ft FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id AS u, min(e.ts) AS ft FROM events e JOIN v ON v.u = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.ft GROUP BY 1),
+        |p AS (SELECT e.user_id AS u, min(e.ts) AS ft FROM events e JOIN c ON c.u = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.ft GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM v
+        |  UNION ALL SELECT 2, 'click', count(*) FROM c
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+        |ORDER BY step""".stripMargin,
 
     "q_shard_pack" ->
       """SELECT doc_id,

@@ -39,6 +39,20 @@ class SamplingSessionSpec extends SparkTestBase {
     assert(strata == Map("keep" -> 2000L)) // rate 1.0 keeps all, 0.0 drops all
   }
 
+  test("funnel counts only strictly-ordered completions") {
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    val ev = Seq(
+      ("u1", "view", ts(1)), ("u1", "click", ts(2)), ("u1", "purchase", ts(3)), // full
+      ("u2", "click", ts(1)), ("u2", "view", ts(2)),   // out of order: stops at view
+      ("u3", "view", ts(5)), ("u3", "click", ts(5)),   // tie does NOT advance
+      ("u4", "purchase", ts(1))                        // never viewed: depth 0
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.ops.Funnel.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
   test("sessionize splits on gap > threshold, numbers sessions per user") {
     def ts(m: Int) = new Timestamp(m * 60000L)
     val ev = Seq(
