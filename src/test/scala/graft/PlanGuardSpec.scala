@@ -34,4 +34,17 @@ class PlanGuardSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q_topk plans as TakeOrderedAndProject, never a global sort") {
+    val plan = SparkEntry.queries("q_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must be the streaming per-partition heap, not sort-then-limit")
+  }
+
+  test("flagship entry joins the dimension by broadcast") {
+    val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "orders x customer must broadcast the dim side")
+  }
 }
