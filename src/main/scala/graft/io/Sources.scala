@@ -92,6 +92,44 @@ object Sources {
       }.toDF("line")
   }
 
+  /** Replicated inputs (tests/test_redundant.py, util.py urllist): each
+    * input is a SET of equivalent replicas; a task exhausts one replica's
+    * retries, then falls over to the next — only when every replica of a
+    * set fails does the task (and job) fail. Disco's redundant-input
+    * contract on Spark's task model.
+    */
+  def readUrlsReplicated(spark: SparkSession, replicaSets: Seq[Seq[String]],
+                         maxRetries: Int = 1, backoffMs: Long = 100): DataFrame =
+    readUrlsReplicatedWith(spark, replicaSets, maxRetries, backoffMs,
+      u => scala.io.Source.fromURL(u)("UTF-8"))
+
+  private[graft] def readUrlsReplicatedWith(
+      spark: SparkSession, replicaSets: Seq[Seq[String]],
+      maxRetries: Int, backoffMs: Long,
+      opener: String => scala.io.Source): DataFrame = {
+    import spark.implicits._
+    require(replicaSets.forall(_.nonEmpty), "empty replica set")
+    spark.createDataset(replicaSets.map(_.toList)).repartition(replicaSets.size)
+      .flatMap { replicas =>
+        val src = replicas.iterator.map { u =>
+          try Right(openWithRetry(u, maxRetries, backoffMs, opener))
+          catch { case e: java.io.IOException => Left(e) }
+        }.collectFirst { case Right(s) => s }
+          .getOrElse(throw new java.io.IOException(
+            s"all ${replicas.size} replicas failed: ${replicas.mkString(", ")}"))
+        val it = src.getLines()
+        new Iterator[String] {
+          private var closed = false
+          def hasNext: Boolean = {
+            val h = !closed && it.hasNext
+            if (!h && !closed) { closed = true; src.close() }
+            h
+          }
+          def next(): String = it.next()
+        }
+      }.toDF("line")
+  }
+
   private def openWithRetry(u: String, maxRetries: Int, backoffMs: Long,
                             opener: String => scala.io.Source): scala.io.Source = {
     var attempt = 0

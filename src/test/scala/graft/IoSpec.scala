@@ -156,6 +156,19 @@ class IoSpec extends SparkTestBase {
     assert(got.toSeq == Seq(("1", "en"), ("2", "fr"), ("3", "en")))
   }
 
+  test("replicated inputs fall over to the next replica (test_redundant.py)") {
+    val good = java.nio.file.Files.createTempFile("graft_replica", ".txt")
+    java.nio.file.Files.write(good, "r1\nr2\n".getBytes)
+    val df = Sources.readUrlsReplicated(spark, Seq(
+      Seq("file:///nonexistent/replica_a", good.toUri.toString)))
+    assert(df.as[String].collect().sorted.toSeq == Seq("r1", "r2"))
+
+    intercept[org.apache.spark.SparkException] { // ALL replicas dead -> fail
+      Sources.readUrlsReplicated(spark, Seq(
+        Seq("file:///nonexistent/a", "file:///nonexistent/b"))).collect()
+    }
+  }
+
   test("readUrls streams a large url without materializing it") {
     val f = java.nio.file.Files.createTempFile("graft_big_url", ".txt")
     val w = java.nio.file.Files.newBufferedWriter(f)
