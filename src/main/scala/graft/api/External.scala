@@ -60,9 +60,18 @@ object External {
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(b.length).array()
         out.write(len); out.write(b)
       }
+      // any writer failure (not just IOException: an NPE on a null value,
+      // an upstream iterator error) must close stdin so the reader can't
+      // hang, and must surface on the task thread instead of dying silently
+      @volatile var writerError: Throwable = null
       val writer = new Thread(() => {
-        try { rows.foreach { case (k, v) => writeFrame(k); writeFrame(v) }; out.close() }
-        catch { case _: java.io.IOException => () } // process died; reader reports exit code
+        try rows.foreach { case (k, v) => writeFrame(k); writeFrame(v) }
+        catch {
+          case _: java.io.IOException => () // process died; reader reports exit code
+          case t: Throwable => writerError = t
+        } finally {
+          try out.close() catch { case _: java.io.IOException => () }
+        }
       }, "graft-external-writer")
       writer.setDaemon(true)
       writer.start()
@@ -80,12 +89,25 @@ object External {
         private var pending: (Array[Byte], Array[Byte]) = null
         private var finished = false
         private def advance(): Unit = if (!finished && pending == null) {
-          try pending = (readFrame(), readFrame())
-          catch {
-            case _: EOFException =>
+          // EOF is clean ONLY between records: a key without its value (or
+          // a truncated frame) is corrupt output even if the exit code is 0
+          val key =
+            try Some(readFrame())
+            catch { case _: EOFException => None }
+          key match {
+            case Some(k) =>
+              val v =
+                try readFrame()
+                catch {
+                  case e: EOFException => throw new IllegalStateException(
+                    s"external process '${command.head}' emitted a key without a value", e)
+                }
+              pending = (k, v)
+            case None =>
               finished = true
               in.close()
               val code = proc.waitFor()
+              if (writerError != null) throw writerError
               require(code == 0, s"external process '${command.head}' exited $code")
           }
         }

@@ -121,9 +121,8 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), TextAnalysis.tokensArr(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("id"), explode(transform(
-        sequence(lit(0), size(col("toks")) - n),
-        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("shingle"))
+      .select(col("id"),
+        explode(TextAnalysis.ngramsArr(col("toks"), n)).as("shingle"))
       .distinct()
 
   /** All minhashes AND the verification shingle set in ONE aggregation:

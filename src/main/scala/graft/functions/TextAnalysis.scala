@@ -18,6 +18,16 @@ object TextAnalysis {
   /** Token count (whitespace/punct tokenizer). */
   def tokenCount(text: Column): Column = size(tokensArr(text))
 
+  /** Word n-gram array over a token array — the ONE n-gram construction
+    * both [[graft.dedup.Dedup.shingles]] and
+    * [[graft.ops.TextOps.ngramCounts]] use (they must stay
+    * oracle-identical). Callers pre-filter `size(toks) >= n`:
+    * sequence(0, negative) would DESCEND, not produce empty.
+    */
+  def ngramsArr(toks: Column, n: Int): Column =
+    transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+
   /** A BPE-ish subword proxy: number of ~4-char chunks across tokens —
     * ceil(len/4) summed, the standard quick token-budget estimate.
     */

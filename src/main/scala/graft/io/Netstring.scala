@@ -50,19 +50,24 @@ object Netstring {
     def readFrame(): Option[Array[Byte]] = {
       val first = in.read()
       if (first == -1) { in.close(); return None }
-      var len = 0
+      require(first >= '0' && first <= '9', // a leading ' ' must not parse as len 0
+        s"corrupt netstring in $name: length byte ${first.toChar} (${first})")
+      var len = 0L
       var c = first
       while (c != ' ') {
         require(c >= '0' && c <= '9',
           s"corrupt netstring in $name: length byte ${c.toChar} (${c})")
         len = len * 10 + (c - '0')
+        require(len <= (1L << 30), // bound BEFORE Int overflow can wrap it
+          s"corrupt netstring in $name: frame length $len exceeds 1 GiB bound")
         c = in.read()
         require(c != -1, s"truncated netstring in $name: EOF inside length")
       }
-      val buf = new Array[Byte](len)
+      val size = len.toInt // safe: bounded to 1 GiB above
+      val buf = new Array[Byte](size)
       var off = 0
-      while (off < len) {
-        val n = in.read(buf, off, len - off)
+      while (off < size) {
+        val n = in.read(buf, off, size - off)
         require(n > 0, s"truncated netstring in $name: EOF inside payload")
         off += n
       }

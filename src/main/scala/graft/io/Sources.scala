@@ -75,21 +75,29 @@ object Sources {
                                   opener: String => scala.io.Source): DataFrame = {
     import spark.implicits._
     spark.createDataset(urls).repartition(urls.size)
-      .flatMap { u =>
-        val src = openWithRetry(u, maxRetries, backoffMs, opener)
-        val it = src.getLines()
-        // close-on-exhaustion wrapper: the source closes when the task
-        // drains the iterator (flatMap consumers always drain or fail-task)
-        new Iterator[String] {
-          private var closed = false
-          def hasNext: Boolean = {
-            val h = !closed && it.hasNext
-            if (!h && !closed) { closed = true; src.close() }
-            h
-          }
-          def next(): String = it.next()
-        }
-      }.toDF("line")
+      .flatMap { u => lines(openWithRetry(u, maxRetries, backoffMs, opener)) }
+      .toDF("line")
+  }
+
+  /** Streaming line iterator over a Source that closes on exhaustion AND on
+    * task completion — a consumer that stops early (limit/head) abandons
+    * the iterator, so exhaustion alone would leak the handle for the
+    * executor's lifetime.
+    */
+  private def lines(src: scala.io.Source): Iterator[String] = {
+    var closed = false
+    def close(): Unit = if (!closed) { closed = true; src.close() }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+    val it = src.getLines()
+    new Iterator[String] {
+      def hasNext: Boolean = {
+        val h = !closed && it.hasNext
+        if (!h) close()
+        h
+      }
+      def next(): String = it.next()
+    }
   }
 
   /** Replicated inputs (tests/test_redundant.py, util.py urllist): each
@@ -117,16 +125,7 @@ object Sources {
         }.collectFirst { case Right(s) => s }
           .getOrElse(throw new java.io.IOException(
             s"all ${replicas.size} replicas failed: ${replicas.mkString(", ")}"))
-        val it = src.getLines()
-        new Iterator[String] {
-          private var closed = false
-          def hasNext: Boolean = {
-            val h = !closed && it.hasNext
-            if (!h && !closed) { closed = true; src.close() }
-            h
-          }
-          def next(): String = it.next()
-        }
+        lines(src)
       }.toDF("line")
   }
 

@@ -64,6 +64,10 @@ class TagCatalog(spark: SparkSession) {
     * result): paths are grouped by repeat count and each group is scanned
     * once, then unioned copy-per-repeat — plan size is O(distinct repeat
     * counts), which is 1 for the overwhelmingly common all-unique case.
+    * Paths reach the reader in the ORDER the hook returned them (first
+    * appearance for repeats) — reordering is part of input_hook's contract,
+    * even though DataFrame row order is only meaningful to order-aware
+    * readers.
     */
   def read(name: String,
            reader: Seq[String] => DataFrame = ps => spark.read.parquet(ps: _*),
@@ -71,11 +75,12 @@ class TagCatalog(spark: SparkSession) {
     val paths = inputHook(urls(name))
     require(paths.nonEmpty,
       s"tag '$name' resolves to no inputs (unknown tag, empty tag, or input_hook filtered everything)")
-    val byMultiplicity = paths.groupBy(identity).toSeq
-      .groupMap(_._2.size)(_._1).toSeq.sortBy(_._1)
-    byMultiplicity.iterator.map { case (m, ps) =>
-      val once = reader(ps.sorted)
-      Iterator.fill(m)(once).reduce(_ unionByName _)
-    }.reduce(_ unionByName _)
+    val counts = paths.groupBy(identity).view.mapValues(_.size)
+    val firstSeen = paths.distinct // hook order, first appearance per path
+    firstSeen.map(p => counts(p) -> p).groupMap(_._1)(_._2).toSeq.sortBy(_._1)
+      .iterator.map { case (m, ps) =>
+        val once = reader(ps)
+        Iterator.fill(m)(once).reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
   }
 }

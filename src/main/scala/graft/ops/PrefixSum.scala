@@ -39,8 +39,10 @@ object PrefixSum {
     val local = parted.withColumn("_local",
       sum(col(valCol).cast("long")).over(w))
       .localCheckpoint()
-    // P partition totals -> driver (P values), scanned into start offsets
-    val totals = local.groupBy("_pid").agg(max(col("_local")).as("_tot"))
+    // P partition totals -> driver (P values), scanned into start offsets.
+    // sum(valCol), NOT max(_local): with negative values the running sum's
+    // max is not the partition total.
+    val totals = local.groupBy("_pid").agg(sum(col(valCol).cast("long")).as("_tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
       (pid + 1, acc + tot)

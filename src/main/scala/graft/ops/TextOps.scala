@@ -50,10 +50,9 @@ object TextOps {
     */
   def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame =
     df.select(graft.functions.TextAnalysis.tokensArr(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= n) // sequence(0, neg) would descend
-      .select(explode(transform(
-        sequence(lit(0), size(col("toks")) - n),
-        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("ngram"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(
+        graft.functions.TextAnalysis.ngramsArr(col("toks"), n)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("cnt"))
 

@@ -70,6 +70,18 @@ class ApiCompletionSpec extends SparkTestBase {
     assert(e.getMessage.contains("exited") || e.getCause != null)
   }
 
+  test("External.pipeFramed rejects a key frame without its value (truncated output)") {
+    val in = spark.createDataset(Seq(
+      ("k".getBytes("UTF-8"), "v".getBytes("UTF-8")))).repartition(1)
+    // emits ONE frame (len=1 little-endian + 'k') then exits 0: corrupt pair
+    val e = intercept[org.apache.spark.SparkException] {
+      External.pipeFramed(in,
+        Seq("sh", "-c", "cat > /dev/null; printf '\\001\\000\\000\\000k'")).collect()
+    }
+    assert(e.getMessage.contains("key without a value") ||
+      Option(e.getCause).exists(_.getMessage.contains("key without a value")))
+  }
+
   test("registered UDAFs work from SQL with partial aggregation") {
     Udafs.register(spark)
     Seq(("k1", 1L, "x"), ("k1", 2L, "y"), ("k2", 5L, "z"))

@@ -178,6 +178,47 @@ class IoSpec extends SparkTestBase {
     assert(df.count() == 100000)
     assert(df.as[String].head() == "line0")
   }
+
+  test("readUrls closes the source even when the consumer stops early") {
+    CloseTracker.closed.set(false)
+    val got = Sources.readUrlsWith(spark, Seq("tracked://x"),
+      maxRetries = 0, backoffMs = 1, CloseTracker.open)
+      .limit(1).as[String].collect() // LocalLimit abandons the iterator
+    assert(got.toSeq == Seq("l0"))
+    assert(CloseTracker.closed.get(), "source leaked after early termination")
+  }
+
+  test("netstring rejects overflowing and non-digit frame lengths") {
+    import graft.io.Netstring
+    def decode(s: String) = Netstring.decodeStream(
+      new java.io.ByteArrayInputStream(s.getBytes("UTF-8"))).toList
+    val big = intercept[IllegalArgumentException] { decode("99999999999 x\n") }
+    assert(big.getMessage.contains("exceeds 1 GiB"))
+    val sp = intercept[IllegalArgumentException] { decode(" 1 a\n") }
+    assert(sp.getMessage.contains("length byte"))
+  }
+
+  test("TagCatalog.read hands the reader paths in input_hook order") {
+    val cat = new TagCatalog(spark)
+    cat.put("ordered", Seq("/p/a", "/p/b", "/p/c"))
+    var seen: Seq[String] = Nil
+    cat.read("ordered",
+      reader = ps => { seen = ps; spark.range(1).toDF("id") },
+      inputHook = _.reverse)
+    assert(seen == Seq("/p/c", "/p/b", "/p/a"))
+  }
+}
+
+/** Tracks whether the streamed Source was closed (early-termination leak
+  * regression). JVM-static — valid in local mode.
+  */
+object CloseTracker {
+  val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def open(u: String): scala.io.Source =
+    new scala.io.Source {
+      val iter = "l0\nl1\nl2\n".iterator
+      override def close(): Unit = closed.set(true)
+    }
 }
 
 /** Deterministic flaky URL opener: fails the first two opens per test run.

@@ -25,6 +25,18 @@ class PrefixSumSpec extends SparkTestBase {
     }
   }
 
+  test("prefixSum stays correct with negative values (totals = sum, not max)") {
+    val df = spark.range(0, 1000).select(col("id"),
+      (pmod(hash(col("id")), lit(21)) - 10).cast("long").as("v"))
+    val expect = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val got = PrefixSum.prefixSum(df, "id", "v", partitions = 7)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
   test("packShards: shards are contiguous, ordered, and budget-shaped") {
     val df = spark.range(0, 500).select(col("id"),
       (pmod(hash(col("id")), lit(50)) + 1).cast("long").as("n"))
