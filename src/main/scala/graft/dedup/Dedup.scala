@@ -65,7 +65,9 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    tau: Double): DataFrame = {
-    val toks = tokenSet(df, idCol, textCol)
+    // cached: consumed by BOTH the frequency aggregation and the doc-array
+    // build — uncached, the tokenize+distinct shuffle runs twice
+    val toks = tokenSet(df, idCol, textCol).cache()
     // global token frequency - corpus-small, Catalyst broadcasts the join
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
     // 1. one row per doc: tokens sorted rarest-first ((tf, tok) asc) +

@@ -106,6 +106,25 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed == batch) // same sessions, same stats, both engines
   }
 
+  test("file readStream ingests files that appear while the query runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in")
+    java.nio.file.Files.write(dir.resolve("a.txt"), "spark maps rows\n".getBytes)
+    val lines = spark.readStream.text(dir.toString).withColumnRenamed("value", "text")
+    val q = Streams.wordCountStream(lines, "text")
+      .writeStream.format("memory").queryName("wc_file")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      // a file landing AFTER the query started is picked up incrementally —
+      // Disco's concurrent-stage contract (inputs appear while running)
+      java.nio.file.Files.write(dir.resolve("b.txt"), "spark reduces\n".getBytes)
+      q.processAllAvailable()
+      val m = spark.table("wc_file").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m == Map("spark" -> 2L, "maps" -> 1L, "rows" -> 1L, "reduces" -> 1L))
+    } finally q.stop()
+  }
+
   test("incremental word count matches the batch operator semantics") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
