@@ -1,0 +1,52 @@
+package graft
+
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.io.Netstring
+
+/** Property tests: scalacheck generators drive the pure codecs and the
+  * Column-expression/reference-model agreements. Spark-touching properties
+  * batch ALL generated cases into one DataFrame (one job per property, not
+  * one per case); pure properties loop plainly (no scalatestplus bridge in
+  * the offline cache).
+  */
+class PropertySpec extends SparkTestBase {
+
+  private val anyStr: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf('\n', ' ', ' ', 'ß', '中', '"', ',')))
+    .map(_.mkString)
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => g(params, org.scalacheck.rng.Seed(i.toLong)))
+  }
+
+  test("netstring encode/decode is the identity for any (k,v) pairs") {
+    samples(Gen.listOfN(8, Gen.zip(anyStr, anyStr)), 50).foreach { pairs =>
+      val in = new java.io.ByteArrayInputStream(Netstring.encode(pairs))
+      assert(Netstring.decodeStream(in).toList == pairs, s"pairs=$pairs")
+    }
+  }
+
+  test("tokensArr agrees with the reference tokenizer on arbitrary text") {
+    import spark.implicits._
+    def model(s: String): Seq[String] =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val ss = samples(anyStr, 200).distinct
+    val got = ss.toDF("s")
+      .select(col("s"), graft.functions.TextAnalysis.tokensArr(col("s")))
+      .as[(String, Seq[String])].collect().toMap
+    ss.foreach { s => assert(got(s) == model(s), s"tokens(${s.getBytes.toSeq})") }
+  }
+
+  test("rolling hash matches the reference recurrence on arbitrary text") {
+    import spark.implicits._
+    def model(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+    val ss = samples(anyStr, 200).distinct
+    val got = ss.toDF("s")
+      .select(col("s"), graft.functions.TextAnalysis.fingerprintRolling(col("s")))
+      .as[(String, Long)].collect().toMap
+    ss.foreach { s => assert(got(s) == model(s), s"rolling(${s.getBytes.toSeq})") }
+  }
+}
