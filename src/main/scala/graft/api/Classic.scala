@@ -47,10 +47,12 @@ object Classic {
 
   /** Per-stage results of a classic job — Disco's `job.stageresults(stage)`
     * (tests/test_mapresults.py, core.py stage results): the map stage's
-    * output is observable independently of the final reduce output. Both
-    * are lazy plans over the same lineage; cache `map` if reading both
-    * (otherwise the map stage recomputes — same as Disco re-reading the
-    * stage's DDFS outputs is a re-fetch, not a re-run, so cache = parity).
+    * output is observable independently of the final reduce output. `map`
+    * is POST-combiner, matching Disco, where the combiner runs inside the
+    * map task and shapes what it writes (func.py:48-71). Both are lazy
+    * plans over the same lineage; cache `map` if reading both (otherwise
+    * the map stage recomputes — Disco re-reading a stage's DDFS outputs is
+    * a re-fetch, not a re-run, so cache = parity).
     */
   final case class StageResults(map: Dataset[KV], results: Dataset[KV])
 
@@ -69,24 +71,12 @@ object Classic {
     val preCombined: Dataset[KV] = job.combiner match {
       case None => mapped
       case Some(c) =>
+        // size counter = TOTAL buffered values (not keys): a single hot key
+        // can never accumulate unboundedly before the combiner runs
         mapped.mapPartitions { it =>
-          val buf = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
-          var buffered = 0L // total values across all keys — the memory bound
-          def flush(): Iterator[KV] = {
-            val flushed = buf.iterator.flatMap { case (k, vs) => c(k, vs.iterator) }.toList
-            buf.clear(); buffered = 0L
-            flushed.iterator
-          }
-          val body = it.flatMap { case (k, v) =>
-            buf.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += v
-            buffered += 1
-            if (buffered >= job.combinerBufferSize) flush() else Iterator.empty
-          }
-          body ++ new Iterator[KV] {
-            private var tail: Iterator[KV] = null
-            def hasNext = { if (tail == null) tail = flush(); tail.hasNext }
-            def next() = { if (tail == null) tail = flush(); tail.next() }
-          }
+          FlushBuffer.run(it)(_._1)(t => mutable.ArrayBuffer(t._2))(
+            (a, t) => { a += t._2; a })((_, _) => 1L)(
+            job.combinerBufferSize.toLong)((k, vs) => c(k, vs.iterator))
         }
     }
 
@@ -94,22 +84,44 @@ object Classic {
       case None => preCombined.repartition(job.partitions, $"_1")
       case Some(r0) =>
         // reduce_init: once per task before its first group
-        // (flatMap(Sorted)Groups has no per-partition hook; the guard is
-        // @transient state re-created when the task deserializes its
-        // closure — Disco-style idempotent setup, func.py:39-46)
+        // (the guard is @transient state re-created when the task
+        // deserializes its closure — Disco-style idempotent setup,
+        // func.py:39-46)
         val r: (String, Iterator[String]) => Iterator[KV] = job.reduceInit match {
           case None    => r0
           case Some(f) =>
             val once = new InitOnce(f)
             (k, it) => { once(); r0(k, it) }
         }
-        val grouped = preCombined.groupByKey(_._1)
-        if (job.sort)
-          grouped.flatMapSortedGroups($"_2")((k, it) => r(k, it.map(_._2)))
-        else
-          grouped.flatMapGroups((k, it) => r(k, it.map(_._2)))
+        // nr_partitions IS the reduce-task count (the func.py:128-129 hash
+        // partition contract — NOT spark.sql.shuffle.partitions): shuffle
+        // to exactly job.partitions on the key, sort within each task so a
+        // key's records are contiguous (+ value order under sort=true),
+        // stream each run to the reduce. Disco's sort-merge reduce shape.
+        val parted = preCombined.repartition(job.partitions, $"_1")
+        val sorted =
+          if (job.sort) parted.sortWithinPartitions($"_1", $"_2")
+          else parted.sortWithinPartitions($"_1")
+        sorted.mapPartitions { it =>
+          val buf = it.buffered
+          new Iterator[Iterator[KV]] {
+            def hasNext = buf.hasNext
+            def next() = {
+              val k = buf.head._1
+              val run = new Iterator[String] {
+                def hasNext = buf.hasNext && buf.head._1 == k
+                def next() = buf.next()._2
+              }
+              // drain whatever the reduce didn't consume before moving on
+              r(k, run) ++ new Iterator[KV] {
+                def hasNext = { while (run.hasNext) run.next(); false }
+                def next() = throw new NoSuchElementException
+              }
+            }
+          }.flatten
+        }
     }
-    StageResults(mapped, results)
+    StageResults(preCombined, results)
   }
 
   /** result_iterator (lib/disco/core.py:283-311): stream job output back to

@@ -61,21 +61,10 @@ object Pipeline {
     */
   def combineStage(name: String, maxEntries: Int = 1 << 16): Stage =
     Stage(name, { it =>
-      val acc = scala.collection.mutable.LinkedHashMap.empty[(Int, String), Long]
-      def flush(): Iterator[LKV] = {
-        val out = acc.iterator.map { case ((l, k), n) => LKV(l, k, n.toString) }.toList
-        acc.clear()
-        out.iterator
-      }
-      val body = it.flatMap { r =>
-        acc((r.label, r.key)) = acc.getOrElse((r.label, r.key), 0L) + r.value.toLong
-        if (acc.size >= maxEntries) flush() else Iterator.empty
-      }
-      body ++ new Iterator[LKV] {
-        private var tail: Iterator[LKV] = null
-        def hasNext = { if (tail == null) tail = flush(); tail.hasNext }
-        def next() = { if (tail == null) tail = flush(); tail.next() }
-      }
+      // size counter = distinct keys (each key's state is one Long)
+      FlushBuffer.run(it)(r => (r.label, r.key))(_.value.toLong)(
+        (a, r) => a + r.value.toLong)((isNew, _) => if (isNew) 1L else 0L)(
+        maxEntries.toLong) { case ((l, k), n) => Iterator.single(LKV(l, k, n.toString)) }
     })
 
   /** Compile and run the pipeline. `labels` is Disco's nr-of-labels: it sets

@@ -61,7 +61,12 @@ object KMeans {
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
       centers = centers.indices.map(i => updated.getOrElse(i, centers(i)))
     }
-    (centers, assign(pts, "id", "v", centers))
+    // materialize the final assignment, then release the iteration cache —
+    // a long-lived session issuing many runs must not accrete pinned
+    // corpus copies (localCheckpoint is eager, so `pts` is done serving)
+    val finalAssign = assign(pts, "id", "v", centers).localCheckpoint()
+    pts.unpersist(false)
+    (centers, finalAssign)
   }
 
   /** Total within-cluster sum of squares (inertia) for given centers. */

@@ -58,6 +58,10 @@ object NaiveBayes {
   def predict(events: DataFrame, model: DataFrame): DataFrame = {
     val perClass = model.select("cls", "ll_class").distinct()
     events
+      // binary-event model, matching train(): a feature either occurs in a
+      // doc or not — without this, a doc repeating one word 10x would add
+      // its ll_pair 10 times and skew the argmax
+      .select("docId", "feature").distinct()
       .join(model, Seq("feature"))
       .groupBy("docId", "cls")
       .agg(sum(col("ll_pair").cast("decimal(38,18)")).cast("double").as("s"))

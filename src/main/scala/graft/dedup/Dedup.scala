@@ -20,6 +20,12 @@ import graft.functions.TextAnalysis
   *    ~ sum of bucket² instead of n²;
   *  - all hashing is md5-based (deterministic, engine-portable — the DuckDB
   *    oracles reproduce signatures bit-for-bit).
+  *
+  * Cache contract: the similarity builders cache intermediates that their
+  * returned plan consumes more than once (token sets, doc arrays, wide
+  * signatures). Those caches live until evicted; a long-lived session
+  * running many pipelines should `spark.catalog.clearCache()` between
+  * runs (same applies to [[graft.chain.PageRank]] / NaiveBayes).
   */
 object Dedup {
 

@@ -34,6 +34,22 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Shared re-rank tail of every top-k path: exact cosine, guard, window
+    * rank, round. The guard drops null sims (zero-norm vector, or length
+    * mismatch null-padded by zip_with) and NaN sims (NaN component) —
+    * without it a null pads out under-k queries and a NaN sorts ABOVE every
+    * real similarity, becoming everyone's rank-1 neighbor.
+    */
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame =
+    cands
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("cv"), col("qv")))
+      .filter(col("sim").isNotNull && !isnan(col("sim")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"), round(col("sim"), 6).as("sim"))
+
   /** Exact top-k neighbors for each query vector (queries small → broadcast).
     * Output: query_id, vec_id, rank, sim (rounded for cross-engine output
     * stability; ranking uses full precision with vec_id tie-break).
@@ -47,17 +63,10 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                      queries: DataFrame, queryId: String, queryVec: String,
                      k: Int): DataFrame = {
-    val joined = corpus.select(col(corpusId).as("vec_id"),
+    rankTopK(corpus.select(col(corpusId).as("vec_id"),
         asDouble(col(corpusVec)).as("cv"))
       .crossJoin(broadcast(queries.select(col(queryId).as("query_id"),
-        asDouble(col(queryVec)).as("qv"))))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("cv"), col("qv")))
-    joined
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("rank"), round(col("sim"), 6).as("sim"))
+        asDouble(col(queryVec)).as("qv")))), k)
   }
 
   /** Deterministic ±1 hyperplane component for (table t, plane j, dim d):
@@ -102,13 +111,7 @@ object Similarity {
       val q = q0.withColumn("bucket", lshBucket(col("qv"), bits, t))
       c.join(broadcast(q), "bucket").drop("bucket")
     }.reduce(_ unionByName _).distinct()
-    cands
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("cv"), col("qv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("rank"), round(col("sim"), 6).as("sim"))
+    rankTopK(cands, k)
   }
 
   /** IVF ANN — the inverted-file scale path: a coarse k-means quantizer
@@ -148,13 +151,7 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("d").asc, col("cent.cell").asc)))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("cent.cell").as("cell"))
-    corpusCells.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("cv"), col("qv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("rank"), round(col("sim"), 6).as("sim"))
+    rankTopK(corpusCells.join(broadcast(probes), "cell"), k)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, sim >= tau). Exact
@@ -166,7 +163,9 @@ object Similarity {
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .withColumn("sim", cosine(col("x.v"), col("y.v")))
-      .filter(col("sim") >= tau)
+      // Spark orders NaN ABOVE every value even in >=, so a NaN component
+      // would fabricate a "duplicate" pair without the isnan guard
+      .filter(!isnan(col("sim")) && col("sim") >= tau)
       .select(col("x.id").as("a"), col("y.id").as("b"), round(col("sim"), 6).as("sim"))
   }
 
@@ -195,7 +194,7 @@ object Similarity {
     }.reduce(_ unionByName _).distinct()
     cands
       .withColumn("sim", cosine(col("va"), col("vb")))
-      .filter(col("sim") >= tau)
+      .filter(!isnan(col("sim")) && col("sim") >= tau)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
   }
 }

@@ -17,6 +17,13 @@ class QExprSpec extends SparkTestBase {
     intercept[IllegalArgumentException](parse("& a"))
   }
 
+  test("parser: rejects trailing input instead of silently truncating") {
+    // each of these used to parse as a SHORTER query with no error
+    intercept[IllegalArgumentException](parse("data model")) // meant data & model
+    intercept[IllegalArgumentException](parse("a ~b"))
+    intercept[IllegalArgumentException](parse("a | b) & c"))
+  }
+
   test("set predicate selects docs by CNF over key sets") {
     import spark.implicits._
     val df = Seq(
