@@ -568,6 +568,35 @@ object SparkEntry {
         "text").orderBy("word")
     }),
 
+    // #45 — redis:// scheme round-trip: (lang, doc_id) pairs RPUSHed to a
+    // loopback RESP endpoint from executor partitions, read back via the
+    // reference's SCAN/LRANGE model (scheme_redis.py:28-44). Eagerly
+    // materialized (localCheckpoint) so the endpoint can shut down before
+    // the driver consumes the result plan.
+    "q_redis_roundtrip" -> ((s, dir) => {
+      val srv = new graft.io.MiniRedis()
+      try {
+        val d = Tables.documents(s, dir)
+          .select(col("lang").as("key"), col("doc_id").cast("string").as("value"))
+        graft.io.Redis.write(d, srv.url())
+        graft.io.Redis.read(s, Seq(srv.url()))
+          .orderBy("key", "value").localCheckpoint(true)
+      } finally srv.close()
+    }),
+
+    // xml_reader (examples/util/xml_reader.py): documents rendered as XML
+    // records, every <text> element extracted back by the StAX parser —
+    // escape must be the exact writer-side dual of entity resolution. The
+    // file-based streaming reader shares this extraction core
+    // (RedisXmlSpec covers it; a Verify query can't use it because text
+    // part-files aren't single-rooted XML documents).
+    "q_xml_reader" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(concat(lit("<doc><id>"), col("doc_id"), lit("</id><text>"),
+          graft.io.Xml.escapeCol(col("text")), lit("</text></doc>")).as("xml"))
+        .select(explode(graft.io.Xml.extractCol(col("xml"), "text")).as("content"))
+        .orderBy("content")),
+
     // #48 — re_reader: regex record parser over the events.props payload;
     // every match yields one record (finditer semantics), groups → columns.
     "q_re_reader" -> ((s, dir) =>
@@ -1208,6 +1237,17 @@ object SparkEntry {
         |      FROM documents)
         |WHERE word <> ''
         |GROUP BY word ORDER BY word""".stripMargin,
+
+    // redis round-trip: content-equal regardless of push order — both
+    // sides sort; a dropped SCAN batch or LRANGE loss fails rows/hash.
+    "q_redis_roundtrip" ->
+      """SELECT lang AS key, CAST(doc_id AS VARCHAR) AS value
+        |FROM documents ORDER BY key, value""".stripMargin,
+
+    // xml extraction must invert the escape exactly, so the oracle is the
+    // raw source column.
+    "q_xml_reader" ->
+      "SELECT text AS content FROM documents ORDER BY content",
 
     // match-complete like Sources.reReader's finditer semantics: EVERY
     // '"k": N' occurrence in props is a record, not just the first per row
