@@ -23,10 +23,11 @@ object KMeans {
 
   private def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
 
+  // native codegen fold (same fixed left-to-right IEEE order as the
+  // previous aggregate(zip_with(...)) form — values unchanged); centers
+  // ride as array literals
   private def sqDist(v: org.apache.spark.sql.Column, center: Seq[Double]) =
-    aggregate(
-      zip_with(v, lit(center.toArray), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, d) => acc + d)
+    graft.functions.VectorOps.vec_sqdist(v, lit(center.toArray))
 
   /** Assign each row to the nearest center (squared euclidean). */
   def assign(points: DataFrame, idCol: String, vecCol: String,

@@ -32,13 +32,19 @@ import org.apache.spark.sql.functions._
   */
 object Xml {
 
-  private def factory(): XMLInputFactory = {
-    val f = XMLInputFactory.newInstance()
-    // untrusted input: no DTDs, no external entities (XXE)
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    f
+  // XMLInputFactory.newInstance is a service-loader lookup — far too
+  // expensive per record; the factory isn't specified thread-safe, so
+  // cache one per executor thread
+  private val factoryTL = new ThreadLocal[XMLInputFactory] {
+    override def initialValue(): XMLInputFactory = {
+      val f = XMLInputFactory.newInstance()
+      // untrusted input: no DTDs, no external entities (XXE)
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      f
+    }
   }
+  private def factory(): XMLInputFactory = factoryTL.get()
 
   /** Lazy pull of each completed `<tag>` element's text from a StAX
     * reader. Nested same-name tags fold into the outermost occurrence.

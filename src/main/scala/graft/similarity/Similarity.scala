@@ -21,29 +21,37 @@ import org.apache.spark.sql.functions._
   *    any engine that folds in the same order.
   *
   * All arithmetic casts float → double before multiplying (both engines do
-  * the same widening), cosine folds left-to-right via `aggregate`.
+  * the same widening); dots/norms are native codegen'd folds
+  * ([[graft.functions.VectorOps]]) in fixed left-to-right IEEE order, and
+  * norms are computed once per vector before any join.
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns (fold, fixed order). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  import graft.functions.VectorOps.{vec_dot, vec_dot_prefix, vec_norm, planeSigns}
+
+  /** Cosine similarity of two array<double> columns. The dot is the native
+    * codegen'd fold ([[graft.functions.DotProduct]]) — identical fixed
+    * left-to-right IEEE order as the previous `aggregate(zip_with(...))`
+    * formulation, so oracle values are unchanged; just no interpreted
+    * lambdas or per-pair zipped-array allocation.
+    */
+  def cosine(a: Column, b: Column): Column =
+    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Shared re-rank tail of every top-k path: exact cosine, guard, window
+  /** Shared re-rank tail of every top-k path: exact cosine from the
+    * precomputed side norms (`cn`, `qn` — one dot per pair instead of
+    * three; sim = dot/(cn·qn) is the identical IEEE value), guard, window
     * rank, round. The guard drops null sims (zero-norm vector, or length
-    * mismatch null-padded by zip_with) and NaN sims (NaN component) —
-    * without it a null pads out under-k queries and a NaN sorts ABOVE every
-    * real similarity, becoming everyone's rank-1 neighbor.
+    * mismatch) and NaN sims (NaN component) — without it a null pads out
+    * under-k queries and a NaN sorts ABOVE every real similarity, becoming
+    * everyone's rank-1 neighbor.
     */
   private def rankTopK(cands: DataFrame, k: Int): DataFrame =
     cands
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("cv"), col("qv")))
+      .withColumn("sim", vec_dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
       .filter(col("sim").isNotNull && !isnan(col("sim")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)))
@@ -65,33 +73,37 @@ object Similarity {
                      k: Int): DataFrame = {
     rankTopK(corpus.select(col(corpusId).as("vec_id"),
         asDouble(col(corpusVec)).as("cv"))
+      .withColumn("cn", vec_norm(col("cv")))
       .crossJoin(broadcast(queries.select(col(queryId).as("query_id"),
-        asDouble(col(queryVec)).as("qv")))), k)
+        asDouble(col(queryVec)).as("qv"))
+        .withColumn("qn", vec_norm(col("qv"))))), k)
   }
 
-  /** Deterministic ±1 hyperplane component for (table t, plane j, dim d):
-    * +1 iff the first hex digit of md5("t:j_d") < '8'. Engine-portable.
+  /** b-bit sign-LSH bucket of a vector (table t): bit j = [dot(plane_j,v)>0],
+    * plane component (t,j,d) = ±1 by the first hex digit of md5("t:j_d")
+    * being < '8' — deterministic and engine-portable (the DuckDB oracle
+    * replicates the rule in SQL).
+    *
+    * The signs depend only on (table, plane, dim), NOT the data, so each
+    * plane's sign vector is baked at the driver as a `maxDim`-capacity
+    * literal ([[graft.functions.VectorOps.planeSigns]] — the exact md5
+    * rule) and the signed sum is one codegen'd prefix dot per plane —
+    * instead of an md5 PER ELEMENT PER ROW. The fold is the same fixed
+    * left-to-right double order: bit-identical buckets at any partitioning
+    * and in any IEEE-754 engine folding in the same order.
+    *
+    * Vectors longer than `maxDim` fail loudly (a silent bucket-0 collapse
+    * would be a perf cliff and an oracle divergence).
     */
-  private def planeSign(t: Int, j: Int, d: Column): Column =
-    when(substring(md5(to_binary(concat(lit(s"$t:$j"), lit("_"), d.cast("string")),
-      lit("utf-8"))), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"), 1.0)
-      .otherwise(-1.0)
-
-  /** b-bit sign-LSH bucket of a vector (table t): bit j = [dot(plane_j,v)>0].
-    * The signed dot is a fixed left-to-right double fold — per-row
-    * sequential (array `aggregate` never parallelizes inside a row), so the
-    * result is bit-identical at any partitioning and in any IEEE-754 engine
-    * folding in the same order (the DuckDB oracle uses list_reduce).
-    */
-  def lshBucket(vec: Column, bits: Int, table: Int = 0): Column = {
-    val terms = (0 until bits).map { j =>
-      val signedSum = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x * planeSign(table, j, d)),
-        lit(0.0), (acc, v) => acc + v)
+  def lshBucket(vec: Column, bits: Int, table: Int = 0,
+                maxDim: Int = 1024): Column = {
+    val sum = (0 until bits).map { j =>
+      val signedSum = vec_dot_prefix(vec, planeSigns(table, j, maxDim))
       when(signedSum > 0, 1L << j).otherwise(0L)
-    }
-    terms.reduce(_ + _)
+    }.reduce(_ + _)
+    when(size(vec) <= maxDim, sum).otherwise(raise_error(concat(
+      lit("lshBucket: vector dim "), size(vec).cast("string"),
+      lit(s" exceeds sign-table capacity $maxDim"))).cast("long"))
   }
 
   /** ANN: same-bucket candidates re-ranked by exact cosine; top-k per query.
@@ -105,7 +117,9 @@ object Similarity {
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, bits: Int = 8, tables: Int = 1): DataFrame = {
     val c0 = corpus.select(col(corpusId).as("vec_id"), asDouble(col(corpusVec)).as("cv"))
+      .withColumn("cn", vec_norm(col("cv")))
     val q0 = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qv"))
+      .withColumn("qn", vec_norm(col("qv")))
     val cands = (0 until tables).map { t =>
       val c = c0.withColumn("bucket", lshBucket(col("cv"), bits, t))
       val q = q0.withColumn("bucket", lshBucket(col("qv"), bits, t))
@@ -138,19 +152,21 @@ object Similarity {
       graft.chain.KMeans.run(spark, corpus, corpusId, corpusVec, cells, lloydIters)
     val corpusCells = assigned.select(
       col("id").as("vec_id"), col("v").as("cv"), col("cluster").as("cell"))
+      .withColumn("cn", vec_norm(col("cv")))
     val q0 = queries.select(col(queryId).as("query_id"),
       asDouble(col(queryVec)).as("qv"))
+      .withColumn("qn", vec_norm(col("qv")))
     val centArr = array(centers.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cell"), lit(c.toArray).as("cv"))
     }: _*)
-    val probes = q0.select(col("query_id"), col("qv"), explode(centArr).as("cent"))
-      .withColumn("d", aggregate(
-        zip_with(col("qv"), col("cent.cv"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v))
+    val probes = q0.select(col("query_id"), col("qv"), col("qn"),
+        explode(centArr).as("cent"))
+      .withColumn("d",
+        graft.functions.VectorOps.vec_sqdist(col("qv"), col("cent.cv")))
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d").asc, col("cent.cell").asc)))
       .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cent.cell").as("cell"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cent.cell").as("cell"))
     rankTopK(corpusCells.join(broadcast(probes), "cell"), k)
   }
 
@@ -161,8 +177,9 @@ object Similarity {
   def nearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
                         tau: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", vec_norm(col("v")))
     v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
-      .withColumn("sim", cosine(col("x.v"), col("y.v")))
+      .withColumn("sim", vec_dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")))
       // Spark orders NaN ABOVE every value even in >=, so a NaN component
       // would fabricate a "duplicate" pair without the isnan guard
       .filter(!isnan(col("sim")) && col("sim") >= tau)
@@ -185,15 +202,17 @@ object Similarity {
   def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                       tau: Double, bits: Int = 8, tables: Int = 4): DataFrame = {
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", vec_norm(col("v")))
     val cands = (0 until tables).map { t =>
       val b = v.withColumn("bucket", lshBucket(col("v"), bits, t))
       b.as("x").join(b.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
         .select(col("x.id").as("a"), col("y.id").as("b"),
-          col("x.v").as("va"), col("y.v").as("vb"))
+          col("x.v").as("va"), col("y.v").as("vb"),
+          col("x.n").as("na"), col("y.n").as("nb"))
     }.reduce(_ unionByName _).distinct()
     cands
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", vec_dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(!isnan(col("sim")) && col("sim") >= tau)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
   }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps._
+
+class VectorOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c).head().get(0)
+
+  test("vec_dot / vec_sqdist match the zip_with+aggregate fold bit-for-bit") {
+    val a = Array(0.1, -2.5, 3.75, 1e-9, 17.0)
+    val b = Array(4.0, 0.3, -1.25, 2.0, 1e9)
+    val oldDot = one(aggregate(zip_with(lit(a), lit(b), (p, q) => p * q),
+      lit(0.0), (acc, v) => acc + v))
+    assert(one(vec_dot(lit(a), lit(b))) == oldDot)
+    val oldSq = one(aggregate(zip_with(lit(a), lit(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+    assert(one(vec_sqdist(lit(a), lit(b))) == oldSq)
+  }
+
+  test("null contract: length mismatch and null element both yield null") {
+    assert(one(vec_dot(lit(Array(1.0, 2.0)), lit(Array(1.0)))) == null)
+    val withNull = array(lit(1.0), lit(null).cast("double"))
+    assert(one(vec_dot(lit(Array(1.0, 2.0)), withNull)) == null)
+    // prefix variant: longer right is fine, shorter right is null
+    assert(one(vec_dot_prefix(lit(Array(1.0, 2.0)),
+      lit(Array(3.0, 4.0, 99.0)))) == 11.0)
+    assert(one(vec_dot_prefix(lit(Array(1.0, 2.0)), lit(Array(3.0)))) == null)
+  }
+
+  test("interpreted eval agrees with codegen") {
+    // a filter over a literal-free column forces the expression through
+    // both paths across plans; spot-check eval directly via a non-foldable
+    // column (rows so constant folding can't pre-compute)
+    val df = Seq((Array(1.5, 2.5), Array(2.0, -1.0))).toDF("a", "b")
+    assert(df.select(vec_dot(col("a"), col("b"))).head().getDouble(0) == 0.5)
+    assert(df.select(vec_sqdist(col("a"), col("b"))).head().getDouble(0)
+      == (0.25 + 12.25))
+  }
+
+  test("driver-side planeSign equals the SQL md5 first-hex-digit rule") {
+    val sql = Seq(1).toDF("x").select(
+      (0 until 32).map { d =>
+        when(substring(md5(to_binary(lit(s"2:5_$d"), lit("utf-8"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1.0).otherwise(-1.0)
+          .as(s"s$d")
+      }: _*).head().toSeq
+    val drv = (0 until 32).map(d => planeSign(2, 5, d))
+    assert(sql == drv)
+  }
+
+  test("lshBucket fails loudly past the sign-table capacity") {
+    val big = Seq(Tuple1(Array.fill(9)(1.0))).toDF("v")
+    val e = intercept[Exception] {
+      big.select(graft.similarity.Similarity.lshBucket(col("v"), 4, 0, maxDim = 8))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
