@@ -164,6 +164,12 @@ object SparkEntry {
       TextOps.ngramCounts(Tables.documents(s, dir), "text", 3)
         .orderBy("ngram")),
 
+    // Gopher-style repetition quality signals (top/dup n-gram fractions,
+    // dup-line fraction) — the boilerplate/spam pre-filter.
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionProfile(Tables.documents(s, dir), "doc_id", "text", 2)
+        .orderBy("id")),
+
     // TF-IDF weights for the first 20 docs' tokens (tf · ln(N/df)).
     "q_tfidf" -> ((s, dir) =>
       TextOps.tfidf(Tables.documents(s, dir), "doc_id", "text")
@@ -921,6 +927,30 @@ object SparkEntry {
         |                               i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS ngram
         |  FROM arr WHERE len(a) >= 3)
         |GROUP BY ngram ORDER BY ngram""".stripMargin,
+
+    "q_repetition" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |  FROM documents),
+        |lf AS (SELECT doc_id,
+        |    CASE WHEN len(ls) > 0
+        |      THEN round(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+        |      ELSE 0.0 END AS dup_line_frac
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+        |        FROM base)),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(a) - 2 + 2),
+        |                            i -> a[i] || ' ' || a[i+1])) AS g
+        |  FROM base WHERE len(a) >= 2),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        |st AS (SELECT doc_id, sum(c) AS total, max(c) AS maxc,
+        |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc
+        |       FROM gc GROUP BY doc_id)
+        |SELECT lf.doc_id AS id,
+        |  coalesce(round(CAST(maxc AS DOUBLE) / total, 6), 0.0) AS top_ngram_frac,
+        |  coalesce(round(CAST(dupc AS DOUBLE) / total, 6), 0.0) AS dup_ngram_frac,
+        |  dup_line_frac
+        |FROM lf LEFT JOIN st USING (doc_id) ORDER BY id""".stripMargin,
 
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(

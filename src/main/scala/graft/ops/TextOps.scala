@@ -74,4 +74,46 @@ object TextOps {
         round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
           .as("tfidf"))
   }
+
+  /** Gopher-style repetition quality signals per document — the standard
+    * "drop boilerplate/spam before pretraining" filters:
+    *  - `top_ngram_frac`: occurrences of the most frequent word n-gram over
+    *    total n-gram occurrences (token-level form of Gopher's
+    *    top-n-gram character fraction);
+    *  - `dup_ngram_frac`: occurrences belonging to n-grams appearing more
+    *    than once, over total;
+    *  - `dup_line_frac`: duplicated non-empty lines over total lines — a
+    *    pure Column expression (no shuffle), since a doc's lines live in
+    *    its own row.
+    *
+    * Shape at 100 TB: one explode + two hash aggregations keyed by (doc,
+    * gram) then doc — partial aggregation collapses each doc's grams
+    * map-side, so shuffle volume is O(distinct grams), and nothing ever
+    * groups by a corpus-global key. Docs with fewer than n tokens score 0.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), x => x =!= "")
+    val docs = df.select(col(idCol).as("id"),
+      when(size(lines) > 0,
+        round((size(lines) - size(array_distinct(lines))).cast("double") /
+          size(lines), 6)).otherwise(0.0).as("dup_line_frac"))
+    val grams = df
+      .select(col(idCol).as("id"),
+        graft.functions.TextAnalysis.tokensArr(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"),
+        explode(graft.functions.TextAnalysis.ngramsArr(col("toks"), n)).as("g"))
+    val stats = grams.groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum("c").as("total"), max("c").as("maxc"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupc"))
+    docs.join(stats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(round(col("maxc").cast("double") / col("total"), 6), lit(0.0))
+          .as("top_ngram_frac"),
+        coalesce(round(col("dupc").cast("double") / col("total"), 6), lit(0.0))
+          .as("dup_ngram_frac"),
+        col("dup_line_frac"))
+  }
 }

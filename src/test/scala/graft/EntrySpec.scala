@@ -49,4 +49,29 @@ class EntrySpec extends SparkTestBase {
     val total = res.map(_.getLong(1)).sum
     assert(total == graft.core.Tables.orders(spark, sfDir).count())
   }
+
+  test("repetition profile scores hand-built repetitive and clean docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b" occurs 3x of 5 bigrams; dup bigrams: "a b" (3) + "b a" (2) = 5/5
+      (1L, "a b a b a b"),
+      // all bigrams distinct
+      (2L, "one two three four"),
+      // duplicated lines: 3 lines, "x" twice -> 1/3
+      (3L, "x\nx\ny"),
+      // under n tokens -> zeros
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.repetitionProfile(docs, "doc_id", "text", 2)
+      .orderBy("id")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0.6, 1.0, 0.0),
+      (2L, round6(1.0 / 3), 0.0, 0.0),
+      (3L, 0.5, 0.0, round6(1.0 / 3)),
+      (4L, 0.0, 0.0, 0.0)))
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
