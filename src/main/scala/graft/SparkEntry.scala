@@ -681,8 +681,8 @@ object SparkEntry {
       val ev = d.select(col("doc_id").as("docId"), col("lang").as("cls"),
         explode(TextAnalysis.tokensArr(col("text"))).as("feature"))
       val model = chain.NaiveBayes.train(ev)
-      val scored = chain.NaiveBayes.predict(
-        ev.select("docId", "feature").distinct(), model)
+      // predict() dedupes (docId, feature) itself — binary-event model
+      val scored = chain.NaiveBayes.predict(ev, model)
       import org.apache.spark.sql.expressions.Window
       scored.withColumn("rn", row_number().over(
           Window.partitionBy("docId").orderBy(col("score").desc, col("cls").asc)))
@@ -1026,7 +1026,9 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w AS shingle
         |       FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
         |seeds AS (SELECT unnest(range(16)) AS seed),
-        |mh AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+        |mh AS (SELECT doc_id, seed,
+        |         min(substring(md5((seed // 4) || ':' || shingle),
+        |                       (seed % 4) * 8 + 1, 8)) AS mh
         |       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
         |bh AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS bh
         |       FROM mh GROUP BY doc_id, seed // 4),
@@ -1053,7 +1055,9 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w AS shingle
         |       FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
         |seeds AS (SELECT unnest(range(16)) AS seed),
-        |mh AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+        |mh AS (SELECT doc_id, seed,
+        |         min(substring(md5((seed // 4) || ':' || shingle),
+        |                       (seed % 4) * 8 + 1, 8)) AS mh
         |       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
         |bh AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS bh
         |       FROM mh GROUP BY doc_id, seed // 4),

@@ -134,18 +134,31 @@ object Dedup {
       .distinct()
 
   /** All minhashes AND the verification shingle set in ONE aggregation:
-    * column `mh<s>` = min over shingles of md5(s':'shingle), plus the
+    * column `mh<s>` = min over shingles of hash_s(shingle), plus the
     * per-doc shingle set carried alongside. One wide groupBy instead of a
     * numHashes× row-explosion + a second sets-groupBy over the same shingle
     * table — same signatures, one shuffle of the shingle corpus instead of
     * two (the plan-shape that survives a 100× scale-up).
+    *
+    * Hash family: hash_s = 8 hex chars `[(s%4)*8, +8)` of md5((s/4)':'
+    * shingle) — ONE md5 digest feeds FOUR independent 32-bit minhash
+    * components (the standard slice-a-wide-digest derivation), so the
+    * per-shingle hash cost is numHashes/4 md5s, not numHashes. Fixed-width
+    * hex min = numeric min (order-isomorphic); deterministic and
+    * engine-portable (the DuckDB oracle replicates the slicing
+    * bit-for-bit).
     */
   private def minhashWide(sh: DataFrame, numHashes: Int): DataFrame = {
+    val groups = (numHashes + 3) / 4
+    val withDigests = sh.select(
+      Seq(col("id"), col("shingle")) ++ (0 until groups).map { g =>
+        md5(to_binary(concat(lit(g.toString), lit(":"), col("shingle")),
+          lit("utf-8"))).as(s"_d$g")
+      }: _*)
     val aggs = (0 until numHashes).map { s =>
-      min(md5(to_binary(concat(lit(s.toString), lit(":"), col("shingle")),
-        lit("utf-8")))).as(s"mh$s")
+      min(substring(col(s"_d${s / 4}"), (s % 4) * 8 + 1, 8)).as(s"mh$s")
     } :+ collect_set(col("shingle")).as("set")
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    withDigests.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banding: near-dup candidate pairs (a < b) that share at
