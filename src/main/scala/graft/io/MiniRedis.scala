@@ -59,8 +59,11 @@ final class MiniRedis extends AutoCloseable {
     def line(): String = {
       val sb = new StringBuilder
       var c = in.read()
-      if (c == -1) throw new EOFException
-      while (c != '\r') { sb.append(c.toChar); c = in.read() }
+      while (c != '\r') {
+        if (c == -1) throw new EOFException("connection closed mid-line")
+        sb.append(c.toChar)
+        c = in.read()
+      }
       in.read() // '\n'
       sb.toString
     }
@@ -113,11 +116,23 @@ final class MiniRedis extends AutoCloseable {
             val vs = lock.synchronized {
               val buf = db(connDb).getOrElse(cmd(1), mutable.ArrayBuffer.empty[String])
               val n = buf.size
-              def idx(i: Int) = if (i < 0) math.max(n + i, 0) else math.min(i, n)
-              val (s0, e0) = (idx(cmd(2).toInt), idx(cmd(3).toInt))
-              buf.slice(s0, math.min(e0 + 1, n)).toVector
+              // redis contract: negative = offset from end; a stop that
+              // resolves before the list start yields an EMPTY range (it
+              // is not clamped to the first element)
+              def resolve(i: Int) = if (i < 0) n + i else i
+              val s0 = math.max(resolve(cmd(2).toInt), 0)
+              val e0 = math.min(resolve(cmd(3).toInt), n - 1)
+              if (e0 < s0) Vector.empty[String]
+              else buf.slice(s0, e0 + 1).toVector
             }
             replyArr(vs)
+          case "SCAN" if {
+            val i = cmd.indexWhere(_.equalsIgnoreCase("COUNT"))
+            i != -1 && cmd(i + 1).toInt <= 0
+          } =>
+            // real redis rejects COUNT <= 0; a silent empty terminal reply
+            // would read as an empty keyspace
+            write("-ERR syntax error\r\n")
           case "SCAN" =>
             val cursor = cmd(1).toInt
             val count = cmd.indexWhere(_.equalsIgnoreCase("COUNT")) match {

@@ -121,6 +121,8 @@ object Redis {
     */
   def read(spark: SparkSession, urls: Seq[String], scanCount: Int = 100): DataFrame = {
     import spark.implicits._
+    require(urls.nonEmpty, "redis read: empty endpoint list")
+    require(scanCount > 0, s"redis read: SCAN COUNT must be positive, got $scanCount")
     spark.createDataset(urls).repartition(urls.size).flatMap { u =>
       val (h, p, db) = parseUrl(u)
       val c = new Client(h, p)

@@ -74,6 +74,7 @@ object Sources {
                                   maxRetries: Int, backoffMs: Long,
                                   opener: String => scala.io.Source): DataFrame = {
     import spark.implicits._
+    require(urls.nonEmpty, "url read: empty url list")
     spark.createDataset(urls).repartition(urls.size)
       .flatMap { u => lines(openWithRetry(u, maxRetries, backoffMs, opener)) }
       .toDF("line")
@@ -116,6 +117,7 @@ object Sources {
       maxRetries: Int, backoffMs: Long,
       opener: String => scala.io.Source): DataFrame = {
     import spark.implicits._
+    require(replicaSets.nonEmpty, "url read: empty replica-set list")
     require(replicaSets.forall(_.nonEmpty), "empty replica set")
     spark.createDataset(replicaSets.map(_.toList)).repartition(replicaSets.size)
       .flatMap { replicas =>

@@ -100,6 +100,7 @@ object Xml {
     */
   def readFiles(spark: SparkSession, paths: Seq[String], tag: String): DataFrame = {
     import spark.implicits._
+    require(paths.nonEmpty, "xml read: empty path list")
     spark.createDataset(paths).repartition(paths.size).flatMap { p =>
       val uri = if (p.contains("://")) new java.net.URI(p)
                 else new java.io.File(p).toURI
@@ -125,10 +126,19 @@ object Xml {
   /** Escape a string column for embedding as XML character data
     * (writer-side dual of the parser's entity resolution — `&` first so
     * produced entities aren't double-escaped). Pure codegen'd replaces.
+    *
+    * Carriage returns are written as `&#xD;`: XML 1.0 line-end
+    * normalization folds RAW \r and \r\n to \n in character data, but a
+    * character reference survives parsing verbatim, so CR round-trips.
+    * Limitation: control characters outside the XML 1.0 Char production
+    * (U+0000-U+0008, U+000B, U+000C, U+000E-U+001F) are not representable
+    * in XML at all — strip them before embedding (a parser must reject
+    * them even as references).
     */
   def escapeCol(c: Column): Column = {
     val amp = regexp_replace(c, "&", "&amp;")
     val lt = regexp_replace(amp, "<", "&lt;")
-    regexp_replace(lt, ">", "&gt;")
+    val gt = regexp_replace(lt, ">", "&gt;")
+    regexp_replace(gt, "\r", "&#xD;")
   }
 }

@@ -93,7 +93,11 @@ object Similarity {
     * and in any IEEE-754 engine folding in the same order.
     *
     * Vectors longer than `maxDim` fail loudly (a silent bucket-0 collapse
-    * would be a perf cliff and an oracle divergence).
+    * would be a perf cliff and an oracle divergence); raise `maxDim` for
+    * wider embeddings — it is plumbed through every public caller. A null
+    * vector gets a null bucket (drops out of the bucket equi-join — same
+    * net output as the old form, where it hashed to bucket 0 and its null
+    * sim was filtered downstream).
     */
   def lshBucket(vec: Column, bits: Int, table: Int = 0,
                 maxDim: Int = 1024): Column = {
@@ -101,9 +105,11 @@ object Similarity {
       val signedSum = vec_dot_prefix(vec, planeSigns(table, j, maxDim))
       when(signedSum > 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
-    when(size(vec) <= maxDim, sum).otherwise(raise_error(concat(
-      lit("lshBucket: vector dim "), size(vec).cast("string"),
-      lit(s" exceeds sign-table capacity $maxDim"))).cast("long"))
+    when(vec.isNull, lit(null).cast("long"))
+      .when(size(vec) <= maxDim, sum)
+      .otherwise(raise_error(concat(
+        lit("lshBucket: vector dim "), size(vec).cast("string"),
+        lit(s" exceeds sign-table capacity $maxDim"))).cast("long"))
   }
 
   /** ANN: same-bucket candidates re-ranked by exact cosine; top-k per query.
@@ -115,14 +121,15 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, bits: Int = 8, tables: Int = 1): DataFrame = {
+              k: Int, bits: Int = 8, tables: Int = 1,
+              maxDim: Int = 1024): DataFrame = {
     val c0 = corpus.select(col(corpusId).as("vec_id"), asDouble(col(corpusVec)).as("cv"))
       .withColumn("cn", vec_norm(col("cv")))
     val q0 = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qv"))
       .withColumn("qn", vec_norm(col("qv")))
     val cands = (0 until tables).map { t =>
-      val c = c0.withColumn("bucket", lshBucket(col("cv"), bits, t))
-      val q = q0.withColumn("bucket", lshBucket(col("qv"), bits, t))
+      val c = c0.withColumn("bucket", lshBucket(col("cv"), bits, t, maxDim))
+      val q = q0.withColumn("bucket", lshBucket(col("qv"), bits, t, maxDim))
       c.join(broadcast(q), "bucket").drop("bucket")
     }.reduce(_ unionByName _).distinct()
     rankTopK(cands, k)
@@ -200,11 +207,12 @@ object Similarity {
     * (the DuckDB oracle replicates the bucketing bit-for-bit).
     */
   def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-                      tau: Double, bits: Int = 8, tables: Int = 4): DataFrame = {
+                      tau: Double, bits: Int = 8, tables: Int = 4,
+                      maxDim: Int = 1024): DataFrame = {
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", vec_norm(col("v")))
     val cands = (0 until tables).map { t =>
-      val b = v.withColumn("bucket", lshBucket(col("v"), bits, t))
+      val b = v.withColumn("bucket", lshBucket(col("v"), bits, t, maxDim))
       b.as("x").join(b.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
         .select(col("x.id").as("a"), col("y.id").as("b"),

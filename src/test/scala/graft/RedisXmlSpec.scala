@@ -66,8 +66,30 @@ class RedisXmlSpec extends SparkTestBase {
     } finally Files.delete(f)
   }
 
+  test("redis: LRANGE follows the real negative-index contract") {
+    val srv = new MiniRedis()
+    try {
+      val port = srv.url().stripPrefix("redis://").split(":")(1).toInt
+      val c = new Redis.Client("127.0.0.1", port)
+      try {
+        c.cmd("RPUSH", "k", "a", "b", "c")
+        def lr(s: String, e: String) =
+          c.cmd("LRANGE", "k", s, e).asInstanceOf[Seq[Any]]
+        assert(lr("0", "-1") == Seq("a", "b", "c"))
+        assert(lr("-2", "-1") == Seq("b", "c"))
+        assert(lr("0", "-5").isEmpty) // stop resolves before start -> empty
+        assert(lr("5", "10").isEmpty)
+        // COUNT <= 0 is a syntax error, not an empty terminal reply
+        intercept[java.io.IOException](c.cmd("SCAN", "0", "COUNT", "0"))
+      } finally c.close()
+    } finally srv.close()
+  }
+
   test("xml: column extract + escape round-trips arbitrary text") {
-    val texts = Seq("plain", "a & b < c > d", "&amp; pre-escaped", "")
+    // \r must survive: raw CR would be folded to \n by XML line-end
+    // normalization; escapeCol writes it as a character reference
+    val texts = Seq("plain", "a & b < c > d", "&amp; pre-escaped", "",
+      "line1\r\nline2", "cr\ronly")
     val df = texts.toDF("t")
       .withColumn("xml", concat(lit("<d><text>"), Xml.escapeCol(col("t")),
         lit("</text></d>")))

@@ -32,13 +32,34 @@ class VectorOpsSpec extends SparkTestBase {
   }
 
   test("interpreted eval agrees with codegen") {
-    // a filter over a literal-free column forces the expression through
-    // both paths across plans; spot-check eval directly via a non-foldable
-    // column (rows so constant folding can't pre-compute)
+    // codegen path (whole-stage over a row-backed column) ...
     val df = Seq((Array(1.5, 2.5), Array(2.0, -1.0))).toDF("a", "b")
     assert(df.select(vec_dot(col("a"), col("b"))).head().getDouble(0) == 0.5)
     assert(df.select(vec_sqdist(col("a"), col("b"))).head().getDouble(0)
       == (0.25 + 12.25))
+    // ... vs the interpreted path (Expression.eval called directly — the
+    // codegen-fallback route), including the null contracts
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def arr(xs: Any*) = Literal.create(xs, ArrayType(DoubleType))
+    assert(graft.functions.DotProduct(arr(1.5, 2.5), arr(2.0, -1.0))
+      .eval(null) == 0.5)
+    assert(graft.functions.SqEuclidean(arr(1.5, 2.5), arr(2.0, -1.0))
+      .eval(null) == 12.5)
+    assert(graft.functions.DotProduct(arr(1.0, 2.0), arr(1.0)).eval(null) == null)
+    assert(graft.functions.DotProduct(arr(1.0, 2.0), arr(1.0, null)).eval(null) == null)
+    assert(graft.functions.DotPrefix(arr(1.0, 2.0), arr(3.0, 4.0, 99.0))
+      .eval(null) == 11.0)
+    assert(graft.functions.DotPrefix(arr(1.0, 2.0), arr(3.0)).eval(null) == null)
+  }
+
+  test("lshBucket: null vector gets a null bucket, not an error") {
+    val df = Seq(Tuple1(Option.empty[Array[Double]]),
+      Tuple1(Some(Array(1.0, -2.0)))).toDF("v")
+    val buckets = df.select(
+      graft.similarity.Similarity.lshBucket(col("v"), 4, 0).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(buckets.count(_.isEmpty) == 1 && buckets.count(_.isDefined) == 1)
   }
 
   test("driver-side planeSign equals the SQL md5 first-hex-digit rule") {
