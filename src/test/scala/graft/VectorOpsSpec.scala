@@ -73,6 +73,18 @@ class VectorOpsSpec extends SparkTestBase {
     assert(sql == drv)
   }
 
+  test("extensions register the native expressions as SQL functions") {
+    assert(spark.sql("SELECT rolling_hash('abc')").head().getLong(0)
+      == Seq("abc").toDF("s")
+        .select(graft.functions.RollingHash.rolling_hash(col("s")))
+        .head().getLong(0))
+    assert(spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .head().getDouble(0) == 11.0)
+    assert(spark.sql(
+      "SELECT vec_sqdist(array(1.0d), array(3.0d))").head().getDouble(0) == 4.0)
+  }
+
   test("lshBucket fails loudly past the sign-table capacity") {
     val big = Seq(Tuple1(Array.fill(9)(1.0))).toDF("v")
     val e = intercept[Exception] {
