@@ -107,4 +107,23 @@ object Streams {
     lines.select(explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
         w => w =!= "")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Stream → scheme sink: each micro-batch flows through the BATCH redis
+    * writer — the incremental form of the reference's redis output stream
+    * (scheme_redis.py:46-49 `redis_output_stream`: task output pushed to a
+    * redis list). foreachBatch is the composition point between streaming
+    * and every batch sink in [[graft.io]]; batch ids are checkpointed, so
+    * a recovered query resumes at the failed batch. RPUSH is append-only —
+    * a batch replayed after a mid-batch crash can duplicate (the
+    * reference's LPUSH contract is the same); dedupe downstream or key by
+    * (batchId, row) where exactly-once matters.
+    */
+  def toRedis(df: DataFrame, url: String, keyCol: String, valCol: String,
+              checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.io.Redis.write(batch, url, keyCol, valCol)
+      }
+      .start()
 }
