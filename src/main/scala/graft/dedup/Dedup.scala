@@ -71,22 +71,32 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    tau: Double): DataFrame = {
-    // cached: consumed by BOTH the frequency aggregation and the doc-array
-    // build — uncached, the tokenize+distinct shuffle runs twice
-    val toks = tokenSet(df, idCol, textCol).cache()
-    // global token frequency - corpus-small, Catalyst broadcasts the join
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    // 1. one row per doc: tokens sorted rarest-first ((tf, tok) asc) +
-    //    canonical set id
-    val docs = toks.join(freq, "tok")
-      .groupBy("id")
+    // 1. per-ROW canonical set + identity: sorted distinct token array and
+    //    its md5 — zero shuffle. The collapse to unique sets happens BEFORE
+    //    any corpus-wide aggregation, so the frequency/ordering work below
+    //    runs over unique sets only, and the one full-corpus shuffle is the
+    //    groupBy(gid) of small per-doc arrays (the old shape first shuffled
+    //    every exploded (id, token) pair through a distinct).
+    val docArr = df.select(col(idCol).as("id"),
+        array_sort(array_distinct(TextAnalysis.tokensArr(col(textCol)))).as("set"))
+      .withColumn("gid",
+        md5(to_binary(concat_ws("\u0001", col("set")), lit("utf-8"))))
+      .cache()
+    val members = docArr.select("id", "gid")
+    val usets = docArr.groupBy("gid").agg(first(col("set")).as("set")).cache()
+    // global token order for the prefix filter: rarest-first by frequency
+    // ACROSS UNIQUE SETS, tok tie-break. Any fixed total order is lossless
+    // (verification is exact); set-frequency ≈ doc-frequency minus dup
+    // clusters, and rarity across unique sets is the better selectivity
+    // proxy anyway — a token frequent only inside one giant dup cluster is
+    // still a rare (selective) prefix token across unique sets.
+    val freq = usets.select(explode(col("set")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    val gsets = usets.select(col("gid"), explode(col("set")).as("tok"))
+      .join(freq, "tok")
+      .groupBy("gid")
       .agg(transform(array_sort(collect_list(struct(col("tf"), col("tok")))),
         x => x("tok")).as("ordered"))
-      .withColumn("gid",
-        md5(to_binary(concat_ws("\u0001", col("ordered")), lit("utf-8"))))
-      .cache()
-    val members = docs.select("id", "gid")
-    val gsets = docs.groupBy("gid").agg(first(col("ordered")).as("ordered"))
       .withColumn("sz", size(col("ordered")))
       .cache()
     // 2. PPJoin: prefix = the sz - ceil(tau*sz) + 1 rarest tokens
