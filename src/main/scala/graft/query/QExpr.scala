@@ -134,4 +134,22 @@ object QExpr {
     indexes.map(lookup(_, q)).reduce(_ unionByName _)
       .groupBy("key")
       .agg(sum(col("value").cast("long")).as("total"))
+
+  // -------------------------------------------------------------- iteration
+
+  /** DiscoDB's iteration surface — `keys()` / `values()` / `items()` /
+    * `unique_values()` of the public discodb module (the tutorial's
+    * `:mod:discodb` reference, doc/howto/discodb.rst:9; the module itself
+    * lives outside this repo). Plain projections over the at-rest index:
+    * each is one scan, values streams via explode (never a driver
+    * materialization).
+    */
+  def keys(index: DataFrame): DataFrame = index.select(col("key"))
+
+  def items(index: DataFrame): DataFrame =
+    index.select(col("key"), explode(col("values")).as("value"))
+
+  def values(index: DataFrame): DataFrame = items(index).select("value")
+
+  def uniqueValues(index: DataFrame): DataFrame = values(index).distinct()
 }

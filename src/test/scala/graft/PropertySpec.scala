@@ -49,4 +49,28 @@ class PropertySpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     ss.foreach { s => assert(got(s) == model(s), s"rolling(${s.getBytes.toSeq})") }
   }
+
+  test("QExpr: render-parse is the identity for any query tree") {
+    import graft.query.QExpr
+    import graft.query.QExpr.{And, Lit, Not, Or, Q}
+    val key: Gen[String] =
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    def qGen(depth: Int): Gen[Q] =
+      if (depth == 0) key.map(Lit)
+      else Gen.frequency(
+        3 -> key.map(Lit),
+        2 -> Gen.zip(qGen(depth - 1), qGen(depth - 1)).map(t => And(t._1, t._2)),
+        2 -> Gen.zip(qGen(depth - 1), qGen(depth - 1)).map(t => Or(t._1, t._2)),
+        1 -> qGen(depth - 1).map(Not))
+    // fully parenthesized rendering is unambiguous at every precedence
+    def render(q: Q): String = q match {
+      case Lit(k)    => k
+      case And(l, r) => s"(${render(l)} & ${render(r)})"
+      case Or(l, r)  => s"(${render(l)} | ${render(r)})"
+      case Not(x)    => s"~(${render(x)})"
+    }
+    samples(qGen(4), 300).foreach { q =>
+      assert(QExpr.parse(render(q)) == q, s"q=$q rendered=${render(q)}")
+    }
+  }
 }

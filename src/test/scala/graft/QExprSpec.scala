@@ -42,6 +42,16 @@ class QExprSpec extends SparkTestBase {
     assert(got.sameElements(Array(("a", "1"), ("a", "2"), ("c", "4"))))
   }
 
+  test("iteration surface: keys/values/items/uniqueValues") {
+    import spark.implicits._
+    val idx = build(Seq(("a", "1"), ("a", "2"), ("b", "2")).toDF("k", "v"), "k", "v")
+    assert(keys(idx).as[String].collect().sorted.toSeq == Seq("a", "b"))
+    assert(items(idx).as[(String, String)].collect().sorted.toSeq
+      == Seq(("a", "1"), ("a", "2"), ("b", "2")))
+    assert(values(idx).as[String].collect().sorted.toSeq == Seq("1", "2", "2"))
+    assert(uniqueValues(idx).as[String].collect().sorted.toSeq == Seq("1", "2"))
+  }
+
   test("metaQuery sums counts across indexes (query_ddb merge)") {
     import spark.implicits._
     val i1 = build(Seq(("w", "2"), ("x", "1")).toDF("k", "v"), "k", "v")
