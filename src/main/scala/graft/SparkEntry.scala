@@ -164,6 +164,26 @@ object SparkEntry {
       TextOps.ngramCounts(Tables.documents(s, dir), "text", 3)
         .orderBy("ngram")),
 
+    // PII redaction: synthetic email/phone/IP appended per doc (fixture
+    // text carries no digits), scrubbed by the codegen'd regex chain; the
+    // oracle replicates the construction and patterns (RE2 'g' flag).
+    "q_redact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 (555) 010-"), col("doc_id"),
+          lit(" at 10.0.0."), pmod(col("doc_id"), lit(256)))).as("red"))
+        .orderBy("doc_id")),
+
+    // Benchmark decontamination: docs 0-19 act as the eval set; every doc
+    // reports how many of its distinct trigrams appear in it.
+    "q_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextOps.contamination(d, "doc_id", "text",
+        d.filter(col("doc_id") < 20), "text", n = 3)
+        .orderBy("id")
+    }),
+
     // Gopher-style repetition quality signals (top/dup n-gram fractions,
     // dup-line fraction) — the boilerplate/spam pre-filter.
     "q_repetition" -> ((s, dir) =>
@@ -927,6 +947,34 @@ object SparkEntry {
         |                               i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS ngram
         |  FROM arr WHERE len(a) >= 3)
         |GROUP BY ngram ORDER BY ngram""".stripMargin,
+
+    "q_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || doc_id || '@example.com or +1 (555) 010-'
+        |             || doc_id || ' at 10.0.0.' || (doc_id % 256),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS red
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH arr AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |  FROM documents),
+        |g AS (SELECT doc_id AS id, unnest(list_transform(range(1, len(a) - 3 + 2),
+        |        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g
+        |      FROM arr WHERE len(a) >= 3),
+        |dg AS (SELECT DISTINCT id, g FROM g),
+        |bench AS (SELECT DISTINCT g FROM dg WHERE id < 20),
+        |tot AS (SELECT id, count(*) AS total FROM dg GROUP BY id),
+        |hit AS (SELECT id, count(*) AS hit FROM dg
+        |        WHERE g IN (SELECT g FROM bench) GROUP BY id)
+        |SELECT t.id, CAST(coalesce(h.hit, 0) AS BIGINT) AS contaminated_ngrams,
+        |  round(CAST(coalesce(h.hit, 0) AS DOUBLE) / t.total, 6) AS contamination_frac
+        |FROM tot t LEFT JOIN hit h USING (id) ORDER BY id""".stripMargin,
 
     "q_repetition" ->
       """WITH base AS (SELECT doc_id, text,

@@ -75,6 +75,58 @@ object TextOps {
           .as("tfidf"))
   }
 
+  /** PII scrubbing — the standard pre-training redaction pass: emails,
+    * phone-like number runs, and IPv4 literals replaced by typed
+    * placeholder tokens. Pure codegen'd regexp_replace chain (scan-speed
+    * over 100 TB; order fixed: emails first so their digits don't get
+    * phone-masked). The patterns are the usual conservative heuristics —
+    * tune per corpus; the op is the plumbing contract.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip,
+      "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>")
+  }
+
+  /** Benchmark decontamination — flag documents sharing word n-grams with
+    * an evaluation set (the strictest standard filter before pretraining):
+    * for each doc, the count and fraction of its distinct n-grams that
+    * appear anywhere in `benchmark`.
+    *
+    * Shape at 100 TB: benchmark n-grams are distinct'd once (eval sets are
+    * tiny → Catalyst broadcasts the join; a huge blocklist degrades
+    * gracefully to a shuffle join on the n-gram), doc n-grams stream
+    * through a left-semi-style aggregation — no row ever carries more than
+    * its own n-gram count.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 3): DataFrame = {
+    import graft.functions.TextAnalysis.{ngramsArr, tokensArr}
+    val bench = benchmark
+      .select(tokensArr(col(benchTextCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(array_distinct(ngramsArr(col("toks"), n))).as("g"))
+      .distinct()
+    // docs with fewer than n tokens have no n-grams and are excluded
+    val dg = docs
+      .select(col(idCol).as("id"), tokensArr(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"),
+        explode(array_distinct(ngramsArr(col("toks"), n))).as("g"))
+    val flagged = dg.join(bench, Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("hit"))
+    dg.groupBy("id").agg(count(lit(1)).as("total"))
+      .join(flagged, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("hit"), lit(0L)).as("contaminated_ngrams"),
+        round(coalesce(col("hit"), lit(0L)).cast("double") / col("total"), 6)
+          .as("contamination_frac"))
+  }
+
   /** Gopher-style repetition quality signals per document — the standard
     * "drop boilerplate/spam before pretraining" filters:
     *  - `top_ngram_frac`: occurrences of the most frequent word n-gram over

@@ -74,4 +74,34 @@ class EntrySpec extends SparkTestBase {
 
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("PII redaction masks emails, IPs and phone runs, leaves prose alone") {
+    import spark.implicits._
+    val got = Seq(
+      "mail me at jane.doe+x@sub.example.org today",
+      "server 192.168.1.254 is down",
+      "call +1 (555) 010-7788 now",
+      "five words with no pii",
+      "mixed a@b.co and 10.0.0.1 and 555-010-7788"
+    ).toDF("t").select(graft.ops.TextOps.redactPii(col("t"))).as[String].collect()
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "server <IP> is down")
+    assert(got(2) == "call <PHONE> now")
+    assert(got(3) == "five words with no pii")
+    assert(got(4) == "mixed <EMAIL> and <IP> and <PHONE>")
+  }
+
+  test("contamination flags exactly the docs sharing trigrams with the benchmark") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),    // trigrams: abg, bgd
+      (2L, "alpha beta gamma"),          // abg only -> fully contaminated
+      (3L, "one two three four"),        // disjoint
+      (4L, "short doc")                  // < 3 tokens -> excluded
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("alpha beta gamma zeta")).toDF("text")
+    val got = graft.ops.TextOps.contamination(docs, "doc_id", "text", bench, "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0.5), (2L, 1L, 1.0), (3L, 0L, 0.0)))
+  }
 }
