@@ -685,8 +685,12 @@ object SparkEntry {
     // ll_class = Σ log(a+c)-log(b+d) (decimal sum).
     "q_nb_train" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+      // per-row array_distinct BEFORE the explode: the model is binary
+      // (doc-level presence), so repeated tokens are dead weight — dedupe
+      // inside the row (~5x fewer generated rows) instead of shuffling
+      // duplicates into train()'s distincts
       val ev = d.select(col("doc_id").as("docId"), col("lang").as("cls"),
-        explode(TextAnalysis.tokensArr(col("text"))).as("feature"))
+        explode(array_distinct(TextAnalysis.tokensArr(col("text")))).as("feature"))
       chain.NaiveBayes.train(ev)
         .select(col("cls"), col("feature"),
           round(col("ll_pair"), 6).as("ll_pair"),
@@ -698,8 +702,12 @@ object SparkEntry {
     // grid (broadcast join — the grid is |classes|·|features| rows).
     "q_nb_predict" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+      // per-row array_distinct BEFORE the explode: the model is binary
+      // (doc-level presence), so repeated tokens are dead weight — dedupe
+      // inside the row (~5x fewer generated rows) instead of shuffling
+      // duplicates into train()'s distincts
       val ev = d.select(col("doc_id").as("docId"), col("lang").as("cls"),
-        explode(TextAnalysis.tokensArr(col("text"))).as("feature"))
+        explode(array_distinct(TextAnalysis.tokensArr(col("text")))).as("feature"))
       val model = chain.NaiveBayes.train(ev)
       // predict() dedupes (docId, feature) itself — binary-event model
       val scored = chain.NaiveBayes.predict(ev, model)
