@@ -17,6 +17,11 @@ import graft.functions.{DotPrefix, DotProduct, RollingHash, SqEuclidean}
   * `spark.sql.extensions=graft.core.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
 
   private def fn(name: String, arity: Int, make: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
@@ -26,10 +31,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         make(args)
       })
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(fn("rolling_hash", 1, a => RollingHash(a.head)))
-    ext.injectFunction(fn("vec_dot", 2, a => DotProduct(a(0), a(1))))
-    ext.injectFunction(fn("vec_sqdist", 2, a => SqEuclidean(a(0), a(1))))
-    ext.injectFunction(fn("vec_dot_prefix", 2, a => DotPrefix(a(0), a(1))))
+  private val functions = Seq(
+    fn("rolling_hash", 1, a => RollingHash(a.head)),
+    fn("vec_dot", 2, a => DotProduct(a(0), a(1))),
+    fn("vec_sqdist", 2, a => SqEuclidean(a(0), a(1))),
+    fn("vec_dot_prefix", 2, a => DotPrefix(a(0), a(1))))
+
+  /** Post-hoc, idempotent registration into a LIVE session. Needed because
+    * `withExtensions` on a builder is silently ignored when `getOrCreate`
+    * returns a pre-existing session (shell, notebook, another library's
+    * session) — injection only runs at session construction.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = org.apache.spark.sql.graftbridge.functionRegistry(spark)
+    functions.foreach { case (ident, info, builder) =>
+      reg.registerFunction(ident, info, builder)
+    }
   }
 }

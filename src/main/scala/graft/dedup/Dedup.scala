@@ -79,6 +79,11 @@ object Dedup {
     //    every exploded (id, token) pair through a distinct).
     val docArr = df.select(col(idCol).as("id"),
         array_sort(array_distinct(TextAnalysis.tokensArr(col(textCol)))).as("set"))
+      // token-less docs (empty/null/punctuation-only text) have no Jaccard
+      // similarity to anything — without this filter they'd all share the
+      // empty-set gid and the intra expansion below would fabricate 1.0
+      // pairs (the old exploded-token formulation dropped them implicitly)
+      .filter(size(col("set")) > 0)
       .withColumn("gid",
         md5(to_binary(concat_ws("\u0001", col("set")), lit("utf-8"))))
       .cache()

@@ -117,13 +117,16 @@ object TextOps {
       .filter(size(col("toks")) >= n)
       .select(col("id"),
         explode(array_distinct(ngramsArr(col("toks"), n))).as("g"))
-    val flagged = dg.join(bench, Seq("g"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("hit"))
-    dg.groupBy("id").agg(count(lit(1)).as("total"))
-      .join(flagged, Seq("id"), "left")
+    // ONE pass over the doc n-grams: left join against the (distinct)
+    // benchmark set and count hits conditionally — not two aggregations
+    // over an uncached dg, which would tokenize and explode the corpus
+    // twice. bench is distinct on g, so the join never multiplies rows.
+    dg.join(bench.withColumn("_hit", lit(1)), Seq("g"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("total"), count(col("_hit")).as("hit"))
       .select(col("id"),
-        coalesce(col("hit"), lit(0L)).as("contaminated_ngrams"),
-        round(coalesce(col("hit"), lit(0L)).cast("double") / col("total"), 6)
+        col("hit").as("contaminated_ngrams"),
+        round(col("hit").cast("double") / col("total"), 6)
           .as("contamination_frac"))
   }
 

@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `sessionState` is `private[sql]`; exposed for post-hoc function
+    * registration into LIVE sessions (graft.core.GraftExtensions.register —
+    * builder-time `withExtensions` is silently skipped when getOrCreate
+    * returns an existing session).
+    */
+  def functionRegistry(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
 }

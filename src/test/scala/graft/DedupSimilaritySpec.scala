@@ -20,6 +20,15 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got.sameElements(samples.map(ref)))
   }
 
+  test("jaccard: token-less docs pair with nothing (no empty-set cluster)") {
+    import spark.implicits._
+    val docs = Seq((1L, "???"), (2L, ""), (3L, "actual words here"),
+      (4L, "actual words here")).toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((3L, 4L, 1.0))) // never (1,2,1.0)
+  }
+
   test("prefix-filtered jaccard equals the naive all-pairs result") {
     import spark.implicits._
     val sample = docs.filter(col("doc_id") < 100)

@@ -83,6 +83,11 @@ class VectorOpsSpec extends SparkTestBase {
       .head().getDouble(0) == 11.0)
     assert(spark.sql(
       "SELECT vec_sqdist(array(1.0d), array(3.0d))").head().getDouble(0) == 4.0)
+    // post-hoc registration into a live session is idempotent and
+    // equivalent (the path for sessions getOrCreate'd without extensions)
+    graft.core.GraftExtensions.register(spark)
+    assert(spark.sql(
+      "SELECT vec_dot(array(2.0d), array(3.0d))").head().getDouble(0) == 6.0)
   }
 
   test("lshBucket fails loudly past the sign-table capacity") {
