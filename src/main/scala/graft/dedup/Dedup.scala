@@ -37,11 +37,13 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct (id, token) pairs. */
+  /** Distinct (id, token) pairs. Deduped PER ROW (array_distinct before
+    * the explode) — identical result to a global distinct over (id, tok),
+    * with zero shuffle: a row's tokens live in that row.
+    */
   def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(TextAnalysis.tokensArr(col(textCol))).as("tok"))
-      .distinct()
+      explode(array_distinct(TextAnalysis.tokensArr(col(textCol)))).as("tok"))
 
   /** All pairs (a < b) whose token-set Jaccard >= tau. Same result as the
     * naive all-pairs spec (the DuckDB oracle), via a three-stage scale plan:
@@ -140,13 +142,14 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
   }
 
-  /** Word n-gram shingles per document (distinct). */
+  /** Word n-gram shingles per document (distinct) — per-row dedupe, same
+    * zero-shuffle rationale as [[tokenSet]].
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), TextAnalysis.tokensArr(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("id"),
-        explode(TextAnalysis.ngramsArr(col("toks"), n)).as("shingle"))
-      .distinct()
+        explode(array_distinct(TextAnalysis.ngramsArr(col("toks"), n))).as("shingle"))
 
   /** All minhashes AND the verification shingle set in ONE aggregation:
     * column `mh<s>` = min over shingles of hash_s(shingle), plus the
