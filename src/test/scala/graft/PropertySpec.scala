@@ -50,6 +50,30 @@ class PropertySpec extends SparkTestBase {
     ss.foreach { s => assert(got(s) == model(s), s"rolling(${s.getBytes.toSeq})") }
   }
 
+  test("jaccardPairs equals the naive all-pairs spec on generated corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_intersect, col, collect_set, size}
+    // small vocab forces heavy overlap — the adversarial regime for the
+    // prefix/length/positional filters; include empty and dup docs
+    val doc: Gen[String] = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("w0", "w1", "w2", "w3", "w4", "w5"))
+        .map(_.mkString(" ")))
+    for (tau <- Seq(0.5, 0.8); texts <- samples(Gen.listOfN(24, doc), 3)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val fast = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text", tau)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val toks = graft.dedup.Dedup.tokenSet(docs, "doc_id", "text")
+        .groupBy("id").agg(collect_set("tok").as("set"))
+      val naive = toks.as("x").join(toks.as("y"), col("x.id") < col("y.id"))
+        .withColumn("i", size(array_intersect(col("x.set"), col("y.set"))).cast("double"))
+        .withColumn("j", col("i") / (size(col("x.set")) + size(col("y.set")) - col("i")))
+        .filter(col("j") >= tau)
+        .select(col("x.id"), col("y.id")).as[(Long, Long)].collect().toSet
+      assert(fast == naive, s"tau=$tau texts=$texts")
+    }
+  }
+
   test("QExpr: render-parse is the identity for any query tree") {
     import graft.query.QExpr
     import graft.query.QExpr.{And, Lit, Not, Or, Q}
