@@ -68,4 +68,33 @@ object ScaleOps {
       .limit(topK)
       .select(col(keyCol), col("cnt"), col("share"))
   }
+
+  /** Compact a parquet dataset into ~`targetFileBytes` files — the
+    * small-files fix (a 100 TB pipeline writing per-task files from wide
+    * shuffles accretes millions of KB-sized parts; scans then pay a task
+    * per file). The DDFS-chunker analog (reference lib/disco/fileutils.py:
+    * 16-51 `Chunker` packs records into 64 MB chunks at ingest).
+    *
+    * Sizing comes from the FILESYSTEM (sum of part sizes — no data scan),
+    * the rewrite is one coalesce-free `repartition(n)` round-robin (even
+    * output sizes regardless of input skew), and the swap is
+    * write-new/delete-old/rename (the parquet commit protocol makes the
+    * new dir internally consistent; the rename flip is the same
+    * last-step-atomicity DDFS tag flips give).
+    */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetFileBytes: Long = 128L << 20): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p).filter(_.isFile)
+      .filter(!_.getPath.getName.startsWith("_")).map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+    n.toLong
+  }
 }

@@ -46,4 +46,21 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(top.getString(0) == "hot" && top.getLong(1) == 900L)
     assert(math.abs(top.getDouble(2) - 0.9) < 1e-9)
   }
+
+  test("compactParquet rewrites a many-file dataset into the target count, losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    spark.range(0, 10000).repartition(64).write.parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts() = fs.listStatus(p).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(parts() == 64)
+    val totalBytes = fs.listStatus(p).filter(_.isFile)
+      .filter(!_.getPath.getName.startsWith("_")).map(_.getLen).sum
+    // target = half the data -> exactly 2 output files
+    val n = ScaleOps.compactParquet(spark, dir, targetFileBytes = totalBytes / 2 + 1)
+    assert(n == 2 && parts() == 2)
+    assert(spark.read.parquet(dir).agg(sum("id")).head().getLong(0)
+      == (0L until 10000L).sum)
+  }
 }
