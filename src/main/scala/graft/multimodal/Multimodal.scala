@@ -19,6 +19,9 @@ case class DecodedMeta(id: Long, width: Int, height: Int, checksum: Long)
 case class MediaFeatures(id: Long, nBytes: Long, hist: Array[Long],
                          feature: Array[Float])
 
+/** One content-defined chunk of a payload. */
+case class Chunk(id: Long, idx: Int, offset: Long, nBytes: Int, fp: String)
+
 /** Multimodal column operators — the builder-brief surface: treat
   * image/audio/video as opaque binary columns; decode / feature-extract /
   * resize / frame-sample run batched per partition (`mapPartitions` — the
@@ -105,5 +108,63 @@ object Multimodal {
     import spark.implicits._
     media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => Codec.decode(id, bytes) })
+  }
+
+  /** Content-defined chunking over opaque payloads — Rabin-style rolling
+    * hash: a chunk boundary falls wherever the hash of the trailing
+    * `window` bytes is 0 mod 2^maskBits, so expected chunk size ≈
+    * 2^maskBits bytes and boundaries are SHIFT-RESISTANT: an insertion
+    * near the front re-synchronizes within one chunk instead of moving
+    * every later boundary (what fixed-size splitting does). Cross-file
+    * segment dedup is then one groupBy(fp) — the byte-level near-dup pass
+    * that needs no codec and works on any modality.
+    *
+    * The reference packed fixed 64 MB chunks at ingest
+    * (lib/disco/fileutils.py:16-51 `Chunker`); CDC is that operation made
+    * dedup-friendly. min/max bound chunk sizes (min skips degenerate
+    * boundaries, max forces progress on boundary-free data).
+    */
+  def cdcChunks(spark: SparkSession, media: DataFrame, maskBits: Int = 10,
+                window: Int = 16, minChunk: Int = 256,
+                maxChunk: Int = 4096): Dataset[Chunk] = {
+    import spark.implicits._
+    require(maskBits > 0 && window > 0 && 0 < minChunk && minChunk <= maxChunk)
+    val mask = (1 << maskBits) - 1
+    media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // polynomial rolling hash base: an ODD multiplier (FNV prime), so
+        // B^window mod 2^32 never collapses to 0 (base 256 would: 256^4 ≡
+        // 0 mod 2^32, silently shrinking the window to 4 bytes). Int
+        // wraparound IS the modulus — deterministic everywhere.
+        val B = 16777619
+        val drop = {
+          var p = 1; var i = 0
+          while (i < window) { p *= B; i += 1 }
+          p
+        }
+        it.flatMap { case (id, bytes) =>
+          val out = Vector.newBuilder[Chunk]
+          var start = 0
+          var h = 0
+          var idx = 0
+          var i = 0
+          while (i < bytes.length) {
+            val in = bytes(i) & 0xff
+            h = h * B + in
+            if (i - start >= window) h -= drop * (bytes(i - window) & 0xff)
+            val len = i - start + 1
+            if ((len >= minChunk && (h & mask) == 0) || len >= maxChunk ||
+                i == bytes.length - 1) {
+              val fp = md.digest(java.util.Arrays.copyOfRange(bytes, start, i + 1))
+                .map("%02x".format(_)).mkString
+              out += Chunk(id, idx, start.toLong, len, fp)
+              idx += 1; start = i + 1; h = 0
+            }
+            i += 1
+          }
+          out.result()
+        }
+      }
   }
 }

@@ -52,4 +52,35 @@ class MultimodalSpec extends SparkTestBase {
     val first = out.orderBy("id").head()
     assert(first.width >= 16 && first.height >= 16)
   }
+
+  test("CDC chunking covers the payload exactly and re-syncs after an insert") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val body = Array.fill[Byte](20000)(rnd.nextInt(256).toByte)
+    val shifted = Array.fill[Byte](37)(rnd.nextInt(256).toByte) ++ body
+    val media = Seq((1L, body), (2L, shifted)).toDF("id", "payload")
+    val chunks = MM.cdcChunks(spark, media, maskBits = 8,
+      minChunk = 64, maxChunk = 2048).collect()
+
+    // lossless coverage: contiguous, in order, sums to the payload length
+    for ((id, len) <- Seq(1L -> body.length, 2L -> shifted.length)) {
+      val cs = chunks.filter(_.id == id).sortBy(_.idx)
+      assert(cs.map(_.nBytes.toLong).sum == len)
+      assert(cs.head.offset == 0L)
+      cs.sliding(2).foreach { case Array(a, b) =>
+        assert(b.offset == a.offset + a.nBytes)
+      case _ => }
+    }
+    // shift-resistance: a 37-byte prefix insert must NOT re-chunk the
+    // whole file — the two versions share most segment fingerprints
+    // (fixed-size splitting would share none)
+    val f1 = chunks.filter(_.id == 1L).map(_.fp).toSet
+    val f2 = chunks.filter(_.id == 2L).map(_.fp).toSet
+    val shared = (f1 & f2).size.toDouble / f1.size
+    assert(shared > 0.8, s"shared=$shared f1=${f1.size} f2=${f2.size}")
+    // cross-file dedup is one groupBy(fp)
+    val dup = MM.cdcChunks(spark, media, maskBits = 8, minChunk = 64,
+      maxChunk = 2048).groupBy("fp").count().filter(col("count") > 1).count()
+    assert(dup > 0)
+  }
 }
