@@ -164,6 +164,23 @@ object SparkEntry {
       TextOps.ngramCounts(Tables.documents(s, dir), "text", 3)
         .orderBy("ngram")),
 
+    // §2.6 extension — interval (range) join via grid bucketing: price
+    // tiers × orders WITHOUT a nested-loop plan (equi-join on bucket id,
+    // exact re-check); per-tier count + decimal-exact revenue.
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val tiers = Seq(
+        ("t0", 0.0, 50000.0), ("t1", 50000.0, 150000.0),
+        ("t2", 150000.0, 300000.0), ("t3", 300000.0, 600000.0))
+        .toDF("tier", "lo", "hi")
+      RelationalOps.rangeJoin(
+          Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+          "o_totalprice", tiers, "lo", "hi", bucketWidth = 50000.0)
+        .groupBy("tier").agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("tier")
+    }),
+
     // PII redaction: synthetic email/phone/IP appended per doc (fixture
     // text carries no digits), scrubbed by the codegen'd regex chain; the
     // oracle replicates the construction and patterns (RE2 'g' flag).
@@ -955,6 +972,16 @@ object SparkEntry {
         |                               i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS ngram
         |  FROM arr WHERE len(a) >= 3)
         |GROUP BY ngram ORDER BY ngram""".stripMargin,
+
+    "q_range_join" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES
+        |  ('t0', 0.0, 50000.0), ('t1', 50000.0, 150000.0),
+        |  ('t2', 150000.0, 300000.0), ('t3', 300000.0, 600000.0))
+        |SELECT tier, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o JOIN tiers t
+        |  ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
 
     "q_redact" ->
       """SELECT doc_id,

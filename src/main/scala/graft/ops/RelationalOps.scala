@@ -84,4 +84,30 @@ object RelationalOps {
 
   /** Set difference (distinct), SQL EXCEPT. */
   def except(left: DataFrame, right: DataFrame): DataFrame = left.except(right)
+
+  /** Interval (range) join: each `points` row matched to every `intervals`
+    * row with `lo <= v < hi` — WITHOUT the BroadcastNestedLoopJoin Spark
+    * plans for a raw BETWEEN predicate (all-pairs; dies at scale).
+    *
+    * Grid-bucket shape: points hash into buckets of `bucketWidth`;
+    * intervals replicate into every bucket they overlap (one `sequence` +
+    * `explode` — an interval costs ceil(span/width)+1 rows); the join is a
+    * plain equi-join on the bucket id, re-checked exactly. Choose
+    * `bucketWidth` ≈ the typical interval span: replication stays O(1) per
+    * interval and each point probes one bucket. Equi-join ⇒ hash shuffle /
+    * broadcast by size, AQE handles skewed buckets.
+    */
+  def rangeJoin(points: DataFrame, vCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pb = points.withColumn("_b",
+      floor(col(vCol) / bucketWidth).cast("long"))
+    val ib = intervals.withColumn("_b", explode(sequence(
+      floor(col(loCol) / bucketWidth).cast("long"),
+      floor(col(hiCol) / bucketWidth).cast("long"))))
+    pb.join(ib, Seq("_b"))
+      .filter(col(vCol) >= col(loCol) && col(vCol) < col(hiCol))
+      .drop("_b")
+  }
 }
