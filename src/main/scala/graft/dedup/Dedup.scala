@@ -38,8 +38,11 @@ object Dedup {
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct (id, token) pairs. Deduped PER ROW (array_distinct before
-    * the explode) — identical result to a global distinct over (id, tok),
-    * with zero shuffle: a row's tokens live in that row.
+    * the explode) — zero shuffle, because a row's tokens live in that row.
+    *
+    * CONTRACT: one input row per document id (the document model
+    * everywhere in this suite). A doc split across several rows would get
+    * per-ROW dedupe only — pre-concatenate its text first.
     */
   def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
@@ -143,7 +146,7 @@ object Dedup {
   }
 
   /** Word n-gram shingles per document (distinct) — per-row dedupe, same
-    * zero-shuffle rationale as [[tokenSet]].
+    * zero-shuffle rationale AND one-row-per-doc contract as [[tokenSet]].
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), TextAnalysis.tokensArr(col(textCol)).as("toks"))

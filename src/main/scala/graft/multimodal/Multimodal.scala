@@ -128,7 +128,14 @@ object Multimodal {
                 window: Int = 16, minChunk: Int = 256,
                 maxChunk: Int = 4096): Dataset[Chunk] = {
     import spark.implicits._
-    require(maskBits > 0 && window > 0 && 0 < minChunk && minChunk <= maxChunk)
+    // maskBits < 31: (1 << 32) wraps to 1 → mask 0 → EVERY position is a
+    // boundary (silent fixed-size splitting, the opposite of CDC).
+    // minChunk >= window: boundary decisions must depend only on the
+    // trailing window, or shift-resistance quietly breaks.
+    require(maskBits > 0 && maskBits < 31,
+      s"maskBits must be in [1, 30], got $maskBits")
+    require(window > 0 && minChunk >= window && minChunk <= maxChunk,
+      s"need 0 < window <= minChunk <= maxChunk, got window=$window minChunk=$minChunk maxChunk=$maxChunk")
     val mask = (1 << maskBits) - 1
     media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -156,8 +163,8 @@ object Multimodal {
             val len = i - start + 1
             if ((len >= minChunk && (h & mask) == 0) || len >= maxChunk ||
                 i == bytes.length - 1) {
-              val fp = md.digest(java.util.Arrays.copyOfRange(bytes, start, i + 1))
-                .map("%02x".format(_)).mkString
+              md.update(bytes, start, len) // hash the slice in place, no copy
+              val fp = md.digest().map("%02x".format(_)).mkString
               out += Chunk(id, idx, start.toLong, len, fp)
               idx += 1; start = i + 1; h = 0
             }

@@ -99,15 +99,28 @@ object RelationalOps {
     */
   def rangeJoin(points: DataFrame, vCol: String,
                 intervals: DataFrame, loCol: String, hiCol: String,
-                bucketWidth: Double): DataFrame = {
+                bucketWidth: Double, maxReplication: Int = 1 << 16): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val pb = points.withColumn("_b",
-      floor(col(vCol) / bucketWidth).cast("long"))
-    val ib = intervals.withColumn("_b", explode(sequence(
-      floor(col(loCol) / bucketWidth).cast("long"),
-      floor(col(hiCol) / bucketWidth).cast("long"))))
-    pb.join(ib, Seq("_b"))
+    // name no caller column can collide with (withColumn would silently
+    // overwrite, and the trailing drop would eat the caller's data)
+    val b = "__graft_range_bucket"
+    require(!points.columns.contains(b) && !intervals.columns.contains(b),
+      s"rangeJoin: reserved column name $b present in input")
+    val lob = floor(col(loCol) / bucketWidth).cast("long")
+    val hib = floor(col(hiCol) / bucketWidth).cast("long")
+    // an interval spanning more than maxReplication buckets (sentinel
+    // hi = MaxValue, or bucketWidth far below the span) would explode into
+    // an unbounded sequence — fail loudly instead of OOMing the executor;
+    // the fix is a wider bucketWidth or a capped hi
+    val guarded = when(hib - lob < lit(maxReplication.toLong), sequence(lob, hib))
+      .otherwise(raise_error(concat(
+        lit("rangeJoin: interval spans "), (hib - lob + 1).cast("string"),
+        lit(s" buckets > maxReplication=$maxReplication — widen bucketWidth")))
+        .cast("array<bigint>"))
+    val pb = points.withColumn(b, floor(col(vCol) / bucketWidth).cast("long"))
+    val ib = intervals.withColumn(b, explode(guarded))
+    pb.join(ib, Seq(b))
       .filter(col(vCol) >= col(loCol) && col(vCol) < col(hiCol))
-      .drop("_b")
+      .drop(b)
   }
 }

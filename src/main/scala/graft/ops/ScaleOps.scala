@@ -75,26 +75,43 @@ object ScaleOps {
     * per file). The DDFS-chunker analog (reference lib/disco/fileutils.py:
     * 16-51 `Chunker` packs records into 64 MB chunks at ingest).
     *
-    * Sizing comes from the FILESYSTEM (sum of part sizes — no data scan),
-    * the rewrite is one coalesce-free `repartition(n)` round-robin (even
-    * output sizes regardless of input skew), and the swap is
-    * write-new/delete-old/rename (the parquet commit protocol makes the
-    * new dir internally consistent; the rename flip is the same
-    * last-step-atomicity DDFS tag flips give).
+    * Sizing comes from the FILESYSTEM (recursive content summary — no data
+    * scan), the rewrite is one `repartition(n)` round-robin (even output
+    * sizes regardless of input skew), and the swap never has a moment with
+    * no data at the canonical path: write new beside, rename old ASIDE,
+    * rename new IN (rolled back if it fails), delete old last. A crash
+    * between the renames leaves the data intact under `<name>._compact_old`
+    * next to the path — recoverable, never deleted-first.
+    *
+    * Flat (non-partitioned) layouts only: a hive-partitioned dir would be
+    * read-flattened and its pruning layout destroyed, so it is refused —
+    * compact each leaf partition dir instead.
     */
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L << 20): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(p).filter(_.isFile)
-      .filter(!_.getPath.getName.startsWith("_")).map(_.getLen).sum
+    require(!fs.listStatus(p).exists(_.isDirectory),
+      s"compact: $path has subdirectories (partitioned layout?) — " +
+        "compact each leaf partition dir instead")
+    val bytes = fs.getContentSummary(p).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
-    spark.read.parquet(path).repartition(n)
+    // siblings of the NORMALIZED path — string concat on a trailing-slash
+    // input would nest the tmp dir inside the dataset and the cleanup
+    // would eat both copies
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "._compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "._compact_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    spark.read.parquet(p.toString).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back — original data returns to the path
+      throw new java.io.IOException(s"compact: rename $tmp -> $p failed (rolled back)")
+    }
+    fs.delete(old, true)
     n.toLong
   }
 }
