@@ -24,8 +24,9 @@ object TextOps {
     * `sum_combiner` (func.py:164-173) but planned by Catalyst.
     */
   def wordCount(df: DataFrame, textCol: String): DataFrame =
-    df.select(tokens(col(textCol)).as("word"))
-      .filter(col("word") =!= "")
+    // filter empties INSIDE the array (tokensArr), before the explode
+    // generates a row per token — not after
+    df.select(explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
