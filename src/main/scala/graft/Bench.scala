@@ -23,12 +23,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup, untimed: touch every table (file listing + parquet footers)
-    // and one shuffle+window plan, so the first timed query measures the
-    // query, not cold IO/codegen
+    // and one plan per major codegen family — window, explode+agg, join —
+    // so the FIRST timed query of each shape measures the query, not JIT
+    // (measured: the first explode+agg query otherwise absorbs ~2 s of
+    // warmup at any SF — its 10x-data exponent was 0.01)
     try {
       graft.core.Tables.names.foreach(n =>
         graft.core.Tables.load(spark, sfDir, n).count())
       SparkEntry.queries("q_window_running")(spark, sfDir).count()
+      SparkEntry.queries("q_raw_literal")(spark, sfDir).count()
+      SparkEntry.queries("q_join_agg")(spark, sfDir).count()
     } catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
