@@ -599,6 +599,22 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // JSONL round-trip (the LLM-corpus interchange format): documents →
+    // .jsonl part files → read back with explicit schema → per-lang
+    // aggregate. Oracle reads the parquet source, so any loss in the JSON
+    // encode/decode path fails the hash.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val path = graft.io.IoScratch.dir + "/documents_jsonl"
+      graft.io.Sinks.writeJsonl(d, path)
+      graft.io.Sources.readJsonl(s, path, schema = d.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy("lang")
+    }),
+
     // #47/#54 — plain-text sink + raw line reader round-trip: document text
     // → .txt part files → readText → word count (same oracle as
     // q_wordcount over parquet: the text path must be lossless).
@@ -1344,6 +1360,11 @@ object SparkEntry {
     // io round-trips: the oracle reads the PARQUET source — the Spark side
     // must round-trip losslessly through CSV/text to match.
     "q_csv_roundtrip" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

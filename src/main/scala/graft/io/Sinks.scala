@@ -26,6 +26,12 @@ object Sinks {
     df.write.mode("overwrite").option("header", "true").option("sep", sep)
       .csv(path)
 
+  /** JSONL sink — one JSON object per line (string fields escaped by the
+    * writer, so embedded newlines/quotes round-trip, unlike raw text).
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Parquet sink — the default chunk format (replaces Disco chunks). */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

@@ -40,6 +40,17 @@ object Sources {
       .csv(path)
   }
 
+  /** JSONL reader — one JSON object per line, the de-facto LLM corpus
+    * interchange format. Line-delimited ⇒ byte-range SPLITTABLE (unlike
+    * multiLine JSON): a 10 GB .jsonl parallelizes for free. Pass a schema:
+    * inference is a second full scan at 100 TB.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType = null): DataFrame = {
+    val r = spark.read
+    (if (schema != null) r.schema(schema) else r).json(path)
+  }
+
   /** `raw://` literal source (scheme_raw.py:1-11): the payload IS the
     * record. Driver-side literals, parallelized — for seeds and unit inputs.
     */

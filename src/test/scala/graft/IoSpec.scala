@@ -127,6 +127,19 @@ class IoSpec extends SparkTestBase {
     assert(back == Seq("line1\nline2", "with,comma and \"quote\""))
   }
 
+  test("jsonl round-trips newlines/quotes/unicode and STAYS splittable") {
+    val path = graft.io.IoScratch.dir + "/spec_jsonl"
+    val df = Seq((1L, "line1\nline2"), (2L, "a \"quote\" and 中文 and \\slash"),
+      (3L, "")).toDF("id", "s")
+    Sinks.writeJsonl(df, path)
+    val back = Sources.readJsonl(spark, path, df.schema)
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    // the JSON writer escapes what raw text cannot carry — and the file
+    // stays one-object-per-line, so byte-range splitting keeps working
+    // (the CSV multiLine round-trip gives up splittability for this)
+    assert(back == Seq("line1\nline2", "a \"quote\" and 中文 and \\slash", ""))
+  }
+
   test("netstring reader round-trips binary-ish values (old_netstr_reader format)") {
     import graft.io.Netstring
     val pairs = Seq(
