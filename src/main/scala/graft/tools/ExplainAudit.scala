@@ -16,7 +16,8 @@ object ExplainAudit {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_join_agg", "q_dedup_jaccard", "q_embed_neardup",
         "q_pagerank", "q_semi_join", "q_media_hist",
-        "q_ann_ivf", "q_dedup_cluster", "q_prep_pipeline")
+        "q_ann_ivf", "q_dedup_cluster", "q_prep_pipeline",
+        "q_range_join", "q_repetition", "q_contamination")
     val spark = graft.core.GraftSession.builder("graft-explain", cores = 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
