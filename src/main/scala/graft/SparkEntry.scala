@@ -359,7 +359,6 @@ object SparkEntry {
     "q_cnf_query" -> ((s, dir) => {
       val tokens = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("word"))
-        .filter(col("word") =!= "")
       val index = QExpr.build(tokens, "word", "doc_id")
       QExpr.lookup(index, QExpr.parse("(data | query) & ~the"))
         .groupBy(col("key").as("word")).agg(count(lit(1)).as("occurrences"))
@@ -382,7 +381,6 @@ object SparkEntry {
       val indexes = Seq(0, 1).map { half =>
         val tokens = docs.filter(pmod(col("doc_id"), lit(2)) === half)
           .select(TextOps.tokens(col("text")).as("word"))
-          .filter(col("word") =!= "")
           .groupBy("word").agg(count(lit(1)).cast("string").as("cnt"))
         QExpr.build(tokens, "word", "cnt")
       }

@@ -45,9 +45,12 @@ object Sources {
     * multiLine JSON): a 10 GB .jsonl parallelizes for free. Pass a schema:
     * inference is a second full scan at 100 TB.
     */
-  def readJsonl(spark: SparkSession, path: String,
-                schema: StructType = null): DataFrame = {
-    val r = spark.read
+  def readJsonl(spark: SparkSession, path: String, schema: StructType = null,
+                mode: String = "FAILFAST"): DataFrame = {
+    // FAILFAST by default: PERMISSIVE (Spark's default) turns a malformed
+    // line into an all-null row and downstream aggregates go silently
+    // wrong — corruption must be loud
+    val r = spark.read.option("mode", mode)
     (if (schema != null) r.schema(schema) else r).json(path)
   }
 

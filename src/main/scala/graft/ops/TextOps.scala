@@ -15,7 +15,7 @@ object TextOps {
     * `split` + `explode` stay inside whole-stage codegen; no UDF.
     */
   def tokens(text: Column): Column =
-    explode(split(lower(text), "[^a-z0-9]+"))
+    explode(graft.functions.TextAnalysis.tokensArr(text))
 
   /** Word count: the canonical Disco job (reference README.md:17-30,
     * examples/util/count_words.py). Map-side partial count + final hash agg
@@ -40,7 +40,6 @@ object TextOps {
   /** Per-key token count (the `sum_reduce` shape, func.py:175-184). */
   def tokenCounts(df: DataFrame, keyCol: String, textCol: String): DataFrame =
     df.select(col(keyCol), tokens(col(textCol)).as("word"))
-      .filter(col("word") =!= "")
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n_tokens"))
 

@@ -104,8 +104,8 @@ object Streams {
 
   /** Incremental word count — the reference's flagship job as a stream. */
   def wordCountStream(lines: DataFrame, textCol: String): DataFrame =
-    lines.select(explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-        w => w =!= "")).as("word"))
+    lines.select(explode(
+        graft.functions.TextAnalysis.tokensArr(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Stream → scheme sink: each micro-batch flows through the BATCH redis

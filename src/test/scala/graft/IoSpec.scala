@@ -138,6 +138,13 @@ class IoSpec extends SparkTestBase {
     // stays one-object-per-line, so byte-range splitting keeps working
     // (the CSV multiLine round-trip gives up splittability for this)
     assert(back == Seq("line1\nline2", "a \"quote\" and 中文 and \\slash", ""))
+    // pin the one-object-per-line framing itself: physical line count of
+    // the part files must equal the row count, or splittability is gone
+    val dir = new java.io.File(path)
+    val physLines = dir.listFiles().filter(_.getName.endsWith(".json"))
+      .map(f => scala.io.Source.fromFile(f)("UTF-8"))
+      .map { s => try s.getLines().size finally s.close() }.sum
+    assert(physLines == 3, s"expected 3 physical lines, got $physLines")
   }
 
   test("netstring reader round-trips binary-ish values (old_netstr_reader format)") {
