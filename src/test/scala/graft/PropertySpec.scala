@@ -74,6 +74,26 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("classic facade and relational word count agree on generated text") {
+    import spark.implicits._
+    // same tokenizer contract through two entirely different execution
+    // paths: user-closure map/combine/reduce vs codegen'd explode+agg
+    val job = graft.api.Classic.Job(
+      map = line => line.toLowerCase.split("[^a-z0-9]+").toSeq
+        .filter(_.nonEmpty).map(_ -> "1"),
+      combiner = Some((k, vs) => Iterator.single(k -> vs.map(_.toLong).sum.toString)),
+      reduce = Some((k, vs) => Iterator.single(k -> vs.map(_.toLong).sum.toString)),
+      partitions = 3)
+    samples(Gen.listOfN(10, anyStr), 3).foreach { texts =>
+      val classic = graft.api.Classic
+        .run(spark, spark.createDataset(texts), job)
+        .collect().map { case (k, v) => k -> v.toLong }.toMap
+      val relational = graft.ops.TextOps.wordCount(texts.toDF("text"), "text")
+        .as[(String, Long)].collect().toMap
+      assert(classic == relational, s"texts=$texts")
+    }
+  }
+
   test("QExpr: render-parse is the identity for any query tree") {
     import graft.query.QExpr
     import graft.query.QExpr.{And, Lit, Not, Or, Q}
