@@ -90,6 +90,21 @@ class VectorOpsSpec extends SparkTestBase {
       "SELECT vec_dot(array(2.0d), array(3.0d))").head().getDouble(0) == 6.0)
   }
 
+  test("SQL-first usage: registered table views + graft SQL functions") {
+    graft.core.Tables.registerAll(spark, sfDir)
+    // a pure-SQL user story: tag-name resolution (views) + custom codegen
+    // function, no Column API anywhere
+    val row = spark.sql(
+      """SELECT count(DISTINCT rolling_hash(text)) AS n_fp,
+        |       count(*) AS n_docs
+        |FROM documents""".stripMargin).head()
+    assert(row.getLong(1) > 0 && row.getLong(0) <= row.getLong(1))
+    val dot = spark.sql(
+      "SELECT vec_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) FROM embeddings LIMIT 1")
+      .head().getDouble(0)
+    assert(dot > 0.0)
+  }
+
   test("lshBucket fails loudly past the sign-table capacity") {
     val big = Seq(Tuple1(Array.fill(9)(1.0))).toDF("v")
     val e = intercept[Exception] {
