@@ -597,6 +597,22 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Small-files compaction round-trip: documents sprayed into 16 part
+    // files, compacted to one right-sized file (crash-safe swap), read
+    // back. Oracle reads the parquet source — compaction must be lossless.
+    "q_compact_roundtrip" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val path = graft.io.IoScratch.dir + "/documents_compact"
+      d.repartition(16).write.mode("overwrite").parquet(path)
+      graft.ops.ScaleOps.compactParquet(s, path, targetFileBytes = Long.MaxValue)
+      s.read.parquet(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy("lang")
+    }),
+
     // JSONL round-trip (the LLM-corpus interchange format): documents →
     // .jsonl part files → read back with explicit schema → per-lang
     // aggregate. Oracle reads the parquet source, so any loss in the JSON
@@ -1358,6 +1374,11 @@ object SparkEntry {
     // io round-trips: the oracle reads the PARQUET source — the Spark side
     // must round-trip losslessly through CSV/text to match.
     "q_csv_roundtrip" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_compact_roundtrip" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
