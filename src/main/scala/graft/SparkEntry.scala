@@ -542,6 +542,22 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // §2.10 — binary-framed external interface (external.py:63-95
+    // little-endian length-prefixed KV frames): every (doc_id, text) pair
+    // rides the frame codec through `cat` and must come back identical —
+    // newline/NUL-safe, unlike line mode. Oracle reads the source.
+    "q_pipe_framed" -> ((s, dir) => {
+      import s.implicits._
+      val kv = Tables.documents(s, dir)
+        .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+        .map { case (k, v) => (k.getBytes("UTF-8"), v.getBytes("UTF-8")) }
+      graft.api.External.pipeFramed(kv, Seq("cat"))
+        .map { case (k, v) =>
+          (new String(k, "UTF-8").toLong, new String(v, "UTF-8")) }
+        .toDF("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // §2.10 — registered Aggregator UDAFs callable from SQL text
     // (graft_sum = sum_combiner/sum_reduce, graft_kvgroup = kvgroup).
     "q_udaf_sql" -> ((s, dir) => {
@@ -1336,6 +1352,9 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
         |ORDER BY custkey""".stripMargin,
+
+    "q_pipe_framed" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
 
     // pipe round-trip: tr A-Z then lower() must be identity on this corpus
     // (tokens are already lowercase alphanumerics) — same spec as wordcount.
