@@ -51,6 +51,33 @@ class PortedExamplesSpec extends SparkTestBase {
     assert(res.tag == "job:results:wc_ddb")
   }
 
+  test("waitmany: concurrent jobs complete independently; one failure doesn't sink the rest") {
+    // tests/test_waitmany.py: several jobs in flight from one client, a
+    // failing job raises while the healthy ones still finish. Spark
+    // actions are thread-safe per session — each Future is one "job.wait".
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val outDir = Files.createTempDirectory("graft_waitmany").toString
+    val catalog = new TagCatalog(spark)
+    val ok = Classic.Job(map = l => Seq(l -> "1"),
+      reduce = Some((k, vs) => Iterator.single(k -> vs.size.toString)))
+    val bad = Classic.Job(map =
+      _ => throw new IllegalStateException("This job is supposed to fail."))
+    val input = spark.createDataset(Seq("a", "b", "a"))
+    val fa = Future(Jobs.run(spark, "wm_a", input, ok, outDir, catalog))
+    val fb = Future(Jobs.run(spark, "wm_b", input, ok, outDir, catalog))
+    val fc = Future(Jobs.run(spark, "wm_c", input, bad, outDir, catalog))
+    val (ra, rb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    intercept[org.apache.spark.SparkException](Await.result(fc, 120.seconds))
+    // the healthy jobs' results are intact and readable by name
+    for (r <- Seq(ra, rb)) {
+      val m = Jobs.results(catalog, r.name).collect()
+        .map(row => row.getString(0) -> row.getString(1)).toMap
+      assert(m == Map("a" -> "2", "b" -> "1"))
+    }
+  }
+
   test("simple_innerjoin: classic join via the relational surface") {
     // examples/util/simple_innerjoin.py joins persons × pets on col0; the
     // migrating user swaps the hand-partitioned sort-merge for a join()
