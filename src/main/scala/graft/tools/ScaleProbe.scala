@@ -79,6 +79,17 @@ object ScaleProbe {
     // candidates ~ n²/2^bits; +4 bits pays for a 16× corpus
     timed("embed_neardup_lsh12") { Similarity.nearDupPairsLsh(
       embs, "vec_id", "embedding", tau = 0.999, bits = 12) }
+    // quality/safety filters: scan-shaped, should stay ~linear
+    timed("repetition") {
+      graft.ops.TextOps.repetitionProfile(docs, "doc_id", "text", 2) }
+    timed("contamination") {
+      graft.ops.TextOps.contamination(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 100), "text") }
+    timed("redact") {
+      // aggregate over the redacted column: a bare projection + count()
+      // would let Catalyst PRUNE the regex chain and time nothing
+      docs.select(graft.ops.TextOps.redactPii(col("text")).as("t"))
+        .agg(max(length(col("t")))) }
 
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
