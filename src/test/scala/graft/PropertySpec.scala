@@ -94,6 +94,84 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("rangeJoin equals the naive BETWEEN join on generated intervals") {
+    import spark.implicits._
+    val pointG: Gen[Double] = Gen.chooseNum(-100.0, 100.0)
+    val ivalG: Gen[(Double, Double)] =
+      Gen.zip(Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0.0, 40.0))
+        .map { case (lo, span) => (lo, lo + span) }
+    samples(Gen.zip(Gen.listOfN(40, pointG), Gen.listOfN(12, ivalG)), 3)
+      .foreach { case (ps, ivs) =>
+        val points = ps.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("pid", "v")
+        val intervals = ivs.zipWithIndex.map { case ((lo, hi), i) =>
+          (i.toLong, lo, hi) }.toDF("iid", "lo", "hi")
+        val fast = graft.ops.RelationalOps
+          .rangeJoin(points, "v", intervals, "lo", "hi", bucketWidth = 10.0)
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        val naive = points.join(intervals,
+            col("v") >= col("lo") && col("v") < col("hi"))
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        assert(fast == naive)
+      }
+  }
+
+  test("CDC chunking: lossless coverage and partitioning-independence on random payloads") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val payloads = (0L until 6L).map { id =>
+      (id, Array.fill[Byte](200 + rnd.nextInt(5000))(rnd.nextInt(256).toByte))
+    }
+    def chunksWith(parts: Int) = graft.multimodal.Multimodal
+      .cdcChunks(spark, payloads.toDF("id", "payload").repartition(parts),
+        maskBits = 8, window = 16, minChunk = 64, maxChunk = 1024)
+      .collect().sortBy(c => (c.id, c.idx)).toSeq
+    val a = chunksWith(1)
+    // coverage: contiguous, exact, bounded
+    for ((id, bytes) <- payloads) {
+      val cs = a.filter(_.id == id)
+      assert(cs.map(_.nBytes.toLong).sum == bytes.length)
+      assert(cs.forall(c => c.nBytes <= 1024))
+      assert(cs.init.forall(c => c.nBytes >= 64)) // only the tail may be short
+      cs.sliding(2).foreach {
+        case Seq(x, y) => assert(y.offset == x.offset + x.nBytes)
+        case _ =>
+      }
+    }
+    // determinism: boundaries cannot depend on how rows were partitioned
+    assert(a == chunksWith(5))
+  }
+
+  test("XML escape/extract round-trips arbitrary unicode text") {
+    import graft.io.Xml
+    import spark.implicits._
+    // exclude XML-unrepresentable control chars (documented limitation);
+    // \r and \n are representable and MUST survive
+    val xmlSafe: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('\n', '\r', ' ', '&', '<', '>', '"',
+        '\'', 'ß', '中', ']', '）'))).map(_.mkString)
+    val texts = samples(xmlSafe, 150).distinct
+    val got = texts.toDF("t")
+      .withColumn("back", Xml.extractCol(
+        concat(lit("<d><t>"), Xml.escapeCol(col("t")), lit("</t></d>")), "t"))
+      .select("t", "back").as[(String, Seq[String])].collect().toMap
+    texts.foreach { t =>
+      assert(got(t) == Seq(t), s"bytes=${t.getBytes("UTF-8").toSeq}")
+    }
+  }
+
+  test("hashSample is repartition-invariant and near the target rate") {
+    import spark.implicits._
+    val df = spark.range(0, 20000).select(col("id"))
+    def ids(parts: Int) = graft.ops.Sampling
+      .hashSample(df.repartition(parts), col("id"), 0.3, salt = "p")
+      .as[Long].collect().toSet
+    val a = ids(2)
+    assert(a == ids(13)) // the draw depends only on (key, salt)
+    val rate = a.size.toDouble / 20000
+    assert(math.abs(rate - 0.3) < 0.02, s"rate=$rate")
+  }
+
   test("QExpr: render-parse is the identity for any query tree") {
     import graft.query.QExpr
     import graft.query.QExpr.{And, Lit, Not, Or, Q}
