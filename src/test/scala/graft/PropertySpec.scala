@@ -172,6 +172,61 @@ class PropertySpec extends SparkTestBase {
     assert(math.abs(rate - 0.3) < 0.02, s"rate=$rate")
   }
 
+  test("redis round-trips arbitrary unicode keys and values (RESP is length-prefixed)") {
+    import spark.implicits._
+    val srv = new graft.io.MiniRedis()
+    try {
+      // embedded \r\n and multi-byte chars must survive: bulk strings are
+      // length-prefixed, never delimiter-scanned
+      val kvG = Gen.zip(
+        Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('中'))).map(_.mkString),
+        Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('\r', '\n', ' ', 'ß', '中')))
+          .map(_.mkString))
+      val pairs = samples(kvG, 60).distinct
+      graft.io.Redis.write(pairs.toDF("key", "value"), srv.url())
+      val back = graft.io.Redis.read(spark, Seq(srv.url()), scanCount = 7)
+        .as[(String, String)].collect().toSeq
+      assert(back.sorted == pairs.sorted, s"n=${pairs.size}")
+    } finally srv.close()
+  }
+
+  test("framed external pipe is the identity on random binary frames") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val frames = (0 until 40).map { i =>
+      (Array.fill[Byte](1 + rnd.nextInt(50))(rnd.nextInt(256).toByte),
+        Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte))
+    }
+    val back = graft.api.External
+      .pipeFramed(frames.toDS().repartition(3), Seq("cat"))
+      .collect().map { case (k, v) => (k.toSeq, v.toSeq) }.sortBy(_.toString)
+    val want = frames.map { case (k, v) => (k.toSeq, v.toSeq) }.sortBy(_.toString)
+    assert(back.toSeq == want)
+  }
+
+  test("minhash LSH pairs are a verified subset on generated corpora") {
+    import spark.implicits._
+    val doc: Gen[String] = Gen.chooseNum(3, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a0", "b1", "c2", "d3", "e4", "f5", "g6"))
+        .map(_.mkString(" ")))
+    samples(Gen.listOfN(20, doc), 2).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.6)
+        .as[(Long, Long, Double)].collect()
+      // precision = 1: every emitted pair is exactly verified >= tau
+      assert(got.forall(p => p._3 >= 0.6 && p._1 < p._2))
+      // identical texts share every band -> must always be found
+      val twins = texts.zipWithIndex.groupBy(_._1).values
+        .filter(_.size > 1)
+        .flatMap(g => g.map(_._2.toLong).sorted.combinations(2))
+        .map { case Seq(x, y) => (x, y) }.toSet
+      val gotPairs = got.map(p => (p._1, p._2)).toSet
+      assert(twins.subsetOf(gotPairs), s"missed twins: ${twins -- gotPairs}")
+    }
+  }
+
   test("QExpr: render-parse is the identity for any query tree") {
     import graft.query.QExpr
     import graft.query.QExpr.{And, Lit, Not, Or, Q}
