@@ -686,6 +686,21 @@ object SparkEntry {
         .select(explode(graft.io.Xml.extractCol(col("xml"), "text")).as("content"))
         .orderBy("content")),
 
+    // #38 — http-model URL source: document text written as part files,
+    // then read back through the task-per-URL machinery (file:// stands in
+    // for http:// in this zero-egress container — same opener/streaming/
+    // retry path) and word-counted. Oracle = wordcount over the source.
+    "q_url_source" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val path = graft.io.IoScratch.dir + "/documents_urls"
+      graft.io.Sinks.writeText(d.select("text"), path)
+      val urls = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.toURI.toString).sorted.toSeq
+      TextOps.wordCount(
+        graft.io.Sources.readUrls(s, urls).withColumnRenamed("line", "text"),
+        "text").orderBy("word")
+    }),
+
     // #48 — re_reader: regex record parser over the events.props payload;
     // every match yields one record (finditer semantics), groups → columns.
     "q_re_reader" -> ((s, dir) =>
@@ -1424,6 +1439,13 @@ object SparkEntry {
     // raw source column.
     "q_xml_reader" ->
       "SELECT text AS content FROM documents ORDER BY content",
+
+    "q_url_source" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin,
 
     // match-complete like Sources.reReader's finditer semantics: EVERY
     // '"k": N' occurrence in props is a record, not just the first per row
