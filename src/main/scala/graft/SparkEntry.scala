@@ -701,6 +701,29 @@ object SparkEntry {
         "text").orderBy("word")
     }),
 
+    // #19 — grouping group_all: the single-global-task stage (Disco's
+    // global reduce, pipeline_utils.erl:174-181). One GroupNodeLabel
+    // pre-combine bounds what the lone task sees; the GroupAll stage then
+    // computes the GLOBAL distinct-event-type count + total in one task.
+    "q_group_all" -> ((s, dir) => {
+      import s.implicits._
+      val input = Tables.events(s, dir).select("event_type").as[String]
+        .map(et => Pipeline.LKV(math.floorMod(et.hashCode, 8), et, "1"))
+      val combine = Pipeline.combineStage("node_combine")
+      val globalStage = Pipeline.Stage("global", { it =>
+        var total = 0L
+        val keys = scala.collection.mutable.Set.empty[String]
+        it.foreach { r => total += r.value.toLong; keys += r.key }
+        Iterator(Pipeline.LKV(0, "n_types", keys.size.toString),
+          Pipeline.LKV(0, "n_events", total.toString))
+      })
+      Pipeline.run(s, input,
+        Seq(Pipeline.GroupNodeLabel -> combine, Pipeline.GroupAll -> globalStage),
+        labels = 8)
+        .select(col("key"), col("value").cast("long").as("n"))
+        .orderBy("key")
+    }),
+
     // #48 — re_reader: regex record parser over the events.props payload;
     // every match yields one record (finditer semantics), groups → columns.
     "q_re_reader" -> ((s, dir) =>
@@ -1439,6 +1462,13 @@ object SparkEntry {
     // raw source column.
     "q_xml_reader" ->
       "SELECT text AS content FROM documents ORDER BY content",
+
+    "q_group_all" ->
+      """SELECT key, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'n_types' AS key, count(DISTINCT event_type) AS n FROM events
+        |  UNION ALL
+        |  SELECT 'n_events', count(*) FROM events)
+        |ORDER BY key""".stripMargin,
 
     "q_url_source" ->
       """SELECT word, count(*) AS cnt
