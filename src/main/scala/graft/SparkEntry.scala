@@ -701,6 +701,23 @@ object SparkEntry {
         "text").orderBy("word")
     }),
 
+    // #8 — sorted reduce (classic sort=true, the Unix-sort spill analog):
+    // the reduce CONCATENATES its values, so the output is only correct if
+    // each key's values arrive in sorted order — the oracle's
+    // string_agg(... ORDER BY ...) must match byte-for-byte.
+    "q_sorted_reduce" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Tables.nation(s, dir)
+        .select(concat_ws("\t", col("n_regionkey"), col("n_name"))).as[String]
+      val job = graft.api.Classic.Job(
+        map = l => { val Array(k, v) = l.split("\t", 2); Seq(k -> v) },
+        reduce = Some((k, vs) => Iterator.single(k -> vs.mkString(","))),
+        sort = true, partitions = 4)
+      graft.api.Classic.run(s, lines, job)
+        .toDF("n_regionkey", "names")
+        .orderBy("n_regionkey")
+    }),
+
     // #19 — grouping group_all: the single-global-task stage (Disco's
     // global reduce, pipeline_utils.erl:174-181). One GroupNodeLabel
     // pre-combine bounds what the lone task sees; the GroupAll stage then
@@ -1462,6 +1479,11 @@ object SparkEntry {
     // raw source column.
     "q_xml_reader" ->
       "SELECT text AS content FROM documents ORDER BY content",
+
+    "q_sorted_reduce" ->
+      """SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q_group_all" ->
       """SELECT key, CAST(n AS BIGINT) AS n FROM (
