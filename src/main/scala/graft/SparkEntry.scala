@@ -694,8 +694,12 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val path = graft.io.IoScratch.dir + "/documents_urls"
       graft.io.Sinks.writeText(d.select("text"), path)
-      val urls = new java.io.File(path).listFiles()
-        .filter(_.getName.startsWith("part-")).map(_.toURI.toString).sorted.toSeq
+      val files = new java.io.File(path).listFiles()
+      require(files != null,
+        s"url source: cannot list $path driver-locally — this query needs a " +
+          "local scratch dir (GRAFT_SCRATCH)")
+      val urls = files.filter(_.getName.startsWith("part-"))
+        .map(_.toURI.toString).sorted.toSeq
       TextOps.wordCount(
         graft.io.Sources.readUrls(s, urls).withColumnRenamed("line", "text"),
         "text").orderBy("word")
@@ -707,7 +711,11 @@ object SparkEntry {
     // string_agg(... ORDER BY ...) must match byte-for-byte.
     "q_sorted_reduce" -> ((s, dir) => {
       import s.implicits._
+      // null n_name would vanish under concat_ws (no separator -> MatchError
+      // in the map) and string_agg skips nulls anyway: drop them on BOTH
+      // sides' semantics. TPC-H names are tab-free A-Z.
       val lines = Tables.nation(s, dir)
+        .filter(col("n_name").isNotNull)
         .select(concat_ws("\t", col("n_regionkey"), col("n_name"))).as[String]
       val job = graft.api.Classic.Job(
         map = l => { val Array(k, v) = l.split("\t", 2); Seq(k -> v) },
