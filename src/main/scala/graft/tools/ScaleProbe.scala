@@ -51,6 +51,10 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(50000L)
+    // optional 2nd arg: comma-separated op-name substrings to run (e.g.
+    // "minhash,embed" probes at big n without the vocab-dense jaccard)
+    val only: Option[Seq[String]] =
+      args.lift(1).map(_.split(",").map(_.trim).toSeq)
     val spark = graft.core.GraftSession
       .builder("graft-scale-probe", cores = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,11 +65,12 @@ object ScaleProbe {
 
     val secs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    def timed(name: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      rows(name) = df.count()
-      secs(name) = (System.nanoTime() - t0) / 1e9
-    }
+    def timed(name: String)(df: => DataFrame): Unit =
+      if (only.forall(_.exists(name.contains))) {
+        val t0 = System.nanoTime()
+        rows(name) = df.count()
+        secs(name) = (System.nanoTime() - t0) / 1e9
+      }
 
     timed("dedup_exact") { Dedup.exact(docs, "doc_id", "text") }
     timed("jaccard_ppjoin") { Dedup.jaccardPairs(docs, "doc_id", "text", 0.9) }
