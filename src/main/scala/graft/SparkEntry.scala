@@ -497,6 +497,18 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
+    // SemDeDup (Abbas et al. 2023, public paper): semantic dedup — k-means
+    // clusters (same deterministic quantizer as q_ann_ivf, 8 cells), then
+    // intra-cluster cosine prune keeping the LEAST-centroid-similar member
+    // of each near-dup group (the paper's diversity-keeping rule). Pairwise
+    // work is cluster-bounded (Σ|c|², k ∝ n at scale); the oracle replays
+    // quantizer + keep rule bit-for-bit.
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          tau = 0.35, k = 8, lloydIters = 3)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
     // §2.3 #33 — estimate π (examples/util/estimate_pi.py) with a
     // deterministic hash-uniform instead of random(); input-free generator,
     // map-side partial aggregation — one codegen pass at any scale.
@@ -847,6 +859,47 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------- oracle SQL
+
+  // Shared DuckDB fragments for the k-means-quantizer oracles (q_ann_ivf,
+  // q_semdedup, alongside q_kmeans_assign's inline copy): decimal-exact
+  // Lloyd steps with the same init and tie-breaks as graft.chain.KMeans.
+  private def sqd(p: String, c: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($p)+1), d -> ($p[d]-$c[d])*($p[d]-$c[d]))), (acc,x) -> acc+x)"
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** CTE chain `e, dims, c0 … c3, afinal`: embeddings as DOUBLE[], k seed
+    * centers (first k by vec_id), 3 assign/update rounds, final assignment.
+    */
+  private def kmeansCtes(k: Int): String = {
+    def assign(a: String, cPrev: String) =
+      s"""$a AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, c.cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqd("e.v", "c.v")} ASC, c.cluster ASC) AS rn
+         |    FROM e CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
+    def update(i: Int) =
+      s"""u$i AS (
+         |  SELECT cluster, d,
+         |    CAST(sum(CAST(v[d] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+         |  FROM a$i CROSS JOIN dims GROUP BY cluster, d),
+         |c$i AS (
+         |  SELECT c.cluster, coalesce(nv.v, c.v) AS v
+         |  FROM c${i - 1} c LEFT JOIN (
+         |    SELECT cluster, list(m ORDER BY d) AS v FROM u$i GROUP BY cluster) nv
+         |  USING (cluster))""".stripMargin
+    val body = (1 to 3).map(i => assign(s"a$i", s"c${i - 1}") + ",\n" + update(i))
+      .mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS d),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
+       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+       |$body,
+       |${assign("afinal", "c3")}""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_wordcount" ->
@@ -1349,35 +1402,8 @@ object SparkEntry {
 
     // IVF: the q_kmeans_assign quantizer CTEs (4 cells, 3 decimal-exact
     // Lloyd steps, same init/tie-breaks) + 2-cell probe + exact re-rank.
-    "q_ann_ivf" -> {
-      def sqd(p: String, c: String) =
-        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-          s"list_transform(range(1, len($p)+1), d -> ($p[d]-$c[d])*($p[d]-$c[d]))), (acc,x) -> acc+x)"
-      def assign(a: String, cPrev: String) =
-        s"""$a AS (
-           |  SELECT vec_id, v, cluster FROM (
-           |    SELECT e.vec_id, e.v, c.cluster,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${sqd("e.v", "c.v")} ASC, c.cluster ASC) AS rn
-           |    FROM e CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
-      def update(i: Int) =
-        s"""u$i AS (
-           |  SELECT cluster, d,
-           |    CAST(sum(CAST(v[d] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
-           |  FROM a$i CROSS JOIN dims GROUP BY cluster, d),
-           |c$i AS (
-           |  SELECT c.cluster, coalesce(nv.v, c.v) AS v
-           |  FROM c${i - 1} c LEFT JOIN (
-           |    SELECT cluster, list(m ORDER BY d) AS v FROM u$i GROUP BY cluster) nv
-           |  USING (cluster))""".stripMargin
-      val body = (1 to 3).map(i => assign(s"a$i", s"c${i - 1}") + ",\n" + update(i))
-        .mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS d),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
-         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
-         |$body,
-         |${assign("afinal", "c3")},
+    "q_ann_ivf" ->
+      s"""WITH ${kmeansCtes(4)},
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
          |probe AS (SELECT query_id, qv, cell FROM (
          |  SELECT q.query_id, q.qv, c.cluster AS cell,
@@ -1394,8 +1420,24 @@ object SparkEntry {
          |  SELECT query_id, vec_id, sim,
          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
          |  FROM s)
-         |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin
-    },
+         |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
+
+    // SemDeDup: same quantizer CTEs at 8 cells; csim = cosine to the own-
+    // cluster centroid; a row is dropped iff a strictly-more-keepable
+    // same-cluster neighbor (lower csim, id tie-break) is cosine >= 0.35.
+    "q_semdedup" ->
+      s"""WITH ${kmeansCtes(8)},
+         |scored AS (
+         |  SELECT a.vec_id, a.v, a.cluster, ${cosSql("a.v", "c.v")} AS csim
+         |  FROM afinal a JOIN c3 c USING (cluster)),
+         |dropped AS (
+         |  SELECT DISTINCT x.vec_id FROM scored x JOIN scored y
+         |    ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+         |   AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+         |   AND ${cosSql("x.v", "y.v")} >= 0.35)
+         |SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS keep
+         |FROM scored s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_nationkey FROM customer c

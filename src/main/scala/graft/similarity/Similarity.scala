@@ -177,6 +177,56 @@ object Similarity {
     rankTopK(corpusCells.join(broadcast(probes), "cell"), k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    * semantic deduplication by clustering. Cluster the corpus embeddings
+    * with deterministic k-means ([[graft.chain.KMeans]]), then WITHIN each
+    * cluster drop every vector that has a cosine neighbor (sim >= tau)
+    * that is more keepable — the paper's rule keeps the member with the
+    * LOWEST cosine similarity to its cluster centroid (retaining each
+    * cluster's diverse boundary examples over its dense core); id breaks
+    * ties.
+    *
+    * Scale shape (the whole point of the clustering step): pairwise work
+    * is cluster-bounded — Σ|cluster|² instead of n². k grows with n
+    * (the paper uses k ≈ n/10⁴) so cluster sizes stay bounded; the
+    * intra-cluster join is an equi-join on the cluster id (AQE handles
+    * residual skew), never a cartesian. At 100 TB the quantizer trains on
+    * a [[graft.ops.Sampling.hashSample]] of the corpus exactly like IVF.
+    *
+    * Deterministic: k-means init/tie-breaks fixed, centers decimal-exact,
+    * sims fixed-order IEEE folds → engine-reproducible keep decisions
+    * (the DuckDB oracle replays quantizer + keep rule bit-for-bit).
+    *
+    * Output: (id, cluster, keep) for every input row.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+               k: Int = 8, lloydIters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val (centers, assigned) =
+      graft.chain.KMeans.run(spark, df, idCol, vecCol, k, lloydIters)
+    val centArr = array(centers.map(c => lit(c.toArray)): _*)
+    val scored = assigned
+      .withColumn("n", vec_norm(col("v")))
+      .withColumn("cent", element_at(centArr, col("cluster") + 1))
+      .withColumn("csim",
+        vec_dot(col("v"), col("cent")) / (col("n") * vec_norm(col("cent"))))
+      .select("id", "v", "cluster", "n", "csim")
+      .cache()
+    val dropped = scored.as("x").join(scored.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.id") =!= col("y.id") &&
+          (col("y.csim") < col("x.csim") ||
+            (col("y.csim") === col("x.csim") && col("y.id") < col("x.id"))))
+      .withColumn("sim",
+        vec_dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")))
+      // same NaN guard rationale as rankTopK: a NaN compares true under >=
+      // in no engine consistently — drop it before it fabricates a dup
+      .filter(!isnan(col("sim")) && col("sim") >= tau)
+      .select(col("x.id").as("id")).distinct()
+    scored
+      .join(dropped.withColumn("_drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("_drop").isNull.as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, sim >= tau). Exact
     * all-pairs — the verification-grade spec. O(n²): use only on small
     * inputs / as a test oracle; the scale path is [[nearDupPairsLsh]].

@@ -144,4 +144,41 @@ class DedupSimilaritySpec extends SparkTestBase {
       .orderBy("rank").select("sim").as[Double].collect()
     assert(got.sameElements(got.sorted(Ordering[Double].reverse)))
   }
+
+  test("semDedup: planted duplicate clusters keep exactly the least-centroid-similar member") {
+    import spark.implicits._
+    // 3 exact-duplicate groups planted on top of the fixture corpus: clones
+    // of vectors 0, 1, 2 with ids >= 10000 (cosine 1.0 to their source).
+    val clones = embs.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val planted = embs.unionByName(clones)
+    val out = Similarity.semDedup(planted, "vec_id", "embedding",
+      tau = 0.999999, k = 8).cache()
+    assert(out.count() == embs.count() + 3)
+    // each planted pair: same cluster (identical vectors), identical csim →
+    // id tie-break keeps the ORIGINAL (smaller id), drops the clone
+    val flags = out.filter(col("id") < 3 || col("id") >= 10000)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    (0L until 3L).foreach { i =>
+      assert(flags(i), s"original $i must be kept")
+      assert(!flags(i + 10000), s"clone of $i must be dropped")
+    }
+    // a dropped row always has a kept, cosine-similar, more-keepable
+    // neighbor in ITS OWN cluster: verify via the exact pair spec
+    val dropped = out.filter(!col("keep")).select("id").as[Long].collect().toSet
+    assert(dropped.nonEmpty)
+    val pairs = Similarity.nearDupPairsExact(planted, "vec_id", "embedding", 0.999999)
+      .as[(Long, Long, Double)].collect()
+    dropped.intersect(Set(10000L, 10001L, 10002L)).foreach { d =>
+      assert(pairs.exists(p => p._1 == d - 10000 && p._2 == d))
+    }
+  }
+
+  test("semDedup is invariant under repartitioning") {
+    val a = Similarity.semDedup(embs, "vec_id", "embedding", tau = 0.35, k = 8)
+      .orderBy("id").collect().toSeq
+    val b = Similarity.semDedup(embs.repartition(17), "vec_id", "embedding",
+      tau = 0.35, k = 8).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }

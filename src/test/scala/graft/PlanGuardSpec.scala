@@ -14,7 +14,8 @@ class PlanGuardSpec extends SparkTestBase {
   private val guarded = Seq(
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash",
     "q_dedup_simhash", "q_embed_neardup", "q_ann_lsh", "q_ann_ivf",
-    "q_dedup_cluster", "q_contamination", "q_repetition", "q_range_join")
+    "q_dedup_cluster", "q_contamination", "q_repetition", "q_range_join",
+    "q_semdedup")
 
   test("no CartesianProduct / BroadcastNestedLoopJoin in any scale-path similarity plan") {
     for (name <- guarded) {
