@@ -246,6 +246,16 @@ object SparkEntry {
         col("lang"), Map("en" -> 0.5), 0.1, salt = "s3")
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Data mixing: downsample every language to ~the smallest language's
+    // count (rate = min/cnt, deterministic md5 draw) — the corpus
+    // rebalance step of a multilingual training pipeline. Rates derive in
+    // the plan (no driver collect); the oracle replays threshold math and
+    // draw bit-for-bit.
+    "q_mix_rebalance" -> ((s, dir) =>
+      Sampling.rebalanceToMin(Tables.documents(s, dir), col("doc_id"),
+          col("lang"), salt = "mix")
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // End-to-end training-data prep: language filter → token-count quality
     // gate → exact dedup (min-id canonical per content fingerprint) →
     // deterministic 50% sample. The composite pipeline a 100 TB corpus
@@ -1232,6 +1242,16 @@ object SparkEntry {
          |      CASE WHEN lang = 'en' THEN ${math.floor(0.5 * 4294967296.0).toLong}
          |           ELSE ${math.floor(0.1 * 4294967296.0).toLong} END
          |ORDER BY doc_id""".stripMargin,
+
+    "q_mix_rebalance" ->
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |m AS (SELECT min(cnt) AS mn FROM c),
+         |t AS (SELECT lang, CAST(floor(4294967296.0 *
+         |        (CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT) AS thr
+         |      FROM c CROSS JOIN m)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+         |WHERE ${Sampling.hashDrawSql("d.doc_id", "mix")} < t.thr
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_prep_pipeline" ->
       s"""WITH en AS (

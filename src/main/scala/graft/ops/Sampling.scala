@@ -44,6 +44,34 @@ object Sampling {
     df.filter(hashDraw(key, salt) < thr)
   }
 
+  /** Data mixing: rebalance a corpus across groups (language, source
+    * domain) by downsampling every group to ~the smallest group's size —
+    * per-group keep rate = min_count / group_count. The rates are derived
+    * IN the plan (one groupBy the size of the group dictionary + a 1-row
+    * broadcast of the min + a join back on the group key that AQE
+    * broadcasts when the dictionary is small), so nothing is collected at
+    * the driver and the group cardinality may be web-scale (domains).
+    * The draw is the same deterministic md5 filter as [[hashSample]]:
+    * retry-stable, partitioning-independent, engine-replayable.
+    *
+    * The threshold is floor(2³² · (min/cnt)) computed in IEEE doubles in
+    * this exact operation order — the oracle replays it verbatim, so keep
+    * decisions are bit-identical across engines.
+    */
+  def rebalanceToMin(df: DataFrame, key: Column, group: Column,
+                     salt: String = "graft"): DataFrame = {
+    val counts = df.groupBy(group.as("_g")).agg(count(lit(1)).as("_cnt"))
+    val minCnt = counts.agg(min(col("_cnt")).as("_min"))
+    val thr = counts.crossJoin(broadcast(minCnt))
+      .withColumn("_thr",
+        floor(lit(4294967296.0) *
+          (col("_min").cast("double") / col("_cnt").cast("double"))).cast("long"))
+      .select(col("_g"), col("_thr"))
+    df.join(thr, group === col("_g"))
+      .filter(hashDraw(key, salt) < col("_thr"))
+      .drop("_g", "_thr")
+  }
+
   /** The SQL a DuckDB/ANSI engine needs to replay [[hashDraw]] — kept next
     * to the Scala so the two formulas can't drift apart.
     */

@@ -65,4 +65,27 @@ class SamplingSessionSpec extends SparkTestBase {
       .select("event_id", "session_n").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
+
+  test("rebalanceToMin levels group sizes to ~min and is repartition-invariant") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val before = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val mn = before.values.min
+    val out = Sampling.rebalanceToMin(docs, col("doc_id"), col("lang"), "t")
+    // subset of the input, and deterministic under repartitioning
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.rebalanceToMin(docs.repartition(13), col("doc_id"),
+      col("lang"), "t").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == ids2)
+    assert(ids.toSet.subsetOf(docs.select("doc_id").as[Long].collect().toSet))
+    // every group lands within binomial noise of the min count (4 sigma),
+    // and the min group keeps everything (rate exactly 1)
+    val after = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(after(before.minBy(_._2)._1) == mn)
+    after.foreach { case (g, n) =>
+      assert(math.abs(n - mn) <= 4 * math.sqrt(mn) + 1,
+        s"group $g: $n vs target $mn (before ${before(g)})")
+    }
+  }
 }
