@@ -29,36 +29,55 @@ object KMeans {
   private def sqDist(v: org.apache.spark.sql.Column, center: Seq[Double]) =
     graft.functions.VectorOps.vec_sqdist(v, lit(center.toArray))
 
-  /** Assign each row to the nearest center (squared euclidean). */
+  /** Assign each row to the nearest center (squared euclidean); ties break
+    * to the lowest cluster id (= first index holding the min distance).
+    *
+    * Shape matters here: a when-chain argmin fold would embed the
+    * accumulated tree TWICE per step (condition + otherwise) — an
+    * expression tree exponential in k that breaks codegen past k ≈ 10 and
+    * then eval-falls-back into the exponential tree (measured: 54 s for
+    * one assignment at n=5k, k=10). The distance ARRAY is linear in k:
+    * k codegen'd sqdist loops + one array_min + first-index lookup, same
+    * values, same tie-break, any k.
+    */
   def assign(points: DataFrame, idCol: String, vecCol: String,
              centers: Seq[Seq[Double]]): DataFrame = {
     val v = asDouble(col(vecCol))
-    val dists = centers.zipWithIndex.map { case (c, i) => (i, sqDist(v, c)) }
-    val best = dists.tail.foldLeft(
-      struct(dists.head._2.as("d"), lit(dists.head._1).as("i"))) {
-      case (acc, (i, d)) =>
-        when(d < acc("d"), struct(d.as("d"), lit(i).as("i"))).otherwise(acc)
-    }
-    points.select(col(idCol).as("id"), v.as("v"), best("i").as("cluster"))
+    val dists = array(centers.map(c => sqDist(v, c)): _*)
+    points.select(col(idCol).as("id"), v.as("v"),
+      (array_position(dists, array_min(dists)) - 1).cast("int").as("cluster"))
   }
 
   /** Run `iterations` Lloyd steps; returns (centers, assignments). */
   def run(spark: SparkSession, points: DataFrame, idCol: String, vecCol: String,
           k: Int, iterations: Int): (Seq[Seq[Double]], DataFrame) = {
     val pts = points.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")).cache()
-    val dim = pts.select(size(col("v"))).head().getInt(0)
     var centers: Seq[Seq[Double]] = pts.orderBy("id").limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 1 to iterations) {
+      // localCheckpoint = an optimizer barrier, not just lineage hygiene:
+      // without it ColumnPruning collapses the assignment into the explode
+      // below and the k-sqdist argmin is recomputed PER EXPLODED ROW —
+      // dim× the work (measured 24 s vs 2 s at n=50k, k=100, dim=64)
       val assigned = assign(pts, "id", "v", centers)
+        .select("cluster", "v").localCheckpoint()
       // per-dimension sums in DECIMAL(38,18): order-independent exact, so
-      // centers are bit-identical at any partitioning / in any engine
-      val sums = assigned.groupBy("cluster").agg(
-        count(lit(1)).as("n"),
-        array((0 until dim).map(d =>
-          sum(element_at(col("v"), d + 1).cast("decimal(38,18)")).cast("double")): _*).as("s"))
-      val updated = sums.select(col("cluster"),
-          transform(col("s"), x => x / col("n")).as("c"))
+      // centers are bit-identical at any partitioning / in any engine.
+      // Shape matters: ONE decimal sum over exploded (cluster, d, x) rows —
+      // a 64-wide array of decimal sums generates an update method too big
+      // for HotSpot's JIT (measured 26 s/iteration at n=50k that this
+      // shape runs in ~2 s). Same adds, same cast chain → same centers;
+      // partial aggregation still combines map-side on (cluster, d).
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cluster", "d")
+        .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("m"),
+          count(lit(1)).as("n"))
+      val updated = sums
+        .groupBy("cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), (col("m") / col("n")).as("c")))),
+          s => s("c")).as("c"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
       centers = centers.indices.map(i => updated.getOrElse(i, centers(i)))
     }

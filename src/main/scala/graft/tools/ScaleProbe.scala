@@ -84,6 +84,10 @@ object ScaleProbe {
     // candidates ~ n²/2^bits; +4 bits pays for a 16× corpus
     timed("embed_neardup_lsh12") { Similarity.nearDupPairsLsh(
       embs, "vec_id", "embedding", tau = 0.999, bits = 12) }
+    // SemDeDup: k ∝ n keeps clusters (and so Σ|c|² pairwise work) bounded —
+    // the probe scales k with n/500 to exercise exactly that knob
+    timed("semdedup") { Similarity.semDedup(embs, "vec_id", "embedding",
+      tau = 0.999, k = math.max(8, (n / 500).toInt)) }
     // quality/safety filters: scan-shaped, should stay ~linear
     timed("repetition") {
       graft.ops.TextOps.repetitionProfile(docs, "doc_id", "text", 2) }
