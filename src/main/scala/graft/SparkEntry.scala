@@ -274,14 +274,20 @@ object SparkEntry {
     // §2.5 extension — exact group quantiles (order statistics): linear-
     // interpolated percentile, the ANSI quantile_cont contract on both
     // sides. Spark's exact `percentile` sorts within the hash-aggregate
-    // buffer — one shuffle on the group key.
-    "q_quantiles" -> ((s, dir) =>
+    // buffer — one shuffle on the group key. Flattened to scalar columns
+    // (one array-valued percentile call, then element_at) so the result
+    // schema is comparator-friendly.
+    "q_quantiles" -> ((s, dir) => {
+      val qs = percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75)))
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(transform(
-          percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))),
-          x => round(x, 6)).as("qs"))
-        .orderBy("l_returnflag")),
+        .agg(qs.as("qs"))
+        .select(col("l_returnflag"),
+          round(element_at(col("qs"), 1), 6).as("q25"),
+          round(element_at(col("qs"), 2), 6).as("q50"),
+          round(element_at(col("qs"), 3), 6).as("q75"))
+        .orderBy("l_returnflag")
+    }),
 
     // §2.5 extension — rollup (hierarchical subtotals).
     "q_rollup" -> ((s, dir) =>
@@ -1131,8 +1137,9 @@ object SparkEntry {
 
     "q_quantiles" ->
       """SELECT l_returnflag,
-        |       list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
-        |                      x -> round(x, 6)) AS qs
+        |       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+        |       round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+        |       round(quantile_cont(l_quantity, 0.75), 6) AS q75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_ngrams" ->
