@@ -35,8 +35,17 @@ object Bench {
       SparkEntry.queries("q_join_agg")(spark, sfDir).count()
     } catch { case _: Throwable => () }
 
+    // Optional local-iteration filter (comma-separated names); the bench
+    // driver never sets it, so driver runs always time the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

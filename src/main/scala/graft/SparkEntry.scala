@@ -315,6 +315,115 @@ object SparkEntry {
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     }),
 
+    // TPC-H Q1 (pricing summary) — the canonical scan-heavy aggregate: one
+    // pushed date filter, one shuffle on the 6-value group key, map-side
+    // partials carry everything. All money math in DECIMAL (exact,
+    // order-independent — fixture prices/discounts are 2-decimal), cast to
+    // DOUBLE only at the end; averages are one IEEE double division of
+    // identical numerators/denominators on both engines.
+    "q_tpch_q1" -> ((s, dir) => {
+      val discPrice =
+        expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))")
+      val charge =
+        expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(charge).cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3 (shipping priority) — selective fact⋈fact⋈dim: both date
+    // filters push to the scans, lineitem⋈orders shuffles on the order key,
+    // the filtered customer segment joins un-hinted (AQE broadcasts it at
+    // fixture scale; at TPC-H scale customer is fact-sized and must
+    // shuffle — forcing broadcast here would be the 100 TB bug). Top-10 via
+    // a deterministic total order (revenue desc, orderkey asc).
+    "q_tpch_q3" -> ((s, dir) => {
+      val cutoff = lit("1998-07-01").cast("timestamp")
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(sum(expr(
+          "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 (local supplier volume) — the 6-table join: region⋈nation
+    // broadcast (tiny dims), then customer⋈orders⋈lineitem⋈supplier shuffle
+    // on their keys with the c_nationkey = s_nationkey locality predicate
+    // closing the cycle. One aggregate per nation at the end.
+    "q_tpch_q5" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(expr(
+          "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // KMV distinct-count sketch (Bar-Yossef et al. 2002) — the profiling
+    // pass a 100 TB pipeline runs before choosing join/partition
+    // strategies. Engine-portable by construction (md5 hashes, pure
+    // arithmetic): the oracle replays the estimate bit-for-bit, which no
+    // HLL implementation allows. Plan = hash → distinct → TakeOrdered(k):
+    // only 8-byte hashes ever move.
+    "q_kmv_distinct" -> ((s, dir) =>
+      graft.functions.Sketches.kmvDistinct(
+        Tables.lineitem(s, dir), col("l_partkey"), k = 256)),
+
+    // Bloom-prefiltered semi-join: lineitems of small-size parts. The bloom
+    // over the dim keys prunes the fact scan before any exchange;
+    // result-identical to the plain semi-join (oracle = IN-subquery), and
+    // ScaleOpsSpec pins equivalence + the prefilter's presence in the plan.
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = Tables.part(s, dir).filter(col("p_size") <= 5)
+      graft.ops.ScaleOps.bloomSemiJoin(
+          Tables.lineitem(s, dir), dim, "l_partkey", "p_partkey",
+          mBits = 1 << 16, k = 4)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Substring-level duplication profile (window-hash approximation of
+    // exact-substring dedup): fraction of each doc's 8-token windows that
+    // occur in >= 2 distinct documents. All corpus-wide movement is keyed
+    // on the 16-byte window hash, never the window text.
+    "q_substring_dup" -> ((s, dir) =>
+      graft.dedup.Dedup.substringDupStats(
+          Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
+        .orderBy("id")),
+
     // §2.6 extension — as-of join (union+window formulation, single shuffle).
     // For each purchase, the most recent click value at or before it.
     "q_asof_join" -> ((s, dir) => {
@@ -941,6 +1050,74 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_kmv_distinct" ->
+      graft.functions.Sketches.kmvDistinctSql("lineitem", "l_partkey", k = 256),
+
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_substring_dup" ->
+      """WITH arr AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |FROM documents),
+        |d AS (SELECT doc_id, a FROM arr WHERE len(a) >= 8),
+        |wins AS (SELECT doc_id, unnest(list_transform(range(0, len(a) - 8 + 1),
+        |           i -> md5(array_to_string(list_slice(a, i+1, i+8), ' ')))) AS wh
+        |         FROM d),
+        |df AS (SELECT wh, count(DISTINCT doc_id) AS ndocs FROM wins GROUP BY wh)
+        |SELECT w.doc_id AS id, count(*) AS n_windows,
+        |       CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |       round(CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM wins w JOIN df f ON w.wh = f.wh
+        |GROUP BY w.doc_id ORDER BY id""".stripMargin,
 
     "q_total_sort" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -266,6 +266,41 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canon_id"))
   }
 
+  /** Substring-level duplication profile — the window-hash approximation of
+    * exact-substring dedup (Lee et al. 2021, arXiv:2107.06499: their
+    * suffix-array pass is inherently single-machine; hashing every w-token
+    * window is the standard distributable variant). A window POSITION is
+    * duplicated iff its w-token text occurs in >= `minDocs` distinct
+    * documents. Output per doc: total window positions, duplicated
+    * positions, and the duplicated fraction — the signal a substring-dedup
+    * cut filters on (docs below `w` tokens have no window and are omitted,
+    * same contract as [[shingles]]).
+    *
+    * Scale shape: windows explode to ~n_tokens rows per doc, but every
+    * corpus-wide movement is keyed on the 16-byte window HASH, never the
+    * window text — one groupBy(wh) for document frequency plus one
+    * equi-join back, both AQE-skewable. (A boilerplate window occurring in
+    * millions of docs is precisely the hot key AQE skew-split handles.)
+    */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+                        w: Int, minDocs: Int = 2): DataFrame = {
+    val wins = df
+      .select(col(idCol).as("id"), TextAnalysis.tokensArr(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("id"),
+        explode(TextAnalysis.ngramsArr(col("toks"), w)).as("win"))
+      .select(col("id"), md5(to_binary(col("win"), lit("utf-8"))).as("wh"))
+    val docFreq = wins.select("wh", "id").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("ndocs"))
+    wins.join(docFreq, "wh")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+  }
+
   /** 32-bit SimHash over distinct tokens: bit j of the fingerprint is 1 iff
     * sum over tokens of ±1 (sign = bit j of md5-derived 32-bit token hash)
     * is positive.

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distinct-count sketching for 100 TB profiling passes.
+  *
+  * KMV (k minimum values, Bar-Yossef et al. 2002): hash every key to a
+  * uniform 60-bit value, keep the k smallest DISTINCT hashes; if fewer than
+  * k survive the cardinality is exact, otherwise estimate
+  * `(k-1) * 2^60 / h_(k)`. Standard error ≈ 1/sqrt(k-2).
+  *
+  * Why not HyperLogLog (`approx_count_distinct`)? At this engine's oracle
+  * bar the sketch must be ENGINE-PORTABLE: the same bytes, the same
+  * estimate, replayable in ANSI SQL. HLL register layouts are
+  * implementation-private; KMV over md5 is pure arithmetic, so a DuckDB
+  * oracle reproduces the estimate bit-for-bit — and at scale it is still a
+  * single `TakeOrdered(k)` over hashed keys (per-partition heap of k, driver
+  * merge of p·k values), no full shuffle of the key space.
+  *
+  * The hash is the first 15 hex chars (60 bits) of md5 — inside the 2^53
+  * double-exact range for the estimate division, and the same slice-a-digest
+  * derivation the MinHash family uses ([[graft.dedup.Dedup]]).
+  */
+object Sketches {
+
+  /** Uniform 60-bit hash of a key (15 hex chars of md5, engine-portable). */
+  def hash60(key: Column, salt: String = "kmv"): Column =
+    conv(substring(md5(to_binary(concat(key.cast("string"), lit(":" + salt)),
+      lit("utf-8"))), 1, 15), 16, 10).cast("long")
+
+  private val Space: Double = math.pow(2.0, 60) // 2^60, exactly representable
+
+  /** KMV distinct-count estimate for `key` over `df`: one row
+    * `(k_used, kth_hash, est_distinct)`.
+    *
+    * Plan shape: hash → partial-distinct (map-side) → global distinct on the
+    * 8-byte hash → TakeOrdered(k) → single-row aggregate. The only data that
+    * ever crosses the wire is distinct 60-bit hashes, never raw keys.
+    */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 3, s"KMV needs k >= 3 (got $k)")
+    val smallest = df.select(hash60(key).as("h")).where(col("h").isNotNull)
+      .distinct()
+      .orderBy("h")
+      .limit(k)
+    smallest.agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
+      .select(
+        col("n").as("k_used"),
+        col("kth").as("kth_hash"),
+        // exact when the distinct count never filled the sketch
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) * lit(Space) / col("kth").cast("double"), 6))
+          .as("est_distinct"))
+  }
+
+  /** The DuckDB SQL that replays [[kmvDistinct]] bit-for-bit — kept beside
+    * the Scala so the formulas cannot drift.
+    */
+  def kmvDistinctSql(table: String, keyExpr: String, k: Int,
+                     salt: String = "kmv"): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 15)) AS BIGINT) AS h
+       |  FROM $table WHERE $keyExpr IS NOT NULL),
+       |s AS (SELECT h FROM h ORDER BY h LIMIT $k)
+       |SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash,
+       |       CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |            ELSE round(${(k - 1).toDouble} * ${Space} / CAST(max(h) AS DOUBLE), 6)
+       |       END AS est_distinct
+       |FROM s""".stripMargin
+}

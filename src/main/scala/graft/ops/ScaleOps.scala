@@ -69,6 +69,64 @@ object ScaleOps {
       .select(col(keyCol), col("cnt"), col("share"))
   }
 
+  /** Bit positions a key sets in an `mBits`-bit bloom filter: `k` 32-bit
+    * hashes sliced from ONE md5 digest (same slice-a-digest derivation as
+    * the MinHash family), each reduced mod `mBits`. Deterministic and
+    * engine-portable.
+    */
+  def bloomPositions(key: org.apache.spark.sql.Column, mBits: Int,
+                     k: Int): org.apache.spark.sql.Column = {
+    require(k >= 1 && k <= 4, s"k in [1,4] (one md5 digest): got $k")
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64: got $mBits")
+    val d = md5(to_binary(key.cast("string"), lit("utf-8")))
+    array((0 until k).map { i =>
+      pmod(conv(substring(d, i * 8 + 1, 8), 16, 10).cast("long"), lit(mBits.toLong))
+    }: _*)
+  }
+
+  /** Build the bloom bitmap for the dim keys: distributed hashing, then a
+    * driver materialization BOUNDED BY THE SKETCH (distinct bit positions,
+    * <= mBits ints — never the keys themselves). Same driver-side footprint
+    * contract as Spark's own runtime bloom filter, which also aggregates
+    * its bitmap to the driver before re-broadcasting.
+    */
+  def bloomBitmap(dim: DataFrame, dimKey: String, mBits: Int,
+                  k: Int): Array[Long] = {
+    val words = new Array[Long](mBits / 64)
+    dim.select(explode(bloomPositions(col(dimKey), mBits, k)).as("p"))
+      .distinct().collect()
+      .foreach { r => val p = r.getLong(0); words((p / 64).toInt) |= 1L << (p % 64) }
+    words
+  }
+
+  /** Bloom-prefiltered semi-join: prune the FACT side at scan speed with a
+    * broadcast bloom over the dim keys, then run the exact semi-join on the
+    * survivors. Result-identical to the plain semi-join (a bloom has no
+    * false negatives — every true match passes; the exact join removes the
+    * fpp tail). What it buys at 100 TB is shuffle volume: only
+    * ~|matching| + fpp·|fact| rows reach the exchange instead of the whole
+    * fact table. Spark's runtime bloom filter (runtimeFilter.bloomFilter)
+    * does this automatically for some plan shapes; this explicit operator
+    * covers the rest and makes the mBits/k (size vs fpp) tradeoff a
+    * library parameter. Dim-side contract: sketch-small (a blocklist, an
+    * id allowlist) — the same smallness broadcast joins already assume.
+    */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                    dimKey: String, mBits: Int = 1 << 20,
+                    k: Int = 4): DataFrame = {
+    val words = bloomBitmap(dim, dimKey, mBits, k)
+    val bitmap = typedLit(words.toSeq)
+    val pass = (0 until k).map { i =>
+      val p = bloomPositions(fact(factKey), mBits, k).getItem(i)
+      val word = element_at(bitmap,
+        call_function("div", p, lit(64L)).cast("int") + 1)
+      call_function("shiftright", word, pmod(p, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    fact.filter(pass)
+      .join(dim, fact(factKey) === dim(dimKey), "left_semi")
+  }
+
   /** Compact a parquet dataset into ~`targetFileBytes` files — the
     * small-files fix (a 100 TB pipeline writing per-task files from wide
     * shuffles accretes millions of KB-sized parts; scans then pay a task

@@ -47,6 +47,46 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(math.abs(top.getDouble(2) - 0.9) < 1e-9)
   }
 
+  test("bloom semi-join equals the plain semi-join exactly") {
+    val fact = graft.core.Tables.lineitem(spark, sfDir)
+    val dim = graft.core.Tables.part(spark, sfDir).filter(col("p_size") <= 5)
+    val bloomed = ScaleOps.bloomSemiJoin(fact, dim, "l_partkey", "p_partkey",
+      mBits = 1 << 12, k = 4).select("l_orderkey", "l_linenumber")
+    val plain = fact.join(dim, fact("l_partkey") === dim("p_partkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber")
+    assert(bloomed.count() == plain.count())
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+  }
+
+  test("bloom prefilter prunes the fact side before the join") {
+    val fact = graft.core.Tables.lineitem(spark, sfDir)
+    val dim = graft.core.Tables.part(spark, sfDir).filter(col("p_size") <= 5)
+    val joined = ScaleOps.bloomSemiJoin(fact, dim, "l_partkey", "p_partkey",
+      mBits = 1 << 12, k = 4)
+    // the filter must sit under the join in the optimized plan (scan-side
+    // prune), not above it
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    val joinIdx = optimized.indexOf("Join LeftSemi")
+    val filterIdx = optimized.indexOf("Filter", joinIdx)
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"expected a Filter below the semi-join; plan:\n$optimized")
+  }
+
+  test("bloom bitmap sets every dim key's bits (no false negatives)") {
+    import spark.implicits._
+    val dim = (0L until 100L).map(k => k * 7).toDF("dk")
+    val words = ScaleOps.bloomBitmap(dim, "dk", mBits = 1 << 10, k = 4)
+    // replay the membership test for each dim key against the bitmap
+    val misses = dim.select(explode(
+        ScaleOps.bloomPositions(col("dk"), 1 << 10, 4)).as("p"))
+      .collect()
+      .count { r =>
+        val p = r.getLong(0)
+        (words((p / 64).toInt) >> (p % 64) & 1L) == 0L
+      }
+    assert(misses == 0, s"$misses dim-key bit positions unset in the bitmap")
+  }
+
   test("compactParquet rewrites a many-file dataset into the target count, losslessly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     spark.range(0, 10000).repartition(64).write.parquet(dir)

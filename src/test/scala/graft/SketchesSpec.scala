@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+
+/** KMV distinct-count sketch: exact below k, bounded error above k, and a
+  * plan that only ever moves the 8-byte hashes (TakeOrdered, no full sort).
+  */
+class SketchesSpec extends SparkTestBase {
+
+  test("kmv is exact when distinct count < k") {
+    val df = spark.range(0, 500).select((col("id") % 37).as("k"))
+    val row = Sketches.kmvDistinct(df, col("k"), k = 256).collect().head
+    assert(row.getLong(0) == 37L)           // k_used = true cardinality
+    assert(row.getDouble(2) == 37.0)        // est = exact
+  }
+
+  test("kmv estimate is within 4 standard errors when distinct count >> k") {
+    val n = 20000L
+    val df = spark.range(0, n).select(col("id").as("k"))
+    val est = Sketches.kmvDistinct(df, col("k"), k = 256)
+      .collect().head.getDouble(2)
+    val se = 1.0 / math.sqrt(256 - 2)       // ~6.3% relative
+    assert(math.abs(est - n) / n < 4 * se,
+      s"estimate $est too far from $n (rel err ${math.abs(est - n) / n})")
+  }
+
+  test("kmv ignores nulls and hashes deterministically") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("b"), None, Some("a")).toDF("k")
+    val row = Sketches.kmvDistinct(df, col("k"), k = 16).collect().head
+    assert(row.getLong(0) == 2L && row.getDouble(2) == 2.0)
+    // same input -> same sketch bytes (engine-portable determinism)
+    val again = Sketches.kmvDistinct(df, col("k"), k = 16).collect().head
+    assert(row.getLong(1) == again.getLong(1))
+  }
+
+  test("kmv plan is TakeOrdered over hashes, not a global sort") {
+    val df = graft.core.Tables.lineitem(spark, sfDir)
+    val plan = Sketches.kmvDistinct(df, col("l_partkey"), k = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject (per-partition heap), got:\n$plan")
+  }
+}
