@@ -52,7 +52,16 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Untimed inter-query cleanup: queries cache/localCheckpoint for
+      // internal reuse and never unpersist (correct inside one query's
+      // lifetime). Across 75+ queries those blocks accrete until storage
+      // memory evicts the CURRENT query's cache mid-flight, forcing full
+      // upstream recomputation — round 4 measured 6x-9x blowups on the
+      // cache-reusing queries from exactly this.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
