@@ -228,13 +228,20 @@ object Dedup {
     * Output: (id, lbl) for every node that appears in an edge.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // No distinct() on the undirected expansion: min-label propagation is
+    // multiset-safe (min over duplicate edges = min over the set), and the
+    // groupBy below dedupes per key anyway — one less shuffle per build.
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+      .localCheckpoint()
+    // Init fused with round 1: label(id) = min(id, min neighbor id) in ONE
+    // shuffle — the separate identity-label init plus a first propagation
+    // round would spend two.
+    var labels = und.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .withColumnRenamed("src", "id").localCheckpoint()
     var changed = 1L
-    var i = 0
+    var i = 1
     while (changed > 0 && i < maxIter) {
       val nbrMin = und.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("lbl").as("nbr"))
