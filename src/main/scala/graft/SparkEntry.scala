@@ -424,6 +424,20 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
         .orderBy("id")),
 
+    // Overlapping token-window chunking (RAG / context-window prep): 16-token
+    // chunks, stride 8. Pure per-row transform — zero shuffle at any scale.
+    "q_chunk_overlap" -> ((s, dir) =>
+      graft.ops.TextOps.tokenChunks(
+          Tables.documents(s, dir), "doc_id", "text", chunkSize = 16, stride = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Vocabulary coverage profiling: top-20 corpus vocab by frequency,
+    // per-doc OOV token fraction (TakeOrdered vocab -> broadcast membership).
+    "q_oov_rate" -> ((s, dir) =>
+      graft.ops.TextOps.oovProfile(
+          Tables.documents(s, dir), "doc_id", "text", vocabSize = 20)
+        .orderBy("doc_id")),
+
     // §2.6 extension — as-of join (union+window formulation, single shuffle).
     // For each purchase, the most recent click value at or before it.
     "q_asof_join" -> ((s, dir) => {
@@ -1118,6 +1132,31 @@ object SparkEntry {
         |       round(CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM wins w JOIN df f ON w.wh = f.wh
         |GROUP BY w.doc_id ORDER BY id""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """WITH arr AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |FROM documents),
+        |d AS (SELECT doc_id, a FROM arr WHERE len(a) > 0),
+        |starts AS (SELECT doc_id, a, unnest(range(1, len(a) + 1, 8)) AS s FROM d)
+        |SELECT doc_id, CAST((s - 1) / 8 AS INT) AS chunk_idx,
+        |       CAST(len(list_slice(a, s, s + 16 - 1)) AS INT) AS n_tokens,
+        |       array_to_string(list_slice(a, s, s + 16 - 1), ' ') AS chunk
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |FROM documents),
+        |vocab AS (SELECT tok FROM (
+        |  SELECT tok, count(*) AS tf FROM tok GROUP BY tok
+        |  ORDER BY tf DESC, tok ASC LIMIT 20)),
+        |hit AS (SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |        FROM tok t LEFT JOIN vocab v ON t.tok = v.tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(oov) AS BIGINT) AS n_oov,
+        |       round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_total_sort" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -130,6 +130,59 @@ object TextOps {
           .as("contamination_frac"))
   }
 
+  /** Overlapping token-window chunking — context-window / RAG preparation:
+    * split each document's token stream into chunks of `chunkSize` tokens,
+    * one chunk starting every `stride` tokens (stride < chunkSize ⇒
+    * overlap; trailing chunks may be short — the HF-tokenizer stride
+    * contract). Token-less docs produce no chunks.
+    *
+    * Shape at 100 TB: a pure per-row transform — the chunk array is built
+    * inside the row (`sequence` of starts → `transform`+`slice`) and
+    * posexploded, so there is NO shuffle at any scale; chunking a corpus
+    * is scan-speed and embarrassingly parallel. Output stays (doc_id,
+    * chunk_idx)-keyed for downstream embedding/packing stages.
+    */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.TextAnalysis.tokensArr(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("toks")), lit(stride)),
+          s => slice(col("toks"), s, lit(chunkSize)))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        size(col("col")).as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk"))
+  }
+
+  /** Vocabulary coverage / out-of-vocabulary profiling — the tokenizer-
+    * coverage pass run before committing to a vocab: build the top-`vocabSize`
+    * corpus vocabulary by token frequency (deterministic: frequency desc,
+    * token asc tie-break) and score every document's OOV token fraction.
+    *
+    * Shape at 100 TB: one two-phase count keyed by token (shuffle volume =
+    * O(distinct tokens)), a TakeOrdered(V) for the vocab — driver-small BY
+    * CONSTRUCTION (V is a tokenizer-sized constant, not data-dependent) —
+    * broadcast back as a membership join, then one per-doc aggregation.
+    * Nothing global ever exceeds V rows.
+    */
+  def oovProfile(df: DataFrame, idCol: String, textCol: String,
+                 vocabSize: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("_in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - count(col("_in"))).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Gopher-style repetition quality signals per document — the standard
     * "drop boilerplate/spam before pretraining" filters:
     *  - `top_ngram_frac`: occurrences of the most frequent word n-gram over

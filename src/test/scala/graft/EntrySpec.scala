@@ -91,6 +91,40 @@ class EntrySpec extends SparkTestBase {
     assert(got(4) == "mixed <EMAIL> and <IP> and <PHONE>")
   }
 
+  test("tokenChunks covers every token, overlaps by stride, short tail allowed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"),  // 7 tokens, size 3 stride 2 -> starts 1,3,5,7
+      (2L, "x y"),            // 2 tokens -> one short chunk
+      (3L, "")                // token-less -> no chunks
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.tokenChunks(docs, "doc_id", "text", 3, 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, 3, "a b c"), (1L, 1, 3, "c d e"), (1L, 2, 3, "e f g"), (1L, 3, 1, "g"),
+      (2L, 0, 2, "x y")))
+    // every token of doc 1 appears in at least one chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == Set("a", "b", "c", "d", "e", "f", "g"))
+  }
+
+  test("oovProfile scores tokens outside the top-V vocab") {
+    import spark.implicits._
+    // corpus freq: common x4, mid x2, rare1/rare2 x1 -> vocab(2) = {common, mid}
+    val docs = Seq(
+      (1L, "common common mid rare1"),
+      (2L, "common common mid rare2")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.oovProfile(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 1L, 0.25), (2L, 4L, 1L, 0.25)))
+    // V >= distinct tokens -> zero OOV everywhere
+    val all = graft.ops.TextOps.oovProfile(docs, "doc_id", "text", 10)
+      .agg(sum("n_oov")).head.getLong(0)
+    assert(all == 0L)
+  }
+
   test("contamination flags exactly the docs sharing trigrams with the benchmark") {
     import spark.implicits._
     val docs = Seq(
