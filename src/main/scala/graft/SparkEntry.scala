@@ -424,6 +424,19 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
         .orderBy("id")),
 
+    // Cross-corpus fuzzy decontamination: every train doc (source != src0)
+    // scored against the eval corpus (source = src0) by LSH-banded MinHash,
+    // candidates verified by exact shingle-set Jaccard >= 0.7. Eval band
+    // table is benchmark-sized -> broadcasts; one report row per train doc.
+    "q_xcontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossCorpusContamination(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.7)
+        .orderBy("doc_id")
+    }),
+
     // Overlapping token-window chunking (RAG / context-window prep): 16-token
     // chunks, stride 8. Pure per-row transform — zero shuffle at any scale.
     "q_chunk_overlap" -> ((s, dir) =>
@@ -1132,6 +1145,42 @@ object SparkEntry {
         |       round(CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM wins w JOIN df f ON w.wh = f.wh
         |GROUP BY w.doc_id ORDER BY id""".stripMargin,
+
+    "q_xcontamination" ->
+      """WITH arr AS (SELECT doc_id, source,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |FROM documents),
+        |tok AS (SELECT doc_id, source, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |sh AS (SELECT DISTINCT t1.doc_id, t1.source, t1.w || ' ' || t2.w AS shingle
+        |       FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        |seeds AS (SELECT unnest(range(16)) AS seed),
+        |mh AS (SELECT doc_id, source, seed,
+        |         min(substring(md5((seed // 4) || ':' || shingle),
+        |                       (seed % 4) * 8 + 1, 8)) AS mh
+        |       FROM sh CROSS JOIN seeds GROUP BY doc_id, source, seed),
+        |bh AS (SELECT doc_id, source, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+        |       FROM mh GROUP BY doc_id, source, seed // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS tid, y.doc_id AS eid
+        |         FROM bh x JOIN bh y ON x.band = y.band AND x.bh = y.bh
+        |         WHERE x.source <> 'src0' AND y.source = 'src0'),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.tid, c.eid, count(*) AS i
+        |          FROM cand c
+        |          JOIN sh sa ON sa.doc_id = c.tid
+        |          JOIN sh sb ON sb.doc_id = c.eid AND sa.shingle = sb.shingle
+        |          GROUP BY c.tid, c.eid),
+        |ver AS (SELECT i.tid, CAST(i.i AS DOUBLE) / (st.n + se.n - i.i) AS jac
+        |        FROM inter i
+        |        JOIN sizes st ON st.doc_id = i.tid
+        |        JOIN sizes se ON se.doc_id = i.eid
+        |        WHERE CAST(i.i AS DOUBLE) / (st.n + se.n - i.i) >= 0.7),
+        |agg AS (SELECT tid, count(*) AS n_eval_matches, round(max(jac), 6) AS max_jaccard
+        |        FROM ver GROUP BY tid)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(a.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+        |       a.max_jaccard
+        |FROM documents d LEFT JOIN agg a ON a.tid = d.doc_id
+        |WHERE d.source <> 'src0' ORDER BY d.doc_id""".stripMargin,
 
     "q_chunk_overlap" ->
       """WITH arr AS (SELECT doc_id,

@@ -182,6 +182,18 @@ object Dedup {
     withDigests.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** (id, band, bandHash) rows from a [[minhashWide]] signature table: band
+    * hash = md5 of the band's minhashes joined in seed order — the same
+    * bytes the per-seed formulation produced (oracle-compatible).
+    */
+  private def bandHashes(mh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    mh.select(col("id"), posexplode(array((0 until bands).map { b =>
+        md5(to_binary(array_join(array(
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*),
+          ","), lit("utf-8")))
+      }: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+
   /** MinHash + LSH banding: near-dup candidate pairs (a < b) that share at
     * least one band, verified by exact shingle-set Jaccard >= tau.
     * numHashes = bands * rowsPerBand.
@@ -191,14 +203,7 @@ object Dedup {
                       tau: Double = 0.7): DataFrame = {
     val mh = minhashWide(shingles(df, idCol, textCol, shingleN),
       bands * rowsPerBand).cache()
-    // band hash = md5 of the band's minhashes joined in seed order — the
-    // same bytes the per-seed formulation produced (oracle-compatible)
-    val bandHash = mh.select(col("id"), posexplode(array((0 until bands).map { b =>
-        md5(to_binary(array_join(array(
-          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*),
-          ","), lit("utf-8")))
-      }: _*)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+    val bandHash = bandHashes(mh, bands, rowsPerBand)
     val cands = bandHash.as("x").join(bandHash.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
@@ -213,6 +218,52 @@ object Dedup {
         (size(col("sa.set")) + size(col("sb.set")) - col("inter")))
       .filter(col("jac") >= tau)
       .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** Cross-corpus fuzzy decontamination — the doc-level MinHash pass run
+    * between a training corpus and an evaluation set before pretraining
+    * (the complement of [[graft.ops.TextOps.contamination]]'s exact n-gram
+    * overlap): every train document is scored against the eval corpus by
+    * LSH-banded MinHash, candidates verified by exact shingle-set Jaccard.
+    *
+    * Output one row PER TRAIN DOC (a report, not just the flagged subset):
+    * `(doc_id, n_eval_matches, max_jaccard)` — max_jaccard is null for
+    * unflagged docs, so the downstream cut is a simple filter.
+    *
+    * Shape at 100 TB: the eval side is benchmark-sized — its band table
+    * broadcasts (AQE decides; a huge eval set degrades gracefully to a
+    * shuffle equi-join on (band, bandHash)). The train corpus is touched by
+    * exactly one shingle aggregation + one band join; candidate volume is
+    * collision-bounded, never |train|×|eval|.
+    */
+  def crossCorpusContamination(train: DataFrame, eval: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleN: Int = 2, bands: Int = 4,
+                               rowsPerBand: Int = 4,
+                               tau: Double = 0.7): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val mhT = minhashWide(shingles(train, idCol, textCol, shingleN), numHashes).cache()
+    val mhE = minhashWide(shingles(eval, idCol, textCol, shingleN), numHashes).cache()
+    val cands = bandHashes(mhT, bands, rowsPerBand).as("x")
+      .join(bandHashes(mhE, bands, rowsPerBand).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("tid"), col("y.id").as("eid"))
+      .distinct()
+    val verified = cands
+      .join(mhT.select(col("id").as("tid"), col("set").as("seta")), "tid")
+      .join(mhE.select(col("id").as("eid"), col("set").as("setb")), "eid")
+      .withColumn("inter", size(array_intersect(col("seta"), col("setb"))).cast("double"))
+      .withColumn("jac", col("inter") /
+        (size(col("seta")) + size(col("setb")) - col("inter")))
+      .filter(col("jac") >= tau)
+    train.select(col(idCol).as("doc_id"))
+      .join(verified.groupBy("tid").agg(
+          count(lit(1)).as("n_eval_matches"),
+          round(max(col("jac")), 6).as("max_jaccard"))
+        .withColumnRenamed("tid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        col("max_jaccard"))
   }
 
   /** Connected components over an undirected edge list `(a, b)` by min-label

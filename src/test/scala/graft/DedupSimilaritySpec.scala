@@ -62,6 +62,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(identical.subsetOf(gotPairs))
   }
 
+  test("crossCorpusContamination flags the planted train/eval near-dup only") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about catalyst optimizer internals"),
+      (3L, "tiny")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "unrelated evaluation prompt with its own words entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusContamination(train, evalSet, "doc_id", "text",
+      shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.7)
+      .orderBy("doc_id").collect()
+    // one report row per train doc; only doc 1 matches (identical shingle
+    // sets share every band, Jaccard exactly 1), the rest report 0 + null
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 0L), (3L, 0L)))
+    assert(got(0).getDouble(2) == 1.0)
+    assert(got(1).isNullAt(2) && got(2).isNullAt(2))
+  }
+
   test("simhash: near-identical docs get close fingerprints (hamming)") {
     import spark.implicits._
     val fp = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
