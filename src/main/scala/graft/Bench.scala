@@ -47,7 +47,13 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // noop sink, not count(): count() lets Catalyst prune pure column
+      // work (chunk text construction, redaction chains), drop final sorts,
+      // and even ELIMINATE whole left joins against aggregated-unique keys
+      // (measured: q_xcontamination's count plan collapsed to a bare scan —
+      // 0.36 s for a 4 s pipeline). The noop writer evaluates every output
+      // column and the full plan, collects nothing.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200)

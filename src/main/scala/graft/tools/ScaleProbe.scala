@@ -67,9 +67,13 @@ object ScaleProbe {
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def timed(name: String)(df: => DataFrame): Unit =
       if (only.forall(_.exists(name.contains))) {
+        val d = df
         val t0 = System.nanoTime()
-        rows(name) = df.count()
+        // noop sink (same rationale as Bench): count() prunes pure column
+        // work and can eliminate report-shaped left joins outright
+        d.write.format("noop").mode("overwrite").save()
         secs(name) = (System.nanoTime() - t0) / 1e9
+        rows(name) = d.count()
       }
 
     timed("dedup_exact") { Dedup.exact(docs, "doc_id", "text") }
@@ -99,6 +103,21 @@ object ScaleProbe {
       // would let Catalyst PRUNE the regex chain and time nothing
       docs.select(graft.ops.TextOps.redactPii(col("text")).as("t"))
         .agg(max(length(col("t")))) }
+    // substring dup profile: window explode is ~tokens-per-doc rows, all
+    // corpus movement keyed on the 16-byte window hash
+    timed("substring_dup") {
+      Dedup.substringDupStats(docs, "doc_id", "text", w = 8, minDocs = 2) }
+    // cross-corpus decontamination: eval side fixed at 100 docs (the
+    // benchmark-sized contract) while train grows with n
+    timed("xcontamination") {
+      Dedup.crossCorpusContamination(
+        docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100),
+        "doc_id", "text", shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.7) }
+    // chunking: pure per-row transform, must stay linear at scan speed
+    timed("chunk_overlap") {
+      graft.ops.TextOps.tokenChunks(docs, "doc_id", "text", 16, 8) }
+    timed("oov_rate") {
+      graft.ops.TextOps.oovProfile(docs, "doc_id", "text", 1000) }
 
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
