@@ -552,10 +552,15 @@ object SparkEntry {
 
     // language-ID heuristic + quality scoring.
     "q_lang_quality" -> ((s, dir) =>
+      // tokenize ONCE behind a projection boundary (CollapseProject keeps
+      // non-cheap multi-referenced aliases separate), then score both
+      // signals over the shared array
       Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokensArr(col("text")).as("toks"))
         .select(col("doc_id"),
-          TextAnalysis.langId(col("text")).as("lang_pred"),
-          TextAnalysis.qualityScore(col("text")).as("quality"))
+          TextAnalysis.langIdOver(col("text"), col("toks")).as("lang_pred"),
+          TextAnalysis.qualityScoreOver(col("text"), col("toks")).as("quality"))
         .orderBy("doc_id")),
 
     // document fingerprinting: md5 content digest + rolling polynomial hash

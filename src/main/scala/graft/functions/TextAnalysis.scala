@@ -48,8 +48,14 @@ object TextAnalysis {
     * word hits (CJK by codepoint-class regex); argmax with alphabetical
     * tie-break — fully deterministic, expressible in ANSI SQL.
     */
-  def langId(text: Column): Column = {
-    val toks = tokensArr(text)
+  def langId(text: Column): Column = langIdOver(text, tokensArr(text))
+
+  /** [[langId]] over a pre-tokenized array — callers scoring several
+    * signals should tokenize ONCE in a prior projection and pass the array
+    * here: the lambda subtrees inside `hits` dodge codegen subexpression
+    * elimination, so the inline form re-splits the text per marker set.
+    */
+  def langIdOver(text: Column, toks: Column): Column = {
     val scores = Seq(
       "de" -> hits(toks, stop("de")), "en" -> hits(toks, stop("en")),
       "es" -> hits(toks, stop("es")), "fr" -> hits(toks, stop("fr")),
@@ -64,8 +70,11 @@ object TextAnalysis {
     * alphanumeric-density signals (the classic Gopher/C4-style filters,
     * folded to one number). Fixed evaluation order keeps it bit-stable.
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokensArr(text)
+  def qualityScore(text: Column): Column = qualityScoreOver(text, tokensArr(text))
+
+  /** [[qualityScore]] over a pre-tokenized array (same rationale as
+    * [[langIdOver]]). */
+  def qualityScoreOver(text: Column, toks: Column): Column = {
     val n = size(toks).cast("double")
     val nTerm = least(n / lit(100.0), lit(1.0))
     val avgLen = when(n > 0,

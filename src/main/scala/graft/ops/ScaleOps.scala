@@ -69,18 +69,22 @@ object ScaleOps {
       .select(col(keyCol), col("cnt"), col("share"))
   }
 
-  /** Bit positions a key sets in an `mBits`-bit bloom filter: `k` 32-bit
-    * hashes sliced from ONE md5 digest (same slice-a-digest derivation as
-    * the MinHash family), each reduced mod `mBits`. Deterministic and
-    * engine-portable.
+  /** Bit positions a key sets in an `mBits`-bit bloom filter: `k`
+    * independent seeded xxhash64 values, each reduced mod `mBits`.
+    * xxhash64 is codegen'd and allocation-free — the membership test runs
+    * at scan speed on the fact side, which is the whole point of a bloom
+    * prefilter (the md5-hex-parse formulation cost a string allocation
+    * plus 4 substring/conv per row). Deterministic: xxhash64's spec is
+    * fixed, and both the bitmap build and the probe use THIS function, so
+    * the filter is self-consistent regardless of hash choice (the result
+    * contract is the exact semi-join either way).
     */
   def bloomPositions(key: org.apache.spark.sql.Column, mBits: Int,
                      k: Int): org.apache.spark.sql.Column = {
-    require(k >= 1 && k <= 4, s"k in [1,4] (one md5 digest): got $k")
+    require(k >= 1 && k <= 8, s"k in [1,8]: got $k")
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64: got $mBits")
-    val d = md5(to_binary(key.cast("string"), lit("utf-8")))
     array((0 until k).map { i =>
-      pmod(conv(substring(d, i * 8 + 1, 8), 16, 10).cast("long"), lit(mBits.toLong))
+      pmod(xxhash64(lit(i), key), lit(mBits.toLong))
     }: _*)
   }
 
