@@ -22,13 +22,17 @@ object NaiveBayes {
     * Returns the loglikelihood grid: (cls, feature, ll_pair, ll_class).
     */
   def train(events: DataFrame): DataFrame = {
-    val docs = events.select("docId", "cls").distinct().cache()
+    // ONE corpus-wide distinct; every count derives from it. CONTRACT: a
+    // doc carries exactly one class (the reference's model too), so
+    // n_i = Σ_y n_yi and the per-doc/per-feature tables need no separate
+    // pass over the exploded corpus (the old shape paid three distinct
+    // shuffles of it).
+    val pd = events.select("docId", "cls", "feature").distinct().cache()
+    val docs = pd.select("docId", "cls").distinct()
     val total = docs.count()
     val classes = docs.groupBy("cls").agg(count(lit(1)).as("n_y"))
-    val items = events.select("docId", "feature").distinct()
-      .groupBy("feature").agg(count(lit(1)).as("n_i"))
-    val pairs = events.select("docId", "cls", "feature").distinct()
-      .groupBy("cls", "feature").agg(count(lit(1)).as("n_yi"))
+    val pairs = pd.groupBy("cls", "feature").agg(count(lit(1)).as("n_yi"))
+    val items = pairs.groupBy("feature").agg(sum("n_yi").as("n_i"))
     val grid = classes.crossJoin(items)
       .join(pairs, Seq("cls", "feature"), "left")
       .withColumn("a", coalesce(col("n_yi"), lit(0L)) + 1)

@@ -201,11 +201,15 @@ object TextOps {
     */
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 2): DataFrame = {
-    val lines = filter(split(col(textCol), "\n"), x => x =!= "")
+    // split/filter once behind a projection boundary — the filter lambda
+    // dodges codegen subexpression elimination, so inlining `lines` three
+    // times would re-split the text per use
     val docs = df.select(col(idCol).as("id"),
-      when(size(lines) > 0,
-        round((size(lines) - size(array_distinct(lines))).cast("double") /
-          size(lines), 6)).otherwise(0.0).as("dup_line_frac"))
+        filter(split(col(textCol), "\n"), x => x =!= "").as("lines"))
+      .select(col("id"),
+        when(size(col("lines")) > 0,
+          round((size(col("lines")) - size(array_distinct(col("lines")))).cast("double") /
+            size(col("lines")), 6)).otherwise(0.0).as("dup_line_frac"))
     val grams = df
       .select(col(idCol).as("id"),
         graft.functions.TextAnalysis.tokensArr(col(textCol)).as("toks"))
