@@ -424,6 +424,34 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
         .orderBy("id")),
 
+    // CDC-apply / batch MERGE: fold a deterministic changelog (every 10th
+    // order re-priced at version 2, every 20th deleted) into the orders
+    // snapshot. One max_by hash aggregation on the key — no window sort.
+    "q_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), lit(1L).as("version"), col("o_totalprice"))
+      val changes = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit(2L).as("version"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          when(col("o_orderkey") % 20 === 0, "delete")
+            .otherwise("upsert").as("op"))
+      graft.ops.ChangeOps.applyChangelog(o, changes, "o_orderkey", "version", "op")
+        .orderBy("o_orderkey")
+    }),
+
+    // SCD2 history build: per-user state intervals from the event stream
+    // (one state per (user, ts) via pre-aggregation; lead() closes each
+    // interval, the open one is current).
+    "q_scd2" -> ((s, dir) => {
+      val st = Tables.events(s, dir)
+        .groupBy("user_id", "ts").agg(max("event_type").as("state"))
+      graft.ops.ChangeOps.scd2(st, "user_id", "ts")
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("state"), col("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
     // Cross-corpus fuzzy decontamination: every train doc (source != src0)
     // scored against the eval corpus (source = src0) by LSH-banded MinHash,
     // candidates verified by exact shingle-set Jaccard >= 0.7. Eval band
@@ -1150,6 +1178,27 @@ object SparkEntry {
         |       round(CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM wins w JOIN df f ON w.wh = f.wh
         |GROUP BY w.doc_id ORDER BY id""".stripMargin,
+
+    "q_upsert" ->
+      """WITH snap AS (SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+        |                     o_totalprice, 'upsert' AS op FROM orders),
+        |chg AS (SELECT o_orderkey, CAST(2 AS BIGINT) AS version,
+        |               o_totalprice + 1000.0 AS o_totalprice,
+        |               CASE WHEN o_orderkey % 20 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |        FROM orders WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn FROM u)
+        |SELECT o_orderkey, version, o_totalprice FROM r
+        |WHERE rn = 1 AND op = 'upsert' ORDER BY o_orderkey""".stripMargin,
+
+    "q_scd2" ->
+      """WITH st AS (SELECT user_id, ts, max(event_type) AS state
+        |            FROM events GROUP BY user_id, ts)
+        |SELECT user_id, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |       state,
+        |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
+        |FROM st ORDER BY user_id, valid_from""".stripMargin,
 
     "q_xcontamination" ->
       """WITH arr AS (SELECT doc_id, source,

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog application and history ops — the batch MERGE / CDC-apply
+  * surface of an analytics engine: fold a change stream into a snapshot
+  * (latest-wins upsert/delete) and build SCD2 validity intervals from a
+  * change stream.
+  */
+object ChangeOps {
+
+  /** Latest-wins merge of a changelog into a snapshot (the batch `MERGE
+    * INTO` / CDC-apply op). Snapshot rows are implicit upserts; `changes`
+    * shares the snapshot schema plus `opCol` ('upsert' | 'delete'). The
+    * winner per key is the row with the highest `versionCol`; a delete
+    * winner drops the key. CONTRACT: (key, version) unique across the
+    * union — ties are undefined, version them upstream.
+    *
+    * Shape at 100 TB: ONE hash aggregation on the key — `max_by` carries
+    * the winning row through partial/final aggregation, so there is no
+    * window sort and no second join back; AQE skew-splits hot keys. Payload
+    * columns ride inside a struct, untouched.
+    */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+                     keyCol: String, versionCol: String,
+                     opCol: String): DataFrame = {
+    val payload = snapshot.columns.filterNot(c => c == keyCol || c == versionCol).toSeq
+    val snap = snapshot.withColumn(opCol, lit("upsert"))
+    val all = snap.unionByName(changes.select(snap.columns.map(col).toIndexedSeq: _*))
+    val carried = versionCol +: opCol +: payload
+    all.groupBy(keyCol)
+      .agg(max_by(struct(carried.map(col): _*), col(versionCol)).as("_w"))
+      .select(col(keyCol) +: carried.map(c => col(s"_w.$c").as(c)): _*)
+      .filter(col(opCol) === "upsert")
+      .drop(opCol)
+  }
+
+  /** SCD2 history build: a change stream `(key, version, attributes…)` →
+    * validity intervals `[valid_from, valid_to)` per key, `valid_to` null
+    * (and `is_current` true) on each key's latest row. CONTRACT: (key,
+    * version) unique — pre-aggregate duplicates to one state per version.
+    *
+    * Shape at 100 TB: one shuffle on the key plus the in-partition window
+    * sort — the canonical distributed history build; no self-join.
+    */
+  def scd2(changes: DataFrame, keyCol: String, versionCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(versionCol))
+    changes
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

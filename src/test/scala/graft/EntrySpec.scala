@@ -125,6 +125,36 @@ class EntrySpec extends SparkTestBase {
     assert(all == 0L)
   }
 
+  test("applyChangelog: latest wins, deletes drop keys, untouched keys survive") {
+    import spark.implicits._
+    val snap = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
+      .toDF("k", "version", "payload")
+    val changes = Seq(
+      (1L, 2L, "a2", "upsert"),   // update
+      (2L, 2L, "b2", "delete"),   // delete
+      (4L, 2L, "d", "upsert"),    // insert
+      (3L, 0L, "c0", "upsert")    // STALE change: older than snapshot -> loses
+    ).toDF("k", "version", "payload", "op")
+    val got = graft.ops.ChangeOps.applyChangelog(snap, changes, "k", "version", "op")
+      .orderBy("k").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 2L, "a2"), (3L, 1L, "c"), (4L, 2L, "d")))
+  }
+
+  test("scd2: intervals chain per key, exactly one current row") {
+    import spark.implicits._
+    val changes = Seq((1L, 10L, "x"), (1L, 20L, "y"), (1L, 30L, "z"), (2L, 5L, "w"))
+      .toDF("k", "v", "state")
+    val got = graft.ops.ChangeOps.scd2(changes, "k", "v")
+      .select("k", "valid_from", "valid_to", "state", "is_current")
+      .orderBy("k", "valid_from")
+      .as[(Long, Long, Option[Long], String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, Some(20L), "x", false),
+      (1L, 20L, Some(30L), "y", false),
+      (1L, 30L, None, "z", true),
+      (2L, 5L, None, "w", true)))
+  }
+
   test("contamination flags exactly the docs sharing trigrams with the benchmark") {
     import spark.implicits._
     val docs = Seq(
