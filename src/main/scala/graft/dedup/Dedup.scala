@@ -348,13 +348,16 @@ object Dedup {
       .select(col("id"),
         explode(TextAnalysis.ngramsArr(col("toks"), w)).as("win"))
       .select(col("id"), md5(to_binary(col("win"), lit("utf-8"))).as("wh"))
-    val docFreq = wins.select("wh", "id").distinct()
-      .groupBy("wh").agg(count(lit(1)).as("ndocs"))
-    wins.join(docFreq, "wh")
+    // collapse the exploded corpus ONCE to (wh, id, occurrences) — document
+    // frequency and the per-doc rollup both derive from this (the direct
+    // wins->docFreq->join-wins shape re-exploded the whole corpus twice)
+    val perDoc = wins.groupBy("wh", "id").agg(count(lit(1)).as("occ"))
+    val docFreq = perDoc.groupBy("wh").agg(count(lit(1)).as("ndocs"))
+    perDoc.join(docFreq, "wh")
       .groupBy("id")
       .agg(
-        count(lit(1)).as("n_windows"),
-        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("n_dup_windows"))
+        sum(col("occ")).as("n_windows"),
+        sum(when(col("ndocs") >= minDocs, col("occ")).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_frac",
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }
