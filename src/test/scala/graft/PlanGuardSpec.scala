@@ -15,7 +15,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash",
     "q_dedup_simhash", "q_embed_neardup", "q_ann_lsh", "q_ann_ivf",
     "q_dedup_cluster", "q_contamination", "q_repetition", "q_range_join",
-    "q_semdedup")
+    "q_semdedup", "q_xcontamination", "q_substring_dup", "q_upsert",
+    "q_chunk_overlap", "q_oov_rate")
 
   test("no CartesianProduct / BroadcastNestedLoopJoin in any scale-path similarity plan") {
     for (name <- guarded) {
