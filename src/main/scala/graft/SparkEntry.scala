@@ -400,6 +400,12 @@ object SparkEntry {
       graft.functions.Sketches.kmvDistinct(
         Tables.lineitem(s, dir), col("l_partkey"), k = 256)),
 
+    // Per-group KMV: distinct parts per return flag, sketch-bounded state.
+    "q_kmv_groups" -> ((s, dir) =>
+      graft.functions.Sketches.kmvDistinctByGroup(
+          Tables.lineitem(s, dir), "l_returnflag", col("l_partkey"), k = 256)
+        .orderBy("l_returnflag")),
+
     // Bloom-prefiltered semi-join: lineitems of small-size parts. The bloom
     // over the dim keys prunes the fact scan before any exchange;
     // result-identical to the plain semi-join (oracle = IN-subquery), and
@@ -1156,6 +1162,10 @@ object SparkEntry {
 
     "q_kmv_distinct" ->
       graft.functions.Sketches.kmvDistinctSql("lineitem", "l_partkey", k = 256),
+
+    "q_kmv_groups" ->
+      graft.functions.Sketches.kmvDistinctByGroupSql(
+        "lineitem", "l_returnflag", "l_partkey", k = 256),
 
     "q_bloom_join" ->
       """SELECT l_returnflag, count(*) AS cnt,

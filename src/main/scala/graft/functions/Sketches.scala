@@ -55,6 +55,51 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Per-group KMV distinct-count estimate — the GROUP BY form of
+    * [[kmvDistinct]] (distinct users per day, distinct keys per shard…):
+    * one row `(group, k_used, kth_hash, est_distinct)` per group.
+    *
+    * Plan shape: distinct on (group, hash) — map-side partial dedupe, the
+    * wire carries distinct 8-byte hashes per group — then a per-group
+    * window heap keeps the k smallest. Per-group state is bounded by k
+    * everywhere; a skewed group costs its distinct-hash volume in the one
+    * dedupe exchange, which AQE skew-splits.
+    */
+  def kmvDistinctByGroup(df: DataFrame, groupCol: String, key: Column,
+                         k: Int): DataFrame = {
+    require(k >= 3, s"KMV needs k >= 3 (got $k)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("h")
+    df.select(col(groupCol), hash60(key).as("h")).where(col("h").isNotNull)
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
+      .select(
+        col(groupCol),
+        col("n").as("k_used"),
+        col("kth").as("kth_hash"),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) * lit(Space) / col("kth").cast("double"), 6))
+          .as("est_distinct"))
+  }
+
+  /** The DuckDB SQL that replays [[kmvDistinctByGroup]] bit-for-bit. */
+  def kmvDistinctByGroupSql(table: String, groupCol: String, keyExpr: String,
+                            k: Int, salt: String = "kmv"): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT $groupCol, CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 15)) AS BIGINT) AS h
+       |  FROM $table WHERE $keyExpr IS NOT NULL),
+       |r AS (SELECT $groupCol, h, row_number() OVER (PARTITION BY $groupCol ORDER BY h) AS rn FROM h),
+       |s AS (SELECT $groupCol, h FROM r WHERE rn <= $k)
+       |SELECT $groupCol, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash,
+       |       CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |            ELSE round(${(k - 1).toDouble} * ${Space} / CAST(max(h) AS DOUBLE), 6)
+       |       END AS est_distinct
+       |FROM s GROUP BY $groupCol ORDER BY $groupCol""".stripMargin
+
   /** The DuckDB SQL that replays [[kmvDistinct]] bit-for-bit — kept beside
     * the Scala so the formulas cannot drift.
     */

@@ -25,6 +25,20 @@ class SketchesSpec extends SparkTestBase {
       s"estimate $est too far from $n (rel err ${math.abs(est - n) / n})")
   }
 
+  test("per-group kmv: exact below k per group, bounded error above") {
+    // group A: 37 distinct (< k, exact); group B: 20000 distinct (estimated)
+    val df = spark.range(0, 40000).select(
+      when(col("id") < 20000, "A").otherwise("B").as("g"),
+      when(col("id") < 20000, col("id") % 37).otherwise(col("id")).as("k"))
+    val rows = Sketches.kmvDistinctByGroup(df, "g", col("k"), k = 256)
+      .orderBy("g").collect()
+    assert(rows(0).getString(0) == "A" && rows(0).getDouble(3) == 37.0)
+    val estB = rows(1).getDouble(3)
+    val se = 1.0 / math.sqrt(256 - 2)
+    assert(math.abs(estB - 20000) / 20000 < 4 * se,
+      s"group B estimate $estB too far from 20000")
+  }
+
   test("kmv ignores nulls and hashes deterministically") {
     import spark.implicits._
     val df = Seq(Some("a"), Some("b"), None, Some("a")).toDF("k")
