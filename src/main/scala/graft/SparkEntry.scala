@@ -430,6 +430,22 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
         .orderBy("id")),
 
+    // Pivot with explicit values (single two-phase aggregation — no driver
+    // round-trip to discover columns): per-user event-type counts.
+    "q_pivot" -> ((s, dir) =>
+      RelationalOps.pivotCounts(Tables.events(s, dir), "user_id", "event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("user_id")),
+
+    // Unpivot/melt back to long form — a pure per-row generator.
+    "q_unpivot" -> ((s, dir) =>
+      RelationalOps.unpivot(
+          RelationalOps.pivotCounts(Tables.events(s, dir), "user_id", "event_type",
+            Seq("click", "error", "purchase", "signup", "view")),
+          "user_id", Seq("click", "error", "purchase", "signup", "view"),
+          nameCol = "event_type", valueCol = "cnt")
+        .orderBy("user_id", "event_type")),
+
     // CDC-apply / batch MERGE: fold a deterministic changelog (every 10th
     // order re-priced at version 2, every 20th deleted) into the orders
     // snapshot. One max_by hash aggregation on the key — no window sort.
@@ -1188,6 +1204,31 @@ object SparkEntry {
         |       round(CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM wins w JOIN df f ON w.wh = f.wh
         |GROUP BY w.doc_id ORDER BY id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH p AS (SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id)
+        |SELECT user_id, event_type, cnt FROM (
+        |  SELECT user_id, 'click' AS event_type, CAST(click AS BIGINT) AS cnt FROM p
+        |  UNION ALL SELECT user_id, 'error', CAST(error AS BIGINT) FROM p
+        |  UNION ALL SELECT user_id, 'purchase', CAST(purchase AS BIGINT) FROM p
+        |  UNION ALL SELECT user_id, 'signup', CAST(signup AS BIGINT) FROM p
+        |  UNION ALL SELECT user_id, 'view', CAST(view AS BIGINT) FROM p)
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q_upsert" ->
       """WITH snap AS (SELECT o_orderkey, CAST(1 AS BIGINT) AS version,

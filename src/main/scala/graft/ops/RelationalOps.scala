@@ -123,4 +123,22 @@ object RelationalOps {
       .filter(col(vCol) >= col(loCol) && col(vCol) < col(hiCol))
       .drop(b)
   }
+
+  /** Pivot: one column per (known) pivot value, counting rows per cell.
+    * The pivot values are EXPLICIT — passing them keeps the plan a single
+    * two-phase aggregation (Spark's values-less pivot first runs a distinct
+    * collect to the driver to discover columns, an extra corpus pass and a
+    * nondeterministic column order).
+    */
+  def pivotCounts(df: DataFrame, rowKey: String, pivotCol: String,
+                  values: Seq[String]): DataFrame =
+    df.groupBy(rowKey).pivot(pivotCol, values).agg(count(lit(1)))
+      .na.fill(0L, values)
+
+  /** Unpivot/melt: wide value columns back to (key, name, value) rows —
+    * a pure per-row generator (no shuffle; `Unpivot` logical node).
+    */
+  def unpivot(df: DataFrame, rowKey: String, valueCols: Seq[String],
+              nameCol: String = "name", valueCol: String = "value"): DataFrame =
+    df.unpivot(Array(col(rowKey)), valueCols.map(col).toArray, nameCol, valueCol)
 }

@@ -125,6 +125,21 @@ class EntrySpec extends SparkTestBase {
     assert(all == 0L)
   }
 
+  test("pivot fills absent cells with 0 and unpivot restores the long form") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b"))
+      .toDF("k", "t")
+    val wide = graft.ops.RelationalOps.pivotCounts(df, "k", "t", Seq("a", "b", "c"))
+      .orderBy("k").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(wide == Seq((1L, 2L, 1L, 0L), (2L, 0L, 1L, 0L)))
+    val long = graft.ops.RelationalOps.unpivot(
+        graft.ops.RelationalOps.pivotCounts(df, "k", "t", Seq("a", "b", "c")),
+        "k", Seq("a", "b", "c"))
+      .orderBy("k", "name").as[(Long, String, Long)].collect().toSeq
+    assert(long == Seq((1L, "a", 2L), (1L, "b", 1L), (1L, "c", 0L),
+      (2L, "a", 0L), (2L, "b", 1L), (2L, "c", 0L)))
+  }
+
   test("applyChangelog: latest wins, deletes drop keys, untouched keys survive") {
     import spark.implicits._
     val snap = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
