@@ -56,11 +56,13 @@ object NaiveBayes {
     * |classes|×|features| rows, and at web-scale vocab (1e8 features) that
     * exceeds executor memory. AQE broadcasts it at runtime whenever it is
     * actually small (the common case), and falls back to a shuffle join on
-    * `feature` when it isn't — the scale-safe default. `perClass` stays
-    * hinted: |classes| rows is always tiny.
+    * `feature` when it isn't — the scale-safe default. The per-class prior
+    * ll_class is CONSTANT per cls and already rides every joined model row,
+    * so it folds into the same aggregation as max() — no second model
+    * evaluation and no prior join (the old shape re-ran the whole training
+    * plan to build a 5-row perClass table).
     */
-  def predict(events: DataFrame, model: DataFrame): DataFrame = {
-    val perClass = model.select("cls", "ll_class").distinct()
+  def predict(events: DataFrame, model: DataFrame): DataFrame =
     events
       // binary-event model, matching train(): a feature either occurs in a
       // doc or not — without this, a doc repeating one word 10x would add
@@ -68,8 +70,7 @@ object NaiveBayes {
       .select("docId", "feature").distinct()
       .join(model, Seq("feature"))
       .groupBy("docId", "cls")
-      .agg(sum(col("ll_pair").cast("decimal(38,18)")).cast("double").as("s"))
-      .join(broadcast(perClass), "cls")
+      .agg(sum(col("ll_pair").cast("decimal(38,18)")).cast("double").as("s"),
+        max(col("ll_class")).as("ll_class"))
       .select(col("docId"), col("cls"), (col("ll_class") + col("s")).as("score"))
-  }
 }
