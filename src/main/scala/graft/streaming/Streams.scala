@@ -126,4 +126,46 @@ object Streams {
         graft.io.Redis.write(batch, url, keyCol, valCol)
       }
       .start()
+
+  /** Incremental CDC apply — a stream of changes folded into the parquet
+    * snapshot at `snapshotPath` with the batch merge semantics of
+    * [[graft.ops.ChangeOps.applyChangelog]] (latest-wins by version,
+    * delete tombstones drop keys). Each micro-batch rewrites the snapshot
+    * through an atomic swap (write beside → old aside → new in → drop old;
+    * a crash between renames leaves `._merge_old` intact beside the path).
+    *
+    * Replay-safe WITHOUT relying on exactly-once sinks: the merge is
+    * idempotent — re-applying a batch's (key, version) changes elects the
+    * same winners — so a batch repeated after recovery converges to the
+    * same snapshot. Full-rewrite-per-batch is the plain-parquet contract
+    * (it is what a table format's row-level MERGE amortizes); batch
+    * cadence, not per-row latency, is the operating point.
+    */
+  def applyChangelogStream(changes: DataFrame, snapshotPath: String,
+                           keyCol: String, versionCol: String, opCol: String,
+                           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val snap = spark.read.parquet(snapshotPath)
+        val merged = graft.ops.ChangeOps
+          .applyChangelog(snap, batch, keyCol, versionCol, opCol)
+          .localCheckpoint() // sever from the files about to be swapped
+        val fs = new org.apache.hadoop.fs.Path(snapshotPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val cur = new org.apache.hadoop.fs.Path(snapshotPath)
+        val neu = new org.apache.hadoop.fs.Path(snapshotPath + "._merge_new")
+        val old = new org.apache.hadoop.fs.Path(snapshotPath + "._merge_old")
+        fs.delete(neu, true)
+        merged.write.mode("overwrite").parquet(neu.toString)
+        require(fs.rename(cur, old), s"merge swap: could not move $cur aside")
+        if (!fs.rename(neu, cur)) {
+          fs.rename(old, cur) // roll back, never leave the path empty
+          throw new IllegalStateException(s"merge swap failed for $cur — rolled back")
+        }
+        fs.delete(old, true)
+        ()
+      }
+      .start()
 }

@@ -170,6 +170,30 @@ class StreamsSpec extends SparkTestBase {
     } finally srv.close()
   }
 
+  test("streaming CDC apply folds micro-batches into the snapshot, deletes drop keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val snapPath = s"$dir/snapshot"
+    Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
+      .toDF("k", "version", "payload")
+      .write.parquet(snapPath)
+    val in = MemoryStream[(Long, Long, String, String)]
+    val q = Streams.applyChangelogStream(
+      in.toDF.toDF("k", "version", "payload", "op"),
+      snapPath, "k", "version", "op", s"$dir/ckpt")
+    try {
+      // batch 1: update k=1, insert k=4
+      in.addData((1L, 2L, "a2", "upsert"), (4L, 2L, "d", "upsert"))
+      q.processAllAvailable()
+      // batch 2: delete k=2, stale change for k=1 loses to the merged v2
+      in.addData((2L, 3L, "b3", "delete"), (1L, 0L, "a0", "upsert"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(snapPath)
+        .orderBy("k").as[(Long, Long, String)].collect().toSeq
+      assert(got == Seq((1L, 2L, "a2"), (3L, 1L, "c"), (4L, 2L, "d")))
+    } finally q.stop()
+  }
+
   test("incremental word count matches the batch operator semantics") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
