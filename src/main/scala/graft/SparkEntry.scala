@@ -430,6 +430,14 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
         .orderBy("id")),
 
+    // Time-series resample: per-user daily value grid, gaps forward-filled
+    // from the last observed day (grid generated inside the row, one
+    // key-partitioned window for the fill).
+    "q_resample" -> ((s, dir) =>
+      graft.ops.TimeSeries.resampleDailyFfill(
+          Tables.events(s, dir), "user_id", "ts", "value")
+        .orderBy("user_id", "day")),
+
     // Pivot with explicit values (single two-phase aggregation — no driver
     // round-trip to discover columns): per-user event-type counts.
     "q_pivot" -> ((s, dir) =>
@@ -1204,6 +1212,21 @@ object SparkEntry {
         |       round(CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM wins w JOIN df f ON w.wh = f.wh
         |GROUP BY w.doc_id ORDER BY id""".stripMargin,
+
+    "q_resample" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |                      SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+        |               FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+        |grid AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM span),
+        |j AS (SELECT g.user_id, g.day, d.day_value
+        |      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day, (day_value IS NULL) AS gap,
+        |       CAST(last_value(day_value IGNORE NULLS) OVER (
+        |              PARTITION BY user_id ORDER BY day
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
+        |FROM j ORDER BY user_id, day""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

@@ -125,6 +125,26 @@ class EntrySpec extends SparkTestBase {
     assert(all == 0L)
   }
 
+  test("resample fills interior gaps with the last observed value") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 12:00:00"), 3.0),   // same day: sums to 5
+      (1L, java.sql.Timestamp.valueOf("2026-01-04 09:00:00"), 7.0),   // 2-day gap
+      (2L, java.sql.Timestamp.valueOf("2026-01-02 08:00:00"), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val got = graft.ops.TimeSeries.resampleDailyFfill(ev, "user_id", "ts", "value")
+      .orderBy("user_id", "day")
+      .select(col("user_id"), col("day").cast("string"), col("gap"), col("filled_value"))
+      .as[(Long, String, Boolean, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "2026-01-01", false, 5.0),
+      (1L, "2026-01-02", true, 5.0),
+      (1L, "2026-01-03", true, 5.0),
+      (1L, "2026-01-04", false, 7.0),
+      (2L, "2026-01-02", false, 1.0)))
+  }
+
   test("pivot fills absent cells with 0 and unpivot restores the long form") {
     import spark.implicits._
     val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b"))
