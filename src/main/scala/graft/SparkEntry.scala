@@ -430,6 +430,17 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
         .orderBy("id")),
 
+    // Exact-moments statistics: per-flag mean/stddev of quantity and
+    // corr(quantity, price) from integer-cents sums — engine-portable where
+    // built-in float aggregates are partitioning-dependent.
+    "q_stats_profile" -> ((s, dir) =>
+      graft.ops.StatsOps.exactMomentsProfile(
+          Tables.lineitem(s, dir), "l_returnflag", "l_quantity", "l_extendedprice")
+        .withColumnRenamed("mean_x", "mean_qty")
+        .withColumnRenamed("stddev_x", "stddev_qty")
+        .withColumnRenamed("corr_xy", "corr_qty_price")
+        .orderBy("l_returnflag")),
+
     // Time-series resample: per-user daily value grid, gaps forward-filled
     // from the last observed day (grid generated inside the row, one
     // key-partitioned window for the fill).
@@ -1212,6 +1223,26 @@ object SparkEntry {
         |       round(CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM wins w JOIN df f ON w.wh = f.wh
         |GROUP BY w.doc_id ORDER BY id""".stripMargin,
+
+    "q_stats_profile" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |FROM lineitem),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+        |  sum(CAST(xc AS HUGEINT) * xc) AS sxx,
+        |  sum(CAST(yc AS HUGEINT) * yc) AS syy,
+        |  sum(CAST(xc AS HUGEINT) * yc) AS sxy
+        |FROM c GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_qty,
+        |  round(sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |             / CAST(n * (n - 1) AS DOUBLE)) / 100.0, 6) AS stddev_qty,
+        |  round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |        / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |           * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6) AS corr_qty_price
+        |FROM a ORDER BY l_returnflag""".stripMargin,
 
     "q_resample" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Grouped descriptive statistics with ENGINE-PORTABLE numerics.
+  *
+  * Built-in corr/stddev aggregates stream floating-point updates whose
+  * result depends on partitioning and on each engine's update formula — a
+  * cross-engine hash gate can never pin them. Here every moment is an
+  * EXACT integer: values are fixed-point cents (inputs carry ≤ 2 decimals
+  * by contract), the five sums Σx, Σy, Σx², Σy², Σxy accumulate in
+  * decimal(38,0) (order-independent, overflow-checked), and the classic
+  * closed forms run in double over those exact integers with a FIXED
+  * operation order — so any engine that sums integers exactly reproduces
+  * the doubles bit-for-bit.
+  *
+  * Shape at 100 TB: one two-phase hash aggregation; five numbers per
+  * group cross the wire.
+  */
+object StatsOps {
+
+  /** Per-group n / mean / sample-stddev of `xCol`, and corr(x, y):
+    * `(group, n, mean_x, stddev_x, corr_xy)`. Inputs must carry at most
+    * 2 decimal places (the decimal(18,2) cast is exact by contract).
+    */
+  def exactMomentsProfile(df: DataFrame, groupCol: String,
+                          xCol: String, yCol: String): DataFrame = {
+    val xc = (col(xCol).cast("decimal(18,2)") * 100).cast("long")
+    val yc = (col(yCol).cast("decimal(18,2)") * 100).cast("long")
+    val agg = df.select(col(groupCol), xc.as("xc"), yc.as("yc"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xc")).as("sx"),
+        sum(col("yc")).as("sy"),
+        sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("yc") * col("yc")).cast("decimal(38,0)")).as("syy"),
+        sum((col("xc") * col("yc")).cast("decimal(38,0)")).as("sxy"))
+    val nD = col("n").cast("decimal(38,0)")
+    val sxD = col("sx").cast("decimal(38,0)")
+    val syD = col("sy").cast("decimal(38,0)")
+    val vx = (nD * col("sxx") - sxD * sxD).cast("double")
+    val vy = (nD * col("syy") - syD * syD).cast("double")
+    val cov = (nD * col("sxy") - sxD * syD).cast("double")
+    agg.select(
+      col(groupCol),
+      col("n"),
+      round(col("sx").cast("double") / col("n").cast("double") / 100.0, 6)
+        .as("mean_x"),
+      round(sqrt(vx / (col("n") * (col("n") - 1)).cast("double")) / 100.0, 6)
+        .as("stddev_x"),
+      round(cov / (sqrt(vx) * sqrt(vy)), 6).as("corr_xy"))
+  }
+}

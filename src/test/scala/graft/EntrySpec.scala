@@ -125,6 +125,24 @@ class EntrySpec extends SparkTestBase {
     assert(all == 0L)
   }
 
+  test("exact-moments profile agrees with Spark's built-in corr/stddev") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val got = graft.ops.StatsOps.exactMomentsProfile(
+        li, "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag").collect()
+    val want = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), avg("l_quantity").as("m"),
+        stddev_samp("l_quantity").as("sd"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .orderBy("l_returnflag").collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(1) == w.getLong(1))
+      assert(math.abs(g.getDouble(2) - w.getDouble(2)) < 1e-5, "mean")
+      assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-5, "stddev")
+      assert(math.abs(g.getDouble(4) - w.getDouble(4)) < 1e-5, "corr")
+    }
+  }
+
   test("resample fills interior gaps with the last observed value") {
     import spark.implicits._
     val ev = Seq(
