@@ -430,6 +430,19 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
         .orderBy("id")),
 
+    // Retention cohorts: users by first-seen day x day offset.
+    "q_retention" -> ((s, dir) =>
+      graft.ops.TimeSeries.retentionCohorts(
+          Tables.events(s, dir), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset")),
+
+    // First-order Markov transition counts over each user's event stream
+    // (event_id tie-break pins same-timestamp order deterministically).
+    "q_transitions" -> ((s, dir) =>
+      graft.ops.TimeSeries.transitionCounts(
+          Tables.events(s, dir), "user_id", "ts", "event_type", "event_id")
+        .orderBy("prev_type", "next_type")),
+
     // Exact-moments statistics: per-flag mean/stddev of quantity and
     // corr(quantity, price) from integer-cents sums — engine-portable where
     // built-in float aggregates are partitioning-dependent.
@@ -1223,6 +1236,23 @@ object SparkEntry {
         |       round(CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM wins w JOIN df f ON w.wh = f.wh
         |GROUP BY w.doc_id ORDER BY id""".stripMargin,
+
+    "q_retention" ->
+      """WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id)
+        |SELECT c.cohort_day, CAST(a.day - c.cohort_day AS INT) AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY c.cohort_day, a.day - c.cohort_day
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS next_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |           FROM events)
+        |SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM s WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
 
     "q_stats_profile" ->
       """WITH c AS (SELECT l_returnflag AS g,

@@ -38,4 +38,37 @@ object TimeSeries {
         last(col("day_value"), ignoreNulls = true).over(w)
           .cast("double").as("filled_value"))
   }
+
+  /** Retention cohorts: users grouped by first-seen day, counted per day
+    * offset — `(cohort_day, day_offset, n_users)`. The cohort assignment is
+    * a per-key min aggregation joined back to the key's active days; both
+    * aggregations are two-phase on the key, the final rollup is
+    * O(cohorts × offsets).
+    */
+  def retentionCohorts(events: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame = {
+    val active = events
+      .select(col(keyCol), to_date(col(tsCol)).as("day")).distinct()
+    val cohort = active.groupBy(keyCol).agg(min("day").as("cohort_day"))
+    active.join(cohort, Seq(keyCol))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Event-transition counts — the first-order Markov profile of a
+    * clickstream: `(prev_type, next_type, cnt)` over each key's
+    * time-ordered events. One key-partitioned window (lag) + a two-phase
+    * count; ties within a timestamp are broken by `tieCol` so the
+    * sequence — and the counts — are deterministic.
+    */
+  def transitionCounts(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(typeCol).as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("cnt"))
+  }
 }
