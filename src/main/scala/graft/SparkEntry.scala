@@ -430,6 +430,15 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
         .orderBy("id")),
 
+    // Graph analytics: triangle census of the part co-purchase graph
+    // (degree-ordered wedge generation, Suri-Vassilvitskii — no hub ever
+    // generates wedges; the oracle brute-forces the same count id-ordered).
+    "q_triangles" -> ((s, dir) => {
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+      graft.ops.GraphOps.triangleCount(edges)
+    }),
+
     // Retention cohorts: users by first-seen day x day offset.
     "q_retention" -> ((s, dir) =>
       graft.ops.TimeSeries.retentionCohorts(
@@ -1236,6 +1245,18 @@ object SparkEntry {
         |       round(CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM wins w JOIN df f ON w.wh = f.wh
         |GROUP BY w.doc_id ORDER BY id""".stripMargin,
+
+    "q_triangles" ->
+      """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS i FROM lineitem),
+        |e AS (SELECT DISTINCT x.i AS a, y.i AS b
+        |      FROM g x JOIN g y ON x.grp = y.grp AND x.i < y.i),
+        |nodes AS (SELECT DISTINCT v FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+        |t AS (SELECT count(*) AS n
+        |      FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT CAST(n AS BIGINT) FROM t) AS n_triangles""".stripMargin,
 
     "q_retention" ->
       """WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

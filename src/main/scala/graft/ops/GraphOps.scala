@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-shot graph analytics over edge-list DataFrames (the iterative
+  * algorithms — PageRank, connected components — live in [[graft.chain]]
+  * and [[graft.dedup.Dedup.connectedComponents]]).
+  */
+object GraphOps {
+
+  /** Co-occurrence edges: distinct unordered pairs of `itemCol` values
+    * sharing a `groupCol` value (parts co-ordered in one order, terms
+    * co-occurring in one doc). The self-join is keyed on the group — cost
+    * is Σ(group size)², bounded by the natural group size, never corpus².
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String,
+                        itemCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    g.as("x").join(g.as("y"),
+        col("x.g") === col("y.g") && col("x.i") < col("y.i"))
+      .select(col("x.i").as("a"), col("y.i").as("b"))
+      .distinct()
+  }
+
+  /** Triangle count by degree-ordered edge orientation (the standard
+    * distributed plan: Suri & Vassilvitskii 2011 "Counting triangles and
+    * the curse of the last reducer"). Each undirected edge is oriented
+    * from its lower-(degree, id) endpoint to the higher one; wedges are
+    * generated only at each edge's LOW-degree endpoint, so wedge volume is
+    * O(m^1.5) instead of Σdeg² — a hub with a million neighbors generates
+    * no wedges at all. Closing edges are found with one equi-join back to
+    * the oriented edge set. The count is orientation-invariant: the
+    * id-ordered brute force (the DuckDB oracle) gives the same number.
+    *
+    * Input: undirected distinct edges (a, b), a ≠ b.
+    * Output: one row (n_nodes, n_edges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient u -> w iff (d, id) of u < (d, id) of w
+    val withDeg = edges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"), col("da").as("dw"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
+    // wedges at the low endpoint, the pair ordered by the SAME (degree, id)
+    // total order as the orientation — the closing oriented edge can only
+    // run from the (d, id)-smaller target to the larger one
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dw") < col("e2.dw") ||
+            (col("e1.dw") === col("e2.dw") && col("e1.w") < col("e2.w"))))
+      .select(col("e1.w").as("u"), col("e2.w").as("w"))
+    val triangles = wedges.join(oriented.select("u", "w"), Seq("u", "w"), "left_semi")
+    edges.agg(count(lit(1)).as("n_edges")).crossJoin(
+        deg.agg(count(lit(1)).as("n_nodes"))).crossJoin(
+        triangles.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+}

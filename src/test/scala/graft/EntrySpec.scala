@@ -125,6 +125,21 @@ class EntrySpec extends SparkTestBase {
     assert(all == 0L)
   }
 
+  test("triangle count: K4 has 4, a square has 0, orientation handles hubs") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val r1 = graft.ops.GraphOps.triangleCount(k4).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == (4L, 6L, 4L))
+    // 4-cycle: no triangles
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    assert(graft.ops.GraphOps.triangleCount(square).collect().head.getLong(2) == 0L)
+    // star + one closing edge: hub 0 with 5 spokes, edge (1,2) -> exactly 1
+    val star = ((1 to 5).map(i => (0L, i.toLong)) :+ (1L, 2L)).toDF("a", "b")
+    assert(graft.ops.GraphOps.triangleCount(star).collect().head.getLong(2) == 1L)
+  }
+
   test("exact-moments profile agrees with Spark's built-in corr/stddev") {
     val li = graft.core.Tables.lineitem(spark, sfDir)
     val got = graft.ops.StatsOps.exactMomentsProfile(
