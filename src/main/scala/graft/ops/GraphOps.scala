@@ -37,11 +37,16 @@ object GraphOps {
     * Output: one row (n_nodes, n_edges, n_triangles).
     */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("a").as("v"))
-      .unionByName(edges.select(col("b").as("v")))
+    // cache contract (same as graft.dedup.Dedup): the edge list feeds the
+    // degree table, the orientation join and the final census; the oriented
+    // set feeds BOTH wedge sides and the closing probe — uncached, the
+    // upstream edge build (often a group self-join) would run 3x
+    val e = edges.cache()
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // orient u -> w iff (d, id) of u < (d, id) of w
-    val withDeg = edges
+    val withDeg = e
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
     val oriented = withDeg.select(
@@ -50,6 +55,7 @@ object GraphOps {
           struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
           .otherwise(struct(col("b").as("u"), col("a").as("w"), col("da").as("dw"))).as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
+      .cache()
     // wedges at the low endpoint, the pair ordered by the SAME (degree, id)
     // total order as the orientation — the closing oriented edge can only
     // run from the (d, id)-smaller target to the larger one
@@ -59,7 +65,7 @@ object GraphOps {
             (col("e1.dw") === col("e2.dw") && col("e1.w") < col("e2.w"))))
       .select(col("e1.w").as("u"), col("e2.w").as("w"))
     val triangles = wedges.join(oriented.select("u", "w"), Seq("u", "w"), "left_semi")
-    edges.agg(count(lit(1)).as("n_edges")).crossJoin(
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(
         deg.agg(count(lit(1)).as("n_nodes"))).crossJoin(
         triangles.agg(count(lit(1)).as("n_triangles")))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
