@@ -118,6 +118,20 @@ object ScaleProbe {
       graft.ops.TextOps.tokenChunks(docs, "doc_id", "text", 16, 8) }
     timed("oov_rate") {
       graft.ops.TextOps.oovProfile(docs, "doc_id", "text", 1000) }
+    // triangle census on a constant-degree synthetic graph (each node links
+    // to 8 hash-derived targets): degree bounded ⇒ wedge volume — and the
+    // whole census — must scale ~linearly in edges
+    timed("triangles") {
+      val edges = spark.range(0, n)
+        .select(col("id").as("src"),
+          explode(transform(sequence(lit(0), lit(7)),
+            j => pmod(hash(col("id"), j), lit(n)))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      graft.ops.GraphOps.triangleCount(edges)
+    }
 
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
