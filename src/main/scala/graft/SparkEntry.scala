@@ -430,6 +430,17 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
         .orderBy("id")),
 
+    // Weighted sample without replacement, 10 docs per language, odds
+    // proportional to length (integer weights, min-of-w-hashes priority —
+    // no transcendentals, bit-portable).
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSamplePerGroup(
+          Tables.documents(s, dir), col("doc_id"), col("lang"),
+          greatest(lit(1L), floor(col("n_chars") / lit(100.0)).cast("long")),
+          k = 10)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("lang", "doc_id")),
+
     // Graph analytics: triangle census of the part co-purchase graph
     // (degree-ordered wedge generation, Suri-Vassilvitskii — no hub ever
     // generates wedges; the oracle brute-forces the same count id-ordered).
@@ -1250,6 +1261,20 @@ object SparkEntry {
         |       round(CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM wins w JOIN df f ON w.wh = f.wh
         |GROUP BY w.doc_id ORDER BY id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, lang, n_chars,
+        |             greatest(1, n_chars // 100) AS wt
+        |           FROM documents),
+        |pri AS (SELECT doc_id, lang, n_chars,
+        |          min(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft:' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)) AS p
+        |        FROM w, unnest(range(w.wt)) AS t(j)
+        |        GROUP BY doc_id, lang, n_chars),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |        row_number() OVER (PARTITION BY lang ORDER BY p, doc_id) AS rn
+        |      FROM pri)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 10
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "q_triangles" ->
       """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS i

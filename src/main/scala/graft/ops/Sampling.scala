@@ -77,4 +77,37 @@ object Sampling {
     */
   def hashDrawSql(keyExpr: String, salt: String): String =
     s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 8)) AS BIGINT)"
+
+  /** Weighted sample without replacement, k rows per group — deterministic
+    * Efraimidis–Spirakis with INTEGER weights: a row's priority is the MIN
+    * of `weight` independent 60-bit hashes (min of w uniforms ⇒ selection
+    * odds ∝ weight), and each group keeps its k lowest priorities. No
+    * `ln`/`pow` priorities: libm transcendentals differ by ulps across
+    * engines, integer min/compare is bit-portable everywhere.
+    *
+    * Shape at 100 TB: the weight-fold explode is in-row (weights capped by
+    * `maxWeight` — fail loudly, an unbounded weight would amplify a row
+    * arbitrarily), the per-row min folds BEFORE any shuffle, and the
+    * per-group top-k is one window over (group, priority). Retry-stable
+    * and partitioning-independent like every sampler here.
+    */
+  def weightedSamplePerGroup(df: DataFrame, key: Column, group: Column,
+                             weight: Column, k: Int, maxWeight: Int = 1000,
+                             salt: String = "graft"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_pri"), col("_key"))
+    val guarded = when(weight >= 1 && weight <= maxWeight, weight.cast("int"))
+      .otherwise(raise_error(concat(lit(
+        s"weightedSamplePerGroup: weight outside [1, $maxWeight]: "),
+        weight.cast("string"))).cast("int"))
+    // min over j of hash60(key ':' salt ':' j) — folded in-row, no explode
+    val pri = array_min(transform(sequence(lit(0), guarded - 1), j =>
+      conv(substring(md5(to_binary(
+        concat(key.cast("string"), lit(":" + salt + ":"), j.cast("string")),
+        lit("utf-8"))), 1, 15), 16, 10).cast("long")))
+    df.withColumn("_g", group).withColumn("_key", key).withColumn("_pri", pri)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_g", "_key", "_pri", "_rn")
+  }
 }

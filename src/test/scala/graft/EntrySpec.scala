@@ -125,6 +125,23 @@ class EntrySpec extends SparkTestBase {
     assert(all == 0L)
   }
 
+  test("weighted sample: k per group, heavy weights dominate, partitioning-invariant") {
+    val df = spark.range(0, 1000).select(col("id"),
+      lit("g").as("grp"),
+      when(col("id") < 500, 1).otherwise(20).as("wt"))
+    val pick = graft.ops.Sampling.weightedSamplePerGroup(
+        df, col("id"), col("grp"), col("wt"), k = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pick.size == 100)
+    // weight-20 items (ids >= 500) should win the overwhelming majority
+    val heavy = pick.count(_ >= 500)
+    assert(heavy > 70, s"only $heavy/100 heavy items sampled")
+    val again = graft.ops.Sampling.weightedSamplePerGroup(
+        df.repartition(13), col("id"), col("grp"), col("wt"), k = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == pick)
+  }
+
   test("triangle count: K4 has 4, a square has 0, orientation handles hubs") {
     import spark.implicits._
     // K4 on {1,2,3,4}: C(4,3) = 4 triangles
