@@ -17,7 +17,9 @@ object ExplainAudit {
       else Seq("q_join_agg", "q_dedup_jaccard", "q_embed_neardup",
         "q_pagerank", "q_semi_join", "q_media_hist",
         "q_ann_ivf", "q_dedup_cluster", "q_prep_pipeline",
-        "q_range_join", "q_repetition", "q_contamination")
+        "q_range_join", "q_repetition", "q_contamination",
+        "q_tpch_q3", "q_tpch_q5", "q_bloom_join", "q_xcontamination",
+        "q_upsert", "q_triangles", "q_weighted_sample")
     val spark = graft.core.GraftSession.builder("graft-explain", cores = 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
