@@ -250,4 +250,45 @@ class PropertySpec extends SparkTestBase {
       assert(QExpr.parse(render(q)) == q, s"q=$q rendered=${render(q)}")
     }
   }
+
+  test("applyChangelog agrees with a per-key reference fold on random changelogs") {
+    import spark.implicits._
+    // random snapshots (unique keys) and changelogs (unique (key, version),
+    // versions disjoint from the snapshot's implicit version 0)
+    val caseGen = for {
+      snapKeys <- Gen.someOf(0L until 12L)
+      chg <- Gen.listOfN(18, Gen.zip(Gen.choose(0L, 11L), Gen.choose(1L, 9L),
+        Gen.alphaStr.map(_.take(3)), Gen.oneOf("upsert", "delete")))
+    } yield (snapKeys.toSeq, chg.distinctBy(c => (c._1, c._2)))
+    samples(caseGen, 40).zipWithIndex.foreach { case ((snapKeys, chg), i) =>
+      val snap = snapKeys.map(k => (k, 0L, s"s$k")).toDF("k", "version", "payload")
+      val changes = chg.toDF("k", "version", "payload", "op")
+      val got = graft.ops.ChangeOps.applyChangelog(snap, changes, "k", "version", "op")
+        .as[(Long, Long, String)].collect().toSet
+      // reference: per key, the max-version row across snapshot + changes
+      val all = snapKeys.map(k => (k, 0L, s"s$k", "upsert")) ++ chg
+      val want = all.groupBy(_._1).values.map(_.maxBy(_._2))
+        .filter(_._4 == "upsert").map(r => (r._1, r._2, r._3)).toSet
+      assert(got == want, s"case $i: snap=$snapKeys chg=$chg")
+    }
+  }
+
+  test("triangleCount agrees with brute force on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L))).map(_.collect {
+        case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+      }.distinct)
+    samples(edgeGen, 25).filter(_.nonEmpty).zipWithIndex.foreach { case (es, i) =>
+      val got = graft.ops.GraphOps.triangleCount(es.toDF("a", "b"))
+        .collect().head.getLong(2)
+      val set = es.toSet
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val want = (for {
+        a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+        if set((a, b)) && set((b, c)) && set((a, c))
+      } yield 1).size.toLong
+      assert(got == want, s"case $i: edges=$es")
+    }
+  }
 }
