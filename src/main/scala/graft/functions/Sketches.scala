@@ -68,12 +68,11 @@ object Sketches {
   def kmvDistinctByGroup(df: DataFrame, groupCol: String, key: Column,
                          k: Int): DataFrame = {
     require(k >= 3, s"KMV needs k >= 3 (got $k)")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy("h")
-    df.select(col(groupCol), hash60(key).as("h")).where(col("h").isNotNull)
-      .distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    val hashes = df.select(col(groupCol), hash60(key).as("h"))
+      .where(col("h").isNotNull).distinct()
+    // two-level per-group top-k: a group's distinct hashes never sort in
+    // one task (hashes are distinct per group, so "h" is a total order)
+    graft.ops.ScaleOps.smallestKPerGroup(hashes, groupCol, Seq("h"), k)
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
       .select(

@@ -94,8 +94,6 @@ object Sampling {
   def weightedSamplePerGroup(df: DataFrame, key: Column, group: Column,
                              weight: Column, k: Int, maxWeight: Int = 1000,
                              salt: String = "graft"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_g")).orderBy(col("_pri"), col("_key"))
     val guarded = when(weight >= 1 && weight <= maxWeight, weight.cast("int"))
       .otherwise(raise_error(concat(lit(
         s"weightedSamplePerGroup: weight outside [1, $maxWeight]: "),
@@ -105,9 +103,11 @@ object Sampling {
       conv(substring(md5(to_binary(
         concat(key.cast("string"), lit(":" + salt + ":"), j.cast("string")),
         lit("utf-8"))), 1, 15), 16, 10).cast("long")))
-    df.withColumn("_g", group).withColumn("_key", key).withColumn("_pri", pri)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .drop("_g", "_key", "_pri", "_rn")
+    // two-level top-k (ScaleOps): a huge group never sorts in one task
+    graft.ops.ScaleOps.smallestKPerGroup(
+        df.withColumn("_g", group).withColumn("_key", key)
+          .withColumn("_pri", pri),
+        "_g", Seq("_pri", "_key"), k)
+      .drop("_g", "_key", "_pri")
   }
 }

@@ -57,6 +57,35 @@ object ScaleOps {
       .drop("_salt")
   }
 
+  /** Per-group smallest-k rows by `orderCols` (ascending, the column list
+    * must be a deterministic total order — include a tie-break). A single
+    * `row_number().over(partitionBy(group))` sorts EACH GROUP IN ONE TASK —
+    * fine for many small groups, a straggler when groups are few and huge
+    * (languages, return flags). This is the two-level form: partial top-k
+    * per (group, shard) — shard = content hash of the order columns, so
+    * retry-safe — then final top-k over ≤ shards·k survivors per group.
+    * Result-identical to the single window: every global top-k row is in
+    * its shard's top-k.
+    */
+  def smallestKPerGroup(df: DataFrame, groupCol: String,
+                        orderCols: Seq[String], k: Int,
+                        shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards >= 1 && k >= 1, s"need shards/k >= 1: $shards/$k")
+    val rn = "__graft_topk_rn"
+    val sh = "__graft_topk_shard"
+    require(!df.columns.contains(rn) && !df.columns.contains(sh),
+      s"smallestKPerGroup: reserved column present in input")
+    val ord = orderCols.map(col)
+    val w1 = Window.partitionBy(col(groupCol), col(sh)).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+    df.withColumn(sh, pmod(hash(ord: _*), lit(shards)))
+      .withColumn(rn, row_number().over(w1)).filter(col(rn) <= k)
+      .drop(sh)
+      .withColumn(rn, row_number().over(w2)).filter(col(rn) <= k)
+      .drop(rn)
+  }
+
   /** Per-key cardinality profile — the skew detector that decides between
     * the plain, AQE, and salted plans: top-k heaviest keys + share of total.
     */
