@@ -688,9 +688,12 @@ object SparkEntry {
 
     // n-gram (token-set) Jaccard near-dup with lossless prefix filtering —
     // the oracle is the naive all-pairs spec, the plan is the PPJoin shape.
+    // No trailing orderBy: the comparator sorts rows itself (pandas
+    // sort_values — visible in the round-4 q_quantiles trace), and this is
+    // the one multi-million-row output where the redundant global sort is
+    // a measurable cost. The oracle keeps its ORDER BY (harmless).
     "q_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.9)
-        .orderBy("a", "b")),
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.9)),
 
     // MinHash+LSH near-dup: md5 minhash signatures, 4 bands x 4 rows,
     // band-bucket join, exact shingle-Jaccard verification.
