@@ -159,6 +159,22 @@ object SparkEntry {
         .select("event_id", "user_id", "prev")
         .orderBy("event_id")),
 
+    // Ranking-function family (ntile / percent_rank / cume_dist) KEYED by
+    // priority class — a global (unpartitioned) rank window would sort the
+    // table in one task; within-class ranks keep the sort distributed and
+    // are the realistic analytics ask ("price decile within priority").
+    "q_window_rankfns" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(10).over(w).as("decile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("o_orderkey")
+    }),
+
     // Corpus trigram frequency table (occurrence counts, wordcount shape).
     "q_ngrams" -> ((s, dir) =>
       TextOps.ngramCounts(Tables.documents(s, dir), "text", 3)
@@ -1507,6 +1523,15 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |       lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_rankfns" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(ntile(10) OVER w AS INT) AS decile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
