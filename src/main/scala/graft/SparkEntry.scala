@@ -908,6 +908,21 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ORC round-trip: documents written to ORC, read back, aggregated.
+    // The oracle recomputes from the parquet source — a hash match proves
+    // the columnar round-trip is lossless (values, nulls, types).
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val path = graft.io.IoScratch.dir + "/documents_orc"
+      graft.io.Sinks.writeOrc(d, path)
+      graft.io.Sources.readOrc(s, path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy("lang")
+    }),
+
     // Small-files compaction round-trip: documents sprayed into 16 part
     // files, compacted to one right-sized file (crash-safe swap), read
     // back. Oracle reads the parquet source — compaction must be lossless.
@@ -2064,6 +2079,11 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_compact_roundtrip" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_orc_roundtrip" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -36,6 +36,13 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC sink — the other mainstream columnar format (Spark-native reader/
+    * writer, predicate pushdown and column pruning like parquet); for
+    * interop with ORC-standardized warehouses.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Parquet sink that also registers the output under the job-results tag
     * `job:results:<jobName>` (ddfs.py:288-292, `disco:job:results:<jobname>`
     * — Disco auto-tags every job's outputs so downstream jobs can consume

@@ -54,6 +54,13 @@ object Sources {
     (if (schema != null) r.schema(schema) else r).json(path)
   }
 
+  /** ORC source — Spark-native columnar reader with the same pushdown/
+    * pruning contract as parquet (the scan's PushedFilters/ReadSchema show
+    * it); schema travels in the file footer, no inference scan needed.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** `raw://` literal source (scheme_raw.py:1-11): the payload IS the
     * record. Driver-side literals, parallelized — for seeds and unit inputs.
     */
