@@ -908,6 +908,20 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Partition-pruned read: documents written hive-partitioned by lang,
+    // read back with a partition predicate — the scan plans only the
+    // matching directories (IoSpec pins the PartitionFilters in the plan).
+    "q_partition_prune" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val path = graft.io.IoScratch.dir + "/documents_bylang"
+      graft.io.Sinks.writePartitioned(d, path, Seq("lang"))
+      s.read.parquet(path)
+        .filter(col("lang").isin("en", "zh"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // ORC round-trip: documents written to ORC, read back, aggregated.
     // The oracle recomputes from the parquet source — a hash match proves
     // the columnar round-trip is lossless (values, nulls, types).
@@ -2087,6 +2101,11 @@ object SparkEntry {
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_partition_prune" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'zh')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -43,6 +43,19 @@ object Sinks {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Hive-partitioned parquet sink: one directory per distinct value of
+    * `partitionCols` — THE layout that lets a predicate on those columns
+    * skip entire directories at planning time (partition pruning: a
+    * `lang='en'` filter over a 100 TB corpus reads only `lang=en/`).
+    * Choose low-cardinality columns: a high-cardinality partition column
+    * degenerates into the millions-of-small-files pathology
+    * ([[graft.ops.ScaleOps.compactParquet]] is the repair, prevention is
+    * better).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** Parquet sink that also registers the output under the job-results tag
     * `job:results:<jobName>` (ddfs.py:288-292, `disco:job:results:<jobname>`
     * — Disco auto-tags every job's outputs so downstream jobs can consume

@@ -227,6 +227,20 @@ class IoSpec extends SparkTestBase {
       inputHook = _.reverse)
     assert(seen == Seq("/p/c", "/p/b", "/p/a"))
   }
+
+  test("partitioned write prunes non-matching partitions at planning time") {
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft_part").toString + "/bylang"
+    graft.io.Sinks.writePartitioned(d, path, Seq("lang"))
+    val q = spark.read.parquet(path).filter(col("lang") === "en")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"expected a lang partition filter in the scan:\n$scan")
+    // the pruned read sees exactly the en rows, with all columns intact
+    assert(q.count() == d.filter(col("lang") === "en").count())
+    assert(q.columns.toSet == d.columns.toSet)
+  }
 }
 
 /** Tracks whether the streamed Source was closed (early-termination leak
