@@ -908,6 +908,19 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Semi-structured extraction: typed from_json over the events props
+    // column (schema declared — no sampling pass), aggregated per type.
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // Partition-pruned read: documents written hive-partitioned by lang,
     // read back with a partition predicate — the scan plans only the
     // matching directories (IoSpec pins the PartitionFilters in the plan).
@@ -2106,6 +2119,14 @@ object SparkEntry {
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'zh')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_json_extract" ->
+      """WITH j AS (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |           FROM events)
+        |SELECT event_type, CAST(count(k) AS BIGINT) AS n_with_k,
+        |       CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
