@@ -908,6 +908,21 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Full outer join — the remaining join type: customers x their order
+    // counts, tallied by which side matched (unmatched customers surface
+    // as has_orders = false).
+    "q_full_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"))
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full")
+        .select(col("c_custkey").isNotNull.as("has_customer"),
+          col("o_custkey").isNotNull.as("has_orders"))
+        .groupBy("has_customer", "has_orders")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("has_customer", "has_orders")
+    }),
+
     // Semi-structured extraction: typed from_json over the events props
     // column (schema declared — no sampling pass), aggregated per type.
     "q_json_extract" -> ((s, dir) =>
@@ -2119,6 +2134,14 @@ object SparkEntry {
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'zh')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_full_join" ->
+      """WITH o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+        |SELECT (c.c_custkey IS NOT NULL) AS has_customer,
+        |       (o.o_custkey IS NOT NULL) AS has_orders,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_json_extract" ->
       """WITH j AS (SELECT event_type,
