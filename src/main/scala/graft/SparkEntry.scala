@@ -908,6 +908,16 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Calendar rollup: monthly order revenue (date_trunc to month grain,
+    // decimal-exact sum surfaced as double).
+    "q_monthly_revenue" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy("month")),
+
     // Full outer join — the remaining join type: customers x their order
     // counts, tallied by which side matched (unmatched customers surface
     // as has_orders = false).
@@ -2134,6 +2144,12 @@ object SparkEntry {
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'zh')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_monthly_revenue" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
 
     "q_full_join" ->
       """WITH o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
