@@ -446,6 +446,54 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
         .orderBy("id")),
 
+    // TPC-H Q4 shape (adapted: the fixture has no commit/receipt dates, the
+    // EXISTS predicate is "shipped after order date"): priority census of
+    // one quarter's orders having at least one late-shipped line — a
+    // left-semi join driven by an EXISTS.
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution (count of counts)
+    // — left join so zero-order customers land in the c_count = 0 bucket,
+    // with a non-trivial join predicate (excluding one priority class).
+    "q_tpch_q13" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q18 shape: large orders — lineitem aggregated per order, HAVING
+    // over the sum feeding an IN/semi-join back to orders+customer, top 20.
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
     // Weighted sample without replacement, 10 docs per language, odds
     // proportional to length (integer weights, min-of-w-hashes priority —
     // no transcendentals, bit-portable).
@@ -1318,6 +1366,35 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |             FROM lineitem GROUP BY l_orderkey
+        |             HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_custkey, o_orderkey, o_totalprice,
+        |       CAST(sum_qty AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
 
     "q_kmv_distinct" ->
       graft.functions.Sketches.kmvDistinctSql("lineitem", "l_partkey", k = 256),
