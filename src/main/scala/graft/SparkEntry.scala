@@ -494,6 +494,20 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q17 shape: per-part average quantity (the decorrelated scalar
+    // subquery) joined back to prune lineitems below 20% of their part's
+    // average; small-scan revenue aggregate on the survivors.
+    "q_tpch_q17" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val avgQ = l.groupBy(col("l_partkey").as("p_key"))
+        .agg(avg(col("l_quantity").cast("decimal(18,2)")).as("avg_qty"))
+      l.join(avgQ, col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity").cast("decimal(18,2)") < expr("0.2") * col("avg_qty"))
+        .agg(count(lit(1)).as("n_small"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")) / lit(7.0))
+            .cast("double").as("avg_yearly"))
+    }),
+
     // Weighted sample without replacement, 10 docs per language, odds
     // proportional to length (integer weights, min-of-w-hashes priority —
     // no transcendentals, bit-portable).
@@ -1395,6 +1409,15 @@ object SparkEntry {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH a AS (SELECT l_partkey AS p_key,
+        |             avg(CAST(l_quantity AS DECIMAL(18,2))) AS avg_qty
+        |           FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE) AS avg_yearly
+        |FROM lineitem JOIN a ON l_partkey = p_key
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) < 0.2 * avg_qty""".stripMargin,
 
     "q_kmv_distinct" ->
       graft.functions.Sketches.kmvDistinctSql("lineitem", "l_partkey", k = 256),
