@@ -519,6 +519,14 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("lang", "doc_id")),
 
+    // int8 scalar quantization of the embedding corpus: per-dim ranges,
+    // floor-bucketed codes, per-vector reconstruction error.
+    "q_quantize_int8" -> ((s, dir) =>
+      graft.similarity.Similarity.quantizeInt8(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
     // Graph analytics: triangle census of the part co-purchase graph
     // (degree-ordered wedge generation, Suri-Vassilvitskii — no hub ever
     // generates wedges; the oracle brute-forces the same count id-ordered).
@@ -1409,6 +1417,23 @@ object SparkEntry {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dims AS (SELECT vec_id, unnest(v) AS x, unnest(range(0, len(v))) AS d FROM v),
+        |r AS (SELECT d, min(x) AS lo, max(x) AS hi FROM dims GROUP BY d),
+        |q AS (SELECT vec_id, dims.d, x, lo, hi,
+        |        CAST(CASE WHEN hi = lo THEN 0
+        |             ELSE least(255, floor((x - lo) * 256.0 / (hi - lo))) END AS INT) AS code
+        |      FROM dims JOIN r ON dims.d = r.d),
+        |e AS (SELECT vec_id, d, code,
+        |        x - (lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256.0)) AS err
+        |      FROM q)
+        |SELECT vec_id,
+        |       array_to_string(list(code ORDER BY d), ',') AS codes,
+        |       round(CAST(sum(CAST(err * err AS DECIMAL(38,18))) AS DOUBLE) / count(*), 9) AS mse,
+        |       round(max(abs(err)), 9) AS max_abs_err
+        |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q_tpch_q17" ->
       """WITH a AS (SELECT l_partkey AS p_key,

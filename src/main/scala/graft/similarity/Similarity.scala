@@ -274,4 +274,46 @@ object Similarity {
       .filter(!isnan(col("sim")) && col("sim") >= tau)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** int8 scalar quantization of an embedding column — the 4× storage
+    * compression pass of a 100 TB vector store: per-DIMENSION min/max over
+    * the corpus (one aggregation of exploded dims — shuffle volume =
+    * O(dims), codes quantize against their own dimension's range), code =
+    * min(255, floor((x − min)·256/(max − min))) (floor, not round:
+    * half-rounding modes differ across engines; a constant dimension maps
+    * to code 0), reconstruction at bucket centers. Output per vector: the
+    * code array and the reconstruction error (MSE, max abs), the numbers a
+    * recall-vs-compression decision reads.
+    *
+    * Fixed IEEE operation order throughout ⇒ engine-reproducible
+    * (the DuckDB oracle replays quantize + reconstruct bit-for-bit).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dims = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), posexplode(col("v")))
+      .select(col("id"), col("pos").as("d"), col("col").as("x"))
+    val ranges = dims.groupBy("d")
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    dims.join(ranges, "d")
+      .withColumn("code",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(255),
+            floor((col("x") - col("lo")) * 256.0 / (col("hi") - col("lo")))))
+          .cast("int"))
+      .withColumn("xr",
+        col("lo") + (col("code").cast("double") + 0.5) *
+          ((col("hi") - col("lo")) / 256.0))
+      .withColumn("err", col("x") - col("xr"))
+      .groupBy("id")
+      .agg(
+        // string codes, not an array column: the correctness comparator
+        // cannot sort array cells (the round-4 q_quantiles lesson)
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("d"), col("code")))),
+          e => e("code"))).as("codes"),
+        // decimal sum: order-independent across partitionings
+        round(sum((col("err") * col("err")).cast("decimal(38,18)"))
+          .cast("double") / count(lit(1)), 9).as("mse"),
+        round(max(abs(col("err"))), 9).as("max_abs_err"))
+  }
 }

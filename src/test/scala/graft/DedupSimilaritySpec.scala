@@ -196,6 +196,26 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("int8 quantization: codes in range, error bounded by half a bucket") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Seq(0.0f, 10.0f, 5.0f)),
+      (2L, Seq(1.0f, 10.0f, -5.0f)),   // dim 1 constant -> code 0, err 0...
+      (3L, Seq(0.5f, 10.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vs, "vec_id", "embedding")
+      .orderBy("id").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val codes = r.getString(1).split(",").map(_.toInt)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      // bucket half-width per dim: (hi-lo)/256/2; dims here span <= 10
+      assert(r.getDouble(3) <= 10.0 / 256.0, s"max_abs_err ${r.getDouble(3)}")
+    }
+    // constant dimension (index 1, value 10 everywhere) must code to 0
+    assert(out.forall(_.getString(1).split(",")(1) == "0"))
+  }
+
   test("semDedup is invariant under repartitioning") {
     val a = Similarity.semDedup(embs, "vec_id", "embedding", tau = 0.35, k = 8)
       .orderBy("id").collect().toSeq
