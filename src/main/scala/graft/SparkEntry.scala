@@ -978,6 +978,23 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // RANGE-frame window (event-time, not row-count): per-customer trailing
+    // 30-day revenue — the frame is [day-29, day] in VALUE space, so gaps
+    // and same-day multiples behave correctly where a ROWS frame would not.
+    "q_window_range" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("day"))
+        .rangeBetween(-29, 0)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("day"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .withColumn("rev_30d", sum(col("p")).over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"), col("rev_30d"))
+        .orderBy("o_orderkey")
+    }),
+
     // Calendar rollup: monthly order revenue (date_trunc to month grain,
     // decimal-exact sum surfaced as double).
     "q_monthly_revenue" -> ((s, dir) =>
@@ -2269,6 +2286,16 @@ object SparkEntry {
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'zh')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_window_range" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+        |             CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INT) AS day,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |           FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |       CAST(sum(p) OVER (PARTITION BY o_custkey ORDER BY day
+        |                         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
+        |FROM t ORDER BY o_orderkey""".stripMargin,
 
     "q_monthly_revenue" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
