@@ -67,8 +67,10 @@ object ScaleProbe {
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def timed(name: String)(df: => DataFrame): Unit =
       if (only.forall(_.exists(name.contains))) {
-        val d = df
+        // clock starts BEFORE construction: eager work inside the builder
+        // (connected components' localCheckpoint rounds) is part of the op
         val t0 = System.nanoTime()
+        val d = df
         // noop sink (same rationale as Bench): count() prunes pure column
         // work and can eliminate report-shaped left joins outright
         d.write.format("noop").mode("overwrite").save()
