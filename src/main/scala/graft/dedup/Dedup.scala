@@ -145,6 +145,42 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** PPJoin candidate-volume profile — run BEFORE committing a corpus to
+    * [[jaccardPairs]]: the prefix-index equi-join generates
+    * Σ_token C(prefix_count, 2) candidate pairs, which is ~n²/|vocab| on a
+    * dense/templated corpus (fixed vocabulary) and ~n on Zipfian text
+    * (measured: exponent 1.99 vs 0.94 for minhash on the dense synthetic —
+    * BENCH_NOTES round 5). One row: (n_docs, n_unique_sets,
+    * n_prefix_entries, est_candidates). Decision rule: est_candidates
+    * within a small multiple of the expected output → [[jaccardPairs]];
+    * orders of magnitude above → [[minhashLshPairs]], whose candidates are
+    * band-collision-bounded.
+    *
+    * The estimate is a deliberate UPPER bound: it slices the lexicographic
+    * prefix (the real join uses the rarest-first order, which is never
+    * worse) and counts a pair once per shared prefix token. Upper is the
+    * safe direction for a go/no-go profiler.
+    */
+  def jaccardCandidateProfile(df: DataFrame, idCol: String, textCol: String,
+                              tau: Double): DataFrame = {
+    val docArr = df.select(col(idCol).as("id"),
+        array_sort(array_distinct(TextAnalysis.tokensArr(col(textCol)))).as("set"))
+      .filter(size(col("set")) > 0)
+      .withColumn("gid",
+        md5(to_binary(concat_ws("", col("set")), lit("utf-8"))))
+    val usets = docArr.groupBy("gid").agg(first(col("set")).as("set"))
+      .withColumn("sz", size(col("set")))
+    val prefLen = (col("sz") - ceil(lit(tau) * col("sz")) + 1).cast("int")
+    val pref = usets.select(explode(slice(col("set"), lit(1), prefLen)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    docArr.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("gid")).as("n_unique_sets"))
+      .crossJoin(pref.agg(
+        sum(col("c")).as("n_prefix_entries"),
+        // c(c-1) is even, the halved product is integer-exact
+        sum((col("c") * (col("c") - 1) / 2).cast("long")).as("est_candidates")))
+  }
+
   /** Word n-gram shingles per document (distinct) — per-row dedupe, same
     * zero-shuffle rationale AND one-row-per-doc contract as [[tokenSet]].
     */

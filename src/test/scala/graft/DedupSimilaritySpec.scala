@@ -62,6 +62,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(identical.subsetOf(gotPairs))
   }
 
+  test("jaccardCandidateProfile: dense corpora estimate high, disjoint corpora low") {
+    import spark.implicits._
+    // 40 DISTINCT sets all sharing prefix token "a": C(40,2)=780 candidates
+    // (identical sets would collapse before the index — correctly free)
+    val dense = (0 until 40).map(i => (i.toLong, s"a w$i"))
+      .toDF("doc_id", "text")
+    // 40 docs with fully disjoint vocabularies: no candidate pairs at all
+    val disjoint = (0 until 40).map(i => (i.toLong, s"w${i}x w${i}y w${i}z"))
+      .toDF("doc_id", "text")
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      Dedup.jaccardCandidateProfile(df, "doc_id", "text", 0.9)
+        .select("est_candidates").collect().head.getLong(0)
+    assert(est(disjoint) == 0L)
+    assert(est(dense) > 100L, s"dense estimate ${est(dense)} suspiciously low")
+    // the estimate is an upper bound on the real candidate join
+    val realPairs = Dedup.jaccardPairs(dense, "doc_id", "text", 0.9).count()
+    assert(est(dense) >= realPairs)
+  }
+
   test("crossCorpusContamination flags the planted train/eval near-dup only") {
     import spark.implicits._
     val train = Seq(
