@@ -497,12 +497,18 @@ object SparkEntry {
     // TPC-H Q17 shape: per-part average quantity (the decorrelated scalar
     // subquery) joined back to prune lineitems below 20% of their part's
     // average; small-scan revenue aggregate on the survivors.
+    // avg_qty is pinned to ONE numeric regime on both engines: exact
+    // decimal sum → double, / double count, then 0.2 * avg in double —
+    // Spark's avg(decimal) returns decimal(22,6) while DuckDB's returns
+    // DOUBLE, so a built-in avg would evaluate the filter boundary in
+    // different regimes and a quantity within ~1e-6 of 0.2*avg could flip.
     "q_tpch_q17" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
       val avgQ = l.groupBy(col("l_partkey").as("p_key"))
-        .agg(avg(col("l_quantity").cast("decimal(18,2)")).as("avg_qty"))
+        .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"))
       l.join(avgQ, col("l_partkey") === col("p_key"))
-        .filter(col("l_quantity").cast("decimal(18,2)") < expr("0.2") * col("avg_qty"))
+        .filter(col("l_quantity").cast("double") < lit(0.2) * col("avg_qty"))
         .agg(count(lit(1)).as("n_small"),
           (sum(col("l_extendedprice").cast("decimal(18,2)")) / lit(7.0))
             .cast("double").as("avg_yearly"))
@@ -1454,12 +1460,13 @@ object SparkEntry {
 
     "q_tpch_q17" ->
       """WITH a AS (SELECT l_partkey AS p_key,
-        |             avg(CAST(l_quantity AS DECIMAL(18,2))) AS avg_qty
+        |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |               / CAST(count(*) AS DOUBLE) AS avg_qty
         |           FROM lineitem GROUP BY l_partkey)
         |SELECT CAST(count(*) AS BIGINT) AS n_small,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE) AS avg_yearly
         |FROM lineitem JOIN a ON l_partkey = p_key
-        |WHERE CAST(l_quantity AS DECIMAL(18,2)) < 0.2 * avg_qty""".stripMargin,
+        |WHERE CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty""".stripMargin,
 
     "q_kmv_distinct" ->
       graft.functions.Sketches.kmvDistinctSql("lineitem", "l_partkey", k = 256),

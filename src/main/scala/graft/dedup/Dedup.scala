@@ -167,7 +167,7 @@ object Dedup {
         array_sort(array_distinct(TextAnalysis.tokensArr(col(textCol)))).as("set"))
       .filter(size(col("set")) > 0)
       .withColumn("gid",
-        md5(to_binary(concat_ws("", col("set")), lit("utf-8"))))
+        md5(to_binary(concat_ws("\u0001", col("set")), lit("utf-8"))))
     val usets = docArr.groupBy("gid").agg(first(col("set")).as("set"))
       .withColumn("sz", size(col("set")))
     val prefLen = (col("sz") - ceil(lit(tau) * col("sz")) + 1).cast("int")

@@ -94,6 +94,12 @@ object Sampling {
   def weightedSamplePerGroup(df: DataFrame, key: Column, group: Column,
                              weight: Column, k: Int, maxWeight: Int = 1000,
                              salt: String = "graft"): DataFrame = {
+    // withColumn below REPLACES same-named input columns (they'd be
+    // silently overwritten and then dropped) — same guard as
+    // ScaleOps.smallestKPerGroup's reserved names
+    Seq("_g", "_key", "_pri").foreach(c =>
+      require(!df.columns.contains(c),
+        s"weightedSamplePerGroup: input must not contain reserved column '$c'"))
     val guarded = when(weight >= 1 && weight <= maxWeight, weight.cast("int"))
       .otherwise(raise_error(concat(lit(
         s"weightedSamplePerGroup: weight outside [1, $maxWeight]: "),

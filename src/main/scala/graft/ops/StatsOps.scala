@@ -28,15 +28,22 @@ object StatsOps {
                           xCol: String, yCol: String): DataFrame = {
     val xc = (col(xCol).cast("decimal(18,2)") * 100).cast("long")
     val yc = (col(yCol).cast("decimal(18,2)") * 100).cast("long")
+    // Products are formed in decimal, NOT long: long*long wraps silently in
+    // non-ANSI Spark for |cents| above ~3e9 (≈ $30M), while the DuckDB
+    // oracle multiplies in HUGEINT. decimal(18,0)*decimal(18,0) →
+    // decimal(37,0): exact, no precision-loss rounding, matches the
+    // oracle's integer regime at any magnitude the cents cast admits.
+    val xd = col("xc").cast("decimal(18,0)")
+    val yd = col("yc").cast("decimal(18,0)")
     val agg = df.select(col(groupCol), xc.as("xc"), yc.as("yc"))
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n"),
         sum(col("xc")).as("sx"),
         sum(col("yc")).as("sy"),
-        sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("yc") * col("yc")).cast("decimal(38,0)")).as("syy"),
-        sum((col("xc") * col("yc")).cast("decimal(38,0)")).as("sxy"))
+        sum(xd * xd).as("sxx"),
+        sum(yd * yd).as("syy"),
+        sum(xd * yd).as("sxy"))
     val nD = col("n").cast("decimal(38,0)")
     val sxD = col("sx").cast("decimal(38,0)")
     val syD = col("sy").cast("decimal(38,0)")

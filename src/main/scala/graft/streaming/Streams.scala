@@ -148,6 +148,20 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // Crash recovery BEFORE reading: a crash between rename(neu, cur)
+        // and delete(old) leaves a stale `._merge_old`; a crash between
+        // rename(cur, old) and rename(neu, cur) leaves the path missing
+        // with the last consistent snapshot in `._merge_old`. Restore it
+        // if cur is gone, else the swap below clears the stale leftover.
+        locally {
+          val fs0 = new org.apache.hadoop.fs.Path(snapshotPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val cur0 = new org.apache.hadoop.fs.Path(snapshotPath)
+          val old0 = new org.apache.hadoop.fs.Path(snapshotPath + "._merge_old")
+          if (!fs0.exists(cur0) && fs0.exists(old0))
+            require(fs0.rename(old0, cur0),
+              s"merge recovery: could not restore $cur0 from $old0")
+        }
         val snap = spark.read.parquet(snapshotPath)
         val merged = graft.ops.ChangeOps
           .applyChangelog(snap, batch, keyCol, versionCol, opCol)
@@ -159,6 +173,9 @@ object Streams {
         val old = new org.apache.hadoop.fs.Path(snapshotPath + "._merge_old")
         fs.delete(neu, true)
         merged.write.mode("overwrite").parquet(neu.toString)
+        // clear a stale `._merge_old` from a crash after the new snapshot
+        // landed: rename-into-existing fails on local FS and NESTS on HDFS
+        fs.delete(old, true)
         require(fs.rename(cur, old), s"merge swap: could not move $cur aside")
         if (!fs.rename(neu, cur)) {
           fs.rename(old, cur) // roll back, never leave the path empty
