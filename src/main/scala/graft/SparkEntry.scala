@@ -160,20 +160,22 @@ object SparkEntry {
         .orderBy("event_id")),
 
     // Ranking-function family (ntile / percent_rank / cume_dist) KEYED by
-    // priority class — a global (unpartitioned) rank window would sort the
-    // table in one task; within-class ranks keep the sort distributed and
-    // are the realistic analytics ask ("price decile within priority").
-    "q_window_rankfns" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, dir)
+    // priority class ("price decile within priority"). A plain
+    // Window.partitionBy(o_orderpriority) is a straggler shape: 5 priority
+    // classes ⇒ each class's FULL sort on one task at any scale. This uses
+    // the two-pass range-partitioned rank (WindowOps.rankFunctions): P
+    // parallel sorted ranges per class, offsets broadcast back — same
+    // values bit-for-bit, no whole-class task (WindowOpsSpec asserts both).
+    "q_window_rankfns" -> ((s, dir) =>
+      graft.ops.WindowOps.rankFunctions(
+          Tables.orders(s, dir)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          "o_orderpriority", Seq("o_totalprice", "o_orderkey"), numTiles = 10)
         .select(col("o_orderkey"), col("o_orderpriority"),
-          ntile(10).over(w).as("decile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
-        .orderBy("o_orderkey")
-    }),
+          col("ntile_10").cast("int").as("decile"),
+          round(col("pct_rank"), 6).as("pct_rank"),
+          round(col("cume"), 6).as("cume"))
+        .orderBy("o_orderkey")),
 
     // Corpus trigram frequency table (occurrence counts, wordcount shape).
     "q_ngrams" -> ((s, dir) =>

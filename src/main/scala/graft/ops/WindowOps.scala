@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,6 +40,94 @@ object WindowOps {
                 valCol: String): DataFrame = {
     val w = Window.partitionBy(partCol).orderBy(orderCols.map(col): _*)
     df.withColumn("prev", lag(col(valCol), 1).over(w))
+  }
+
+  /** Distributed ranking functions — ntile / percent_rank / cume_dist per
+    * group WITHOUT a whole-group single-task sort.
+    *
+    * `Window.partitionBy(lowCardinalityKey).orderBy(...)` with rank
+    * functions is a genuine straggler shape: every group's FULL sort lands
+    * on one task because ntile/percent_rank/cume_dist need whole-group
+    * ranks. This is the two-pass range-partitioned form (the
+    * [[PrefixSum]] pattern, generalized to per-group ranks):
+    *
+    *  1. range-partition by (group, orderCols) — each group's rows split
+    *     across consecutive sorted ranges, P parallel sorts; equal sort
+    *     keys land in ONE partition (range assignment is a deterministic
+    *     function of the key), so tie groups never straddle a boundary,
+    *  2. per-(partition, group) local row_number, plus min/max row_number
+    *     over each distinct order key (tie-aware rank and cume counts),
+    *  3. per-(partition, group) counts → per-group running offsets and
+    *     totals, computed IN-PLAN (a G·P-row aggregate windowed per group,
+    *     ≤ P rows per window — nothing collects to the driver) and
+    *     broadcast-joined back,
+    *  4. closed forms over the global rank: standard ntile bucketing
+    *     (first n%k buckets get one extra row), percent_rank =
+    *     (rank−1)/(n−1), cume_dist = peers_through_current / n.
+    *
+    * Results are bit-identical to the one-task-per-group window (asserted
+    * in WindowOpsSpec) and partitioning-independent. `orderCols` should be
+    * a total order within each group for ntile determinism (ties make any
+    * engine's ntile order-dependent); percent_rank/cume_dist are tie-aware
+    * either way. Output adds `ntile_<k>`, `pct_rank`, `cume` (+ `_pid`
+    * when `keepPid`, for distribution assertions in specs).
+    */
+  def rankFunctions(df: DataFrame, groupCol: String, orderCols: Seq[String],
+                    numTiles: Int, partitions: Int = 32,
+                    keepPid: Boolean = false): DataFrame = {
+    val reserved = Seq("_pid", "_lrn", "_lmin", "_lmax", "_off", "_n", "_c",
+      "_opid", "_og")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"rankFunctions: input must not contain reserved column '$c'"))
+    val ordCols: Seq[Column] = orderCols.map(col)
+    // MATERIALIZE pass 1 (PrefixSum rationale): the counts aggregate and
+    // the final join must see the SAME range boundaries, and
+    // RangePartitioner's sampling is not stable across re-executions.
+    val parted = df
+      .repartitionByRange(partitions, (col(groupCol) +: ordCols): _*)
+      .withColumn("_pid", F.spark_partition_id())
+      .localCheckpoint()
+    val wl = Window.partitionBy(col("_pid"), col(groupCol)).orderBy(ordCols: _*)
+    val wk = Window.partitionBy((Seq(col("_pid"), col(groupCol)) ++ ordCols): _*)
+    val local = parted
+      .withColumn("_lrn", row_number().over(wl).cast("long"))
+      .withColumn("_lmin", min(col("_lrn")).over(wk)) // local tie-aware rank
+      .withColumn("_lmax", max(col("_lrn")).over(wk)) // local peers-through count
+    // per-group start offset of each partition + group total, in-plan:
+    // G·P rows, each per-group window ≤ P rows — trivially distributed
+    val cnts = parted.groupBy(col("_pid"), col(groupCol))
+      .agg(count(lit(1)).as("_c"))
+    val wOff = Window.partitionBy(groupCol).orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnts
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(groupCol)))
+      .select(col("_pid").as("_opid"), col(groupCol).as("_og"),
+        col("_off"), col("_n"))
+    val joined = local.join(broadcast(offs),
+      col("_pid") === col("_opid") && col(groupCol) === col("_og"))
+    val grn = col("_off") + col("_lrn")     // global row_number
+    val grank = col("_off") + col("_lmin")  // global tie-aware rank
+    val gcume = col("_off") + col("_lmax")  // global rows-through-peers
+    val n = col("_n")
+    // standard ntile over the global row_number: q = n div k, r = n mod k;
+    // the first r buckets hold q+1 rows. Doubles are exact here (group
+    // sizes < 2^53); the q=0 branch (n < k) never divides by zero because
+    // `when` evaluates lazily and rn <= r*(q+1) = n always holds then.
+    val k = lit(numTiles.toLong)
+    val q = floor(n.cast("double") / k.cast("double")).cast("long")
+    val r = n - q * k
+    val tile = when(grn <= r * (q + lit(1L)),
+        ceil(grn.cast("double") / (q + lit(1L)).cast("double")))
+      .otherwise(r + ceil((grn - r * (q + lit(1L))).cast("double") / q.cast("double")))
+      .cast("long")
+    val out = joined
+      .withColumn(s"ntile_$numTiles", tile)
+      .withColumn("pct_rank", when(n === 1, lit(0.0))
+        .otherwise((grank - lit(1L)).cast("double") / (n - lit(1L)).cast("double")))
+      .withColumn("cume", gcume.cast("double") / n.cast("double"))
+      .drop("_lrn", "_lmin", "_lmax", "_off", "_n", "_opid", "_og")
+    if (keepPid) out else out.drop("_pid")
   }
 
   /** Batch sessionization: per-user session numbers from inactivity gaps —

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.WindowOps
+
+/** Distributed rank functions: must equal the one-task-per-group window
+  * bit-for-bit at any partition count, while never giving a whole group to
+  * a single task.
+  */
+class WindowRankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val orders = graft.core.Tables.orders(spark, sfDir)
+    .select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+  test("rankFunctions equals built-in ntile/percent_rank/cume_dist at any partitioning") {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val expect = orders.select(col("o_orderkey"),
+        ntile(10).over(w).cast("long").as("t"),
+        percent_rank().over(w).as("p"),
+        cume_dist().over(w).as("c"))
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    for (p <- Seq(1, 8, 32)) {
+      val got = WindowOps.rankFunctions(orders, "o_orderpriority",
+          Seq("o_totalprice", "o_orderkey"), numTiles = 10, partitions = p)
+        .select(col("o_orderkey"), col("ntile_10"), col("pct_rank"), col("cume"))
+        .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+      assert(got.size == expect.size, s"row count diverged at partitions=$p")
+      // bit-for-bit: the closed forms use the same double ops as the built-in
+      expect.foreach { case (k, e) =>
+        assert(got(k) == e, s"rank values diverged at partitions=$p key=$k: ${got(k)} vs $e")
+      }
+    }
+  }
+
+  test("rankFunctions is tie-aware: equal order keys share rank and cume") {
+    // many ties: value has only 7 distinct levels across 400 rows
+    val df = spark.range(0, 400).select(
+      (col("id") % 2).as("g"), pmod(hash(col("id")), lit(7)).as("v"))
+    val w = Window.partitionBy("g").orderBy("v")
+    val expect = df.select(col("g"), col("v"),
+        percent_rank().over(w).as("p"), cume_dist().over(w).as("c"))
+      .distinct().as[(Long, Int, Double, Double)].collect().toSet
+    val got = WindowOps.rankFunctions(df, "g", Seq("v"), numTiles = 4,
+        partitions = 8)
+      .select(col("g"), col("v"), col("pct_rank"), col("cume"))
+      .distinct().as[(Long, Int, Double, Double)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("no task receives a whole group: every group spans multiple range partitions") {
+    val byPid = WindowOps.rankFunctions(orders, "o_orderpriority",
+        Seq("o_totalprice", "o_orderkey"), numTiles = 10, partitions = 8,
+        keepPid = true)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("_pid")).as("nPids"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    assert(byPid.length == 5)
+    byPid.foreach { case (g, nPids, n) =>
+      assert(nPids >= 2, s"group $g ($n rows) landed on a single partition")
+    }
+  }
+
+  test("ntile with n < k gives each row its own bucket (q=0 branch never divides)") {
+    val df = Seq((1L, 10.0), (1L, 20.0), (1L, 30.0)).toDF("g", "v")
+    val got = WindowOps.rankFunctions(df, "g", Seq("v"), numTiles = 10,
+        partitions = 4)
+      .select("v", "ntile_10").as[(Double, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("reserved column names are rejected loudly") {
+    val df = Seq((1L, 2L)).toDF("g", "_pid")
+    val e = intercept[IllegalArgumentException] {
+      WindowOps.rankFunctions(df, "g", Seq("_pid"), numTiles = 2)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+}
