@@ -1114,6 +1114,27 @@ object SparkEntry {
         "text").orderBy("word")
     }),
 
+    // §1.3 — Disco chunk/hunk at-rest format round-trip: documents →
+    // distributed chunk writer (v0 record frames in crc32'd zlib hunks,
+    // chunk files capped small here to force multi-chunk/multi-hunk) →
+    // one-task-per-chunk reader → decode. Oracle reads the source table:
+    // the codec must be lossless.
+    "q_chunk_format" -> ((s, dir) => {
+      import s.implicits._
+      val kv = Tables.documents(s, dir)
+        .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+        .map { case (k, v) => (k.getBytes("UTF-8"), v.getBytes("UTF-8")) }
+      val path = graft.io.IoScratch.dir + "/documents_chunks"
+      graft.io.DiscoChunk.write(kv, path,
+        chunkSize = 128 * 1024, minHunkSize = 32 * 1024)
+      graft.io.DiscoChunk.read(s, path + "/*.chunk")
+        .as[(Array[Byte], Array[Byte])]
+        .map { case (k, v) =>
+          (new String(k, "UTF-8").toLong, new String(v, "UTF-8")) }
+        .toDF("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // #45 — redis:// scheme round-trip: (lang, doc_id) pairs RPUSHed to a
     // loopback RESP endpoint from executor partitions, read back via the
     // reference's SCAN/LRANGE model (scheme_redis.py:28-44). Eagerly
@@ -2238,6 +2259,10 @@ object SparkEntry {
         |ORDER BY custkey""".stripMargin,
 
     "q_pipe_framed" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+
+    // chunk-format round-trip: lossless codec, oracle reads the source
+    "q_chunk_format" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
 
     // pipe round-trip: tr A-Z then lower() must be identity on this corpus

@@ -1,0 +1,87 @@
+package graft
+
+import java.io.ByteArrayInputStream
+
+import graft.io.DiscoChunk
+
+/** Disco chunk/hunk format: lossless round-trip (binary-safe payloads),
+  * crc32 corruption detection, legacy netstring fallback, and the
+  * one-file-per-chunk split behavior.
+  */
+class ChunkFormatSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rt(pairs: Seq[(Array[Byte], Array[Byte])],
+                 chunkSize: Int = DiscoChunk.ChunkSize,
+                 minHunkSize: Int = DiscoChunk.HunkSize,
+                 level: Int = 2): Seq[(Seq[Byte], Seq[Byte])] = {
+    val chunks = DiscoChunk.encodeChunks(pairs.iterator, chunkSize, minHunkSize, level).toSeq
+    chunks.flatMap(c =>
+      DiscoChunk.decodeStream(new ByteArrayInputStream(c)).toSeq)
+      .map { case (k, v) => (k.toSeq, v.toSeq) }
+  }
+
+  test("round-trip is lossless, including NUL / newline / space bytes") {
+    val pairs = Seq(
+      "k1".getBytes -> Array[Byte](0, 10, 13, 32, 48, -1, -128),
+      "k 2\n".getBytes -> "plain value".getBytes,
+      Array[Byte]() -> Array[Byte](),               // empty key AND value
+      "k3".getBytes -> Array.tabulate(70000)(i => (i % 251).toByte))
+    assert(rt(pairs) == pairs.map { case (k, v) => (k.toSeq, v.toSeq) })
+    // uncompressed hunks too
+    assert(rt(pairs, level = 0) == pairs.map { case (k, v) => (k.toSeq, v.toSeq) })
+  }
+
+  test("records split across many hunks and chunks survive") {
+    val pairs = (0 until 2000).map(i =>
+      s"key$i".getBytes -> s"value-$i-${"x" * (i % 97)}".getBytes)
+    // tiny bounds force multi-hunk AND multi-chunk
+    val chunks = DiscoChunk.encodeChunks(pairs.iterator,
+      chunkSize = 8 * 1024, minHunkSize = 1024, compressionLevel = 2).toSeq
+    assert(chunks.length >= 3, s"expected several chunks, got ${chunks.length}")
+    val got = chunks.flatMap(c =>
+      DiscoChunk.decodeStream(new ByteArrayInputStream(c)).toSeq)
+      .map { case (k, v) => (new String(k), new String(v)) }
+    assert(got == pairs.map { case (k, v) => (new String(k), new String(v)) })
+  }
+
+  test("corrupt hunk fails loudly; ignoreCorrupt skips it and reads on") {
+    val pairs = (0 until 300).map(i => s"k$i".getBytes -> s"v$i".getBytes)
+    val chunk = DiscoChunk.encodeChunks(pairs.iterator,
+      minHunkSize = 256, compressionLevel = 2).next()
+    // flip one byte INSIDE the first hunk body (after the 14-byte header)
+    val bad = chunk.clone()
+    bad(20) = (bad(20) ^ 0x5A).toByte
+    val e = intercept[IllegalStateException] {
+      DiscoChunk.decodeStream(new ByteArrayInputStream(bad)).toSeq
+    }
+    assert(e.getMessage.contains("corrupt"))
+    val salvaged = DiscoChunk
+      .decodeStream(new ByteArrayInputStream(bad), ignoreCorrupt = true).toSeq
+    assert(salvaged.nonEmpty && salvaged.size < pairs.size,
+      s"expected partial salvage, got ${salvaged.size} of ${pairs.size}")
+  }
+
+  test("legacy netstring stream decodes via the <128 first-byte fallback") {
+    val ns = graft.io.Netstring.encode(Seq("a" -> "1", "b" -> "two"))
+    val got = DiscoChunk.decodeStream(new ByteArrayInputStream(ns)).toSeq
+      .map { case (k, v) => (new String(k), new String(v)) }
+    assert(got == Seq("a" -> "1", "b" -> "two"))
+  }
+
+  test("distributed write/read round-trips through chunk files") {
+    val dir = graft.io.IoScratch.dir + "/chunk_spec"
+    val pairs = (0 until 500).map(i => (s"id$i", s"text $i \n with newline"))
+    val ds = spark.createDataset(pairs)
+      .repartition(4)
+      .map { case (k, v) => (k.getBytes("UTF-8"), v.getBytes("UTF-8")) }
+    DiscoChunk.write(ds, dir, chunkSize = 512, minHunkSize = 128)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".chunk"))
+    assert(files.length > 4, s"expected >1 chunk per partition, got ${files.length}")
+    val got = DiscoChunk.read(spark, dir + "/*.chunk")
+      .as[(Array[Byte], Array[Byte])]
+      .map { case (k, v) => (new String(k, "UTF-8"), new String(v, "UTF-8")) }
+      .collect().sortBy(r => r._1)
+    assert(got.toSeq == pairs.sortBy(_._1))
+  }
+}
