@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextAnalysis
 
 /** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
@@ -26,8 +27,18 @@ import graft.functions.TextAnalysis
   * signatures). Those caches live until evicted; a long-lived session
   * running many pipelines should `spark.catalog.clearCache()` between
   * runs (same applies to [[graft.chain.PageRank]] / NaiveBayes).
+  * The `storage` parameter picks the level: the default
+  * (MEMORY_AND_DISK, `.cache()`'s level) fits fixture-to-TB scale; a
+  * 100 TB caller whose wide shingle-set arrays would crowd executor
+  * memory passes `Some(StorageLevel.DISK_ONLY)` — or `None` to skip
+  * caching entirely and recompute (when the upstream scan is cheaper
+  * than materializing the intermediate).
   */
 object Dedup {
+
+  /** Apply the caller-chosen storage level (see the cache contract above). */
+  private def persistAt(df: DataFrame, storage: Option[StorageLevel]): DataFrame =
+    storage.map(df.persist).getOrElse(df)
 
   /** Exact duplicates by normalized-content digest: representative = min id,
     * plus group size. Output one row per distinct content.
@@ -75,7 +86,8 @@ object Dedup {
     * the token table).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   tau: Double): DataFrame = {
+                   tau: Double,
+                   storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     // 1. per-ROW canonical set + identity: sorted distinct token array and
     //    its md5 — zero shuffle. The collapse to unique sets happens BEFORE
     //    any corpus-wide aggregation, so the frequency/ordering work below
@@ -91,9 +103,10 @@ object Dedup {
       .filter(size(col("set")) > 0)
       .withColumn("gid",
         md5(to_binary(concat_ws("\u0001", col("set")), lit("utf-8"))))
-      .cache()
-    val members = docArr.select("id", "gid")
-    val usets = docArr.groupBy("gid").agg(first(col("set")).as("set")).cache()
+    val docArrP = persistAt(docArr, storage)
+    val members = docArrP.select("id", "gid")
+    val usets = persistAt(
+      docArrP.groupBy("gid").agg(first(col("set")).as("set")), storage)
     // global token order for the prefix filter: rarest-first by frequency
     // ACROSS UNIQUE SETS, tok tie-break. Any fixed total order is lossless
     // (verification is exact); set-frequency ≈ doc-frequency minus dup
@@ -108,10 +121,10 @@ object Dedup {
       .agg(transform(array_sort(collect_list(struct(col("tf"), col("tok")))),
         x => x("tok")).as("ordered"))
       .withColumn("sz", size(col("ordered")))
-      .cache()
+    val gsetsP = persistAt(gsets, storage)
     // 2. PPJoin: prefix = the sz - ceil(tau*sz) + 1 rarest tokens
     val prefLen = (col("sz") - ceil(lit(tau) * col("sz")) + 1).cast("int")
-    val pref = gsets
+    val pref = gsetsP
       .select(col("gid"), col("sz"),
         posexplode(slice(col("ordered"), lit(1), prefLen)))
       .select(col("gid"), col("sz"), (col("pos") + 1).as("r"), col("col").as("tok"))
@@ -124,9 +137,9 @@ object Dedup {
       .distinct()
     // 3. verify on the carried sorted arrays
     val qual = gcands
-      .join(gsets.select(col("gid").as("ga"), col("ordered").as("seta"),
+      .join(gsetsP.select(col("gid").as("ga"), col("ordered").as("seta"),
         col("sz").as("sza")), "ga")
-      .join(gsets.select(col("gid").as("gb"), col("ordered").as("setb"),
+      .join(gsetsP.select(col("gid").as("gb"), col("ordered").as("setb"),
         col("sz").as("szb")), "gb")
       .withColumn("i", size(array_intersect(col("seta"), col("setb"))).cast("double"))
       .withColumn("jac", col("i") / (col("sza") + col("szb") - col("i")))
@@ -180,6 +193,48 @@ object Dedup {
         // c(c-1) is even, the halved product is integer-exact
         sum((col("c") * (col("c") - 1) / 2).cast("long")).as("est_candidates")))
   }
+
+  /** Which engine [[jaccardPairsAuto]] would pick: "ppjoin" when the
+    * profiled candidate volume stays within `maxCandidateRatio` × the
+    * unique-set count, else "minhash". Exposed so callers (and specs) can
+    * observe the routing decision without running the join.
+    *
+    * The bound is candidates-per-unique-set, not absolute: PPJoin's healthy
+    * regime is candidates ≈ output ≈ O(n) (Zipfian text, measured exponent
+    * ~1.0); the dense/templated failure mode is candidates ~ n²/|vocab|
+    * (measured exponent 1.99), which crosses any fixed per-set ratio as n
+    * grows — exactly the property a go/no-go gate needs.
+    */
+  def jaccardRoute(df: DataFrame, idCol: String, textCol: String, tau: Double,
+                   maxCandidateRatio: Double = 32.0): String = {
+    val p = jaccardCandidateProfile(df, idCol, textCol, tau).head()
+    val nSets = p.getAs[Long]("n_unique_sets")
+    val est = p.getAs[Long]("est_candidates")
+    if (est <= maxCandidateRatio * math.max(1L, nSets)) "ppjoin" else "minhash"
+  }
+
+  /** Profiler-routed Jaccard near-dup join — the round-5 probe's decision
+    * rule, automated: run [[jaccardCandidateProfile]] (one cheap
+    * aggregation pass), then route to [[jaccardPairs]] (exact, lossless
+    * PPJoin) when the candidate estimate is healthy, or fall back to
+    * [[minhashLshPairs]] (band-collision-bounded, recall < 1) when the
+    * corpus is in PPJoin's dense-vocabulary blow-up regime. Same output
+    * schema either way: (a, b, jaccard).
+    *
+    * The two engines' PAIR SETS differ by contract (minhash misses pairs
+    * no band catches) — the router trades that recall for a candidate
+    * volume that cannot explode. Callers that need exact recall at any
+    * cost should call [[jaccardPairs]] directly.
+    */
+  def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                       tau: Double, maxCandidateRatio: Double = 32.0,
+                       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                       storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK)): DataFrame =
+    jaccardRoute(df, idCol, textCol, tau, maxCandidateRatio) match {
+      case "ppjoin" => jaccardPairs(df, idCol, textCol, tau, storage)
+      case _ => minhashLshPairs(df, idCol, textCol, shingleN, bands,
+        rowsPerBand, tau, storage)
+    }
 
   /** Word n-gram shingles per document (distinct) — per-row dedupe, same
     * zero-shuffle rationale AND one-row-per-doc contract as [[tokenSet]].
@@ -236,9 +291,10 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-                      tau: Double = 0.7): DataFrame = {
-    val mh = minhashWide(shingles(df, idCol, textCol, shingleN),
-      bands * rowsPerBand).cache()
+                      tau: Double = 0.7,
+                      storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val mh = persistAt(minhashWide(shingles(df, idCol, textCol, shingleN),
+      bands * rowsPerBand), storage)
     val bandHash = bandHashes(mh, bands, rowsPerBand)
     val cands = bandHash.as("x").join(bandHash.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -276,10 +332,13 @@ object Dedup {
                                idCol: String, textCol: String,
                                shingleN: Int = 2, bands: Int = 4,
                                rowsPerBand: Int = 4,
-                               tau: Double = 0.7): DataFrame = {
+                               tau: Double = 0.7,
+                               storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val mhT = minhashWide(shingles(train, idCol, textCol, shingleN), numHashes).cache()
-    val mhE = minhashWide(shingles(eval, idCol, textCol, shingleN), numHashes).cache()
+    val mhT = persistAt(
+      minhashWide(shingles(train, idCol, textCol, shingleN), numHashes), storage)
+    val mhE = persistAt(
+      minhashWide(shingles(eval, idCol, textCol, shingleN), numHashes), storage)
     val cands = bandHashes(mhT, bands, rowsPerBand).as("x")
       .join(bandHashes(mhE, bands, rowsPerBand).as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))

@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -200,18 +201,21 @@ object Similarity {
     * Output: (id, cluster, keep) for every input row.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String, tau: Double,
-               k: Int = 8, lloydIters: Int = 3): DataFrame = {
+               k: Int = 8, lloydIters: Int = 3,
+               storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     val spark = df.sparkSession
     val (centers, assigned) =
       graft.chain.KMeans.run(spark, df, idCol, vecCol, k, lloydIters)
     val centArr = array(centers.map(c => lit(c.toArray)): _*)
-    val scored = assigned
+    val scoredPlan = assigned
       .withColumn("n", vec_norm(col("v")))
       .withColumn("cent", element_at(centArr, col("cluster") + 1))
       .withColumn("csim",
         vec_dot(col("v"), col("cent")) / (col("n") * vec_norm(col("cent"))))
       .select("id", "v", "cluster", "n", "csim")
-      .cache()
+    // caller-chosen level (Dedup cache contract): a 100 TB corpus's scored
+    // vectors want DISK_ONLY or no cache rather than the memory default
+    val scored = storage.map(scoredPlan.persist).getOrElse(scoredPlan)
     val dropped = scored.as("x").join(scored.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.id") =!= col("y.id") &&
           (col("y.csim") < col("x.csim") ||
@@ -225,6 +229,25 @@ object Similarity {
     scored
       .join(dropped.withColumn("_drop", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"), col("_drop").isNull.as("keep"))
+  }
+
+  /** [[semDedup]] with the paper's k-scaling contract automated:
+    * k = max(kMin, ceil(n / docsPerCluster)) from one cheap count, so
+    * expected cluster sizes stay ~docsPerCluster as the corpus grows and
+    * the intra-cluster Σ|c|² pairwise work stays ~n·docsPerCluster instead
+    * of silently degrading toward n²/k with a fixed k. The paper's
+    * operating point is docsPerCluster ≈ 10⁴ (k ≈ n/10⁴); fixtures and
+    * specs pass a smaller value to exercise the scaling.
+    */
+  def semDedupAutoK(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+                    kMin: Int = 8, docsPerCluster: Long = 10000L,
+                    lloydIters: Int = 3,
+                    storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    require(docsPerCluster > 0, s"docsPerCluster must be positive: $docsPerCluster")
+    val n = df.count()
+    val k = math.max(kMin.toLong, (n + docsPerCluster - 1) / docsPerCluster)
+    require(k <= Int.MaxValue, s"auto-k overflow: $k clusters")
+    semDedup(df, idCol, vecCol, tau, k.toInt, lloydIters, storage)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, sim >= tau). Exact

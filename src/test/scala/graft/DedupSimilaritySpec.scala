@@ -242,4 +242,84 @@ class DedupSimilaritySpec extends SparkTestBase {
       tau = 0.35, k = 8).orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("jaccardPairsAuto: dense/templated corpus routes to minhash, real text to ppjoin") {
+    import spark.implicits._
+    // templated corpus: every doc shares a 5-token boilerplate prefix and
+    // differs in one id token — PPJoin's profiled candidate volume is
+    // ~n²/2 (every pair collides on the shared lexicographic-first token)
+    val dense = (0 until 200).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon w$i")).toDF("doc_id", "text")
+    assert(Dedup.jaccardRoute(dense, "doc_id", "text", 0.9) == "minhash")
+    // the auto join on that corpus is the minhash result
+    val auto = Dedup.jaccardPairsAuto(dense, "doc_id", "text", tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val mh = Dedup.minhashLshPairs(dense, "doc_id", "text", tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == mh)
+    // sparse-vocabulary corpus (each doc's tokens unique to its dup pair —
+    // the Zipfian-tail shape): candidates ≈ output → exact PPJoin route,
+    // and the auto result IS the exact result
+    val sparse = (0 until 300).map(i =>
+      (i.toLong, s"p${i / 2}x p${i / 2}y p${i / 2}z")).toDF("doc_id", "text")
+    assert(Dedup.jaccardRoute(sparse, "doc_id", "text", 0.8) == "ppjoin")
+    val autoSparse = Dedup.jaccardPairsAuto(sparse, "doc_id", "text", tau = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.jaccardPairs(sparse, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(autoSparse == exact && exact.size == 150)
+    // the 31-word-vocab FIXTURE corpus is itself PPJoin's dense regime
+    // (the round-5 finding the profiler exists to catch): minhash route
+    assert(Dedup.jaccardRoute(docs, "doc_id", "text", 0.8) == "minhash")
+  }
+
+  test("similarity builders honor the caller-chosen storage level") {
+    import org.apache.spark.storage.StorageLevel
+    def reset(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    reset()
+    Dedup.jaccardPairs(docs, "doc_id", "text", 0.8,
+      storage = Some(StorageLevel.DISK_ONLY)).count()
+    val levels = spark.sparkContext.getPersistentRDDs.values
+      .map(_.getStorageLevel).toSet
+    assert(levels.nonEmpty && levels.forall(_ == StorageLevel.DISK_ONLY),
+      s"expected only DISK_ONLY persisted blocks, got $levels")
+    reset()
+    Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.7, storage = None).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "storage=None must not persist anything")
+    reset()
+    Similarity.semDedup(embs, "vec_id", "embedding", tau = 0.35, k = 8,
+      storage = Some(StorageLevel.DISK_ONLY)).count()
+    val sdLevels = spark.sparkContext.getPersistentRDDs.values
+      .map(_.getStorageLevel).toSet
+    assert(sdLevels.contains(StorageLevel.DISK_ONLY),
+      s"semDedup scored vectors not persisted DISK_ONLY: $sdLevels")
+    reset()
+  }
+
+  test("semDedupAutoK scales k with corpus size so cluster sizes stay bounded") {
+    import spark.implicits._
+    // deterministic synthetic embeddings: 2-d points on a hash-scattered grid
+    def corpus(n: Int) = spark.range(0, n).select(col("id"),
+        array((pmod(hash(col("id")), lit(1000)) / 100.0).cast("float"),
+          (pmod(hash(col("id") * 7), lit(1000)) / 100.0).cast("float"))
+          .as("embedding"))
+    val small = Similarity.semDedupAutoK(corpus(100), "id", "embedding",
+      tau = 0.999, kMin = 4, docsPerCluster = 50)
+    val big = Similarity.semDedupAutoK(corpus(800), "id", "embedding",
+      tau = 0.999, kMin = 4, docsPerCluster = 50)
+    // k(100) = max(4, 2) = 4; k(800) = max(4, 16) = 16
+    val kSmall = small.select(countDistinct(col("cluster"))).as[Long].head()
+    val kBig = big.select(countDistinct(col("cluster"))).as[Long].head()
+    assert(kSmall <= 4)
+    assert(kBig > 4 && kBig <= 16,
+      s"auto-k must grow clusters with n: got $kBig for n=800")
+    // bounded pairwise work: max cluster size stays well under n
+    val maxC = big.groupBy("cluster").count()
+      .agg(max(col("count"))).as[Long].head()
+    assert(maxC < 800, s"one cluster swallowed the corpus: $maxC")
+  }
 }
