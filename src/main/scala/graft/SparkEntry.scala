@@ -496,6 +496,43 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q2 shape (adapted: lineitem is the part-supplier fact — the
+    // fixture has no partsupp): min-cost supplier per part within one
+    // region, the correlated-min subquery DECORRELATED into one
+    // groupBy(l_partkey) aggregation joined back on (part, cost == min) —
+    // never a per-row re-aggregation. Dims (region→nation→supplier chain,
+    // filtered part list) broadcast; the two passes over the fact share
+    // one scan shape (pushed l_partkey/l_suppkey/price projection).
+    // Cost compares in decimal(18,2) — exact equality on both engines.
+    "q_tpch_q2" -> ((s, dir) => {
+      val regionSup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .join(broadcast(Tables.region(s, dir)
+              .filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val p = Tables.part(s, dir)
+        .filter(col("p_type") === "ECONOMY" && col("p_size") < 15)
+        .select(col("p_partkey"), col("p_name"))
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice").cast("decimal(18,2)").as("cost"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(regionSup), col("l_suppkey") === col("s_suppkey"))
+      val minCost = fact.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("cost")).as("min_cost"))
+      fact.join(minCost,
+          col("p_partkey") === col("mk") && col("cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("cost").cast("double").as("min_cost"))
+        .distinct()
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"), col("s_suppkey"))
+        .limit(100)
+    }),
+
     // TPC-H Q17 shape: per-part average quantity (the decorrelated scalar
     // subquery) joined back to prune lineitems below 20% of their part's
     // average; small-scan revenue aggregate on the survivors.
@@ -1480,6 +1517,24 @@ object SparkEntry {
         |       round(CAST(sum(CAST(err * err AS DECIMAL(38,18))) AS DOUBLE) / count(*), 9) AS mse,
         |       round(max(abs(err)), 9) AS max_abs_err
         |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |                          JOIN region ON n_regionkey = r_regionkey
+        |            WHERE r_name = 'EUROPE'),
+        |     pp AS (SELECT p_partkey, p_name FROM part
+        |            WHERE p_type = 'ECONOMY' AND p_size < 15),
+        |     f AS (SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+        |                  CAST(l_extendedprice AS DECIMAL(18,2)) AS cost
+        |           FROM lineitem JOIN pp ON l_partkey = p_partkey
+        |                         JOIN rs ON l_suppkey = s_suppkey),
+        |     m AS (SELECT p_partkey AS mk, min(cost) AS min_cost FROM f GROUP BY p_partkey)
+        |SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+        |       CAST(cost AS DOUBLE) AS min_cost
+        |FROM f JOIN m ON p_partkey = mk AND cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin,
 
     "q_tpch_q17" ->
       """WITH a AS (SELECT l_partkey AS p_key,

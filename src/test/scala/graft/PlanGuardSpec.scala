@@ -38,6 +38,21 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_tpch_q2: dims broadcast, min decorrelated into ONE aggregation, top-100 never global-sorts") {
+    val plan = SparkEntry.queries("q_tpch_q2")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "part/supplier dims must broadcast against the lineitem fact")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // one partial+final pair for min(cost), one for the distinct — a
+    // correlated rewrite would re-aggregate per probe row (more HashAggregates)
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs <= 4, s"expected ≤4 HashAggregate nodes (decorrelated min + distinct), got $aggs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "limit 100 must be a streaming heap, not sort-then-limit")
+  }
+
   test("q_topk plans as TakeOrderedAndProject, never a global sort") {
     val plan = SparkEntry.queries("q_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString
