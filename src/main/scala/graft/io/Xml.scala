@@ -123,6 +123,21 @@ object Xml {
     }.toDF("content")
   }
 
+  /** Schema-declared XML record parsing — Spark 4's NATIVE `from_xml`
+    * (no UDF): one XML record string → a typed struct per the declared
+    * schema, evaluated by Spark's built-in XML data source expression.
+    * Use this when the record shape is known up front; [[extractCol]]
+    * remains the schemaless tag-extraction dual (the reference
+    * xml_reader.py contract), which a declared schema cannot express
+    * (every `<tag>` occurrence at any depth).
+    */
+  def parseCol(xmlCol: Column,
+               schema: org.apache.spark.sql.types.StructType,
+               options: Map[String, String] = Map.empty): Column =
+    from_xml(xmlCol, schema,
+      new java.util.HashMap[String, String](
+        scala.jdk.CollectionConverters.MapHasAsJava(options).asJava))
+
   /** Escape a string column for embedding as XML character data
     * (writer-side dual of the parser's entity resolution — `&` first so
     * produced entities aren't double-escaped). Pure codegen'd replaces.

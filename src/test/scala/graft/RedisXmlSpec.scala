@@ -101,4 +101,21 @@ class RedisXmlSpec extends SparkTestBase {
   test("xml: nested same-name tags fold into the outermost element") {
     assert(Xml.extractAll("<r><t>a<t>b</t>c</t></r>", "t") == Seq("abc"))
   }
+
+  test("xml: schema-declared parse via native from_xml agrees with the extractor") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val xmls = Seq("<rec><id>7</id><text>a &amp; b</text></rec>",
+      "<rec><id>8</id><text>two</text></rec>")
+    val df = xmls.toDF("xml")
+      .withColumn("rec", Xml.parseCol(col("xml"), schema))
+      .select(col("rec.id"), col("rec.text"), col("xml"))
+    val rows = df.as[(Long, String, String)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq((7L, "a & b"), (8L, "two")))
+    // same text the schemaless extractor yields (entity resolution parity)
+    rows.foreach { case (_, text, xml) =>
+      assert(Xml.extractAll(xml, "text") == Seq(text))
+    }
+  }
 }

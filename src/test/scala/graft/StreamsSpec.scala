@@ -13,6 +13,14 @@ class StreamsSpec extends SparkTestBase {
 
   private def ts(s: Long) = new Timestamp(s * 1000)
 
+  test("state store defaults to RocksDB (every stateful test here runs on it)") {
+    // GraftSession.builder plumbs the cluster-scale provider by default —
+    // the session this suite's watermark/dedup/session tests run on IS a
+    // RocksDB-backed one, so the whole suite is the end-to-end proof.
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+  }
+
   test("windowed agg counts per tumbling window and key") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
