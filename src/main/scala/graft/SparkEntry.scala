@@ -1220,6 +1220,33 @@ object SparkEntry {
         "text").orderBy("word")
     }),
 
+    // #38 — REAL http:// ranged source: the same part files served by a
+    // loopback HTTP server with honest Range/206 semantics, pulled through
+    // the per-chunk range-request/retry client (tiny chunk size ⇒ every
+    // file takes many range GETs and lines split across chunk edges), then
+    // word-counted. Same oracle as q_url_source: transport must be
+    // lossless. Eagerly materialized so the server can stop.
+    "q_http_ranged" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val path = graft.io.IoScratch.dir + "/documents_http"
+      graft.io.Sinks.writeText(d.select("text"), path)
+      val files = new java.io.File(path).listFiles()
+      require(files != null, s"http source: cannot list $path driver-locally")
+      val srv = new graft.io.MiniHttp
+      try {
+        val urls = files.filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .zipWithIndex.map { case (f, i) =>
+            val p = s"/doc$i"
+            srv.serve(p, java.nio.file.Files.readAllBytes(f.toPath))
+            srv.url(p)
+          }.toSeq
+        TextOps.wordCount(
+          graft.io.Http.readLinesRanged(s, urls, chunkSize = 8192)
+            .withColumnRenamed("line", "text"),
+          "text").orderBy("word").localCheckpoint(true)
+      } finally srv.stop()
+    }),
+
     // #8 — sorted reduce (classic sort=true, the Unix-sort spill analog):
     // the reduce CONCATENATES its values, so the output is only correct if
     // each key's values arrive in sorted order — the oracle's
@@ -2444,6 +2471,14 @@ object SparkEntry {
         |ORDER BY key""".stripMargin,
 
     "q_url_source" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    // ranged-http transport must be lossless: same oracle as q_url_source
+    "q_http_ranged" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
         |      FROM documents)
