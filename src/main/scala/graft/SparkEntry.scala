@@ -382,6 +382,48 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q8 shape (market share): revenue of one supplier nation as a
+    // fraction of a region's total, per year — the CASE-inside-aggregate
+    // over a multi-table join. All dims broadcast (filtered part list,
+    // nation-tagged suppliers, region-filtered customer keys); ONE
+    // aggregation computes both the conditional and total sums (no second
+    // pass); decimal-exact revenue, share divided in double + round 6 on
+    // both engines.
+    "q_tpch_q8" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir)
+      val amer = Tables.region(s, dir).filter(col("r_name") === "AMERICA")
+      val custAmer = Tables.customer(s, dir)
+        .join(broadcast(nat
+            .join(broadcast(amer), col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").as("cn_key"))),
+          col("c_nationkey") === col("cn_key"))
+        .select("c_custkey")
+      val supN = Tables.supplier(s, dir)
+        .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val p = Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val rev = expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))")
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(custAmer, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "BRAZIL", rev)
+            .otherwise(lit(0))).cast("double") /
+          sum(rev).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
     // TPC-H Q5 (local supplier volume) — the 6-table join: region⋈nation
     // broadcast (tiny dims), then customer⋈orders⋈lineitem⋈supplier shuffle
     // on their keys with the c_nationkey = s_nationkey locality predicate
@@ -1562,6 +1604,27 @@ object SparkEntry {
         |FROM f JOIN m ON p_partkey = mk AND cost = min_cost
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
         |LIMIT 100""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+        |       round(CAST(SUM(CASE WHEN n2.n_name = 'BRAZIL' THEN
+        |                     CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |                   ELSE 0 END) AS DOUBLE)
+        |             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |             6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'STANDARD'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |                    JOIN region ON n1.n_regionkey = r_regionkey
+        |                    WHERE r_name = 'AMERICA')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_tpch_q17" ->
       """WITH a AS (SELECT l_partkey AS p_key,

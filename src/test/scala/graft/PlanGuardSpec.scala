@@ -53,6 +53,17 @@ class PlanGuardSpec extends SparkTestBase {
       "limit 100 must be a streaming heap, not sort-then-limit")
   }
 
+  test("q_tpch_q8: one aggregation pass, dims broadcast, no all-pairs join") {
+    val plan = SparkEntry.queries("q_tpch_q8")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // conditional + total sums fold in ONE partial/final aggregate pair
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs <= 2, s"expected one partial+final aggregate pair, got $aggs")
+  }
+
   test("q_topk plans as TakeOrderedAndProject, never a global sort") {
     val plan = SparkEntry.queries("q_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString
