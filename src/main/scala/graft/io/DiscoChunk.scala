@@ -222,7 +222,12 @@ object DiscoChunk {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       records.sparkSession.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(dir)
-    base.getFileSystem(conf.value).mkdirs(base)
+    val bfs = base.getFileSystem(conf.value)
+    // overwrite semantics: stale chunks from a previous run with a
+    // different partitioning would otherwise survive alongside the new
+    // ones and duplicate records on read
+    bfs.delete(base, true)
+    bfs.mkdirs(base)
     records.rdd.foreachPartition { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)

@@ -18,7 +18,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   */
 final class MiniHttp {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  // daemon threads + explicit shutdown in stop(): a non-daemon default
+  // pool would outlive main() and pin the whole JVM open after the last
+  // query (observed: Bench hung on DestroyJavaVM with idle pool threads)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+  server.setExecutor(pool)
   server.start()
 
   /** Per-path request counters (assertions + fault schedules). */
@@ -82,5 +87,5 @@ final class MiniHttp {
       ex.close()
     })
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
 }

@@ -102,6 +102,34 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: each left event pairs with right events
+    * for the same key whose event time lies in [leftTs - before,
+    * leftTs + after]. BOTH sides carry watermarks, so Spark bounds the
+    * join state to the interval plus the watermark delay — the unbounded
+    * "remember the whole other stream" failure mode cannot occur, and
+    * state is reclaimed as the watermarks advance (the 100 TB/day
+    * contract: state ∝ window, not history).
+    *
+    * Column contract: `left` has (keyCol, ltsCol, ...), `right` has
+    * (keyCol, rtsCol, ...); ltsCol/rtsCol must differ so the interval
+    * predicate can reference both sides unambiguously.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         ltsCol: String, rtsCol: String,
+                         before: String, after: String,
+                         watermarkDelay: String): DataFrame = {
+    require(ltsCol != rtsCol,
+      "interval join: left/right timestamp columns must have distinct names")
+    val l = left.withWatermark(ltsCol, watermarkDelay)
+    val r = right.withWatermark(rtsCol, watermarkDelay)
+      .withColumnRenamed(keyCol, s"_r_$keyCol")
+    l.join(r,
+      col(keyCol) === col(s"_r_$keyCol") &&
+        col(rtsCol) >= col(ltsCol) - expr(s"INTERVAL $before") &&
+        col(rtsCol) <= col(ltsCol) + expr(s"INTERVAL $after"))
+      .drop(s"_r_$keyCol")
+  }
+
   /** Incremental word count — the reference's flagship job as a stream. */
   def wordCountStream(lines: DataFrame, textCol: String): DataFrame =
     lines.select(explode(

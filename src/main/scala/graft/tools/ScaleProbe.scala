@@ -135,6 +135,24 @@ object ScaleProbe {
       graft.ops.GraphOps.triangleCount(edges)
     }
 
+    // rank functions on the straggler shape (5-value group key): the
+    // distributed two-pass form vs the naive one-task-per-group window —
+    // at any n the naive form sorts n/5 rows in ONE task; the distributed
+    // form's per-task work is n/partitions
+    def rankTable = spark.range(0, n).select(col("id"),
+      pmod(col("id"), lit(5)).as("g"),
+      pmod(hash(col("id")), lit(1000000)).as("v"))
+    timed("rankfns_dist") {
+      graft.ops.WindowOps.rankFunctions(rankTable, "g", Seq("v", "id"),
+        numTiles = 10, partitions = 32)
+    }
+    timed("rankfns_naive") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("v"), col("id"))
+      rankTable.select(col("id"), ntile(10).over(w).as("t"),
+        percent_rank().over(w).as("p"), cume_dist().over(w).as("c"))
+    }
+
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"n":$n,"secs":${j(secs)},"rows":${j(rows)}}""")

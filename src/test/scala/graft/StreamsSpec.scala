@@ -40,6 +40,37 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.intervalJoinStream(
+      clicks.toDF.toDF("uid", "cts", "click"),
+      views.toDF.toDF("uid", "vts", "view"),
+      keyCol = "uid", ltsCol = "cts", rtsCol = "vts",
+      before = "5 seconds", after = "0 seconds",
+      watermarkDelay = "2 seconds")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // view at t=8 precedes click at t=10 within 5s → joins;
+      // view at t=2 is 8s before → outside the interval;
+      // view at t=12 is AFTER the click (after=0) → outside;
+      // uid mismatch never joins
+      clicks.addData((1L, ts(10), "c1"))
+      views.addData((1L, ts(8), "v8"), (1L, ts(2), "v2"),
+        (1L, ts(12), "v12"), (2L, ts(9), "vOther"))
+      q.processAllAvailable()
+      // advance both watermarks past the interval so results finalize
+      clicks.addData((9L, ts(60), "late"))
+      views.addData((9L, ts(60), "late"))
+      q.processAllAvailable()
+      val got = spark.table("ij").selectExpr("uid", "click", "view")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got.filterNot(_._2 == "late") == Set((1L, "c1", "v8")))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
