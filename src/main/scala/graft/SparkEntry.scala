@@ -481,6 +481,15 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Exact heavy hitters via per-partition Misra-Gries candidates + exact
+    // recount (bounded memory, candidate shuffle ≤ partitions·(k-1)):
+    // order-priority classes holding > 1/8 of all orders. Integer
+    // threshold (cnt·k > n) — no division regime to pin.
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.ops.ScaleOps.heavyHitters(
+          Tables.orders(s, dir), "o_orderpriority", k = 8)
+        .orderBy("value")),
+
     // Substring-level duplication profile (window-hash approximation of
     // exact-substring dedup): fraction of each doc's 8-token windows that
     // occur in >= 2 distinct documents. All corpus-wide movement is keyed
@@ -1604,6 +1613,14 @@ object SparkEntry {
         |FROM f JOIN m ON p_partkey = mk AND cost = min_cost
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
         |LIMIT 100""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT CAST(o_orderpriority AS VARCHAR) AS value,
+        |       count(*) AS cnt
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |HAVING count(*) * 8 > (SELECT count(*) FROM orders)
+        |ORDER BY value""".stripMargin,
 
     "q_tpch_q8" ->
       """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,

