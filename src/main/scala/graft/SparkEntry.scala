@@ -414,7 +414,9 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(custAmer, col("o_custkey") === col("c_custkey"), "left_semi")
+        // region-filtered customer KEYS are dim-sized — broadcast the semi
+        // side rather than sort-merge-shuffling the fact on o_custkey
+        .join(broadcast(custAmer), col("o_custkey") === col("c_custkey"), "left_semi")
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(round(
@@ -573,7 +575,9 @@ object SparkEntry {
         .join(broadcast(regionSup), col("l_suppkey") === col("s_suppkey"))
       val minCost = fact.groupBy(col("p_partkey").as("mk"))
         .agg(min(col("cost")).as("min_cost"))
-      fact.join(minCost,
+      // one row per qualifying part ⇒ dim-sized: broadcast the min table
+      // back over the fact instead of a sort-merge shuffle of both sides
+      fact.join(broadcast(minCost),
           col("p_partkey") === col("mk") && col("cost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"), col("s_suppkey"),
