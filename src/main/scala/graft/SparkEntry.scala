@@ -483,6 +483,13 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Exact GLOBAL quantiles with no one-task global sort: range-partitioned
+    // distributed cume_dist (rankFunctions machinery) + one min-probe per q.
+    "q_exact_quantiles" -> ((s, dir) =>
+      graft.ops.WindowOps.exactQuantilesGlobal(
+        Tables.lineitem(s, dir), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.95))),
+
     // Exact heavy hitters via per-partition Misra-Gries candidates + exact
     // recount (bounded memory, candidate shuffle ≤ partitions·(k-1)):
     // order-priority classes holding > 1/8 of all orders. Integer
@@ -1617,6 +1624,13 @@ object SparkEntry {
         |FROM f JOIN m ON p_partkey = mk AND cost = min_cost
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
         |LIMIT 100""".stripMargin,
+
+    "q_exact_quantiles" ->
+      """SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem
+        |UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM lineitem
+        |UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM lineitem
+        |UNION ALL SELECT 0.95, quantile_disc(l_extendedprice, 0.95) FROM lineitem
+        |ORDER BY q""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT CAST(o_orderpriority AS VARCHAR) AS value,

@@ -130,6 +130,36 @@ object WindowOps {
     if (keepPid) out else out.drop("_pid")
   }
 
+  /** Exact GLOBAL discrete quantiles without a one-task global sort —
+    * built on [[rankFunctions]]'s distributed cume_dist over a constant
+    * group: quantile_disc(q) = min value whose cumulative distribution
+    * reaches q (the element at sorted position ceil(q·n), ties collapse).
+    * The full column is range-partitioned and ranked in P parallel sorted
+    * ranges; the quantile probe is then one tiny aggregation per q.
+    * Exactly matches DuckDB's `quantile_disc` (oracle-checked).
+    *
+    * Output: (q, value), one row per requested quantile, in q order.
+    */
+  def exactQuantilesGlobal(df: DataFrame, valueCol: String, qs: Seq[Double],
+                           partitions: Int = 32): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1]: $qs")
+    require(!df.columns.contains("_qg"),
+      "exactQuantilesGlobal: input must not contain reserved column '_qg'")
+    val ranked = rankFunctions(
+      df.select(col(valueCol)).withColumn("_qg", lit(1)),
+      "_qg", Seq(valueCol), numTiles = 2, partitions = partitions)
+    // per distinct value one (value, cume) pair survives; each q probes
+    // the smallest value whose cume reaches it — a min-aggregation, and
+    // the qs expand as a literal array (no second pass over the data)
+    val probes = ranked
+      .select(col(valueCol).as("value"), col("cume"))
+      .select(explode(typedLit(qs.sorted)).as("q"), col("value"), col("cume"))
+      .filter(col("cume") >= col("q"))
+      .groupBy("q").agg(min(col("value")).as("value"))
+    probes.orderBy("q")
+  }
+
   /** Batch sessionization: per-user session numbers from inactivity gaps —
     * the batch analog of [[graft.streaming.Streams]] session windows.
     * `session_n` = running count of gap-openers (first event, or > gap

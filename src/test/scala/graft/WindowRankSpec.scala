@@ -71,6 +71,21 @@ class WindowRankSpec extends SparkTestBase {
     assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("exactQuantilesGlobal matches the sorted-array definition at any partitioning") {
+    val df = spark.range(0, 5000)
+      .select(pmod(hash(col("id")), lit(997)).cast("double").as("x"))
+    val sorted = df.orderBy("x").as[Double].collect()
+    def disc(q: Double): Double = sorted(math.ceil(q * sorted.length).toInt - 1)
+    for (p <- Seq(1, 8, 32)) {
+      val got = WindowOps.exactQuantilesGlobal(df.repartition(11), "x",
+          Seq(0.1, 0.5, 0.9, 1.0), partitions = p)
+        .as[(Double, Double)].collect().toMap
+      Seq(0.1, 0.5, 0.9, 1.0).foreach { q =>
+        assert(got(q) == disc(q), s"quantile $q diverged at partitions=$p")
+      }
+    }
+  }
+
   test("reserved column names are rejected loudly") {
     val df = Seq((1L, 2L)).toDF("g", "_pid")
     val e = intercept[IllegalArgumentException] {
