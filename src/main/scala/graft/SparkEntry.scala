@@ -1302,8 +1302,11 @@ object SparkEntry {
             srv.serve(p, java.nio.file.Files.readAllBytes(f.toPath))
             srv.url(p)
           }.toSeq
+        // 256 KB chunks: several range GETs per part file (the protocol
+        // path stays exercised — HttpSourceSpec covers tiny chunks) without
+        // per-request overhead dominating the bench at sf0.1
         TextOps.wordCount(
-          graft.io.Http.readLinesRanged(s, urls, chunkSize = 8192)
+          graft.io.Http.readLinesRanged(s, urls, chunkSize = 256 * 1024)
             .withColumnRenamed("line", "text"),
           "text").orderBy("word").localCheckpoint(true)
       } finally srv.stop()
