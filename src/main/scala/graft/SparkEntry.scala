@@ -483,6 +483,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Unigram surprisal quality score: mean -ln(p(tok)) per doc from one
+    // corpus count aggregation; decimal-summed ln values + round(4) pin
+    // the cross-engine libm regime.
+    "q_surprisal" -> ((s, dir) =>
+      TextOps.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id")),
+
+    // Compression-ratio quality filter (zlib level 6): deterministic
+    // deflate-size/raw-size per doc. No DuckDB zlib surface ⇒ no oracle —
+    // rows-only check here; the spec pins determinism and the
+    // boilerplate-vs-noise ordering.
+    "q_compression" -> ((s, dir) =>
+      TextOps.compressionRatio(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id")),
+
     // Exact GLOBAL quantiles with no one-task global sort: range-partitioned
     // distributed cume_dist (rankFunctions machinery) + one min-probe per q.
     "q_exact_quantiles" -> ((s, dir) =>
@@ -1627,6 +1642,20 @@ object SparkEntry {
         |FROM f JOIN m ON p_partkey = mk AND cost = min_cost
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
         |LIMIT 100""".stripMargin,
+
+    "q_surprisal" ->
+      """WITH t AS (SELECT doc_id,
+        |             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+        |           FROM documents),
+        |     t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+        |     f AS (SELECT tok, count(*) AS c FROM t2 GROUP BY tok),
+        |     tot AS (SELECT count(*) AS n FROM t2)
+        |SELECT doc_id AS id, count(*) AS n_tokens,
+        |       round(ln(CAST((SELECT n FROM tot) AS DOUBLE))
+        |             - CAST(sum(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE)
+        |               / CAST(count(*) AS DOUBLE), 4) AS surprisal
+        |FROM t2 JOIN f USING (tok)
+        |GROUP BY doc_id ORDER BY id""".stripMargin,
 
     "q_exact_quantiles" ->
       """SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem

@@ -228,4 +228,69 @@ object TextOps {
           .as("dup_ngram_frac"),
         col("dup_line_frac"))
   }
+
+  /** Compression-ratio quality signal (the Gopher/CCNet-family filter:
+    * near-incompressible text is noise, hyper-compressible text is
+    * boilerplate): deflated-size / raw-size per document at a FIXED zlib
+    * level, so the score is deterministic across runs and machines.
+    * A real compressor can't be a codegen'd builtin — deliberate UDF,
+    * the genuine-format-parsing exception. No SQL oracle exists (DuckDB
+    * has no zlib surface), so this is spec-verified + rows-only checked.
+    *
+    * Output: (id, n_bytes, ratio) — ratio in (0, ~1.2], rounded to 6.
+    */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+                       level: Int = 6): DataFrame = {
+    val deflatedLen = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val raw = s.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(level)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        d.end()
+        java.lang.Long.valueOf(n)
+      }
+    }
+    df.select(col(idCol).as("id"),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        deflatedLen(col(textCol)).as("zlen"))
+      .select(col("id"), col("n_bytes"),
+        when(col("n_bytes") > 0,
+          round(col("zlen").cast("double") / col("n_bytes"), 6))
+          .otherwise(null).as("ratio"))
+  }
+
+  /** Unigram surprisal — the cheapest corpus-statistics quality score
+    * (a document of globally-rare tokens has high surprisal; templated
+    * boilerplate scores low): mean over tokens of -ln(count(tok)/total)
+    * = ln(total) - mean(ln(count(tok))), from ONE corpus token-count
+    * aggregation joined back to the exploded tokens.
+    *
+    * Engine parity: per-token ln() may differ by an ulp across libm
+    * implementations, so the per-doc mean is summed in decimal(38,18)
+    * (order-independent) and the result rounds to 4 decimals — 1e9×
+    * the worst accumulated libm divergence.
+    *
+    * Shape at 100 TB: explode + two hash aggregations (corpus counts,
+    * per-doc mean) + one shuffle join on the token key; map-side partial
+    * aggregation collapses repeated tokens per doc first.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("n")) // 1 row, broadcast below
+    toks.join(freq, "tok")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log(col("c").cast("double")).cast("decimal(38,18)")).as("slnc"))
+      .crossJoin(broadcast(total))
+      .select(col("id"), col("n_tokens"),
+        round(log(col("n").cast("double")) -
+          (col("slnc").cast("double") / col("n_tokens").cast("double")), 4)
+          .as("surprisal"))
+  }
 }

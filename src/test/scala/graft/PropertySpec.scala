@@ -273,6 +273,41 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("compressionRatio: deterministic, bounded, and orders boilerplate < prose < noise") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abc " * 500),                                   // pure boilerplate
+      (2L, "the quick brown fox jumps over the lazy dog " * 25), // repetitive prose
+      (3L, { val rnd = new scala.util.Random(42)
+             Array.fill(2000)((rnd.nextInt(94) + 33).toChar).mkString }), // noise
+      (4L, "")).toDF("doc_id", "text")
+    val a = graft.ops.TextOps.compressionRatio(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Option[Double])].collect()
+    val b = graft.ops.TextOps.compressionRatio(docs.repartition(7), "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Option[Double])].collect()
+    assert(a.sameElements(b), "ratio must be partitioning-deterministic")
+    val r = a.map(x => x._1 -> x._3).toMap
+    assert(r(1L).get < r(2L).get && r(2L).get < r(3L).get,
+      s"expected boilerplate < prose < noise, got $r")
+    assert(r(3L).get > 0.5, s"incompressible noise should stay near 1: ${r(3L)}")
+    assert(r(4L).isEmpty, "empty doc has no ratio")
+  }
+
+  test("unigramSurprisal: rare-token docs score above common-token docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 rare2"),
+      (3L, "rare3 rare4 rare5 rare6")).toDF("doc_id", "text")
+    val s = graft.ops.TextOps.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    assert(s.map(_._2).toSeq == Seq(4L, 4L, 4L))
+    assert(s(0)._3 < s(1)._3 && s(1)._3 < s(2)._3,
+      s"surprisal must increase with token rarity: ${s.toSeq}")
+    // all-common doc: p = 6/12 each token → surprisal = ln(2)
+    assert(math.abs(s(0)._3 - math.log(12.0 / 6.0)) < 1e-3)
+  }
+
   test("triangleCount agrees with brute force on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(30,
