@@ -483,6 +483,15 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Deterministic 80/10/10 train/val/test split: exclusive+exhaustive
+    // hash buckets, bit-replayable in any engine (thresholds from the
+    // same Scala computation as the oracle CASE).
+    "q_split" -> ((s, dir) =>
+      graft.ops.Sampling.splitByHash(
+          Tables.documents(s, dir).select("doc_id"),
+          col("doc_id"), Seq(0.8, 0.1, 0.1))
+        .orderBy("doc_id")),
+
     // Unigram surprisal quality score: mean -ln(p(tok)) per doc from one
     // corpus count aggregation; decimal-summed ln values + round(4) pin
     // the cross-engine libm regime.
@@ -1642,6 +1651,10 @@ object SparkEntry {
         |FROM f JOIN m ON p_partkey = mk AND cost = min_cost
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
         |LIMIT 100""".stripMargin,
+
+    "q_split" ->
+      s"""SELECT doc_id, ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.1, 0.1))} AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_surprisal" ->
       """WITH t AS (SELECT doc_id,

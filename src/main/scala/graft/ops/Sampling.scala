@@ -78,6 +78,50 @@ object Sampling {
   def hashDrawSql(keyExpr: String, salt: String): String =
     s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 8)) AS BIGINT)"
 
+  /** Deterministic train/val/test split: adds `split` = the index of the
+    * weight bucket the row's [[hashDraw]] lands in (weights are
+    * normalized; cumulative thresholds floor(2³²·Σwᵢ) in IEEE doubles with
+    * fixed op order, so the assignment replays bit-identically in any
+    * engine). Buckets are EXCLUSIVE and EXHAUSTIVE — every row gets
+    * exactly one split, rows never migrate between splits when other
+    * weights change only downstream of their bucket, and (like every
+    * sampler here) the filter is a pure codegen'd predicate: zero shuffle,
+    * retry-stable, auditable.
+    */
+  def splitByHash(df: DataFrame, key: Column, weights: Seq[Double],
+                  salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0),
+      s"splitByHash: weights must be positive: $weights")
+    val total = weights.sum
+    // cumulative thresholds in fixed order; last pinned to 2^32 so
+    // rounding never leaves a row unassigned
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(4294967296.0 * (c / total)).toLong)
+      .updated(weights.size - 1, 4294967296L)
+    val draw = hashDraw(key, salt)
+    val split = cum.init.zipWithIndex.foldRight(
+      lit(weights.size - 1): Column) { case ((thr, i), acc) =>
+      when(draw < thr, lit(i)).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Oracle dual of [[splitByHash]]: the CASE expression an ANSI engine
+    * needs to replay the split — thresholds come from the SAME Scala
+    * computation, so the two can't drift apart.
+    */
+  def splitByHashSql(keyExpr: String, weights: Seq[Double],
+                     salt: String = "graft"): String = {
+    val total = weights.sum
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(4294967296.0 * (c / total)).toLong)
+      .updated(weights.size - 1, 4294967296L)
+    val draw = hashDrawSql(keyExpr, salt)
+    cum.init.zipWithIndex
+      .map { case (thr, i) => s"WHEN $draw < $thr THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${weights.size - 1} END")
+  }
+
   /** Weighted sample without replacement, k rows per group — deterministic
     * Efraimidis–Spirakis with INTEGER weights: a row's priority is the MIN
     * of `weight` independent 60-bit hashes (min of w uniforms ⇒ selection

@@ -66,6 +66,22 @@ class SamplingSessionSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("splitByHash: exclusive, exhaustive, near the weights, repartition-invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.range(0, 20000).toDF("k")
+    val a = graft.ops.Sampling.splitByHash(df, col("k"), Seq(0.8, 0.1, 0.1))
+      .select("k", "split").as[(Long, Int)].collect().toMap
+    assert(a.size == 20000) // exactly one split per row (exclusive+exhaustive)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts(0) - 16000) < 400, s"train share off: $counts")
+    assert(math.abs(counts(1) - 2000) < 200 && math.abs(counts(2) - 2000) < 200,
+      s"val/test share off: $counts")
+    val b = graft.ops.Sampling.splitByHash(df.repartition(13), col("k"),
+      Seq(0.8, 0.1, 0.1)).select("k", "split").as[(Long, Int)].collect().toMap
+    assert(a == b, "split assignment must be partitioning-independent")
+  }
+
   test("rebalanceToMin levels group sizes to ~min and is repartition-invariant") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, sfDir)
