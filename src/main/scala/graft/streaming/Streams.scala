@@ -102,6 +102,29 @@ object Streams {
       }
   }
 
+  /** Declarative session windows — Spark's native `session_window`
+    * (dynamic gap-merged windows in the engine's stateful operator), the
+    * built-in dual of the two custom sessionizers here
+    * ([[sessionize]] via flatMapGroupsWithState, and the batch
+    * [[graft.ops.WindowOps.sessionize]]). Works identically on batch and
+    * streaming input (StreamsSpec pins three-way parity): one row per
+    * closed session with count/sum and the window bounds.
+    */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, keyCol: String,
+                       valCol: String, gap: String,
+                       watermarkDelay: String): DataFrame = {
+    val base =
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+      else events
+    base
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("nEvents"),
+        sum(col(valCol).cast("decimal(38,18)")).cast("double").as("totalValue"))
+      .select(col(keyCol), col("session_window.start").as("sessionStart"),
+        col("session_window.end").as("sessionEnd"),
+        col("nEvents"), col("totalValue"))
+  }
+
   /** Stream-stream interval join: each left event pairs with right events
     * for the same key whose event time lies in [leftTs - before,
     * leftTs + after]. BOTH sides carry watermarks, so Spark bounds the

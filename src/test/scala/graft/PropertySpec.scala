@@ -28,6 +28,34 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("DiscoChunk encode/decode is the identity for any binary (k,v) pairs") {
+    val anyBytes: Gen[Array[Byte]] =
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    samples(Gen.zip(
+        Gen.listOfN(12, Gen.zip(anyBytes, anyBytes)),
+        Gen.chooseNum(64, 4096), Gen.oneOf(0, 2, 9)), 40)
+      .foreach { case (pairs, hunkSize, level) =>
+        val chunks = graft.io.DiscoChunk.encodeChunks(pairs.iterator,
+          chunkSize = 2048, minHunkSize = hunkSize, compressionLevel = level)
+        val got = chunks.flatMap(c => graft.io.DiscoChunk.decodeStream(
+          new java.io.ByteArrayInputStream(c))).toList
+        assert(got.map(p => (p._1.toSeq, p._2.toSeq)) ==
+          pairs.map(p => (p._1.toSeq, p._2.toSeq)),
+          s"hunk=$hunkSize level=$level n=${pairs.size}")
+      }
+  }
+
+  test("heavyHitters on an all-distinct column is empty; on a constant column is that value") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val distinctCol = spark.range(0, 5000).select(col("id").cast("string").as("v"))
+    assert(graft.ops.ScaleOps.heavyHitters(distinctCol, "v", k = 8).count() == 0)
+    val constCol = spark.range(0, 5000).select(lit("x").as("v"))
+    val got = graft.ops.ScaleOps.heavyHitters(constCol, "v", k = 8)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("x", 5000L)))
+  }
+
   test("tokensArr agrees with the reference tokenizer on arbitrary text") {
     import spark.implicits._
     def model(s: String): Seq[String] =

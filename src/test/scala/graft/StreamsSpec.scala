@@ -40,6 +40,38 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("session_window agg: batch and streaming agree with the custom sessionizer") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (1L, ts(1), 2.0), (1L, ts(4), 3.0),   // session A: gap <= 5s
+      (1L, ts(20), 1.0),                    // session B
+      (2L, ts(2), 7.0))                     // session C
+    // batch path
+    val batch = Streams.sessionWindowAgg(
+        events.toDF("userId", "ts", "value"), "ts", "userId", "value",
+        gap = "5 seconds", watermarkDelay = "0 seconds")
+      .select("userId", "nEvents", "totalValue")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch == Set((1L, 2L, 5.0), (1L, 1L, 1.0), (2L, 1L, 7.0)))
+    // streaming path: same sessions once the watermark closes them
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streams.sessionWindowAgg(
+        in.toDF.toDF("userId", "ts", "value"), "ts", "userId", "value",
+        gap = "5 seconds", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("swin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      in.addData((9L, ts(100), 0.0)) // advance watermark, close sessions
+      q.processAllAvailable()
+      val stream = spark.table("swin")
+        .select("userId", "nEvents", "totalValue")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(stream == batch, s"stream $stream != batch $batch")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the time bound only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, String)]
