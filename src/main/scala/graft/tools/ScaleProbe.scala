@@ -135,6 +135,26 @@ object ScaleProbe {
       graft.ops.GraphOps.triangleCount(edges)
     }
 
+    // round-6 ops over the same synthetic corpus: all should be ~linear
+    timed("heavy_hitters") {
+      // skew injected: 30% of rows collapse onto 17 hot tokens
+      val vals = docs.select(explode(split(col("text"), " ")).as("v"))
+        .select(when(pmod(hash(col("v")), lit(10)) < 3,
+          concat(lit("hot"), pmod(hash(col("v")), lit(17)))).otherwise(col("v")).as("v"))
+      graft.ops.ScaleOps.heavyHitters(vals, "v", k = 50)
+    }
+    timed("exact_quantiles") {
+      graft.ops.WindowOps.exactQuantilesGlobal(
+        docs.select(length(col("text")).cast("double").as("x")), "x",
+        Seq(0.25, 0.5, 0.75, 0.95))
+    }
+    timed("surprisal") {
+      graft.ops.TextOps.unigramSurprisal(docs, "doc_id", "text") }
+    timed("compression_ratio") {
+      graft.ops.TextOps.compressionRatio(docs, "doc_id", "text") }
+    timed("split_by_hash") {
+      graft.ops.Sampling.splitByHash(docs, col("doc_id"), Seq(0.8, 0.1, 0.1)) }
+
     // rank functions on the straggler shape (5-value group key): the
     // distributed two-pass form vs the naive one-task-per-group window —
     // at any n the naive form sorts n/5 rows in ONE task; the distributed
