@@ -154,4 +154,68 @@ object Http {
       .flatMap(u => lineIterator(chunkIterator(u, chunkSize, maxRetries, backoffMs)))
       .toDF("line")
   }
+
+  /** Replica-failover ranged chunks (Disco's redundant-input contract —
+    * util.py urllist replica sets — composed with the range model): when a
+    * chunk exhausts its retries on the current replica, the SAME byte
+    * range is pulled from the next replica and the stream continues from
+    * that offset — no restart-from-zero, no duplicated bytes. Only when
+    * every replica fails the same chunk does the task fail. Replicas must
+    * serve identical content (the DDFS replication contract).
+    */
+  private[graft] def chunkIteratorReplicated(replicas: Seq[String], chunkSize: Int,
+                                             maxRetries: Int, backoffMs: Long): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      require(replicas.nonEmpty, "empty replica set")
+      private var offset = 0L
+      private var total = -1L
+      private var done = false
+      private var cur = 0 // sticky: stay on a working replica
+      def hasNext: Boolean = !done && (total < 0 || offset < total)
+      def next(): Array[Byte] = {
+        if (!hasNext) throw new NoSuchElementException
+        var lastErr: Throwable = null
+        var tried = 0
+        while (tried < replicas.size) {
+          val url = replicas((cur + tried) % replicas.size)
+          try {
+            val (body, t, ranged) =
+              fetchRange(url, offset, offset + chunkSize - 1, maxRetries, backoffMs)
+            cur = (cur + tried) % replicas.size
+            if (!ranged) { done = true }
+            else {
+              total = t
+              offset += body.length
+              if (body.isEmpty || offset >= total) done = true
+            }
+            return body
+          } catch {
+            // IOException = retries exhausted; IllegalStateException =
+            // permanent HTTP error (404 on a replica missing the blob) —
+            // both fail over; only the full set failing kills the task
+            case e @ (_: IOException | _: IllegalStateException) =>
+              lastErr = e; tried += 1
+          }
+        }
+        throw new IOException(
+          s"all ${replicas.size} replicas failed at offset $offset: " +
+            s"${replicas.mkString(", ")}", lastErr)
+      }
+    }
+
+  /** Replica-set line source: one task per replica set, ranged reads with
+    * per-chunk replica failover. Column `line`.
+    */
+  def readLinesRangedReplicated(spark: SparkSession, replicaSets: Seq[Seq[String]],
+                                chunkSize: Int = DefaultChunkSize,
+                                maxRetries: Int = 1,
+                                backoffMs: Long = 100): DataFrame = {
+    import spark.implicits._
+    require(replicaSets.nonEmpty, "http read: empty replica-set list")
+    spark.createDataset(replicaSets.map(_.toList))
+      .repartition(replicaSets.size)
+      .flatMap(rs => lineIterator(
+        chunkIteratorReplicated(rs, chunkSize, maxRetries, backoffMs)))
+      .toDF("line")
+  }
 }

@@ -83,6 +83,36 @@ class HttpSourceSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("replica failover resumes at the same offset on the next replica") {
+    val srv = new MiniHttp
+    try {
+      val content = body(400)
+      // replica A: request #4 truncates mid-body and A keeps failing after
+      // (failFirst kicks in only for the FIRST requests, so instead serve
+      // a second path that truncates the 4th request; the client's
+      // maxRetries=0 makes that chunk fail over immediately)
+      srv.serve("/repA", content, truncateNth = 4)
+      srv.serve("/repB", content)
+      val got = Http.chunkIteratorReplicated(
+        Seq(srv.url("/repA"), srv.url("/repB")),
+        chunkSize = 1000, maxRetries = 0, backoffMs = 1).reduce(_ ++ _)
+      assert(got.sameElements(content), "failover stream must be byte-exact")
+      assert(srv.requests("/repA") >= 4, "A served the stream head")
+      assert(srv.requests("/repB") >= 1, "B picked up at the failed offset")
+      // a replica that 404s entirely fails over immediately
+      val got2 = Http.chunkIteratorReplicated(
+        Seq(srv.url("/gone"), srv.url("/repB")),
+        chunkSize = 1000, maxRetries = 0, backoffMs = 1).reduce(_ ++ _)
+      assert(got2.sameElements(content))
+      // every replica failing the same chunk is a loud task failure
+      val e = intercept[java.io.IOException] {
+        Http.chunkIteratorReplicated(Seq(srv.url("/gone"), srv.url("/gone2")),
+          chunkSize = 1000, maxRetries = 0, backoffMs = 1).reduce(_ ++ _)
+      }
+      assert(e.getMessage.contains("all 2 replicas failed"))
+    } finally srv.stop()
+  }
+
   test("no trailing newline: the final partial line still emits") {
     val srv = new MiniHttp
     try {
