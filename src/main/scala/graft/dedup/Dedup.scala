@@ -312,6 +312,21 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** (id, band, bandHash, set) rows for an incoming document batch — the
+    * per-batch half of the STREAMING near-dup pipeline ([[graft.streaming
+    * .Streams.dedupStreamMinhash]] drives it): band hashes for the LSH
+    * lookup against the accumulated index, the shingle set for exact
+    * verification of collisions.
+    */
+  private[graft] def bandTable(df: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int, bands: Int,
+                               rowsPerBand: Int): DataFrame = {
+    val mh = minhashWide(shingles(df, idCol, textCol, shingleN),
+      bands * rowsPerBand)
+    bandHashes(mh, bands, rowsPerBand)
+      .join(mh.select(col("id"), col("set")), "id")
+  }
+
   /** Cross-corpus fuzzy decontamination — the doc-level MinHash pass run
     * between a training corpus and an evaluation set before pretraining
     * (the complement of [[graft.ops.TextOps.contamination]]'s exact n-gram

@@ -102,6 +102,87 @@ object Streams {
       }
   }
 
+  /** Streaming NEAR-dup filter: each micro-batch of documents is checked
+    * against the accumulated MinHash band index of everything accepted so
+    * far (the "dedup an incoming crawl against the corpus" pipeline —
+    * the incremental form of [[graft.dedup.Dedup.minhashLshPairs]]).
+    * Batch flow, inside foreachBatch:
+    *
+    *  1. band-hash the batch ([[graft.dedup.Dedup]] machinery, same
+    *     signatures as the batch operator),
+    *  2. LSH lookup: equi-join on (band, bandHash) against the index,
+    *     exact shingle-Jaccard verification of collisions (precision 1,
+    *     recall = the banding contract),
+    *  3. WITHIN-batch dedup: same band join on the batch itself, keep the
+    *     min-id representative of each dup pair,
+    *  4. survivors flow to `accept` (the user's sink callback); their
+    *     band rows land in the index under `index/batch=<batchId>` —
+    *     overwrite-by-batch makes replays idempotent (a re-run batch
+    *     rewrites ITS OWN index delta and re-accepts the same survivors).
+    *
+    * Index shape at scale: parquet partitioned by batch, read as one
+    * (band, bandHash)-keyed table; collisions are band-bounded exactly
+    * like the batch operator. Compact old batches with
+    * [[graft.ops.ScaleOps.compactParquet]] when batch count grows.
+    */
+  def dedupStreamMinhash(docs: DataFrame, idCol: String, textCol: String,
+                         indexPath: String, tau: Double,
+                         shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                         checkpointDir: String)(
+                         accept: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bt = graft.dedup.Dedup.bandTable(
+          batch, idCol, textCol, shingleN, bands, rowsPerBand)
+          .localCheckpoint() // one computation feeds lookup, self-join, index write
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val haveIndex = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
+        def verified(cand: DataFrame): DataFrame = cand
+          .withColumn("inter",
+            size(array_intersect(col("seta"), col("setb"))).cast("double"))
+          .filter(col("inter") /
+            (size(col("seta")) + size(col("setb")) - col("inter")) >= tau)
+        // vs the accumulated index (skip batch 0 / empty index)
+        val dupVsIndex =
+          if (!haveIndex) spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
+          else verified(
+            bt.as("x").join(
+              spark.read.option("basePath", indexPath).parquet(indexPath).as("y"),
+              col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+            .select(col("x.id").as("id"), col("x.set").as("seta"),
+              col("y.set").as("setb"))
+            .distinct())
+            .select("id")
+        // within-batch: keep the smaller id of each verified dup pair
+        val dupInBatch = verified(
+          bt.as("x").join(bt.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.id") > col("y.id"))
+          .select(col("x.id").as("id"), col("x.set").as("seta"),
+            col("y.set").as("setb"))
+          .distinct())
+          .select("id")
+        val dups = dupVsIndex.unionByName(dupInBatch).distinct()
+          .withColumnRenamed("id", "_dupid") // never collides with idCol
+          .withColumn("_dup", lit(true))
+        val survivors = batch
+          .join(dups, batch(idCol) === dups("_dupid"), "left")
+          .filter(col("_dup").isNull)
+          .drop("_dupid", "_dup")
+          .localCheckpoint() // pin before the index write mutates state
+        accept(survivors, batchId)
+        bt.join(survivors.select(col(idCol).as("_sid")),
+            col("id") === col("_sid"))
+          .select("id", "band", "bh", "set")
+          .write.mode("overwrite")
+          .parquet(s"$indexPath/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** Declarative session windows — Spark's native `session_window`
     * (dynamic gap-merged windows in the engine's stateful operator), the
     * built-in dual of the two custom sessionizers here

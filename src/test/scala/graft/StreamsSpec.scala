@@ -103,6 +103,41 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: later near-copies are dropped against the index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = graft.io.IoScratch.dir + "/stream_neardup"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while seven wizards brew hazy potions behind the old stone mill"
+    val in = MemoryStream[(Long, String)]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.dedupStreamMinhash(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      indexPath = s"$dir/index", tau = 0.6, shingleN = 2,
+      checkpointDir = s"$dir/ckpt") { (survivors, _) =>
+      accepted ++= survivors.select("doc_id")
+        .collect().map(_.getLong(0))
+    }
+    try {
+      // batch 1: an original + an unrelated doc + a within-batch near-copy
+      in.addData((1L, base), (2L, "completely different text about spark " +
+        "engines shuffling petabytes through sorted exchanges nightly"),
+        (3L, base + " extra"))
+      q.processAllAvailable()
+      // batch 2: a near-copy of doc 1 (must be caught by the INDEX),
+      // and a fresh doc (must survive)
+      in.addData((10L, base + " tail"), (11L, "entirely novel content with " +
+        "unique tokens nowhere else in this tiny corpus whatsoever"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(accepted.toSet == Set(1L, 2L, 11L),
+      s"expected {1,2,11} to survive, got ${accepted.toSet}")
+    // the index holds exactly the survivors' band rows
+    val indexed = spark.read.parquet(s"$dir/index").select("id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 11L))
+  }
+
   test("streaming dedup keeps first occurrence") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
