@@ -483,6 +483,14 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Edit-distance similarity self-join (Ed-Join prefix filter + exact
+    // levenshtein verify): all distinct part-name pairs within distance 2.
+    "q_fuzzy_join" -> ((s, dir) =>
+      graft.ops.FuzzyJoin.editDistancePairs(
+          Tables.part(s, dir), "p_name", d = 2)
+        .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+        .orderBy("a", "b")),
+
     // Deterministic 80/10/10 train/val/test split: exclusive+exhaustive
     // hash buckets, bit-replayable in any engine (thresholds from the
     // same Scala computation as the oracle CASE).
@@ -1655,6 +1663,16 @@ object SparkEntry {
     "q_split" ->
       s"""SELECT doc_id, ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.1, 0.1))} AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // oracle brute-forces all distinct-name pairs; the Spark plan must
+    // reach the same set through the prefix filter
+    "q_fuzzy_join" ->
+      """WITH u AS (SELECT DISTINCT p_name AS s FROM part)
+        |SELECT a.s AS a, b.s AS b,
+        |       CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM u a JOIN u b ON a.s < b.s
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY a, b""".stripMargin,
 
     "q_surprisal" ->
       """WITH t AS (SELECT doc_id,

@@ -45,6 +45,28 @@ class PropertySpec extends SparkTestBase {
       }
   }
 
+  test("editDistancePairs equals the brute-force join on generated strings (incl. shorts)") {
+    import org.apache.spark.sql.functions._
+    // small alphabet → dense near-matches; lengths 1..12 exercise the
+    // short-string fallback (< q·d+1 grams) alongside the prefix path
+    val strGen = for {
+      n <- Gen.chooseNum(1, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    samples(Gen.listOfN(60, strGen), 6).zipWithIndex.foreach { case (strs, i) =>
+      import spark.implicits._
+      val df = strs.toDF("s0")
+      val got = graft.ops.FuzzyJoin.editDistancePairs(df, "s0", d = 2)
+        .as[(String, String, Int)].collect().toSet
+      val uniq = df.select(col("s0")).distinct().as("x")
+      val want = uniq.join(uniq.select(col("s0").as("s1")),
+          col("s0") < col("s1") && levenshtein(col("s0"), col("s1")) <= 2)
+        .select(col("s0"), col("s1"), levenshtein(col("s0"), col("s1")))
+        .as[(String, String, Int)].collect().toSet
+      assert(got == want, s"case $i: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("heavyHitters on an all-distinct column is empty; on a constant column is that value") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
