@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{Classic, Pipeline}
@@ -491,6 +493,17 @@ object SparkEntry {
         .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
         .orderBy("a", "b")),
 
+    // Two-table fuzzy lookup (dirty → canonical matching): every part name
+    // within distance 1 of a small-part canonical name list, exact matches
+    // included (dist 0).
+    "q_fuzzy_lookup" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      graft.ops.FuzzyJoin.editDistanceLookup(
+          p, "p_name", p.filter(col("p_size") < 10), "p_name", d = 1)
+        .select(col("l"), col("r"), col("dist").cast("int").as("dist"))
+        .orderBy("l", "r")
+    }),
+
     // Deterministic 80/10/10 train/val/test split: exclusive+exhaustive
     // hash buckets, bit-replayable in any engine (thresholds from the
     // same Scala computation as the oracle CASE).
@@ -925,6 +938,15 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+        .orderBy("a", "b")),
+
+    // Profiler-ROUTED near-dup join (jaccardPairsAuto): the candidate-
+    // volume profile sends the dense-vocabulary fixture to minhash — the
+    // routing decision itself is under oracle test (same banding params
+    // as q_dedup_minhash, same oracle).
+    "q_dedup_auto" -> ((s, dir) =>
+      Dedup.jaccardPairsAuto(Tables.documents(s, dir), "doc_id", "text",
+        tau = 0.8, shingleN = 2, bands = 4, rowsPerBand = 4)
         .orderBy("a", "b")),
 
     // Near-dup CLUSTERING: minhash pairs → connected components → every doc
@@ -1663,6 +1685,14 @@ object SparkEntry {
     "q_split" ->
       s"""SELECT doc_id, ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.1, 0.1))} AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fuzzy_lookup" ->
+      """WITH lu AS (SELECT DISTINCT p_name AS s FROM part),
+        |     ru AS (SELECT DISTINCT p_name AS s FROM part WHERE p_size < 10)
+        |SELECT lu.s AS l, ru.s AS r,
+        |       CAST(levenshtein(lu.s, ru.s) AS INT) AS dist
+        |FROM lu, ru WHERE levenshtein(lu.s, ru.s) <= 1
+        |ORDER BY l, r""".stripMargin,
 
     // oracle brute-forces all distinct-name pairs; the Spark plan must
     // reach the same set through the prefix filter
@@ -2811,4 +2841,8 @@ object SparkEntry {
         |  FROM final)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
+    // the profiler-routed join picks minhash on the fixture corpus (its
+    // 31-word vocabulary is PPJoin's dense regime), so the auto query's
+    // oracle IS the minhash oracle — one definition, no drift
+    .pipe(m => m + ("q_dedup_auto" -> m("q_dedup_minhash")))
 }

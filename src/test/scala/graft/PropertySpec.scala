@@ -67,6 +67,30 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("editDistanceLookup equals the brute-force cross join on generated strings") {
+    import org.apache.spark.sql.functions._
+    val strGen = for {
+      n <- Gen.chooseNum(1, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    samples(Gen.zip(Gen.listOfN(40, strGen), Gen.listOfN(25, strGen)), 5)
+      .zipWithIndex.foreach { case ((ls, rs), i) =>
+        import spark.implicits._
+        val ldf = ls.toDF("dirty")
+        val rdf = rs.toDF("canon")
+        val got = graft.ops.FuzzyJoin.editDistanceLookup(
+            ldf, "dirty", rdf, "canon", d = 2)
+          .as[(String, String, Int)].collect().toSet
+        val want = ldf.select(col("dirty")).distinct()
+          .join(rdf.select(col("canon")).distinct(),
+            levenshtein(col("dirty"), col("canon")) <= 2)
+          .select(col("dirty"), col("canon"),
+            levenshtein(col("dirty"), col("canon")))
+          .as[(String, String, Int)].collect().toSet
+        assert(got == want, s"case $i: missing=${want -- got} extra=${got -- want}")
+      }
+  }
+
   test("heavyHitters on an all-distinct column is empty; on a constant column is that value") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
