@@ -470,6 +470,19 @@ object SparkEntry {
           Tables.lineitem(s, dir), "l_returnflag", col("l_partkey"), k = 256)
         .orderBy("l_returnflag")),
 
+    // KMV set algebra: how much do two key spaces overlap — union /
+    // Jaccard / intersection estimates for (parts sold as lineitems) vs
+    // (parts ordered before mid-1996), from one merged sketch; raw keys
+    // never shuffle against each other.
+    "q_kmv_overlap" -> ((s, dir) =>
+      graft.functions.Sketches.kmvSetStats(
+        Tables.lineitem(s, dir), col("l_partkey"),
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir).filter(
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"), "left_semi"),
+        col("l_partkey"), k = 256)),
+
     // Bloom-prefiltered semi-join: lineitems of small-size parts. The bloom
     // over the dim keys prunes the fact scan before any exchange;
     // result-identical to the plain semi-join (oracle = IN-subquery), and
@@ -1770,6 +1783,13 @@ object SparkEntry {
     "q_kmv_groups" ->
       graft.functions.Sketches.kmvDistinctByGroupSql(
         "lineitem", "l_returnflag", "l_partkey", k = 256),
+
+    "q_kmv_overlap" ->
+      graft.functions.Sketches.kmvSetStatsSql(
+        "lineitem", "l_partkey",
+        "(SELECT l.* FROM lineitem l WHERE EXISTS (SELECT 1 FROM orders o " +
+          "WHERE o.o_orderkey = l.l_orderkey AND o.o_orderdate < TIMESTAMP '1996-07-01'))",
+        "l_partkey", k = 256),
 
     "q_bloom_join" ->
       """SELECT l_returnflag, count(*) AS cnt,

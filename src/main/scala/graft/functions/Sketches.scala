@@ -85,6 +85,70 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** KMV set algebra (Beyer et al. 2007, public paper): union, Jaccard,
+    * and intersection ESTIMATES for two keyed datasets from one merged
+    * sketch — the profiling pass that answers "how much do these two key
+    * spaces overlap" (join selectivity, corpus overlap) without ever
+    * shuffling the key spaces against each other.
+    *
+    * The k smallest distinct hashes of A∪B are a valid KMV sketch of the
+    * union (hashing commutes with union); the fraction of those k present
+    * in BOTH sides estimates Jaccard; intersection = jaccard · union.
+    * One row: (k_used, union_est, jaccard_est, inter_est) — exact when
+    * the union's distinct count never fills the sketch.
+    *
+    * Plan shape: two hash-distinct passes + TakeOrdered(k) + two
+    * broadcast membership joins of a k-row table — raw keys never move.
+    */
+  def kmvSetStats(dfA: DataFrame, keyA: Column, dfB: DataFrame, keyB: Column,
+                  k: Int): DataFrame = {
+    require(k >= 3, s"KMV needs k >= 3 (got $k)")
+    val ha = dfA.select(hash60(keyA).as("h")).where(col("h").isNotNull).distinct()
+    val hb = dfB.select(hash60(keyB).as("h")).where(col("h").isNotNull).distinct()
+    val merged = ha.unionByName(hb).distinct().orderBy("h").limit(k)
+    val flagged = merged
+      .join(ha.withColumn("_ina", lit(true)), Seq("h"), "left")
+      .join(hb.withColumn("_inb", lit(true)), Seq("h"), "left")
+    flagged.agg(
+        count(lit(1)).as("n"), max(col("h")).as("kth"),
+        sum(when(col("_ina") && col("_inb"), 1L).otherwise(0L)).as("both"))
+      .select(
+        col("n").as("k_used"),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(Space) /
+            col("kth").cast("double"), 6)).as("union_est"),
+        round(col("both").cast("double") / col("n").cast("double"), 6)
+          .as("jaccard_est"),
+        when(col("n") < k, col("both").cast("double"))
+          .otherwise(round((col("both").cast("double") / col("n").cast("double")) *
+            (lit((k - 1).toDouble) * lit(Space) / col("kth").cast("double")), 6))
+          .as("inter_est"))
+  }
+
+  /** The DuckDB SQL that replays [[kmvSetStats]] bit-for-bit. */
+  def kmvSetStatsSql(tableA: String, keyAExpr: String,
+                     tableB: String, keyBExpr: String, k: Int,
+                     salt: String = "kmv"): String = {
+    def hcte(t: String, e: String) =
+      s"SELECT DISTINCT CAST(('0x' || substr(md5(CAST($e AS VARCHAR) || ':$salt'), 1, 15)) AS BIGINT) AS h FROM $t WHERE $e IS NOT NULL"
+    s"""WITH ha AS (${hcte(tableA, keyAExpr)}),
+       |hb AS (${hcte(tableB, keyBExpr)}),
+       |m AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) u ORDER BY h LIMIT $k),
+       |f AS (SELECT m.h,
+       |             EXISTS (SELECT 1 FROM ha WHERE ha.h = m.h) AS ina,
+       |             EXISTS (SELECT 1 FROM hb WHERE hb.h = m.h) AS inb
+       |      FROM m)
+       |SELECT CAST(count(*) AS BIGINT) AS k_used,
+       |       CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |            ELSE round(${(k - 1).toDouble} * ${Space} / CAST(max(h) AS DOUBLE), 6) END AS union_est,
+       |       round(CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 6) AS jaccard_est,
+       |       CASE WHEN count(*) < $k THEN CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS DOUBLE)
+       |            ELSE round((CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |                       * (${(k - 1).toDouble} * ${Space} / CAST(max(h) AS DOUBLE)), 6) END AS inter_est
+       |FROM f""".stripMargin
+  }
+
   /** The DuckDB SQL that replays [[kmvDistinctByGroup]] bit-for-bit. */
   def kmvDistinctByGroupSql(table: String, groupCol: String, keyExpr: String,
                             k: Int, salt: String = "kmv"): String =

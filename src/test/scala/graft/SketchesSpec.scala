@@ -49,6 +49,28 @@ class SketchesSpec extends SparkTestBase {
     assert(row.getLong(1) == again.getLong(1))
   }
 
+  test("kmv set stats recover a planted overlap within sketch error") {
+    import org.apache.spark.sql.functions._
+    // A = [0, 30000), B = [20000, 50000) → union 50000, inter 10000, J = 0.2
+    val a = spark.range(0, 30000).toDF("k")
+    val b = spark.range(20000, 50000).toDF("k")
+    val r = graft.functions.Sketches.kmvSetStats(a, col("k"), b, col("k"), k = 512)
+      .collect().head
+    val (unionEst, jacEst, interEst) =
+      (r.getAs[Double]("union_est"), r.getAs[Double]("jaccard_est"),
+        r.getAs[Double]("inter_est"))
+    // se ≈ 1/sqrt(k-2) ≈ 4.4%; allow 4 se on union, looser on the ratio
+    assert(math.abs(unionEst - 50000) / 50000 < 0.18, s"union $unionEst")
+    assert(math.abs(jacEst - 0.2) < 0.08, s"jaccard $jacEst")
+    assert(math.abs(interEst - 10000) / 10000 < 0.45, s"inter $interEst")
+    // exact regime: sketches not filled → exact counts
+    val small = graft.functions.Sketches.kmvSetStats(
+      spark.range(0, 60).toDF("k"), col("k"),
+      spark.range(40, 100).toDF("k"), col("k"), k = 512).collect().head
+    assert(small.getAs[Double]("union_est") == 100.0)
+    assert(small.getAs[Double]("inter_est") == 20.0)
+  }
+
   test("kmv plan is TakeOrdered over hashes, not a global sort") {
     val df = graft.core.Tables.lineitem(spark, sfDir)
     val plan = Sketches.kmvDistinct(df, col("l_partkey"), k = 64)
