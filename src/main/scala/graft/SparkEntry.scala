@@ -526,6 +526,13 @@ object SparkEntry {
           col("doc_id"), Seq(0.8, 0.1, 0.1))
         .orderBy("doc_id")),
 
+    // Doc-level PMI collocation table: vocabulary-bounded pair explosion
+    // (broadcast doc-freq filter), one ln per output row.
+    "q_pmi" -> ((s, dir) =>
+      TextOps.pmiPairs(Tables.documents(s, dir), "doc_id", "text",
+        minDocFreq = 100)
+        .orderBy("x", "y")),
+
     // Unigram surprisal quality score: mean -ln(p(tok)) per doc from one
     // corpus count aggregation; decimal-summed ln values + round(4) pin
     // the cross-engine libm regime.
@@ -1716,6 +1723,22 @@ object SparkEntry {
         |FROM u a JOIN u b ON a.s < b.s
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY a, b""".stripMargin,
+
+    "q_pmi" ->
+      """WITH dt AS (SELECT DISTINCT doc_id,
+        |              unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+        |            FROM documents),
+        |     n AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+        |     f AS (SELECT tok, count(*) AS c FROM dt GROUP BY tok HAVING count(*) >= 100),
+        |     kept AS (SELECT dt.doc_id, dt.tok FROM dt JOIN f USING (tok)),
+        |     p AS (SELECT a.tok AS x, b.tok AS y, count(*) AS c_xy
+        |           FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |           GROUP BY a.tok, b.tok HAVING count(*) >= 100)
+        |SELECT x, y, c_xy,
+        |       round(ln((CAST(c_xy AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE))
+        |                / (CAST(fx.c AS DOUBLE) * CAST(fy.c AS DOUBLE))), 6) AS pmi
+        |FROM p JOIN f fx ON p.x = fx.tok JOIN f fy ON p.y = fy.tok
+        |ORDER BY x, y""".stripMargin,
 
     "q_surprisal" ->
       """WITH t AS (SELECT doc_id,

@@ -229,6 +229,42 @@ object TextOps {
         col("dup_line_frac"))
   }
 
+  /** Doc-level PMI co-occurrence — the word-association table (collocation
+    * mining, embedding-training diagnostics): for token pairs x < y,
+    * PMI = ln(P(x,y) / (P(x)·P(y))) with document-level probabilities
+    * (c_xy·N / (c_x·c_y), counts = documents containing the token(s)).
+    *
+    * Scale contract: the per-doc pair explosion is VOCABULARY-BOUNDED —
+    * only tokens in ≥ `minDocFreq` documents participate (the doc-freq
+    * table broadcasts), so a doc contributes ≤ |kept-vocab|² pairs and
+    * the corpus-wide movement is keyed on (x, y) token pairs. Output is
+    * bounded the same way (pairs must co-occur in ≥ `minDocFreq` docs).
+    *
+    * Engine parity: ONE ln per output row over an integer-ratio argument
+    * evaluated in a fixed double order, rounded to 6 — no summation of
+    * logs, so libm ulp differences cannot accumulate.
+    */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+               minDocFreq: Int): DataFrame = {
+    val dt = graft.dedup.Dedup.tokenSet(df, idCol, textCol)
+    val nDocs = dt.agg(countDistinct(col("id")).as("n"))
+    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minDocFreq)
+    val kept = dt.join(broadcast(dfreq.select("tok")), "tok")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.id") === col("b.id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("x"), col("b.tok").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minDocFreq)
+    pairs
+      .join(broadcast(dfreq.select(col("tok").as("x"), col("c").as("c_x"))), "x")
+      .join(broadcast(dfreq.select(col("tok").as("y"), col("c").as("c_y"))), "y")
+      .crossJoin(broadcast(nDocs))
+      .select(col("x"), col("y"), col("c_xy"),
+        round(log((col("c_xy").cast("double") * col("n").cast("double")) /
+          (col("c_x").cast("double") * col("c_y").cast("double"))), 6).as("pmi"))
+  }
+
   /** Compression-ratio quality signal (the Gopher/CCNet-family filter:
     * near-incompressible text is noise, hyper-compressible text is
     * boilerplate): deflated-size / raw-size per document at a FIXED zlib
