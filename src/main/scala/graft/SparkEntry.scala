@@ -526,6 +526,12 @@ object SparkEntry {
           col("doc_id"), Seq(0.8, 0.1, 0.1))
         .orderBy("doc_id")),
 
+    // Hashing-trick bag-of-words: fixed-dim sparse vectors, no dictionary
+    // state, engine-portable bucketing.
+    "q_feature_hash" -> ((s, dir) =>
+      TextOps.featureHash(Tables.documents(s, dir), "doc_id", "text", dim = 64)
+        .orderBy("id")),
+
     // Doc-level PMI collocation table: vocabulary-bounded pair explosion
     // (broadcast doc-freq filter), one ln per output row.
     "q_pmi" -> ((s, dir) =>
@@ -1723,6 +1729,18 @@ object SparkEntry {
         |FROM u a JOIN u b ON a.s < b.s
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY a, b""".stripMargin,
+
+    "q_feature_hash" ->
+      """WITH t AS (SELECT doc_id,
+        |             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |           FROM documents),
+        |     b AS (SELECT doc_id,
+        |             CAST(('0x' || substr(md5(tok || ':fh'), 1, 8)) AS BIGINT) % 64 AS b
+        |           FROM t),
+        |     c AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY doc_id, b)
+        |SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       string_agg(b || ':' || c, ',' ORDER BY b) AS features
+        |FROM c GROUP BY doc_id ORDER BY id""".stripMargin,
 
     "q_pmi" ->
       """WITH dt AS (SELECT DISTINCT doc_id,

@@ -229,6 +229,36 @@ object TextOps {
         col("dup_line_frac"))
   }
 
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009 — public
+    * paper): fixed-`dim` bag-of-words vectors with bucket =
+    * md5-derived hash of the token mod dim — no vocabulary dictionary to
+    * build, broadcast, or keep consistent across a 100 TB corpus, and the
+    * bucketing is engine-portable (the oracle replays it). Output one row
+    * per document: `features` = the sparse vector as a sorted
+    * "bucket:count" string (the comparator-friendly encoding the int8
+    * codes use), plus `n_tokens`.
+    *
+    * Shape: explode → two hash aggregations keyed (id, bucket) then id —
+    * map-side partial aggregation collapses repeated tokens first; no
+    * joins, no dictionary state.
+    */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  dim: Int): DataFrame = {
+    require(dim >= 2, s"featureHash: dim must be >= 2: $dim")
+    val bucket = pmod(conv(substring(md5(to_binary(
+      concat(col("tok"), lit(":fh")), lit("utf-8"))), 1, 8), 16, 10)
+      .cast("long"), lit(dim.toLong))
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("tok"))
+      .select(col("id"), bucket.as("b"))
+      .groupBy("id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_tokens"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("b"), col("c")))),
+          e => concat(e("b"), lit(":"), e("c")))).as("features"))
+  }
+
   /** Doc-level PMI co-occurrence — the word-association table (collocation
     * mining, embedding-training diagnostics): for token pairs x < y,
     * PMI = ln(P(x,y) / (P(x)·P(y))) with document-level probabilities
