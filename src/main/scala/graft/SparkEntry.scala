@@ -526,6 +526,16 @@ object SparkEntry {
           col("doc_id"), Seq(0.8, 0.1, 0.1))
         .orderBy("doc_id")),
 
+    // Exact tie-corrected ROC AUC via distributed Mann-Whitney ranks —
+    // no single task sorts the score column ("does price predict
+    // returns": near 0.5 by construction, exactness is the point).
+    "q_auc" -> ((s, dir) =>
+      graft.ops.EvalMetrics.aucExact(
+        Tables.lineitem(s, dir)
+          .select((col("l_returnflag") === "R").cast("int").as("lab"),
+            col("l_extendedprice").as("score")),
+        "lab", "score")),
+
     // Hashing-trick bag-of-words: fixed-dim sparse vectors, no dictionary
     // state, engine-portable bucketing.
     "q_feature_hash" -> ((s, dir) =>
@@ -1729,6 +1739,20 @@ object SparkEntry {
         |FROM u a JOIN u b ON a.s < b.s
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY a, b""".stripMargin,
+
+    "q_auc" ->
+      """WITH s AS (SELECT CAST(l_returnflag = 'R' AS INT) AS lab,
+        |                  CAST(l_extendedprice AS DOUBLE) AS score
+        |           FROM lineitem),
+        |     r AS (SELECT lab, rank() OVER (ORDER BY score) AS rk,
+        |                  count(*) OVER (PARTITION BY score) AS tc
+        |           FROM s)
+        |SELECT CAST(sum(lab) AS BIGINT) AS n_pos,
+        |       CAST(sum(1 - lab) AS BIGINT) AS n_neg,
+        |       round((CAST(sum(CASE WHEN lab = 1 THEN 2 * rk + tc - 1 ELSE 0 END) AS DOUBLE) / 2.0
+        |              - CAST(sum(lab) AS DOUBLE) * (CAST(sum(lab) AS DOUBLE) + 1.0) / 2.0)
+        |             / (CAST(sum(lab) AS DOUBLE) * CAST(sum(1 - lab) AS DOUBLE)), 6) AS auc
+        |FROM r""".stripMargin,
 
     "q_feature_hash" ->
       """WITH t AS (SELECT doc_id,

@@ -74,7 +74,8 @@ object WindowOps {
     */
   def rankFunctions(df: DataFrame, groupCol: String, orderCols: Seq[String],
                     numTiles: Int, partitions: Int = 32,
-                    keepPid: Boolean = false): DataFrame = {
+                    keepPid: Boolean = false,
+                    keepRanks: Boolean = false): DataFrame = {
     val reserved = Seq("_pid", "_lrn", "_lmin", "_lmax", "_off", "_n", "_c",
       "_opid", "_og")
     reserved.foreach(c => require(!df.columns.contains(c),
@@ -121,12 +122,19 @@ object WindowOps {
         ceil(grn.cast("double") / (q + lit(1L)).cast("double")))
       .otherwise(r + ceil((grn - r * (q + lit(1L))).cast("double") / q.cast("double")))
       .cast("long")
-    val out = joined
+    val out0 = joined
       .withColumn(s"ntile_$numTiles", tile)
       .withColumn("pct_rank", when(n === 1, lit(0.0))
         .otherwise((grank - lit(1L)).cast("double") / (n - lit(1L)).cast("double")))
       .withColumn("cume", gcume.cast("double") / n.cast("double"))
-      .drop("_lrn", "_lmin", "_lmax", "_off", "_n", "_opid", "_og")
+    // integer rank surface for exact downstream math (AUC midranks):
+    // `rank` = tie-aware global rank, `peers_through` = rows ≤ the
+    // current order key, `group_n` = group size — all exact longs
+    val out1 =
+      if (keepRanks) out0.withColumn("rank", grank)
+        .withColumn("peers_through", gcume).withColumn("group_n", n)
+      else out0
+    val out = out1.drop("_lrn", "_lmin", "_lmax", "_off", "_n", "_opid", "_og")
     if (keepPid) out else out.drop("_pid")
   }
 

@@ -86,6 +86,29 @@ class WindowRankSpec extends SparkTestBase {
     }
   }
 
+  test("aucExact: tie-corrected AUC matches the pairwise definition") {
+    import graft.ops.EvalMetrics
+    // pos scores {3,2}, neg {1,2}: pairs 3>1, 3>2, 2>1 win, 2==2 half
+    // → AUC = 3.5/4 = 0.875
+    val df = Seq((1, 3.0), (1, 2.0), (0, 1.0), (0, 2.0)).toDF("lab", "score")
+    val r = EvalMetrics.aucExact(df, "lab", "score", partitions = 3).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 0.875)
+    // perfect separation → 1.0; reversed → 0.0; partitioning-independent
+    val sep = spark.range(0, 1000).select(
+      (col("id") >= 500).cast("int").as("lab"), col("id").cast("double").as("score"))
+    assert(EvalMetrics.aucExact(sep, "lab", "score").collect().head.getDouble(2) == 1.0)
+    assert(EvalMetrics.aucExact(sep.select(lit(1) - col("lab") as "lab", col("score")),
+      "lab", "score").collect().head.getDouble(2) == 0.0)
+    val big = spark.range(0, 20000).select(
+      pmod(hash(col("id")), lit(2)).cast("int").as("lab"),
+      pmod(hash(col("id"), lit(7)), lit(100)).cast("double").as("score"))
+    val a = EvalMetrics.aucExact(big, "lab", "score", partitions = 4).collect().head
+    val b = EvalMetrics.aucExact(big.repartition(17), "lab", "score",
+      partitions = 32).collect().head
+    assert(a == b, "AUC must be partitioning-independent")
+  }
+
   test("reserved column names are rejected loudly") {
     val df = Seq((1L, 2L)).toDF("g", "_pid")
     val e = intercept[IllegalArgumentException] {
