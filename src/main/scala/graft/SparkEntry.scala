@@ -526,6 +526,15 @@ object SparkEntry {
           col("doc_id"), Seq(0.8, 0.1, 0.1))
         .orderBy("doc_id")),
 
+    // Log loss + Brier score in one pass (decimal-summed ln terms, the
+    // surprisal libm treatment); p derived from discount into (0,1).
+    "q_logloss" -> ((s, dir) =>
+      graft.ops.EvalMetrics.loglossBrier(
+        Tables.lineitem(s, dir)
+          .select((col("l_returnflag") === "R").cast("int").as("lab"),
+            (col("l_discount").cast("double") * lit(0.8) + lit(0.1)).as("p")),
+        "lab", "p")),
+
     // Exact tie-corrected ROC AUC via distributed Mann-Whitney ranks —
     // no single task sorts the score column ("does price predict
     // returns": near 0.5 by construction, exactness is the point).
@@ -1739,6 +1748,17 @@ object SparkEntry {
         |FROM u a JOIN u b ON a.s < b.s
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY a, b""".stripMargin,
+
+    "q_logloss" ->
+      """WITH s AS (SELECT CAST(CAST(l_returnflag = 'R' AS INT) AS DOUBLE) AS y,
+        |                  CAST(l_discount AS DOUBLE) * 0.8 + 0.1 AS p
+        |           FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(CAST(-(y * ln(p) + (1 - y) * ln(1 - p)) AS DECIMAL(38,18))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 4) AS logloss,
+        |       round(CAST(sum(CAST((p - y) * (p - y) AS DECIMAL(38,18))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 9) AS brier
+        |FROM s""".stripMargin,
 
     "q_auc" ->
       """WITH s AS (SELECT CAST(l_returnflag = 'R' AS INT) AS lab,

@@ -22,6 +22,34 @@ object EvalMetrics {
     * `labelCol` must be 0/1 (anything else raises), `scoreCol` casts to
     * double. One row: (n_pos, n_neg, auc).
     */
+  /** Log loss (cross-entropy) and Brier score in one aggregation pass.
+    * Probabilities must lie strictly in (0, 1) — out-of-range raises
+    * rather than silently clamping (a clamp constant is a modeling
+    * choice, not the metric). Per-row ln / squared-error terms are summed
+    * in decimal(38,18) (order-independent) and the means round to 4 / 9 —
+    * the surprisal libm treatment, so engines agree bit-for-bit.
+    * One row: (n, logloss, brier).
+    */
+  def loglossBrier(df: DataFrame, labelCol: String, probCol: String): DataFrame = {
+    val lab0 = col(labelCol).cast("int")
+    val lab = when(lab0 === 0 || lab0 === 1, lab0.cast("double"))
+      .otherwise(raise_error(concat(
+        lit(s"loglossBrier: label outside {0,1}: "), lab0.cast("string"))))
+    val p0 = col(probCol).cast("double")
+    val p = when(p0 > 0.0 && p0 < 1.0, p0)
+      .otherwise(raise_error(concat(
+        lit(s"loglossBrier: probability outside (0,1): "), p0.cast("string"))))
+    val ll = -(lab * log(p) + (lit(1.0) - lab) * log(lit(1.0) - p))
+    val se = (p - lab) * (p - lab)
+    df.select(lab.as("_y"), ll.as("_ll"), se.as("_se"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_ll").cast("decimal(38,18)")).as("sll"),
+        sum(col("_se").cast("decimal(38,18)")).as("sse"))
+      .select(col("n"),
+        round(col("sll").cast("double") / col("n").cast("double"), 4).as("logloss"),
+        round(col("sse").cast("double") / col("n").cast("double"), 9).as("brier"))
+  }
+
   def aucExact(df: DataFrame, labelCol: String, scoreCol: String,
                partitions: Int = 32): DataFrame = {
     val lab0 = col(labelCol).cast("int")
