@@ -526,6 +526,15 @@ object SparkEntry {
           col("doc_id"), Seq(0.8, 0.1, 0.1))
         .orderBy("doc_id")),
 
+    // Calibration bins: per-bin count / mean prediction / observed rate.
+    "q_calibration" -> ((s, dir) =>
+      graft.ops.EvalMetrics.calibrationBins(
+        Tables.lineitem(s, dir)
+          .select((col("l_returnflag") === "R").cast("int").as("lab"),
+            (col("l_discount").cast("double") * lit(8.0) + lit(0.05)).as("p")),
+        "lab", "p", bins = 10)
+        .orderBy("bin")),
+
     // Log loss + Brier score in one pass (decimal-summed ln terms, the
     // surprisal libm treatment); p derived from discount into (0,1).
     "q_logloss" -> ((s, dir) =>
@@ -1748,6 +1757,17 @@ object SparkEntry {
         |FROM u a JOIN u b ON a.s < b.s
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY a, b""".stripMargin,
+
+    "q_calibration" ->
+      """WITH s AS (SELECT CAST(l_returnflag = 'R' AS INT) AS y,
+        |                  CAST(l_discount AS DOUBLE) * 8.0 + 0.05 AS p
+        |           FROM lineitem)
+        |SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 9) AS mean_p,
+        |       round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS frac_pos
+        |FROM s GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q_logloss" ->
       """WITH s AS (SELECT CAST(CAST(l_returnflag = 'R' AS INT) AS DOUBLE) AS y,

@@ -50,6 +50,26 @@ object EvalMetrics {
         round(col("sse").cast("double") / col("n").cast("double"), 9).as("brier"))
   }
 
+  /** Calibration (reliability-diagram) bins: probabilities floor-bucketed
+    * into `bins` equal-width bins — floor, not round: half-rounding modes
+    * differ across engines (the quantizeInt8 rule) — with per-bin count,
+    * mean predicted probability, and observed positive rate. p = 1.0
+    * lands in the last bin. One hash aggregation.
+    */
+  def calibrationBins(df: DataFrame, labelCol: String, probCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationBins: bins must be >= 2: $bins")
+    val p = col(probCol).cast("double")
+    val b = least(floor(p * bins).cast("long"), lit(bins - 1L))
+    df.select(col(labelCol).cast("long").as("_y"), p.as("_p"), b.as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("_p").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("mean_p"),
+        round(sum(col("_y")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("frac_pos"))
+  }
+
   def aucExact(df: DataFrame, labelCol: String, scoreCol: String,
                partitions: Int = 32): DataFrame = {
     val lab0 = col(labelCol).cast("int")

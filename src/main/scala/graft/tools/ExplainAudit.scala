@@ -19,7 +19,9 @@ object ExplainAudit {
         "q_ann_ivf", "q_dedup_cluster", "q_prep_pipeline",
         "q_range_join", "q_repetition", "q_contamination",
         "q_tpch_q3", "q_tpch_q5", "q_bloom_join", "q_xcontamination",
-        "q_upsert", "q_triangles", "q_weighted_sample")
+        "q_upsert", "q_triangles", "q_weighted_sample",
+        "q_tpch_q2", "q_tpch_q8", "q_dedup_auto", "q_pmi", "q_fuzzy_join",
+        "q_heavy_hitters", "q_exact_quantiles", "q_auc", "q_window_rankfns")
     val spark = graft.core.GraftSession.builder("graft-explain", cores = 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
