@@ -526,6 +526,16 @@ object SparkEntry {
           col("doc_id"), Seq(0.8, 0.1, 0.1))
         .orderBy("doc_id")),
 
+    // Per-segment AUC: the same midrank math grouped by line status.
+    "q_auc_groups" -> ((s, dir) =>
+      graft.ops.EvalMetrics.aucByGroup(
+        Tables.lineitem(s, dir)
+          .select(col("l_linestatus").as("seg"),
+            (col("l_returnflag") === "R").cast("int").as("lab"),
+            col("l_extendedprice").as("score")),
+        "seg", "lab", "score")
+        .orderBy("seg")),
+
     // Calibration bins: per-bin count / mean prediction / observed rate.
     "q_calibration" -> ((s, dir) =>
       graft.ops.EvalMetrics.calibrationBins(
@@ -1757,6 +1767,24 @@ object SparkEntry {
         |FROM u a JOIN u b ON a.s < b.s
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY a, b""".stripMargin,
+
+    "q_auc_groups" ->
+      """WITH s AS (SELECT l_linestatus AS seg,
+        |                  CAST(l_returnflag = 'R' AS INT) AS lab,
+        |                  CAST(l_extendedprice AS DOUBLE) AS score
+        |           FROM lineitem),
+        |     r AS (SELECT seg, lab,
+        |                  rank() OVER (PARTITION BY seg ORDER BY score) AS rk,
+        |                  count(*) OVER (PARTITION BY seg, score) AS tc
+        |           FROM s)
+        |SELECT seg, CAST(sum(lab) AS BIGINT) AS n_pos,
+        |       CAST(sum(1 - lab) AS BIGINT) AS n_neg,
+        |       CASE WHEN sum(lab) = 0 OR sum(1 - lab) = 0 THEN NULL
+        |            ELSE round((CAST(sum(CASE WHEN lab = 1 THEN 2 * rk + tc - 1 ELSE 0 END) AS DOUBLE) / 2.0
+        |                        - CAST(sum(lab) AS DOUBLE) * (CAST(sum(lab) AS DOUBLE) + 1.0) / 2.0)
+        |                       / (CAST(sum(lab) AS DOUBLE) * CAST(sum(1 - lab) AS DOUBLE)), 6)
+        |       END AS auc
+        |FROM r GROUP BY seg ORDER BY seg""".stripMargin,
 
     "q_calibration" ->
       """WITH s AS (SELECT CAST(l_returnflag = 'R' AS INT) AS y,

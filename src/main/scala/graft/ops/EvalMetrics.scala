@@ -22,6 +22,37 @@ object EvalMetrics {
     * `labelCol` must be 0/1 (anything else raises), `scoreCol` casts to
     * double. One row: (n_pos, n_neg, auc).
     */
+  /** Per-group exact AUC — the per-segment eval table (AUC per language,
+    * per market segment, per cohort): [[aucExact]]'s midrank math with the
+    * ranks computed per group by the same distributed machinery, so a
+    * giant segment never sorts in one task. Groups with no positives or
+    * no negatives have undefined AUC → null (never a fabricated 0/1).
+    * One row per group: (group, n_pos, n_neg, auc).
+    */
+  def aucByGroup(df: DataFrame, groupCol: String, labelCol: String,
+                 scoreCol: String, partitions: Int = 32): DataFrame = {
+    val lab0 = col(labelCol).cast("int")
+    val lab = when(lab0 === 0 || lab0 === 1, lab0)
+      .otherwise(raise_error(concat(
+        lit(s"aucByGroup: label outside {0,1}: "), lab0.cast("string"))))
+    val scored = df.select(col(groupCol).as("_grp"), lab.as("_lab"),
+      col(scoreCol).cast("double").as("_score"))
+    val ranked = WindowOps.rankFunctions(scored, "_grp", Seq("_score"),
+      numTiles = 2, partitions = partitions, keepRanks = true)
+    ranked.groupBy(col("_grp").as(groupCol))
+      .agg(
+        sum(when(col("_lab") === 1, col("rank") + col("peers_through"))
+          .otherwise(lit(0L))).as("sum2"),
+        sum(col("_lab").cast("long")).as("p"),
+        sum(lit(1L) - col("_lab").cast("long")).as("ng"))
+      .select(
+        col(groupCol), col("p").as("n_pos"), col("ng").as("n_neg"),
+        when(col("p") === 0 || col("ng") === 0, lit(null).cast("double"))
+          .otherwise(round((col("sum2").cast("double") / lit(2.0) -
+              col("p").cast("double") * (col("p").cast("double") + lit(1.0)) / lit(2.0)) /
+            (col("p").cast("double") * col("ng").cast("double")), 6)).as("auc"))
+  }
+
   /** Log loss (cross-entropy) and Brier score in one aggregation pass.
     * Probabilities must lie strictly in (0, 1) — out-of-range raises
     * rather than silently clamping (a clamp constant is a modeling
