@@ -249,6 +249,20 @@ object SparkEntry {
         .select(col("doc_id"), col("cum"), col("shard"))
         .orderBy("doc_id")),
 
+    // Sharded export with manifest: token-budget shards (packShards) →
+    // hive-layout write → manifest of what actually landed (exact
+    // read-back counts). Bytes are parquet-encoding-dependent → the
+    // oracle-checked surface is (shard, rows).
+    "q_shard_manifest" -> ((s, dir) => {
+      val shards = graft.ops.PrefixSum.packShards(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        "doc_id", "n_chars", budget = 20000L)
+      graft.io.Sinks.writeSharded(shards,
+          graft.io.IoScratch.dir + "/doc_shards", "shard")
+        .select(col("shard").cast("long").as("shard"), col("rows"))
+        .orderBy("shard").localCheckpoint(true)
+    }),
+
     // §2.5 extension — batch sessionization: 30-min inactivity gap, session
     // stats per (user, session). Integer epoch-micros arithmetic (exact).
     "q_sessionize" -> ((s, dir) =>
@@ -1352,6 +1366,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // #50 — at-rest codec path end-to-end: document text → GZIP part
+    // files → transparent codec-inferred read → word count. The .gz
+    // suffix is the only difference from q_text_roundtrip; the oracle is
+    // the same (the codec must be invisible to results).
+    "q_gzip_roundtrip" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val path = graft.io.IoScratch.dir + "/documents_gz"
+      graft.io.Sinks.writeText(d.select("text"), path, "\t", compression = "gzip")
+      require(new java.io.File(path).listFiles()
+        .exists(_.getName.endsWith(".gz")), "expected gzip part files")
+      TextOps.wordCount(
+        graft.io.Sources.readText(s, path).withColumnRenamed("line", "text"),
+        "text").orderBy("word")
+    }),
+
     // #45 — redis:// scheme round-trip: (lang, doc_id) pairs RPUSHed to a
     // loopback RESP endpoint from executor partitions, read back via the
     // reference's SCAN/LRANGE model (scheme_redis.py:28-44). Eagerly
@@ -2328,6 +2357,12 @@ object SparkEntry {
         |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)
         |ORDER BY step""".stripMargin,
 
+    "q_shard_manifest" ->
+      """WITH p AS (SELECT doc_id,
+        |             CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 20000 AS BIGINT) AS shard
+        |           FROM documents)
+        |SELECT shard, count(*) AS rows FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+
     "q_shard_pack" ->
       """SELECT doc_id,
         |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
@@ -2815,6 +2850,14 @@ object SparkEntry {
         |ORDER BY key""".stripMargin,
 
     "q_url_source" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    // gzip at-rest must be invisible: same oracle as q_text_roundtrip
+    "q_gzip_roundtrip" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
         |      FROM documents)

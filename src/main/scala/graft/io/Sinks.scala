@@ -14,12 +14,25 @@ object Sinks {
     * joined by `sep`. Overwrite is atomic per the commit protocol.
     */
   def writeText(df: DataFrame, path: String, sep: String = "\t"): Unit =
+    writeText(df, path, sep, compression = null)
+
+  /** Text sink with an at-rest codec ("gzip", "bzip2", "zstd", …; null =
+    * plain). Readers decode transparently (the datasource codec layer —
+    * SURVEY #50's "codec inference" replacement). Gzip files are NOT
+    * splittable (one task per file — size files accordingly at scale);
+    * bzip2/zstd-frames split.
+    */
+  def writeText(df: DataFrame, path: String, sep: String,
+                compression: String): Unit = {
     // null-safe: concat_ws silently DROPS nulls, which would shift every
     // later field left; empty-string them to keep field positions stable
-    df.select(concat_ws(sep,
+    val w = df.select(concat_ws(sep,
         df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
         .as("value"))
-      .write.mode("overwrite").text(path)
+      .write.mode("overwrite")
+    (if (compression != null) w.option("compression", compression) else w)
+      .text(path)
+  }
 
   /** CSV sink with header. */
   def writeCsv(df: DataFrame, path: String, sep: String = ","): Unit =
@@ -55,6 +68,37 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Sharded training-data export: the corpus written as one directory
+    * per shard (`shard=<id>/`, hive layout) plus a MANIFEST the consuming
+    * trainer reads instead of listing the store — one row per shard:
+    * (shard, rows, bytes). Rows come from an exact count of the written
+    * data (read back — the source of truth is what landed on disk, not
+    * what was supposed to land), bytes from the filesystem. The manifest
+    * lands at `<path>._manifest` as parquet and is also returned.
+    *
+    * Compose with [[graft.ops.PrefixSum.packShards]] for token-budget
+    * shard ids; any low-cardinality id column works.
+    */
+  def writeSharded(df: DataFrame, path: String, shardCol: String): DataFrame = {
+    writePartitioned(df, path, Seq(shardCol))
+    val spark = df.sparkSession
+    val written = spark.read.option("basePath", path).parquet(path)
+    val rows = written.groupBy(shardCol)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$shardCol="))
+      .map(s => (s.getPath.getName.stripPrefix(s"$shardCol=").toLong,
+        fs.getContentSummary(s.getPath).getLength))
+      .toSeq
+    val bytesDf = spark.createDataFrame(bytes).toDF(shardCol, "bytes")
+    val manifest = rows.join(bytesDf, shardCol).orderBy(shardCol)
+    manifest.write.mode("overwrite").parquet(path + "._manifest")
+    manifest
+  }
 
   /** Parquet sink that also registers the output under the job-results tag
     * `job:results:<jobName>` (ddfs.py:288-292, `disco:job:results:<jobname>`
