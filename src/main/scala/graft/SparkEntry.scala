@@ -323,6 +323,17 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Distributed per-group quantiles: same numbers as q_quantiles but
+    // through the two-pass rank machinery — no group's values ever
+    // buffer in one task (the `percentile` aggregate's hotspot).
+    "q_quantiles_dist" -> ((s, dir) =>
+      graft.ops.WindowOps.exactQuantilesByGroup(
+          Tables.lineitem(s, dir), "l_returnflag", "l_quantity",
+          Seq(0.25, 0.5, 0.75))
+        .select(col("l_returnflag"), col("q"),
+          round(col("value"), 6).as("value"))
+        .orderBy("l_returnflag", "q")),
+
     // §2.5 extension — rollup (hierarchical subtotals).
     "q_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -2368,6 +2379,18 @@ object SparkEntry {
         |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
         |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 20000 AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quantiles_dist" ->
+      """SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q,
+        |       round(quantile_cont(l_quantity, 0.25), 6) AS value
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, 0.5, round(quantile_cont(l_quantity, 0.5), 6)
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, 0.75, round(quantile_cont(l_quantity, 0.75), 6)
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag, q""".stripMargin,
 
     "q_quantiles" ->
       """SELECT l_returnflag,

@@ -168,6 +168,46 @@ object WindowOps {
     probes.orderBy("q")
   }
 
+  /** Exact PER-GROUP continuous (interpolated) quantiles with bounded
+    * per-task state — the scale-safe dual of the `percentile` aggregate,
+    * which buffers EVERY group value in one aggregation buffer (a 10⁹-row
+    * group's values in one task's memory). Here ranks come from the
+    * distributed two-pass machinery; each requested q interpolates
+    * between the values at row positions ⌊1+(n−1)q⌋ and ⌈1+(n−1)q⌉,
+    * found by probing which tie-interval [rank, peers_through] contains
+    * the position — a filtered aggregation, no group ever sorts in one
+    * task. Matches `percentile` / DuckDB `quantile_cont` exactly (same
+    * lo + (hi−lo)·frac interpolation order).
+    *
+    * Output: (group, q, value), one row per group × quantile.
+    */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                            qs: Seq[Double], partitions: Int = 32): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1]: $qs")
+    val ranked = rankFunctions(
+        df.select(col(groupCol), col(valueCol).cast("double").as("_v")),
+        groupCol, Seq("_v"), numTiles = 2, partitions = partitions,
+        keepRanks = true)
+      .select(col(groupCol), col("_v"), col("rank"),
+        col("peers_through"), col("group_n"))
+      .distinct() // one row per distinct value per group
+    val pos = lit(1.0) + (col("group_n") - lit(1L)).cast("double") * col("q")
+    val lo = floor(pos)
+    val hi = ceil(pos)
+    ranked
+      .withColumn("q", explode(typedLit(qs.sorted)))
+      .groupBy(col(groupCol), col("q"))
+      .agg(
+        max(when(col("rank").cast("double") <= lo &&
+          lo <= col("peers_through").cast("double"), col("_v"))).as("vlo"),
+        max(when(col("rank").cast("double") <= hi &&
+          hi <= col("peers_through").cast("double"), col("_v"))).as("vhi"),
+        first(pos - lo).as("frac"))
+      .select(col(groupCol), col("q"),
+        (col("vlo") + (col("vhi") - col("vlo")) * col("frac")).as("value"))
+  }
+
   /** Batch sessionization: per-user session numbers from inactivity gaps —
     * the batch analog of [[graft.streaming.Streams]] session windows.
     * `session_n` = running count of gap-openers (first event, or > gap

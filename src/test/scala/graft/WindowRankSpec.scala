@@ -86,6 +86,22 @@ class WindowRankSpec extends SparkTestBase {
     }
   }
 
+  test("exactQuantilesByGroup equals the percentile aggregate at any partitioning") {
+    val df = spark.range(0, 6000).select(
+      (col("id") % 3).cast("string").as("g"),
+      pmod(hash(col("id")), lit(991)).cast("double").as("v"))
+    val expect = Seq(0.1, 0.5, 0.9).flatMap { q =>
+      df.groupBy("g").agg(percentile(col("v"), lit(q)).as("value"))
+        .as[(String, Double)].collect().map { case (g, v) => (g, q, v) }
+    }.toSet
+    for (p <- Seq(1, 8, 32)) {
+      val got = WindowOps.exactQuantilesByGroup(df.repartition(11), "g", "v",
+          Seq(0.1, 0.5, 0.9), partitions = p)
+        .as[(String, Double, Double)].collect().toSet
+      assert(got == expect, s"quantiles diverged at partitions=$p")
+    }
+  }
+
   test("aucExact: tie-corrected AUC matches the pairwise definition") {
     import graft.ops.EvalMetrics
     // pos scores {3,2}, neg {1,2}: pairs 3>1, 3>2, 2>1 win, 2==2 half
