@@ -323,6 +323,15 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Robust per-group location/scale: median + MAD via two distributed
+    // quantile passes (outlier-resistant cleaning gate).
+    "q_mad" -> ((s, dir) =>
+      graft.ops.StatsOps.madPerGroup(
+          Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
+        .select(col("l_returnflag"),
+          round(col("median"), 6).as("median"), round(col("mad"), 6).as("mad"))
+        .orderBy("l_returnflag")),
+
     // Distributed per-group quantiles: same numbers as q_quantiles but
     // through the two-pass rank machinery — no group's values ever
     // buffer in one task (the `percentile` aggregate's hotspot).
@@ -2379,6 +2388,17 @@ object SparkEntry {
         |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
         |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 20000 AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mad" ->
+      """WITH m AS (SELECT l_returnflag,
+        |             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+        |           FROM lineitem GROUP BY l_returnflag),
+        |     d AS (SELECT l.l_returnflag,
+        |             abs(CAST(l.l_extendedprice AS DOUBLE) - m.med) AS dev, m.med
+        |           FROM lineitem l JOIN m USING (l_returnflag))
+        |SELECT l_returnflag, round(med, 6) AS median,
+        |       round(quantile_cont(dev, 0.5), 6) AS mad
+        |FROM d GROUP BY l_returnflag, med ORDER BY l_returnflag""".stripMargin,
 
     "q_quantiles_dist" ->
       """SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q,

@@ -20,6 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object StatsOps {
 
+  /** Per-group robust location/scale — median and MAD (median absolute
+    * deviation), the outlier-resistant alternative to mean/stddev for
+    * data-cleaning gates (a single corrupt magnitude can't drag either
+    * statistic): two passes of the distributed per-group quantile
+    * machinery ([[WindowOps.exactQuantilesByGroup]] — no group's values
+    * ever buffer in one task), deviations formed in plain double
+    * (identical op on both engines). Output: (group, median, mad).
+    */
+  def madPerGroup(df: DataFrame, groupCol: String, valCol: String,
+                  partitions: Int = 32): DataFrame = {
+    val med = graft.ops.WindowOps.exactQuantilesByGroup(
+        df, groupCol, valCol, Seq(0.5), partitions)
+      .select(col(groupCol), col("value").as("_med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .select(col(groupCol),
+        abs(col(valCol).cast("double") - col("_med")).as("_dev"))
+    graft.ops.WindowOps.exactQuantilesByGroup(
+        dev, groupCol, "_dev", Seq(0.5), partitions)
+      .select(col(groupCol), col("value").as("mad"))
+      .join(broadcast(med), groupCol)
+      .select(col(groupCol), col("_med").as("median"), col("mad"))
+  }
+
   /** Per-group n / mean / sample-stddev of `xCol`, and corr(x, y):
     * `(group, n, mean_x, stddev_x, corr_xy)`. Inputs must carry at most
     * 2 decimal places (the decimal(18,2) cast is exact by contract).
