@@ -138,12 +138,51 @@ object WindowOps {
     if (keepPid) out else out.drop("_pid")
   }
 
-  /** Exact GLOBAL discrete quantiles without a one-task global sort —
-    * built on [[rankFunctions]]'s distributed cume_dist over a constant
-    * group: quantile_disc(q) = min value whose cumulative distribution
-    * reaches q (the element at sorted position ceil(q·n), ties collapse).
-    * The full column is range-partitioned and ranked in P parallel sorted
-    * ranges; the quantile probe is then one tiny aggregation per q.
+  /** (group, _v, _cnt, _cum, _n) per DISTINCT value per group: value
+    * count, INCLUSIVE cumulative count in value order, and group total —
+    * the weighted-rank core all quantile forms share. The collapse to
+    * distinct values happens FIRST (one hash aggregation), so the
+    * range-partitioned cumulative pass scales with |distinct values|,
+    * not |rows| — the decisive difference on low-cardinality measures.
+    * Same two-pass shape as [[rankFunctions]]: P parallel sorted ranges,
+    * per-(range, group) partial sums, in-plan broadcast offsets. Nulls
+    * are excluded (the `percentile` / `quantile_cont` contract).
+    */
+  private def groupValueCum(df: DataFrame, groupCol: String, valueCol: String,
+                            partitions: Int): DataFrame = {
+    Seq("_v", "_cnt", "_pid", "_lcum", "_c", "_off", "_n", "_opid", "_og")
+      .foreach(c => require(!df.columns.contains(c),
+        s"quantiles: input must not contain reserved column '$c'"))
+    val counts = df
+      .select(col(groupCol), col(valueCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy(groupCol, "_v").agg(count(lit(1)).as("_cnt"))
+    val parted = counts
+      .repartitionByRange(partitions, col(groupCol), col("_v"))
+      .withColumn("_pid", F.spark_partition_id())
+      .localCheckpoint()
+    val wl = Window.partitionBy(col("_pid"), col(groupCol)).orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("_lcum", sum(col("_cnt")).over(wl))
+    val pcnts = parted.groupBy(col("_pid"), col(groupCol))
+      .agg(sum(col("_cnt")).as("_c"))
+    val wOff = Window.partitionBy(groupCol).orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = pcnts
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(groupCol)))
+      .select(col("_pid").as("_opid"), col(groupCol).as("_og"),
+        col("_off"), col("_n"))
+    local.join(broadcast(offs),
+        col("_pid") === col("_opid") && col(groupCol) === col("_og"))
+      .select(col(groupCol), col("_v"), col("_cnt"),
+        (col("_off") + col("_lcum")).as("_cum"), col("_n"))
+  }
+
+  /** Exact GLOBAL discrete quantiles without a one-task global sort:
+    * quantile_disc(q) = min value whose cumulative distribution reaches q
+    * (the element at sorted position ceil(q·n), ties collapse), from the
+    * collapsed weighted-cumulative table — one tiny aggregation per q.
     * Exactly matches DuckDB's `quantile_disc` (oracle-checked).
     *
     * Output: (q, value), one row per requested quantile, in q order.
@@ -154,18 +193,15 @@ object WindowOps {
       s"quantiles must lie in (0, 1]: $qs")
     require(!df.columns.contains("_qg"),
       "exactQuantilesGlobal: input must not contain reserved column '_qg'")
-    val ranked = rankFunctions(
+    val cum = groupValueCum(
       df.select(col(valueCol)).withColumn("_qg", lit(1)),
-      "_qg", Seq(valueCol), numTiles = 2, partitions = partitions)
-    // per distinct value one (value, cume) pair survives; each q probes
-    // the smallest value whose cume reaches it — a min-aggregation, and
-    // the qs expand as a literal array (no second pass over the data)
-    val probes = ranked
-      .select(col(valueCol).as("value"), col("cume"))
-      .select(explode(typedLit(qs.sorted)).as("q"), col("value"), col("cume"))
-      .filter(col("cume") >= col("q"))
-      .groupBy("q").agg(min(col("value")).as("value"))
-    probes.orderBy("q")
+      "_qg", valueCol, partitions)
+    cum
+      .select(explode(typedLit(qs.sorted)).as("q"), col("_v"),
+        (col("_cum").cast("double") / col("_n").cast("double")).as("_cume"))
+      .filter(col("_cume") >= col("q"))
+      .groupBy("q").agg(min(col("_v")).as("value"))
+      .orderBy("q")
   }
 
   /** Exact PER-GROUP continuous (interpolated) quantiles with bounded
@@ -185,24 +221,19 @@ object WindowOps {
                             qs: Seq[Double], partitions: Int = 32): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must lie in [0, 1]: $qs")
-    val ranked = rankFunctions(
-        df.select(col(groupCol), col(valueCol).cast("double").as("_v")),
-        groupCol, Seq("_v"), numTiles = 2, partitions = partitions,
-        keepRanks = true)
-      .select(col(groupCol), col("_v"), col("rank"),
-        col("peers_through"), col("group_n"))
-      .distinct() // one row per distinct value per group
-    val pos = lit(1.0) + (col("group_n") - lit(1L)).cast("double") * col("q")
+    // a value's row positions are the interval [_cum−_cnt+1, _cum]
+    val cum = groupValueCum(df, groupCol, valueCol, partitions)
+    val pos = lit(1.0) + (col("_n") - lit(1L)).cast("double") * col("q")
     val lo = floor(pos)
     val hi = ceil(pos)
-    ranked
+    val rankLo = (col("_cum") - col("_cnt") + lit(1L)).cast("double")
+    val rankHi = col("_cum").cast("double")
+    cum
       .withColumn("q", explode(typedLit(qs.sorted)))
       .groupBy(col(groupCol), col("q"))
       .agg(
-        max(when(col("rank").cast("double") <= lo &&
-          lo <= col("peers_through").cast("double"), col("_v"))).as("vlo"),
-        max(when(col("rank").cast("double") <= hi &&
-          hi <= col("peers_through").cast("double"), col("_v"))).as("vhi"),
+        max(when(rankLo <= lo && lo <= rankHi, col("_v"))).as("vlo"),
+        max(when(rankLo <= hi && hi <= rankHi, col("_v"))).as("vhi"),
         first(pos - lo).as("frac"))
       .select(col(groupCol), col("q"),
         (col("vlo") + (col("vhi") - col("vlo")) * col("frac")).as("value"))
