@@ -323,6 +323,17 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Winsorized column: prices clipped at the global [5%, 95%] discrete
+    // quantiles (broadcast bounds, codegen'd clip).
+    "q_winsorize" -> ((s, dir) =>
+      graft.ops.StatsOps.winsorize(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          "l_extendedprice", loQ = 0.05, hiQ = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_w"), 2).as("price_w"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Robust per-group location/scale: median + MAD via two distributed
     // quantile passes (outlier-resistant cleaning gate).
     "q_mad" -> ((s, dir) =>
@@ -2388,6 +2399,15 @@ object SparkEntry {
         |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
         |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 20000 AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (SELECT quantile_disc(l_extendedprice, 0.05) AS lo,
+        |                  quantile_disc(l_extendedprice, 0.95) AS hi
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       round(least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi), 2) AS price_w
+        |FROM lineitem, b
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_mad" ->
       """WITH m AS (SELECT l_returnflag,

@@ -20,6 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object StatsOps {
 
+  /** Winsorize: clip a column at its GLOBAL [loQ, hiQ] discrete quantiles
+    * (outlier capping before scale-sensitive statistics/training) — the
+    * bounds come from the distributed quantile pass and broadcast back as
+    * a 1-row table, so the clip itself is a pure codegen'd projection.
+    * Adds `<valueCol>_w` (double); bounds follow `quantile_disc`
+    * semantics (engine-replayable, no interpolated phantom values).
+    */
+  def winsorize(df: DataFrame, valueCol: String, loQ: Double, hiQ: Double,
+                partitions: Int = 32): DataFrame = {
+    require(loQ > 0 && hiQ <= 1 && loQ < hiQ,
+      s"winsorize needs 0 < loQ < hiQ <= 1: ($loQ, $hiQ)")
+    val qs = graft.ops.WindowOps.exactQuantilesGlobal(
+      df.select(col(valueCol)), valueCol, Seq(loQ, hiQ), partitions)
+    val bounds = qs.agg(
+      min(when(col("q") === loQ, col("value"))).as("_lo"),
+      max(when(col("q") === hiQ, col("value"))).as("_hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("double"), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
   /** Per-group robust location/scale — median and MAD (median absolute
     * deviation), the outlier-resistant alternative to mean/stddev for
     * data-cleaning gates (a single corrupt magnitude can't drag either
