@@ -42,7 +42,7 @@ final class MiniHttp {
     *   client must detect and re-pull.
     */
   def serve(path: String, content: Array[Byte], failFirst: Int = 0,
-            truncateNth: Int = 0): Unit =
+            truncateNth: Int = 0, stripContentRange: Boolean = false): Unit =
     server.createContext(path, (ex: HttpExchange) => {
       val n = hits.computeIfAbsent(path, _ => new AtomicInteger).incrementAndGet()
       try {
@@ -61,7 +61,7 @@ final class MiniHttp {
             case None => (0L, content.length - 1L, 200)
           }
           val len = math.max(0L, endIncl - start + 1)
-          if (status == 206)
+          if (status == 206 && !stripContentRange)
             ex.getResponseHeaders.set("Content-Range",
               s"bytes $start-$endIncl/${content.length}")
           val writeLen = if (n == truncateNth) math.max(1L, len / 2) else len

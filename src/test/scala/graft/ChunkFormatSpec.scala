@@ -62,6 +62,25 @@ class ChunkFormatSpec extends SparkTestBase {
       s"expected partial salvage, got ${salvaged.size} of ${pairs.size}")
   }
 
+  test("hostile headers fail loudly: absurd hunk size and truncated body") {
+    // header claiming a 2 GiB hunk must hit the 1 GiB bound, not allocate
+    val huge = java.nio.ByteBuffer.allocate(14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    huge.put(129.toByte); huge.put(1.toByte); huge.putInt(0); huge.putLong(2L << 30)
+    val e1 = intercept[IllegalArgumentException] {
+      DiscoChunk.decodeStream(new ByteArrayInputStream(huge.array())).toSeq
+    }
+    assert(e1.getMessage.contains("1 GiB"))
+    // header promising more body bytes than the stream holds → EOF error
+    val short = java.nio.ByteBuffer.allocate(14 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    short.put(129.toByte); short.put(0.toByte); short.putInt(0); short.putLong(100L)
+    short.put(Array[Byte](1, 2, 3, 4))
+    intercept[java.io.EOFException] {
+      DiscoChunk.decodeStream(new ByteArrayInputStream(short.array())).toSeq
+    }
+  }
+
   test("legacy netstring stream decodes via the <128 first-byte fallback") {
     val ns = graft.io.Netstring.encode(Seq("a" -> "1", "b" -> "two"))
     val got = DiscoChunk.decodeStream(new ByteArrayInputStream(ns)).toSeq

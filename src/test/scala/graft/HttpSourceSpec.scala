@@ -113,6 +113,23 @@ class HttpSourceSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("a 206 without Content-Range is a loud protocol error, not silent data loss") {
+    val srv = new MiniHttp
+    try {
+      val raw = body(5)
+      srv.serve("/ok", raw)
+      val (b, t, ranged) = Http.fetchRange(srv.url("/ok"), 0, 10, 0, 1)
+      assert(ranged && t == raw.length && b.length == 11)
+      // same content, but the server strips Content-Range from its 206:
+      // the client cannot learn the total → must fail, never guess
+      srv.serve("/broken", raw, stripContentRange = true)
+      val e = intercept[java.io.IOException] {
+        Http.fetchRange(srv.url("/broken"), 0, 10, maxRetries = 0, backoffMs = 1)
+      }
+      assert(e.getMessage.contains("without Content-Range"))
+    } finally srv.stop()
+  }
+
   test("no trailing newline: the final partial line still emits") {
     val srv = new MiniHttp
     try {

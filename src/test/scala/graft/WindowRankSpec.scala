@@ -125,6 +125,21 @@ class WindowRankSpec extends SparkTestBase {
     assert(a == b, "AUC must be partitioning-independent")
   }
 
+  test("degenerate inputs: empty frame and single-valued groups") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("g", StringType), StructField("v", DoubleType))))
+    assert(WindowOps.rankFunctions(empty, "g", Seq("v"), 4).count() == 0)
+    assert(WindowOps.exactQuantilesByGroup(empty, "g", "v", Seq(0.5)).count() == 0)
+    // one distinct value per group: every quantile IS that value
+    val const = Seq(("a", 7.0), ("a", 7.0), ("b", 3.0)).toDF("g", "v")
+    val got = WindowOps.exactQuantilesByGroup(const, "g", "v", Seq(0.1, 0.9))
+      .as[(String, Double, Double)].collect().toSet
+    assert(got == Set(("a", 0.1, 7.0), ("a", 0.9, 7.0),
+      ("b", 0.1, 3.0), ("b", 0.9, 3.0)))
+  }
+
   test("reserved column names are rejected loudly") {
     val df = Seq((1L, 2L)).toDF("g", "_pid")
     val e = intercept[IllegalArgumentException] {
