@@ -644,6 +644,13 @@ object SparkEntry {
         Tables.lineitem(s, dir), "l_extendedprice",
         Seq(0.25, 0.5, 0.75, 0.95))),
 
+    // Per-group heavy hitters: shipping priorities holding > 1/6 of each
+    // order-status group (one MG sketch per group per partition).
+    "q_heavy_groups" -> ((s, dir) =>
+      graft.ops.ScaleOps.heavyHittersByGroup(
+          Tables.orders(s, dir), "o_orderstatus", "o_orderpriority", k = 6)
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
     // Exact heavy hitters via per-partition Misra-Gries candidates + exact
     // recount (bounded memory, candidate shuffle ≤ partitions·(k-1)):
     // order-priority classes holding > 1/8 of all orders. Integer
@@ -1930,6 +1937,16 @@ object SparkEntry {
         |UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM lineitem
         |UNION ALL SELECT 0.95, quantile_disc(l_extendedprice, 0.95) FROM lineitem
         |ORDER BY q""".stripMargin,
+
+    "q_heavy_groups" ->
+      """WITH t AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus)
+        |SELECT CAST(o.o_orderstatus AS VARCHAR) AS o_orderstatus,
+        |       CAST(o.o_orderpriority AS VARCHAR) AS o_orderpriority,
+        |       count(*) AS cnt, CAST(t.n AS BIGINT) AS group_n
+        |FROM orders o JOIN t ON o.o_orderstatus = t.o_orderstatus
+        |GROUP BY o.o_orderstatus, o.o_orderpriority, t.n
+        |HAVING count(*) * 6 > t.n
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT CAST(o_orderpriority AS VARCHAR) AS value,

@@ -225,6 +225,51 @@ object ScaleOps {
       .select(col("v").as("value"), col("cnt"))
   }
 
+  /** Per-GROUP exact heavy hitters: values holding more than 1/k of their
+    * group's rows (hot domains per language, hot keys per shard).
+    * [[heavyHitters]]' two-pass shape with one Misra-Gries sketch PER
+    * GROUP per partition — the pigeonhole guarantee applies within each
+    * group's rows, so the candidate union still contains every true
+    * per-group hitter. Per-partition memory is (groups seen) · (k−1)
+    * counters: the contract is a bounded group cardinality (languages,
+    * shards — not user ids). Integer threshold (cnt·k > group_n).
+    *
+    * Output: (group, value, cnt, group_n) for every qualifying value.
+    */
+  def heavyHittersByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 2, s"heavyHittersByGroup: k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gv = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("string").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val cands = gv.as[(String, String)].mapPartitions { it =>
+      val sketches = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.HashMap[String, Long]]
+      it.foreach { case (g, v) =>
+        val counters = sketches.getOrElseUpdate(g,
+          scala.collection.mutable.HashMap.empty[String, Long])
+        if (counters.contains(v)) counters(v) += 1
+        else if (counters.size < k - 1) counters(v) = 1
+        else {
+          val dead = counters.iterator.collect {
+            case (key, c) if c == 1 => key }.toList
+          counters.mapValuesInPlace((_, c) => c - 1)
+          dead.foreach(counters.remove)
+        }
+      }
+      sketches.iterator.flatMap { case (g, cs) => cs.keysIterator.map((g, _)) }
+    }.toDF("g", "v").distinct()
+    val totals = gv.groupBy("g").agg(count(lit(1)).as("n"))
+    gv.join(broadcast(cands), Seq("g", "v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "g")
+      .filter(col("cnt") * k > col("n"))
+      .select(col("g").as(groupCol), col("v").as(valueCol),
+        col("cnt"), col("n").as("group_n"))
+  }
+
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L << 20): Long = {
     val p = new org.apache.hadoop.fs.Path(path)

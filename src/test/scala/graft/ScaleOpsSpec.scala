@@ -126,6 +126,30 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(oneCand <= 7, s"MG sketch exceeded its counter bound: $oneCand")
   }
 
+  test("heavyHittersByGroup: exact per group, partitioning-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group A: "hot" 50%, tail distinct; group B: uniform over 3 values
+    val n = 9000
+    val df = spark.range(0, n).select(
+      when(col("id") % 3 === 0, lit("A")).otherwise(lit("B")).as("g"),
+      when(col("id") % 3 === 0,
+        when(col("id") % 6 === 0, lit("hot")).otherwise(concat(lit("t"), col("id"))))
+        .otherwise(concat(lit("u"), col("id") % 3)).as("v"))
+    val expect = df.groupBy("g", "v").count()
+      .join(df.groupBy("g").agg(count(lit(1)).as("n")), "g")
+      .filter(col("count") * 4 > col("n"))
+      .select(col("g"), col("v"), col("count"), col("n"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(expect.nonEmpty && expect.exists(_._2 == "hot"))
+    for (p <- Seq(1, 7, 32)) {
+      val got = graft.ops.ScaleOps.heavyHittersByGroup(
+          df.repartition(p), "g", "v", k = 4)
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(got == expect, s"per-group hitters diverged at partitions=$p")
+    }
+  }
+
   test("compactParquet rewrites a many-file dataset into the target count, losslessly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     spark.range(0, 10000).repartition(64).write.parquet(dir)
