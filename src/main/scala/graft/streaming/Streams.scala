@@ -102,6 +102,47 @@ object Streams {
       }
   }
 
+  /** Streaming heavy hitters — incremental Misra–Gries per group: state is
+    * ≤ k−1 counters per group (bounded forever, no TTL needed), updated
+    * per micro-batch; after each batch the group's current candidates
+    * emit as (group, value, cnt_lower, total). The MG counter is a LOWER
+    * bound with error ≤ total/k (the streaming trade-off: an exact
+    * recount needs the history — run the batch
+    * [[graft.ops.ScaleOps.heavyHittersByGroup]] over the archive when
+    * exactness matters); any value with true frequency > total/k is
+    * guaranteed present. Update output mode.
+    */
+  def heavyHittersStream(events: Dataset[(String, String)],
+                         k: Int): DataFrame = {
+    require(k >= 2, s"heavyHittersStream: k must be >= 2, got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Map[String, Long], Long), (String, String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (g, it, state: GroupState[(Map[String, Long], Long)]) =>
+          val (prev, prevTotal) =
+            state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          val counters = scala.collection.mutable.HashMap.empty[String, Long]
+          counters ++= prev
+          var total = prevTotal
+          it.foreach { case (_, v) =>
+            total += 1
+            if (counters.contains(v)) counters(v) += 1
+            else if (counters.size < k - 1) counters(v) = 1
+            else {
+              val dead = counters.iterator.collect {
+                case (key, c) if c == 1 => key }.toList
+              counters.mapValuesInPlace((_, c) => c - 1)
+              dead.foreach(counters.remove)
+            }
+          }
+          state.update((counters.toMap, total))
+          counters.iterator.map { case (v, c) => (g, v, c, total) }
+      }
+      .toDF("group", "value", "cnt_lower", "total")
+  }
+
   /** Streaming NEAR-dup filter: each micro-batch of documents is checked
     * against the accumulated MinHash band index of everything accepted so
     * far (the "dedup an incoming crawl against the corpus" pipeline —

@@ -103,6 +103,33 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: hot values survive across batches, tails evict") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = Streams.heavyHittersStream(in.toDS(), k = 4)
+      .writeStream.format("memory").queryName("hh_s")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: group A — "hot" 6 of 10 rows, 4 distinct tail values
+      in.addData(Seq.fill(6)(("A", "hot")) ++
+        Seq(("A", "t1"), ("A", "t2"), ("A", "t3"), ("A", "t4")): _*)
+      q.processAllAvailable()
+      // batch 2: more hot + fresh tail; hot must persist with a growing
+      // count; true freq 12/20 > 1/4 ⇒ MG guarantees presence
+      in.addData(Seq.fill(6)(("A", "hot")) ++
+        Seq(("A", "t5"), ("A", "t6"), ("A", "t7"), ("A", "t8")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("hh_s")
+        .select("group", "value", "cnt_lower", "total")
+        .as[(String, String, Long, Long)].collect()
+      val lastHot = rows.filter(r => r._2 == "hot" && r._4 == 20)
+      assert(lastHot.nonEmpty, s"hot value missing after batch 2: ${rows.toSeq}")
+      // MG lower bound: within total/k of the true count, never above it
+      val c = lastHot.head._3
+      assert(c <= 12 && c >= 12 - 20 / 4, s"hot count bound violated: $c")
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup: later near-copies are dropped against the index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = graft.io.IoScratch.dir + "/stream_neardup"
