@@ -609,6 +609,12 @@ object SparkEntry {
             col("l_extendedprice").as("score")),
         "lab", "score")),
 
+    // Per-doc token entropy: lexical-diversity quality signal (low =
+    // templated text), decimal-summed ln terms.
+    "q_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id")),
+
     // Hashing-trick bag-of-words: fixed-dim sparse vectors, no dictionary
     // state, engine-portable bucketing.
     "q_feature_hash" -> ((s, dir) =>
@@ -1888,6 +1894,17 @@ object SparkEntry {
         |              - CAST(sum(lab) AS DOUBLE) * (CAST(sum(lab) AS DOUBLE) + 1.0) / 2.0)
         |             / (CAST(sum(lab) AS DOUBLE) * CAST(sum(1 - lab) AS DOUBLE)), 6) AS auc
         |FROM r""".stripMargin,
+
+    "q_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |           FROM documents),
+        |     c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+        |SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       round(ln(CAST(sum(c) AS DOUBLE))
+        |             - CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE)
+        |               / CAST(sum(c) AS DOUBLE), 4) AS entropy
+        |FROM c GROUP BY doc_id ORDER BY id""".stripMargin,
 
     "q_feature_hash" ->
       """WITH t AS (SELECT doc_id,

@@ -229,6 +229,29 @@ object TextOps {
         col("dup_line_frac"))
   }
 
+  /** Per-document token entropy — lexical diversity in nats:
+    * H = −Σ (c/t)·ln(c/t) over the doc's token counts (0 for
+    * single-token docs; low entropy = repetitive/templated text, the
+    * cheap complement of [[repetitionProfile]]'s n-gram signals).
+    *
+    * H = ln(t) − (Σ c·ln c)/t: per-token-type ln terms are summed in
+    * decimal(38,18) and the result rounds to 4 (the surprisal libm
+    * treatment). Shape: two hash aggregations keyed (doc, token) then
+    * doc — no joins, no corpus-global keys.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("t"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast("decimal(38,18)")).as("sclnc"))
+      .select(col("id"), col("t").as("n_tokens"),
+        round(log(col("t").cast("double")) -
+          col("sclnc").cast("double") / col("t").cast("double"), 4)
+          .as("entropy"))
+
   /** Feature hashing (the hashing trick, Weinberger et al. 2009 — public
     * paper): fixed-`dim` bag-of-words vectors with bucket =
     * md5-derived hash of the token mod dim — no vocabulary dictionary to
