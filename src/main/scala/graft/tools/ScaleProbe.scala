@@ -155,6 +155,21 @@ object ScaleProbe {
     timed("split_by_hash") {
       graft.ops.Sampling.splitByHash(docs, col("doc_id"), Seq(0.8, 0.1, 0.1)) }
 
+    timed("entropy") {
+      graft.ops.TextOps.tokenEntropy(docs, "doc_id", "text") }
+    timed("feature_hash") {
+      graft.ops.TextOps.featureHash(docs, "doc_id", "text", dim = 256) }
+    timed("pmi") {
+      // minDocFreq scaled with n so the kept vocabulary stays ~fixed
+      graft.ops.TextOps.pmiPairs(docs, "doc_id", "text",
+        minDocFreq = math.max(10, (n / 100).toInt)) }
+    timed("surprisal_doc") {
+      graft.ops.TextOps.unigramSurprisal(docs, "doc_id", "text") }
+    timed("auc_metric") {
+      graft.ops.EvalMetrics.aucExact(
+        docs.select(pmod(col("doc_id"), lit(2)).cast("int").as("lab"),
+          length(col("text")).cast("double").as("score")), "lab", "score") }
+
     // rank functions on the straggler shape (5-value group key): the
     // distributed two-pass form vs the naive one-task-per-group window —
     // at any n the naive form sorts n/5 rows in ONE task; the distributed
