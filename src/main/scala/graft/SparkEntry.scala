@@ -473,6 +473,29 @@ object SparkEntry {
         .orderBy("o_year")
     }),
 
+    // TPC-H Q16 shape (supplier census): distinct-supplier counts per part
+    // attribute with a NOT-IN exclusion — the distinct-aggregate +
+    // anti-join combination (adapted: lineitem is the part-supplier link,
+    // negative-balance suppliers stand in for the complaint filter). The
+    // link table collapses to distinct pairs FIRST (one shuffle), the
+    // exclusion list broadcasts as a left-anti join.
+    "q_tpch_q16" -> ((s, dir) => {
+      val excluded = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val links = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey").distinct()
+      links
+        .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_size").isin(5, 15, 25, 35, 45))
+            .select("p_partkey", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_type"), col("p_size"))
+    }),
+
     // TPC-H Q5 (local supplier volume) — the 6-table join: region⋈nation
     // broadcast (tiny dims), then customer⋈orders⋈lineitem⋈supplier shuffle
     // on their keys with the c_nationkey = s_nationkey locality predicate
@@ -1972,6 +1995,16 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |HAVING count(*) * 8 > (SELECT count(*) FROM orders)
         |ORDER BY value""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (5, 15, 25, 35, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_type, p_size""".stripMargin,
 
     "q_tpch_q8" ->
       """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
