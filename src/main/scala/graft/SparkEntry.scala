@@ -467,10 +467,43 @@ object SparkEntry {
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(round(
-          sum(when(col("supp_nation") === "BRAZIL", rev)
+          sum(when(col("supp_nation") === "NATION_9", rev)
             .otherwise(lit(0))).cast("double") /
           sum(rev).cast("double"), 6).as("mkt_share"))
         .orderBy("o_year")
+    }),
+
+    // TPC-H Q7 shape (volume shipping): revenue between two nation PAIRS
+    // in both directions — the disjunctive two-sided dimension predicate
+    // ((s=N9 ∧ c=N10) ∨ (s=N10 ∧ c=N9); the fixture's nation names are synthetic) over the
+    // order/lineitem fact, grouped by the pair and year. Nation-tagged
+    // suppliers/customers broadcast; the OR filter runs after both tags
+    // attach (Catalyst pushes the IN-pair prefilters to each dim scan).
+    "q_tpch_q7" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir)
+      val supN = Tables.supplier(s, dir)
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .filter(col("supp_nation").isin("NATION_9", "NATION_10"))
+        .select("s_suppkey", "supp_nation")
+      val custN = Tables.customer(s, dir)
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .filter(col("cust_nation").isin("NATION_9", "NATION_10"))
+        .select("c_custkey", "cust_nation")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_9" && col("cust_nation") === "NATION_10") ||
+          (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_9"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(expr(
+          "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"))
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
     // TPC-H Q16 shape (supplier census): distinct-supplier counts per part
@@ -1996,6 +2029,20 @@ object SparkEntry {
         |HAVING count(*) * 8 > (SELECT count(*) FROM orders)
         |ORDER BY value""".stripMargin,
 
+    "q_tpch_q7" ->
+      """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+        |       CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |WHERE (n2.n_name = 'NATION_9' AND n1.n_name = 'NATION_10')
+        |   OR (n2.n_name = 'NATION_10' AND n1.n_name = 'NATION_9')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "q_tpch_q16" ->
       """SELECT p_type, p_size,
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
@@ -2008,7 +2055,7 @@ object SparkEntry {
 
     "q_tpch_q8" ->
       """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
-        |       round(CAST(SUM(CASE WHEN n2.n_name = 'BRAZIL' THEN
+        |       round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_9' THEN
         |                     CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
         |                   ELSE 0 END) AS DOUBLE)
         |             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
