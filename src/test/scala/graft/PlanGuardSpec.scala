@@ -64,6 +64,16 @@ class PlanGuardSpec extends SparkTestBase {
     assert(aggs <= 2, s"expected one partial+final aggregate pair, got $aggs")
   }
 
+  test("q_tpch_q7 / q_tpch_q16: dims broadcast, no all-pairs join") {
+    for (name <- Seq("q_tpch_q7", "q_tpch_q16")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name: dims must broadcast")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$name: all-pairs join")
+    }
+  }
+
   test("q_topk plans as TakeOrderedAndProject, never a global sort") {
     val plan = SparkEntry.queries("q_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString
