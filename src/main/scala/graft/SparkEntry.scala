@@ -467,7 +467,7 @@ object SparkEntry {
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(round(
-          sum(when(col("supp_nation") === "NATION_9", rev)
+          sum(when(col("supp_nation") === "NATION_3", rev)
             .otherwise(lit(0))).cast("double") /
           sum(rev).cast("double"), 6).as("mkt_share"))
         .orderBy("o_year")
@@ -475,7 +475,7 @@ object SparkEntry {
 
     // TPC-H Q7 shape (volume shipping): revenue between two nation PAIRS
     // in both directions — the disjunctive two-sided dimension predicate
-    // ((s=N9 ∧ c=N10) ∨ (s=N10 ∧ c=N9); the fixture's nation names are synthetic) over the
+    // ((s=N3 ∧ c=N2) ∨ (s=N2 ∧ c=N3); synthetic nation names, pair chosen to trade at every SF) over the
     // order/lineitem fact, grouped by the pair and year. Nation-tagged
     // suppliers/customers broadcast; the OR filter runs after both tags
     // attach (Catalyst pushes the IN-pair prefilters to each dim scan).
@@ -484,20 +484,20 @@ object SparkEntry {
       val supN = Tables.supplier(s, dir)
         .join(broadcast(nat.select(col("n_nationkey").as("snk"),
           col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
-        .filter(col("supp_nation").isin("NATION_9", "NATION_10"))
+        .filter(col("supp_nation").isin("NATION_3", "NATION_2"))
         .select("s_suppkey", "supp_nation")
       val custN = Tables.customer(s, dir)
         .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
           col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
-        .filter(col("cust_nation").isin("NATION_9", "NATION_10"))
+        .filter(col("cust_nation").isin("NATION_3", "NATION_2"))
         .select("c_custkey", "cust_nation")
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
-        .filter((col("supp_nation") === "NATION_9" && col("cust_nation") === "NATION_10") ||
-          (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_9"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_3"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(sum(expr(
@@ -2039,8 +2039,8 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
-        |WHERE (n2.n_name = 'NATION_9' AND n1.n_name = 'NATION_10')
-        |   OR (n2.n_name = 'NATION_10' AND n1.n_name = 'NATION_9')
+        |WHERE (n2.n_name = 'NATION_3' AND n1.n_name = 'NATION_2')
+        |   OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_3')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_tpch_q16" ->
@@ -2055,7 +2055,7 @@ object SparkEntry {
 
     "q_tpch_q8" ->
       """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
-        |       round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_9' THEN
+        |       round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN
         |                     CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
         |                   ELSE 0 END) AS DOUBLE)
         |             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
