@@ -1299,6 +1299,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL image-container parsing over a binary column: build one
+    // spec-correct PNG/GIF/BMP/JPEG per doc (format+dims = deterministic
+    // doc_id arithmetic, text bytes as opaque filler), then extract the
+    // dims BACK out of the payload bytes (ImageMeta: PNG IHDR big-endian,
+    // GIF LSD little-endian, BMP DIB header, JPEG SOF marker scan past a
+    // variable-length COM segment). The oracle recomputes the expected
+    // dims arithmetically; MultimodalSpec pins the parser against golden
+    // byte fixtures from the public specs, so a symmetric build/parse bug
+    // cannot hide.
+    "q_media_dims" -> ((s, dir) => {
+      val media = Multimodal.syntheticImages(
+        s, Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.imageDims(s, media).toDF()
+        .select(col("id").as("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy("doc_id")
+    }),
+
     // -------- SURVEY M6 — io surface (schemes + readers + sinks) ----------
 
     // #49/#54 — CSV sink + csv_reader round-trip: documents → CSV files →
@@ -2936,6 +2955,17 @@ object SparkEntry {
         |  CAST(len(list_filter(ns, c -> c IN ('8','9','A','B'))) AS BIGINT) AS b2,
         |  CAST(len(list_filter(ns, c -> c IN ('C','D','E','F'))) AS BIGINT) AS b3
         |FROM nib ORDER BY doc_id""".stripMargin,
+
+    // format+dims are deterministic doc_id arithmetic — the Spark side must
+    // produce them by PARSING the container bytes it built; the builder/
+    // parser byte contract itself is pinned by MultimodalSpec golden files.
+    "q_media_dims" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |       WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+        |  CAST(16 + (doc_id * 37) % 2000 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id * 53) % 1500 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // io round-trips: the oracle reads the PARQUET source — the Spark side
     // must round-trip losslessly through CSV/text to match.

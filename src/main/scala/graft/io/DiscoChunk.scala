@@ -119,7 +119,10 @@ object DiscoChunk {
       var off = 0
       while (off < 13) {
         val n = in.read(hdr, off, 13 - off)
-        if (n <= 0) throw new EOFException(s"$name: truncated hunk header")
+        if (n <= 0) {
+          if (ignoreCorrupt) { in.close(); return None } // truncated header
+          throw new EOFException(s"$name: truncated hunk header")
+        }
         off += n
       }
       val bb = java.nio.ByteBuffer.wrap(hdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -133,7 +136,14 @@ object DiscoChunk {
       off = 0
       while (off < size) {
         val n = in.read(body, off, size.toInt - off)
-        if (n <= 0) throw new EOFException(s"$name: truncated hunk body")
+        if (n <= 0) {
+          // a short/truncated body is a corrupt hunk too: under
+          // ignoreCorrupt skip it and stop (the stream is exhausted) —
+          // the reference's short-read path (task_io.py: ValueError
+          // caught) — instead of aborting the whole read
+          if (ignoreCorrupt) { in.close(); return None }
+          throw new EOFException(s"$name: truncated hunk body")
+        }
         off += n
       }
       try {

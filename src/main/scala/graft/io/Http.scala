@@ -191,9 +191,12 @@ object Http {
             return body
           } catch {
             // IOException = retries exhausted; IllegalStateException =
-            // permanent HTTP error (404 on a replica missing the blob) —
-            // both fail over; only the full set failing kills the task
-            case e @ (_: IOException | _: IllegalStateException) =>
+            // permanent HTTP error (404 on a replica missing the blob);
+            // IllegalArgumentException = replica stopped honoring Range
+            // mid-stream (fetchOnce's resume require) — all fail over;
+            // only the full set failing kills the task
+            case e @ (_: IOException | _: IllegalStateException |
+                      _: IllegalArgumentException) =>
               lastErr = e; tried += 1
           }
         }

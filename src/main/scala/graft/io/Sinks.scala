@@ -89,15 +89,39 @@ object Sinks {
         org.apache.spark.sql.functions.lit(1)).as("rows"))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // shard id stays a STRING here — "any low-cardinality id column works"
+    // includes string shard names; the join below casts the typed partition
+    // column to string instead of parsing the dir suffix numerically
     val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$shardCol="))
-      .map(s => (s.getPath.getName.stripPrefix(s"$shardCol=").toLong,
+      .map(s => (unescapePartitionValue(
+        s.getPath.getName.stripPrefix(s"$shardCol=")),
         fs.getContentSummary(s.getPath).getLength))
       .toSeq
-    val bytesDf = spark.createDataFrame(bytes).toDF(shardCol, "bytes")
-    val manifest = rows.join(bytesDf, shardCol).orderBy(shardCol)
+    val bytesDf = spark.createDataFrame(bytes).toDF("_shard_str", "bytes")
+    val manifest = rows
+      .join(bytesDf, rows(shardCol).cast("string") === bytesDf("_shard_str"))
+      .drop("_shard_str")
+      .orderBy(shardCol)
     manifest.write.mode("overwrite").parquet(path + "._manifest")
     manifest
+  }
+
+  /** Inverse of hive-style partition-dir escaping (`%xx` hex sequences for
+    * chars illegal in dir names); values without escapes pass through.
+    */
+  private def unescapePartitionValue(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Parquet sink that also registers the output under the job-results tag

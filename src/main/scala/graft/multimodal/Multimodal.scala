@@ -15,6 +15,12 @@ case class MediaRecord(id: Long, mediaType: String, payload: Array[Byte],
 /** Decoded-image stand-in (dims + pixel checksum). */
 case class DecodedMeta(id: Long, width: Int, height: Int, checksum: Long)
 
+/** Parsed container metadata for one payload; dims null when the payload
+  * is not a recognizable image (format = "unknown").
+  */
+case class ImageDims(id: Long, format: String,
+                     width: Option[Int], height: Option[Int])
+
 /** Per-record derived features: byte histogram + unit feature vector. */
 case class MediaFeatures(id: Long, nBytes: Long, hist: Array[Long],
                          feature: Array[Float])
@@ -28,27 +34,36 @@ case class Chunk(id: Long, idx: Int, offset: Long, nBytes: Int, fp: String)
   * Scala analog of `mapInPandas`: one iterator per batch, amortized setup,
   * executor-local).
   *
-  * The fixtures carry no real media bytes, so [[Codec.decode]] is a
-  * clearly-marked STUB with a deterministic fake; everything Spark-side —
-  * schema, Encoders, batch iteration, partitioning, pruning — is real and
-  * oracle-tested (q_media_stats, q_media_hist).
+  * Container METADATA extraction is real byte-level parsing
+  * ([[ImageMeta]]: PNG/GIF/BMP headers, JPEG marker scan — public format
+  * specs, no native decoders); only PIXEL decode remains a clearly-marked
+  * stand-in (real pixel codecs need native libraries absent from this
+  * container). Everything Spark-side — schema, Encoders, batch iteration,
+  * partitioning, pruning — is real and oracle-tested (q_media_stats,
+  * q_media_hist, q_media_dims).
   */
 object Multimodal {
 
-  /** Media codecs. Real decoders need native libraries that are not in this
-    * container — every function here is a STUB whose *shape* (signature,
-    * determinism, batch amortization) is the real contract.
+  /** Media codecs: real container-header parsing via [[ImageMeta]]; the
+    * PIXEL-level paths (resize, frame extraction) are STUBs whose *shape*
+    * (signature, determinism, batch amortization) is the real contract.
     */
   object Codec {
-    /** STUB image decode: dims/checksum derived deterministically from the
-      * bytes (a real build would link an image codec here).
+    /** Image decode: dims from the REAL container header when the payload
+      * is a recognizable PNG/GIF/BMP/JPEG; otherwise a deterministic fake
+      * (the non-image fixture path). Checksum is a payload byte fold either
+      * way — the pixel-level stand-in.
       */
     def decode(id: Long, payload: Array[Byte]): DecodedMeta = {
       var sum = 0L
       var i = 0
       while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
-      DecodedMeta(id, 16 + math.floorMod(sum, 640).toInt,
-        16 + math.floorMod(sum >> 16, 480).toInt, sum)
+      ImageMeta.sniff(payload) match {
+        case Some(info) => DecodedMeta(id, info.width, info.height, sum)
+        case None =>
+          DecodedMeta(id, 16 + math.floorMod(sum, 640).toInt,
+            16 + math.floorMod(sum >> 16, 480).toInt, sum)
+      }
     }
 
     /** STUB resize: a real implementation transforms pixels; the metadata
@@ -103,11 +118,56 @@ object Multimodal {
       }
   }
 
-  /** Batched decode over payloads (STUB codec, real plumbing). */
+  /** Batched decode over payloads (real header parsing via [[ImageMeta]],
+    * pixel checksum stand-in).
+    */
   def decodeAll(spark: SparkSession, media: DataFrame): Dataset[DecodedMeta] = {
     import spark.implicits._
     media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => Codec.decode(id, bytes) })
+  }
+
+  /** Synthetic image corpus over any table: one spec-correct minimal
+    * PNG/GIF/BMP/JPEG per row (format and dimensions are deterministic
+    * functions of the id; `textCol` bytes become the opaque payload
+    * filler). The fixture tables carry no real media, so this is how the
+    * parse path gets exercised end-to-end: build real container bytes,
+    * then extract dims back out of the binary column.
+    */
+  def syntheticImages(spark: SparkSession, df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val w = (16 + math.floorMod(id * 37, 2000)).toInt
+        val h = (16 + math.floorMod(id * 53, 1500)).toInt
+        val filler = Option(text).getOrElse("").getBytes("UTF-8").take(200)
+        val (mt, payload) = math.floorMod(id, 4) match {
+          case 0 => ("image/png", ImageMeta.makePng(w, h, filler))
+          case 1 => ("image/gif", ImageMeta.makeGif(w, h, filler))
+          case 2 => ("image/bmp", ImageMeta.makeBmp(w, h, filler))
+          case _ => ("image/jpeg", ImageMeta.makeJpeg(w, h, filler))
+        }
+        MediaRecord(id, mt, payload, Map("synthetic" -> "true"))
+      })
+      .toDF("id", "media_type", "payload", "meta")
+  }
+
+  /** Batched dimension extraction over the binary column — the real
+    * [[ImageMeta.sniff]] parse, one tight loop per partition, no shuffle;
+    * unparseable payloads yield format "unknown" with null dims (garbage
+    * in a crawl batch must not kill the task).
+    */
+  def imageDims(spark: SparkSession, media: DataFrame): Dataset[ImageDims] = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageMeta.sniff(bytes) match {
+          case Some(i) => ImageDims(id, i.format, Some(i.width), Some(i.height))
+          case None    => ImageDims(id, "unknown", None, None)
+        }
+      })
   }
 
   /** Content-defined chunking over opaque payloads — Rabin-style rolling

@@ -186,12 +186,20 @@ object Streams {
             size(array_intersect(col("seta"), col("setb"))).cast("double"))
           .filter(col("inter") /
             (size(col("seta")) + size(col("setb")) - col("inter")) >= tau)
-        // vs the accumulated index (skip batch 0 / empty index)
+        // vs the accumulated index (skip batch 0 / empty index). PRIOR
+        // batches only: on a foreachBatch replay (crash between the
+        // batch=<id> index write and the checkpoint commit) this batch's
+        // own partition already exists, and without the filter every
+        // previously-accepted doc self-matches its own index rows
+        // (identical bands, Jaccard 1 ≥ tau) — survivors come back empty
+        // and the replay overwrites the index delta empty: silent loss in
+        // exactly the path the overwrite-by-batch contract protects.
         val dupVsIndex =
           if (!haveIndex) spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
           else verified(
             bt.as("x").join(
-              spark.read.option("basePath", indexPath).parquet(indexPath).as("y"),
+              spark.read.option("basePath", indexPath).parquet(indexPath)
+                .filter(col("batch") =!= batchId).as("y"),
               col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
             .select(col("x.id").as("id"), col("x.set").as("seta"),
               col("y.set").as("setb"))

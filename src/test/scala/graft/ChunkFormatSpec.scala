@@ -81,6 +81,36 @@ class ChunkFormatSpec extends SparkTestBase {
     }
   }
 
+  test("ignoreCorrupt salvages a stream TRUNCATED mid-hunk (short body)") {
+    val pairs = (0 until 300).map(i => s"k$i".getBytes -> s"v$i".getBytes)
+    val chunk = DiscoChunk.encodeChunks(pairs.iterator,
+      minHunkSize = 256, compressionLevel = 2).next()
+    // cut the stream 7 bytes short of the last DATA hunk's body end (walk
+    // the hunk headers to find it — the chunk also carries a trailing
+    // empty hunk): earlier complete hunks must decode, the truncated tail
+    // must be skipped — the reference's short-read ignore_corrupt contract
+    val cutAt = {
+      var off = 0
+      var lastBodyEnd = -1
+      while (off + 14 <= chunk.length) {
+        val size = java.nio.ByteBuffer.wrap(chunk, off + 6, 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+        if (size > 16) lastBodyEnd = off + 14 + size // a real data hunk
+        off += 14 + size
+      }
+      lastBodyEnd - 7
+    }
+    val cut = java.util.Arrays.copyOfRange(chunk, 0, cutAt)
+    val salvaged = DiscoChunk
+      .decodeStream(new ByteArrayInputStream(cut), ignoreCorrupt = true).toSeq
+    assert(salvaged.nonEmpty && salvaged.size < pairs.size,
+      s"expected partial salvage from truncated stream, got ${salvaged.size}")
+    // without the flag it still fails loudly
+    intercept[java.io.EOFException] {
+      DiscoChunk.decodeStream(new ByteArrayInputStream(cut)).toSeq
+    }
+  }
+
   test("legacy netstring stream decodes via the <128 first-byte fallback") {
     val ns = graft.io.Netstring.encode(Seq("a" -> "1", "b" -> "two"))
     val got = DiscoChunk.decodeStream(new ByteArrayInputStream(ns)).toSeq

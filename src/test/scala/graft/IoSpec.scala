@@ -47,6 +47,19 @@ class IoSpec extends SparkTestBase {
     assert(back.toSeq == Seq("r1\t1", "r2\t2"))
   }
 
+  test("writeSharded manifest works with STRING shard names (and escaped chars)") {
+    val path = graft.io.IoScratch.dir + "/spec_sharded_str"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    val df = Seq(("en us", "a"), ("en us", "b"), ("zh", "c"))
+      .toDF("shard", "payload")
+    val manifest = Sinks.writeSharded(df, path, "shard")
+      .select("shard", "rows").as[(String, Long)].collect().toMap
+    assert(manifest == Map("en us" -> 2L, "zh" -> 1L), s"got $manifest")
+    val bytes = spark.read.parquet(path + "._manifest")
+      .select("bytes").as[Long].collect()
+    assert(bytes.forall(_ > 0L))
+  }
+
   test("OOB: executor-side puts are visible to the driver and persist (test_oob.py shape)") {
     val oob = new OOB(spark, "spec_job")
     val ds = spark.range(0, 8).repartition(4)

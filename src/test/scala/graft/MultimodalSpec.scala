@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.{Multimodal => MM}
+import graft.multimodal.{ImageInfo, ImageMeta, Multimodal => MM}
 
 /** Multimodal column plumbing: binary payloads + metadata, batched
   * decode/feature extraction (the mapInPandas shape), stub codec contracts.
@@ -51,6 +51,131 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.count() == m.count())
     val first = out.orderBy("id").head()
     assert(first.width >= 16 && first.height >= 16)
+  }
+
+  // ---- real container parsing (ImageMeta) -------------------------------
+  // Golden fixtures are written as EXPLICIT bytes from the public specs,
+  // NOT via the builders — a symmetric builder/parser bug cannot pass.
+
+  test("golden PNG: the canonical 1x1 IHDR bytes parse big-endian") {
+    // standard 8-byte signature + IHDR chunk of a 1x1 RGBA PNG (incl. its
+    // well-known CRC 1F 15 C4 89)
+    val png = Array(
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01,
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x1f, 0x15, 0xc4, 0x89).map(_.toByte)
+    assert(ImageMeta.sniff(png).contains(ImageInfo("png", 1, 1)))
+    // big-endian means width 256 is 00 00 01 00, NOT 00 01 00 00
+    val png256 = png.clone()
+    png256(16) = 0; png256(17) = 0; png256(18) = 1; png256(19) = 0
+    assert(ImageMeta.sniff(png256).contains(ImageInfo("png", 256, 1)))
+  }
+
+  test("golden GIF: logical screen descriptor parses little-endian") {
+    // GIF89a, width = 0x0102 = 258 (bytes 02 01), height = 0x012C = 300
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array(0x02, 0x01, 0x2c, 0x01, 0x00, 0x00, 0x00, 0x3b).map(_.toByte)
+    assert(ImageMeta.sniff(gif).contains(ImageInfo("gif", 258, 300)))
+    // GIF87a is equally valid; other versions are not
+    val gif87 = gif.clone(); gif87(4) = '7'.toByte
+    assert(ImageMeta.sniff(gif87).contains(ImageInfo("gif", 258, 300)))
+    val bad = gif.clone(); bad(4) = '6'.toByte
+    assert(ImageMeta.sniff(bad).isEmpty)
+  }
+
+  test("golden BMP: BITMAPINFOHEADER dims, negative height = top-down") {
+    val bb = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54).putShort(0).putShort(0)
+      .putInt(54).putInt(40).putInt(5).putInt(-7) // 5 wide, top-down 7 tall
+      .putShort(1).putShort(24).putInt(0).putInt(0)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    assert(ImageMeta.sniff(bb.array()).contains(ImageInfo("bmp", 5, 7)))
+  }
+
+  test("golden JPEG: SOF dims found by marker scan, never a fixed offset") {
+    def seg(m: Int, data: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, m.toByte,
+        (((data.length + 2) >> 8) & 0xff).toByte,
+        ((data.length + 2) & 0xff).toByte) ++ data
+    val sof = Array[Byte](8, 0x00, 0x20, 0x00, 0x40, 1, 1, 0x11, 0) // h=32 w=64
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    // two different APPn/COM prefixes of different lengths must both land
+    // on the same SOF — proof the parser walks segments
+    val short = soi ++ seg(0xe0, new Array[Byte](7)) ++ seg(0xc0, sof)
+    val long = soi ++ seg(0xe1, new Array[Byte](91)) ++
+      seg(0xfe, "a comment".getBytes) ++ seg(0xc2, sof) // progressive SOF2
+    assert(ImageMeta.sniff(short).contains(ImageInfo("jpeg", 64, 32)))
+    assert(ImageMeta.sniff(long).contains(ImageInfo("jpeg", 64, 32)))
+    // DHT (C4) is NOT a frame header — its body must be skipped, not parsed
+    val withDht = soi ++ seg(0xc4, new Array[Byte](19)) ++ seg(0xc0, sof)
+    assert(ImageMeta.sniff(withDht).contains(ImageInfo("jpeg", 64, 32)))
+  }
+
+  test("truncated and corrupt payloads return None, never throw") {
+    val good = ImageMeta.makePng(100, 50, "x".getBytes)
+    for (cut <- Seq(0, 1, 7, 12, 20, 23)) // every prefix short of the dims
+      assert(ImageMeta.sniff(good.take(cut)).isEmpty, s"cut=$cut")
+    assert(ImageMeta.sniff(null).isEmpty)
+    assert(ImageMeta.sniff(Array.emptyByteArray).isEmpty)
+    assert(ImageMeta.sniff("not an image at all".getBytes).isEmpty)
+    // JPEG that hits EOI/SOS before any SOF marker
+    val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    assert(ImageMeta.sniff(noSof).isEmpty)
+    val sos = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x01, 0x02).map(_.toByte)
+    assert(ImageMeta.sniff(sos).isEmpty)
+    // JPEG truncated mid-segment (declared length runs past the bytes)
+    val trunc = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x60, 0x4a).map(_.toByte)
+    assert(ImageMeta.sniff(trunc).isEmpty)
+    // PNG whose first chunk is not IHDR
+    val bad = ImageMeta.makePng(3, 3, Array.emptyByteArray)
+    bad(12) = 'J'.toByte
+    assert(ImageMeta.sniff(bad).isEmpty)
+  }
+
+  test("builders round-trip through sniff across formats and edge dims") {
+    val filler = "opaque pixel stand-in".getBytes
+    for ((w, h) <- Seq((1, 1), (16, 16), (2015, 1515), (65535, 65535))) {
+      assert(ImageMeta.sniff(ImageMeta.makePng(w, h, filler))
+        .contains(ImageInfo("png", w, h)))
+      assert(ImageMeta.sniff(ImageMeta.makeGif(w, h, filler))
+        .contains(ImageInfo("gif", w, h)))
+      assert(ImageMeta.sniff(ImageMeta.makeBmp(w, h, filler))
+        .contains(ImageInfo("bmp", w, h)))
+      assert(ImageMeta.sniff(ImageMeta.makeJpeg(w, h, filler))
+        .contains(ImageInfo("jpeg", w, h)))
+    }
+    // PNG dims are u32 — beyond the u16 formats
+    assert(ImageMeta.sniff(ImageMeta.makePng(100000, 70000, filler))
+      .contains(ImageInfo("png", 100000, 70000)))
+  }
+
+  test("imageDims extracts dims from the binary column; garbage maps to unknown") {
+    import spark.implicits._
+    val media = MM.syntheticImages(spark,
+      graft.core.Tables.documents(spark, sfDir).limit(40), "doc_id", "text")
+      .unionByName(Seq((999999L, "application/octet-stream",
+        "definitely not an image".getBytes, Map("synthetic" -> "true")))
+        .toDF("id", "media_type", "payload", "meta"))
+    val dims = MM.imageDims(spark, media).collect().map(d => d.id -> d).toMap
+    dims.values.filter(_.id != 999999L).foreach { d =>
+      assert(d.format == Seq("png", "gif", "bmp", "jpeg")(
+        math.floorMod(d.id, 4).toInt))
+      assert(d.width.contains((16 + math.floorMod(d.id * 37, 2000)).toInt))
+      assert(d.height.contains((16 + math.floorMod(d.id * 53, 1500)).toInt))
+    }
+    assert(dims(999999L).format == "unknown" && dims(999999L).width.isEmpty)
+  }
+
+  test("Codec.decode prefers real container dims over the fallback fake") {
+    val png = ImageMeta.makePng(640, 360, "pixels".getBytes)
+    val d = MM.Codec.decode(5L, png)
+    assert(d.width == 640 && d.height == 360)
+    // non-image payloads keep the deterministic fallback
+    val f1 = MM.Codec.decode(5L, Array[Byte](1, 2, 3))
+    val f2 = MM.Codec.decode(5L, Array[Byte](1, 2, 3))
+    assert(f1 == f2)
   }
 
   test("CDC chunking covers the payload exactly and re-syncs after an insert") {

@@ -165,6 +165,44 @@ class StreamsSpec extends SparkTestBase {
     assert(indexed == Set(1L, 2L, 11L))
   }
 
+  test("replayed batch ignores its own index partition (crash between index write and commit)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = graft.io.IoScratch.dir + "/stream_neardup_replay"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again " +
+        "while seven wizards brew hazy potions behind the old stone mill"),
+      (2L, "completely different text about spark engines shuffling " +
+        "petabytes through sorted exchanges nightly"))
+    // Pre-seed the index exactly as a crashed first run leaves it: the
+    // batch=0 delta written, the checkpoint NOT committed. The fresh
+    // checkpoint below makes the first processed batch id 0 again — the
+    // replay. Docs must NOT self-match their own index rows; both must be
+    // re-accepted and the delta rewritten identically (idempotent replay).
+    graft.dedup.Dedup.bandTable(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 4)
+      .select("id", "band", "bh", "set")
+      .write.mode("overwrite").parquet(s"$dir/index/batch=0")
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupStreamMinhash(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      indexPath = s"$dir/index", tau = 0.6, shingleN = 2,
+      checkpointDir = s"$dir/ckpt") { (survivors, _) =>
+      accepted ++= survivors.select("doc_id").collect().map(_.getLong(0))
+    }
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(accepted.toSet == Set(1L, 2L),
+      s"replay lost docs (self-matched own index): ${accepted.toSet}")
+    val indexed = spark.read.parquet(s"$dir/index").select("id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L), s"index delta corrupted by replay: $indexed")
+  }
+
   test("streaming dedup keeps first occurrence") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
