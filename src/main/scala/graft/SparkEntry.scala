@@ -779,6 +779,67 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q21 shape (adapted: no commit/receipt dates in the fixture —
+    // "late" is shipped > 60 days after the order date, the Q4 adaptation):
+    // suppliers who were the ONLY late supplier on a multi-supplier 'F'
+    // order. The double correlation against the same fact table lowers to
+    // one LEFT SEMI (exists another supplier's line) plus one LEFT ANTI
+    // (not exists another supplier's late line) — both equi-keyed on the
+    // order key with a suppkey-inequality residual, so every stage reuses
+    // the l_orderkey shuffle; never a per-row re-scan. Supplier dim joins
+    // un-hinted (AQE broadcasts at fixture scale, shuffles at web scale).
+    "q_tpch_q21" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val l = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+      val withOther = late.as("l1").join(l.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+      val lone = withOther.as("x").join(late.as("l3"),
+        col("x.l_orderkey") === col("l3.l_orderkey") &&
+          col("x.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+      lone.join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    }),
+
+    // TPC-H Q20 shape (adapted: lineitem doubles as partsupp): suppliers
+    // holding "excess stock" — more than half of a promo part's one-year
+    // volume shipped by one supplier. The IN-subquery's correlated scalar
+    // aggregate (per-part total) is DECORRELATED into a groupBy(l_partkey)
+    // joined back on the part key; the supplier filter is a LEFT SEMI.
+    // Both aggregates share the pruned one-year scan; the 0.5 multiply is
+    // exact in binary FP, so the > boundary is engine-stable.
+    "q_tpch_q20" -> ((s, dir) => {
+      val yr = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+      val pp = yr.groupBy("l_partkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("part_total"))
+      val promo = Tables.part(s, dir)
+        .filter(col("p_type") === "PROMO").select("p_partkey")
+      val sp = yr.join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sp_qty"))
+      val excess = sp.join(pp, "l_partkey")
+        .filter(col("sp_qty") > lit(0.5) * col("part_total"))
+        .select("l_suppkey")
+      Tables.supplier(s, dir)
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("double").as("s_acctbal"))
+        .orderBy("s_name")
+    }),
+
     // TPC-H Q2 shape (adapted: lineitem is the part-supplier fact — the
     // fixture has no partsupp): min-cost supplier per part within one
     // region, the correlated-min subquery DECORRELATED into one
@@ -2102,6 +2163,38 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE) AS avg_yearly
         |FROM lineitem JOIN a ON l_partkey = p_key
         |WHERE CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH yr AS (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |              AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |pp AS (SELECT l_partkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_total
+        |       FROM yr GROUP BY l_partkey),
+        |sp AS (SELECT l_suppkey, l_partkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sp_qty
+        |       FROM yr JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |       GROUP BY l_suppkey, l_partkey)
+        |SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM sp JOIN pp USING (l_partkey)
+        |                    WHERE sp_qty > 0.5 * part_total)
+        |ORDER BY s_name""".stripMargin,
 
     "q_kmv_distinct" ->
       graft.functions.Sketches.kmvDistinctSql("lineitem", "l_partkey", k = 256),

@@ -287,23 +287,42 @@ object TextOps {
     * PMI = ln(P(x,y) / (P(x)·P(y))) with document-level probabilities
     * (c_xy·N / (c_x·c_y), counts = documents containing the token(s)).
     *
-    * Scale contract: the per-doc pair explosion is VOCABULARY-BOUNDED —
-    * only tokens in ≥ `minDocFreq` documents participate (the doc-freq
-    * table broadcasts), so a doc contributes ≤ |kept-vocab|² pairs and
-    * the corpus-wide movement is keyed on (x, y) token pairs. Output is
-    * bounded the same way (pairs must co-occur in ≥ `minDocFreq` docs).
+    * Scale contract — the quadratic term is bounded on BOTH axes:
+    * vocabulary-wise, only tokens in ≥ `minDocFreq` documents participate
+    * (the doc-freq table broadcasts); per-document, at most
+    * `maxTokensPerDoc` kept tokens enter the self-join (the top-m by
+    * global doc frequency, ties broken by token — standard collocation
+    * practice). Without the per-doc cap, ONE pathological document with
+    * 10⁴ distinct frequent tokens makes ~5·10⁷ pairs inside a single
+    * task — a straggler no vocabulary knob prevents; with it, a doc
+    * contributes ≤ m²/2 pairs, period. The corpus-wide movement is keyed
+    * on (x, y) token pairs. Output is bounded the same way (pairs must
+    * co-occur in ≥ `minDocFreq` docs).
     *
     * Engine parity: ONE ln per output row over an integer-ratio argument
     * evaluated in a fixed double order, rounded to 6 — no summation of
     * logs, so libm ulp differences cannot accumulate.
     */
   def pmiPairs(df: DataFrame, idCol: String, textCol: String,
-               minDocFreq: Int): DataFrame = {
+               minDocFreq: Int, maxTokensPerDoc: Int = 500): DataFrame = {
+    require(maxTokensPerDoc >= 2,
+      s"pmiPairs: maxTokensPerDoc must be >= 2, got $maxTokensPerDoc")
     val dt = graft.dedup.Dedup.tokenSet(df, idCol, textCol)
     val nDocs = dt.agg(countDistinct(col("id")).as("n"))
     val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minDocFreq)
-    val kept = dt.join(broadcast(dfreq.select("tok")), "tok")
+    // per-doc cap: rank each doc's kept tokens by global doc freq (desc,
+    // token asc — deterministic) and slice to the top m BEFORE the
+    // self-join; per-doc window groups are tiny (≤ kept vocab), so the
+    // window sort is cheap — it is the m² pair volume being bounded
+    val keptAll = dt
+      .join(broadcast(dfreq.select(col("tok"), col("c").as("_df"))), "tok")
+    val kept = keptAll
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("_df").desc, col("tok"))))
+      .filter(col("_rn") <= maxTokensPerDoc)
+      .drop("_rn", "_df")
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.id") === col("b.id") && col("a.tok") < col("b.tok"))
       .groupBy(col("a.tok").as("x"), col("b.tok").as("y"))

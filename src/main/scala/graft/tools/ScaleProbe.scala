@@ -163,6 +163,17 @@ object ScaleProbe {
       // minDocFreq scaled with n so the kept vocabulary stays ~fixed
       graft.ops.TextOps.pmiPairs(docs, "doc_id", "text",
         minDocFreq = math.max(10, (n / 100).toInt)) }
+    timed("pmi_hostile") {
+      // ONE doc carrying the whole 5000-word vocabulary — the straggler
+      // shape the per-doc cap bounds: uncapped, that doc alone makes
+      // ~12.5M pairs inside one task; at the default cap (500) it
+      // contributes ≤ 125k. This probe must track "pmi", not blow past it.
+      val hostile = docs.unionByName(spark.range(1).select(
+        lit(n + 1).as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(4999)),
+          j => concat(lit("w"), j)), " ").as("text")))
+      graft.ops.TextOps.pmiPairs(hostile, "doc_id", "text",
+        minDocFreq = math.max(10, (n / 100).toInt)) }
     timed("surprisal_doc") {
       graft.ops.TextOps.unigramSurprisal(docs, "doc_id", "text") }
     timed("auc_metric") {

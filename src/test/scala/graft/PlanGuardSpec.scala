@@ -74,6 +74,33 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("q_tpch_q21: EXISTS/NOT-EXISTS lower to semi + anti joins, top-100 is a heap") {
+    val plan = SparkEntry.queries("q_tpch_q21")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "the multi-supplier EXISTS must lower to a left-semi join")
+    assert(plan.contains("LeftAnti"),
+      "the no-other-late NOT EXISTS must lower to a left-anti join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "both correlations are equi-keyed on l_orderkey — never all-pairs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "limit 100 must be a streaming heap, not sort-then-limit")
+  }
+
+  test("q_tpch_q20: correlated scalar agg decorrelated, supplier filter is a semi join") {
+    val plan = SparkEntry.queries("q_tpch_q20")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "the IN-subquery must lower to a left-semi join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // per-part total + per-(supp,part) total + nothing else: a correlated
+    // rewrite would re-aggregate per probe row (HashAggregate explosion)
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs <= 4, s"expected ≤4 HashAggregate nodes (two partial+final pairs), got $aggs")
+  }
+
   test("q_topk plans as TakeOrderedAndProject, never a global sort") {
     val plan = SparkEntry.queries("q_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -347,6 +347,45 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("pmiPairs: per-doc cap bounds a pathological doc; generous cap is a no-op") {
+    import spark.implicits._
+    // 40 normal docs over a 6-word vocab + ONE hostile doc carrying 100
+    // distinct tokens that are all corpus-frequent (each also appears in
+    // 10 other docs, so minDocFreq keeps them) — the straggler shape:
+    // uncapped, the hostile doc alone contributes 100·99/2 = 4950 pairs
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+    val normal = (0 until 40).map(i =>
+      (i.toLong, (0 until 3).map(j => vocab((i + j) % 6)).mkString(" ")))
+    val hostileToks = (0 until 100).map(i => f"hot$i%03d")
+    val boosters = (0 until 10).map(i =>
+      (100L + i, hostileToks.mkString(" "))) // make every hot token frequent
+    val corpus = (normal ++ boosters :+ (999L, hostileToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val uncapped = graft.ops.TextOps.pmiPairs(corpus, "doc_id", "text",
+      minDocFreq = 5, maxTokensPerDoc = 100000)
+    val capped = graft.ops.TextOps.pmiPairs(corpus, "doc_id", "text",
+      minDocFreq = 5, maxTokensPerDoc = 20)
+    // the cap bounds the hostile doc's quadratic term: all 100 hot tokens
+    // tie on doc freq (11), the token-asc tie-break keeps hot000..hot019,
+    // so EXACTLY C(20,2) hot pairs survive and none involves hot020+
+    val hotPairs = capped.filter(col("x").startsWith("hot"))
+    assert(hotPairs.count() == 20 * 19 / 2,
+      "expected exactly C(20,2) pairs from the sliced hostile docs")
+    assert(hotPairs.filter(col("x") >= "hot020" || col("y") >= "hot020")
+      .count() == 0, "cap leaked tokens beyond the top-20 slice")
+    assert(uncapped.select("x", "y").distinct().count() >= 100 * 99 / 2)
+    // a cap above every doc's kept-token count changes nothing (the
+    // fixture-parity contract that keeps q_pmi hash-green)
+    val generous = graft.ops.TextOps.pmiPairs(corpus, "doc_id", "text",
+      minDocFreq = 5, maxTokensPerDoc = 101)
+    assert(generous.exceptAll(uncapped).isEmpty && uncapped.exceptAll(generous).isEmpty)
+    // determinism: the top-m slice is (docfreq desc, token asc) — same
+    // result on a different physical partitioning
+    val repart = graft.ops.TextOps.pmiPairs(corpus.repartition(13), "doc_id",
+      "text", minDocFreq = 5, maxTokensPerDoc = 20)
+    assert(repart.exceptAll(capped).isEmpty && capped.exceptAll(repart).isEmpty)
+  }
+
   test("compressionRatio: deterministic, bounded, and orders boilerplate < prose < noise") {
     import spark.implicits._
     val docs = Seq(
