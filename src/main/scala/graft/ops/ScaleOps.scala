@@ -232,13 +232,19 @@ object ScaleOps {
     * group's rows, so the candidate union still contains every true
     * per-group hitter. Per-partition memory is (groups seen) · (k−1)
     * counters: the contract is a bounded group cardinality (languages,
-    * shards — not user ids). Integer threshold (cnt·k > group_n).
+    * shards — not user ids), and it is ENFORCED — a task seeing more than
+    * `maxGroups` distinct groups fails fast with the contract message
+    * instead of accreting sketches until the executor OOMs (misuse with a
+    * user-id group column must be loud, not a heap dump an hour in).
+    * Integer threshold (cnt·k > group_n).
     *
     * Output: (group, value, cnt, group_n) for every qualifying value.
     */
   def heavyHittersByGroup(df: DataFrame, groupCol: String, valueCol: String,
-                          k: Int): DataFrame = {
+                          k: Int, maxGroups: Int = 100000): DataFrame = {
     require(k >= 2, s"heavyHittersByGroup: k must be >= 2, got $k")
+    require(maxGroups >= 1,
+      s"heavyHittersByGroup: maxGroups must be >= 1, got $maxGroups")
     val spark = df.sparkSession
     import spark.implicits._
     val gv = df.select(col(groupCol).cast("string").as("g"),
@@ -248,6 +254,13 @@ object ScaleOps {
       val sketches = scala.collection.mutable.HashMap
         .empty[String, scala.collection.mutable.HashMap[String, Long]]
       it.foreach { case (g, v) =>
+        if (!sketches.contains(g) && sketches.size >= maxGroups)
+          throw new IllegalStateException(
+            s"heavyHittersByGroup: more than $maxGroups distinct groups in " +
+              "one task — the bounded-group-cardinality contract is broken " +
+              "(did you group by a high-cardinality key like a user id?); " +
+              "raise maxGroups only if (groups x (k-1)) counters fit in " +
+              "executor memory")
         val counters = sketches.getOrElseUpdate(g,
           scala.collection.mutable.HashMap.empty[String, Long])
         if (counters.contains(v)) counters(v) += 1

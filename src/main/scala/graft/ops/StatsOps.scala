@@ -45,21 +45,33 @@ object StatsOps {
   /** Per-group robust location/scale — median and MAD (median absolute
     * deviation), the outlier-resistant alternative to mean/stddev for
     * data-cleaning gates (a single corrupt magnitude can't drag either
-    * statistic): two passes of the distributed per-group quantile
-    * machinery ([[WindowOps.exactQuantilesByGroup]] — no group's values
-    * ever buffer in one task), deviations formed in plain double
-    * (identical op on both engines). Output: (group, median, mad).
+    * statistic): the raw rows collapse to ONE (group, value, count)
+    * table, read once, and BOTH ranked passes run count-weighted over it
+    * ([[WindowOps.exactQuantilesByGroupWeighted]] — no group's values
+    * ever buffer in one task, and the deviation pass re-ranks |distinct
+    * values| rows, not |raw rows|). Deviations formed in plain double
+    * (identical op on both engines, bit-identical to deviating the raw
+    * rows). Output: (group, median, mad).
     */
   def madPerGroup(df: DataFrame, groupCol: String, valCol: String,
                   partitions: Int = 32): DataFrame = {
-    val med = graft.ops.WindowOps.exactQuantilesByGroup(
-        df, groupCol, valCol, Seq(0.5), partitions)
+    Seq("_mv", "_mc").foreach(c => require(!df.columns.contains(c),
+      s"madPerGroup: input must not contain reserved column '$c'"))
+    // one scan + one hash aggregation; localCheckpoint so the two ranked
+    // passes share the materialized collapse instead of re-scanning raw
+    val counts = df
+      .select(col(groupCol), col(valCol).cast("double").as("_mv"))
+      .filter(col("_mv").isNotNull)
+      .groupBy(groupCol, "_mv").agg(count(lit(1)).as("_mc"))
+      .localCheckpoint()
+    val med = graft.ops.WindowOps.exactQuantilesByGroupWeighted(
+        counts, groupCol, "_mv", "_mc", Seq(0.5), partitions)
       .select(col(groupCol), col("value").as("_med"))
-    val dev = df.join(broadcast(med), groupCol)
+    val dev = counts.join(broadcast(med), groupCol)
       .select(col(groupCol),
-        abs(col(valCol).cast("double") - col("_med")).as("_dev"))
-    graft.ops.WindowOps.exactQuantilesByGroup(
-        dev, groupCol, "_dev", Seq(0.5), partitions)
+        abs(col("_mv") - col("_med")).as("_dev"), col("_mc"))
+    graft.ops.WindowOps.exactQuantilesByGroupWeighted(
+        dev, groupCol, "_dev", "_mc", Seq(0.5), partitions)
       .select(col(groupCol), col("value").as("mad"))
       .join(broadcast(med), groupCol)
       .select(col(groupCol), col("_med").as("median"), col("mad"))

@@ -149,14 +149,27 @@ object WindowOps {
     * are excluded (the `percentile` / `quantile_cont` contract).
     */
   private def groupValueCum(df: DataFrame, groupCol: String, valueCol: String,
-                            partitions: Int): DataFrame = {
+                            partitions: Int,
+                            weightCol: Option[String] = None): DataFrame = {
     Seq("_v", "_cnt", "_pid", "_lcum", "_c", "_off", "_n", "_opid", "_og")
       .foreach(c => require(!df.columns.contains(c),
         s"quantiles: input must not contain reserved column '$c'"))
-    val counts = df
-      .select(col(groupCol), col(valueCol).cast("double").as("_v"))
-      .filter(col("_v").isNotNull)
-      .groupBy(groupCol, "_v").agg(count(lit(1)).as("_cnt"))
+    // weight = row multiplicity: cumulative sums over (group, value,
+    // weight) rows are IDENTICAL to count-based sums over the raw rows
+    // they stand for. Pre-weighted input rides the machinery DIRECTLY —
+    // no re-collapse shuffle; duplicate (group, value) rows are harmless
+    // because a tie's sub-intervals all carry the same value, so any rank
+    // probe landing in the tie range selects it regardless of the split.
+    val counts = weightCol match {
+      case Some(wc) =>
+        df.select(col(groupCol), col(valueCol).cast("double").as("_v"),
+            col(wc).cast("long").as("_cnt"))
+          .filter(col("_v").isNotNull)
+      case None =>
+        df.select(col(groupCol), col(valueCol).cast("double").as("_v"))
+          .filter(col("_v").isNotNull)
+          .groupBy(groupCol, "_v").agg(count(lit(1)).as("_cnt"))
+    }
     val parted = counts
       .repartitionByRange(partitions, col(groupCol), col("_v"))
       .withColumn("_pid", F.spark_partition_id())
@@ -218,11 +231,34 @@ object WindowOps {
     * Output: (group, q, value), one row per group × quantile.
     */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
-                            qs: Seq[Double], partitions: Int = 32): DataFrame = {
+                            qs: Seq[Double], partitions: Int = 32): DataFrame =
+    quantilesFromCum(groupValueCum(df, groupCol, valueCol, partitions),
+      groupCol, qs)
+
+  /** [[exactQuantilesByGroup]] over PRE-AGGREGATED data: each input row is
+    * a (group, value, weight) with weight = how many raw rows it stands
+    * for. Produces bit-identical results to running the unweighted form
+    * over the expanded rows — rank positions and interpolation are pure
+    * functions of the cumulative weights. Input rows need NOT be unique
+    * per (group, value): a tie's sub-intervals all carry the same value,
+    * so the probe is split-invariant. The point at scale: a caller that
+    * already holds the collapsed table (e.g. [[graft.ops.StatsOps
+    * .madPerGroup]]'s deviation pass) re-ranks |distinct values| rows,
+    * not |raw rows|, and pays no re-collapse shuffle.
+    */
+  def exactQuantilesByGroupWeighted(df: DataFrame, groupCol: String,
+                                    valueCol: String, weightCol: String,
+                                    qs: Seq[Double],
+                                    partitions: Int = 32): DataFrame =
+    quantilesFromCum(
+      groupValueCum(df, groupCol, valueCol, partitions, Some(weightCol)),
+      groupCol, qs)
+
+  private def quantilesFromCum(cum: DataFrame, groupCol: String,
+                               qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must lie in [0, 1]: $qs")
     // a value's row positions are the interval [_cum−_cnt+1, _cum]
-    val cum = groupValueCum(df, groupCol, valueCol, partitions)
     val pos = lit(1.0) + (col("_n") - lit(1L)).cast("double") * col("q")
     val lo = floor(pos)
     val hi = ceil(pos)

@@ -150,6 +150,27 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("heavyHittersByGroup fails FAST on a high-cardinality group column") {
+    import org.apache.spark.sql.functions._
+    // a user-id-shaped group key: every row its own group — the misuse the
+    // bounded-group-cardinality contract forbids; must die loudly with the
+    // contract message, not OOM after accreting a sketch per user
+    val hostile = spark.range(0, 5000).repartition(2)
+      .select(col("id").cast("string").as("g"), lit("x").as("v"))
+    val e = intercept[Exception] {
+      graft.ops.ScaleOps.heavyHittersByGroup(
+        hostile, "g", "v", k = 4, maxGroups = 100).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("bounded-group-cardinality"))),
+      s"expected the contract violation to surface, got: ${e.getMessage}")
+    // the SAME data under the cap still works
+    assert(graft.ops.ScaleOps.heavyHittersByGroup(
+      hostile, "g", "v", k = 4, maxGroups = 5000).count() == 5000)
+  }
+
   test("compactParquet rewrites a many-file dataset into the target count, losslessly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     spark.range(0, 10000).repartition(64).write.parquet(dir)
