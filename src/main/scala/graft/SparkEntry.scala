@@ -918,6 +918,26 @@ object SparkEntry {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")),
 
+    // Product quantization (Jégou 2011): 4 subspaces × 4-centroid
+    // codebooks (decimal-exact per-subspace k-means, same init/tie-breaks
+    // as q_kmeans_assign), every vector encoded to 4 small ints + its
+    // reconstruction error. The oracle replays all four Lloyd chains over
+    // DuckDB list slices — codes AND the error sum must match bit-for-bit
+    // (rounded 6).
+    "q_pq_codes" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = graft.similarity.Similarity.pqTrain(
+        s, e, "vec_id", "embedding", m = 4, ks = 4, iterations = 3)
+      graft.similarity.Similarity.pqEncode(e, "vec_id", "embedding", cb)
+        .select(col("id").as("vec_id"),
+          element_at(col("codes"), 1).as("c0"),
+          element_at(col("codes"), 2).as("c1"),
+          element_at(col("codes"), 3).as("c2"),
+          element_at(col("codes"), 4).as("c3"),
+          round(col("recon_err"), 6).as("recon_err"))
+        .orderBy("vec_id")
+    }),
+
     // Graph analytics: triangle census of the part co-purchase graph
     // (degree-ordered wedge generation, Suri-Vassilvitskii — no hub ever
     // generates wedges; the oracle brute-forces the same count id-ordered).
@@ -1823,6 +1843,49 @@ object SparkEntry {
        |${assign("afinal", "c3")}""".stripMargin
   }
 
+  /** PQ oracle CTEs: one [[kmeansCtes]]-style Lloyd chain PER SUBSPACE
+    * over DuckDB list slices (`v[lo:hi]`), each ending in `s<i>r`
+    * (vec_id, cluster, err) — same init (first ks by vec_id), same
+    * decimal-exact center updates, same lowest-cluster tie-break as
+    * [[graft.chain.KMeans]].
+    */
+  private def pqCtes(m: Int, ks: Int, subDim: Int): String = {
+    def chain(s: Int): String = {
+      val p = s"s$s"
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      def assign(a: String, cPrev: String) =
+        s"""$a AS (
+           |  SELECT vec_id, v, cluster FROM (
+           |    SELECT e.vec_id, e.v, c.cluster,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqd("e.v", "c.v")} ASC, c.cluster ASC) AS rn
+           |    FROM ${p}e e CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
+      def update(i: Int) =
+        s"""${p}u$i AS (
+           |  SELECT cluster, d,
+           |    CAST(sum(CAST(v[d] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+           |  FROM ${p}a$i CROSS JOIN pqdims GROUP BY cluster, d),
+           |${p}c$i AS (
+           |  SELECT c.cluster, coalesce(nv.v, c.v) AS v
+           |  FROM ${p}c${i - 1} c LEFT JOIN (
+           |    SELECT cluster, list(m ORDER BY d) AS v FROM ${p}u$i GROUP BY cluster) nv
+           |  USING (cluster))""".stripMargin
+      val body = (1 to 3).map(i => assign(s"${p}a$i", s"${p}c${i - 1}") +
+        ",\n" + update(i)).mkString(",\n")
+      s"""${p}e AS (SELECT vec_id, v[$lo:$hi] AS v FROM pqe),
+         |${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
+         |           FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id LIMIT $ks)),
+         |$body,
+         |${assign(s"${p}af", s"${p}c3")},
+         |${p}r AS (SELECT a.vec_id, a.cluster, ${sqd("a.v", "c.v")} AS err
+         |          FROM ${p}af a JOIN ${p}c3 c USING (cluster))""".stripMargin
+    }
+    s"""pqe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pqdims AS (SELECT unnest(range(1, ${subDim + 1})) AS d),
+       |${(0 until m).map(chain).mkString(",\n")}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_wordcount" ->
       """SELECT word, count(*) AS cnt
@@ -2195,6 +2258,18 @@ object SparkEntry {
         |WHERE s_suppkey IN (SELECT l_suppkey FROM sp JOIN pp USING (l_partkey)
         |                    WHERE sp_qty > 0.5 * part_total)
         |ORDER BY s_name""".stripMargin,
+
+    // four per-subspace Lloyd chains; the error sum adds in subspace order
+    // (s0+s1+s2+s3, the Spark side's reduce order)
+    "q_pq_codes" ->
+      s"""WITH ${pqCtes(4, 4, 16)}
+         |SELECT s0r.vec_id,
+         |  s0r.cluster AS c0, s1r.cluster AS c1,
+         |  s2r.cluster AS c2, s3r.cluster AS c3,
+         |  round(s0r.err + s1r.err + s2r.err + s3r.err, 6) AS recon_err
+         |FROM s0r JOIN s1r USING (vec_id) JOIN s2r USING (vec_id)
+         |         JOIN s3r USING (vec_id)
+         |ORDER BY s0r.vec_id""".stripMargin,
 
     "q_kmv_distinct" ->
       graft.functions.Sketches.kmvDistinctSql("lineitem", "l_partkey", k = 256),

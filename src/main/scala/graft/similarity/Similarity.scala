@@ -339,4 +339,96 @@ object Similarity {
           .cast("double") / count(lit(1)), 9).as("mse"),
         round(max(abs(col("err"))), 9).as("max_abs_err"))
   }
+
+  // ---- product quantization (Jégou, Douze, Schmid 2011, public) ----------
+
+  /** Train PQ codebooks: the vector splits into `m` contiguous subspaces
+    * of dim/m dims; each subspace gets its own `ks`-centroid k-means
+    * codebook ([[graft.chain.KMeans]] — decimal-exact Lloyd steps,
+    * first-ks-by-id init, lowest-id tie-break, so codebooks are
+    * bit-identical across partitionings and engines). A vector encodes as
+    * m small ints (m·log2 ks bits — 8 bytes for 16×256 vs 256 bytes of
+    * floats at dim 64): the third leg of the embedding-compression story
+    * next to [[quantizeInt8]] (4×) and IVF (coarse routing).
+    *
+    * Returns codebooks(s)(cluster)(dim): m × ks × (dim/m) doubles — tiny
+    * (ride as literals / broadcast, the Params pattern).
+    *
+    * Shape at 100 TB: training cost is m short k-means runs over COLUMN-
+    * PRUNED slices (each shuffles ks×subDim doubles per iteration);
+    * encoding is one codegen'd projection, no shuffle, no join.
+    */
+  def pqTrain(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+              idCol: String, vecCol: String, m: Int = 4, ks: Int = 16,
+              iterations: Int = 3): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && ks >= 2, s"pqTrain: need m >= 1, ks >= 2 (m=$m ks=$ks)")
+    val dim = df.select(size(asDouble(col(vecCol)))).head().getInt(0)
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(asDouble(col(vecCol)), s * subDim + 1, subDim).as("_sub"))
+      graft.chain.KMeans.run(spark, sub, idCol, "_sub", ks, iterations)._1
+    }
+  }
+
+  /** Encode each vector against trained codebooks: per subspace the
+    * nearest centroid id (squared euclidean, first-index tie-break — the
+    * [[graft.chain.KMeans.assign]] rule), plus the total reconstruction
+    * error Σ_s ‖v_s − c_s‖² added in subspace order (fixed IEEE order —
+    * engine-replayable). ONE codegen'd projection: no shuffle, no join,
+    * nothing collected. Output: (id, codes array<int>, recon_err).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val subDim = codebooks.head.head.length
+    val v = asDouble(col(vecCol))
+    val parts = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(v, s * subDim + 1, subDim)
+      val dists = array(cb.map(c =>
+        graft.functions.VectorOps.vec_sqdist(sub, lit(c.toArray))): _*)
+      ((array_position(dists, array_min(dists)) - 1).cast("int"),
+        array_min(dists))
+    }
+    df.select(col(idCol).as("id"),
+      array(parts.map(_._1): _*).as("codes"),
+      parts.map(_._2).reduce(_ + _).as("recon_err"))
+  }
+
+  /** ADC (asymmetric distance) top-k over a PQ-encoded corpus: the query
+    * stays a float vector; per subspace a ks-entry lookup table of
+    * query-to-centroid squared distances is computed DRIVER-SIDE (m·ks
+    * doubles per query — the tiny side), and a row's approximate distance
+    * is m table lookups + adds, a pure codegen'd projection over the
+    * (id, codes) table — the decoded vectors never materialize. Top-k per
+    * query is a TakeOrdered heap. Queries are contract-bounded (a
+    * benchmark-sized probe set, same as [[bruteForceTopK]]'s broadcast
+    * side). Output: (query_id, vec_id, rank, adist).
+    */
+  def pqSearchAdc(encoded: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+                  queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    require(queries.nonEmpty, "pqSearchAdc: empty query set")
+    val subDim = codebooks.head.head.length
+    queries.map { case (qid, qv) =>
+      val luts = codebooks.zipWithIndex.map { case (cb, s) =>
+        val sub = qv.slice(s * subDim, (s + 1) * subDim)
+        cb.map(c => c.zip(sub).foldLeft(0.0) { case (acc, (ci, qi)) =>
+          acc + (qi - ci) * (qi - ci) }).toArray
+      }
+      val adist = codebooks.indices.map(s =>
+        element_at(lit(luts(s)), element_at(col("codes"), s + 1) + 1))
+        .reduce(_ + _)
+      encoded
+        .filter(col("id") =!= qid)
+        .select(lit(qid).as("query_id"), col("id").as("vec_id"),
+          adist.as("adist"))
+        .orderBy(col("adist").asc, col("vec_id").asc)
+        .limit(k)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("adist").asc, col("vec_id").asc)))
+    }.reduce(_ unionByName _)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+        round(col("adist"), 6).as("adist"))
+  }
 }

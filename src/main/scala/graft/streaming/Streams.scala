@@ -266,20 +266,31 @@ object Streams {
     * Column contract: `left` has (keyCol, ltsCol, ...), `right` has
     * (keyCol, rtsCol, ...); ltsCol/rtsCol must differ so the interval
     * predicate can reference both sides unambiguously.
+    *
+    * `joinType` "inner" (default) or "leftOuter": outer emits unmatched
+    * left rows (right columns null) — but only once the watermark proves
+    * no match can still arrive, so outer results trail the inner ones by
+    * the interval + delay. The same time bound that makes outer results
+    * CORRECT is what lets the engine drop join state (StreamsSpec pins
+    * the eviction via the state-operator metrics, not just the rows).
     */
   def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
                          ltsCol: String, rtsCol: String,
                          before: String, after: String,
-                         watermarkDelay: String): DataFrame = {
+                         watermarkDelay: String,
+                         joinType: String = "inner"): DataFrame = {
     require(ltsCol != rtsCol,
       "interval join: left/right timestamp columns must have distinct names")
+    require(Seq("inner", "leftOuter").contains(joinType),
+      s"interval join: joinType must be inner or leftOuter, got $joinType")
     val l = left.withWatermark(ltsCol, watermarkDelay)
     val r = right.withWatermark(rtsCol, watermarkDelay)
       .withColumnRenamed(keyCol, s"_r_$keyCol")
     l.join(r,
       col(keyCol) === col(s"_r_$keyCol") &&
         col(rtsCol) >= col(ltsCol) - expr(s"INTERVAL $before") &&
-        col(rtsCol) <= col(ltsCol) + expr(s"INTERVAL $after"))
+        col(rtsCol) <= col(ltsCol) + expr(s"INTERVAL $after"),
+      joinType)
       .drop(s"_r_$keyCol")
   }
 

@@ -322,4 +322,65 @@ class DedupSimilaritySpec extends SparkTestBase {
       .agg(max(col("count"))).as[Long].head()
     assert(maxC < 800, s"one cluster swallowed the corpus: $maxC")
   }
+
+  test("PQ: codes in range, ADC recall vs exact euclidean top-k, exact corpus → zero error") {
+    import spark.implicits._
+    val cb = Similarity.pqTrain(spark, embs, "vec_id", "embedding",
+      m = 16, ks = 32, iterations = 5)
+    assert(cb.length == 16 && cb.forall(_.length == 32) &&
+      cb.forall(_.forall(_.length == 4)))
+    val enc = Similarity.pqEncode(embs, "vec_id", "embedding", cb)
+      .localCheckpoint()
+    val codes = enc.select(explode(col("codes"))).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 32), "code outside [0, ks)")
+    assert(enc.filter(col("recon_err") < 0).count() == 0)
+
+    // recall contract: ADC top-10 against the exact squared-euclidean
+    // top-10 (same distance the codes approximate) for 5 probe queries.
+    // The fixture is uniform noise — quantization's WORST case (random
+    // top-10 overlap would be ~0.02 of the corpus → expected recall 0.2)
+    // — so the contract is two-sided: (1) a 16×32 budget beats the random
+    // baseline by 2×+, and (2) recall is MONOTONE in the code budget (the
+    // knob a capacity decision turns at 100 TB).
+    def recallAt10(codebooks: Seq[Seq[Seq[Double]]],
+                   encoded: org.apache.spark.sql.DataFrame): Double = {
+      val queries = embs.orderBy("vec_id").limit(5)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      val adc = Similarity.pqSearchAdc(encoded, codebooks, queries, k = 10)
+        .select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val all = embs.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect()
+      def sq(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+      val recalls = queries.map { case (qid, qv) =>
+        val exact = all.filter(_._1 != qid).sortBy(p => (sq(p._2, qv), p._1))
+          .take(10).map(_._1).toSet
+        (adc(qid) & exact).size / 10.0
+      }
+      recalls.sum / recalls.size
+    }
+    val rBig = recallAt10(cb, enc)
+    assert(rBig >= 0.4, s"ADC recall@10 under 2x the random baseline: $rBig")
+    val cbSmall = Similarity.pqTrain(spark, embs, "vec_id", "embedding",
+      m = 2, ks = 4, iterations = 3)
+    val rSmall = recallAt10(cbSmall,
+      Similarity.pqEncode(embs, "vec_id", "embedding", cbSmall).localCheckpoint())
+    assert(rBig > rSmall,
+      s"recall must grow with code budget: 16x32 -> $rBig vs 2x4 -> $rSmall")
+
+    // a corpus whose subvectors take ≤ ks distinct values reconstructs
+    // EXACTLY: codebooks converge onto the true patterns (deterministic
+    // init covers them — the first ks vectors hold all ks patterns)
+    val patterns = (0 until 4).map(p =>
+      Seq.tabulate(64)(d => (p * 64 + d).toDouble))
+    val tiny = (0 until 20).map(i => (i.toLong, patterns(i % 4)))
+      .toDF("vec_id", "embedding")
+    val cb2 = Similarity.pqTrain(spark, tiny, "vec_id", "embedding",
+      m = 4, ks = 4, iterations = 3)
+    val err = Similarity.pqEncode(tiny, "vec_id", "embedding", cb2)
+      .agg(max(col("recon_err"))).head().getDouble(0)
+    assert(err == 0.0, s"exact-representable corpus must reconstruct: $err")
+  }
 }

@@ -103,6 +103,72 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched clicks with nulls after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.intervalJoinStream(
+      clicks.toDF.toDF("uid", "cts", "click"),
+      views.toDF.toDF("uid", "vts", "view"),
+      keyCol = "uid", ltsCol = "cts", rtsCol = "vts",
+      before = "5 seconds", after = "0 seconds",
+      watermarkDelay = "2 seconds", joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ij_lo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((1L, ts(10), "matched"), (2L, ts(10), "orphan"))
+      views.addData((1L, ts(8), "v8")) // matches uid 1 only
+      q.processAllAvailable()
+      // outer results may only emit once the watermark PROVES no view can
+      // still arrive for uid 2 — advance it well past 10s + 5s + 2s
+      for (t <- Seq(100L, 200L)) {
+        clicks.addData((9L, ts(t), "late")); views.addData((9L, ts(t), "late"))
+        q.processAllAvailable()
+      }
+      val got = spark.table("ij_lo").selectExpr("uid", "click", "view")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.get(2))).toSet
+      assert(got.contains((1L, "matched", "v8")))
+      assert(got.contains((2L, "orphan", null)),
+        s"unmatched left row must emit with null right side: $got")
+    } finally q.stop()
+  }
+
+  test("interval-join state is evicted once the watermark passes the interval") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.intervalJoinStream(
+      clicks.toDF.toDF("uid", "cts", "click"),
+      views.toDF.toDF("uid", "vts", "view"),
+      keyCol = "uid", ltsCol = "cts", rtsCol = "vts",
+      before = "5 seconds", after = "0 seconds",
+      watermarkDelay = "2 seconds")
+    val q = joined.writeStream.format("memory").queryName("ij_state")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 60 buffered rows per side around t≈10s
+      clicks.addData((0 until 60).map(i => (i.toLong, ts(10 + i % 3), s"c$i")): _*)
+      views.addData((0 until 60).map(i => (i.toLong, ts(9 + i % 3), s"v$i")): _*)
+      q.processAllAvailable()
+      def stateRows: Long = Option(q.lastProgress) match {
+        case Some(p) => p.stateOperators.map(_.numRowsTotal).sum
+        case None    => -1L
+      }
+      val before = stateRows
+      assert(before >= 100, s"expected ≥120 buffered state rows, saw $before")
+      // the watermark sweep: a far-future event on BOTH sides, two batches
+      // (watermark takes effect the batch after it is observed) — state
+      // for the t≈10s rows must be DROPPED, not retained forever
+      for (t <- Seq(1000L, 2000L)) {
+        clicks.addData((999L, ts(t), "adv")); views.addData((999L, ts(t), "adv"))
+        q.processAllAvailable()
+      }
+      val after = stateRows
+      assert(after < before / 10,
+        s"watermark must evict interval-join state: $before -> $after rows")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: hot values survive across batches, tails evict") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, String)]
