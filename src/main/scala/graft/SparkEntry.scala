@@ -1287,6 +1287,20 @@ object SparkEntry {
     // map-side partial aggregation — one codegen pass at any scale.
     "q_estimate_pi" -> ((s, _) => EstimatePi.estimate(s, 100000L)),
 
+    // Embarrassingly parallel exhaustive search (examples/tsp shape): all
+    // 7! directed tours over 8 cities, integer distances from a fixed
+    // symmetric formula, one min-reduce. The oracle enumerates the same
+    // space with a recursive CTE — exact integers ⇒ exact match.
+    "q_tsp_search" -> ((s, _) => {
+      def d(a: Int, b: Int): Long =
+        10L + (math.min(a, b) * 31 + math.max(a, b) * 17) % 90
+      val tours = chain.ParallelSearch.tspTours(s, 8, d)
+      val best = tours.agg(min(col("total")).as("best_len"))
+      tours.join(broadcast(best), col("total") === col("best_len"))
+        .agg(min(col("total")).as("best_len"),
+          count(lit(1)).as("n_optimal"))
+    }),
+
     // §2.6 extension — left semi join (EXISTS): customers having a
     // 'P'-status order; only the key side of orders crosses the shuffle.
     "q_semi_join" -> ((s, dir) =>
@@ -3271,6 +3285,26 @@ object SparkEntry {
 
     // Same hash-uniform replayed digit-by-digit (strpos over the md5 hex);
     // sums of exact-integer-valued doubles are order-independent exact.
+    "q_tsp_search" ->
+      """WITH RECURSIVE
+        |cities AS (SELECT unnest(range(1, 8)) AS c),
+        |perms AS (
+        |  SELECT [c] AS tour, c AS last_c,
+        |         10 + ((LEAST(0, c)*31 + GREATEST(0, c)*17) % 90) AS plen
+        |  FROM cities
+        |  UNION ALL
+        |  SELECT list_append(p.tour, c.c), c.c,
+        |         p.plen + 10 + ((LEAST(p.last_c, c.c)*31 + GREATEST(p.last_c, c.c)*17) % 90)
+        |  FROM perms p JOIN cities c ON NOT list_contains(p.tour, c.c)
+        |),
+        |full_tours AS (
+        |  SELECT plen + 10 + ((LEAST(last_c, 0)*31 + GREATEST(last_c, 0)*17) % 90) AS total
+        |  FROM perms WHERE len(tour) = 7)
+        |SELECT CAST(min(total) AS BIGINT) AS best_len,
+        |       CAST(sum(CASE WHEN total = (SELECT min(total) FROM full_tours)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_optimal
+        |FROM full_tours""".stripMargin,
+
     "q_estimate_pi" ->
       """WITH i AS (SELECT unnest(range(100000)) AS id),
         |h AS (SELECT md5(CAST(id AS VARCHAR) || ':x') AS hx,
