@@ -779,6 +779,125 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q6 shape: the pure pushed-predicate scan aggregate — date
+    // window + decimal BETWEEN + quantity cut must all reach the parquet
+    // scan; one partial+final agg pair, no join, no shuffle beyond the
+    // final combine. Discount bounds compare in DECIMAL on both engines
+    // (a double literal would flip the regime).
+    "q_tpch_q6" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").cast("decimal(18,2)")
+            .between(lit("0.05").cast("decimal(18,2)"),
+              lit("0.07").cast("decimal(18,2)")) &&
+          col("l_quantity").cast("decimal(18,2)") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q10 shape: returned-item reporting — fact⋈fact⋈dim chain with
+    // both fact filters pushed below the join, revenue top-20 as a heap.
+    "q_tpch_q10" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 shape: promo revenue share — CASE-in-aggregate ratio in
+    // ONE aggregation pass over a month window, part dim broadcast;
+    // 100·A/B evaluated left-to-right in double (engine-stable).
+    "q_tpch_q14" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(rev).cast("double"), 6).as("promo_share"))
+    }),
+
+    // TPC-H Q15 shape: top supplier by window revenue — the max-over-
+    // aggregate decorrelation (revenue CTE reused for both the per-
+    // supplier totals and the scalar max, never re-aggregated per row).
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("total"))
+      val mx = rev.agg(max(col("total")).as("_mx"))
+      Tables.supplier(s, dir)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(mx), col("total") === col("_mx"))
+        .select(col("s_suppkey"), col("s_name"), col("total"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q19 shape: disjunctive brand/size/quantity predicates — an OR
+    // of conjunctions that must still evaluate as one broadcast-hash join
+    // + filter (no per-branch scans, no nested loop).
+    "q_tpch_q19" -> ((s, dir) => {
+      val qty = col("l_quantity").cast("decimal(18,2)")
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            qty.between(1, 21)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            qty.between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 45) &&
+            qty.between(20, 40)))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q22 shape (adapted: no phone country codes — nationkey is the
+    // segment; "lapsed" = no order since 2000): positive-balance scalar
+    // average broadcast as a 1-row table, above-average customers with no
+    // recent order via LEFT ANTI. The Q20/Q21 set's missing decorrelation
+    // pattern: scalar subquery + NOT EXISTS against a DIFFERENT table.
+    "q_tpch_q22" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val avgBal = c
+        .filter(col("c_acctbal").cast("decimal(18,2)") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("_avg"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal").cast("double") > col("_avg"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
     // TPC-H Q21 shape (adapted: no commit/receipt dates in the fixture —
     // "late" is shipped > 60 days after the order date, the Q4 adaptation):
     // suppliers who were the ONLY late supplier on a multi-supplier 'F'
@@ -2240,6 +2359,76 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE) AS avg_yearly
         |FROM lineitem JOIN a ON l_partkey = p_key
         |WHERE CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) < 24""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, CAST(c_acctbal AS DOUBLE), n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |            THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |  6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total = (SELECT max(total) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 21)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 45
+        |       AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 40)""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH pos AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DOUBLE) > (SELECT avg_bal FROM pos)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_tpch_q21" ->
       """SELECT s_name, count(*) AS numwait

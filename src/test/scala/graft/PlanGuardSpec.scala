@@ -64,14 +64,33 @@ class PlanGuardSpec extends SparkTestBase {
     assert(aggs <= 2, s"expected one partial+final aggregate pair, got $aggs")
   }
 
-  test("q_tpch_q7 / q_tpch_q16: dims broadcast, no all-pairs join") {
-    for (name <- Seq("q_tpch_q7", "q_tpch_q16")) {
+  test("q_tpch_q7/q16/q10/q14/q19: dims broadcast, no all-pairs join") {
+    for (name <- Seq("q_tpch_q7", "q_tpch_q16", "q_tpch_q10", "q_tpch_q14",
+        "q_tpch_q19")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), s"$name: dims must broadcast")
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"), s"$name: all-pairs join")
     }
+  }
+
+  test("q_tpch_q6: predicates reach the scan, single aggregate, no join") {
+    val plan = SparkEntry.queries("q_tpch_q6")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "Q6 is a pure scan aggregate")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "the date window must reach the parquet scan")
+  }
+
+  test("q_tpch_q22: lapsed-customer NOT EXISTS lowers to a left-anti join") {
+    val plan = SparkEntry.queries("q_tpch_q22")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      "the no-recent-order correlation must be a left-anti join")
+    assert(!plan.contains("CartesianProduct"))
+    // the one BroadcastNestedLoopJoin is the SANCTIONED 1-row scalar
+    // average broadcast (same pattern as q_ann_topk's exactness baseline)
   }
 
   test("q_tpch_q21: EXISTS/NOT-EXISTS lower to semi + anti joins, top-100 is a heap") {
