@@ -249,6 +249,19 @@ object SparkEntry {
         .select(col("doc_id"), col("cum"), col("shard"))
         .orderBy("doc_id")),
 
+    // Per-source token-budget cap (data mixing): deterministic hash
+    // priority within each source, keep docs while the source's running
+    // char count fits the budget — distributed per-GROUP prefix sum
+    // (range-partitioned two-pass; never one task per group).
+    "q_budget_cap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("draw", Sampling.hashDraw(col("doc_id"), "cap"))
+        .select("doc_id", "source", "n_chars", "draw")
+      graft.ops.PrefixSum.budgetCapPerGroup(docs, "source",
+          Seq("draw", "doc_id"), "n_chars", budget = 4000L)
+        .select("doc_id", "source", "cum").orderBy("doc_id")
+    }),
+
     // Sharded export with manifest: token-budget shards (packShards) →
     // hive-layout write → manifest of what actually landed (exact
     // read-back counts). Bytes are parquet-encoding-dependent → the
@@ -1335,6 +1348,17 @@ object SparkEntry {
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
       Dedup.canonicalize(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
+    // Leakage-safe split: split assigned on the near-dup cluster's
+    // canonical id (same pair derivation as q_dedup_cluster), so
+    // near-duplicates never straddle train/eval.
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+      Dedup.splitLeakageSafe(docs, "doc_id", pairs, Seq(0.8, 0.1, 0.1))
+        .orderBy("doc_id")
     }),
 
     // 32-bit SimHash fingerprints.
@@ -2904,6 +2928,18 @@ object SparkEntry {
         |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 20000 AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // The per-group dual of q_shard_pack: running sum PARTITIONed BY
+    // source in hash-priority order, inclusive prefix kept under the cap.
+    "q_budget_cap" ->
+      s"""WITH p AS (SELECT doc_id, source, n_chars,
+        |             ${graft.ops.Sampling.hashDrawSql("doc_id", "cap")} AS draw
+        |           FROM documents),
+        |c AS (SELECT doc_id, source,
+        |        CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY draw, doc_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM p)
+        |SELECT doc_id, source, cum FROM c WHERE cum <= 4000 ORDER BY doc_id""".stripMargin,
+
     "q_winsorize" ->
       """WITH b AS (SELECT quantile_disc(l_extendedprice, 0.05) AS lo,
         |                  quantile_disc(l_extendedprice, 0.95) AS hi
@@ -3153,6 +3189,45 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
         |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q_dedup_cluster's recursive-CTE closure, then the bit-portable md5
+    // split CASE on the canonical label — the declarative spec of
+    // Dedup.splitLeakageSafe (near-dups share a split by construction).
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE arr AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |FROM documents),
+        |tok AS (SELECT doc_id, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |sh AS (SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w AS shingle
+        |       FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        |seeds AS (SELECT unnest(range(16)) AS seed),
+        |mh AS (SELECT doc_id, seed,
+        |         min(substring(md5((seed // 4) || ':' || shingle),
+        |                       (seed % 4) * 8 + 1, 8)) AS mh
+        |       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        |bh AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+        |       FROM mh GROUP BY doc_id, seed // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bh x JOIN bh y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a, c.b, count(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a
+        |          JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+        |          GROUP BY c.a, c.b),
+        |pairs AS (SELECT i.a, i.b
+        |          FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+        |          WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8),
+        |und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM und)
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+        |lbl AS (SELECT src AS id, min(dst) AS canon FROM reach GROUP BY src),
+        |base AS (SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
+        |         FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id)
+        |SELECT doc_id, canon_id,
+        |       ${graft.ops.Sampling.splitByHashSql("canon_id", Seq(0.8, 0.1, 0.1))} AS split
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH tok AS (

@@ -434,6 +434,27 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canon_id"))
   }
 
+  /** Leakage-safe train/val/test split: every document is assigned the
+    * split of its near-dup cluster's CANONICAL member, so near-duplicates
+    * can never straddle a train/eval boundary (the standard guard against
+    * eval contamination by duplication — splitting on raw doc ids leaks
+    * whenever two near-identical docs hash into different buckets).
+    *
+    * Composition, not new machinery: [[canonicalize]] (pairs → connected
+    * components → min-id canonical label) followed by
+    * [[graft.ops.Sampling.splitByHash]] keyed on `canon_id` — the same
+    * bit-portable md5 bucket assignment as a plain split, just on the
+    * cluster representative. Output: (doc_id, canon_id, split).
+    *
+    * Scale shape: the split itself is a pure codegen'd projection (zero
+    * shuffle beyond what the pair generation + CC already spent); cluster
+    * diameter bounds CC rounds exactly as in [[connectedComponents]].
+    */
+  def splitLeakageSafe(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       weights: Seq[Double], salt: String = "graft"): DataFrame =
+    graft.ops.Sampling.splitByHash(
+      canonicalize(docs, idCol, pairs), col("canon_id"), weights, salt)
+
   /** Substring-level duplication profile — the window-hash approximation of
     * exact-substring dedup (Lee et al. 2021, arXiv:2107.06499: their
     * suffix-array pass is inherently single-machine; hashing every w-token

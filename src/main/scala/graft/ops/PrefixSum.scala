@@ -66,4 +66,66 @@ object PrefixSum {
     prefixSum(df, orderCol, sizeCol, partitions)
       // integral `div`, not double `/`: exact past 2^53 (100 TB of tokens)
       .withColumn("shard", expr(s"(cum - $sizeCol) div ${budget}L"))
+
+  /** Adds `cum` = running sum of `valCol` within each group, in
+    * `orderCols` order (inclusive). The per-GROUP dual of [[prefixSum]],
+    * on the [[WindowOps.rankFunctions]] two-pass shape: a naive
+    * `Window.partitionBy(group)` funnels every group through ONE task (the
+    * giant-source straggler); here the data is range-partitioned by
+    * (group, order) into P parallel sorted ranges, summed locally, and
+    * each (partition, group)'s start offset is computed IN-PLAN from a
+    * G·P-row aggregate (windowed per group, ≤ P rows per window — nothing
+    * collects to the driver) and broadcast-joined back. Result is
+    * bit-identical to the one-task window (PrefixSumSpec asserts it).
+    * `orderCols` must be a total order within each group. For
+    * dictionary-scale G (millions of domains) where a G·P-row broadcast no
+    * longer fits, pass `hintBroadcast = false` and let AQE pick the join.
+    */
+  def prefixSumByGroup(df: DataFrame, groupCol: String, orderCols: Seq[String],
+                       valCol: String, partitions: Int = 32,
+                       hintBroadcast: Boolean = true): DataFrame = {
+    val reserved = Seq("_pid", "_local", "_c", "_off", "_opid", "_og")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"prefixSumByGroup: input must not contain reserved column '$c'"))
+    val ordCols = orderCols.map(col)
+    // MATERIALIZE pass 1 (prefixSum rationale): both passes must see the
+    // SAME range boundaries; RangePartitioner sampling isn't re-run-stable.
+    val parted = df
+      .repartitionByRange(partitions, (col(groupCol) +: ordCols): _*)
+      .withColumn("_pid", F.spark_partition_id())
+      .localCheckpoint()
+    val wl = Window.partitionBy(col("_pid"), col(groupCol)).orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("_local",
+      sum(col(valCol).cast("long")).over(wl))
+    val cnts = parted.groupBy(col("_pid"), col(groupCol))
+      .agg(sum(col(valCol).cast("long")).as("_c"))
+    val wOff = Window.partitionBy(groupCol).orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs0 = cnts
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .select(col("_pid").as("_opid"), col(groupCol).as("_og"), col("_off"))
+    val offs = if (hintBroadcast) broadcast(offs0) else offs0
+    local.join(offs,
+        col("_pid") === col("_opid") && col(groupCol) === col("_og"))
+      .withColumn("cum", col("_local") + col("_off"))
+      .drop("_pid", "_local", "_off", "_opid", "_og")
+  }
+
+  /** Per-group token-budget selection — the data-mixing step "cap every
+    * source/domain at B tokens, keeping documents in a deterministic
+    * priority order until the budget is exhausted" (priority is typically
+    * a [[Sampling.hashDraw]] for a uniform budgeted subsample, or a
+    * quality score for quality-first selection). Keeps exactly the rows
+    * whose INCLUSIVE running size in priority order fits the budget: a
+    * document that would cross the boundary is dropped, later smaller
+    * documents are NOT pulled back in (first-fit would destroy the
+    * prefix property that makes the cut order-stable and auditable).
+    * Output keeps `cum` — the row's cumulative cost, ≤ `budget`.
+    */
+  def budgetCapPerGroup(df: DataFrame, groupCol: String, orderCols: Seq[String],
+                        sizeCol: String, budget: Long,
+                        partitions: Int = 32): DataFrame =
+    prefixSumByGroup(df, groupCol, orderCols, sizeCol, partitions)
+      .filter(col("cum") <= budget)
 }

@@ -383,4 +383,30 @@ class DedupSimilaritySpec extends SparkTestBase {
       .agg(max(col("recon_err"))).head().getDouble(0)
     assert(err == 0.0, s"exact-representable corpus must reconstruct: $err")
   }
+
+  test("leakage-safe split: near-dup clusters never straddle a split") {
+    import spark.implicits._
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+    val split = Dedup.splitLeakageSafe(docs, "doc_id", pairs, Seq(0.8, 0.1, 0.1))
+      .localCheckpoint()
+    // exhaustive: every doc assigned exactly one split in range
+    assert(split.count() == docs.count())
+    assert(split.filter(col("split") < 0 || col("split") > 2).isEmpty)
+    // the leakage guard: one split per cluster
+    val perCluster = split.groupBy("canon_id")
+      .agg(countDistinct("split").as("k"))
+    assert(perCluster.filter(col("k") =!= 1).isEmpty,
+      "a near-dup cluster straddles splits")
+    // non-degenerate on the fixture: at least one real (size>1) cluster
+    // and more than one split represented overall
+    assert(split.groupBy("canon_id").count().filter(col("count") > 1).count() > 0)
+    assert(split.select(countDistinct("split")).head().getLong(0) > 1)
+    // agrees with a plain split applied to the canonical id
+    val plain = graft.ops.Sampling.splitByHash(
+      split.select("doc_id", "canon_id"), col("canon_id"), Seq(0.8, 0.1, 0.1))
+      .withColumnRenamed("split", "split2")
+    assert(split.join(plain, Seq("doc_id", "canon_id"))
+      .filter(col("split") =!= col("split2")).isEmpty)
+  }
 }

@@ -55,4 +55,42 @@ class PrefixSumSpec extends SparkTestBase {
       assert(tot >= 300L - 50L, s"shard $s undersized: $tot") // crossing doc rule
     }
   }
+
+  test("prefixSumByGroup equals the per-group one-task window at any partitioning") {
+    val df = spark.range(0, 3000).select(col("id"),
+      pmod(hash(col("id")), lit(5)).as("g"),
+      // negatives included: totals must come from sum, not max
+      (pmod(hash(col("id") * 7), lit(21)) - 10).cast("long").as("v"))
+    val expect = df.withColumn("cum",
+        sum(col("v")).over(Window.partitionBy("g").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    for (p <- Seq(1, 7, 32); bc <- Seq(true, false)) {
+      val got = PrefixSum.prefixSumByGroup(df, "g", Seq("id"), "v",
+          partitions = p, hintBroadcast = bc)
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"diverged at partitions=$p broadcast=$bc")
+    }
+  }
+
+  test("budgetCapPerGroup keeps exactly the inclusive prefix that fits") {
+    val df = spark.range(0, 400).select(col("id"),
+      pmod(hash(col("id")), lit(4)).as("g"),
+      (pmod(hash(col("id") + 13), lit(50)) + 1).cast("long").as("n"))
+    val kept = PrefixSum.budgetCapPerGroup(df, "g", Seq("id"), "n", budget = 500L)
+      .select("id", "g", "n", "cum").as[(Long, Int, Long, Long)].collect()
+    // driver-side reference: accumulate EVERY doc (a crossing doc is
+    // dropped but still consumes budget — no first-fit backfill)
+    val ref = df.select("id", "g", "n").as[(Long, Int, Long)].collect()
+      .sortBy(_._1).groupBy(_._2).values.flatMap { rows =>
+        var acc = 0L
+        rows.toSeq.flatMap { case (id, g, n) =>
+          acc += n
+          if (acc <= 500L) Some((id, g, n, acc)) else None
+        }
+      }.toSet
+    assert(kept.toSet == ref)
+    assert(kept.forall(_._4 <= 500L))
+    assert(kept.nonEmpty)
+  }
 }
