@@ -233,6 +233,13 @@ object SparkEntry {
         .filter(col("doc_id") < 20)
         .orderBy("doc_id", "tok")),
 
+    // Okapi BM25 keyword retrieval (Lucene +1 IDF, k1=1.2 b=0.75):
+    // term-filtered postings + one doc-length agg, no materialized index.
+    "q_bm25" -> ((s, dir) =>
+      TextOps.bm25(Tables.documents(s, dir), "doc_id", "text",
+        Seq("scan", "column", "window"))
+        .orderBy("doc_id")),
+
     // Sequential funnel: users completing view -> click -> purchase in
     // strict time order; per-step frontier joins, no whole-user windows.
     "q_funnel" -> ((s, dir) =>
@@ -3063,6 +3070,34 @@ object SparkEntry {
         |FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n
         |WHERE t.doc_id < 20
         |ORDER BY doc_id, tok""".stripMargin,
+
+    // Same singleton-sum-then-fixed-order-add shape as the Spark plan so
+    // the double arithmetic replays bit-for-bit before the round.
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |hits AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |         WHERE tok IN ('scan', 'column', 'window') GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY tok),
+        |stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |                 (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM lens) AS avgdl),
+        |parts AS (SELECT h.doc_id, h.tok,
+        |            ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |              * (tf * (1.2 + 1.0))
+        |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS part
+        |          FROM hits h JOIN dfreq USING (tok) JOIN lens USING (doc_id)
+        |          CROSS JOIN stats),
+        |ps AS (SELECT doc_id,
+        |         sum(CASE WHEN tok = 'scan'   THEN part END) AS p_scan,
+        |         sum(CASE WHEN tok = 'column' THEN part END) AS p_column,
+        |         sum(CASE WHEN tok = 'window' THEN part END) AS p_window
+        |       FROM parts GROUP BY doc_id)
+        |SELECT doc_id,
+        |       round(coalesce(p_scan, 0.0) + coalesce(p_column, 0.0)
+        |             + coalesce(p_window, 0.0), 6) AS score
+        |FROM ps ORDER BY doc_id""".stripMargin,
 
     // epoch_us on both sides: integer micros, no float time arithmetic.
     "q_sessionize" ->

@@ -75,6 +75,54 @@ object TextOps {
           .as("tfidf"))
   }
 
+  /** Okapi BM25 retrieval scoring against a fixed query-term set — the
+    * standard keyword-search ranker (Robertson & Zaragoza 2009; the
+    * Lucene +1 IDF variant, so scores are non-negative even for terms in
+    * more than half the corpus):
+    *
+    *   score(D) = Σ_t ln(1 + (N − df + 0.5)/(df + 0.5))
+    *              · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+    *
+    * Scale shape: tokens are FILTERED to the query's terms immediately
+    * after the explode (the per-(doc,term) table is |terms|-bounded per
+    * doc, not vocabulary-bounded); doc lengths are one map-side-combined
+    * agg over the corpus; df and avgdl collapse to |terms|-row / 1-row
+    * broadcasts. One shuffle on doc_id joins lengths to term hits — no
+    * inverted index materialized, which is the right trade until the
+    * query volume amortizes index construction. Returns (doc_id, score)
+    * for every doc matching ≥1 term; compose with [[RelationalOps]]
+    * top-k (TakeOrdered) for a serving path.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty query")
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("tok"))
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val hits = toks.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(lens.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl")))
+    hits.join(dfreq, "tok").join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      // per-term singleton sums, then a FIXED-order add: each (doc, term)
+      // part is unique, so the conditional sums are order-independent and
+      // the final + chain is deterministic — bit-stable across engines
+      // (a plain sum() over doubles is partition-order-dependent).
+      .groupBy("doc_id")
+      .agg(sum(when(col("tok") === terms.head, col("part"))).as(s"_p_${terms.head}"),
+        terms.tail.map(t =>
+          sum(when(col("tok") === t, col("part"))).as(s"_p_$t")): _*)
+      .select(col("doc_id"),
+        round(terms.map(t => coalesce(col(s"_p_$t"), lit(0.0)))
+          .reduce(_ + _), 6).as("score"))
+  }
+
   /** PII scrubbing — the standard pre-training redaction pass: emails,
     * phone-like number runs, and IPv4 literals replaced by typed
     * placeholder tokens. Pure codegen'd regexp_replace chain (scan-speed

@@ -421,6 +421,37 @@ class PropertySpec extends SparkTestBase {
     assert(math.abs(s(0)._3 - math.log(12.0 / 6.0)) < 1e-3)
   }
 
+  test("bm25 agrees with the textbook reference model") {
+    import spark.implicits._
+    val raw = Seq(
+      (0L, "scan scan scan filter"),
+      (1L, "scan filter join join window"),
+      (2L, "column window column scan scan scan scan scan scan scan"),
+      (3L, "join filter merge"), // matches no query term -> absent
+      (4L, "window"))
+    val terms = Seq("scan", "column", "window")
+    val got = graft.ops.TextOps.bm25(raw.toDF("doc_id", "text"),
+      "doc_id", "text", terms).as[(Long, Double)].collect().toMap
+    val corpus = raw.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = corpus.size
+    val avgdl = corpus.map(_._2.size).sum.toDouble / n
+    def ref(toks: Seq[String]): Double = terms.map { t =>
+      val tf = toks.count(_ == t)
+      if (tf == 0) 0.0 else {
+        val df = corpus.count(_._2.contains(t))
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.size / avgdl))
+      }
+    }.sum
+    assert(!got.contains(3L), "doc with no query term must be absent")
+    corpus.filter(_._1 != 3L).foreach { case (id, toks) =>
+      assert(math.abs(got(id) - ref(toks)) < 1e-6,
+        s"doc $id: got ${got(id)}, ref ${ref(toks)}")
+    }
+    // tf saturation still ranks the scan-heavy doc above the single-hit doc
+    assert(got(2L) > got(4L))
+  }
+
   test("triangleCount agrees with brute force on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(30,
