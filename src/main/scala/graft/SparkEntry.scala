@@ -1563,6 +1563,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The audio leg of q_media_dims: spec-correct WAV/AIFF containers
+    // built per row, then channels/rate/bits/frames parsed BACK out of the
+    // payload (AudioMeta: RIFF little-endian chunk walk with the
+    // even-padding rule, AIFF big-endian with an 80-bit extended-float
+    // sample rate). Oracle recomputes the id arithmetic; MultimodalSpec
+    // pins the parser against golden spec bytes.
+    "q_media_audio" -> ((s, dir) => {
+      val media = Multimodal.syntheticAudio(
+        s, Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.audioDims(s, media).toDF()
+        .select(col("id").as("doc_id"), col("format"),
+          col("channels").cast("long").as("channels"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("bits").cast("long").as("bits"),
+          col("nFrames").as("n_frames"),
+          col("durationMs").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // -------- SURVEY M6 — io surface (schemes + readers + sinks) ----------
 
     // #49/#54 — CSV sink + csv_reader round-trip: documents → CSV files →
@@ -3447,6 +3466,23 @@ object SparkEntry {
         |  CAST(16 + (doc_id * 37) % 2000 AS BIGINT) AS width,
         |  CAST(16 + (doc_id * 53) % 1500 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_audio" ->
+      """WITH p AS (SELECT doc_id,
+        |    1 + (doc_id * 17) % 2 AS channels,
+        |    CASE (doc_id * 31) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |         WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |    8 + 8 * ((doc_id * 13) % 2) AS bits,
+        |    100 + (doc_id * 29) % 2000 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE doc_id % 2 WHEN 0 THEN 'wav' ELSE 'aiff' END AS format,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(bits AS BIGINT) AS bits,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(n_frames * 1000 // rate AS BIGINT) AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // io round-trips: the oracle reads the PARQUET source — the Spark side
     // must round-trip losslessly through CSV/text to match.

@@ -21,6 +21,13 @@ case class DecodedMeta(id: Long, width: Int, height: Int, checksum: Long)
 case class ImageDims(id: Long, format: String,
                      width: Option[Int], height: Option[Int])
 
+/** Parsed audio-container metadata; fields null when the payload is not a
+  * recognizable audio file (format = "unknown").
+  */
+case class AudioDims(id: Long, format: String, channels: Option[Int],
+                     sampleRate: Option[Int], bits: Option[Int],
+                     nFrames: Option[Long], durationMs: Option[Long])
+
 /** Per-record derived features: byte histogram + unit feature vector. */
 case class MediaFeatures(id: Long, nBytes: Long, hist: Array[Long],
                          feature: Array[Float])
@@ -166,6 +173,52 @@ object Multimodal {
         ImageMeta.sniff(bytes) match {
           case Some(i) => ImageDims(id, i.format, Some(i.width), Some(i.height))
           case None    => ImageDims(id, "unknown", None, None)
+        }
+      })
+  }
+
+  /** Synthetic audio corpus, same pattern as [[syntheticImages]]: one
+    * spec-correct minimal WAV or AIFF per row, all parameters
+    * deterministic functions of the id (the arithmetic the oracle
+    * replays); `textCol` bytes ride along as the variable-length JUNK/ANNO
+    * chunk the parser must walk past.
+    */
+  def syntheticAudio(spark: SparkSession, df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val channels = 1 + math.floorMod(id * 17, 2).toInt
+        val rate = rates(math.floorMod(id * 31, 4).toInt)
+        val bits = 8 + 8 * math.floorMod(id * 13, 2).toInt
+        val nFrames = (100 + math.floorMod(id * 29, 2000)).toInt
+        val filler = Option(text).getOrElse("").getBytes("UTF-8").take(120)
+        val (mt, payload) =
+          if (math.floorMod(id, 2) == 0L)
+            ("audio/wav", AudioMeta.makeWav(channels, rate, bits, nFrames, filler))
+          else
+            ("audio/aiff", AudioMeta.makeAiff(channels, rate, bits, nFrames, filler))
+        MediaRecord(id, mt, payload, Map("synthetic" -> "true"))
+      })
+      .toDF("id", "media_type", "payload", "meta")
+  }
+
+  /** Batched audio-metadata extraction over the binary column — the real
+    * [[AudioMeta.sniff]] chunk walk per partition, no shuffle; garbage
+    * yields format "unknown" with null fields. duration_ms is integer
+    * arithmetic (frames·1000 div rate) — no float time math.
+    */
+  def audioDims(spark: SparkSession, media: DataFrame): Dataset[AudioDims] = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        AudioMeta.sniff(bytes) match {
+          case Some(a) => AudioDims(id, a.format, Some(a.channels),
+            Some(a.sampleRate), Some(a.bitsPerSample), Some(a.nFrames),
+            Some(a.nFrames * 1000L / a.sampleRate))
+          case None => AudioDims(id, "unknown", None, None, None, None, None)
         }
       })
   }

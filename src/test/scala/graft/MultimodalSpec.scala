@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.{ImageInfo, ImageMeta, Multimodal => MM}
+import graft.multimodal.{AudioInfo, AudioMeta, ImageInfo, ImageMeta, Multimodal => MM}
 
 /** Multimodal column plumbing: binary payloads + metadata, batched
   * decode/feature extraction (the mapInPandas shape), stub codec contracts.
@@ -176,6 +176,76 @@ class MultimodalSpec extends SparkTestBase {
     val f1 = MM.Codec.decode(5L, Array[Byte](1, 2, 3))
     val f2 = MM.Codec.decode(5L, Array[Byte](1, 2, 3))
     assert(f1 == f2)
+  }
+
+  test("golden WAV: canonical headerless-junk 44-byte layout parses little-endian") {
+    // the textbook minimal PCM WAV: RIFF size 36+data, fmt 16 bytes,
+    // 44100 Hz stereo 16-bit, 2 frames of data (8 bytes)
+    val bb = java.nio.ByteBuffer.allocate(52)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(44).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 4)
+      .putShort(4).putShort(16)
+    bb.put("data".getBytes).putInt(8).putLong(0x1122334455667788L)
+    val got = AudioMeta.sniff(bb.array())
+    assert(got.contains(AudioInfo("wav", 2, 44100, 16, 2L)))
+  }
+
+  test("golden AIFF: 80-bit extended float 44100 = 0x400E AC44…") {
+    val enc = AudioMeta.intToExtended80(44100)
+    assert((enc(0) & 0xff) == 0x40 && (enc(1) & 0xff) == 0x0e)
+    assert((enc(2) & 0xff) == 0xac && (enc(3) & 0xff) == 0x44)
+    assert(enc.drop(4).forall(_ == 0))
+    // and the non-power-of-two rate 22050 round-trips through the builder
+    val a = AudioMeta.makeAiff(1, 22050, 16, 5, "x".getBytes)
+    assert(AudioMeta.sniff(a).contains(AudioInfo("aiff", 1, 22050, 16, 5L)))
+  }
+
+  test("audio builders round-trip through sniff across the parameter grid") {
+    for (ch <- Seq(1, 2); rate <- Seq(8000, 22050, 44100);
+         bits <- Seq(8, 16); n <- Seq(0, 1, 777)) {
+      val w = AudioMeta.sniff(AudioMeta.makeWav(ch, rate, bits, n, "f".getBytes))
+      assert(w.contains(AudioInfo("wav", ch, rate, bits, n.toLong)),
+        s"wav ch=$ch rate=$rate bits=$bits n=$n -> $w")
+      val a = AudioMeta.sniff(AudioMeta.makeAiff(ch, rate, bits, n, "f".getBytes))
+      assert(a.contains(AudioInfo("aiff", ch, rate, bits, n.toLong)),
+        s"aiff ch=$ch rate=$rate bits=$bits n=$n -> $a")
+    }
+  }
+
+  test("truncated and corrupt audio payloads return None, never throw") {
+    val wav = AudioMeta.makeWav(2, 44100, 16, 100, "junk".getBytes)
+    val aiff = AudioMeta.makeAiff(2, 44100, 16, 100, "junk".getBytes)
+    for (full <- Seq(wav, aiff); cut <- Seq(0, 4, 11, 12, 20, 40)) {
+      assert(AudioMeta.sniff(full.take(cut)).isEmpty, s"cut=$cut")
+    }
+    // chunk size pointing past the end (truncated download) must bail
+    val lying = wav.clone()
+    val fmtAt = wav.indexOfSlice("fmt ".getBytes)
+    lying(fmtAt + 4) = 0xff.toByte; lying(fmtAt + 5) = 0xff.toByte
+    assert(AudioMeta.sniff(lying).isEmpty)
+    assert(AudioMeta.sniff("RIFFxxxxWAVE".getBytes).isEmpty) // no chunks at all
+    assert(AudioMeta.sniff(Array.fill[Byte](64)(0x5a)).isEmpty)
+  }
+
+  test("audioDims extracts metadata from the binary column; garbage maps to unknown") {
+    import spark.implicits._
+    val media = MM.syntheticAudio(spark,
+      graft.core.Tables.documents(spark, sfDir).limit(40), "doc_id", "text")
+      .unionByName(Seq((999999L, "application/octet-stream",
+        "definitely not audio".getBytes, Map("synthetic" -> "true")))
+        .toDF("id", "media_type", "payload", "meta"))
+    val dims = MM.audioDims(spark, media).collect().map(d => d.id -> d).toMap
+    dims.values.filter(_.id != 999999L).foreach { d =>
+      assert(d.format == (if (d.id % 2 == 0) "wav" else "aiff"))
+      assert(d.channels.contains(1 + math.floorMod(d.id * 17, 2).toInt))
+      assert(d.nFrames.contains(100 + math.floorMod(d.id * 29, 2000)))
+      val rate = Seq(8000, 16000, 22050, 44100)(math.floorMod(d.id * 31, 4).toInt)
+      assert(d.sampleRate.contains(rate))
+      assert(d.durationMs.contains(d.nFrames.get * 1000L / rate))
+    }
+    assert(dims(999999L).format == "unknown" && dims(999999L).channels.isEmpty)
   }
 
   test("CDC chunking covers the payload exactly and re-syncs after an insert") {
