@@ -269,6 +269,23 @@ object SparkEntry {
         .select("doc_id", "source", "cum").orderBy("doc_id")
     }),
 
+    // Z-order layout stats: Morton-interleave (l_partkey, l_suppkey) with
+    // a codegen'd native expression, then show the file-skipping property
+    // — every z-bucket (zval >> 16) covers a bounded rectangle of the key
+    // space (tight per-bucket min/max on BOTH columns).
+    "q_zorder" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey").cast("long").as("l_partkey"),
+          col("l_suppkey").cast("long").as("l_suppkey"))
+        .withColumn("zval", graft.functions.ZOrder.z_order(
+          col("l_partkey"), col("l_suppkey"), 16))
+        .withColumn("bucket", shiftright(col("zval"), 16))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+        .orderBy("bucket")),
+
     // Sharded export with manifest: token-budget shards (packShards) →
     // hive-layout write → manifest of what actually landed (exact
     // read-back counts). Bytes are parquet-encoding-dependent → the
@@ -2953,6 +2970,16 @@ object SparkEntry {
         |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
         |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 20000 AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // zOrderSql replays the interleave as a list_sum fold over the bits.
+    "q_zorder" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+        |    ${graft.functions.ZOrder.zOrderSql("l_partkey", "l_suppkey", 16)} AS zval
+        |  FROM lineitem)
+        |SELECT zval >> 16 AS bucket, count(*) AS cnt,
+        |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+        |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // The per-group dual of q_shard_pack: running sum PARTITIONed BY
     // source in hash-priority order, inclusive prefix kept under the cap.

@@ -283,6 +283,23 @@ object ScaleOps {
         col("cnt"), col("n").as("group_n"))
   }
 
+  /** Z-order data layout: Morton-interleave two key columns
+    * ([[graft.functions.ZOrder]], codegen'd) and range-partition + sort by
+    * the code. Every output file then covers a bounded RECTANGLE of the
+    * (x, y) key space — per-file min/max stats prune scans filtering on
+    * EITHER column, where a lexicographic sort-by-(x, y) only prunes on x.
+    * The quadrant invariant (equal `zval >> 2k` ⇒ equal `x >> k` and
+    * `y >> k`) is what the stats query / spec pin. At real scale bucket
+    * each dimension into [0, 2^bits) first (range-partition ids); raw
+    * values wider than `bits` alias by masking.
+    */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                   partitions: Int = 32): DataFrame =
+    df.withColumn("zval",
+        graft.functions.ZOrder.z_order(col(xCol), col(yCol), bits))
+      .repartitionByRange(partitions, col("zval"))
+      .sortWithinPartitions("zval")
+
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L << 20): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
