@@ -233,6 +233,14 @@ object SparkEntry {
         .filter(col("doc_id") < 20)
         .orderBy("doc_id", "tok")),
 
+    // The distributed core of a BPE training round: corpus -> (word, cnt)
+    // dictionary -> count-weighted adjacent symbol pairs (chars + </w>).
+    // The argmax merge loop (Bpe.train) is driver-sequenced KMeans-style
+    // and spec-verified against the Sennrich reference example.
+    "q_bpe_pairs" -> ((s, dir) =>
+      graft.ops.Bpe.pairCounts(s, Tables.documents(s, dir), "text")
+        .orderBy("a", "b")),
+
     // Okapi BM25 keyword retrieval (Lucene +1 IDF, k1=1.2 b=0.75):
     // term-filtered postings + one doc-length agg, no materialized index.
     "q_bm25" -> ((s, dir) =>
@@ -3116,6 +3124,22 @@ object SparkEntry {
         |FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n
         |WHERE t.doc_id < 20
         |ORDER BY doc_id, tok""".stripMargin,
+
+    // Per-word char pairs + the (last-char, </w>) marker pair, weighted by
+    // word frequency — exactly Bpe.pairCounts' shape.
+    "q_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |d AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+        |pairs AS (
+        |  SELECT substring(word, CAST(i AS INT), 1) AS a,
+        |         substring(word, CAST(i AS INT) + 1, 1) AS b, cnt
+        |  FROM d CROSS JOIN unnest(range(1, length(word))) AS t(i)
+        |  UNION ALL
+        |  SELECT substring(word, length(word), 1), '</w>', cnt FROM d)
+        |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY a, b ORDER BY a, b""".stripMargin,
 
     // Same singleton-sum-then-fixed-order-add shape as the Spark plan so
     // the double arithmetic replays bit-for-bit before the round.
