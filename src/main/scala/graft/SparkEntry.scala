@@ -1709,6 +1709,27 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Schema evolution: generation 1 written WITHOUT n_chars, generation 2
+    // with it; a mergeSchema read unions the footers into the superset
+    // schema (gen-1 rows surface null n_chars) — the long-lived-dataset
+    // contract. The oracle replays the union arithmetically.
+    "q_schema_evolution" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val path = graft.io.IoScratch.dir + "/documents_evolved"
+      graft.io.Sinks.writeParquet(
+        d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang"),
+        path + "/gen=1")
+      graft.io.Sinks.writeParquet(
+        d.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars"),
+        path + "/gen=2")
+      graft.io.Sources.readParquetEvolved(s, path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          count(col("n_chars")).as("n_with"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // Small-files compaction round-trip: documents sprayed into 16 part
     // files, compacted to one right-sized file (crash-safe swap), read
     // back. Oracle reads the parquet source — compaction must be lossless.
@@ -3556,6 +3577,16 @@ object SparkEntry {
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'zh')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*) AS cnt, count(n_chars) AS n_with,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_window_range" ->
       """WITH t AS (SELECT o_orderkey, o_custkey,

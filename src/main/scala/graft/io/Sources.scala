@@ -61,6 +61,17 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Schema-evolved parquet read: merge the footers of every file under
+    * `path` into one superset schema (columns added over a dataset's
+    * lifetime come back as nulls for files written before them) — the
+    * standard contract for a long-lived 100 TB dataset whose schema grew.
+    * Off by default in Spark because footer-merging costs one extra
+    * distributed pass at planning time; this entry point makes the choice
+    * explicit at the call site.
+    */
+  def readParquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** `raw://` literal source (scheme_raw.py:1-11): the payload IS the
     * record. Driver-side literals, parallelized — for seeds and unit inputs.
     */

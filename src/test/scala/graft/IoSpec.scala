@@ -47,6 +47,17 @@ class IoSpec extends SparkTestBase {
     assert(back.toSeq == Seq("r1\t1", "r2\t2"))
   }
 
+  test("readParquetEvolved merges footers: new column is null for old-gen rows") {
+    val path = graft.io.IoScratch.dir + "/spec_evolved"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    Sinks.writeParquet(Seq((1L, "a")).toDF("id", "v"), path + "/gen=1")
+    Sinks.writeParquet(Seq((2L, "b", 99L)).toDF("id", "v", "extra"), path + "/gen=2")
+    val m = Sources.readParquetEvolved(spark, path)
+    assert(m.columns.toSet == Set("id", "v", "extra", "gen"))
+    val rows = m.select("id", "extra").as[(Long, Option[Long])].collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some(99L)), s"got $rows")
+  }
+
   test("writeSharded manifest works with STRING shard names (and escaped chars)") {
     val path = graft.io.IoScratch.dir + "/spec_sharded_str"
     new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
