@@ -1192,6 +1192,22 @@ object SparkEntry {
         .orderBy("user_id", "valid_from")
     }),
 
+    // Snapshot diff — what did the rebuild touch: two deterministic
+    // versions of documents (drops, edits) full-outer-joined by key,
+    // labeled added/removed/changed/unchanged + the changed-column list.
+    "q_dataset_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+      val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("lang",
+          when(col("doc_id") % 13 === 0, lit("xx")).otherwise(col("lang")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 5 === 0, col("n_chars") + 1).otherwise(col("n_chars")))
+      graft.ops.ChangeOps.snapshotDiff(oldSnap, newSnap, Seq("doc_id"))
+        .select("doc_id", "status", "changed_cols")
+        .orderBy("doc_id")
+    }),
+
     // Cross-corpus fuzzy decontamination: every train doc (source != src0)
     // scored against the eval corpus (source = src0) by LSH-banded MinHash,
     // candidates verified by exact shingle-set Jaccard >= 0.7. Eval band
@@ -2730,6 +2746,27 @@ object SparkEntry {
         |       state,
         |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
         |FROM st ORDER BY user_id, valid_from""".stripMargin,
+
+    "q_dataset_diff" ->
+      """WITH o AS (SELECT doc_id, lang, source, n_chars FROM documents
+        |           WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang,
+        |        source,
+        |        CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |      FROM documents WHERE doc_id % 11 <> 0),
+        |j AS (SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+        |        o.doc_id IS NOT NULL AS in_old, n.doc_id IS NOT NULL AS in_new,
+        |        concat_ws(',',
+        |          CASE WHEN o.lang    IS DISTINCT FROM n.lang    THEN 'lang' END,
+        |          CASE WHEN o.source  IS DISTINCT FROM n.source  THEN 'source' END,
+        |          CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars THEN 'n_chars' END) AS cc
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN NOT in_old THEN 'added' WHEN NOT in_new THEN 'removed'
+        |       WHEN cc <> '' THEN 'changed' ELSE 'unchanged' END AS status,
+        |  CASE WHEN in_old AND in_new THEN cc ELSE '' END AS changed_cols
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "q_xcontamination" ->
       """WITH arr AS (SELECT doc_id, source,

@@ -225,6 +225,28 @@ class EntrySpec extends SparkTestBase {
     assert(got == Seq((1L, 2L, "a2"), (3L, 1L, "c"), (4L, 2L, "d")))
   }
 
+  test("snapshotDiff labels added/removed/changed/unchanged with column lists") {
+    import spark.implicits._
+    val oldS = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("k", "s", "n")
+    val newS = Seq((1L, "a", 10L),          // unchanged
+      (2L, "B", 21L),                       // both value cols changed
+      (4L, "d", 41L),                       // one col changed
+      (5L, "e", 50L))                       // added; 3 removed
+      .toDF("k", "s", "n")
+    val got = graft.ops.ChangeOps.snapshotDiff(oldS, newS, Seq("k"))
+      .orderBy("k").as[(Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "unchanged", ""), (2L, "changed", "s,n"), (3L, "removed", ""),
+      (4L, "changed", "n"), (5L, "added", "")), s"got $got")
+    // null-safe equality: null == null is NOT a change, null vs value is
+    val o2 = Seq((1L, Option.empty[String]), (2L, Option("x"))).toDF("k", "s")
+    val n2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "s")
+    val g2 = graft.ops.ChangeOps.snapshotDiff(o2, n2, Seq("k"))
+      .orderBy("k").as[(Long, String, String)].collect().toSeq
+    assert(g2 == Seq((1L, "unchanged", ""), (2L, "changed", "s")), s"got $g2")
+  }
+
   test("scd2: intervals chain per key, exactly one current row") {
     import spark.implicits._
     val changes = Seq((1L, 10L, "x"), (1L, 20L, "y"), (1L, 30L, "z"), (2L, 5L, "w"))
