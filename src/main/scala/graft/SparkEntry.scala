@@ -610,6 +610,22 @@ object SparkEntry {
       graft.functions.Sketches.kmvDistinct(
         Tables.lineitem(s, dir), col("l_partkey"), k = 256)),
 
+    // Count-min sketch: depth x width fixed-memory frequency table over
+    // the corpus token stream, point estimates for a probe set (one
+    // never-seen key included). Deterministic md5 bucketing -> the oracle
+    // replays sketch AND estimates bit-for-bit.
+    "q_cms" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir).select(
+        explode(graft.functions.TextAnalysis.tokensArr(col("text"))).as("tok"))
+      val sketch = graft.functions.Sketches.cmsBuild(
+        toks, col("tok"), depth = 4, width = 512)
+      val probes = Seq("scan", "column", "window", "zzz_absent").toDF("q")
+      graft.functions.Sketches.cmsEstimate(
+          sketch, probes, col("q"), depth = 4, width = 512)
+        .orderBy("qkey")
+    }),
+
     // Per-group KMV: distinct parts per return flag, sketch-bounded state.
     "q_kmv_groups" -> ((s, dir) =>
       graft.functions.Sketches.kmvDistinctByGroup(
@@ -2588,6 +2604,16 @@ object SparkEntry {
 
     "q_kmv_distinct" ->
       graft.functions.Sketches.kmvDistinctSql("lineitem", "l_partkey", k = 256),
+
+    "q_cms" ->
+      (graft.functions.Sketches.cmsEstimateSql(
+        table = "(SELECT unnest(list_filter(" +
+          "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok " +
+          "FROM documents)",
+        keyExpr = "tok",
+        queryCte = "SELECT * FROM (VALUES ('scan'), ('column'), ('window'), " +
+          "('zzz_absent')) AS t(qkey)",
+        depth = 4, width = 512) + "\nORDER BY qkey"),
 
     "q_kmv_groups" ->
       graft.functions.Sketches.kmvDistinctByGroupSql(

@@ -177,4 +177,74 @@ object Sketches {
        |            ELSE round(${(k - 1).toDouble} * ${Space} / CAST(max(h) AS DOUBLE), 6)
        |       END AS est_distinct
        |FROM s""".stripMargin
+
+  // ---- count-min sketch ---------------------------------------------------
+
+  /** CMS row-`j` bucket of a key: md5(key:salt:j) mod width — the same
+    * engine-portable hashing family as [[hash60]], one independent salt
+    * per sketch row.
+    */
+  def cmsBucket(key: Column, j: Column, width: Int, salt: String): Column =
+    pmod(conv(substring(md5(to_binary(
+      concat(key.cast("string"), lit(s":$salt:"), j.cast("string")),
+      lit("utf-8"))), 1, 15), 16, 10).cast("long"), lit(width.toLong))
+
+  /** Count-min sketch build (Cormode & Muthukrishnan 2005): `depth` hash
+    * rows × `width` buckets, materialized as a (j, bucket, cnt) table of
+    * AT MOST depth·width rows regardless of input size — the
+    * fixed-memory frequency summary (KMV covers distinct counts,
+    * Misra-Gries exact heavy hitters; CMS answers ANY point frequency
+    * with `est ≥ true ≤ true + N/width` one-sided error).
+    *
+    * Plan shape: explode each key `depth` ways (constant fan-out), one
+    * map-side-combined groupBy — shuffle volume is min(input, depth·width)
+    * rows per partition, never the corpus. Sketches MERGE by unioning the
+    * tables and re-summing (spec-pinned), which is how partial sketches
+    * from independent data slices combine at 100 TB.
+    */
+  def cmsBuild(df: DataFrame, key: Column, depth: Int, width: Int,
+               salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 16 && width >= 2,
+      s"cms: depth in [1,16], width >= 2 (got $depth x $width)")
+    df.select(key.as("_k")).where(col("_k").isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("_k"))
+      .select(col("j"), cmsBucket(col("_k"), col("j"), width, salt).as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmsBuild]] sketch for each
+    * distinct key in `queries`: est = min over rows j of
+    * sketch[j][bucket_j(key)], 0 for never-seen keys (left join +
+    * coalesce). The sketch is depth·width rows — broadcast side.
+    */
+  def cmsEstimate(sketch: DataFrame, queries: DataFrame, key: Column,
+                  depth: Int, width: Int, salt: String = "cms"): DataFrame = {
+    val q = queries.select(key.as("qkey")).where(col("qkey").isNotNull).distinct()
+      .select(col("qkey"), explode(sequence(lit(0), lit(depth - 1))).as("qj"))
+      .select(col("qkey"), col("qj"),
+        cmsBucket(col("qkey"), col("qj"), width, salt).as("qbucket"))
+    q.join(broadcast(sketch),
+        col("qj") === col("j") && col("qbucket") === col("bucket"), "left")
+      .groupBy("qkey")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** The DuckDB SQL replaying [[cmsBuild]] + [[cmsEstimate]] bit-for-bit
+    * over `table`'s `keyExpr` values, estimating for `queryCte` (a CTE
+    * body yielding one column `qkey`).
+    */
+  def cmsEstimateSql(table: String, keyExpr: String, queryCte: String,
+                     depth: Int, width: Int, salt: String = "cms"): String = {
+    def bucket(e: String) =
+      s"CAST(('0x' || substr(md5(CAST($e AS VARCHAR) || ':$salt:' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % $width"
+    s"""WITH ks AS (SELECT $keyExpr AS k FROM $table WHERE $keyExpr IS NOT NULL),
+       |js AS (SELECT unnest(range($depth)) AS j),
+       |sk AS (SELECT j, ${bucket("k")} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM ks CROSS JOIN js GROUP BY 1, 2),
+       |qs AS (SELECT DISTINCT qkey FROM ($queryCte)),
+       |qb AS (SELECT qkey, j, ${bucket("qkey")} AS bucket FROM qs CROSS JOIN js)
+       |SELECT qb.qkey AS qkey, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
+       |FROM qb LEFT JOIN sk ON qb.j = sk.j AND qb.bucket = sk.bucket
+       |GROUP BY qb.qkey""".stripMargin
+  }
 }

@@ -71,6 +71,42 @@ class SketchesSpec extends SparkTestBase {
     assert(small.getAs[Double]("inter_est") == 20.0)
   }
 
+  test("cms: estimate is an upper bound, exact without collisions, 0 for unseen") {
+    import spark.implicits._
+    val words = Seq.fill(50)("a") ++ Seq.fill(20)("b") ++ Seq.fill(3)("c")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("i", "k")
+    // wide sketch at 3 keys: no collisions -> exact
+    val sk = Sketches.cmsBuild(df, col("k"), depth = 4, width = 1024)
+    val est = Sketches.cmsEstimate(sk,
+        Seq("a", "b", "c", "nope").toDF("q"), col("q"), depth = 4, width = 1024)
+      .as[(String, Long)].collect().toMap
+    assert(est == Map("a" -> 50L, "b" -> 20L, "c" -> 3L, "nope" -> 0L), s"got $est")
+    // brutal width (2 buckets): still an upper bound, total preserved per row
+    val sk2 = Sketches.cmsBuild(df, col("k"), depth = 3, width = 2)
+    val est2 = Sketches.cmsEstimate(sk2,
+        Seq("a", "b", "c").toDF("q"), col("q"), depth = 3, width = 2)
+      .as[(String, Long)].collect().toMap
+    assert(est2("a") >= 50L && est2("b") >= 20L && est2("c") >= 3L, s"got $est2")
+    // every sketch row's counters sum to N (the CMS invariant)
+    val rowSums = sk2.groupBy("j").agg(sum("cnt").as("s"))
+      .select("s").as[Long].collect()
+    assert(rowSums.forall(_ == words.size.toLong), s"got ${rowSums.toSeq}")
+  }
+
+  test("cms sketches merge by union + re-sum (distributed combine contract)") {
+    import spark.implicits._
+    val a = Seq.tabulate(200)(i => (i.toLong, s"k${i % 7}")).toDF("i", "k")
+    val b = Seq.tabulate(150)(i => (i.toLong, s"k${i % 5}")).toDF("i", "k")
+    val whole = Sketches.cmsBuild(a.union(b), col("k"), depth = 4, width = 64)
+    val merged = Sketches.cmsBuild(a, col("k"), depth = 4, width = 64)
+      .union(Sketches.cmsBuild(b, col("k"), depth = 4, width = 64))
+      .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+    val diff = whole.as("w").join(merged.as("m"),
+        Seq("j", "bucket"), "full_outer")
+      .filter(!(col("w.cnt") <=> col("m.cnt"))).count()
+    assert(diff == 0L, "merged partial sketches must equal the whole-data sketch")
+  }
+
   test("kmv plan is TakeOrdered over hashes, not a global sort") {
     val df = graft.core.Tables.lineitem(spark, sfDir)
     val plan = Sketches.kmvDistinct(df, col("l_partkey"), k = 64)
