@@ -196,20 +196,27 @@ object Sketches {
     * Misra-Gries exact heavy hitters; CMS answers ANY point frequency
     * with `est ≥ true ≤ true + N/width` one-sided error).
     *
-    * Plan shape: explode each key `depth` ways (constant fan-out), one
-    * map-side-combined groupBy — shuffle volume is min(input, depth·width)
-    * rows per partition, never the corpus. Sketches MERGE by unioning the
-    * tables and re-summing (spec-pinned), which is how partial sketches
-    * from independent data slices combine at 100 TB.
+    * Plan shape: the stream first collapses to (distinct key, weight) —
+    * one map-side-combined agg — so the depth-fold explode and the md5
+    * bucketing run over DISTINCT keys, not the raw stream (on a Zipfian
+    * token stream that is orders of magnitude less hashing; the weighted
+    * re-sum is exactly equal by commutativity). Shuffle volume is bounded
+    * by min(distinct keys, depth·width) rows per partition, never the
+    * corpus. Sketches MERGE by unioning the tables and re-summing
+    * (spec-pinned), which is how partial sketches from independent data
+    * slices combine at 100 TB.
     */
   def cmsBuild(df: DataFrame, key: Column, depth: Int, width: Int,
                salt: String = "cms"): DataFrame = {
     require(depth >= 1 && depth <= 16 && width >= 2,
       s"cms: depth in [1,16], width >= 2 (got $depth x $width)")
     df.select(key.as("_k")).where(col("_k").isNotNull)
-      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("_k"))
-      .select(col("j"), cmsBucket(col("_k"), col("j"), width, salt).as("bucket"))
-      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy("_k").agg(count(lit(1)).as("_w"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col("_k"), col("_w"))
+      .select(col("j"), cmsBucket(col("_k"), col("j"), width, salt).as("bucket"),
+        col("_w"))
+      .groupBy("j", "bucket").agg(sum("_w").as("cnt"))
   }
 
   /** Point-frequency estimates from a [[cmsBuild]] sketch for each

@@ -132,4 +132,73 @@ class PlanGuardSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       "orders x customer must broadcast the dim side")
   }
+
+  test("q_bm25: stats broadcast, no all-pairs join, postings filter precedes the tf agg") {
+    val plan = SparkEntry.queries("q_bm25")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastExchange"),
+      "the 1-row (n_docs, avgdl) stats table must broadcast")
+    // the query-term filter must run BEFORE the (doc, term) aggregation —
+    // a vocabulary-wide tf table would shuffle every distinct token
+    assert(plan.contains("tok#") && plan.contains("IN ("),
+      s"expected the term IN-filter in the plan:\n${plan.take(2000)}")
+  }
+
+  test("q_cms: the depth*width sketch broadcasts against the probe side") {
+    val plan = SparkEntry.queries("q_cms")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bounded sketch table must broadcast, never shuffle the probes")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_budget_cap / prefixSumByGroup: no one-task global window") {
+    // every Window in the plan must partition by something — an empty
+    // partitionBy funnels the whole dataset through a single task
+    val plan = SparkEntry.queries("q_budget_cap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    windows.foreach { w =>
+      assert(!w.contains("windowspecdefinition()"),
+        s"unpartitioned window (single-task funnel):\n$w")
+    }
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_zorder: the Morton interleave stays inside whole-stage codegen") {
+    // the expression must compile via doGenCode, never the interpreted
+    // CodegenFallback path that would break the scan+project codegen span
+    val e = graft.functions.InterleaveBits(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L),
+      org.apache.spark.sql.catalyst.expressions.Literal(2L), 16)
+    assert(!e.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+    // AQE's pre-execution AdaptiveSparkPlanExec hides codegen subtrees
+    // from the dump — plan the probe without it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q_zorder")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      // codegen stages render as "*(n) Project/..." — the project carrying
+      // interleavebits must be inside one
+      assert(plan.toString.linesIterator.exists(l =>
+        l.contains("interleavebits") && l.contains("*(")),
+        s"interleave broke whole-stage codegen:\n${plan.toString.take(1200)}")
+      val dump = org.apache.spark.sql.execution.debug.codegenString(plan)
+      assert(dump.contains("Found") && !dump.startsWith("Found 0"),
+        s"no compiled codegen subtree in q_zorder:\n${dump.take(800)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q_dataset_diff: one shuffle join, column compares are in-plan projections") {
+    val plan = SparkEntry.queries("q_dataset_diff")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"full-outer diff must be a hash/merge join:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
