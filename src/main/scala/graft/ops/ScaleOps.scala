@@ -300,6 +300,20 @@ object ScaleOps {
       .repartitionByRange(partitions, col("zval"))
       .sortWithinPartitions("zval")
 
+  /** Per-output-file bounding boxes of two columns — the measurable form
+    * of the file-skipping claim: after [[zorderLayout]] + write, every
+    * file's (x, y) min/max box is tight on BOTH columns (these min/max
+    * are exactly what lands in the parquet footer stats a scan prunes
+    * with). One scan, grouped by `input_file_name()`.
+    */
+  def fileBoxStats(spark: SparkSession, path: String, xCol: String,
+                   yCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("cnt"),
+        min(xCol).as("min_x"), max(xCol).as("max_x"),
+        min(yCol).as("min_y"), max(yCol).as("max_y"))
+
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L << 20): Long = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -58,6 +58,32 @@ class ZOrderSpec extends SparkTestBase {
       s"z-bucket box exceeded 2^4: $boxes")
   }
 
+  test("written z-order files carry tight per-file boxes on BOTH columns") {
+    val rnd = new scala.util.Random(19)
+    val df = Seq.fill(20000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val base = graft.io.IoScratch.dir + "/zorder_layout"
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    // z-order layout vs the lexicographic strawman, 16 files each
+    graft.ops.ScaleOps.zorderLayout(df, "x", "y", 10, partitions = 16)
+      .drop("zval").write.parquet(base + "/z")
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(base + "/lex")
+    def avgWidth(path: String, c: String): Double = {
+      val s = graft.ops.ScaleOps.fileBoxStats(spark, path, "x", "y")
+        .select(avg(col(s"max_$c") - col(s"min_$c"))).head()
+      s.getDouble(0)
+    }
+    // lexicographic: x tight but every file spans ~the full y range
+    assert(avgWidth(base + "/lex", "y") > 900.0)
+    // z-order: BOTH dimensions bounded well below the full range — the
+    // footer min/max a scan prunes with are selective on either column
+    val zy = avgWidth(base + "/z", "y")
+    val zx = avgWidth(base + "/z", "x")
+    assert(zy < 600.0, s"z-layout y-width $zy not selective")
+    assert(zx < 600.0, s"z-layout x-width $zx not selective")
+  }
+
   test("zorderLayout emits zval-sorted partitions covering disjoint z-ranges") {
     val rnd = new scala.util.Random(3)
     val df = Seq.fill(2000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
