@@ -388,6 +388,19 @@ object SparkEntry {
           round(col("median"), 6).as("median"), round(col("mad"), 6).as("mad"))
         .orderBy("l_returnflag")),
 
+    // Robust outlier gate on the MAD machinery: rows deviating > k MADs
+    // from their group median (k=1.8 against the fixture's near-uniform
+    // prices; real corpora use ~5.2 = 3.5/0.6745). Stats broadcast, flag
+    // is a codegen'd projection.
+    "q_outliers" -> ((s, dir) =>
+      graft.ops.StatsOps.flagOutliers(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", k = 1.8)
+        .filter(col("is_outlier"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Distributed per-group quantiles: same numbers as q_quantiles but
     // through the two-pass rank machinery — no group's values ever
     // buffer in one task (the `percentile` aggregate's hotspot).
@@ -3104,6 +3117,23 @@ object SparkEntry {
         |SELECT l_returnflag, round(med, 6) AS median,
         |       round(quantile_cont(dev, 0.5), 6) AS mad
         |FROM d GROUP BY l_returnflag, med ORDER BY l_returnflag""".stripMargin,
+
+    "q_outliers" ->
+      """WITH m AS (SELECT l_returnflag,
+        |             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+        |           FROM lineitem GROUP BY l_returnflag),
+        |     d AS (SELECT l.l_returnflag,
+        |             abs(CAST(l.l_extendedprice AS DOUBLE) - m.med) AS dev, m.med
+        |           FROM lineitem l JOIN m USING (l_returnflag)),
+        |     s AS (SELECT l_returnflag, med, quantile_cont(dev, 0.5) AS mad
+        |           FROM d GROUP BY l_returnflag, med)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag
+        |FROM lineitem l JOIN s USING (l_returnflag)
+        |WHERE CASE WHEN s.mad = 0
+        |           THEN abs(CAST(l.l_extendedprice AS DOUBLE) - s.med) > 0
+        |           ELSE abs(CAST(l.l_extendedprice AS DOUBLE) - s.med) > 1.8 * s.mad
+        |      END
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_quantiles_dist" ->
       """SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q,

@@ -77,6 +77,28 @@ object StatsOps {
       .select(col(groupCol), col("_med").as("median"), col("mad"))
   }
 
+  /** Robust per-group outlier flags — the data-cleaning gate built on
+    * [[madPerGroup]]: a row is an outlier when its absolute deviation
+    * from the group median exceeds `k` MADs (k ≈ 5.2 matches the classic
+    * modified-z threshold 3.5 / 0.6745; both statistics are
+    * corruption-resistant, unlike mean/stddev which one bad magnitude
+    * drags). Degenerate groups (mad = 0: over half the mass on one
+    * value) flag ANY nonzero deviation — the conservative reading.
+    *
+    * Shape: the (group, median, mad) table is |groups| rows → broadcast
+    * join; the flag itself is a codegen'd projection over one corpus
+    * scan. Output: input row + (median, mad, is_outlier).
+    */
+  def flagOutliers(df: DataFrame, groupCol: String, valCol: String,
+                   k: Double, partitions: Int = 32): DataFrame = {
+    require(k > 0, s"flagOutliers: k must be positive, got $k")
+    val stats = madPerGroup(df, groupCol, valCol, partitions)
+    val dev = abs(col(valCol).cast("double") - col("median"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("is_outlier",
+        when(col("mad") === 0.0, dev > 0.0).otherwise(dev > lit(k) * col("mad")))
+  }
+
   /** Per-group n / mean / sample-stddev of `xCol`, and corr(x, y):
     * `(group, n, mean_x, stddev_x, corr_xy)`. Inputs must carry at most
     * 2 decimal places (the decimal(18,2) cast is exact by contract).

@@ -125,6 +125,23 @@ class WindowRankSpec extends SparkTestBase {
     assert(mad("a") == ((2.0, 1.0)) && mad("b") == ((4.0, 0.0)))
   }
 
+  test("flagOutliers: k-MAD gate flags planted outliers, mad=0 groups flag any deviation") {
+    val df = (Seq.fill(9)(("a", 100.0)) :+ ("a", 1000.0)) ++
+      ((1 to 11).map(i => ("b", i.toDouble)) :+ ("b", 100.0))
+    val got = graft.ops.StatsOps.flagOutliers(
+        df.toDF("g", "v"), "g", "v", k = 2.0)
+      .filter(col("is_outlier")).select("g", "v")
+      .as[(String, Double)].collect().toSet
+    // a: median 100, mad 0 -> ONLY the 1000 deviates; b: median 6.5,
+    // mad 3 -> threshold 6: only the planted 100 exceeds it
+    assert(got == Set(("a", 1000.0), ("b", 100.0)), s"got $got")
+    // non-outliers keep their stats columns (gate is a projection, not a filter)
+    val all = graft.ops.StatsOps.flagOutliers(
+      df.toDF("g", "v"), "g", "v", k = 2.0)
+    assert(all.count() == df.size.toLong)
+    assert(all.columns.toSet == Set("g", "v", "median", "mad", "is_outlier"))
+  }
+
   test("aucExact: tie-corrected AUC matches the pairwise definition") {
     import graft.ops.EvalMetrics
     // pos scores {3,2}, neg {1,2}: pairs 3>1, 3>2, 2>1 win, 2==2 half
