@@ -143,6 +143,40 @@ object Streams {
       .toDF("group", "value", "cnt_lower", "total")
   }
 
+  /** Streaming per-key quota — the incremental form of
+    * [[graft.ops.PrefixSum.budgetCapPerGroup]]: each key accumulates its
+    * events' sizes in `mapGroupsWithState` state across micro-batches; an
+    * event is accepted while the key's INCLUSIVE running total fits the
+    * budget. A crossing event is rejected but still consumes budget — the
+    * same no-backfill rule as the batch op, so the stream's accept set
+    * equals the batch op's on the same arrival order (spec-pinned).
+    * Events sort by `orderCol` WITHIN a micro-batch (cross-batch order is
+    * arrival order), so a replayed batch makes identical decisions.
+    * State per key is ONE long — millions of keys fit any state store.
+    */
+  def quotaStream(events: DataFrame, keyCol: String, orderCol: String,
+                  sizeCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"quotaStream: budget must be positive, got $budget")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("string"), col(orderCol).cast("long"),
+        col(sizeCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (k, it, state: GroupState[Long]) =>
+          var acc = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_._2).map { case (_, ord, sz) =>
+            acc += sz
+            (k, ord, acc, acc <= budget)
+          }
+          state.update(acc)
+          out.iterator
+      }
+      .toDF(keyCol, orderCol, "cum", "accepted")
+  }
+
   /** Streaming NEAR-dup filter: each micro-batch of documents is checked
     * against the accumulated MinHash band index of everything accepted so
     * far (the "dedup an incoming crawl against the corpus" pipeline —

@@ -196,6 +196,41 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming quota: state persists across batches and equals the batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val q = Streams.quotaStream(in.toDF.toDF("k", "ord", "sz"),
+        "k", "ord", "sz", budget = 100L)
+      .writeStream.format("memory").queryName("quota_s")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: A consumes 90 of 100; B consumes 60
+      in.addData(("A", 1L, 50L), ("A", 2L, 40L), ("B", 3L, 60L))
+      q.processAllAvailable()
+      // batch 2: A's 20 crosses (rejected, still consumes); A's 5 after
+      // the crossing is NOT backfilled; B's 40 exactly fills its budget
+      in.addData(("A", 4L, 20L), ("A", 5L, 5L), ("B", 6L, 40L))
+      q.processAllAvailable()
+      val rows = spark.table("quota_s")
+        .select("k", "ord", "cum", "accepted")
+        .as[(String, Long, Long, Boolean)].collect().toSet
+      assert(rows == Set(
+        ("A", 1L, 50L, true), ("A", 2L, 90L, true), ("B", 3L, 60L, true),
+        ("A", 4L, 110L, false), ("A", 5L, 115L, false), ("B", 6L, 100L, true)),
+        s"got $rows")
+      // parity with the batch operator over the same total order
+      import spark.implicits._
+      val batch = graft.ops.PrefixSum.budgetCapPerGroup(
+          Seq(("A", 1L, 50L), ("A", 2L, 40L), ("B", 3L, 60L),
+            ("A", 4L, 20L), ("A", 5L, 5L), ("B", 6L, 40L)).toDF("k", "ord", "sz"),
+          "k", Seq("ord"), "sz", budget = 100L)
+        .select("k", "ord", "cum").as[(String, Long, Long)].collect().toSet
+      val streamAccepted = rows.filter(_._4).map(r => (r._1, r._2, r._3))
+      assert(streamAccepted == batch,
+        s"stream accept set diverged from batch: $streamAccepted vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup: later near-copies are dropped against the index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = graft.io.IoScratch.dir + "/stream_neardup"
