@@ -35,7 +35,15 @@ object GraftExtensions {
     fn("rolling_hash", 1, a => RollingHash(a.head)),
     fn("vec_dot", 2, a => DotProduct(a(0), a(1))),
     fn("vec_sqdist", 2, a => SqEuclidean(a(0), a(1))),
-    fn("vec_dot_prefix", 2, a => DotPrefix(a(0), a(1))))
+    fn("vec_dot_prefix", 2, a => DotPrefix(a(0), a(1))),
+    fn("interleave_bits", 3, a => {
+      val bits = a(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"interleave_bits: bits must be an integer literal, got $other")
+      }
+      graft.functions.InterleaveBits(a(0), a(1), bits)
+    }))
 
   /** Post-hoc, idempotent registration into a LIVE session. Needed because
     * `withExtensions` on a builder is silently ignored when `getOrCreate`

@@ -83,6 +83,12 @@ class VectorOpsSpec extends SparkTestBase {
       .head().getDouble(0) == 11.0)
     assert(spark.sql(
       "SELECT vec_sqdist(array(1.0d), array(3.0d))").head().getDouble(0) == 4.0)
+    assert(spark.sql("SELECT interleave_bits(5L, 3L, 3)").head().getLong(0)
+      == 27L)
+    // non-literal bits argument fails loudly, not silently
+    intercept[Exception] {
+      spark.sql("SELECT interleave_bits(5L, 3L, CAST(rand()*4 AS INT))").collect()
+    }
     // post-hoc registration into a live session is idempotent and
     // equivalent (the path for sessions getOrCreate'd without extensions)
     graft.core.GraftExtensions.register(spark)
