@@ -765,6 +765,13 @@ object SparkEntry {
       TextOps.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id")),
 
+    // Bigram-LM fluency score: mean ln P(w2|w1) under the corpus's own
+    // add-one bigram model — the n-gram proxy for "reads like the
+    // corpus". Same decimal-sum + round(4) determinism as q_surprisal.
+    "q_bigram_lm" -> ((s, dir) =>
+      TextOps.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id")),
+
     // Compression-ratio quality filter (zlib level 6): deterministic
     // deflate-size/raw-size per doc. No DuckDB zlib surface ⇒ no oracle —
     // rows-only check here; the spec pins determinism and the
@@ -2420,6 +2427,24 @@ object SparkEntry {
         |               / CAST(count(*) AS DOUBLE), 4) AS surprisal
         |FROM t2 JOIN f USING (tok)
         |GROUP BY doc_id ORDER BY id""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH arr AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |bigr AS (SELECT t1.doc_id, t1.w AS w1, t1.w || ' ' || t2.w AS bg
+        |         FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok GROUP BY w),
+        |big AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bigr GROUP BY bg),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |lp AS (SELECT b.doc_id,
+        |         CAST(ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v.v AS DOUBLE))
+        |              AS DECIMAL(38,18)) AS lp
+        |       FROM bigr b JOIN big USING (bg) JOIN uni ON uni.w = b.w1 CROSS JOIN v)
+        |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS lm_score
+        |FROM lp GROUP BY doc_id ORDER BY id""".stripMargin,
 
     "q_exact_quantiles" ->
       """SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem

@@ -434,6 +434,47 @@ object TextOps {
     * per-doc mean) + one shuffle join on the token key; map-side partial
     * aggregation collapses repeated tokens per doc first.
     */
+  /** Per-document bigram language-model score — the n-gram-LM quality
+    * signal (the cheap proxy for "does this read like the corpus" used to
+    * rank crawl text before pretraining): mean over the doc's bigrams of
+    * ln P(w2|w1) under the corpus's own add-one-smoothed bigram model,
+    * P(w2|w1) = (C(w1 w2)+1) / (C(w1)+V). Fluent text (frequent
+    * collocations) scores high; shuffled/garbage text scores low.
+    *
+    * Determinism: per-bigram log-probs pass through DECIMAL(38,18) before
+    * the sum (exact, order-independent — the [[unigramSurprisal]] trick),
+    * so the mean replays bit-for-bit in any engine. Docs with < 2 tokens
+    * have no bigrams and are absent from the output.
+    *
+    * Shape at 100 TB: explode + three hash aggregations (bigram counts,
+    * unigram counts, per-doc mean) + shuffle joins on the n-gram keys;
+    * vocab size is a 1-row broadcast.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val arr = df.select(col(idCol).as("id"),
+        graft.functions.TextAnalysis.tokensArr(col(textCol)).as("a"))
+      .filter(size(col("a")) >= 2)
+    val bigr = arr.select(col("id"),
+        explode(graft.functions.TextAnalysis.ngramsArr(col("a"), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val toks = df.select(
+      explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val big = bigr.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    bigr.join(big, "bg")
+      .join(uni.withColumnRenamed("tok", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((col("cb") + 1).cast("double") /
+        (col("cu") + col("v")).cast("double")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast("decimal(38,18)")).as("_slp"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("_slp").cast("double") / col("n_bigrams").cast("double"), 4)
+          .as("lm_score"))
+  }
+
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("tok"))

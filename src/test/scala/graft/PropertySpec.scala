@@ -421,6 +421,27 @@ class PropertySpec extends SparkTestBase {
     assert(math.abs(s(0)._3 - math.log(12.0 / 6.0)) < 1e-3)
   }
 
+  test("bigramLmScore ranks corpus-like text above shuffled text") {
+    import spark.implicits._
+    val docs = ((1 to 20).map(i => (i.toLong, "alpha beta gamma delta")) :+
+      ((100L, "alpha beta gamma delta")) :+ ((200L, "delta beta alpha gamma")))
+      .toDF("doc_id", "text")
+    val s = graft.ops.TextOps.bigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(s(100L)._2 == 3L) // 4 tokens -> 3 bigrams
+    // fluent doc: every bigram seen 21x -> each lp = ln((21+1)/(22+4))
+    val expect = math.log(22.0 / 26.0)
+    assert(math.abs(s(100L)._3 - expect) < 2e-4, s"got ${s(100L)._3}")
+    // shuffled doc: all bigrams unseen elsewhere (count 1) -> far lower
+    assert(s(200L)._3 < s(100L)._3 - 1.0,
+      s"shuffled ${s(200L)._3} not well below fluent ${s(100L)._3}")
+    // single-token docs have no bigrams and are absent
+    val one = graft.ops.TextOps.bigramLmScore(
+      Seq((1L, "alpha"), (2L, "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text").select("id").as[Long].collect().toSet
+    assert(one == Set(2L))
+  }
+
   test("bm25 agrees with the textbook reference model") {
     import spark.implicits._
     val raw = Seq(
