@@ -388,6 +388,13 @@ object SparkEntry {
           round(col("median"), 6).as("median"), round(col("mad"), 6).as("mad"))
         .orderBy("l_returnflag")),
 
+    // ANALYZE-style table profile: one melt scan -> per-column rows /
+    // nulls / exact distincts (the delivery-health pass).
+    "q_table_profile" -> ((s, dir) =>
+      graft.ops.StatsOps.tableProfile(Tables.documents(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column")),
+
     // Robust outlier gate on the MAD machinery: rows deviating > k MADs
     // from their group median (k=1.8 against the fixture's near-uniform
     // prices; real corpora use ~5.2 = 3.5/0.6745). Stats broadcast, flag
@@ -3142,6 +3149,19 @@ object SparkEntry {
         |SELECT l_returnflag, round(med, 6) AS median,
         |       round(quantile_cont(dev, 0.5), 6) AS mad
         |FROM d GROUP BY l_returnflag, med ORDER BY l_returnflag""".stripMargin,
+
+    "q_table_profile" ->
+      """SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) - count(doc_id) AS BIGINT) AS nulls,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source) FROM documents
+        |ORDER BY "column"""".stripMargin,
 
     "q_outliers" ->
       """WITH m AS (SELECT l_returnflag,

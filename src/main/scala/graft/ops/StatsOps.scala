@@ -77,6 +77,26 @@ object StatsOps {
       .select(col(groupCol), col("_med").as("median"), col("mad"))
   }
 
+  /** ANALYZE-style column profile: per column, row count / null count /
+    * exact distinct count — the table-health pass run before trusting a
+    * new 100 TB delivery. ONE scan: columns melt to (column, value)
+    * rows (values stringified — injective for counting, so native and
+    * string distinct counts agree) and one hash aggregation per column
+    * group; numeric distribution detail belongs to
+    * [[exactMomentsProfile]] / the quantile ops.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableProfile: no columns")
+    val melted = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*))
+      .as("kv"))
+      .select(col("kv.column").as("column"), col("kv.value").as("value"))
+    melted.groupBy("column")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("nulls"),
+        countDistinct(col("value")).as("n_distinct"))
+  }
+
   /** Robust per-group outlier flags — the data-cleaning gate built on
     * [[madPerGroup]]: a row is an outlier when its absolute deviation
     * from the group median exceeds `k` MADs (k ≈ 5.2 matches the classic

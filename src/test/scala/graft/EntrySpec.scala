@@ -225,6 +225,16 @@ class EntrySpec extends SparkTestBase {
     assert(got == Seq((1L, 2L, "a2"), (3L, 1L, "c"), (4L, 2L, "d")))
   }
 
+  test("tableProfile counts rows, nulls, and exact distincts per column in one melt") {
+    import spark.implicits._
+    val df = Seq((Option(1L), Option("a")), (Option(1L), Option.empty[String]),
+      (Option.empty[Long], Option("b"))).toDF("x", "y")
+    val p = graft.ops.StatsOps.tableProfile(df, Seq("x", "y"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(p(("x")) == (("x", 3L, 1L, 1L)), s"got ${p("x")}") // distinct non-nulls {1}
+    assert(p(("y")) == (("y", 3L, 1L, 2L)), s"got ${p("y")}")
+  }
+
   test("snapshotDiff labels added/removed/changed/unchanged with column lists") {
     import spark.implicits._
     val oldS = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
