@@ -1125,6 +1125,14 @@ object SparkEntry {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")),
 
+    // Per-dimension z-score standardization (decimal-exact moments) — the
+    // unit-normalization pass before any distance-based embedding op.
+    "q_standardize" -> ((s, dir) =>
+      graft.similarity.Similarity.standardizeDims(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "d")),
+
     // Product quantization (Jégou 2011): 4 subspaces × 4-centroid
     // codebooks (decimal-exact per-subspace k-means, same init/tie-breaks
     // as q_kmeans_assign), every vector encoded to 4 small ints + its
@@ -2270,6 +2278,23 @@ object SparkEntry {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_standardize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dims AS (SELECT vec_id, unnest(v) AS x, unnest(range(0, len(v))) AS d FROM v),
+        |s AS (SELECT d, count(*) AS n,
+        |        sum(CAST(x AS DECIMAL(38,18))) AS sx,
+        |        sum(CAST(x * x AS DECIMAL(38,18))) AS sxx
+        |      FROM dims GROUP BY d),
+        |st AS (SELECT d, CAST(sx AS DOUBLE) / n AS mean,
+        |         sqrt(greatest(0.0,
+        |           CAST(sxx AS DOUBLE) / n
+        |           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))) AS std
+        |       FROM s)
+        |SELECT dims.vec_id, CAST(dims.d AS INT) AS d,
+        |       round(CASE WHEN std = 0.0 THEN 0.0 ELSE (x - mean) / std END, 6) AS z
+        |FROM dims JOIN st USING (d)
+        |ORDER BY vec_id, d""".stripMargin,
 
     "q_quantize_int8" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

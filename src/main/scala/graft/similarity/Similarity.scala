@@ -340,6 +340,35 @@ object Similarity {
         round(max(abs(col("err"))), 9).as("max_abs_err"))
   }
 
+  /** Per-dimension z-score standardization of an embedding column — the
+    * feature-scaling pass before distance-based ops (k-means, cosine
+    * thresholds) so no dimension dominates by unit: z = (x − mean)/std
+    * with POPULATION std from exact decimal sums (Σx, Σx² through
+    * DECIMAL(38,18) — order-independent, engine-portable; std and z then
+    * in fixed-order doubles). Constant dimensions (std = 0) map to z = 0.
+    * One O(dims)-row aggregation broadcast back over the exploded
+    * vectors. Output: (id, d, z) rows, rounded for cross-engine compare.
+    */
+  def standardizeDims(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dims = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), posexplode(col("v")))
+      .select(col("id"), col("pos").as("d"), col("col").as("x"))
+    val stats = dims.groupBy("d").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,18)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,18)")).as("sxx"))
+      .select(col("d"),
+        (col("sx").cast("double") / col("n")).as("mean"),
+        sqrt(greatest(lit(0.0),
+          col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) *
+            (col("sx").cast("double") / col("n")))).as("std"))
+    dims.join(broadcast(stats), "d")
+      .select(col("id"), col("d"),
+        round(when(col("std") === 0.0, 0.0)
+          .otherwise((col("x") - col("mean")) / col("std")), 6).as("z"))
+  }
+
   // ---- product quantization (Jégou, Douze, Schmid 2011, public) ----------
 
   /** Train PQ codebooks: the vector splits into `m` contiguous subspaces

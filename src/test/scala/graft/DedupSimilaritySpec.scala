@@ -235,6 +235,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out.forall(_.getString(1).split(",")(1) == "0"))
   }
 
+  test("standardizeDims: per-dim z-scores, constant dims map to 0") {
+    import spark.implicits._
+    val vs = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(3.0f, 5.0f)), (3L, Seq(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.standardizeDims(vs, "vec_id", "embedding")
+      .as[(Long, Int, Double)].collect()
+    // dim 0 values {1,3,5}: mean 3, population std sqrt(8/3)
+    val d0 = z.filter(_._2 == 0).sortBy(_._1).map(_._3)
+    val expect = Seq(-2.0, 0.0, 2.0).map(_ / math.sqrt(8.0 / 3.0))
+    d0.zip(expect).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-5, s"got ${d0.toSeq}, want $expect")
+    }
+    // constant dim 1: std 0 -> all z = 0
+    assert(z.filter(_._2 == 1).forall(_._3 == 0.0))
+    // standardized column has mean ~0 and pop-variance ~1
+    assert(math.abs(d0.sum) < 1e-9)
+    assert(math.abs(d0.map(v => v * v).sum / 3 - 1.0) < 1e-6)
+  }
+
   test("semDedup is invariant under repartitioning") {
     val a = Similarity.semDedup(embs, "vec_id", "embedding", tau = 0.35, k = 8)
       .orderBy("id").collect().toSeq
