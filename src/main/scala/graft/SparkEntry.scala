@@ -772,6 +772,14 @@ object SparkEntry {
       TextOps.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id")),
 
+    // Skip-gram window pairs (word2vec data gen): +-2 context counts;
+    // the positional range join lowered to equi-joins via offset explode.
+    "q_skipgram" -> ((s, dir) =>
+      TextOps.skipgramPairs(
+          Tables.documents(s, dir).filter(col("doc_id") < 50), "doc_id", "text",
+          window = 2)
+        .orderBy("center", "context")),
+
     // Bigram-LM fluency score: mean ln P(w2|w1) under the corpus's own
     // add-one bigram model — the n-gram proxy for "reads like the
     // corpus". Same decimal-sum + round(4) determinism as q_surprisal.
@@ -2459,6 +2467,19 @@ object SparkEntry {
         |               / CAST(count(*) AS DOUBLE), 4) AS surprisal
         |FROM t2 JOIN f USING (tok)
         |GROUP BY doc_id ORDER BY id""".stripMargin,
+
+    "q_skipgram" ->
+      """WITH arr AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |  FROM documents WHERE doc_id < 50),
+        |tok AS (SELECT doc_id, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |fwd AS (SELECT t1.w AS center, t2.w AS context
+        |        FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id
+        |          AND t2.pos BETWEEN t1.pos + 1 AND t1.pos + 2),
+        |bidir AS (SELECT center, context FROM fwd
+        |          UNION ALL SELECT context, center FROM fwd)
+        |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+        |FROM bidir GROUP BY center, context ORDER BY center, context""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH arr AS (SELECT doc_id,

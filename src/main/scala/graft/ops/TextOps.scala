@@ -434,6 +434,29 @@ object TextOps {
     * per-doc mean) + one shuffle join on the token key; map-side partial
     * aggregation collapses repeated tokens per doc first.
     */
+  /** Skip-gram (center, context) pair counts within a ±`window` token
+    * distance — the word2vec / embedding-training data-generation pass.
+    * The positional range join lowers to `window` EQUI-joins (offset k
+    * explodes on one side, join key (doc, pos+k)) — hash-partitioned and
+    * AQE-friendly, no range-condition nested loop; both directions come
+    * from one forward join union its swap.
+    */
+  def skipgramPairs(df: DataFrame, idCol: String, textCol: String,
+                    window: Int): DataFrame = {
+    require(window >= 1, s"skipgramPairs: window must be >= 1, got $window")
+    val pos = df.select(col(idCol).as("id"),
+        posexplode(graft.functions.TextAnalysis.tokensArr(col(textCol))))
+      .select(col("id"), col("pos"), col("col").as("tok"))
+    val left = pos.select(col("id"), col("pos"), col("tok").as("center"),
+        explode(sequence(lit(1), lit(window))).as("k"))
+      .select(col("id"), col("center"), (col("pos") + col("k")).as("rpos"))
+    val fwd = left.join(pos.select(col("id"), col("pos").as("rpos"),
+        col("tok").as("context")), Seq("id", "rpos"))
+      .select("center", "context")
+    fwd.union(fwd.select(col("context").as("center"), col("center").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Per-document bigram language-model score — the n-gram-LM quality
     * signal (the cheap proxy for "does this read like the corpus" used to
     * rank crawl text before pretraining): mean over the doc's bigrams of

@@ -421,6 +421,24 @@ class PropertySpec extends SparkTestBase {
     assert(math.abs(s(0)._3 - math.log(12.0 / 6.0)) < 1e-3)
   }
 
+  test("skipgramPairs: window pairs enumerate exactly, counts symmetric") {
+    import spark.implicits._
+    val got = graft.ops.TextOps.skipgramPairs(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", window = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L), ("c", "b", 1L)), s"got $got")
+    // symmetry holds on arbitrary text: cnt(x,y) == cnt(y,x)
+    val m = graft.ops.TextOps.skipgramPairs(
+        Seq((1L, "x y x z y x w"), (2L, "z z y w")).toDF("doc_id", "text"),
+        "doc_id", "text", window = 3)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    m.foreach { case ((a, b), c) =>
+      assert(m((b, a)) == c, s"asymmetric: ($a,$b)=$c vs ${m((b, a))}")
+    }
+  }
+
   test("bigramLmScore ranks corpus-like text above shuffled text") {
     import spark.implicits._
     val docs = ((1 to 20).map(i => (i.toLong, "alpha beta gamma delta")) :+
