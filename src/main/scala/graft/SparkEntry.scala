@@ -772,6 +772,13 @@ object SparkEntry {
       TextOps.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id")),
 
+    // Deterministic negative sampling: 4 hash-ring negatives per doc
+    // (contrastive-training partner of q_skipgram's positives).
+    "q_neg_sample" -> ((s, dir) =>
+      Sampling.negativeSample(Tables.documents(s, dir), col("doc_id"),
+          k = 4, buckets = 8)
+        .orderBy("id", "j")),
+
     // Skip-gram window pairs (word2vec data gen): +-2 context counts;
     // the positional range join lowered to equi-joins via offset explode.
     "q_skipgram" -> ((s, dir) =>
@@ -2467,6 +2474,24 @@ object SparkEntry {
         |               / CAST(count(*) AS DOUBLE), 4) AS surprisal
         |FROM t2 JOIN f USING (tok)
         |GROUP BY doc_id ORDER BY id""".stripMargin,
+
+    "q_neg_sample" ->
+      s"""WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents),
+        |pl AS (SELECT id,
+        |         ${graft.ops.Sampling.hashDrawSql("id", "neg:b")} % 8 AS b,
+        |         ${graft.ops.Sampling.hashDrawSql("id", "neg:r")} AS dr
+        |       FROM ids),
+        |rk AS (SELECT id, b,
+        |         row_number() OVER (PARTITION BY b ORDER BY dr, id) - 1 AS r
+        |       FROM pl),
+        |sz AS (SELECT b, count(*) AS n FROM rk GROUP BY b),
+        |pr AS (SELECT rk.id, rk.b, js.j, (rk.r + js.j) % sz.n AS rj
+        |       FROM rk JOIN sz USING (b)
+        |       CROSS JOIN (SELECT unnest(range(1, 5)) AS j) js
+        |       WHERE js.j < sz.n)
+        |SELECT pr.id AS id, rk2.id AS neg_id, CAST(pr.j AS INT) AS j
+        |FROM pr JOIN rk rk2 ON rk2.b = pr.b AND rk2.r = pr.rj
+        |ORDER BY pr.id, j""".stripMargin,
 
     "q_skipgram" ->
       """WITH arr AS (SELECT doc_id,

@@ -160,4 +160,40 @@ object Sampling {
         "_g", Seq("_pri", "_key"), k)
       .drop("_g", "_key", "_pri")
   }
+
+  /** Deterministic negative sampling — k pseudo-random negatives per id
+    * for contrastive training (the partner of
+    * [[graft.ops.TextOps.skipgramPairs]]' positives): ids land on a
+    * hash-shuffled ring inside `buckets` hash buckets; id's negatives are
+    * the next `k` ids around its bucket's ring. Hash placement makes the
+    * ring order corpus-random, so ring neighbors are uniform-ish draws —
+    * but fully deterministic (retry/rerun/engine-stable) where a
+    * rand()-based sampler is not, and self-pairs are impossible by
+    * construction (offset ≥ 1, modulo bucket size).
+    *
+    * Scale shape: every window is PARTITIONED by bucket (no global rank,
+    * no one-task funnel); the ring join is an equi-join on
+    * (bucket, position). Buckets of size ≤ j yield fewer than k negatives
+    * for their ids (wrap would self-pair) — size buckets ≫ k via the
+    * `buckets` knob. Output: (id, neg_id, j) for j in 1..k.
+    */
+  def negativeSample(df: DataFrame, key: Column, k: Int, buckets: Int,
+                     salt: String = "neg"): DataFrame = {
+    require(k >= 1 && buckets >= 1, s"negativeSample: k=$k buckets=$buckets")
+    val ids = df.select(key.cast("long").as("id")).distinct()
+      .withColumn("_b", pmod(hashDraw(col("id"), salt + ":b"), lit(buckets.toLong)))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_b")
+          .orderBy(hashDraw(col("id"), salt + ":r"), col("id"))) - 1)
+    val sizes = ids.groupBy("_b").agg(count(lit(1)).as("_n"))
+    val probes = ids.join(broadcast(sizes), "_b")
+      .select(col("id"), col("_b"), col("_n"), col("_r"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .filter(col("j") < col("_n")) // wrap past the ring would self-pair
+      .select(col("id"), col("_b"), col("j"),
+        pmod(col("_r") + col("j"), col("_n")).as("_rj"))
+    probes.join(ids.select(col("_b"), col("_r").as("_rj"),
+        col("id").as("neg_id")), Seq("_b", "_rj"))
+      .select("id", "neg_id", "j")
+  }
 }

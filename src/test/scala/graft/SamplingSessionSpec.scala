@@ -104,4 +104,25 @@ class SamplingSessionSpec extends SparkTestBase {
         s"group $g: $n vs target $mn (before ${before(g)})")
     }
   }
+
+  test("negativeSample: k distinct non-self negatives, repartition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 200).toDF("id")
+    val a = graft.ops.Sampling.negativeSample(df, col("id"), k = 3, buckets = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(a.forall(r => r._1 != r._2), "self-pair produced")
+    val perId = a.groupBy(_._1)
+    assert(perId.size == 200 && perId.values.forall(_.length == 3))
+    assert(perId.values.forall(_.map(_._2).distinct.length == 3),
+      "duplicate negative within an id")
+    val b = graft.ops.Sampling.negativeSample(
+        df.repartition(13), col("id"), k = 3, buckets = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(a.toSet == b.toSet, "not repartition-invariant")
+    // degenerate ring: 2 ids in 1 bucket, k=5 -> exactly 1 negative each
+    val tiny = graft.ops.Sampling.negativeSample(
+        spark.range(0, 2).toDF("id"), col("id"), k = 5, buckets = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(tiny.length == 2 && tiny.forall(r => r._1 != r._2), s"got ${tiny.toSeq}")
+  }
 }
