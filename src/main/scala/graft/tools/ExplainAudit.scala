@@ -21,7 +21,10 @@ object ExplainAudit {
         "q_tpch_q3", "q_tpch_q5", "q_bloom_join", "q_xcontamination",
         "q_upsert", "q_triangles", "q_weighted_sample",
         "q_tpch_q2", "q_tpch_q8", "q_dedup_auto", "q_pmi", "q_fuzzy_join",
-        "q_heavy_hitters", "q_exact_quantiles", "q_auc", "q_window_rankfns")
+        "q_heavy_hitters", "q_exact_quantiles", "q_auc", "q_window_rankfns",
+        "q_bm25", "q_cms", "q_budget_cap", "q_split_leakage", "q_zorder",
+        "q_bpe_pairs", "q_dataset_diff", "q_bigram_lm", "q_skipgram",
+        "q_neg_sample")
     val spark = graft.core.GraftSession.builder("graft-explain", cores = 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -199,6 +199,31 @@ object ScaleProbe {
         percent_rank().over(w).as("p"), cume_dist().over(w).as("c"))
     }
 
+    // round-7 session ops: retrieval/sketch/LM/pair-gen — all built on
+    // token-keyed aggs + bounded joins, so all must stay ~linear
+    timed("bm25") {
+      graft.ops.TextOps.bm25(docs, "doc_id", "text", Seq("w1", "w2", "w3")) }
+    timed("cms") {
+      graft.functions.Sketches.cmsBuild(
+        docs.select(explode(split(col("text"), " ")).as("tok")),
+        col("tok"), depth = 4, width = 512) }
+    timed("bigram_lm") {
+      graft.ops.TextOps.bigramLmScore(docs, "doc_id", "text") }
+    timed("skipgram") {
+      graft.ops.TextOps.skipgramPairs(docs, "doc_id", "text", window = 2) }
+    timed("bpe_pairs") {
+      graft.ops.Bpe.pairCounts(spark, docs, "text") }
+    timed("budget_cap") {
+      graft.ops.PrefixSum.budgetCapPerGroup(
+        docs.select(col("doc_id"), pmod(col("doc_id"), lit(20)).as("src"),
+          length(col("text")).cast("long").as("sz")),
+        "src", Seq("doc_id"), "sz", budget = n * 4) }
+    timed("neg_sample") {
+      graft.ops.Sampling.negativeSample(docs, col("doc_id"), k = 4,
+        buckets = math.max(8, (n / 5000).toInt)) }
+    timed("standardize") {
+      graft.similarity.Similarity.standardizeDims(embs, "vec_id", "embedding") }
+
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"n":$n,"secs":${j(secs)},"rows":${j(rows)}}""")
