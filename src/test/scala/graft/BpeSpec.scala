@@ -48,6 +48,47 @@ class BpeSpec extends SparkTestBase {
       Set(("a", "</w>"), ("b", "</w>")), s"got $rules")
   }
 
+  test("train agrees with an in-memory reference BPE on random corpora") {
+    // reference implementation: plain Scala fold over a word-count map,
+    // same tie-break (count desc, then (a, b) lexicographic asc)
+    def refTrain(words: Seq[String], nMerges: Int): Seq[(String, String)] = {
+      var dict: Map[Seq[String], Long] = words.groupBy(identity)
+        .map { case (w, g) => (w.map(_.toString) :+ "</w>", g.size.toLong) }
+      val out = Seq.newBuilder[(String, String)]
+      var continue = true
+      var i = 0
+      while (i < nMerges && continue) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        dict.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.isEmpty) continue = false
+        else {
+          val (a, b) = counts.toSeq
+            .sortBy { case ((x, y), c) => (-c, x, y) }.head._1
+          out += ((a, b))
+          dict = dict.toSeq.map { case (syms, c) =>
+            (graft.ops.Bpe.mergePair(syms, a, b), c)
+          }.groupBy(_._1).map { case (s, g) => (s, g.map(_._2).sum) }
+          i += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      // small vocab + short words force heavy pair ties — the regime
+      // where a wrong tie-break diverges immediately
+      val words = Seq.fill(30)(
+        (0 until 1 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val got = Bpe.train(spark, docs, "text", nMerges = 5)
+      val want = refTrain(words, nMerges = 5)
+      assert(got == want, s"trial $trial: got $got want $want (corpus $words)")
+    }
+  }
+
   test("pairCounts matches a hand count on the reference corpus") {
     val got = Bpe.pairCounts(spark, corpus, "text")
       .as[(String, String, Long)].collect()
