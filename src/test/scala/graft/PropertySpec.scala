@@ -421,6 +421,30 @@ class PropertySpec extends SparkTestBase {
     assert(math.abs(s(0)._3 - math.log(12.0 / 6.0)) < 1e-3)
   }
 
+  test("media sniffers are TOTAL: arbitrary bytes and mutated valid files never throw") {
+    import graft.multimodal.{AudioMeta, ImageMeta}
+    val rnd = new scala.util.Random(31)
+    // arbitrary garbage of many lengths
+    for (len <- Seq(0, 1, 7, 11, 12, 13, 44, 100, 4096)) {
+      val b = Array.fill[Byte](len)(rnd.nextInt(256).toByte)
+      AudioMeta.sniff(b); ImageMeta.sniff(b) // must not throw
+    }
+    // valid containers with random single-byte mutations (lying sizes,
+    // corrupted chunk ids, truncated headers) — parse must stay total
+    val valids = Seq(
+      AudioMeta.makeWav(2, 44100, 16, 50, "x".getBytes),
+      AudioMeta.makeAiff(1, 22050, 16, 50, "x".getBytes),
+      ImageMeta.makePng(64, 64, "x".getBytes),
+      ImageMeta.makeJpeg(64, 64, "x".getBytes))
+    for (v <- valids; _ <- 1 to 200) {
+      val m = v.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      AudioMeta.sniff(m); ImageMeta.sniff(m) // any Option result is fine
+      val cut = m.take(rnd.nextInt(m.length))
+      AudioMeta.sniff(cut); ImageMeta.sniff(cut)
+    }
+  }
+
   test("skipgramPairs: window pairs enumerate exactly, counts symmetric") {
     import spark.implicits._
     val got = graft.ops.TextOps.skipgramPairs(
