@@ -294,6 +294,23 @@ object SparkEntry {
           min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
         .orderBy("bucket")),
 
+    // Three-column Morton layout (date x customer x product analog),
+    // 16 bits/col (48-bit code): dropping 8 interleave levels bounds
+    // every non-aliased key column's box to < 2^8 per bucket.
+    "q_zorder3" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey").cast("long").as("pk"),
+          col("l_suppkey").cast("long").as("sk"),
+          col("l_orderkey").cast("long").as("ok"))
+        .withColumn("zval", graft.functions.ZOrder.z_order_n(16,
+          col("pk"), col("sk"), col("ok")))
+        .withColumn("bucket", shiftright(col("zval"), 24))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          (max("pk") - min("pk")).as("w_pk"),
+          (max("sk") - min("sk")).as("w_sk"))
+        .orderBy("bucket")),
+
     // Sharded export with manifest: token-budget shards (packShards) →
     // hive-layout write → manifest of what actually landed (exact
     // read-back counts). Bytes are parquet-encoding-dependent → the
@@ -3178,6 +3195,14 @@ object SparkEntry {
         |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
         |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 20000 AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_zorder3" ->
+      (s"""WITH z AS (SELECT l_partkey AS pk, l_suppkey AS sk, l_orderkey AS ok,
+        |    ${graft.functions.ZOrder.zOrderSqlN(16, Seq("l_partkey", "l_suppkey", "l_orderkey"))} AS zval
+        |  FROM lineitem)
+        |SELECT zval >> 24 AS bucket, count(*) AS cnt,
+        |       max(pk) - min(pk) AS w_pk, max(sk) - min(sk) AS w_sk
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin),
 
     // zOrderSql replays the interleave as a list_sum fold over the bits.
     "q_zorder" ->

@@ -58,6 +58,42 @@ class ZOrderSpec extends SparkTestBase {
       s"z-bucket box exceeded 2^4: $boxes")
   }
 
+  test("n-ary interleave: golden bits, codegen agrees with reference, nulls propagate") {
+    def refN(vals: Seq[Long], bits: Int): Long = {
+      val n = vals.size
+      vals.zipWithIndex.foldLeft(0L) { case (z, (v, j)) =>
+        (0 until bits).foldLeft(z)((acc, i) =>
+          acc | (((v >>> i) & 1L) << (i * n + j)))
+      }
+    }
+    // golden: x=1,y=1,z=1 at 1 bit -> bits 0,1,2 set = 7
+    assert(refN(Seq(1L, 1L, 1L), 1) == 7L)
+    val got7 = Seq((1L, 1L, 1L)).toDF("x", "y", "z")
+      .select(ZOrder.z_order_n(1, col("x"), col("y"), col("z")))
+      .head().getLong(0)
+    assert(got7 == 7L)
+    // randomized agreement through the DataFrame (codegen) path
+    val rnd = new scala.util.Random(5)
+    val cases = Seq.fill(300)((rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = cases.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        ZOrder.z_order_n(16, col("x"), col("y"), col("z")).as("m"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, z, m) =>
+      assert(m == refN(Seq(x, y, z), 16), s"($x,$y,$z)")
+    }
+    // 2-ary InterleaveBitsN must equal the binary InterleaveBits
+    val two = cases.toDF("x", "y", "z")
+      .select(ZOrder.z_order(col("x"), col("y"), 16).as("a"),
+        ZOrder.z_order_n(16, col("x"), col("y")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(two == 0L)
+    val n = Seq((Some(1L), Option.empty[Long], Some(2L))).toDF("x", "y", "z")
+      .select(ZOrder.z_order_n(8, col("x"), col("y"), col("z"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("written z-order files carry tight per-file boxes on BOTH columns") {
     val rnd = new scala.util.Random(19)
     val df = Seq.fill(20000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
