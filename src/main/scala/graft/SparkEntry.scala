@@ -1481,6 +1481,16 @@ object SparkEntry {
       Dedup.canonicalize(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
+    // The exact-duplication-proof variant: identical canonical labels
+    // (shared oracle) from minhashLshEdges' collapsed+star edge set —
+    // LSH never sees two copies of the same text.
+    "q_dedup_scaled" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val edges = Dedup.minhashLshEdges(docs, "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+      Dedup.canonicalize(docs, "doc_id", edges).orderBy("doc_id")
+    }),
+
     // Leakage-safe split: split assigned on the near-dup cluster's
     // canonical id (same pair derivation as q_dedup_cluster), so
     // near-duplicates never straddle train/eval.
@@ -2213,6 +2223,46 @@ object SparkEntry {
        |pqdims AS (SELECT unnest(range(1, ${subDim + 1})) AS d),
        |${(0 until m).map(chain).mkString(",\n")}""".stripMargin
   }
+
+  /** The naive LSH near-dup closure (shingle → 16 minhashes → 4 bands →
+    * verified pairs at tau 0.8 → recursive-CTE components → min-id
+    * label). Shared by q_dedup_cluster (naive pairs) and q_dedup_scaled
+    * (exact-collapse + star edges): the scaled op's contract is
+    * component-equivalence, so BOTH must match this closure's labels.
+    */
+  private val DedupClusterClosureSql: String =
+    """WITH RECURSIVE arr AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+      |FROM documents),
+      |tok AS (SELECT doc_id, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+      |sh AS (SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w AS shingle
+      |       FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+      |seeds AS (SELECT unnest(range(16)) AS seed),
+      |mh AS (SELECT doc_id, seed,
+      |         min(substring(md5((seed // 4) || ':' || shingle),
+      |                       (seed % 4) * 8 + 1, 8)) AS mh
+      |       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+      |bh AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+      |       FROM mh GROUP BY doc_id, seed // 4),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |         FROM bh x JOIN bh y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.a, c.b, count(*) AS i
+      |          FROM cand c JOIN sh sa ON sa.doc_id = c.a
+      |          JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+      |          GROUP BY c.a, c.b),
+      |pairs AS (SELECT i.a, i.b
+      |          FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      |          WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8),
+      |und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM und)
+      |  UNION
+      |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+      |lbl AS (SELECT src AS id, min(dst) AS canon FROM reach GROUP BY src)
+      |SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
+      |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_wordcount" ->
@@ -3516,39 +3566,12 @@ object SparkEntry {
     // Same pair derivation as q_dedup_minhash (bit-for-bit), then the
     // transitive closure via a recursive CTE and min-reachable-id labels —
     // the declarative spec of the Spark side's min-label propagation.
-    "q_dedup_cluster" ->
-      """WITH RECURSIVE arr AS (SELECT doc_id,
-        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
-        |FROM documents),
-        |tok AS (SELECT doc_id, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
-        |sh AS (SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w AS shingle
-        |       FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
-        |seeds AS (SELECT unnest(range(16)) AS seed),
-        |mh AS (SELECT doc_id, seed,
-        |         min(substring(md5((seed // 4) || ':' || shingle),
-        |                       (seed % 4) * 8 + 1, 8)) AS mh
-        |       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
-        |bh AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS bh
-        |       FROM mh GROUP BY doc_id, seed // 4),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |         FROM bh x JOIN bh y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT c.a, c.b, count(*) AS i
-        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a
-        |          JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
-        |          GROUP BY c.a, c.b),
-        |pairs AS (SELECT i.a, i.b
-        |          FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
-        |          WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8),
-        |und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM und)
-        |  UNION
-        |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
-        |lbl AS (SELECT src AS id, min(dst) AS canon FROM reach GROUP BY src)
-        |SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
-        |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_cluster" -> DedupClusterClosureSql,
+
+    // Identical oracle BY DESIGN: minhashLshEdges' contract is exactly
+    // "same connected components as the naive pair set" — the naive
+    // recursive-CTE closure must reproduce its canonical labels.
+    "q_dedup_scaled" -> DedupClusterClosureSql,
 
     // q_dedup_cluster's recursive-CTE closure, then the bit-portable md5
     // split CASE on the canonical label — the declarative spec of

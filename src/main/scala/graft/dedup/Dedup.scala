@@ -421,6 +421,42 @@ object Dedup {
     labels
   }
 
+  /** [[minhashLshPairs]]'s scale path for corpora with heavy EXACT
+    * duplication (the common real shape: one boilerplate page repeated a
+    * million times). The naive banding puts all m copies of a text in the
+    * same (band, hash) bucket → m²/2 candidate pairs in one join — the
+    * quadratic blowup no banding parameter can bound. Here exact
+    * duplicates first collapse to their min-id representative (one
+    * md5-keyed aggregation), LSH runs over REPRESENTATIVES only, and each
+    * dup class re-attaches as a STAR (rep → member, jaccard 1, m−1 edges
+    * — linear). The output is NOT the full pair list: it is an edge set
+    * whose CONNECTED COMPONENTS equal the naive op's (identical text ⇒
+    * identical shingle set ⇒ identical jaccard to every third doc, so
+    * rep-level near-dup edges + class stars reproduce exactly the naive
+    * clique connectivity) — which is the contract every downstream use
+    * ([[canonicalize]], [[splitLeakageSafe]], dedup keep-one) actually
+    * needs. Oracle-checked by feeding the edges into canonicalize and
+    * matching the naive closure's labels.
+    */
+  def minhashLshEdges(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                      tau: Double = 0.7): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("_text"))
+    val classes = base.groupBy(md5(to_binary(col("_text"), lit("utf-8"))).as("_fp"))
+      .agg(min(col("id")).as("rep"))
+    val members = base
+      .withColumn("_fp", md5(to_binary(col("_text"), lit("utf-8"))))
+      .join(classes, "_fp")
+    val repDocs = members.filter(col("id") === col("rep"))
+      .select(col("id"), col("_text"))
+    val repPairs = minhashLshPairs(repDocs, "id", "_text",
+      shingleN, bands, rowsPerBand, tau)
+    val stars = members.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("a"), col("id").as("b"), lit(1.0).as("jaccard"))
+    repPairs.unionByName(stars)
+  }
+
   /** Near-dup canonicalization — the "keep one doc per dup cluster" step of
     * a training-data pipeline: every document maps to the canonical
     * (smallest-id) member of its near-dup cluster; documents in no pair map

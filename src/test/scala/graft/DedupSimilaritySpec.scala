@@ -403,6 +403,38 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(err == 0.0, s"exact-representable corpus must reconstruct: $err")
   }
 
+  test("minhashLshEdges: component-equal to naive pairs at linear edge cost") {
+    import spark.implicits._
+    // 50 exact copies of one boilerplate + near-dup pair + distinct docs
+    val boiler = "subscribe to our newsletter for updates and offers every week " +
+      "click here to manage preferences or unsubscribe from this mailing list"
+    val near1 = "the quick brown fox jumps over the lazy dog near the old mill"
+    val near2 = "the quick brown fox jumps over the lazy dog near the old barn"
+    val corpus = ((0L until 50L).map(i => (i, boiler)) :+
+      (100L, near1) :+ (101L, near2) :+
+      (200L, "completely unrelated text about distributed query planning") :+
+      (201L, "another standalone document on columnar storage formats"))
+      .toDF("doc_id", "text")
+    val naive = Dedup.minhashLshPairs(corpus, "doc_id", "text", 2, 4, 4, 0.8)
+      .localCheckpoint()
+    val edges = Dedup.minhashLshEdges(corpus, "doc_id", "text", 2, 4, 4, 0.8)
+      .localCheckpoint()
+    // the whole point: quadratic clique (1225 pairs for the 50-class)
+    // becomes a linear star (49 edges)
+    assert(naive.count() >= 1225L, s"naive=${naive.count()}")
+    assert(edges.count() <= naive.count() - 1000,
+      s"edges=${edges.count()} naive=${naive.count()}")
+    // identical canonical labels
+    val a = Dedup.canonicalize(corpus, "doc_id", naive)
+      .as[(Long, Long)].collect().toMap
+    val b = Dedup.canonicalize(corpus, "doc_id", edges)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, s"labels diverged: ${a.toSeq.sorted.take(8)} vs ${b.toSeq.sorted.take(8)}")
+    // sanity: the boilerplate class collapsed to min id 0, near pair joined
+    assert((0L until 50L).forall(i => a(i) == 0L))
+    assert(a(100L) == a(101L) && a(200L) == 200L)
+  }
+
   test("leakage-safe split: near-dup clusters never straddle a split") {
     import spark.implicits._
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
