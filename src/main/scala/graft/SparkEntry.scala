@@ -1492,13 +1492,14 @@ object SparkEntry {
     }),
 
     // Leakage-safe split: split assigned on the near-dup cluster's
-    // canonical id (same pair derivation as q_dedup_cluster), so
-    // near-duplicates never straddle train/eval.
+    // canonical id, so near-duplicates never straddle train/eval. Edges
+    // come from the exact-duplication-proof path (component-equal to the
+    // naive pairs — the oracle replays the naive closure).
     "q_split_leakage" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      val edges = Dedup.minhashLshEdges(docs, "doc_id", "text",
         shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
-      Dedup.splitLeakageSafe(docs, "doc_id", pairs, Seq(0.8, 0.1, 0.1))
+      Dedup.splitLeakageSafe(docs, "doc_id", edges, Seq(0.8, 0.1, 0.1))
         .orderBy("doc_id")
     }),
 
