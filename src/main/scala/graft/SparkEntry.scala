@@ -1275,6 +1275,32 @@ object SparkEntry {
         .orderBy("user_id", "valid_from")
     }),
 
+    // Incremental view maintenance: a materialized (priority -> cnt, sum)
+    // aggregate kept current under a derived changelog (upserts incl.
+    // group moves, deletes, stale versions) by delta merge — only the
+    // changed keys' snapshot rows are touched, never a full rescan. The
+    // oracle recomputes from the fully-applied state; equality IS the
+    // IVM correctness contract.
+    "q_ivm" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        lit(0L).as("v"), col("o_orderpriority").as("g"),
+        col("o_totalprice").as("x"))
+      val changes = o.filter(col("k") % 7 === 0)
+        .select(col("k"), lit(2L).as("v"),
+          when(col("k") % 14 === 0, lit("9-MOVED")).otherwise(col("g")).as("g"),
+          (col("x") + 10).as("x"), lit("upsert").as("op"))
+        .unionByName(o.filter(col("k") % 11 === 0)
+          .select(col("k"), lit(3L).as("v"), col("g"), col("x"),
+            lit("delete").as("op")))
+        .unionByName(o.filter(col("k") % 13 === 0)
+          .select(col("k"), lit(-1L).as("v"), col("g"), (col("x") + 99).as("x"),
+            lit("upsert").as("op")))
+      val base = graft.ops.ChangeOps.groupAgg(o, "g", "x")
+      graft.ops.ChangeOps.maintainAgg(base, o, changes, "k", "v", "op", "g", "x")
+        .select(col("g"), col("cnt"), col("sum_val").cast("double").as("sum_val"))
+        .orderBy("g")
+    }),
+
     // Snapshot diff — what did the rebuild touch: two deterministic
     // versions of documents (drops, edits) full-outer-joined by key,
     // labeled added/removed/changed/unchanged + the changed-column list.
@@ -2956,6 +2982,27 @@ object SparkEntry {
         |       state,
         |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
         |FROM st ORDER BY user_id, valid_from""".stripMargin,
+
+    // Full recompute over the applied changelog — what the incremental
+    // merge must equal.
+    "q_ivm" ->
+      """WITH snap AS (SELECT o_orderkey AS k, 0 AS v, o_orderpriority AS g,
+        |               o_totalprice AS x, 'upsert' AS op FROM orders),
+        |ch AS (SELECT k, 2 AS v,
+        |         CASE WHEN k % 14 = 0 THEN '9-MOVED' ELSE g END AS g,
+        |         x + 10 AS x, 'upsert' AS op FROM snap WHERE k % 7 = 0
+        |       UNION ALL
+        |       SELECT k, 3, g, x, 'delete' FROM snap WHERE k % 11 = 0
+        |       UNION ALL
+        |       SELECT k, -1, g, x + 99, 'upsert' FROM snap WHERE k % 13 = 0),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM ch),
+        |w AS (SELECT k, max_by(op, v) AS op, max_by(g, v) AS g,
+        |             max_by(x, v) AS x
+        |      FROM u GROUP BY k),
+        |live AS (SELECT g, x FROM w WHERE op = 'upsert')
+        |SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_val
+        |FROM live GROUP BY g ORDER BY g""".stripMargin,
 
     "q_dataset_diff" ->
       """WITH o AS (SELECT doc_id, lang, source, n_chars FROM documents

@@ -37,6 +37,60 @@ object ChangeOps {
       .drop(opCol)
   }
 
+  /** Incremental view maintenance for (count, sum)-per-group — keep a
+    * materialized aggregate current under a changelog WITHOUT rescanning
+    * the snapshot: only the CHANGED keys' snapshot rows are read (a
+    * key-semi-join — partition/bucket-prunable at 100 TB), their old
+    * contributions subtracted and the change winners' new contributions
+    * added, then one tiny delta table (≤ |touched groups| rows) merges
+    * into the base aggregate by full-outer join. Handles group-moving
+    * upserts (−1 old group / +1 new group), deletes, inserts, stale
+    * changes (the snapshot row wins the version race → the add puts the
+    * subtracted contribution straight back), and groups emptying to zero
+    * (dropped). Same contract as [[applyChangelog]]: (key, version)
+    * unique across the union; sums are exact via DECIMAL(18,2) (2-dp
+    * inputs by contract).
+    *
+    * `baseAgg` must be `(groupCol, cnt, sum_val)` — exactly this
+    * function's output, so maintenance chains batch after batch.
+    * Equivalence `maintainAgg(agg(S), S, C) == agg(applyChangelog(S, C))`
+    * is the spec'd + oracle-checked contract.
+    */
+  def maintainAgg(baseAgg: DataFrame, snapshot: DataFrame, changes: DataFrame,
+                  keyCol: String, versionCol: String, opCol: String,
+                  groupCol: String, valCol: String): DataFrame = {
+    val changedKeys = changes.select(col(keyCol)).distinct()
+    val snapSlice = snapshot.join(changedKeys, Seq(keyCol), "left_semi")
+    // version race over the touched keys only — applyChangelog's winner rule
+    val race = snapSlice.withColumn(opCol, lit("upsert"))
+      .unionByName(changes)
+    val winner = race.groupBy(keyCol).agg(
+      max_by(struct(col(opCol), col(groupCol), col(valCol)), col(versionCol))
+        .as("_w"))
+    val minus = snapSlice.select(col(groupCol).as("_g"),
+      lit(-1L).as("_dc"),
+      (col(valCol).cast("decimal(18,2)") * -1).as("_dv"))
+    val plus = winner.filter(col(s"_w.$opCol") === "upsert")
+      .select(col(s"_w.$groupCol").as("_g"), lit(1L).as("_dc"),
+        col(s"_w.$valCol").cast("decimal(18,2)").as("_dv"))
+    val delta = minus.unionByName(plus)
+      .groupBy("_g").agg(sum("_dc").as("_dc"), sum("_dv").as("_dv"))
+    baseAgg.join(delta, col(groupCol) === col("_g"), "full_outer")
+      .select(coalesce(col(groupCol), col("_g")).as(groupCol),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dc"), lit(0L))).as("cnt"),
+        (coalesce(col("sum_val"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("_dv"), lit(0).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("sum_val"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** The (group, cnt, sum_val) aggregate [[maintainAgg]] maintains —
+    * provided so base construction and maintenance share one shape.
+    */
+  def groupAgg(df: DataFrame, groupCol: String, valCol: String): DataFrame =
+    df.groupBy(groupCol).agg(count(lit(1)).as("cnt"),
+      sum(col(valCol).cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_val"))
+
   /** Snapshot diff — the dataset-versioning primitive: compare two
     * versions of a table by key and label every key `added` / `removed` /
     * `changed` / `unchanged`, with the list of columns that changed

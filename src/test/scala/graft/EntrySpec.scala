@@ -257,6 +257,45 @@ class EntrySpec extends SparkTestBase {
     assert(g2 == Seq((1L, "unchanged", ""), (2L, "changed", "s")), s"got $g2")
   }
 
+  test("maintainAgg equals full recompute: moves, deletes, inserts, stale, emptied group") {
+    import spark.implicits._
+    val snap = Seq(
+      (1L, 0L, "a", 10.0), (2L, 0L, "a", 20.0), (3L, 0L, "b", 30.0),
+      (4L, 0L, "c", 40.0)).toDF("k", "v", "g", "x")
+    val changes = Seq(
+      (1L, 2L, "b", 11.0, "upsert"),  // group move a -> b, value change
+      (2L, 2L, "a", 25.0, "upsert"),  // in-place update
+      (3L, 2L, "b", 0.0, "delete"),   // delete
+      (4L, 2L, "c", 0.0, "delete"),   // empties group c entirely
+      (5L, 2L, "d", 50.0, "upsert"),  // brand-new key and group
+      (9L, 2L, "z", 9.0, "delete"),   // delete of a key that never existed
+      (2L, 1L, "a", 999.0, "upsert")  // stale vs v2 above (same key, older)
+    ).toDF("k", "v", "g", "x", "op")
+    val base = graft.ops.ChangeOps.groupAgg(snap, "g", "x")
+    val got = graft.ops.ChangeOps
+      .maintainAgg(base, snap, changes, "k", "v", "op", "g", "x")
+      .select(col("g"), col("cnt"), col("sum_val").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    val recomputed = graft.ops.ChangeOps.groupAgg(
+        graft.ops.ChangeOps.applyChangelog(snap, changes, "k", "v", "op"),
+        "g", "x")
+      .select(col("g"), col("cnt"), col("sum_val").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == recomputed, s"ivm $got != recompute $recomputed")
+    // expected state: a={2:25}, b={1:11}, d={5:50}; c emptied and absent
+    assert(got == Set(("a", 1L, 25.0), ("b", 1L, 11.0), ("d", 1L, 50.0)))
+    // chaining: maintaining the maintained agg with an empty changelog is a no-op
+    val empty = changes.limit(0)
+    val again = graft.ops.ChangeOps.maintainAgg(
+        graft.ops.ChangeOps.maintainAgg(base, snap, changes, "k", "v", "op", "g", "x"),
+        graft.ops.ChangeOps.applyChangelog(snap, changes, "k", "v", "op")
+          .select("k", "v", "g", "x"),
+        empty, "k", "v", "op", "g", "x")
+      .select(col("g"), col("cnt"), col("sum_val").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(again == got)
+  }
+
   test("scd2: intervals chain per key, exactly one current row") {
     import spark.implicits._
     val changes = Seq((1L, 10L, "x"), (1L, 20L, "y"), (1L, 30L, "z"), (2L, 5L, "w"))
