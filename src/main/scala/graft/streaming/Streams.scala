@@ -367,6 +367,66 @@ object Streams {
     * (it is what a table format's row-level MERGE amortizes); batch
     * cadence, not per-row latency, is the operating point.
     */
+  /** Streaming MAINTAINED VIEW: a changelog stream keeps BOTH the keyed
+    * snapshot and its (group → cnt, sum) aggregate current — the
+    * [[graft.ops.ChangeOps.maintainAgg]] incremental merge applied per
+    * micro-batch, so the aggregate never recomputes from the snapshot.
+    * Layout: `viewPath/snap` + `viewPath/agg`, rebuilt side-by-side into
+    * `viewPath._merge_new` and swapped by ONE parent-directory rename —
+    * snapshot and aggregate can never be observed out of step (the
+    * two-store variant has a crash window between two swaps that replay
+    * cannot heal; one parent swap removes it). Crash recovery and replay
+    * idempotence follow [[applyChangelogStream]]: a replayed batch's
+    * version race re-selects identical winners, so both the snapshot
+    * merge and the delta merge are no-ops on the second application.
+    * Seed the view once with [[seedMaintainedView]] before starting.
+    */
+  def maintainedViewStream(changes: DataFrame, viewPath: String,
+                           keyCol: String, versionCol: String, opCol: String,
+                           groupCol: String, valCol: String,
+                           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(viewPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val cur = new org.apache.hadoop.fs.Path(viewPath)
+        val neu = new org.apache.hadoop.fs.Path(viewPath + "._merge_new")
+        val old = new org.apache.hadoop.fs.Path(viewPath + "._merge_old")
+        if (!fs.exists(cur) && fs.exists(old))
+          require(fs.rename(old, cur),
+            s"view recovery: could not restore $cur from $old")
+        val snap = spark.read.parquet(s"$viewPath/snap")
+        val agg = spark.read.parquet(s"$viewPath/agg")
+        val newAgg = graft.ops.ChangeOps.maintainAgg(agg, snap, batch,
+          keyCol, versionCol, opCol, groupCol, valCol).localCheckpoint()
+        val newSnap = graft.ops.ChangeOps.applyChangelog(snap, batch,
+          keyCol, versionCol, opCol).localCheckpoint()
+        fs.delete(neu, true)
+        newSnap.write.mode("overwrite").parquet(s"$neu/snap")
+        newAgg.write.mode("overwrite").parquet(s"$neu/agg")
+        fs.delete(old, true)
+        require(fs.rename(cur, old), s"view swap: could not move $cur aside")
+        if (!fs.rename(neu, cur)) {
+          fs.rename(old, cur)
+          throw new IllegalStateException(s"view swap failed for $cur — rolled back")
+        }
+        fs.delete(old, true)
+        ()
+      }
+      .start()
+
+  /** Materialize the initial snapshot + aggregate pair for
+    * [[maintainedViewStream]].
+    */
+  def seedMaintainedView(snapshot: DataFrame, viewPath: String,
+                         groupCol: String, valCol: String): Unit = {
+    snapshot.write.mode("overwrite").parquet(s"$viewPath/snap")
+    graft.ops.ChangeOps.groupAgg(snapshot, groupCol, valCol)
+      .write.mode("overwrite").parquet(s"$viewPath/agg")
+  }
+
   def applyChangelogStream(changes: DataFrame, snapshotPath: String,
                            keyCol: String, versionCol: String, opCol: String,
                            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =

@@ -466,6 +466,39 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maintained view stream: aggregate stays delta-consistent with the snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mview").toString
+    val view = s"$dir/view"
+    val snap0 = Seq((1L, 0L, "a", 10.0), (2L, 0L, "a", 20.0), (3L, 0L, "b", 30.0))
+      .toDF("k", "v", "g", "x")
+    Streams.seedMaintainedView(snap0, view, "g", "x")
+    val in = MemoryStream[(Long, Long, String, Double, String)]
+    val q = Streams.maintainedViewStream(
+      in.toDF.toDF("k", "v", "g", "x", "op"),
+      view, "k", "v", "op", "g", "x", s"$dir/ckpt")
+    try {
+      // batch 1: group-moving update (1: a->b), insert (4 in c)
+      in.addData((1L, 2L, "b", 11.0, "upsert"), (4L, 2L, "c", 40.0, "upsert"))
+      q.processAllAvailable()
+      // batch 2: delete 2 (empties nothing: a loses its last member ->
+      // group a disappears), stale change for 1 loses
+      in.addData((2L, 3L, "a", 0.0, "delete"), (1L, 1L, "z", 999.0, "upsert"))
+      q.processAllAvailable()
+      val agg = spark.read.parquet(s"$view/agg")
+        .selectExpr("g", "cnt", "CAST(sum_val AS DOUBLE)")
+        .as[(String, Long, Double)].collect().toSet
+      assert(agg == Set(("b", 2L, 41.0), ("c", 1L, 40.0)), s"got $agg")
+      // the maintained aggregate equals a recompute over the snapshot —
+      // snapshot and agg swapped together, never out of step
+      val recompute = graft.ops.ChangeOps.groupAgg(
+          spark.read.parquet(s"$view/snap"), "g", "x")
+        .selectExpr("g", "cnt", "CAST(sum_val AS DOUBLE)")
+        .as[(String, Long, Double)].collect().toSet
+      assert(agg == recompute)
+    } finally q.stop()
+  }
+
   test("incremental word count matches the batch operator semantics") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
