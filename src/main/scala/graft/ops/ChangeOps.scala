@@ -51,6 +51,11 @@ object ChangeOps {
     * unique across the union; sums are exact via DECIMAL(18,2) (2-dp
     * inputs by contract).
     *
+    * Scope: count/sum (and anything derived from them — mean) are the
+    * self-maintainable aggregates. min/max are deliberately excluded:
+    * deleting the current extremum forces a rescan of its group (the
+    * classic IVM boundary) — recompute those groups instead.
+    *
     * `baseAgg` must be `(groupCol, cnt, sum_val)` — exactly this
     * function's output, so maintenance chains batch after batch.
     * Equivalence `maintainAgg(agg(S), S, C) == agg(applyChangelog(S, C))`
