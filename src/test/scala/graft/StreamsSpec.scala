@@ -499,6 +499,35 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maintained view recovers from a crash that left only ._merge_old") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mview_crash").toString
+    val view = s"$dir/view"
+    Streams.seedMaintainedView(
+      Seq((1L, 0L, "a", 10.0)).toDF("k", "v", "g", "x"), view, "g", "x")
+    // simulate the crash window between rename(cur, old) and
+    // rename(new, cur): the view path is GONE, the last consistent pair
+    // sits in ._merge_old
+    val fs = new org.apache.hadoop.fs.Path(view)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(view),
+      new org.apache.hadoop.fs.Path(view + "._merge_old")))
+    val in = MemoryStream[(Long, Long, String, Double, String)]
+    val q = Streams.maintainedViewStream(
+      in.toDF.toDF("k", "v", "g", "x", "op"),
+      view, "k", "v", "op", "g", "x", s"$dir/ckpt")
+    try {
+      in.addData((2L, 1L, "a", 5.0, "upsert"))
+      q.processAllAvailable()
+      // the batch restored the pair, then applied: a = {1:10, 2:5}
+      val agg = spark.read.parquet(s"$view/agg")
+        .selectExpr("g", "cnt", "CAST(sum_val AS DOUBLE)")
+        .as[(String, Long, Double)].collect().toSet
+      assert(agg == Set(("a", 2L, 15.0)), s"got $agg")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(view + "._merge_old")))
+    } finally q.stop()
+  }
+
   test("incremental word count matches the batch operator semantics") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
