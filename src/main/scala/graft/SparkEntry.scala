@@ -248,6 +248,32 @@ object SparkEntry {
         Seq("scan", "column", "window"))
         .orderBy("doc_id")),
 
+    // CAPSTONE — the full training-corpus run as ONE declarative plan:
+    // exact-dup-proof near-dedup (keep canonical doc) -> deterministic
+    // train/val/test split -> per-source char budget on the train slice
+    // (hash-priority order) -> token-budget shard packing. Every stage is
+    // the library op; Catalyst sees one query. The oracle replays the
+    // entire chain (closure CTEs + split CASE + budget/pack windows).
+    "q_corpus_run" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val edges = Dedup.minhashLshEdges(docs, "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+      val kept = docs.join(Dedup.canonicalize(docs, "doc_id", edges), "doc_id")
+        .filter(col("doc_id") === col("canon_id"))
+        .select("doc_id", "source", "n_chars")
+      val train = Sampling.splitByHash(kept, col("doc_id"),
+          Seq(0.8, 0.1, 0.1), salt = "run")
+        .filter(col("split") === 0)
+        .withColumn("pri", Sampling.hashDraw(col("doc_id"), "runpri"))
+      val capped = graft.ops.PrefixSum.budgetCapPerGroup(
+          train.select("doc_id", "source", "n_chars", "pri"),
+          "source", Seq("pri", "doc_id"), "n_chars", budget = 3000L)
+        .select("doc_id", "n_chars")
+      graft.ops.PrefixSum.packShards(capped, "doc_id", "n_chars", budget = 8000L)
+        .select("doc_id", "cum", "shard")
+        .orderBy("doc_id")
+    }),
+
     // Sequential funnel: users completing view -> click -> purchase in
     // strict time order; per-step frontier joins, no whole-user windows.
     "q_funnel" -> ((s, dir) =>
@@ -2257,7 +2283,10 @@ object SparkEntry {
     * (exact-collapse + star edges): the scaled op's contract is
     * component-equivalence, so BOTH must match this closure's labels.
     */
-  private val DedupClusterClosureSql: String =
+  /** The closure's CTE chain (through the `lbl` labels), reusable by any
+    * oracle that needs canonical near-dup labels as an input stage.
+    */
+  private val DedupClosureCtes: String =
     """WITH RECURSIVE arr AS (SELECT doc_id,
       |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
       |FROM documents),
@@ -2286,8 +2315,10 @@ object SparkEntry {
       |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM und)
       |  UNION
       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
-      |lbl AS (SELECT src AS id, min(dst) AS canon FROM reach GROUP BY src)
-      |SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
+      |lbl AS (SELECT src AS id, min(dst) AS canon FROM reach GROUP BY src)""".stripMargin
+
+  private val DedupClusterClosureSql: String = DedupClosureCtes + "\n" +
+    """SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
       |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
@@ -3477,6 +3508,30 @@ object SparkEntry {
         |FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n
         |WHERE t.doc_id < 20
         |ORDER BY doc_id, tok""".stripMargin,
+
+    // The whole pipeline replayed: closure CTEs -> keep-canonical ->
+    // md5 split -> per-source budget window -> global pack window.
+    "q_corpus_run" ->
+      (DedupClosureCtes + ",\n" +
+        s"""canon AS (SELECT d.doc_id, d.source, d.n_chars,
+        |             coalesce(l.canon, d.doc_id) AS canon_id
+        |           FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+        |kept AS (SELECT doc_id, source, n_chars FROM canon WHERE doc_id = canon_id),
+        |sp AS (SELECT doc_id, source, n_chars,
+        |         ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.1, 0.1), "run")} AS split
+        |       FROM kept),
+        |train AS (SELECT doc_id, source, n_chars,
+        |            ${graft.ops.Sampling.hashDrawSql("doc_id", "runpri")} AS pri
+        |          FROM sp WHERE split = 0),
+        |cap AS (SELECT doc_id, n_chars,
+        |          CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY pri, doc_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scum
+        |        FROM train),
+        |cf AS (SELECT doc_id, n_chars FROM cap WHERE scum <= 3000)
+        |SELECT doc_id,
+        |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 8000 AS BIGINT) AS shard
+        |FROM cf ORDER BY doc_id""".stripMargin),
 
     // Per-word char pairs + the (last-char, </w>) marker pair, weighted by
     // word frequency — exactly Bpe.pairCounts' shape.
