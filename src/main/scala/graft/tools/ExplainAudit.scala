@@ -24,7 +24,7 @@ object ExplainAudit {
         "q_heavy_hitters", "q_exact_quantiles", "q_auc", "q_window_rankfns",
         "q_bm25", "q_cms", "q_budget_cap", "q_split_leakage", "q_zorder",
         "q_bpe_pairs", "q_dataset_diff", "q_bigram_lm", "q_skipgram",
-        "q_neg_sample")
+        "q_neg_sample", "q_corpus_run", "q_ivm", "q_dedup_scaled")
     val spark = graft.core.GraftSession.builder("graft-explain", cores = 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

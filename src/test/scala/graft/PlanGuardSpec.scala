@@ -16,7 +16,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q_dedup_simhash", "q_embed_neardup", "q_ann_lsh", "q_ann_ivf",
     "q_dedup_cluster", "q_contamination", "q_repetition", "q_range_join",
     "q_semdedup", "q_xcontamination", "q_substring_dup", "q_upsert",
-    "q_chunk_overlap", "q_oov_rate")
+    "q_chunk_overlap", "q_oov_rate", "q_dedup_scaled", "q_corpus_run",
+    "q_split_leakage", "q_ivm", "q_skipgram", "q_neg_sample")
 
   test("no CartesianProduct / BroadcastNestedLoopJoin in any scale-path similarity plan") {
     for (name <- guarded) {
