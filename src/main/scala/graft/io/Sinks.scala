@@ -27,7 +27,7 @@ object Sinks {
     // null-safe: concat_ws silently DROPS nulls, which would shift every
     // later field left; empty-string them to keep field positions stable
     val w = df.select(concat_ws(sep,
-        df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+        df.columns.toSeq.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
         .as("value"))
       .write.mode("overwrite")
     (if (compression != null) w.option("compression", compression) else w)

@@ -38,11 +38,11 @@ object AsOfJoin {
         if (c == key || c == ts) right(c).as(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
       }
-      right.select(exprs :+ right(valCol).as("_rv"): _*)
+      right.select((exprs :+ right(valCol).as("_rv")).toSeq: _*)
         .withColumn("_side", lit(0))
-        .select((leftCols.map(col) :+ col("_side") :+ col("_rv")): _*)
+        .select((leftCols.map(col) :+ col("_side") :+ col("_rv")).toSeq: _*)
     }
-    val unioned = l.select((leftCols.map(col) :+ col("_side") :+ col("_rv")): _*)
+    val unioned = l.select((leftCols.map(col) :+ col("_side") :+ col("_rv")).toSeq: _*)
       .unionByName(alignedRight)
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("_side").asc)

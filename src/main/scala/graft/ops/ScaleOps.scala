@@ -48,7 +48,7 @@ object ScaleOps {
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, salt: Int): DataFrame = {
     val saltedBig = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col): _*), lit(salt)))
+      pmod(hash(big.columns.toSeq.map(col): _*), lit(salt)))
     val saltedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig.join(saltedSmall,
