@@ -26,17 +26,32 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
-    * reads as a long (`spark.sql.legacy.parquet.nanosAsLong=true`). The data
-    * is microsecond-precision, so nanos→micros is lossless; normalize to a
-    * proper TimestampType column here.
+  /** `events.ts` has drifted across fixture generations: parquet
+    * TIMESTAMP(NANOS) (Spark reads a long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), then `timestamp[us]`
+    * without a timezone (Spark reads TIMESTAMP_NTZ). Every
+    * timestamp-consuming op downstream (`sessionize`, session windows,
+    * resample, as-of join) expects a plain `TimestampType`, so normalize all
+    * known encodings here — the session timezone is pinned to UTC
+    * ([[GraftSession]]), which makes the NTZ→TZ cast lossless and
+    * oracle-stable.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "events"), "ts")
+
+  /** Normalize one column to `TimestampType` regardless of fixture encoding:
+    * long nanos-since-epoch, TIMESTAMP_NTZ, or already-correct timestamps.
+    */
+  def normalizeTs(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
