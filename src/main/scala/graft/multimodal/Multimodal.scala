@@ -35,6 +35,15 @@ case class MediaFeatures(id: Long, nBytes: Long, hist: Array[Long],
 /** One content-defined chunk of a payload. */
 case class Chunk(id: Long, idx: Int, offset: Long, nBytes: Int, fp: String)
 
+/** Pixel-decoded per-image stats: luminance histogram (4 bins by the top 2
+  * bits) + exact integer luminance sum. Null fields when the payload is not
+  * pixel-decodable.
+  */
+case class DecodedStats(id: Long, format: String, width: Option[Int],
+                        height: Option[Int], nPx: Option[Long],
+                        lumSum: Option[Long], l0: Option[Long],
+                        l1: Option[Long], l2: Option[Long], l3: Option[Long])
+
 /** Multimodal column operators — the builder-brief surface: treat
   * image/audio/video as opaque binary columns; decode / feature-extract /
   * resize / frame-sample run batched per partition (`mapPartitions` — the
@@ -173,6 +182,94 @@ object Multimodal {
         ImageMeta.sniff(bytes) match {
           case Some(i) => ImageDims(id, i.format, Some(i.width), Some(i.height))
           case None    => ImageDims(id, "unknown", None, None)
+        }
+      })
+  }
+
+  /** Pixel value formulas for [[syntheticPixelImages]] — deterministic
+    * integer functions of (id, x, y) so a SQL oracle can replay the decoded
+    * stats without a decoder. Small dims (≤ 32×26) keep per-row payloads a
+    * few KB: the point is exercising the real decode path, not volume.
+    */
+  object PixelFormula {
+    def width(id: Long): Int  = (4 + math.floorMod(id, 29)).toInt
+    def height(id: Long): Int = (4 + math.floorMod(id, 23)).toInt
+    def r(id: Long, x: Int, y: Int): Int = math.floorMod(id * 3 + x * 7 + y * 11, 256).toInt
+    def g(id: Long, x: Int, y: Int): Int = math.floorMod(id * 5 + x * 13 + y * 17, 256).toInt
+    def b(id: Long, x: Int, y: Int): Int = math.floorMod(id * 7 + x * 19 + y * 23, 256).toInt
+    /** BT.601 integer luminance — exact in any engine: (299r+587g+114b)/1000. */
+    def lum(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+    def rgbBytes(id: Long): Array[Byte] = {
+      val w = width(id); val h = height(id)
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          out(p) = r(id, x, y).toByte
+          out(p + 1) = g(id, x, y).toByte
+          out(p + 2) = b(id, x, y).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Synthetic corpus with REAL pixel content: BMP (even ids) / PNG (odd
+    * ids), pixels from [[PixelFormula]]. PNG rows cycle filter types
+    * 0/1/2 by (id+row), so decode exercises de-filtering, not just the
+    * filter-0 identity (Average/Paeth are pinned by golden-byte specs).
+    */
+  def syntheticPixelImages(spark: SparkSession, df: DataFrame,
+                           idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = PixelFormula.width(id); val h = PixelFormula.height(id)
+        val rgb = PixelFormula.rgbBytes(id)
+        val (mt, payload) =
+          if (math.floorMod(id, 2) == 0L)
+            ("image/bmp", PixelCodec.makeBmp24(w, h, rgb))
+          else
+            ("image/png", PixelCodec.makePng24(w, h, rgb,
+              y => math.floorMod(id + y, 3).toInt))
+        MediaRecord(id, mt, payload, Map("synthetic" -> "true"))
+      })
+      .toDF("id", "media_type", "payload", "meta")
+  }
+
+  /** Pixel-DECODED stats over the binary column — the real
+    * [[PixelCodec.decode]] per payload (BMP pixel-array walk, PNG
+    * inflate + de-filter), then an integer luminance fold: 4-bin histogram
+    * by the top 2 luminance bits + exact lum sum. One tight loop per
+    * partition, no shuffle; undecodable payloads yield format "unknown"
+    * with null stats (crawl garbage must not kill the task).
+    */
+  def decodedStats(spark: SparkSession, media: DataFrame): Dataset[DecodedStats] = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        PixelCodec.decode(bytes) match {
+          case Some(img) =>
+            val hist = new Array[Long](4)
+            var lumSum = 0L
+            var i = 0
+            while (i < img.rgb.length) {
+              val lum = PixelFormula.lum(img.rgb(i) & 0xff,
+                img.rgb(i + 1) & 0xff, img.rgb(i + 2) & 0xff)
+              hist(lum >> 6) += 1
+              lumSum += lum
+              i += 3
+            }
+            DecodedStats(id, img.format, Some(img.width), Some(img.height),
+              Some(img.width.toLong * img.height), Some(lumSum),
+              Some(hist(0)), Some(hist(1)), Some(hist(2)), Some(hist(3)))
+          case None =>
+            DecodedStats(id, "unknown", None, None, None, None,
+              None, None, None, None)
         }
       })
   }

@@ -1,0 +1,284 @@
+package graft.multimodal
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** A decoded raster: packed row-major top-down RGB, 3 bytes per pixel. */
+case class PixelImage(format: String, width: Int, height: Int,
+                      rgb: Array[Byte]) {
+  def r(x: Int, y: Int): Int = rgb((y * width + x) * 3) & 0xff
+  def g(x: Int, y: Int): Int = rgb((y * width + x) * 3 + 1) & 0xff
+  def b(x: Int, y: Int): Int = rgb((y * width + x) * 3 + 2) & 0xff
+}
+
+/** REAL pixel-level decode for the two formats a pure JVM can handle with
+  * no native codecs — exactly the "uncompressed paths" a 100 TB crawl
+  * pipeline can afford to open inline:
+  *
+  *  - BMP 24bpp BI_RGB (Windows BITMAPINFOHEADER): the pixel array is raw
+  *    BGR rows, bottom-up (top-down when height < 0), each row padded to a
+  *    4-byte boundary. No compression involved at all.
+  *  - PNG 8-bit truecolor (RFC 2083 / W3C PNG spec): IDAT chunks carry a
+  *    zlib stream (`java.util.zip.Inflater` speaks it natively); each
+  *    decompressed scanline is `filter_byte + 3·width` bytes, and the five
+  *    standard filters (None/Sub/Up/Average/Paeth) must be reversed per
+  *    row. Chunk CRCs are verified so corruption is a deterministic None,
+  *    not silently-wrong pixels.
+  *
+  * Both decoders return None on anything truncated, corrupt, or outside
+  * the supported profile — at scale a batch always contains garbage and a
+  * bad payload must not kill the task (same contract as [[ImageMeta]]).
+  * The reference keeps all blobs opaque (DDFS bytes); this is the
+  * builder-brief multimodal decode leg made real within the container's
+  * means, replacing the previous payload-checksum stand-in.
+  */
+object PixelCodec {
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def le32(b: Array[Byte], i: Int): Int =
+    ((b(i + 3) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** Magic-byte dispatch over the supported pixel-decodable profiles. */
+  def decode(bytes: Array[Byte]): Option[PixelImage] = {
+    if (bytes == null || bytes.length < 8) return None
+    (bytes(0) & 0xff, bytes(1) & 0xff) match {
+      case (0x42, 0x4d) => decodeBmp(bytes)
+      case (0x89, 0x50) => decodePng(bytes)
+      case _            => None
+    }
+  }
+
+  // ---- BMP ----------------------------------------------------------------
+
+  /** 24bpp BI_RGB BITMAPINFOHEADER profile; anything else → None. */
+  def decodeBmp(b: Array[Byte]): Option[PixelImage] = {
+    if (b.length < 54) return None
+    if (b(0) != 'B' || b(1) != 'M') return None
+    val dataOffset = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return None
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    // guard dims before multiplying: a hostile header must not OOM the task
+    if (w > (1 << 20) || h > (1 << 20) || w.toLong * h > (1L << 26)) return None
+    val rowBytes = w * 3
+    val stride = (rowBytes + 3) & ~3 // rows pad to 4-byte boundaries
+    if (dataOffset < 54 || dataOffset.toLong + stride.toLong * h > b.length)
+      return None
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      // stored bottom-up unless height was negative
+      val srcRow = dataOffset + stride * (if (topDown) y else h - 1 - y)
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * 3 // stored as BGR
+        val d = (y * w + x) * 3
+        rgb(d) = b(s + 2); rgb(d + 1) = b(s + 1); rgb(d + 2) = b(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some(PixelImage("bmp", w, h, rgb))
+  }
+
+  /** Real BMP with pixel content (vs [[ImageMeta.makeBmp]]'s opaque-filler
+    * shell): 24bpp BI_RGB, bottom-up rows, 4-byte row padding.
+    */
+  def makeBmp24(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} rgb bytes, got ${rgb.length}")
+    val stride = (w * 3 + 3) & ~3
+    val size = 54 + stride * h
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(size).putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    bb.putInt(0).putInt(stride * h).putInt(0).putInt(0).putInt(0).putInt(0)
+    val out = bb.array()
+    var y = 0
+    while (y < h) {
+      val dstRow = 54 + stride * (h - 1 - y)
+      var x = 0
+      while (x < w) {
+        val s = (y * w + x) * 3
+        val d = dstRow + x * 3
+        out(d) = rgb(s + 2); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ---- PNG ----------------------------------------------------------------
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** 8-bit truecolor non-interlaced profile. Walks chunks (verifying each
+    * CRC), concatenates IDAT, inflates the zlib stream, reverses per-row
+    * filters.
+    */
+  def decodePng(b: Array[Byte]): Option[PixelImage] = {
+    if (b.length < 45) return None
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return None; i += 1 }
+    var w = 0; var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 8
+    var sawIhdr = false
+    var done = false
+    while (!done) {
+      if (pos + 8 > b.length) return None
+      val len = be32(b, pos)
+      if (len < 0 || pos + 12L + len > b.length) return None
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      val crc = new CRC32()
+      crc.update(b, pos + 4, 4 + len)
+      if (((crc.getValue & 0xffffffffL).toInt) != be32(b, pos + 8 + len))
+        return None // corrupt chunk: deterministic rejection, not bad pixels
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(b, pos + 8); h = be32(b, pos + 12)
+          val bitDepth = b(pos + 16) & 0xff
+          val colorType = b(pos + 17) & 0xff
+          val interlace = b(pos + 20) & 0xff
+          if (bitDepth != 8 || colorType != 2 || interlace != 0) return None
+          if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+              w.toLong * h > (1L << 26)) return None
+          sawIhdr = true
+        case "IDAT" => idat.write(b, pos + 8, len)
+        case "IEND" => done = true
+        case _      => () // ancillary chunks are skippable by design
+      }
+      pos += 12 + len
+    }
+    if (!sawIhdr || idat.size() == 0) return None
+    val stride = w * 3 + 1 // filter byte + RGB row
+    val raw = new Array[Byte](stride * h)
+    val inf = new Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    unfilter(raw, w, h).map(rgb => PixelImage("png", w, h, rgb))
+  }
+
+  /** Reverse the five PNG row filters (spec §6): each row's first byte
+    * names the filter; predictors read the already-reconstructed left (a),
+    * up (b), up-left (c) bytes at a 3-byte (bpp) lag.
+    */
+  private def unfilter(raw: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val stride = w * 3
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(src + x) & 0xff
+        val a = if (x >= 3) out(dst + x - 3) & 0xff else 0
+        val bb = if (y > 0) out(dst - stride + x) & 0xff else 0
+        val c = if (y > 0 && x >= 3) out(dst - stride + x - 3) & 0xff else 0
+        val rec = ft match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + bb
+          case 3 => cur + ((a + bb) / 2)
+          case 4 => cur + paeth(a, bb, c)
+          case _ => return None // undefined filter type: corrupt
+        }
+        out(dst + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Paeth predictor (PNG spec §6.6), exact integer form. */
+  def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Real PNG with pixel content (vs [[ImageMeta.makePng]]'s filler IDAT):
+    * 8-bit truecolor, one zlib stream, `filterFor(y)` picks each row's
+    * filter type (0–4) so the decode path's de-filtering is genuinely
+    * exercised, not just filter-0 identity.
+    */
+  def makePng24(w: Int, h: Int, rgb: Array[Byte],
+                filterFor: Int => Int = _ => 0): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} rgb bytes, got ${rgb.length}")
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val ft = filterFor(y)
+      require(ft >= 0 && ft <= 4, s"filter type $ft outside [0,4]")
+      raw(y * (stride + 1)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgb(y * stride + x) & 0xff
+        val a = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+        val b = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val c = if (y > 0 && x >= 3) rgb((y - 1) * stride + x - 3) & 0xff else 0
+        val enc = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) / 2)
+          case 4 => cur - paeth(a, b, c)
+        }
+        raw(y * (stride + 1) + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val def_ = new Deflater()
+    def_.setInput(raw); def_.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zOut = new java.io.ByteArrayOutputStream()
+    while (!def_.finished()) zOut.write(buf, 0, def_.deflate(buf))
+    def_.end()
+    val out = new java.io.ByteArrayOutputStream(64 + zOut.size())
+    out.write(PngSig, 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array(), 0, 4)
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body, 0, body.length)
+      val crc = new CRC32(); crc.update(body)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt((crc.getValue & 0xffffffffL).toInt).array(), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+}
