@@ -1301,12 +1301,13 @@ object SparkEntry {
         .orderBy("user_id", "valid_from")
     }),
 
-    // Incremental view maintenance: a materialized (priority -> cnt, sum)
-    // aggregate kept current under a derived changelog (upserts incl.
-    // group moves, deletes, stale versions) by delta merge — only the
-    // changed keys' snapshot rows are touched, never a full rescan. The
-    // oracle recomputes from the fully-applied state; equality IS the
-    // IVM correctness contract.
+    // Incremental view maintenance: a materialized (priority -> cnt, sum,
+    // min, max) aggregate kept current under a derived changelog (upserts
+    // incl. group moves, deletes, stale versions) by delta merge — only
+    // the changed keys' snapshot rows are touched, never a full rescan;
+    // min/max heal through the bounded group-rescan repair (extremum
+    // deletes rescan ONLY the affected groups). The oracle recomputes from
+    // the fully-applied state; equality IS the IVM correctness contract.
     "q_ivm" -> ((s, dir) => {
       val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
         lit(0L).as("v"), col("o_orderpriority").as("g"),
@@ -1323,7 +1324,9 @@ object SparkEntry {
             lit("upsert").as("op")))
       val base = graft.ops.ChangeOps.groupAgg(o, "g", "x")
       graft.ops.ChangeOps.maintainAgg(base, o, changes, "k", "v", "op", "g", "x")
-        .select(col("g"), col("cnt"), col("sum_val").cast("double").as("sum_val"))
+        .select(col("g"), col("cnt"), col("sum_val").cast("double").as("sum_val"),
+          col("min_val").cast("double").as("min_val"),
+          col("max_val").cast("double").as("max_val"))
         .orderBy("g")
     }),
 
@@ -3058,7 +3061,9 @@ object SparkEntry {
         |      FROM u GROUP BY k),
         |live AS (SELECT g, x FROM w WHERE op = 'upsert')
         |SELECT g, CAST(count(*) AS BIGINT) AS cnt,
-        |       CAST(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_val
+        |       CAST(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_val,
+        |       CAST(min(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS min_val,
+        |       CAST(max(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS max_val
         |FROM live GROUP BY g ORDER BY g""".stripMargin,
 
     "q_dataset_diff" ->

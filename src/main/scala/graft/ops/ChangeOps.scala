@@ -37,10 +37,10 @@ object ChangeOps {
       .drop(opCol)
   }
 
-  /** Incremental view maintenance for (count, sum)-per-group — keep a
-    * materialized aggregate current under a changelog WITHOUT rescanning
-    * the snapshot: only the CHANGED keys' snapshot rows are read (a
-    * key-semi-join — partition/bucket-prunable at 100 TB), their old
+  /** Incremental view maintenance for (count, sum, min, max)-per-group —
+    * keep a materialized aggregate current under a changelog WITHOUT
+    * rescanning the snapshot: only the CHANGED keys' snapshot rows are read
+    * (a key-semi-join — partition/bucket-prunable at 100 TB), their old
     * contributions subtracted and the change winners' new contributions
     * added, then one tiny delta table (≤ |touched groups| rows) merges
     * into the base aggregate by full-outer join. Handles group-moving
@@ -48,17 +48,24 @@ object ChangeOps {
     * changes (the snapshot row wins the version race → the add puts the
     * subtracted contribution straight back), and groups emptying to zero
     * (dropped). Same contract as [[applyChangelog]]: (key, version)
-    * unique across the union; sums are exact via DECIMAL(18,2) (2-dp
-    * inputs by contract).
+    * unique across the union; values flow through DECIMAL(18,2) (2-dp
+    * inputs by contract) so sums are exact and extrema compare exactly.
     *
-    * Scope: count/sum (and anything derived from them — mean) are the
-    * self-maintainable aggregates. min/max are deliberately excluded:
-    * deleting the current extremum forces a rescan of its group (the
-    * classic IVM boundary) — recompute those groups instead.
+    * count/sum (and anything derived — mean) are self-maintainable.
+    * min/max sit on the classic IVM boundary — deleting the current
+    * extremum can't be healed from the delta — and get the standard
+    * BOUNDED GROUP-RESCAN REPAIR: a group's min needs repair only when a
+    * removal ties its stored min and no add replaces it (symmetrically for
+    * max); ONLY those groups' snapshot slices are rescanned (group-
+    * partition-prunable at 100 TB — repair cost is proportional to the
+    * affected groups' size, never the table). All other groups fold
+    * extrema from the delta alone: an add ≤ the stored min IS the new min
+    * because every surviving row is ≥ it.
     *
-    * `baseAgg` must be `(groupCol, cnt, sum_val)` — exactly this
-    * function's output, so maintenance chains batch after batch.
-    * Equivalence `maintainAgg(agg(S), S, C) == agg(applyChangelog(S, C))`
+    * `baseAgg` must be `(groupCol, cnt, sum_val, min_val, max_val)` —
+    * exactly this function's (and [[groupAgg]]'s) output, so maintenance
+    * chains batch after batch. Equivalence
+    * `maintainAgg(agg(S), S, C) == agg(applyChangelog(S, C))`
     * is the spec'd + oracle-checked contract.
     */
   def maintainAgg(baseAgg: DataFrame, snapshot: DataFrame, changes: DataFrame,
@@ -72,29 +79,70 @@ object ChangeOps {
     val winner = race.groupBy(keyCol).agg(
       max_by(struct(col(opCol), col(groupCol), col(valCol)), col(versionCol))
         .as("_w"))
-    val minus = snapSlice.select(col(groupCol).as("_g"),
-      lit(-1L).as("_dc"),
-      (col(valCol).cast("decimal(18,2)") * -1).as("_dv"))
-    val plus = winner.filter(col(s"_w.$opCol") === "upsert")
-      .select(col(s"_w.$groupCol").as("_g"), lit(1L).as("_dc"),
-        col(s"_w.$valCol").cast("decimal(18,2)").as("_dv"))
-    val delta = minus.unionByName(plus)
-      .groupBy("_g").agg(sum("_dc").as("_dc"), sum("_dv").as("_dv"))
-    baseAgg.join(delta, col(groupCol) === col("_g"), "full_outer")
-      .select(coalesce(col(groupCol), col("_g")).as(groupCol),
+    val removes = snapSlice.select(col(groupCol).as("_g"),
+      col(valCol).cast("decimal(18,2)").as("_v"), lit(-1).as("_s"))
+    val adds = winner.filter(col(s"_w.$opCol") === "upsert")
+      .select(col(s"_w.$groupCol").as("_g"),
+        col(s"_w.$valCol").cast("decimal(18,2)").as("_v"), lit(1).as("_s"))
+    // one pass over the (tiny) contribution set: count/sum deltas plus the
+    // add/remove extrema that drive both the fold and the repair trigger
+    val delta = removes.unionByName(adds).groupBy("_g").agg(
+      sum(col("_s").cast("long")).as("_dc"),
+      sum(col("_v") * col("_s")).cast("decimal(18,2)").as("_dv"),
+      min(when(col("_s") === 1, col("_v"))).as("_amin"),
+      max(when(col("_s") === 1, col("_v"))).as("_amax"),
+      min(when(col("_s") === -1, col("_v"))).as("_rmin"),
+      max(when(col("_s") === -1, col("_v"))).as("_rmax"))
+    val merged = baseAgg.join(delta, col(groupCol) === col("_g"), "full_outer")
+      .select(coalesce(col(groupCol), col("_g")).as("_grp"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dc"), lit(0L))).as("cnt"),
         (coalesce(col("sum_val"), lit(0).cast("decimal(18,2)")) +
           coalesce(col("_dv"), lit(0).cast("decimal(18,2)")))
-          .cast("decimal(18,2)").as("sum_val"))
+          .cast("decimal(18,2)").as("sum_val"),
+        col("min_val"), col("max_val"),
+        col("_amin"), col("_amax"), col("_rmin"), col("_rmax"))
       .filter(col("cnt") > 0)
+      // the repair set is read twice (trigger + final assembly) and is
+      // delta-sized; pin it so the trigger evaluates once
+      .localCheckpoint()
+    // repair trigger: a removal ties the stored extremum AND no add
+    // re-covers it. (Removals come from snapshot rows, so _rmin ≥ min_val
+    // always — "≤" is the tie.) Ties with multiplicity rescan harmlessly.
+    val needRepair =
+      (col("min_val").isNotNull && col("_rmin").isNotNull &&
+        col("_rmin") <= col("min_val") &&
+        (col("_amin").isNull || col("_amin") > col("min_val"))) ||
+      (col("max_val").isNotNull && col("_rmax").isNotNull &&
+        col("_rmax") >= col("max_val") &&
+        (col("_amax").isNull || col("_amax") < col("max_val")))
+    val repairGroups = merged.filter(needRepair).select(col("_grp"))
+    // bounded rescan: ONLY the affected groups' live rows — surviving
+    // snapshot rows (touched keys excluded) plus this batch's add winners
+    val rescanSnap = snapshot
+      .join(repairGroups, snapshot(groupCol) === repairGroups("_grp"), "left_semi")
+      .join(changedKeys, Seq(keyCol), "left_anti")
+      .select(col(groupCol).as("_g"), col(valCol).cast("decimal(18,2)").as("_v"))
+    val rescanAdds = adds.select(col("_g"), col("_v"))
+      .join(repairGroups, col("_g") === col("_grp"), "left_semi")
+    val repaired = rescanSnap.unionByName(rescanAdds).groupBy("_g")
+      .agg(min("_v").as("_pmin"), max("_v").as("_pmax"))
+    merged.join(repaired, col("_grp") === repaired("_g"), "left_outer")
+      .select(col("_grp").as(groupCol), col("cnt"), col("sum_val"),
+        coalesce(col("_pmin"), least(col("min_val"), col("_amin")))
+          .cast("decimal(18,2)").as("min_val"),
+        coalesce(col("_pmax"), greatest(col("max_val"), col("_amax")))
+          .cast("decimal(18,2)").as("max_val"))
   }
 
-  /** The (group, cnt, sum_val) aggregate [[maintainAgg]] maintains —
-    * provided so base construction and maintenance share one shape.
+  /** The (group, cnt, sum_val, min_val, max_val) aggregate [[maintainAgg]]
+    * maintains — provided so base construction and maintenance share one
+    * shape.
     */
   def groupAgg(df: DataFrame, groupCol: String, valCol: String): DataFrame =
     df.groupBy(groupCol).agg(count(lit(1)).as("cnt"),
-      sum(col(valCol).cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_val"))
+      sum(col(valCol).cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_val"),
+      min(col(valCol).cast("decimal(18,2)")).as("min_val"),
+      max(col(valCol).cast("decimal(18,2)")).as("max_val"))
 
   /** Snapshot diff — the dataset-versioning primitive: compare two
     * versions of a table by key and label every key `added` / `removed` /

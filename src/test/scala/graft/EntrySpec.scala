@@ -296,6 +296,46 @@ class EntrySpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("maintainAgg min/max: extremum deletes heal via bounded group rescan") {
+    import spark.implicits._
+    val snap = Seq(
+      (1L, 0L, "a", 10.0), (2L, 0L, "a", 50.0), (3L, 0L, "a", 30.0),
+      (4L, 0L, "b", 5.0), (5L, 0L, "b", 5.0), (6L, 0L, "b", 7.0),
+      (7L, 0L, "c", 100.0), (8L, 0L, "c", 1.0)).toDF("k", "v", "g", "x")
+    val changes = Seq(
+      (2L, 2L, "a", 0.0, "delete"),   // deletes a's MAX (50) -> repair: max 30
+      (4L, 2L, "b", 0.0, "delete"),   // deletes ONE of b's tied mins -> min stays 5
+      (7L, 2L, "d", 100.0, "upsert"), // c's max MOVES to new group d -> c repairs
+      (9L, 2L, "a", 2.0, "upsert")    // new min for a WITHOUT repair (add covers)
+    ).toDF("k", "v", "g", "x", "op")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("g"), col("cnt"), col("sum_val").cast("double"),
+        col("min_val").cast("double"), col("max_val").cast("double"))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    val base = graft.ops.ChangeOps.groupAgg(snap, "g", "x")
+    val got = shape(graft.ops.ChangeOps
+      .maintainAgg(base, snap, changes, "k", "v", "op", "g", "x"))
+    val recomputed = shape(graft.ops.ChangeOps.groupAgg(
+      graft.ops.ChangeOps.applyChangelog(snap, changes, "k", "v", "op"), "g", "x"))
+    assert(got == recomputed, s"ivm $got != recompute $recomputed")
+    assert(got == Set(
+      ("a", 3L, 42.0, 2.0, 30.0),  // max healed by rescan, min from the add
+      ("b", 2L, 12.0, 5.0, 7.0),   // tied-min survivor keeps 5
+      ("c", 1L, 1.0, 1.0, 1.0),    // mover's source group healed by rescan
+      ("d", 1L, 100.0, 100.0, 100.0)))
+    // second batch chains off the maintained agg: delete the healed max again
+    val applied = graft.ops.ChangeOps.applyChangelog(snap, changes, "k", "v", "op")
+      .select("k", "v", "g", "x")
+    val ch2 = Seq((3L, 4L, "a", 0.0, "delete")).toDF("k", "v", "g", "x", "op")
+    val got2 = shape(graft.ops.ChangeOps.maintainAgg(
+      graft.ops.ChangeOps.maintainAgg(base, snap, changes, "k", "v", "op", "g", "x"),
+      applied, ch2, "k", "v", "op", "g", "x"))
+    val rec2 = shape(graft.ops.ChangeOps.groupAgg(
+      graft.ops.ChangeOps.applyChangelog(applied, ch2, "k", "v", "op"), "g", "x"))
+    assert(got2 == rec2)
+    assert(got2.contains(("a", 2L, 12.0, 2.0, 10.0)))
+  }
+
   test("scd2: intervals chain per key, exactly one current row") {
     import spark.implicits._
     val changes = Seq((1L, 10L, "x"), (1L, 20L, "y"), (1L, 30L, "z"), (2L, 5L, "w"))

@@ -485,16 +485,23 @@ class StreamsSpec extends SparkTestBase {
       // group a disappears), stale change for 1 loses
       in.addData((2L, 3L, "a", 0.0, "delete"), (1L, 1L, "z", 999.0, "upsert"))
       q.processAllAvailable()
+      // batch 3: delete b's MAX (k3, x=30) — the maintained min/max must
+      // heal through the bounded group rescan, not go stale
+      in.addData((3L, 4L, "b", 0.0, "delete"))
+      q.processAllAvailable()
       val agg = spark.read.parquet(s"$view/agg")
-        .selectExpr("g", "cnt", "CAST(sum_val AS DOUBLE)")
-        .as[(String, Long, Double)].collect().toSet
-      assert(agg == Set(("b", 2L, 41.0), ("c", 1L, 40.0)), s"got $agg")
+        .selectExpr("g", "cnt", "CAST(sum_val AS DOUBLE)",
+          "CAST(min_val AS DOUBLE)", "CAST(max_val AS DOUBLE)")
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      assert(agg == Set(("b", 1L, 11.0, 11.0, 11.0),
+        ("c", 1L, 40.0, 40.0, 40.0)), s"got $agg")
       // the maintained aggregate equals a recompute over the snapshot —
       // snapshot and agg swapped together, never out of step
       val recompute = graft.ops.ChangeOps.groupAgg(
           spark.read.parquet(s"$view/snap"), "g", "x")
-        .selectExpr("g", "cnt", "CAST(sum_val AS DOUBLE)")
-        .as[(String, Long, Double)].collect().toSet
+        .selectExpr("g", "cnt", "CAST(sum_val AS DOUBLE)",
+          "CAST(min_val AS DOUBLE)", "CAST(max_val AS DOUBLE)")
+        .as[(String, Long, Double, Double, Double)].collect().toSet
       assert(agg == recompute)
     } finally q.stop()
   }
