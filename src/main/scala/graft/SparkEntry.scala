@@ -663,6 +663,60 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q9 analogue (profit by nation and year) — the two-fact join
+    // shape the fixture couldn't express without partsupp: the supplier-
+    // part cost side is synthesized deterministically from the (partkey,
+    // suppkey) pairs in lineitem (RelationalOps.syntheticPartsupp — pure
+    // md5 arithmetic, oracle-replayable). Dims (part-filtered, supplier,
+    // nation) broadcast; the ps join is equi-keyed on the pair.
+    "q_tpch_q9s" -> ((s, dir) => {
+      val ps = graft.ops.RelationalOps.syntheticPartsupp(Tables.lineitem(s, dir))
+      val p = Tables.part(s, dir).filter(col("p_name").like("%ol%"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(ps, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))")
+            .as("amount"))
+        .groupBy("nation", "o_year")
+        .agg(sum(col("amount")).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 analogue (important stock per nation) — the
+    // HAVING-over-global-scalar optimizer shape: the per-part values and
+    // the global threshold aggregate over the SAME scoped input exactly
+    // once each; the 1-row threshold broadcasts against the per-part
+    // aggregate (never a re-aggregation per probe row). Threshold compare
+    // runs in IEEE double on both engines for bit-identical filtering.
+    "q_tpch_q11s" -> ((s, dir) => {
+      val ps = graft.ops.RelationalOps.syntheticPartsupp(Tables.lineitem(s, dir))
+      val n = Tables.nation(s, dir).filter(col("n_name") === "NATION_3")
+      val scoped = ps
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost") * col("ps_availqty").cast("decimal(18,0)"))
+            .as("val"))
+      val perPart = scoped.groupBy("ps_partkey").agg(sum(col("val")).as("value"))
+      // the global total is the sum of the per-part sums — fold it from the
+      // ALREADY-aggregated table so the scoped input (and the fact-table
+      // distinct feeding it) is scanned exactly once
+      val thr = perPart.agg((sum(col("value")).cast("double") * 0.0001).as("_thr"))
+      perPart.crossJoin(broadcast(thr))
+        .filter(col("value").cast("double") > col("_thr"))
+        .select(col("ps_partkey"), col("value").cast("double").as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    }),
+
     // KMV distinct-count sketch (Bar-Yossef et al. 2002) — the profiling
     // pass a 100 TB pipeline runs before choosing join/partition
     // strategies. Engine-portable by construction (md5 hashes, pure
@@ -2418,6 +2472,34 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_tpch_q9s" ->
+      s"""WITH ps AS (${graft.ops.RelationalOps.syntheticPartsuppSql})
+         |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+         |           - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |WHERE p_name LIKE '%ol%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q11s" ->
+      s"""WITH ps AS (${graft.ops.RelationalOps.syntheticPartsuppSql}),
+         |scoped AS (
+         |  SELECT ps_partkey, ps_supplycost * ps_availqty AS val
+         |  FROM ps
+         |  JOIN supplier ON ps_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3'),
+         |per AS (SELECT ps_partkey, sum(val) AS value FROM scoped GROUP BY ps_partkey),
+         |tot AS (SELECT CAST(sum(val) AS DOUBLE) * 0.0001 AS thr FROM scoped)
+         |SELECT ps_partkey, CAST(value AS DOUBLE) AS value
+         |FROM per, tot WHERE CAST(value AS DOUBLE) > thr
+         |ORDER BY value DESC, ps_partkey""".stripMargin,
 
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count

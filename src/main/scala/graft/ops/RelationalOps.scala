@@ -24,6 +24,43 @@ object RelationalOps {
     left.join(r, left(leftKey) === r(rightKey), "inner")
   }
 
+  /** Synthesized supplier-part cost table — the fixture carries no
+    * partsupp, so the TPC-H Q9/Q11 optimizer shapes (two-fact join with a
+    * per-(part,supplier) cost; HAVING over a global scalar) get their cost
+    * side derived deterministically from the pairs that actually occur in
+    * lineitem: `ps_supplycost`/`ps_availqty` are pure md5 arithmetic on
+    * (partkey, suppkey) ([[Sampling.hashDraw]]), so any engine replays
+    * them exactly and the synthesized table never needs to be stored.
+    *
+    * Shape at 100 TB: one distinct over two int columns of the fact table
+    * (map-side partial dedup collapses it early), then codegen'd column
+    * arithmetic — no extra source, no join to build it.
+    */
+  def syntheticPartsupp(lineitem: DataFrame): DataFrame = {
+    val pairs = lineitem.select(col("l_partkey").as("ps_partkey"),
+      col("l_suppkey").as("ps_suppkey")).distinct()
+    val key = concat(col("ps_partkey").cast("string"), lit(":"),
+      col("ps_suppkey").cast("string"))
+    pairs
+      .withColumn("ps_supplycost",
+        ((Sampling.hashDraw(key, "pscost") % 100000) / 100.0)
+          .cast("decimal(18,2)"))
+      .withColumn("ps_availqty",
+        (Sampling.hashDraw(key, "psavail") % 9999 + 1).cast("int"))
+  }
+
+  /** The SQL an ANSI engine needs to replay [[syntheticPartsupp]] — kept
+    * adjacent so the two formulas can't drift.
+    */
+  val syntheticPartsuppSql: String = {
+    val key = "CAST(ps_partkey AS VARCHAR) || ':' || CAST(ps_suppkey AS VARCHAR)"
+    s"""SELECT ps_partkey, ps_suppkey,
+       |  CAST((${Sampling.hashDrawSql(key, "pscost")} % 100000) / 100.0 AS DECIMAL(18,2)) AS ps_supplycost,
+       |  CAST(${Sampling.hashDrawSql(key, "psavail")} % 9999 + 1 AS INT) AS ps_availqty
+       |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+       |      FROM lineitem)""".stripMargin
+  }
+
   /** Total sort by key — Disco's external disk sort (lib/disco/util.py:362-388
     * `disk_sort` via Unix sort). Spark: `orderBy` = range partitioning
     * (sampled bounds) + per-partition spill-capable sort; scales linearly

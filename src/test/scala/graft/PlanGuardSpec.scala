@@ -76,6 +76,44 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("q_tpch_q9s: dims broadcast, ONE aggregation pass over the two-fact join") {
+    val plan = SparkEntry.queries("q_tpch_q9s")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "part/supplier/nation dims must broadcast against the lineitem fact")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // profit folds in one partial+final pair; the synthesized ps side adds
+    // its own distinct pair (pairs dedup) — anything beyond 4 HashAggregates
+    // means a re-aggregation crept in
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs <= 4, s"expected ≤4 HashAggregate nodes (profit pair + ps distinct pair), got $aggs")
+  }
+
+  test("q_tpch_q11s: global scalar computed once and broadcast, never per probe") {
+    // AQE's pre-execution plan hides exchange reuse (it applies at
+    // runtime); plan the probe without it so the static ReuseExchange rule
+    // is visible — same technique as the q_zorder codegen probe
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntry.queries("q_tpch_q11s")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!plan.contains("CartesianProduct"),
+      "the 1-row threshold must broadcast, not cartesian")
+    assert(plan.contains("BroadcastExchange"),
+      "the 1-row global threshold must broadcast against the per-part aggregate")
+    // what matters at 100 TB: the fact table feeds BOTH the per-part
+    // aggregate and the global scalar through ONE scan — Spark's exchange
+    // reuse must dedup the shared subtree (the threshold branch reads the
+    // reused shuffle, it never rescans lineitem)
+    val factScans = "FileScan parquet".r.findAllIn(plan).length
+    assert(factScans <= 3, // lineitem + supplier + nation, each once
+      s"expected ≤3 parquet scans (fact once, dims once), got $factScans:\n${plan.take(3000)}")
+    assert(plan.contains("ReusedExchange"),
+      s"the shared per-part subtree must be exchange-reused, not recomputed:\n${plan.take(3000)}")
+  }
+
   test("q_tpch_q6: predicates reach the scan, single aggregate, no join") {
     val plan = SparkEntry.queries("q_tpch_q6")(spark, sfDir)
       .queryExecution.executedPlan.toString
