@@ -506,6 +506,88 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maintained view: EVERY crash boundary leaves a consistent observable pair and replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.hadoop.fs.Path
+    // the swap sequence has these on-disk states a crash can leave behind
+    // (k0: before the batch touches disk; k1: new pair staged in
+    // ._merge_new; k2: cur renamed aside to ._merge_old — the window the
+    // one-rename design must heal; k3: new pair renamed in, old aside;
+    // k4: clean completion). For each, the OBSERVABLE pair under the
+    // recovery rule (cur if present, else old) must be internally
+    // consistent (agg == recompute(snap)) and a replayed batch must
+    // converge to the same final state.
+    val snap0 = Seq((1L, 0L, "a", 10.0), (2L, 0L, "a", 20.0), (3L, 0L, "b", 30.0))
+      .toDF("k", "v", "g", "x")
+    val batch = Seq((1L, 2L, "b", 11.0, "upsert"), (3L, 3L, "b", 0.0, "delete"),
+      (4L, 2L, "c", 40.0, "upsert"))
+      .toDF("k", "v", "g", "x", "op")
+    val snap1 = graft.ops.ChangeOps.applyChangelog(snap0, batch, "k", "v", "op")
+      .select("k", "v", "g", "x").localCheckpoint()
+    val agg1 = graft.ops.ChangeOps.maintainAgg(
+      graft.ops.ChangeOps.groupAgg(snap0, "g", "x"), snap0, batch,
+      "k", "v", "op", "g", "x").localCheckpoint()
+    def writePair(path: String, s: org.apache.spark.sql.DataFrame,
+                  a: org.apache.spark.sql.DataFrame): Unit = {
+      s.write.mode("overwrite").parquet(s"$path/snap")
+      a.write.mode("overwrite").parquet(s"$path/agg")
+    }
+    def consistent(path: String): Unit = {
+      val s = spark.read.parquet(s"$path/snap")
+      val a = spark.read.parquet(s"$path/agg")
+        .selectExpr("g", "cnt", "CAST(sum_val AS DOUBLE) AS sv",
+          "CAST(min_val AS DOUBLE) AS mn", "CAST(max_val AS DOUBLE) AS mx")
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      val r = graft.ops.ChangeOps.groupAgg(s, "g", "x")
+        .selectExpr("g", "cnt", "CAST(sum_val AS DOUBLE) AS sv",
+          "CAST(min_val AS DOUBLE) AS mn", "CAST(max_val AS DOUBLE) AS mx")
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      assert(a == r, s"pair at $path out of step: agg $a vs recompute $r")
+    }
+    val expected = agg1
+      .selectExpr("g", "cnt", "CAST(sum_val AS DOUBLE) AS sv")
+      .as[(String, Long, Double)].collect().toSet
+    for (kill <- 0 to 4) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_mv_k$kill").toString
+      val view = s"$dir/view"
+      val fs = new Path(view).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // materialize the exact on-disk state the crash at this boundary leaves
+      kill match {
+        case 0 => writePair(view, snap0, graft.ops.ChangeOps.groupAgg(snap0, "g", "x"))
+        case 1 =>
+          writePair(view, snap0, graft.ops.ChangeOps.groupAgg(snap0, "g", "x"))
+          writePair(s"$view._merge_new", snap1, agg1)
+        case 2 =>
+          writePair(s"$view._merge_old", snap0, graft.ops.ChangeOps.groupAgg(snap0, "g", "x"))
+          writePair(s"$view._merge_new", snap1, agg1)
+        case 3 =>
+          writePair(s"$view._merge_old", snap0, graft.ops.ChangeOps.groupAgg(snap0, "g", "x"))
+          writePair(view, snap1, agg1)
+        case 4 => writePair(view, snap1, agg1)
+      }
+      // 1) whatever a reader (or recovery) observes NOW is a consistent pair
+      if (fs.exists(new Path(view))) consistent(view)
+      else consistent(s"$view._merge_old")
+      // 2) restart + replay the batch: every kill point converges to the
+      // same final state (idempotent merge — k3/k4 re-apply onto snap1)
+      val in = MemoryStream[(Long, Long, String, Double, String)]
+      val q = Streams.maintainedViewStream(
+        in.toDF.toDF("k", "v", "g", "x", "op"),
+        view, "k", "v", "op", "g", "x", s"$dir/ckpt")
+      try {
+        in.addData((1L, 2L, "b", 11.0, "upsert"), (3L, 3L, "b", 0.0, "delete"),
+          (4L, 2L, "c", 40.0, "upsert"))
+        q.processAllAvailable()
+        val got = spark.read.parquet(s"$view/agg")
+          .selectExpr("g", "cnt", "CAST(sum_val AS DOUBLE) AS sv")
+          .as[(String, Long, Double)].collect().toSet
+        assert(got == expected, s"kill=$kill replay diverged: $got vs $expected")
+        consistent(view)
+        assert(!fs.exists(new Path(view + "._merge_old")), s"kill=$kill left _merge_old")
+      } finally q.stop()
+    }
+  }
+
   test("maintained view recovers from a crash that left only ._merge_old") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_mview_crash").toString
