@@ -56,6 +56,36 @@ object Sinks {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Z-ORDERED parquet sink — the multi-column data layout as a sink
+    * option rather than a query recipe: Morton-interleave `zCols`
+    * ([[graft.functions.ZOrder]], codegen'd), range-partition + sort by
+    * the code, write. Every output file then covers a bounded BOX of the
+    * key space, so the parquet footer min/max stats prune scans filtering
+    * on ANY of the layout columns (a lexicographic sort only prunes the
+    * leading one). The interleave column itself is dropped — the layout
+    * lives in row order and file boundaries, not the schema.
+    *
+    * `bits` is the per-column interleave width: values are masked into
+    * [0, 2^bits) for the CODE only (stored data is untouched) — at real
+    * scale normalize each dimension to that range first (range-partition
+    * ids). `numFiles` sizes output files: pick `totalBytes /
+    * targetFileBytes` (128 MB files ⇒ a 100 TB table wants ~800k files —
+    * z-order within partitions of a hive layout instead at that scale).
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    bits: Int = 16, numFiles: Int = 32): Unit = {
+    require(zCols.size >= 2, s"z-order needs >= 2 columns, got $zCols")
+    val longs = zCols.map(c => col(c).cast("long"))
+    val zv =
+      if (zCols.size == 2) graft.functions.ZOrder.z_order(longs(0), longs(1), bits)
+      else graft.functions.ZOrder.z_order_n(bits, longs: _*)
+    df.withColumn("_zorder", zv)
+      .repartitionByRange(numFiles, col("_zorder"))
+      .sortWithinPartitions("_zorder")
+      .drop("_zorder")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Hive-partitioned parquet sink: one directory per distinct value of
     * `partitionCols` — THE layout that lets a predicate on those columns
     * skip entire directories at planning time (partition pruning: a

@@ -120,6 +120,58 @@ class ZOrderSpec extends SparkTestBase {
     assert(zx < 600.0, s"z-layout x-width $zx not selective")
   }
 
+  test("writeZOrdered sink: parquet row-group stats skip files on EITHER predicate column") {
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(23)
+    val df = Seq.fill(20000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val base = graft.io.IoScratch.dir + "/zorder_sink"
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    graft.io.Sinks.writeZOrdered(df, base + "/z", Seq("x", "y"),
+      bits = 10, numFiles = 16)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(base + "/lex")
+    // read the REAL parquet footers — these row-group min/max stats are
+    // exactly what a scan's filter pushdown prunes with
+    def rowGroupStats(dir: String): Seq[Map[String, (Long, Long)]] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            b.getColumns.asScala.map { c =>
+              val s = c.getStatistics
+              c.getPath.toDotString ->
+                (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                 s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            }.toMap
+          } finally r.close()
+        }
+    }
+    // predicate col BETWEEN 0 AND 127 (1/8 of the key range): a row group
+    // is SKIPPED when its stats window misses the predicate entirely
+    def skipped(stats: Seq[Map[String, (Long, Long)]], c: String): Int =
+      stats.count(m => m(c)._1 > 127L)
+    val z = rowGroupStats(base + "/z")
+    val lex = rowGroupStats(base + "/lex")
+    assert(z.size >= 16, s"expected >=16 z row groups, got ${z.size}")
+    // z-order: the stats prune MOST row groups on either column
+    assert(skipped(z, "x") >= z.size / 2,
+      s"z-layout skipped only ${skipped(z, "x")}/${z.size} on x")
+    assert(skipped(z, "y") >= z.size / 2,
+      s"z-layout skipped only ${skipped(z, "y")}/${z.size} on y")
+    // lexicographic strawman: tight on the leading column, blind on y —
+    // every file spans ~the full y range so nothing skips
+    assert(skipped(lex, "x") >= lex.size / 2)
+    assert(skipped(lex, "y") == 0,
+      s"lex layout unexpectedly skipped ${skipped(lex, "y")} on y")
+  }
+
   test("zorderLayout emits zval-sorted partitions covering disjoint z-ranges") {
     val rnd = new scala.util.Random(3)
     val df = Seq.fill(2000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
