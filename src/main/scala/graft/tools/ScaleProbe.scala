@@ -224,6 +224,61 @@ object ScaleProbe {
     timed("standardize") {
       graft.similarity.Similarity.standardizeDims(embs, "vec_id", "embedding") }
 
+    // round-7 composites: the whole-pipeline plans the per-op probes above
+    // don't cover. All built from the ops already probed, so the composite
+    // exponents should track their slowest constituent (~linear), not
+    // multiply.
+    timed("dedup_scaled") {
+      Dedup.canonicalize(docs, "doc_id",
+        Dedup.minhashLshEdges(docs, "doc_id", "text", 2, 4, 4, 0.8)) }
+    timed("split_leakage") {
+      Dedup.splitLeakageSafe(docs, "doc_id",
+        Dedup.minhashLshEdges(docs, "doc_id", "text", 2, 4, 4, 0.8),
+        Seq(0.8, 0.1, 0.1)) }
+    timed("corpus_run") {
+      val src = docs.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(20))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val edges = Dedup.minhashLshEdges(src, "doc_id", "text", 2, 4, 4, 0.8)
+      val kept = src.join(Dedup.canonicalize(src, "doc_id", edges), "doc_id")
+        .filter(col("doc_id") === col("canon_id"))
+        .select("doc_id", "source", "n_chars")
+      val train = graft.ops.Sampling.splitByHash(kept, col("doc_id"),
+          Seq(0.8, 0.1, 0.1), salt = "run")
+        .filter(col("split") === 0)
+        .withColumn("pri", graft.ops.Sampling.hashDraw(col("doc_id"), "runpri"))
+      val capped = graft.ops.PrefixSum.budgetCapPerGroup(
+          train.select("doc_id", "source", "n_chars", "pri"),
+          "source", Seq("pri", "doc_id"), "n_chars", budget = n * 20)
+        .select("doc_id", "n_chars")
+      graft.ops.PrefixSum.packShards(capped, "doc_id", "n_chars",
+        budget = n * 10)
+    }
+
+    // dedup_scaled crossover, quantified on a PLANTED exact-dup-heavy
+    // corpus (the regime the collapse+star path exists for): half the
+    // corpus is exact copies of 50 boilerplate docs, so every boilerplate
+    // bucket holds ~n/100 identical signatures. The naive pair path emits
+    // m²/2 pairs per bucket; the edges path collapses copies first and
+    // emits a star. Same components either way — the cost is the contrast.
+    val nBoiler = 50L
+    val dupStart = n / 2
+    val boilerBase = when(col("id") >= dupStart, pmod(col("id"), lit(nBoiler)))
+      .otherwise(col("id"))
+    val bLen = (lit(80) + pmod(hash(boilerBase, lit(-1)), lit(120))).cast("int")
+    val bToks = transform(sequence(lit(0), bLen - 1), j =>
+      concat(lit("w"), pmod(hash(boilerBase, j), lit(5000))))
+    val boiler = spark.range(0, n)
+      .select(col("id").as("doc_id"), array_join(bToks, " ").as("text"))
+      .cache()
+    if (only.forall(o => o.exists("boiler".contains) || o.exists(_.contains("boiler"))))
+      boiler.count()
+    timed("boiler_pairs_naive") {
+      Dedup.minhashLshPairs(boiler, "doc_id", "text", 2, 4, 4, 0.8) }
+    timed("boiler_edges_scaled") {
+      Dedup.canonicalize(boiler, "doc_id",
+        Dedup.minhashLshEdges(boiler, "doc_id", "text", 2, 4, 4, 0.8)) }
+
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"n":$n,"secs":${j(secs)},"rows":${j(rows)}}""")
