@@ -1814,6 +1814,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Decode -> REAL nearest-neighbor resize (bounded box, integer
+    // sampling rule) -> luminance stats of the RESIZED raster. The oracle
+    // replays the integer resize arithmetic; the Spark side must recover
+    // it from actual pixel bytes through the decode+resize chain.
+    "q_media_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticPixelImages(
+        s, Tables.documents(s, dir), "doc_id")
+      Multimodal.resizedStats(s, media, maxDim = 16)
+        .select(col("id").as("doc_id"), col("rw"), col("rh"),
+          col("n_px"), col("lum_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // IMAGE near-dup pairs — the visual dedup leg: planted perturbed
+    // variants (every id = 4 mod 5 re-renders id-4 with ~1/17 of pixels
+    // nudged), decoded average-hash (8x8 integer-sampled luminance grid,
+    // mean threshold, four 16-bit bands), band-bucket candidates
+    // (pigeonhole guarantees recall at hamming <= 3), exact xor+bit_count
+    // verify. The oracle replays hash AND banding arithmetically.
+    "q_media_phash" -> ((s, dir) => {
+      val media = Multimodal.syntheticPixelImages(
+        s, Tables.documents(s, dir), "doc_id", withDups = true)
+      Multimodal.imageNearDupPairs(s, media, maxHamming = 3)
+        .orderBy("a", "b")
+    }),
+
     // REAL image-container parsing over a binary column: build one
     // spec-correct PNG/GIF/BMP/JPEG per doc (format+dims = deterministic
     // doc_id arithmetic, text bytes as opaque filler), then extract the
@@ -4026,6 +4052,69 @@ object SparkEntry {
         |  count(*) FILTER (lum // 64 = 2) AS l2,
         |  count(*) FILTER (lum // 64 = 3) AS l3
         |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // integer resize replay: rw = max(1, w*16 // max(w,h)) (no upscale),
+    // sample (x*w // rw, y*h // rh), lum from the pixel formula
+    "q_media_resize" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 29 AS w, 4 + doc_id % 23 AS h
+        |              FROM documents),
+        |r AS (SELECT doc_id, w, h,
+        |        CASE WHEN GREATEST(w, h) <= 16 THEN w
+        |             ELSE GREATEST(1, (w * 16) // GREATEST(w, h)) END AS rw,
+        |        CASE WHEN GREATEST(w, h) <= 16 THEN h
+        |             ELSE GREATEST(1, (h * 16) // GREATEST(w, h)) END AS rh
+        |      FROM dims),
+        |px AS (SELECT doc_id, w, h, rw, rh, unnest(range(0, rw * rh)) AS p FROM r),
+        |l AS (SELECT doc_id, rw, rh,
+        |        ((299 * ((doc_id * 3 + (((p % rw) * w) // rw) * 7  + (((p // rw) * h) // rh) * 11) % 256)
+        |        + 587 * ((doc_id * 5 + (((p % rw) * w) // rw) * 13 + (((p // rw) * h) // rh) * 17) % 256)
+        |        + 114 * ((doc_id * 7 + (((p % rw) * w) // rw) * 19 + (((p // rw) * h) // rh) * 23) % 256)) // 1000) AS lum
+        |      FROM px)
+        |SELECT doc_id, CAST(max(rw) AS BIGINT) AS rw, CAST(max(rh) AS BIGINT) AS rh,
+        |       count(*) AS n_px, CAST(sum(lum) AS BIGINT) AS lum_sum
+        |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the average-hash + banding replayed arithmetically: 64 sampled
+    // points, integer mean threshold, four 16-bit bands, any-band-equal
+    // candidates, xor/bit_count hamming <= 3
+    "q_media_phash" ->
+      """WITH g AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 5 = 4 THEN doc_id - 4 ELSE doc_id END AS base
+        |           FROM documents),
+        |dims AS (SELECT doc_id, base, 4 + base % 29 AS w, 4 + base % 23 AS h FROM g),
+        |pts AS (SELECT doc_id, base, w, h, unnest(range(0, 64)) AS k FROM dims),
+        |sampled AS (SELECT doc_id, base, k,
+        |    ((k % 8) * w) // 8 AS sx, ((k // 8) * h) // 8 AS sy
+        |  FROM pts),
+        |lums AS (SELECT doc_id, k,
+        |    (299 * LEAST(255, (base * 3 + sx * 7  + sy * 11) % 256 +
+        |       CASE WHEN doc_id % 5 = 4 AND (sx + sy + base) % 17 = 0 THEN 6 ELSE 0 END)
+        |   + 587 * LEAST(255, (base * 5 + sx * 13 + sy * 17) % 256 +
+        |       CASE WHEN doc_id % 5 = 4 AND (sx + sy + base) % 17 = 0 THEN 6 ELSE 0 END)
+        |   + 114 * LEAST(255, (base * 7 + sx * 19 + sy * 23) % 256 +
+        |       CASE WHEN doc_id % 5 = 4 AND (sx + sy + base) % 17 = 0 THEN 6 ELSE 0 END)) // 1000 AS lum
+        |  FROM sampled),
+        |means AS (SELECT doc_id, sum(lum) // 64 AS mean FROM lums GROUP BY doc_id),
+        |bands AS (SELECT l.doc_id, CAST(l.k // 16 AS INT) AS band,
+        |            CAST(sum(CASE WHEN l.lum > m.mean
+        |                          THEN (1 << CAST(l.k % 16 AS INT)) ELSE 0 END) AS BIGINT) AS bv
+        |          FROM lums l JOIN means m ON l.doc_id = m.doc_id
+        |          GROUP BY l.doc_id, l.k // 16),
+        |hashes AS (SELECT doc_id,
+        |             max(CASE WHEN band = 0 THEN bv END) AS b0,
+        |             max(CASE WHEN band = 1 THEN bv END) AS b1,
+        |             max(CASE WHEN band = 2 THEN bv END) AS b2,
+        |             max(CASE WHEN band = 3 THEN bv END) AS b3
+        |           FROM bands GROUP BY doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        |          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS INT) AS hamming
+        |FROM hashes x JOIN hashes y
+        |  ON x.doc_id < y.doc_id
+        | AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+        |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        |    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+        |ORDER BY a, b""".stripMargin,
 
     // format+dims are deterministic doc_id arithmetic — the Spark side must
     // produce them by PARSING the container bytes it built; the builder/

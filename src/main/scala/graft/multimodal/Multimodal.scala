@@ -199,6 +199,32 @@ object Multimodal {
     def b(id: Long, x: Int, y: Int): Int = math.floorMod(id * 7 + x * 19 + y * 23, 256).toInt
     /** BT.601 integer luminance — exact in any engine: (299r+587g+114b)/1000. */
     def lum(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+    /** Dup-planting id map: ids ≡ 4 (mod 5) are perturbed variants of id−4. */
+    def baseOf(id: Long): Long = if (math.floorMod(id, 5) == 4L) id - 4 else id
+    def isPerturbed(id: Long, x: Int, y: Int): Boolean =
+      math.floorMod(id, 5) == 4L && math.floorMod(x + y + baseOf(id), 17) == 0L
+    /** Variant pixels: base image's channels +6 (capped 255) on perturbed
+      * coordinates — small enough that variants stay hash-near the base.
+      */
+    def rgbBytesDup(id: Long): Array[Byte] = {
+      val base = baseOf(id)
+      val w = width(base); val h = height(base)
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          val d = if (isPerturbed(id, x, y)) 6 else 0
+          out(p) = math.min(255, r(base, x, y) + d).toByte
+          out(p + 1) = math.min(255, g(base, x, y) + d).toByte
+          out(p + 2) = math.min(255, b(base, x, y) + d).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
     def rgbBytes(id: Long): Array[Byte] = {
       val w = width(id); val h = height(id)
       val out = new Array[Byte](w * h * 3)
@@ -222,14 +248,24 @@ object Multimodal {
     * ids), pixels from [[PixelFormula]]. PNG rows cycle filter types
     * 0/1/2 by (id+row), so decode exercises de-filtering, not just the
     * filter-0 identity (Average/Paeth are pinned by golden-byte specs).
+    *
+    * `withDups = true` plants NEAR-DUPLICATES: every id ≡ 4 (mod 5)
+    * renders the pixels of id−4 with a small deterministic perturbation
+    * (channels +6, capped, on the ~1/17 of pixels where
+    * (x + y + baseId) % 17 == 0) — the structure [[imageNearDupPairs]]
+    * exists to find, and (like everything here) pure id arithmetic an
+    * oracle replays.
     */
   def syntheticPixelImages(spark: SparkSession, df: DataFrame,
-                           idCol: String): DataFrame = {
+                           idCol: String, withDups: Boolean = false): DataFrame = {
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map { id =>
-        val w = PixelFormula.width(id); val h = PixelFormula.height(id)
-        val rgb = PixelFormula.rgbBytes(id)
+        val base = if (withDups) PixelFormula.baseOf(id) else id
+        val w = PixelFormula.width(base); val h = PixelFormula.height(base)
+        val rgb =
+          if (withDups) PixelFormula.rgbBytesDup(id)
+          else PixelFormula.rgbBytes(id)
         val (mt, payload) =
           if (math.floorMod(id, 2) == 0L)
             ("image/bmp", PixelCodec.makeBmp24(w, h, rgb))
@@ -239,6 +275,118 @@ object Multimodal {
         MediaRecord(id, mt, payload, Map("synthetic" -> "true"))
       })
       .toDF("id", "media_type", "payload", "meta")
+  }
+
+  /** Decode → REAL nearest-neighbor resize (bounded box, never upscale) →
+    * integer luminance stats of the RESIZED raster — the thumbnail
+    * pipeline end-to-end, replacing the old metadata-only resize stub.
+    * All integer arithmetic, so a SQL oracle replays the sampling rule
+    * exactly. Undecodable payloads are dropped.
+    */
+  def resizedStats(spark: SparkSession, media: DataFrame,
+                   maxDim: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        PixelCodec.decode(bytes).map { img =>
+          val r = PixelCodec.resizeToMax(img, maxDim)
+          var lumSum = 0L
+          var i = 0
+          while (i < r.rgb.length) {
+            lumSum += PixelFormula.lum(r.rgb(i) & 0xff, r.rgb(i + 1) & 0xff,
+              r.rgb(i + 2) & 0xff)
+            i += 3
+          }
+          (id, r.width.toLong, r.height.toLong,
+            r.width.toLong * r.height, lumSum)
+        }
+      })
+      .toDF("id", "rw", "rh", "n_px", "lum_sum")
+  }
+
+  /** 8×8 average-hash of decoded pixels as four 16-bit bands — the
+    * image-near-dup fingerprint: nearest-neighbor-sample a 64-point grid
+    * (integer index arithmetic, [[PixelCodec.resizeNearest]]'s sampling
+    * rule), integer BT.601 luminance per point, threshold against the
+    * integer mean. Band k holds bits [16k, 16k+16). Kept as four ints —
+    * not one 64-bit word — so band-bucket joins and per-band hamming are
+    * sign-free and engine-portable.
+    */
+  def aHashBands(img: PixelImage): Array[Int] = {
+    val l = new Array[Int](64)
+    var sum = 0
+    var j = 0
+    while (j < 8) {
+      val sy = j * img.height / 8
+      var i = 0
+      while (i < 8) {
+        val sx = i * img.width / 8
+        val lum = PixelFormula.lum(img.r(sx, sy), img.g(sx, sy), img.b(sx, sy))
+        l(j * 8 + i) = lum; sum += lum
+        i += 1
+      }
+      j += 1
+    }
+    val mean = sum / 64
+    val bands = new Array[Int](4)
+    var k = 0
+    while (k < 64) {
+      if (l(k) > mean) bands(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    bands
+  }
+
+  /** Decoded average-hash per payload: (id, b0..b3); undecodable payloads
+    * are dropped (a fingerprint of garbage is noise, not signal).
+    */
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        PixelCodec.decode(bytes).map { img =>
+          val b = aHashBands(img)
+          (id, b(0), b(1), b(2), b(3))
+        }
+      })
+      .toDF("id", "b0", "b1", "b2", "b3")
+  }
+
+  /** IMAGE near-duplicate pairs by average-hash hamming distance — the
+    * visual leg of the dedup suite (same architecture as SimHash text
+    * dedup): candidates from 16-bit band-bucket equi-joins (pigeonhole:
+    * hamming ≤ 3 over 4 bands ⇒ at least one band matches exactly, so
+    * recall is GUARANTEED at the default radius, heuristic beyond), then
+    * exact hamming (xor + bit_count, codegen'd) verifies. Never all-pairs:
+    * candidate volume is Σ bucket²  over hash-bucket sizes, and a
+    * structured corpus that collapses buckets degrades gracefully into
+    * the verify filter.
+    */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"band recall guarantee (4 bands) holds for hamming <= 3, got $maxHamming")
+    val hashes = imageHashes(spark, media)
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    val exploded = hashes.select(col("id") +: bandCols.map(col) :+
+      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("band"), col(c).as("bv"))
+      }: _*)).as("bb"): _*)
+      .select(col("id") +: bandCols.map(col) :+
+        col("bb.band").as("band") :+ col("bb.bv").as("bv"): _*)
+    val x = exploded.select(
+      col("id").as("xid") +: col("band").as("xband") +: col("bv").as("xbv") +:
+        bandCols.map(c => col(c).as(s"x$c")): _*)
+    val y = exploded.select(
+      col("id").as("yid") +: col("band").as("yband") +: col("bv").as("ybv") +:
+        bandCols.map(c => col(c).as(s"y$c")): _*)
+    val ham = bandCols.map(c =>
+      bit_count(col(s"x$c").bitwiseXOR(col(s"y$c")))).reduce(_ + _)
+    x.join(y, col("xband") === col("yband") && col("xbv") === col("ybv") &&
+        col("xid") < col("yid"))
+      .select(col("xid").as("a"), col("yid").as("b"), ham.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Pixel-DECODED stats over the binary column — the real

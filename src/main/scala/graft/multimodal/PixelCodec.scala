@@ -217,6 +217,42 @@ object PixelCodec {
     Some(out)
   }
 
+  /** Nearest-neighbor resize — the real pixel transform behind thumbnail /
+    * hash pipelines, in PURE INTEGER arithmetic so any engine replays the
+    * sampling exactly: destination pixel (x, y) reads source
+    * (x·srcW / dstW, y·srcH / dstH), floor division. No filtering kernel —
+    * deterministic and portable beats smooth for dedup fingerprints.
+    */
+  def resizeNearest(img: PixelImage, dstW: Int, dstH: Int): PixelImage = {
+    require(dstW > 0 && dstH > 0, s"resize to ${dstW}x$dstH")
+    val out = new Array[Byte](dstW * dstH * 3)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * img.height / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x * img.width / dstW
+        val s = (sy * img.width + sx) * 3
+        val d = (y * dstW + x) * 3
+        out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1); out(d + 2) = img.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PixelImage(img.format, dstW, dstH, out)
+  }
+
+  /** Bounded-box resize: scale so max(width, height) == maxDim (never
+    * upscale), aspect preserved in integer arithmetic —
+    * dstW = max(1, w·maxDim / max(w,h)).
+    */
+  def resizeToMax(img: PixelImage, maxDim: Int): PixelImage = {
+    val m = math.max(img.width, img.height)
+    if (m <= maxDim) img
+    else resizeNearest(img,
+      math.max(1, img.width * maxDim / m), math.max(1, img.height * maxDim / m))
+  }
+
   /** Paeth predictor (PNG spec §6.6), exact integer form. */
   def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c

@@ -169,6 +169,60 @@ class PixelCodecSpec extends SparkTestBase {
     }
   }
 
+  test("resizeNearest: golden integer sampling, resizeToMax never upscales") {
+    // 4x2 source, distinct channels per pixel
+    val rgb = Array.tabulate[Byte](24)(i => (i * 10).toByte)
+    val img = PixelImage("bmp", 4, 2, rgb)
+    // downsample to 2x1: dst(0,0) reads src(0*4/2, 0*2/1) = (0,0);
+    // dst(1,0) reads src(1*4/2, 0) = (2,0) -> bytes 6,7,8 = 60,70,80
+    val r = PixelCodec.resizeNearest(img, 2, 1)
+    assert(r.rgb.toSeq == Seq[Byte](0, 10, 20, 60, 70, 80))
+    // bounded-box: 32x8 at maxDim 16 -> 16x4 (aspect in integer arith)
+    val big = PixelImage("bmp", 32, 8, new Array[Byte](32 * 8 * 3))
+    val boxed = PixelCodec.resizeToMax(big, 16)
+    assert(boxed.width == 16 && boxed.height == 4)
+    // never upscale
+    assert(PixelCodec.resizeToMax(img, 100) eq img)
+  }
+
+  test("aHash bands: deterministic, perturbation stays hash-near, distinct images differ") {
+    val base = MM.PixelFormula.rgbBytes(10L)
+    val w = MM.PixelFormula.width(10L); val h = MM.PixelFormula.height(10L)
+    val img = PixelImage("bmp", w, h, base)
+    val h1 = MM.aHashBands(img).toSeq
+    assert(h1 == MM.aHashBands(img).toSeq) // deterministic
+    // a planted variant (id 14 -> base 10) hashes within hamming 3
+    val variant = PixelImage("bmp", w, h, MM.PixelFormula.rgbBytesDup(14L))
+    val h2 = MM.aHashBands(variant).toSeq
+    val ham = h1.zip(h2).map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(ham <= 3, s"planted variant drifted to hamming $ham")
+    // unrelated images sit OUTSIDE the near-dup radius (their exact
+    // distance varies — the contract is only that they don't pass as dups)
+    val others = Seq(11L, 12L, 13L, 15L, 16L).map { id =>
+      MM.aHashBands(PixelImage("bmp", MM.PixelFormula.width(id),
+        MM.PixelFormula.height(id), MM.PixelFormula.rgbBytes(id))).toSeq
+    }
+    others.foreach { h3 =>
+      assert(h1.zip(h3).map { case (a, b) => Integer.bitCount(a ^ b) }.sum > 3)
+    }
+  }
+
+  test("imageNearDupPairs finds the planted variants through decode+hash+band join") {
+    import spark.implicits._
+    val ids = (0L until 60L)
+    val media = MM.syntheticPixelImages(spark, ids.toDF("doc_id"), "doc_id",
+      withDups = true)
+    val pairs = MM.imageNearDupPairs(spark, media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    // planted: (k, k+4) for k % 5 == 0 — 12 pairs in [0, 60)
+    val planted = ids.filter(_ % 5 == 0).map(k => (k, k + 4)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val hit = planted.intersect(found)
+    assert(hit.size >= planted.size * 3 / 4,
+      s"found ${hit.size}/${planted.size} planted near-dups: $found")
+    pairs.foreach(p => assert(p._3 <= 3))
+  }
+
   test("decodedStats: garbage and metadata-only payloads yield format=unknown") {
     import spark.implicits._
     val junk = Seq(
