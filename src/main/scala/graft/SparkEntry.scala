@@ -1865,6 +1865,22 @@ object SparkEntry {
     // even-padding rule, AIFF big-endian with an 80-bit extended-float
     // sample rate). Oracle recomputes the id arithmetic; MultimodalSpec
     // pins the parser against golden spec bytes.
+    // The audio mirror of q_media_hist: REAL PCM sample decode (WAV
+    // unsigned-8/signed-16-LE, AIFF signed-8/signed-16-BE — the
+    // signedness/endianness contrast IS the format contract) and an
+    // integer fold: count, sum, peak, exact energy. The synthetic
+    // containers carry formula sample bytes, so the oracle replays the
+    // byte arithmetic; the Spark side must recover it by walking chunks
+    // and decoding frames.
+    "q_media_pcm" -> ((s, dir) => {
+      val media = Multimodal.syntheticAudio(
+        s, Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.audioPcmStats(s, media)
+        .select(col("id").as("doc_id"), col("format"), col("n_samples"),
+          col("sum_val"), col("peak"), col("sum_sq"))
+        .orderBy("doc_id")
+    }),
+
     "q_media_audio" -> ((s, dir) => {
       val media = Multimodal.syntheticAudio(
         s, Tables.documents(s, dir), "doc_id", "text")
@@ -4126,6 +4142,39 @@ object SparkEntry {
         |  CAST(16 + (doc_id * 37) % 2000 AS BIGINT) AS width,
         |  CAST(16 + (doc_id * 53) % 1500 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // PCM byte-formula replay: WAV data byte i = (i*31)%256 (LE frames,
+    // 8-bit unsigned), AIFF byte i = (i*37)%256 (BE frames, 8-bit signed)
+    "q_media_pcm" ->
+      """WITH p AS (SELECT doc_id,
+        |    1 + (doc_id * 17) % 2 AS channels,
+        |    8 + 8 * ((doc_id * 13) % 2) AS bits,
+        |    100 + (doc_id * 29) % 2000 AS n_frames,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'aiff' END AS format
+        |  FROM documents),
+        |s AS (SELECT doc_id, format, bits,
+        |        unnest(range(0, n_frames * channels)) AS i FROM p),
+        |v AS (SELECT doc_id, format,
+        |        CASE
+        |          WHEN format = 'wav' AND bits = 8 THEN ((i * 31) % 256) - 128
+        |          WHEN format = 'aiff' AND bits = 8 THEN
+        |            CASE WHEN (i * 37) % 256 >= 128
+        |                 THEN (i * 37) % 256 - 256 ELSE (i * 37) % 256 END
+        |          WHEN format = 'wav' AND bits = 16 THEN
+        |            CASE WHEN ((2 * i * 31) % 256) + 256 * (((2 * i + 1) * 31) % 256) >= 32768
+        |                 THEN ((2 * i * 31) % 256) + 256 * (((2 * i + 1) * 31) % 256) - 65536
+        |                 ELSE ((2 * i * 31) % 256) + 256 * (((2 * i + 1) * 31) % 256) END
+        |          ELSE
+        |            CASE WHEN 256 * ((2 * i * 37) % 256) + (((2 * i + 1) * 37) % 256) >= 32768
+        |                 THEN 256 * ((2 * i * 37) % 256) + (((2 * i + 1) * 37) % 256) - 65536
+        |                 ELSE 256 * ((2 * i * 37) % 256) + (((2 * i + 1) * 37) % 256) END
+        |        END AS v
+        |      FROM s)
+        |SELECT doc_id, max(format) AS format, count(*) AS n_samples,
+        |       CAST(sum(v) AS BIGINT) AS sum_val,
+        |       CAST(max(abs(v)) AS BIGINT) AS peak,
+        |       CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_media_audio" ->
       """WITH p AS (SELECT doc_id,

@@ -105,7 +105,7 @@ object AudioMeta {
     * sign+exponent (bias 16383), u64be mantissa with EXPLICIT integer bit
     * (no hidden bit, unlike float32/64). value = mantissa · 2^(exp−16383−63).
     */
-  private def extended80ToInt(b: Array[Byte], i: Int): Int = {
+  private[multimodal] def extended80ToInt(b: Array[Byte], i: Int): Int = {
     val se = be16(b, i)
     val mant = be64(b, i + 2)
     if ((se & 0x8000) != 0) return -1 // negative rate: corrupt

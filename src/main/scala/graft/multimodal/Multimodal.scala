@@ -468,6 +468,35 @@ object Multimodal {
       })
   }
 
+  /** Decoded PCM sample stats over the binary column — the audio mirror
+    * of [[decodedStats]]: the real [[AudioPcm]] chunk walk + sample decode
+    * (WAV unsigned-8/signed-16-LE, AIFF signed-8/signed-16-BE), then an
+    * integer fold: sample count, sum, peak |amplitude|, sum of squares
+    * (the exact energy — callers derive RMS; no float math here so any
+    * engine replays it). Undecodable payloads yield format "unknown".
+    */
+  def audioPcmStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        AudioPcm.decode(bytes) match {
+          case Some(a) =>
+            var sum = 0L; var peak = 0L; var sumSq = 0L
+            var i = 0
+            while (i < a.samples.length) {
+              val s = a.samples(i)
+              sum += s
+              if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+              sumSq += s.toLong * s
+              i += 1
+            }
+            (id, a.format, a.samples.length.toLong, sum, peak, sumSq)
+          case None => (id, "unknown", 0L, 0L, 0L, 0L)
+        }
+      })
+      .toDF("id", "format", "n_samples", "sum_val", "peak", "sum_sq")
+  }
+
   /** Content-defined chunking over opaque payloads — Rabin-style rolling
     * hash: a chunk boundary falls wherever the hash of the trailing
     * `window` bytes is 0 mod 2^maskBits, so expected chunk size ≈
