@@ -717,6 +717,44 @@ object SparkEntry {
         .orderBy(col("value").desc, col("ps_partkey"))
     }),
 
+    // TPC-H Q12 analogue (shipping priority by mode) — the two-big-fact
+    // equi-join where the driving predicates live on SYNTHESIZED fact
+    // columns (RelationalOps.syntheticShipping): mode membership + the
+    // commit/receipt ordering + a computed receipt-date year window all
+    // reduce the fact before the join; the conditional two-way count then
+    // groups by a 2-value key. Neither side is broadcast-able at scale —
+    // the correct plan is a shuffle join on orderkey with AQE free to
+    // flip strategy at small SF.
+    "q_tpch_q12s" -> ((s, dir) => {
+      val li = graft.ops.RelationalOps.syntheticShipping(Tables.lineitem(s, dir))
+        .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("commit_off") > 0 && col("commit_off") < col("receipt_off"))
+        .withColumn("l_receiptdate",
+          expr("timestampadd(DAY, CAST(receipt_off AS INT), l_shipdate)"))
+        .filter(col("l_receiptdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_receiptdate") < lit("1997-01-01").cast("timestamp"))
+      li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_shipmode")
+    }),
+
+    // Community detection: deterministic synchronous label propagation
+    // over the part co-order graph — 3 fixed rounds, argmax(count, min
+    // label) votes; the oracle replays the rounds as unrolled SQL layers
+    // (GraphOps.lpaSql). Same edge builder as q_triangles.
+    "q_lpa" -> ((s, dir) => {
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(
+        Tables.lineitem(s, dir).filter(col("l_orderkey") % 5 === 0),
+        "l_orderkey", "l_partkey")
+      graft.ops.GraphOps.labelPropagation(edges, iterations = 3)
+        .orderBy("id")
+    }),
+
     // KMV distinct-count sketch (Bar-Yossef et al. 2002) — the profiling
     // pass a 100 TB pipeline runs before choosing join/partition
     // strategies. Engine-portable by construction (md5 hashes, pure
@@ -2542,6 +2580,29 @@ object SparkEntry {
          |SELECT ps_partkey, CAST(value AS DOUBLE) AS value
          |FROM per, tot WHERE CAST(value AS DOUBLE) > thr
          |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "q_tpch_q12s" ->
+      s"""WITH li AS (SELECT lineitem.*, ${graft.ops.RelationalOps.syntheticShippingSql}
+         |            FROM lineitem)
+         |SELECT l_shipmode,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM li JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipmode IN ('MAIL','SHIP')
+         |  AND commit_off > 0 AND commit_off < receipt_off
+         |  AND l_shipdate + INTERVAL 1 DAY * receipt_off >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate + INTERVAL 1 DAY * receipt_off < TIMESTAMP '1997-01-01'
+         |GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin,
+
+    "q_lpa" ->
+      (graft.ops.GraphOps.lpaSql(
+        """SELECT DISTINCT x.i AS a, y.i AS b
+          |FROM (SELECT DISTINCT l_orderkey AS grp, l_partkey AS i
+          |      FROM lineitem WHERE l_orderkey % 5 = 0) x
+          |JOIN (SELECT DISTINCT l_orderkey AS grp, l_partkey AS i
+          |      FROM lineitem WHERE l_orderkey % 5 = 0) y
+          |  ON x.grp = y.grp AND x.i < y.i""".stripMargin,
+        iterations = 3) + " ORDER BY id"),
 
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count

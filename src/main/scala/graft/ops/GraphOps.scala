@@ -23,6 +23,73 @@ object GraphOps {
       .distinct()
   }
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007,
+    * "Near linear time algorithm to detect community structures") made
+    * fully deterministic: every node starts labeled with its own id; each
+    * round every node simultaneously adopts the label held by the MOST of
+    * its neighbors, ties broken by the SMALLEST label. The asynchronous
+    * variant's update-order nondeterminism is exactly what an
+    * oracle-checked distributed op cannot tolerate, and synchronous LPA
+    * can oscillate on bipartite structure — so the round count is FIXED
+    * (not run-to-convergence), which also makes the result replayable in
+    * any ANSI engine as `iterations` unrolled join+argmax layers
+    * ([[lpaSql]]).
+    *
+    * Shape at 100 TB: per round, one hash equi-join (undirected edges ⋈
+    * labels on the neighbor endpoint) and two hash aggregations keyed
+    * (node, label) then node — all map-side combinable, no corpus-global
+    * key, no window over a whole partition. Rounds are driver-sequenced
+    * with localCheckpoint to cut lineage, like
+    * [[graft.dedup.Dedup.connectedComponents]]. Wedge/hub cost is linear
+    * in edge count per round (each edge contributes one vote).
+    *
+    * Input: undirected distinct edges (a, b), a ≠ b. Output: (id, lbl)
+    * for every node appearing in an edge.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "labelPropagation needs at least one round")
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      // argmax(count desc, label asc) as one aggregation: max of
+      // (count, -label) orders first by vote count, then by SMALLEST
+      // label — no per-node window, no row_number over a shuffle.
+      labels = und.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("src").as("id"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** The SQL an ANSI engine needs to replay [[labelPropagation]] — the
+    * fixed rounds unrolled as chained CTE layers (kept adjacent so the
+    * two formulas can't drift). `edgeCte` must define columns (a, b).
+    */
+  def lpaSql(edgeCte: String, iterations: Int): String = {
+    val layers = (1 to iterations).map { k =>
+      s"""l$k AS (
+         |  SELECT src AS id, lbl FROM (
+         |    SELECT src, lbl, c,
+         |           row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM (SELECT u.src, l.lbl, count(*) AS c
+         |          FROM und u JOIN l${k - 1} l ON u.dst = l.id
+         |          GROUP BY u.src, l.lbl))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgeCte),
+       |und AS (SELECT a AS src, b AS dst FROM e
+       |        UNION ALL SELECT b AS src, a AS dst FROM e),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM und),
+       |$layers
+       |SELECT id, lbl FROM l$iterations""".stripMargin
+  }
+
   /** Triangle count by degree-ordered edge orientation (the standard
     * distributed plan: Suri & Vassilvitskii 2011 "Counting triangles and
     * the curse of the last reducer"). Each undirected edge is oriented

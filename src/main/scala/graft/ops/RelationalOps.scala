@@ -61,6 +61,38 @@ object RelationalOps {
        |      FROM lineitem)""".stripMargin
   }
 
+  /** Synthesized shipping columns — the fixture lacks `l_shipmode` /
+    * `l_commitdate` / `l_receiptdate`, so the TPC-H Q12 shape (big
+    * fact⋈fact join driven by predicates on the shipping leg, then a
+    * conditional two-way count by ship mode) derives them
+    * deterministically from each line's identity: ship mode is one of
+    * five labels and commit/receipt are day OFFSETS from `l_shipdate`,
+    * all pure md5 arithmetic ([[Sampling.hashDraw]]) any engine replays
+    * exactly. Pure codegen'd projection — no extra source, no join.
+    */
+  def syntheticShipping(lineitem: DataFrame): DataFrame = {
+    val key = concat(col("l_orderkey").cast("string"), lit(":"),
+      col("l_linenumber").cast("string"))
+    lineitem
+      .withColumn("l_shipmode",
+        element_at(
+          array(lit("AIR"), lit("MAIL"), lit("RAIL"), lit("SHIP"), lit("TRUCK")),
+          (Sampling.hashDraw(key, "shipmode") % 5 + 1).cast("int")))
+      .withColumn("commit_off", Sampling.hashDraw(key, "q12commit") % 45)
+      .withColumn("receipt_off", Sampling.hashDraw(key, "q12receipt") % 30 + 1)
+  }
+
+  /** The SQL projection list replaying [[syntheticShipping]] — kept
+    * adjacent so the two formulas can't drift. Select alongside
+    * `lineitem.*`.
+    */
+  val syntheticShippingSql: String = {
+    val key = "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+    s"""(ARRAY['AIR','MAIL','RAIL','SHIP','TRUCK'])[CAST(${Sampling.hashDrawSql(key, "shipmode")} % 5 + 1 AS INT)] AS l_shipmode,
+       |${Sampling.hashDrawSql(key, "q12commit")} % 45 AS commit_off,
+       |${Sampling.hashDrawSql(key, "q12receipt")} % 30 + 1 AS receipt_off""".stripMargin
+  }
+
   /** Total sort by key — Disco's external disk sort (lib/disco/util.py:362-388
     * `disk_sort` via Unix sort). Spark: `orderBy` = range partitioning
     * (sampled bounds) + per-partition spill-capable sort; scales linearly

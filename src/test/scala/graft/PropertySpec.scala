@@ -533,4 +533,47 @@ class PropertySpec extends SparkTestBase {
       assert(got == want, s"case $i: edges=$es")
     }
   }
+
+  test("labelPropagation matches a hand-simulated sync-LPA reference") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4; sync
+    // rounds with (max count, min label) votes hand-simulate to:
+    //   r1: 1→2 2→1 3→1 4→3 5→4 6→4
+    //   r2: 1→1 2→1 3→1 4→4 5→3 6→3
+    //   r3: 1→1 2→1 3→1 4→3 5→3 6→3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    def run(k: Int): Map[Long, Long] =
+      graft.ops.GraphOps.labelPropagation(edges, k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    assert(run(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation reference-model agreement on random graphs") {
+    import spark.implicits._
+    // brute-force sync LPA on the driver: argmax over neighbor labels,
+    // ties to the smallest label, all nodes updated from the prior round
+    def ref(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nbrs = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (v, ps) => v -> ps.map(_._2) }
+      var lbl = nbrs.keys.map(v => v -> v).toMap
+      for (_ <- 1 to iters) {
+        lbl = nbrs.map { case (v, ns) =>
+          val counts = ns.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+          v -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+      }
+      lbl
+    }
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L))).map(_.collect {
+        case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+      }.distinct)
+    samples(edgeGen, 12).filter(_.nonEmpty).zipWithIndex.foreach { case (es, i) =>
+      val got = graft.ops.GraphOps.labelPropagation(es.toDF("a", "b"), 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref(es, 2), s"case $i: edges=$es")
+    }
+  }
 }
