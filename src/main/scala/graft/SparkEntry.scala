@@ -969,6 +969,16 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
         .orderBy("id")),
 
+    // The rewrite q_substring_dup only reports on: duplicated 8-token
+    // spans are cut from every occurrence but the global first, and each
+    // doc's text is rebuilt from survivors (Lee et al. 2021 ExactSubstr
+    // dedup, hash-windowed distributable form). Whole corpus back out,
+    // untouched docs included.
+    "q_substring_rewrite" -> ((s, dir) =>
+      graft.dedup.Dedup.substringDedupRewrite(
+          Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
+        .orderBy("id")),
+
     // TPC-H Q4 shape (adapted: the fixture has no commit/receipt dates, the
     // EXISTS predicate is "shipped after order date"): priority census of
     // one quarter's orders having at least one late-shipped line — a
@@ -3102,6 +3112,39 @@ object SparkEntry {
         |       round(CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM wins w JOIN df f ON w.wh = f.wh
         |GROUP BY w.doc_id ORDER BY id""".stripMargin,
+
+    "q_substring_rewrite" ->
+      """WITH arr AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |FROM documents),
+        |tok AS (SELECT doc_id, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |win AS (SELECT doc_id,
+        |          unnest(range(1, len(a) - 8 + 2)) AS pos,
+        |          unnest(list_transform(range(0, len(a) - 8 + 1),
+        |            i -> md5(array_to_string(list_slice(a, i+1, i+8), ' ')))) AS wh
+        |        FROM arr WHERE len(a) >= 8),
+        |df AS (SELECT wh, count(DISTINCT doc_id) AS ndocs FROM win GROUP BY wh),
+        |k1 AS (SELECT wh, min(doc_id) AS kid FROM win GROUP BY wh),
+        |k2 AS (SELECT w.wh, k1.kid, min(w.pos) AS kpos
+        |       FROM win w JOIN k1 ON w.wh = k1.wh AND w.doc_id = k1.kid
+        |       GROUP BY w.wh, k1.kid),
+        |removable AS (SELECT w.doc_id, w.pos
+        |              FROM win w JOIN df ON w.wh = df.wh AND df.ndocs >= 2
+        |                         JOIN k2 ON w.wh = k2.wh
+        |              WHERE NOT (w.doc_id = k2.kid AND w.pos = k2.kpos)),
+        |dropped AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS dpos
+        |            FROM removable),
+        |kept AS (SELECT t.doc_id, t.pos, t.w FROM tok t
+        |         LEFT JOIN dropped d ON t.doc_id = d.doc_id AND t.pos = d.dpos
+        |         WHERE d.doc_id IS NULL),
+        |reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+        |               count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id AS id, coalesce(r.clean_text, '') AS clean_text,
+        |       CAST(len(a.a) AS BIGINT) AS n_tokens,
+        |       CAST(len(a.a) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM arr a LEFT JOIN reb r ON a.doc_id = r.doc_id
+        |ORDER BY id""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH w AS (SELECT doc_id, lang, n_chars,

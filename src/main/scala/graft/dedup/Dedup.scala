@@ -529,6 +529,58 @@ object Dedup {
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }
 
+  /** The corpus REWRITE [[substringDupStats]] only reports on: every
+    * w-token window occurring in ≥ `minDocs` distinct documents is
+    * removed from every occurrence EXCEPT the globally first one
+    * (lexicographic min (doc id, position) — the deterministic stand-in
+    * for Lee et al. 2021's "keep one copy of each duplicated span"), and
+    * each document's text is rebuilt from its surviving tokens. Output is
+    * over the normalized token stream (lowercased, punctuation-split —
+    * the same [[graft.functions.TextAnalysis.tokensArr]] normalization
+    * every text op here shares): (id, clean_text, n_tokens, n_dropped),
+    * every input doc present, docs shorter than `w` tokens untouched.
+    *
+    * Scale shape: all corpus-wide movement is keyed on the 16-byte window
+    * hash or (id, pos) — groupBy(wh) for doc-frequency + keeper, one
+    * equi-join back, a ×w positional explode of REMOVABLE occurrences
+    * only (bounded by w times the duplicated mass, not the corpus), an
+    * anti-join on (id, pos), and a per-document rebuild whose state is
+    * one document's tokens (the same bounded-row contract as every
+    * per-doc aggregation here).
+    */
+  def substringDedupRewrite(df: DataFrame, idCol: String, textCol: String,
+                            w: Int, minDocs: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.tokensArr(col(textCol)).as("toks"))
+    val wins = base.filter(size(col("toks")) >= w)
+      .select(col("id"),
+        posexplode(TextAnalysis.ngramsArr(col("toks"), w)).as(Seq("p0", "win")))
+      .select(col("id"), (col("p0") + 1).as("pos"),
+        md5(to_binary(col("win"), lit("utf-8"))).as("wh"))
+    val stats = wins.groupBy("wh").agg(
+      min(struct(col("id"), col("pos"))).as("keeper"),
+      countDistinct(col("id")).as("ndocs"))
+    val removable = wins
+      .join(stats.filter(col("ndocs") >= minDocs), "wh")
+      .filter(!(col("id") === col("keeper.id") && col("pos") === col("keeper.pos")))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("dpos"))
+    val allPos = base.select(col("id"),
+      posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = allPos.join(removable.withColumnRenamed("dpos", "pos"),
+      Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    base.join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")).cast("long") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** 32-bit SimHash over distinct tokens: bit j of the fingerprint is 1 iff
     * sum over tokens of ±1 (sign = bit j of md5-derived 32-bit token hash)
     * is positive.

@@ -460,4 +460,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(split.join(plain, Seq("doc_id", "canon_id"))
       .filter(col("split") =!= col("split2")).isEmpty)
   }
+
+  test("substringDedupRewrite cuts duplicated spans, keeps the first copy") {
+    import spark.implicits._
+    // docs 1 and 2 share the 3-token span "a b c"; doc 1 is the global
+    // first occurrence (min (id, pos)) and keeps it; doc 2 loses exactly
+    // those three tokens. doc 3 is short (< w tokens) and passes through;
+    // doc 4 shares nothing.
+    val docs = Seq(
+      (1L, "a b c x y z"),
+      (2L, "p q a b c r"),
+      (3L, "a b"),
+      (4L, "m n o u v w")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup
+      .substringDedupRewrite(docs, "doc_id", "text", w = 3, minDocs = 2)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a b c x y z", 6L, 0L),
+      (2L, "p q r", 6L, 3L),
+      (3L, "a b", 2L, 0L),
+      (4L, "m n o u v w", 6L, 0L)))
+    // idempotence on its own output: rewriting the cleaned corpus again
+    // drops nothing (the kept copy is now the only occurrence)
+    val again = graft.dedup.Dedup.substringDedupRewrite(
+      Seq((1L, "a b c x y z"), (2L, "p q r"), (3L, "a b"),
+        (4L, "m n o u v w")).toDF("doc_id", "text"),
+      "doc_id", "text", w = 3, minDocs = 2)
+    assert(again.filter(col("n_dropped") > 0).isEmpty)
+  }
 }
