@@ -1313,6 +1313,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // IVFADC (Jégou et al. 2011): coarse IVF cells route each query to
+    // its 2 nearest cells; PQ codes trained on cell RESIDUALS score the
+    // probed rows asymmetrically (driver-side m×ks LUT per query/cell,
+    // codegen'd lookup+add per row). The full billion-scale ANN serving
+    // composition as ONE oracle-replayed plan.
+    "q_ivf_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .toSeq.sortBy(_._1)
+      graft.similarity.Similarity.ivfAdcTopK(s, e, "vec_id", "embedding",
+          qs, k = 5, cells = 4, nProbe = 2, m = 4, ks = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // Graph analytics: triangle census of the part co-purchase graph
     // (degree-ordered wedge generation, Suri-Vassilvitskii — no hub ever
     // generates wedges; the oracle brute-forces the same count id-ordered).
@@ -2379,29 +2395,34 @@ object SparkEntry {
   /** CTE chain `e, dims, c0 … c3, afinal`: embeddings as DOUBLE[], k seed
     * centers (first k by vec_id), 3 assign/update rounds, final assignment.
     */
-  private def kmeansCtes(k: Int): String = {
+  private def kmeansCtes(k: Int, materialized: Boolean = false): String = {
+    // `AS MATERIALIZED` pins each Lloyd step to one evaluation — without
+    // it, an oracle that references the chain's tail from several places
+    // (q_ivf_pq's residual-PQ chains) re-inlines the WHOLE chain per
+    // reference and the replay cost goes exponential in chain depth.
+    val mat = if (materialized) "MATERIALIZED " else ""
     def assign(a: String, cPrev: String) =
-      s"""$a AS (
+      s"""$a AS $mat(
          |  SELECT vec_id, v, cluster FROM (
          |    SELECT e.vec_id, e.v, c.cluster,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${sqd("e.v", "c.v")} ASC, c.cluster ASC) AS rn
          |    FROM e CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
     def update(i: Int) =
-      s"""u$i AS (
+      s"""u$i AS $mat(
          |  SELECT cluster, d,
          |    CAST(sum(CAST(v[d] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
          |  FROM a$i CROSS JOIN dims GROUP BY cluster, d),
-         |c$i AS (
+         |c$i AS $mat(
          |  SELECT c.cluster, coalesce(nv.v, c.v) AS v
          |  FROM c${i - 1} c LEFT JOIN (
          |    SELECT cluster, list(m ORDER BY d) AS v FROM u$i GROUP BY cluster) nv
          |  USING (cluster))""".stripMargin
     val body = (1 to 3).map(i => assign(s"a$i", s"c${i - 1}") + ",\n" + update(i))
       .mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS $mat(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS d),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
+       |c0 AS $mat(SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
        |$body,
        |${assign("afinal", "c3")}""".stripMargin
@@ -2413,39 +2434,42 @@ object SparkEntry {
     * decimal-exact center updates, same lowest-cluster tie-break as
     * [[graft.chain.KMeans]].
     */
-  private def pqCtes(m: Int, ks: Int, subDim: Int): String = {
+  private def pqCtes(m: Int, ks: Int, subDim: Int,
+                     src: String = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+                     materialized: Boolean = false): String = {
+    val mat = if (materialized) "MATERIALIZED " else ""
     def chain(s: Int): String = {
       val p = s"s$s"
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
       def assign(a: String, cPrev: String) =
-        s"""$a AS (
+        s"""$a AS $mat(
            |  SELECT vec_id, v, cluster FROM (
            |    SELECT e.vec_id, e.v, c.cluster,
            |      row_number() OVER (PARTITION BY e.vec_id
            |        ORDER BY ${sqd("e.v", "c.v")} ASC, c.cluster ASC) AS rn
            |    FROM ${p}e e CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
       def update(i: Int) =
-        s"""${p}u$i AS (
+        s"""${p}u$i AS $mat(
            |  SELECT cluster, d,
            |    CAST(sum(CAST(v[d] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
            |  FROM ${p}a$i CROSS JOIN pqdims GROUP BY cluster, d),
-           |${p}c$i AS (
+           |${p}c$i AS $mat(
            |  SELECT c.cluster, coalesce(nv.v, c.v) AS v
            |  FROM ${p}c${i - 1} c LEFT JOIN (
            |    SELECT cluster, list(m ORDER BY d) AS v FROM ${p}u$i GROUP BY cluster) nv
            |  USING (cluster))""".stripMargin
       val body = (1 to 3).map(i => assign(s"${p}a$i", s"${p}c${i - 1}") +
         ",\n" + update(i)).mkString(",\n")
-      s"""${p}e AS (SELECT vec_id, v[$lo:$hi] AS v FROM pqe),
-         |${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
+      s"""${p}e AS $mat(SELECT vec_id, v[$lo:$hi] AS v FROM pqe),
+         |${p}c0 AS $mat(SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
          |           FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id LIMIT $ks)),
          |$body,
          |${assign(s"${p}af", s"${p}c3")},
-         |${p}r AS (SELECT a.vec_id, a.cluster, ${sqd("a.v", "c.v")} AS err
+         |${p}r AS $mat(SELECT a.vec_id, a.cluster, ${sqd("a.v", "c.v")} AS err
          |          FROM ${p}af a JOIN ${p}c3 c USING (cluster))""".stripMargin
     }
-    s"""pqe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""pqe AS $mat($src),
        |pqdims AS (SELECT unnest(range(1, ${subDim + 1})) AS d),
        |${(0 until m).map(chain).mkString(",\n")}""".stripMargin
   }
@@ -3066,6 +3090,39 @@ object SparkEntry {
          |FROM s0r JOIN s1r USING (vec_id) JOIN s2r USING (vec_id)
          |         JOIN s3r USING (vec_id)
          |ORDER BY s0r.vec_id""".stripMargin,
+
+    "q_ivf_pq" ->
+      s"""WITH ${kmeansCtes(4, materialized = true)},
+         |rese AS MATERIALIZED (SELECT a.vec_id, a.cluster AS cell,
+         |           list_transform(range(1, len(a.v)+1), d -> a.v[d] - c.v[d]) AS v
+         |         FROM afinal a JOIN c3 c USING (cluster)),
+         |${pqCtes(4, 4, 16, src = "SELECT vec_id, v FROM rese", materialized = true)},
+         |qset AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |         FROM embeddings WHERE vec_id < 5),
+         |probe AS (SELECT qid, qv, cell FROM (
+         |    SELECT q.qid, q.qv, c.cluster AS cell,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${sqd("q.qv", "c.v")} ASC, c.cluster ASC) AS rn
+         |    FROM qset q CROSS JOIN c3 c) WHERE rn <= 2),
+         |qres AS (SELECT p.qid, p.cell,
+         |           list_transform(range(1, len(p.qv)+1), d -> p.qv[d] - c.v[d]) AS qr
+         |         FROM probe p JOIN c3 c ON c.cluster = p.cell),
+         |cand AS (SELECT q.qid, r.vec_id,
+         |    ${sqd("(q.qr[1:16])", "cb0.v")} + ${sqd("(q.qr[17:32])", "cb1.v")}
+         |  + ${sqd("(q.qr[33:48])", "cb2.v")} + ${sqd("(q.qr[49:64])", "cb3.v")} AS adist
+         |  FROM qres q
+         |  JOIN rese r ON r.cell = q.cell AND r.vec_id <> q.qid
+         |  JOIN s0r ON s0r.vec_id = r.vec_id JOIN s0c3 cb0 ON cb0.cluster = s0r.cluster
+         |  JOIN s1r ON s1r.vec_id = r.vec_id JOIN s1c3 cb1 ON cb1.cluster = s1r.cluster
+         |  JOIN s2r ON s2r.vec_id = r.vec_id JOIN s2c3 cb2 ON cb2.cluster = s2r.cluster
+         |  JOIN s3r ON s3r.vec_id = r.vec_id JOIN s3c3 cb3 ON cb3.cluster = s3r.cluster)
+         |SELECT qid AS query_id, vec_id, CAST(rank AS INT) AS rank,
+         |       round(adist, 6) AS adist
+         |FROM (SELECT qid, vec_id, adist,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY adist ASC, vec_id ASC) AS rank
+         |      FROM cand)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_kmv_distinct" ->
       graft.functions.Sketches.kmvDistinctSql("lineitem", "l_partkey", k = 256),

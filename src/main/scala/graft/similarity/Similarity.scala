@@ -460,4 +460,83 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("rank"),
         round(col("adist"), 6).as("adist"))
   }
+
+  /** IVFADC (Jégou, Douze & Schmid 2011, "Product quantization for
+    * nearest neighbor search" §IV) — the composition billion-scale ANN
+    * actually ships: a coarse IVF quantizer routes each query to its
+    * `nProbe` nearest cells, and within the probed cells distances are
+    * approximated by PQ codes trained on cell RESIDUALS (v − center),
+    * scored asymmetrically (query stays float, corpus rows are m small
+    * codes). Residual encoding is what separates this from running
+    * [[ivfTopK]] and [[pqSearchAdc]] side by side: residual magnitudes
+    * are much smaller than raw vectors, so the same code budget carries
+    * more precision.
+    *
+    * Scale shape: coarse + m sub-quantizer trainings are short k-means
+    * runs (dictionary-grain driver sequencing, the [[pqTrain]] contract);
+    * encoding is a codegen projection; per (query, probed cell) the LUT
+    * (m·ks doubles) is computed driver-side from the residual query and
+    * scoring touches ONLY rows of the probed cells — candidate volume
+    * ~ n·nProbe/cells per query set, never a full scan, and no decoded
+    * vector ever materializes. Queries are contract-bounded literals
+    * (same as [[pqSearchAdc]]).
+    *
+    * Deterministic end to end (k-means init/ties, decimal-exact centers,
+    * fixed IEEE fold order) — the DuckDB oracle replays coarse training,
+    * residual PQ training, encoding, routing, and ADC scores bit-for-bit.
+    * Output: (query_id, vec_id, rank, adist), self-matches excluded.
+    */
+  def ivfAdcTopK(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                 corpusId: String, corpusVec: String,
+                 queries: Seq[(Long, Seq[Double])], k: Int,
+                 cells: Int = 4, nProbe: Int = 2, m: Int = 4, ks: Int = 4,
+                 iterations: Int = 3): DataFrame = {
+    require(queries.nonEmpty, "ivfAdcTopK: empty query set")
+    val (centers, assigned) =
+      graft.chain.KMeans.run(spark, corpus, corpusId, corpusVec, cells, iterations)
+    val centArr = array(centers.map(c => lit(c.toArray)): _*)
+    val res = assigned
+      .withColumn("cent", element_at(centArr, col("cluster") + 1))
+      .select(col("id"), col("cluster").as("cell"),
+        zip_with(col("v"), col("cent"), (a, b) => a - b).as("r"))
+      .localCheckpoint()
+    val cbs = pqTrain(spark, res, "id", "r", m, ks, iterations)
+    val subDim = cbs.head.head.length
+    val encoded = pqEncode(res, "id", "r", cbs)
+      .join(res.select(col("id"), col("cell")), "id")
+      .select("id", "cell", "codes")
+    // route + LUT driver-side: per query, the nProbe nearest coarse cells
+    // by the same (sqdist, cell) order the corpus assignment uses; per
+    // probed cell the RESIDUAL query against that cell's center feeds the
+    // m×ks lookup table
+    val probes = queries.flatMap { case (qid, qv) =>
+      centers.zipWithIndex.map { case (c, i) =>
+        val d = c.zip(qv).foldLeft(0.0) { case (acc, (ci, qi)) =>
+          acc + (qi - ci) * (qi - ci) }
+        (i, d)
+      }.sortBy { case (i, d) => (d, i) }.take(nProbe).map { case (cell, _) =>
+        val qr = qv.zip(centers(cell)).map { case (qi, ci) => qi - ci }
+        val luts = cbs.zipWithIndex.map { case (cb, s) =>
+          val sub = qr.slice(s * subDim, (s + 1) * subDim)
+          cb.map(c => c.zip(sub).foldLeft(0.0) { case (acc, (ci, qi)) =>
+            acc + (qi - ci) * (qi - ci) }).toArray
+        }
+        (qid, cell, luts)
+      }
+    }
+    probes.map { case (qid, cell, luts) =>
+      val adist = luts.indices.map(s =>
+        element_at(lit(luts(s)), element_at(col("codes"), s + 1) + 1))
+        .reduce(_ + _)
+      encoded.filter(col("cell") === cell && col("id") =!= qid)
+        .select(lit(qid).as("query_id"), col("id").as("vec_id"),
+          adist.as("adist"))
+    }.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+        round(col("adist"), 6).as("adist"))
+  }
 }

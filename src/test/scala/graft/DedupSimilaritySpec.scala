@@ -151,6 +151,40 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(r2 >= r1)
   }
 
+  test("IVFADC: deterministic, self-free, contiguous ranks, sane L2 recall") {
+    import spark.implicits._
+    val all = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val qs = all.filter(_._1 < 10).sortBy(_._1).toSeq
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+    // exact L2 top-10 reference, computed driver-side (corpus is tiny)
+    val exact = qs.flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid).map { case (id, v) => (id, l2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10)
+        .map { case (id, _) => (qid, id) }
+    }.toSet
+    def run() = Similarity.ivfAdcTopK(spark, embs, "vec_id", "embedding",
+      qs, k = 10, cells = 4, nProbe = 4, m = 16, ks = 16)
+    val got = run().select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    // deterministic end to end
+    assert(got.toSeq == run().select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq)
+    // no self matches; ranks are 1..10 per query
+    assert(!got.exists { case (q, v, _) => q == v })
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 10), s"query $q ranks")
+    }
+    // probing ALL cells leaves only PQ quantization error — recall vs
+    // exact L2 must clear a sane floor for a 4×16 residual code budget
+    val approx = got.map { case (q, v, _) => (q, v) }.toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"IVFADC recall@10 (4 cells, all probed, m=16 ks=16): $recall%.2f")
+    assert(recall > 0.4)
+  }
+
   test("connectedComponents labels every node with its component's min id") {
     import spark.implicits._
     // two components: {1,2,3,4} (a path — worst-case diameter) and {10,11};
