@@ -1285,6 +1285,19 @@ object SparkEntry {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")),
 
+    // Population Stability Index: did `value` drift between the 'view'
+    // and 'purchase' event slices? Current slice binned on the REFERENCE
+    // slice's own exact decile edges; Laplace-smoothed shares; ln terms
+    // decimal-summed (libm treatment). The retrain-trigger drift monitor.
+    "q_psi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ops.StatsOps.psi(
+          ev.filter(col("event_type") === "view").select(col("value")),
+          ev.filter(col("event_type") === "purchase").select(col("value")),
+          "value", bins = 10)
+        .orderBy("bin")
+    }),
+
     // Per-dimension z-score standardization (decimal-exact moments) — the
     // unit-normalization pass before any distance-based embedding op.
     "q_standardize" -> ((s, dir) =>
@@ -2666,6 +2679,36 @@ object SparkEntry {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_psi" ->
+      """WITH refv AS (SELECT value AS v FROM events WHERE event_type = 'view'),
+        |curv AS (SELECT value AS v FROM events WHERE event_type = 'purchase'),
+        |edges AS (SELECT j, min(v) AS e
+        |          FROM (SELECT unnest(range(1, 10)) AS j) js
+        |          JOIN (SELECT v, cume_dist() OVER (ORDER BY v) AS cd FROM refv) c
+        |            ON c.cd >= j / 10.0
+        |          GROUP BY j),
+        |vb AS (SELECT v, CAST(1 + (SELECT count(*) FROM edges WHERE u.v > e) AS INT) AS bin
+        |       FROM (SELECT DISTINCT v FROM (SELECT v FROM refv UNION ALL SELECT v FROM curv)) u),
+        |refbin AS (SELECT bin, count(*) AS ref_n FROM refv JOIN vb USING (v) GROUP BY bin),
+        |curbin AS (SELECT bin, count(*) AS cur_n FROM curv JOIN vb USING (v) GROUP BY bin),
+        |spine AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS bin),
+        |joined AS (SELECT s.bin, coalesce(r.ref_n, 0) AS ref_n,
+        |                  coalesce(c.cur_n, 0) AS cur_n
+        |           FROM spine s LEFT JOIN refbin r USING (bin)
+        |                        LEFT JOIN curbin c USING (bin)),
+        |tot AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM joined),
+        |terms AS (SELECT bin, ref_n, cur_n,
+        |            CAST(ref_n + 1 AS DOUBLE) / CAST(rt + 10 AS DOUBLE) AS p,
+        |            CAST(cur_n + 1 AS DOUBLE) / CAST(ct + 10 AS DOUBLE) AS q
+        |          FROM joined, tot),
+        |t2 AS (SELECT bin, ref_n, cur_n, p, q, (p - q) * ln(p / q) AS term FROM terms),
+        |ptot AS (SELECT round(CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 4) AS psi FROM t2)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(ref_n AS BIGINT) AS ref_n,
+        |       CAST(cur_n AS BIGINT) AS cur_n,
+        |       round(p, 6) AS ref_share, round(q, 6) AS cur_share,
+        |       round(term, 6) AS term, psi
+        |FROM t2, ptot ORDER BY bin""".stripMargin,
 
     "q_standardize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

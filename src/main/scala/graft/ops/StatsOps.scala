@@ -158,4 +158,64 @@ object StatsOps {
         .as("stddev_x"),
       round(cov / (sqrt(vx) * sqrt(vy)), 6).as("corr_xy"))
   }
+
+  /** Population Stability Index — the standard "did the data drift
+    * between two corpus slices" monitor a production training pipeline
+    * runs before retraining. The CURRENT slice is binned against the
+    * REFERENCE slice's own equal-frequency quantile edges (the textbook
+    * construction), and PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over the bins with
+    * add-one (Laplace) smoothing so empty bins stay finite AND the number
+    * is a pure function of the counts (no epsilon tuning).
+    *
+    * Deterministic cross-engine: edges are the discrete lower quantiles
+    * from [[WindowOps.exactQuantilesGlobal]] (cume ≥ q, min value — i.e.
+    * `cume_dist`-replayable, no interpolation), bin assignment is
+    * 1 + Σⱼ[v > edgeⱼ] (ties land low in every engine), shares are exact
+    * integer ratios in IEEE doubles, and the per-bin ln terms sum in
+    * decimal(38,18) (order-independent) before the final round — the
+    * same libm treatment as the surprisal/bigram-LM scores.
+    *
+    * Scale shape: one distributed quantile pass over the reference (the
+    * [[WindowOps]] two-pass machinery), then ONE hash aggregation per
+    * slice on a codegen'd bin expression (edges are bins−1 literal
+    * doubles — driver-held by contract, like k-means centers); the spine
+    * join and totals are bins-sized. Nothing ever sorts or collects a
+    * slice.
+    *
+    * Output: (bin, ref_n, cur_n, ref_share, cur_share, term, psi) — one
+    * row per bin, `psi` repeated on each row.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String, bins: Int = 10,
+          partitions: Int = 32): DataFrame = {
+    require(bins >= 2, s"psi needs at least 2 bins: $bins")
+    val spark = ref.sparkSession
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val edges = WindowOps.exactQuantilesGlobal(ref, valueCol, qs, partitions)
+      .orderBy("q").select(col("value").cast("double"))
+      .collect().map(_.getDouble(0)).toSeq
+    def bucket(v: org.apache.spark.sql.Column) =
+      edges.map(e => when(v > lit(e), 1).otherwise(0)).reduce(_ + _) + 1
+    def binCounts(df: DataFrame, name: String) =
+      df.select(bucket(col(valueCol).cast("double")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(name))
+    val spine = spark.range(1, bins + 1).select(col("id").cast("int").as("bin"))
+    val joined = spine
+      .join(binCounts(ref, "ref_n"), Seq("bin"), "left")
+      .join(binCounts(cur, "cur_n"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val tot = joined.agg(sum("ref_n").as("rt"), sum("cur_n").as("ct"))
+    val terms = joined.crossJoin(broadcast(tot))
+      .withColumn("p", (col("ref_n") + 1).cast("double") /
+        (col("rt") + bins).cast("double"))
+      .withColumn("qq", (col("cur_n") + 1).cast("double") /
+        (col("ct") + bins).cast("double"))
+      .withColumn("term", (col("p") - col("qq")) * log(col("p") / col("qq")))
+    val psiTot = terms.agg(
+      round(sum(col("term").cast("decimal(38,18)")).cast("double"), 4).as("psi"))
+    terms.crossJoin(broadcast(psiTot))
+      .select(col("bin").cast("long").as("bin"), col("ref_n"), col("cur_n"),
+        round(col("p"), 6).as("ref_share"), round(col("qq"), 6).as("cur_share"),
+        round(col("term"), 6).as("term"), col("psi"))
+  }
 }

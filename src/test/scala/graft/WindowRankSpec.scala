@@ -187,4 +187,26 @@ class WindowRankSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("reserved"))
   }
+
+  test("psi: identical slices score ~0, a shifted slice scores high") {
+    import spark.implicits._
+    val base = (1 to 1000).map(i => (i % 97).toDouble).toDF("value")
+    def run(cur: org.apache.spark.sql.DataFrame) =
+      graft.ops.StatsOps.psi(base, cur, "value", bins = 10)
+    val same = run(base).select("psi").head().getDouble(0)
+    assert(same < 0.02, s"identical slices drifted: psi=$same")
+    // +200 shift pushes every current value above the reference's top
+    // decile edge -> all current mass lands in the last bin
+    val shifted = run(base.select((col("value") + 200.0).as("value")))
+    assert(shifted.select("psi").head().getDouble(0) > 1.0)
+    val lastBin = shifted.filter(col("bin") === 10).head()
+    assert(lastBin.getLong(2) == 1000L, "shifted mass not in top bin")
+    // all bins present, shares sum to ~1 on each side
+    assert(shifted.count() == 10)
+    val sums = run(base).agg(
+      org.apache.spark.sql.functions.sum("ref_share"),
+      org.apache.spark.sql.functions.sum("cur_share")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-3)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-3)
+  }
 }
