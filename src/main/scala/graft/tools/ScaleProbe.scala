@@ -279,6 +279,33 @@ object ScaleProbe {
       Dedup.canonicalize(boiler, "doc_id",
         Dedup.minhashLshEdges(boiler, "doc_id", "text", 2, 4, 4, 0.8)) }
 
+    // round-8 ops. LPA: per round one edge⋈label join + two hash aggs —
+    // on the constant-degree graph (votes = edges per round) it must
+    // scale ~linearly in edges, like triangles above.
+    timed("lpa") {
+      val edges = spark.range(0, n)
+        .select(col("id").as("src"),
+          explode(transform(sequence(lit(0), lit(7)),
+            j => pmod(hash(col("id"), j), lit(n)))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      graft.ops.GraphOps.labelPropagation(edges, iterations = 3)
+    }
+    // substring rewrite: window hash agg + keeper join + ×w explode of
+    // removable occurrences + anti-join + per-doc rebuild. On the 98%-
+    // distinct corpus the removable mass is the planted 2%, so the whole
+    // chain must track the substring_dup profile (~linear).
+    timed("substring_rewrite") {
+      Dedup.substringDedupRewrite(docs, "doc_id", "text", w = 8, minDocs = 2) }
+    // PSI: one quantile pass over ref + one scan per slice — ~linear.
+    timed("psi_drift") {
+      graft.ops.StatsOps.psi(
+        docs.select(length(col("text")).cast("double").as("value")),
+        docs.select((length(col("text")) + 40).cast("double").as("value")),
+        "value", bins = 10) }
+
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"n":$n,"secs":${j(secs)},"rows":${j(rows)}}""")
