@@ -765,6 +765,18 @@ object SparkEntry {
       graft.functions.Sketches.kmvDistinct(
         Tables.lineitem(s, dir), col("l_partkey"), k = 256)),
 
+    // Mergeable one-pass quantile sketch: deterministic bottom-512
+    // hash sample of lineitem rows -> discrete quantile read. The
+    // shard-mergeable profiling dual of q_exact_quantiles' two-pass
+    // machinery; union->re-take-k merge contract spec-pinned.
+    "q_quantile_sketch" -> ((s, dir) =>
+      graft.functions.Sketches.quantileSketch(
+        Tables.lineitem(s, dir),
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")),
+        col("l_extendedprice"), k = 512,
+        qs = Seq(0.25, 0.5, 0.75, 0.95))),
+
     // Count-min sketch: depth x width fixed-memory frequency table over
     // the corpus token stream, point estimates for a probe set (one
     // never-seen key included). Deterministic md5 bucketing -> the oracle
@@ -3169,6 +3181,12 @@ object SparkEntry {
 
     "q_kmv_distinct" ->
       graft.functions.Sketches.kmvDistinctSql("lineitem", "l_partkey", k = 256),
+
+    "q_quantile_sketch" ->
+      graft.functions.Sketches.quantileSketchSql(
+        "lineitem",
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+        "l_extendedprice", k = 512, qs = Seq(0.25, 0.5, 0.75, 0.95)),
 
     "q_cms" ->
       (graft.functions.Sketches.cmsEstimateSql(

@@ -236,6 +236,73 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  // ---- hash-sample quantile sketch ---------------------------------------
+
+  /** One-pass MERGEABLE approximate quantiles: keep the k rows whose
+    * [[hash60]] of `keyCol` is smallest (a deterministic uniform
+    * without-replacement sample — the bottom-k-by-hash trick KMV uses for
+    * distinct counts, applied to rows), then read discrete quantiles off
+    * the sample. The exact two-pass machinery
+    * ([[graft.ops.WindowOps.exactQuantilesGlobal]]) re-scans the corpus
+    * per query; this sketch is what a 100 TB profiling pass actually
+    * keeps per shard: bottom-k sets merge by union → re-take-k, so
+    * shard sketches combine losslessly into the corpus sketch (same
+    * deterministic result as sketching the whole corpus directly —
+    * spec-pinned).
+    *
+    * Plan shape: one codegen'd hash projection → TakeOrdered(k) (per-
+    * partition k-heaps, driver merges k·P candidates) → quantile read
+    * over ≤ k rows in one bounded task. Estimates use the same lower
+    * discrete quantile rule as the exact op (cume ≥ q, min value) — on a
+    * sample that fills under k the estimate IS exact.
+    *
+    * Output: (q, est_value, sample_n), one row per requested quantile.
+    */
+  def quantileSketch(df: DataFrame, keyCol: Column, valueCol: Column,
+                     k: Int, qs: Seq[Double],
+                     salt: String = "qsk"): DataFrame = {
+    require(k >= 8, s"quantileSketch needs k >= 8 (got $k)")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1]: $qs")
+    val sample = df
+      .select(hash60(keyCol, salt).as("h"), valueCol.cast("double").as("v"))
+      .where(col("h").isNotNull && col("v").isNotNull)
+      .orderBy(col("h"), col("v")).limit(k)
+    // the sample is ≤ k rows by construction — a single-task window over
+    // it is bounded state, not a scale hazard
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val cum = sample.select(col("v"), cume_dist().over(w).as("cd"),
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))).as("sample_n"))
+    cum.select(explode(typedLit(qs.sorted)).as("q"), col("v"), col("cd"),
+        col("sample_n"))
+      .filter(col("cd") >= col("q"))
+      .groupBy("q").agg(min(col("v")).as("est_value"),
+        first(col("sample_n")).as("sample_n"))
+      .orderBy("q")
+  }
+
+  /** The DuckDB SQL replaying [[quantileSketch]] bit-for-bit. */
+  def quantileSketchSql(table: String, keyExpr: String, valueExpr: String,
+                        k: Int, qs: Seq[Double],
+                        salt: String = "qsk"): String = {
+    val qList = qs.sorted.map(q => s"($q)").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 15)) AS BIGINT) AS h,
+       |         CAST($valueExpr AS DOUBLE) AS v
+       |  FROM $table
+       |  WHERE $keyExpr IS NOT NULL AND $valueExpr IS NOT NULL
+       |  ORDER BY h, v LIMIT $k),
+       |c AS (SELECT v, cume_dist() OVER (ORDER BY v) AS cd,
+       |             (SELECT CAST(count(*) AS BIGINT) FROM s) AS sample_n
+       |      FROM s),
+       |qv AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES $qList) AS t(q))
+       |SELECT q, min(v) AS est_value, CAST(min(sample_n) AS BIGINT) AS sample_n
+       |FROM qv JOIN c ON c.cd >= qv.q
+       |GROUP BY q ORDER BY q""".stripMargin
+  }
+
   /** The DuckDB SQL replaying [[cmsBuild]] + [[cmsEstimate]] bit-for-bit
     * over `table`'s `keyExpr` values, estimating for `queryCte` (a CTE
     * body yielding one column `qkey`).

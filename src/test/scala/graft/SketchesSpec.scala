@@ -107,6 +107,41 @@ class SketchesSpec extends SparkTestBase {
     assert(diff == 0L, "merged partial sketches must equal the whole-data sketch")
   }
 
+  test("quantileSketch: shard bottom-k sets merge losslessly; under-filled is exact") {
+    import spark.implicits._
+    val rows = (1 to 1000).map(i => (i.toLong, ((i * 137) % 1000 + 1).toDouble))
+    val df = rows.toDF("id", "v")
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val global = Sketches.quantileSketch(df, col("id"), col("v"), 64, qs)
+      .as[(Double, Double, Long)].collect().toSeq
+    // mergeability: per-shard bottom-64 samples, union, re-take 64 — the
+    // re-taken set must equal the global bottom-64 (so any quantile read
+    // off it matches the global sketch)
+    val shardSamples = (0 until 3).map { s =>
+      df.filter(col("id") % 3 === s)
+        .select(Sketches.hash60(col("id"), "qsk").as("h"), col("v"))
+        .orderBy("h", "v").limit(64)
+    }.reduce(_ unionByName _)
+    val merged = shardSamples.orderBy("h", "v").limit(64)
+      .select("h").as[Long].collect().toSeq
+    val globalSample = df
+      .select(Sketches.hash60(col("id"), "qsk").as("h"), col("v"))
+      .orderBy("h", "v").limit(64)
+      .select("h").as[Long].collect().toSeq
+    assert(merged == globalSample)
+    // a sketch larger than the data degrades to EXACT quantiles
+    val exact = graft.ops.WindowOps.exactQuantilesGlobal(
+        df.select(col("v")), "v", qs)
+      .as[(Double, Double)].collect().toMap
+    val full = Sketches.quantileSketch(df, col("id"), col("v"), 2048, qs)
+      .as[(Double, Double, Long)].collect()
+    assert(full.forall { case (q, est, n) => n == 1000L && est == exact(q) })
+    // the k=64 estimate is within a sane band of exact (values are 1..1000)
+    global.foreach { case (q, est, _) =>
+      assert(math.abs(est - exact(q)) < 200, s"q=$q est=$est exact=${exact(q)}")
+    }
+  }
+
   test("kmv plan is TakeOrdered over hashes, not a global sort") {
     val df = graft.core.Tables.lineitem(spark, sfDir)
     val plan = Sketches.kmvDistinct(df, col("l_partkey"), k = 64)
