@@ -328,6 +328,48 @@ object Streams {
       .drop(s"_r_$keyCol")
   }
 
+  /** Streaming drift monitor — the incremental form of
+    * [[graft.ops.StatsOps.psi]]: per tumbling window, the PSI of the
+    * window's value distribution against a FIXED reference profile
+    * (`refEdges` = the reference slice's quantile edges, `refShares` =
+    * its Laplace-smoothed bin shares — both computed ONCE batch-side and
+    * carried as literals, the broadcast-dim pattern). The retrain/alert
+    * trigger a production ingest pipeline keeps running.
+    *
+    * Plan: bin assignment is a codegen'd projection (edges are bins−1
+    * literals), then ONE watermarked streaming aggregation per window
+    * emitting a bins-wide count row — state per window is `bins` longs,
+    * reclaimed at the watermark. The PSI fold over those counts is a
+    * stateless projection at emit (fixed bin order ⇒ deterministic).
+    * No chained stateful operators, so every output mode works.
+    *
+    * Output per window: (window, n, psi).
+    */
+  def driftMonitorStream(events: DataFrame, tsCol: String, valCol: String,
+                         refEdges: Seq[Double], refShares: Seq[Double],
+                         windowLen: String,
+                         watermarkDelay: String): DataFrame = {
+    val bins = refEdges.size + 1
+    require(refShares.size == bins,
+      s"refShares must have ${bins} entries (edges+1): ${refShares.size}")
+    val bucket = refEdges.map(e =>
+      when(col(valCol) > lit(e), 1).otherwise(0)).reduce(_ + _) + 1
+    val counts = events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), bucket.as("bin"))
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(sum(when(col("bin") === 1, 1L).otherwise(0L)).as("n1"),
+        (2 to bins).map(b =>
+          sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"n$b")): _*)
+    val n = (1 to bins).map(b => col(s"n$b")).reduce(_ + _)
+    val psi = (1 to bins).map { b =>
+      val q = (col(s"n$b") + 1).cast("double") / (n + bins).cast("double")
+      val p = lit(refShares(b - 1))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    counts.select(col("window"), n.as("n"), round(psi, 4).as("psi"))
+  }
+
   /** Incremental word count — the reference's flagship job as a stream. */
   def wordCountStream(lines: DataFrame, textCol: String): DataFrame =
     lines.select(explode(

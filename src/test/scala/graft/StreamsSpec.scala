@@ -631,4 +631,45 @@ class StreamsSpec extends SparkTestBase {
       assert(m == Map("spark" -> 2L, "maps" -> 1L, "rows" -> 1L, "reduces" -> 1L))
     } finally q.stop()
   }
+
+  test("driftMonitorStream: per-window PSI matches the batch formula; drift ranks above calm") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // reference profile computed batch-side once (the broadcast-dim
+    // pattern): quartile edges + Laplace-smoothed shares of values 1..100
+    val ref = (1 to 100).map(_.toDouble)
+    val edges = graft.ops.WindowOps.exactQuantilesGlobal(
+        ref.toDF("value"), "value", Seq(0.25, 0.5, 0.75))
+      .orderBy("q").select("value").as[Double].collect().toSeq
+    def bucketOf(v: Double) = 1 + edges.count(v > _)
+    val refCnt = (1 to 4).map(b => ref.count(bucketOf(_) == b))
+    val shares = refCnt.map(c => (c + 1).toDouble / (ref.size + 4))
+    val in = MemoryStream[(Timestamp, Double)]
+    val mon = Streams.driftMonitorStream(in.toDF.toDF("ts", "value"),
+      "ts", "value", edges, shares,
+      windowLen = "10 seconds", watermarkDelay = "5 seconds")
+    val q = mon.writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // window [0,10): one value per quartile (calm);
+      // window [10,20): all mass in the top bin (drifted)
+      val calm = Seq(10.0, 30.0, 60.0, 90.0)
+      val drifted = Seq(99.0, 98.0, 97.0)
+      in.addData(calm.zipWithIndex.map { case (v, i) => (ts(i + 1), v) } ++
+        drifted.zipWithIndex.map { case (v, i) => (ts(i + 12), v) }: _*)
+      q.processAllAvailable()
+      def batchPsi(vals: Seq[Double]): Double =
+        (0 until 4).map { i =>
+          val p = shares(i)
+          val qq = (vals.count(bucketOf(_) == i + 1) + 1).toDouble / (vals.size + 4)
+          (p - qq) * math.log(p / qq)
+        }.sum
+      val rows = spark.table("drift").select("n", "psi")
+        .as[(Long, Double)].collect().toMap
+      assert(rows.keySet == Set(calm.size.toLong, drifted.size.toLong))
+      assert(math.abs(rows(4L) - batchPsi(calm)) < 1e-4)
+      assert(math.abs(rows(3L) - batchPsi(drifted)) < 1e-4)
+      assert(rows(3L) > rows(4L), "drifted window must out-score the calm one")
+    } finally q.stop()
+  }
 }
