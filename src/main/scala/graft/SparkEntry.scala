@@ -981,6 +981,15 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", w = 8, minDocs = 2)
         .orderBy("id")),
 
+    // Asymmetric containment near-dup: directed pairs where a's 3-shingle
+    // set is 90%-covered by b's — the "A is a passage of B" relation
+    // Jaccard misses when |B| >> |A|. Exact (prefix-filtered candidates +
+    // array-intersect verify); oracle brute-forces the same measure.
+    "q_containment" -> ((s, dir) =>
+      graft.dedup.Dedup.containmentPairs(
+          Tables.documents(s, dir), "doc_id", "text", shingleN = 3, tau = 0.9)
+        .orderBy("a", "b")),
+
     // The rewrite q_substring_dup only reports on: duplicated 8-token
     // spans are cut from every occurrence but the global first, and each
     // doc's text is rebuilt from survivors (Lee et al. 2021 ExactSubstr
@@ -3230,6 +3239,21 @@ object SparkEntry {
         |       round(CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM wins w JOIN df f ON w.wh = f.wh
         |GROUP BY w.doc_id ORDER BY id""".stripMargin,
+
+    "q_containment" ->
+      """WITH arr AS (SELECT doc_id AS id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |FROM documents),
+        |sh AS (SELECT id, unnest(list_distinct(list_transform(range(0, len(a) - 3 + 1),
+        |         i -> array_to_string(list_slice(a, i+1, i+3), ' ')))) AS s
+        |       FROM arr WHERE len(a) >= 3),
+        |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |i AS (SELECT x.id AS a, y.id AS b, count(*) AS i
+        |      FROM sh x JOIN sh y ON x.s = y.s AND x.id <> y.id GROUP BY 1, 2),
+        |c AS (SELECT i.a, i.b, CAST(i.i AS DOUBLE) / sa.sz AS cont
+        |      FROM i JOIN sz sa ON sa.id = i.a)
+        |SELECT a, b, round(cont, 6) AS containment
+        |FROM c WHERE cont >= 0.9 ORDER BY a, b""".stripMargin,
 
     "q_substring_rewrite" ->
       """WITH arr AS (SELECT doc_id,

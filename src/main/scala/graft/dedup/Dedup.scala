@@ -529,6 +529,75 @@ object Dedup {
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs over w-shingle sets:
+    * C(A→B) = |S_A ∩ S_B| / |S_A| ≥ tau — the "document A is (nearly) a
+    * passage of document B" relation Jaccard structurally misses when
+    * |B| ≫ |A| (aggregator pages, quote farms, boilerplate wrappers;
+    * Broder 1997 defines the measure next to resemblance). Exact, not
+    * sketched. Directed output (a, b, containment): a's shingle set is
+    * tau-covered by b's; identical sets surface as containment 1 in both
+    * directions.
+    *
+    * Scale shape — the asymmetric prefix filter: a qualifying pair must
+    * share a shingle among A's (sz − ⌈tau·sz⌉ + 1) RAREST shingles
+    * (rarest-first global order, shingle tie-break), because missing all
+    * of them caps the intersection below ⌈tau·sz⌉. Candidates are
+    * therefore A-prefix ⋈ B-full-inverted-index — never all-pairs, and
+    * hot shingles almost never appear in a rarest-first prefix, which is
+    * what bounds the hot-key product (B has no size constraint by
+    * design: that asymmetry IS the operator). Identical sets collapse to
+    * one md5 gid before any corpus-wide work, same as [[jaccardPairs]].
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, tau: Double = 0.9,
+                       storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must lie in (0, 1]: $tau")
+    val docArr = shingles(df, idCol, textCol, shingleN)
+      .groupBy("id").agg(array_sort(collect_list(col("shingle"))).as("set"))
+      .withColumn("gid",
+        md5(to_binary(concat_ws("\u0001", col("set")), lit("utf-8"))))
+    val docArrP = persistAt(docArr, storage)
+    val members = docArrP.select("id", "gid")
+    val usets = persistAt(
+      docArrP.groupBy("gid").agg(first(col("set")).as("set")), storage)
+    val freq = usets.select(explode(col("set")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("f"))
+    val gsets = usets.select(col("gid"), explode(col("set")).as("sh"))
+      .join(freq, "sh")
+      .groupBy("gid")
+      .agg(transform(array_sort(collect_list(struct(col("f"), col("sh")))),
+        x => x("sh")).as("ordered"))
+      .withColumn("sz", size(col("ordered")))
+    val gsetsP = persistAt(gsets, storage)
+    val prefLen = (col("sz") - ceil(lit(tau) * col("sz")) + 1).cast("int")
+    val pref = gsetsP
+      .select(col("gid"), col("sz"),
+        posexplode(slice(col("ordered"), lit(1), prefLen)))
+      .select(col("gid"), col("sz"), (col("pos") + 1).as("r"), col("col").as("sh"))
+    val full = gsetsP.select(col("gid").as("gb"), explode(col("ordered")).as("sh"))
+    val gcands = pref.as("x").join(full.as("y"),
+        col("x.sh") === col("y.sh") && col("x.gid") =!= col("y.gb") &&
+          lit(1) + (col("x.sz") - col("x.r")) >= ceil(lit(tau) * col("x.sz")))
+      .select(col("x.gid").as("ga"), col("y.gb").as("gb"))
+      .distinct()
+    val qual = gcands
+      .join(gsetsP.select(col("gid").as("ga"), col("ordered").as("seta"),
+        col("sz").as("sza")), "ga")
+      .join(gsetsP.select(col("gid").as("gb"), col("ordered").as("setb")), "gb")
+      .withColumn("i", size(array_intersect(col("seta"), col("setb"))).cast("double"))
+      .withColumn("cont", col("i") / col("sza"))
+      .filter(col("cont") >= tau)
+    val cross = qual
+      .join(members.as("ma"), col("ga") === col("ma.gid"))
+      .join(members.as("mb"), col("gb") === col("mb.gid"))
+      .select(col("ma.id").as("a"), col("mb.id").as("b"), col("cont"))
+    val intra = members.as("ma").join(members.as("mb"),
+        col("ma.gid") === col("mb.gid") && col("ma.id") =!= col("mb.id"))
+      .select(col("ma.id").as("a"), col("mb.id").as("b"), lit(1.0).as("cont"))
+    cross.unionByName(intra)
+      .select(col("a"), col("b"), round(col("cont"), 6).as("containment"))
+  }
+
   /** The corpus REWRITE [[substringDupStats]] only reports on: every
     * w-token window occurring in ≥ `minDocs` distinct documents is
     * removed from every occurrence EXCEPT the globally first one

@@ -103,6 +103,45 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got(1).isNullAt(2) && got(2).isNullAt(2))
   }
 
+  test("containmentPairs: finds the embedded passage Jaccard misses; brute-force parity") {
+    import spark.implicits._
+    // doc 1 is a short passage fully embedded in the long doc 2 — its
+    // shingles are a strict subset, so containment(1→2)=1 while Jaccard
+    // is far below any useful threshold. docs 3/4 are identical (both
+    // directions at 1.0); doc 5 is unrelated.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words alpha beta gamma delta and then a very long tail " +
+        "of completely different content stretching the set much further"),
+      (3L, "same exact text here okay"),
+      (4L, "same exact text here okay"),
+      (5L, "nothing shared with anyone at all")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.contains((1L, 2L, 1.0)), s"embedded passage missed: $got")
+    assert(!got.exists { case (a, b, _) => a == 2L && b == 1L },
+      "containment must stay asymmetric: the long doc is not covered by the passage")
+    assert(got.contains((3L, 4L, 1.0)) && got.contains((4L, 3L, 1.0)))
+    assert(!got.exists { case (a, b, _) => a == 5L || b == 5L })
+    // Jaccard at the same tau indeed misses the passage pair
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!jac.exists { case (a, b, _) => Set(a, b) == Set(1L, 2L) })
+    // brute-force parity on the fixture corpus
+    val sample = docs.filter(col("doc_id") < 80)
+    val fast = Dedup.containmentPairs(sample, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val sh = Dedup.shingles(sample, "doc_id", "text", 3)
+      .groupBy("id").agg(collect_set("shingle").as("set"))
+    val naive = sh.as("x").join(sh.as("y"), col("x.id") =!= col("y.id"))
+      .select(col("x.id"), col("y.id"),
+        round(size(array_intersect(col("x.set"), col("y.set"))).cast("double") /
+          size(col("x.set")), 6).as("c"))
+      .filter(col("c") >= 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == naive)
+  }
+
   test("simhash: near-identical docs get close fingerprints (hamming)") {
     import spark.implicits._
     val fp = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
