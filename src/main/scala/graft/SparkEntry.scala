@@ -248,6 +248,26 @@ object SparkEntry {
         Seq("scan", "column", "window"))
         .orderBy("doc_id")),
 
+    // Retrieval eval: NDCG@10 + MRR@10 per query term over a tf/dl
+    // ranking, graded relevance = capped term frequency. The ranking-
+    // quality leg of the eval suite (AUC/logloss/calibration cover
+    // classification).
+    "q_ranking_eval" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.TextAnalysis.tokensArr(col("text")).as("toks"))
+      val base = toks
+        .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"),
+          explode(array(lit("scan"), lit("column"), lit("window"))).as("query"))
+        .withColumn("tf", size(filter(col("toks"), t => t === col("query"))))
+        .filter(col("tf") > 0)
+        .select(col("query"), col("doc_id"),
+          (col("tf").cast("double") / col("dl")).as("score"),
+          least(lit(3), col("tf")).as("rel"))
+      graft.ops.EvalMetrics.rankingMetrics(
+          base, "query", "doc_id", "score", "rel", k = 10)
+        .orderBy("query")
+    }),
+
     // CAPSTONE — the full training-corpus run as ONE declarative plan:
     // exact-dup-proof near-dedup (keep canonical doc) -> deterministic
     // train/val/test split -> per-source char budget on the train slice
@@ -3952,6 +3972,33 @@ object SparkEntry {
 
     // Same singleton-sum-then-fixed-order-add shape as the Spark plan so
     // the double arithmetic replays bit-for-bit before the round.
+    "q_ranking_eval" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT q.query, t.doc_id,
+        |    len(list_filter(t.toks, x -> x = q.query)) AS tf, len(t.toks) AS dl
+        |  FROM tok t CROSS JOIN (VALUES ('scan'), ('column'), ('window')) AS q(query)),
+        |inp AS (SELECT query, doc_id AS id, CAST(tf AS DOUBLE) / dl AS score,
+        |          least(3, tf) AS rel
+        |        FROM base WHERE tf > 0),
+        |ranked AS (SELECT query, id, rel,
+        |    row_number() OVER (PARTITION BY query ORDER BY score DESC, id ASC) AS r,
+        |    row_number() OVER (PARTITION BY query ORDER BY rel DESC, id ASC) AS ri
+        |  FROM inp),
+        |agg AS (SELECT query, CAST(count(*) AS BIGINT) AS n_cands,
+        |    sum(CASE WHEN r <= 10 THEN CAST((pow(2.0, rel) - 1) / log2(r + 1) AS DECIMAL(38,18))
+        |             ELSE CAST(0 AS DECIMAL(38,18)) END) AS dcg,
+        |    sum(CASE WHEN ri <= 10 THEN CAST((pow(2.0, rel) - 1) / log2(ri + 1) AS DECIMAL(38,18))
+        |             ELSE CAST(0 AS DECIMAL(38,18)) END) AS idcg,
+        |    min(CASE WHEN r <= 10 AND rel > 0 THEN r END) AS fr
+        |  FROM ranked GROUP BY query)
+        |SELECT query, n_cands,
+        |  round(CASE WHEN idcg > 0 THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+        |             ELSE 0.0 END, 6) AS ndcg,
+        |  round(coalesce(1.0 / fr, 0.0), 6) AS mrr
+        |FROM agg ORDER BY query""".stripMargin,
+
     "q_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(
         |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok

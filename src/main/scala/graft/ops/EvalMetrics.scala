@@ -123,4 +123,52 @@ object EvalMetrics {
             col("p").cast("double") * (col("p").cast("double") + lit(1.0)) / lit(2.0)) /
           (col("p").cast("double") * col("ng").cast("double")), 6).as("auc"))
   }
+
+  /** Ranking-quality metrics per query — NDCG@k (graded, exponential
+    * gain: (2^rel − 1)/log₂(rank+1), Järvelin & Kekäläinen 2002) and
+    * MRR@k — the retrieval-eval pass next to the classification metrics
+    * above (score a BM25/ANN ranking against labeled relevance).
+    *
+    * Deterministic cross-engine: ranks come from (score desc, id asc)
+    * row_number (ideal ranks from (rel desc, id asc)); per-rank gain
+    * terms are IEEE doubles cast to decimal(38,18) and summed
+    * order-independently; the final DCG/IDCG ratio and the 1/first-rel
+    * reciprocal run in one fixed double order, rounded to 6. Queries
+    * with no relevant candidate score 0 on both (never null).
+    *
+    * Scale contract: the per-query window sorts ONE query's candidate
+    * list — retrieval inputs are top-m lists by construction, so
+    * per-task state is the list length, and queries distribute across
+    * tasks (same contract as [[aucByGroup]]'s per-group ranks at the
+    * usual segment sizes; a pathological million-candidate query is a
+    * skewed group AQE handles).
+    *
+    * Output: (query, n_cands, ndcg, mrr), one row per query.
+    */
+  def rankingMetrics(df: DataFrame, queryCol: String, idCol: String,
+                     scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"rankingMetrics needs k >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+    val ranked = df.select(col(queryCol).as("query"), col(idCol).as("id"),
+        col(scoreCol).cast("double").as("score"),
+        col(relCol).cast("int").as("rel"))
+      .withColumn("r", row_number().over(
+        w.partitionBy("query").orderBy(col("score").desc, col("id").asc)))
+      .withColumn("ri", row_number().over(
+        w.partitionBy("query").orderBy(col("rel").desc, col("id").asc)))
+    def gain(rel: org.apache.spark.sql.Column, rank: org.apache.spark.sql.Column) =
+      ((pow(lit(2.0), rel.cast("double")) - 1.0) / log2(rank.cast("double") + 1.0))
+        .cast("decimal(38,18)")
+    val zero = lit(0).cast("decimal(38,18)")
+    ranked.groupBy("query").agg(
+        count(lit(1)).as("n_cands"),
+        sum(when(col("r") <= k, gain(col("rel"), col("r"))).otherwise(zero)).as("dcg"),
+        sum(when(col("ri") <= k, gain(col("rel"), col("ri"))).otherwise(zero)).as("idcg"),
+        min(when(col("r") <= k && col("rel") > 0, col("r"))).as("fr"))
+      .select(col("query"), col("n_cands"),
+        round(when(col("idcg") > zero,
+          col("dcg").cast("double") / col("idcg").cast("double"))
+          .otherwise(0.0), 6).as("ndcg"),
+        round(coalesce(lit(1.0) / col("fr"), lit(0.0)), 6).as("mrr"))
+  }
 }

@@ -188,6 +188,35 @@ class WindowRankSpec extends SparkTestBase {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("rankingMetrics: NDCG/MRR match the textbook formulas") {
+    import spark.implicits._
+    val df = Seq(
+      // q1: relevant docs ranked 1st and 3rd
+      ("q1", 1L, 0.9, 3), ("q1", 2L, 0.8, 0), ("q1", 3L, 0.7, 1),
+      // q2: nothing relevant
+      ("q2", 4L, 0.9, 0), ("q2", 5L, 0.8, 0),
+      // q3: ideal order (rel strictly tracks score)
+      ("q3", 6L, 0.9, 2), ("q3", 7L, 0.8, 1), ("q3", 8L, 0.7, 0)
+    ).toDF("query", "id", "score", "rel")
+    val got = graft.ops.EvalMetrics
+      .rankingMetrics(df, "query", "id", "score", "rel", k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val dcg1 = 7.0 / log2(2) + 0.0 / log2(3) + 1.0 / log2(4)
+    val idcg1 = 7.0 / log2(2) + 1.0 / log2(3) + 0.0 / log2(4)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("q1") == ((3L, r6(dcg1 / idcg1), 1.0)))
+    assert(got("q2") == ((2L, 0.0, 0.0)))
+    assert(got("q3")._2 == 1.0 && got("q3")._3 == 1.0)
+    // k truncation: with k=1 only the top hit counts; q1's rank-3 rel
+    // drops out of DCG but MRR still finds the rank-1 hit
+    val k1 = graft.ops.EvalMetrics
+      .rankingMetrics(df, "query", "id", "score", "rel", k = 1)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(k1("q1") == ((1.0, 1.0))) // dcg@1 = idcg@1 = 7
+  }
+
   test("psi: identical slices score ~0, a shifted slice scores high") {
     import spark.implicits._
     val base = (1 to 1000).map(i => (i % 97).toDouble).toDF("value")
