@@ -1896,6 +1896,18 @@ object SparkEntry {
               |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
     }),
 
+    // The KMV sketch as a SQL-registered mergeable Aggregator UDAF —
+    // same estimate as q_kmv_distinct's TakeOrdered plan, but in a form
+    // a streaming window can carry as state (Streams.distinctCountStream
+    // pins batch/stream parity). Shared estimate formula ⇒ shared oracle.
+    "q_kmv_udaf" -> ((s, dir) => {
+      graft.functions.Udafs.register(s)
+      Tables.lineitem(s, dir)
+        .select(graft.functions.Sketches.hash60(col("l_partkey")).as("h"))
+        .createOrReplaceTempView("li_kmv")
+      s.sql("SELECT graft_kmv256(h) AS est_distinct FROM li_kmv")
+    }),
+
     // -------- multimodal columns (builder brief) ---------------------------
 
     // Opaque-payload stats without decoding: byte length + md5 over the
@@ -3210,6 +3222,16 @@ object SparkEntry {
 
     "q_kmv_distinct" ->
       graft.functions.Sketches.kmvDistinctSql("lineitem", "l_partkey", k = 256),
+
+    "q_kmv_udaf" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || ':kmv'), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |s AS (SELECT h FROM h ORDER BY h LIMIT 256)
+        |SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |            ELSE round(255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 6)
+        |       END AS est_distinct
+        |FROM s""".stripMargin,
 
     "q_quantile_sketch" ->
       graft.functions.Sketches.quantileSketchSql(

@@ -39,9 +39,42 @@ object Udafs {
       def outputEncoder: Encoder[String] = Encoders.STRING
     }
 
+  /** KMV bottom-k distinct-count sketch as a typed Aggregator over
+    * PRE-HASHED 60-bit values ([[Sketches.hash60]]): buffer = the k
+    * smallest distinct hashes seen, sorted ascending. `merge` makes it a
+    * true mergeable sketch — Catalyst gets map-side partials, and (the
+    * point of the Aggregator form) a STREAMING window aggregation can
+    * carry it as per-window state ([[graft.streaming.Streams
+    * .distinctCountStream]]), which the TakeOrdered-shaped batch op
+    * ([[Sketches.kmvDistinct]]) cannot. `finish` reproduces
+    * kmvDistinct's estimate bit-for-bit (exact below k, else
+    * (k−1)·2⁶⁰/kth rounded 6, HALF_UP like Spark's `round`) — so the
+    * two forms share one oracle.
+    */
+  def kmvSketch(k: Int): Aggregator[Long, Seq[Long], Double] = {
+    require(k >= 3, s"KMV needs k >= 3 (got $k)")
+    new Aggregator[Long, Seq[Long], Double] {
+      def zero: Seq[Long] = Vector.empty
+      def reduce(b: Seq[Long], h: Long): Seq[Long] =
+        if (b.length == k && h >= b.last) b
+        else if (b.contains(h)) b
+        else ((b :+ h).sorted: Seq[Long]).take(k)
+      def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+        ((b1 ++ b2).distinct.sorted: Seq[Long]).take(k)
+      def finish(b: Seq[Long]): Double =
+        if (b.length < k) b.length.toDouble
+        else BigDecimal((k - 1).toDouble * math.pow(2.0, 60) / b.last.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def bufferEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+  }
+
   /** Register for SQL use: `SELECT graft_sum(x), graft_kvgroup(v) ...`. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("graft_sum", udaf(sumLong))
     spark.udf.register("graft_kvgroup", udaf(kvGroupJoin))
+    spark.udf.register("graft_kmv256", udaf(kmvSketch(256)))
   }
 }

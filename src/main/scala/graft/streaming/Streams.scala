@@ -328,6 +328,28 @@ object Streams {
       .drop(s"_r_$keyCol")
   }
 
+  /** Streaming distinct-count per window — unique keys per tumbling
+    * window (the "unique users per hour" monitor) estimated by the
+    * mergeable KMV bottom-k Aggregator
+    * ([[graft.functions.Udafs.kmvSketch]]). The batch op
+    * ([[graft.functions.Sketches.kmvDistinct]]) is a TakeOrdered plan
+    * and cannot run incrementally; the Aggregator form carries the
+    * sketch (k longs, sorted) as per-window streaming state and merges
+    * partials — bounded memory per window, watermark reclaims state,
+    * and the estimate matches the batch op bit-for-bit on the same
+    * slice (shared finish formula; StreamsSpec pins parity).
+    */
+  def distinctCountStream(events: DataFrame, tsCol: String, keyCol: String,
+                          windowLen: String, watermarkDelay: String,
+                          k: Int = 256): DataFrame = {
+    val sk = udaf(graft.functions.Udafs.kmvSketch(k))
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        graft.functions.Sketches.hash60(col(keyCol)).as("h"))
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(sk(col("h")).as("est_distinct"), count(lit(1)).as("n_rows"))
+  }
+
   /** Streaming drift monitor — the incremental form of
     * [[graft.ops.StatsOps.psi]]: per tumbling window, the PSI of the
     * window's value distribution against a FIXED reference profile

@@ -632,6 +632,33 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("distinctCountStream: windowed KMV estimate equals the batch sketch per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = Streams.distinctCountStream(in.toDF.toDF("ts", "user_id"),
+      "ts", "user_id", windowLen = "10 seconds", watermarkDelay = "5 seconds",
+      k = 8)
+    val q = out.writeStream.format("memory").queryName("dc")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // window [0,10): 20 distinct users (> k ⇒ estimated);
+      // window [10,20): 3 distinct over 4 rows (< k ⇒ exact count)
+      val w1 = (1 to 20).map(u => (ts(u % 9 + 1), u.toLong))
+      val w2 = Seq((ts(12), 100L), (ts(13), 101L), (ts(14), 100L), (ts(15), 102L))
+      in.addData(w1 ++ w2: _*)
+      q.processAllAvailable()
+      val rows = spark.table("dc").select("n_rows", "est_distinct")
+        .as[(Long, Double)].collect().toMap
+      def batchEst(users: Seq[Long]): Double =
+        graft.functions.Sketches.kmvDistinct(users.toDF("u"),
+            org.apache.spark.sql.functions.col("u"), k = 8)
+          .select("est_distinct").head().getDouble(0)
+      assert(rows(20L) == batchEst(w1.map(_._2)))
+      assert(rows(4L) == 3.0)
+    } finally q.stop()
+  }
+
   test("driftMonitorStream: per-window PSI matches the batch formula; drift ranks above calm") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
