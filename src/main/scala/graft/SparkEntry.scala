@@ -785,6 +785,16 @@ object SparkEntry {
       graft.functions.Sketches.kmvDistinct(
         Tables.lineitem(s, dir), col("l_partkey"), k = 256)),
 
+    // Per-group quantile sketches: one bottom-256 hash sample per
+    // return flag, quantiles read per group — the per-source profile.
+    "q_quantile_sketch_groups" -> ((s, dir) =>
+      graft.functions.Sketches.quantileSketchByGroup(
+          Tables.lineitem(s, dir), "l_returnflag",
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string")),
+          col("l_extendedprice"), k = 256, qs = Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("l_returnflag", "q")),
+
     // Mergeable one-pass quantile sketch: deterministic bottom-512
     // hash sample of lineitem rows -> discrete quantile read. The
     // shard-mergeable profiling dual of q_exact_quantiles' two-pass
@@ -3232,6 +3242,12 @@ object SparkEntry {
         |            ELSE round(255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 6)
         |       END AS est_distinct
         |FROM s""".stripMargin,
+
+    "q_quantile_sketch_groups" ->
+      graft.functions.Sketches.quantileSketchByGroupSql(
+        "lineitem", "l_returnflag",
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+        "l_extendedprice", k = 256, qs = Seq(0.25, 0.5, 0.75, 0.95)),
 
     "q_quantile_sketch" ->
       graft.functions.Sketches.quantileSketchSql(

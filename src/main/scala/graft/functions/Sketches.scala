@@ -303,6 +303,61 @@ object Sketches {
        |GROUP BY q ORDER BY q""".stripMargin
   }
 
+  /** The GROUP BY form of [[quantileSketch]] — per-group bottom-k hash
+    * samples (the two-level [[graft.ops.ScaleOps.smallestKPerGroup]]
+    * heap, so no group's rows ever sort in one task) and per-group
+    * discrete quantile reads over ≤ k sampled rows. The per-source /
+    * per-language distribution profile a 100 TB pipeline keeps as one
+    * k-row sketch per group. Output: (group, q, est_value, sample_n).
+    */
+  def quantileSketchByGroup(df: DataFrame, groupCol: String, keyCol: Column,
+                            valueCol: Column, k: Int, qs: Seq[Double],
+                            salt: String = "qsk"): DataFrame = {
+    require(k >= 8, s"quantileSketchByGroup needs k >= 8 (got $k)")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1]: $qs")
+    val rows = df.select(col(groupCol).as("g"), hash60(keyCol, salt).as("h"),
+        valueCol.cast("double").as("v"))
+      .where(col("h").isNotNull && col("v").isNotNull)
+    val sample = graft.ops.ScaleOps.smallestKPerGroup(rows, "g", Seq("h", "v"), k)
+    val w = org.apache.spark.sql.expressions.Window
+    val cum = sample.select(col("g"), col("v"),
+      cume_dist().over(w.partitionBy("g").orderBy(col("v"))).as("cd"),
+      count(lit(1)).over(w.partitionBy("g")).as("sample_n"))
+    cum.select(col("g"), explode(typedLit(qs.sorted)).as("q"), col("v"),
+        col("cd"), col("sample_n"))
+      .filter(col("cd") >= col("q"))
+      .groupBy("g", "q").agg(min(col("v")).as("est_value"),
+        first(col("sample_n")).as("sample_n"))
+      .select(col("g").as(groupCol), col("q"), col("est_value"),
+        col("sample_n"))
+  }
+
+  /** The DuckDB SQL replaying [[quantileSketchByGroup]] bit-for-bit. */
+  def quantileSketchByGroupSql(table: String, groupExpr: String,
+                               keyExpr: String, valueExpr: String,
+                               k: Int, qs: Seq[Double],
+                               salt: String = "qsk"): String = {
+    val qList = qs.sorted.map(q => s"($q)").mkString(", ")
+    s"""WITH s0 AS (
+       |  SELECT $groupExpr AS g,
+       |         CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 15)) AS BIGINT) AS h,
+       |         CAST($valueExpr AS DOUBLE) AS v
+       |  FROM $table
+       |  WHERE $keyExpr IS NOT NULL AND $valueExpr IS NOT NULL),
+       |s AS (SELECT g, v FROM (
+       |        SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
+       |        FROM s0) WHERE rn <= $k),
+       |c AS (SELECT g, v, cume_dist() OVER (PARTITION BY g ORDER BY v) AS cd,
+       |             count(*) OVER (PARTITION BY g) AS sample_n
+       |      FROM s),
+       |qv AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES $qList) AS t(q))
+       |SELECT g AS $groupExpr, q, min(v) AS est_value,
+       |       CAST(min(sample_n) AS BIGINT) AS sample_n
+       |FROM qv JOIN c ON c.cd >= qv.q
+       |GROUP BY g, q ORDER BY g, q""".stripMargin
+  }
+
   /** The DuckDB SQL replaying [[cmsBuild]] + [[cmsEstimate]] bit-for-bit
     * over `table`'s `keyExpr` values, estimating for `queryCte` (a CTE
     * body yielding one column `qkey`).

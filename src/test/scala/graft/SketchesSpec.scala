@@ -142,6 +142,27 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("quantileSketchByGroup: each group equals the global sketch of its slice") {
+    import spark.implicits._
+    val rows = (1 to 900).map(i =>
+      (i.toLong, s"g${i % 3}", ((i * 241) % 500 + 1).toDouble))
+    val df = rows.toDF("id", "grp", "v")
+    val qs = Seq(0.5, 0.9)
+    val byGroup = Sketches.quantileSketchByGroup(df, "grp", col("id"), col("v"),
+        k = 32, qs)
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(byGroup.size == 6)
+    for (g <- Seq("g0", "g1", "g2")) {
+      val slice = Sketches.quantileSketch(df.filter(col("grp") === g),
+          col("id"), col("v"), k = 32, qs)
+        .as[(Double, Double, Long)].collect()
+      slice.foreach { case (q, est, n) =>
+        assert(byGroup((g, q)) == ((est, n)), s"group $g q=$q")
+      }
+    }
+  }
+
   test("kmv plan is TakeOrdered over hashes, not a global sort") {
     val df = graft.core.Tables.lineitem(spark, sfDir)
     val plan = Sketches.kmvDistinct(df, col("l_partkey"), k = 64)
