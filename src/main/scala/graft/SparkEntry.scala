@@ -1349,6 +1349,20 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Per-group PSI: value drift per event type between the even- and
+    // odd-id halves of the stream — the fully distributed GROUP BY form
+    // (edges are a TABLE, not driver literals; no group sorts in one
+    // task). Same-distribution halves ⇒ small psi everywhere, and the
+    // oracle replays bins, shares, and ln terms exactly.
+    "q_psi_groups" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ops.StatsOps.psiByGroup(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1),
+          "event_type", "value", bins = 10)
+        .orderBy("event_type", "bin")
+    }),
+
     // Per-dimension z-score standardization (decimal-exact moments) — the
     // unit-normalization pass before any distance-based embedding op.
     "q_standardize" -> ((s, dir) =>
@@ -2742,6 +2756,44 @@ object SparkEntry {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_psi_groups" ->
+      """WITH refv AS (SELECT event_type AS g, value AS v FROM events WHERE event_id % 2 = 0),
+        |curv AS (SELECT event_type AS g, value AS v FROM events WHERE event_id % 2 = 1),
+        |cd AS (SELECT g, v, cume_dist() OVER (PARTITION BY g ORDER BY v) AS cd FROM refv),
+        |edges AS (SELECT g, j, min(v) AS e
+        |          FROM (SELECT unnest(range(1, 10)) AS j) js
+        |          JOIN cd ON cd.cd >= j / 10.0
+        |          GROUP BY g, j),
+        |gv AS (SELECT g, v FROM (SELECT DISTINCT g, v FROM (
+        |         SELECT g, v FROM refv UNION ALL SELECT g, v FROM curv)) u
+        |       WHERE EXISTS (SELECT 1 FROM edges e2 WHERE e2.g = u.g)),
+        |vb AS (SELECT gv.g, gv.v,
+        |         CAST(1 + (SELECT count(*) FROM edges e WHERE e.g = gv.g AND gv.v > e.e) AS INT) AS bin
+        |       FROM gv),
+        |refbin AS (SELECT vb.g, vb.bin, count(*) AS ref_n
+        |           FROM refv JOIN vb ON refv.g = vb.g AND refv.v = vb.v GROUP BY vb.g, vb.bin),
+        |curbin AS (SELECT vb.g, vb.bin, count(*) AS cur_n
+        |           FROM curv JOIN vb ON curv.g = vb.g AND curv.v = vb.v GROUP BY vb.g, vb.bin),
+        |spine AS (SELECT DISTINCT g, CAST(unnest(range(1, 11)) AS INT) AS bin FROM edges),
+        |joined AS (SELECT s.g, s.bin, coalesce(r.ref_n, 0) AS ref_n,
+        |                  coalesce(c.cur_n, 0) AS cur_n
+        |           FROM spine s LEFT JOIN refbin r ON s.g = r.g AND s.bin = r.bin
+        |                        LEFT JOIN curbin c ON s.g = c.g AND s.bin = c.bin),
+        |tot AS (SELECT g, sum(ref_n) AS rt, sum(cur_n) AS ct FROM joined GROUP BY g),
+        |terms AS (SELECT j.g, j.bin, j.ref_n, j.cur_n,
+        |            CAST(j.ref_n + 1 AS DOUBLE) / CAST(t.rt + 10 AS DOUBLE) AS p,
+        |            CAST(j.cur_n + 1 AS DOUBLE) / CAST(t.ct + 10 AS DOUBLE) AS q
+        |          FROM joined j JOIN tot t ON j.g = t.g),
+        |t2 AS (SELECT g, bin, ref_n, cur_n, p, q, (p - q) * ln(p / q) AS term FROM terms),
+        |ptot AS (SELECT g, round(CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 4) AS psi
+        |         FROM t2 GROUP BY g)
+        |SELECT t2.g AS event_type, CAST(t2.bin AS BIGINT) AS bin,
+        |       CAST(t2.ref_n AS BIGINT) AS ref_n, CAST(t2.cur_n AS BIGINT) AS cur_n,
+        |       round(t2.p, 6) AS ref_share, round(t2.q, 6) AS cur_share,
+        |       round(t2.term, 6) AS term, ptot.psi
+        |FROM t2 JOIN ptot ON t2.g = ptot.g
+        |ORDER BY event_type, bin""".stripMargin,
 
     "q_psi" ->
       """WITH refv AS (SELECT value AS v FROM events WHERE event_type = 'view'),

@@ -185,6 +185,64 @@ object StatsOps {
     * Output: (bin, ref_n, cur_n, ref_share, cur_share, term, psi) — one
     * row per bin, `psi` repeated on each row.
     */
+  /** Per-group PSI — drift per source/language/segment, the GROUP BY
+    * form of [[psi]], and FULLY distributed: unlike the global op (whose
+    * bins−1 edges ride the driver as literals, the k-means-centers
+    * contract), every stage here is a table — per-group discrete decile
+    * edges from [[WindowOps.exactQuantilesByGroupDiscrete]] (no group
+    * sorts in one task), bin assignment via a (group,value)-collapsed
+    * join against the group's edges (×(bins−1) on DISTINCT values only,
+    * never raw rows), bins-sized spine/total/psi joins per group. Groups
+    * are the REFERENCE's groups (a current-only group has no profile to
+    * drift from — excluded by the inner edge join, documented contract).
+    *
+    * Output: (group, bin, ref_n, cur_n, ref_share, cur_share, term,
+    * psi) — bins rows per group, `psi` repeated within the group.
+    */
+  def psiByGroup(ref: DataFrame, cur: DataFrame, groupCol: String,
+                 valueCol: String, bins: Int = 10,
+                 partitions: Int = 32): DataFrame = {
+    require(bins >= 2, s"psiByGroup needs at least 2 bins: $bins")
+    val qs = (1 until bins).map(_.toDouble / bins)
+    def slim(df: DataFrame) =
+      df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+        .where(col("v").isNotNull)
+    val refS = slim(ref)
+    val edges = WindowOps
+      .exactQuantilesByGroupDiscrete(refS, "g", "v", qs, partitions)
+      .select(col("g"), col("value").as("e"))
+    def binCounts(slimmed: DataFrame, name: String) = {
+      val gv = slimmed.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      gv.join(edges, "g")
+        .groupBy(col("g"), col("v"), col("c"))
+        .agg((sum(when(col("v") > col("e"), 1).otherwise(0)) + 1).as("bin"))
+        .groupBy("g", "bin").agg(sum("c").as(name))
+    }
+    val spine = edges.select("g").distinct()
+      .select(col("g"), explode(sequence(lit(1), lit(bins))).as("bin"))
+    val joined = spine
+      .join(binCounts(refS, "ref_n"), Seq("g", "bin"), "left")
+      .join(binCounts(slim(cur), "cur_n"), Seq("g", "bin"), "left")
+      .select(col("g"), col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val tot = joined.groupBy("g")
+      .agg(sum("ref_n").as("rt"), sum("cur_n").as("ct"))
+    val terms = joined.join(tot, "g")
+      .withColumn("p", (col("ref_n") + 1).cast("double") /
+        (col("rt") + bins).cast("double"))
+      .withColumn("qq", (col("cur_n") + 1).cast("double") /
+        (col("ct") + bins).cast("double"))
+      .withColumn("term", (col("p") - col("qq")) * log(col("p") / col("qq")))
+    val psiTot = terms.groupBy("g").agg(
+      round(sum(col("term").cast("decimal(38,18)")).cast("double"), 4).as("psi"))
+    terms.join(psiTot, "g")
+      .select(col("g").as(groupCol), col("bin").cast("long").as("bin"),
+        col("ref_n"), col("cur_n"),
+        round(col("p"), 6).as("ref_share"), round(col("qq"), 6).as("cur_share"),
+        round(col("term"), 6).as("term"), col("psi"))
+  }
+
   def psi(ref: DataFrame, cur: DataFrame, valueCol: String, bins: Int = 10,
           partitions: Int = 32): DataFrame = {
     require(bins >= 2, s"psi needs at least 2 bins: $bins")

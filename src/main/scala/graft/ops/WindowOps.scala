@@ -217,6 +217,25 @@ object WindowOps {
       .orderBy("q")
   }
 
+  /** Per-group DISCRETE quantiles — the group-partitioned dual of
+    * [[exactQuantilesGlobal]] (quantile_disc semantics: min value whose
+    * cumulative distribution reaches q) on the same distributed
+    * cumulative machinery: no group ever sorts in one task. The edge
+    * rule [[graft.ops.StatsOps.psiByGroup]] bins against.
+    * Output: (group, q, value).
+    */
+  def exactQuantilesByGroupDiscrete(df: DataFrame, groupCol: String,
+                                    valueCol: String, qs: Seq[Double],
+                                    partitions: Int = 32): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1]: $qs")
+    val cum = groupValueCum(df, groupCol, valueCol, partitions)
+    cum.select(col(groupCol), explode(typedLit(qs.sorted)).as("q"), col("_v"),
+        (col("_cum").cast("double") / col("_n").cast("double")).as("_cume"))
+      .filter(col("_cume") >= col("q"))
+      .groupBy(groupCol, "q").agg(min(col("_v")).as("value"))
+  }
+
   /** Exact PER-GROUP continuous (interpolated) quantiles with bounded
     * per-task state — the scale-safe dual of the `percentile` aggregate,
     * which buffers EVERY group value in one aggregation buffer (a 10⁹-row

@@ -188,6 +188,27 @@ class WindowRankSpec extends SparkTestBase {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("psiByGroup: a single group reproduces the global psi exactly") {
+    import spark.implicits._
+    val ref = (1 to 500).map(i => ("s0", ((i * 61) % 300 + 1).toDouble))
+      .toDF("src", "value")
+    val cur = (1 to 400).map(i => ("s0", ((i * 97) % 300 + 30).toDouble))
+      .toDF("src", "value")
+    val grouped = graft.ops.StatsOps.psiByGroup(ref, cur, "src", "value", bins = 10)
+      .select("bin", "ref_n", "cur_n", "ref_share", "cur_share", "term", "psi")
+      .orderBy("bin")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect().toSeq
+    val global = graft.ops.StatsOps.psi(
+        ref.select("value"), cur.select("value"), "value", bins = 10)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(grouped == global)
+    // a current-only group has no reference profile -> excluded
+    val extra = cur.unionByName(Seq(("s9", 1.0)).toDF("src", "value"))
+    val out = graft.ops.StatsOps.psiByGroup(ref, extra, "src", "value", bins = 10)
+    assert(out.select("src").distinct().as[String].collect().toSeq == Seq("s0"))
+  }
+
   test("rankingMetrics: NDCG/MRR match the textbook formulas") {
     import spark.implicits._
     val df = Seq(
