@@ -763,6 +763,16 @@ object SparkEntry {
         .orderBy("l_shipmode")
     }),
 
+    // k-core of the part co-order graph: peel to the maximal subgraph
+    // of degree >= 3 (converges or refuses; the oracle unrolls the
+    // idempotent peeling rounds). Members + their in-core degree.
+    "q_kcore" -> ((s, dir) => {
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(
+        Tables.lineitem(s, dir).filter(col("l_orderkey") % 5 === 0),
+        "l_orderkey", "l_partkey")
+      graft.ops.GraphOps.kCore(edges, k = 3).orderBy("v")
+    }),
+
     // Community detection: deterministic synchronous label propagation
     // over the part co-order graph — 3 fixed rounds, argmax(count, min
     // label) votes; the oracle replays the rounds as unrolled SQL layers
@@ -2717,6 +2727,16 @@ object SparkEntry {
          |  AND l_shipdate + INTERVAL 1 DAY * receipt_off >= TIMESTAMP '1996-01-01'
          |  AND l_shipdate + INTERVAL 1 DAY * receipt_off < TIMESTAMP '1997-01-01'
          |GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin,
+
+    "q_kcore" ->
+      (graft.ops.GraphOps.kCoreSql(
+        """SELECT DISTINCT x.i AS a, y.i AS b
+          |FROM (SELECT DISTINCT l_orderkey AS grp, l_partkey AS i
+          |      FROM lineitem WHERE l_orderkey % 5 = 0) x
+          |JOIN (SELECT DISTINCT l_orderkey AS grp, l_partkey AS i
+          |      FROM lineitem WHERE l_orderkey % 5 = 0) y
+          |  ON x.grp = y.grp AND x.i < y.i""".stripMargin,
+        k = 3) + " ORDER BY v"),
 
     "q_lpa" ->
       (graft.ops.GraphOps.lpaSql(

@@ -67,6 +67,76 @@ object GraphOps {
     labels
   }
 
+  /** k-core: the maximal subgraph in which every node keeps degree ≥ k
+    * (Seidman 1983) — the standard "strip the periphery, keep the
+    * load-bearing community" graph cleanup. Computed by the peeling
+    * fixpoint: repeatedly drop nodes whose degree among SURVIVORS falls
+    * below k. Runs to convergence (driver-sequenced rounds, like
+    * [[graft.dedup.Dedup.connectedComponents]]) and REFUSES an
+    * unconverged result; because peeling is IDEMPOTENT at the fixpoint,
+    * an oracle that unrolls `maxRounds` layers ([[kCoreSql]]) lands on
+    * the same answer regardless of how many rounds convergence actually
+    * took.
+    *
+    * Shape at 100 TB: per round two hash equi-joins (edges ⋈ survivors
+    * on each endpoint) + one map-side-combinable degree count — linear
+    * in surviving edges, no corpus-global key.
+    *
+    * Output: (v, deg) for each k-core member, deg = its degree INSIDE
+    * the core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1: $k")
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    def peel(alive: DataFrame): DataFrame = und
+      .join(alive.withColumnRenamed("v", "src"), "src")
+      .join(alive.withColumnRenamed("v", "dst"), "dst")
+      .groupBy("src").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k)
+    var alive = und.select(col("src").as("v")).distinct().localCheckpoint()
+    var n = alive.count()
+    var changed = true
+    var i = 0
+    while (changed && i < maxRounds) {
+      val next = peel(alive).select(col("src").as("v")).localCheckpoint()
+      val m = next.count()
+      changed = m != n
+      alive = next; n = m
+      i += 1
+    }
+    require(!changed,
+      s"kCore did not converge in $maxRounds peeling rounds")
+    peel(alive).select(col("src").as("v"), col("d").as("deg"))
+  }
+
+  /** The SQL an ANSI engine needs to replay [[kCore]] — `maxRounds`
+    * peeling layers unrolled (idempotence at the fixpoint makes the
+    * fixed unroll exact; MATERIALIZED pins each layer to one
+    * evaluation). `edgeCte` must define columns (a, b).
+    */
+  def kCoreSql(edgeCte: String, k: Int, maxRounds: Int = 20): String = {
+    val layers = (1 to maxRounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT src AS v FROM (
+         |    SELECT u.src, count(*) AS c
+         |    FROM und u JOIN a${i - 1} x ON u.src = x.v
+         |               JOIN a${i - 1} y ON u.dst = y.v
+         |    GROUP BY u.src)
+         |  WHERE c >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgeCte),
+       |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+       |        UNION ALL SELECT b AS src, a AS dst FROM e),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM und),
+       |$layers
+       |SELECT u.src AS v, CAST(count(*) AS BIGINT) AS deg
+       |FROM und u JOIN a$maxRounds x ON u.src = x.v
+       |           JOIN a$maxRounds y ON u.dst = y.v
+       |GROUP BY u.src HAVING count(*) >= $k""".stripMargin
+  }
+
   /** The SQL an ANSI engine needs to replay [[labelPropagation]] — the
     * fixed rounds unrolled as chained CTE layers (kept adjacent so the
     * two formulas can't drift). `edgeCte` must define columns (a, b).

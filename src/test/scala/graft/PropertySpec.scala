@@ -550,6 +550,41 @@ class PropertySpec extends SparkTestBase {
     assert(run(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("kCore strips the periphery; reference-model agreement on random graphs") {
+    import spark.implicits._
+    // K4 {1,2,3,4} with a pendant chain 4-5-6: the 3-core is exactly K4
+    val k4tail = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = graft.ops.GraphOps.kCore(k4tail, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // driver-side peeling reference on random graphs
+    def ref(es: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+      val und = es ++ es.map(_.swap)
+      var alive = und.map(_._1).toSet
+      var done = false
+      while (!done) {
+        val deg = und.filter(e => alive(e._1) && alive(e._2))
+          .groupBy(_._1).map { case (v, xs) => v -> xs.size }
+        val next = deg.filter(_._2 >= k).keySet
+        done = next == alive
+        alive = next
+      }
+      und.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).map { case (v, xs) => v -> xs.size }
+    }
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L))).map(_.collect {
+        case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+      }.distinct)
+    samples(edgeGen, 10).filter(_.nonEmpty).zipWithIndex.foreach { case (es, i) =>
+      val want = ref(es, 3).map { case (v, d) => (v, d.toLong) }
+      val have = graft.ops.GraphOps.kCore(es.toDF("a", "b"), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(have == want, s"case $i: edges=$es")
+    }
+  }
+
   test("labelPropagation reference-model agreement on random graphs") {
     import spark.implicits._
     // brute-force sync LPA on the driver: argmax over neighbor labels,
