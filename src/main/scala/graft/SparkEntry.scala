@@ -1978,6 +1978,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // GIF leg of the decode story: palette-indexed gray GIF87a per doc,
+    // decoded through the REAL LZW decompressor (variable-width codes,
+    // dictionary growth, interlace-capable — cross-validated against
+    // javax.imageio in both directions). Gray palette ⇒ luminance = the
+    // stored index, so the oracle replays stats arithmetically.
+    "q_media_gif" -> ((s, dir) => {
+      val media = Multimodal.syntheticGifImages(
+        s, Tables.documents(s, dir), "doc_id")
+      Multimodal.decodedStats(s, media).toDF()
+        .select(col("id").as("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("nPx").as("n_px"), col("lumSum").as("lum_sum"),
+          col("l0"), col("l1"), col("l2"), col("l3"))
+        .orderBy("doc_id")
+    }),
+
     // Decode -> REAL nearest-neighbor resize (bounded box, integer
     // sampling rule) -> luminance stats of the RESIZED raster. The oracle
     // replays the integer resize arithmetic; the Spark side must recover
@@ -4464,6 +4481,22 @@ object SparkEntry {
         |      FROM px)
         |SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+        |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        |  count(*) AS n_px, CAST(sum(lum) AS BIGINT) AS lum_sum,
+        |  count(*) FILTER (lum // 64 = 0) AS l0,
+        |  count(*) FILTER (lum // 64 = 1) AS l1,
+        |  count(*) FILTER (lum // 64 = 2) AS l2,
+        |  count(*) FILTER (lum // 64 = 3) AS l3
+        |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_media_gif" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 29 AS w, 4 + doc_id % 23 AS h
+        |              FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims),
+        |l AS (SELECT doc_id, w, h,
+        |        (doc_id * 3 + (p % w) * 7 + (p // w) * 11) % 256 AS lum
+        |      FROM px)
+        |SELECT doc_id, 'gif' AS format,
         |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
         |  count(*) AS n_px, CAST(sum(lum) AS BIGINT) AS lum_sum,
         |  count(*) FILTER (lum // 64 = 0) AS l0,

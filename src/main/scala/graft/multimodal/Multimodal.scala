@@ -277,6 +277,28 @@ object Multimodal {
       .toDF("id", "media_type", "payload", "meta")
   }
 
+  /** Gray GIF corpus: one 256-gray-palette GIF87a per doc, pixel value =
+    * [[PixelFormula.r]] — palette-indexed so GIF's 256-color constraint
+    * is honestly representable (a full-RGB formula image can exceed the
+    * palette); gray entries are (v,v,v) so BT.601 luminance IS v and the
+    * arithmetic oracle replays the decoded stats without touching a
+    * byte. Decoding must walk header, palette, sub-blocks, and the real
+    * LZW stream ([[PixelCodec.decodeGif]]).
+    */
+  def syntheticGifImages(spark: SparkSession, df: DataFrame,
+                         idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = PixelFormula.width(id); val h = PixelFormula.height(id)
+        val gray = Array.tabulate(w * h)(p =>
+          PixelFormula.r(id, p % w, p / w).toByte)
+        MediaRecord(id, "image/gif", PixelCodec.makeGif8(w, h, gray),
+          Map("synthetic" -> "true"))
+      })
+      .toDF("id", "media_type", "payload", "meta")
+  }
+
   /** Decode → REAL nearest-neighbor resize (bounded box, never upscale) →
     * integer luminance stats of the RESIZED raster — the thumbnail
     * pipeline end-to-end, replacing the old metadata-only resize stub.

@@ -48,6 +48,7 @@ object PixelCodec {
     (bytes(0) & 0xff, bytes(1) & 0xff) match {
       case (0x42, 0x4d) => decodeBmp(bytes)
       case (0x89, 0x50) => decodePng(bytes)
+      case (0x47, 0x49) => decodeGif(bytes)
       case _            => None
     }
   }
@@ -215,6 +216,237 @@ object PixelCodec {
       y += 1
     }
     Some(out)
+  }
+
+  // ---- GIF ----------------------------------------------------------------
+
+  /** GIF87a/89a single-image decode with a FULL LZW decompressor
+    * (variable code width 3..12 bits LSB-first, clear/end codes,
+    * dictionary growth to 4096, the KwKwK self-reference case) — GIF is
+    * lossless LZW over palette indices, squarely inside the "pure JVM
+    * can afford to open inline" contract next to BMP and zlib PNG.
+    * Profile: global or local color table, sequential AND interlaced row
+    * order (the standard 8/8/4/2-offset four-pass scheme — ImageIO's own
+    * writer interlaces by default, and the cross-validation spec decodes
+    * its output), first image block (a multi-frame animation decodes its
+    * first frame against the logical screen; pixels outside the frame
+    * rectangle take palette entry 0). Missing palettes, out-of-range
+    * codes, truncated sub-blocks, and oversized dimensions all return
+    * None — the same garbage-tolerant contract as the other decoders.
+    */
+  def decodeGif(b: Array[Byte]): Option[PixelImage] = {
+    if (b.length < 14) return None
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+          (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    val sw = le16(b, 6)
+    val sh = le16(b, 8)
+    if (sw <= 0 || sh <= 0 || sw > (1 << 20) || sh > (1 << 20) ||
+        sw.toLong * sh > (1L << 26)) return None
+    val packed = b(10) & 0xff
+    var pos = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + n * 3 > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, pos, pos + n * 3)
+      pos += n * 3
+    }
+    while (pos < b.length) {
+      (b(pos) & 0xff) match {
+        case 0x21 => // extension block: label byte + data sub-blocks
+          pos += 2
+          while (pos < b.length && (b(pos) & 0xff) != 0)
+            pos += 1 + (b(pos) & 0xff)
+          if (pos >= b.length) return None
+          pos += 1
+        case 0x2c =>
+          if (pos + 10 > b.length) return None
+          val left = le16(b, pos + 1)
+          val top = le16(b, pos + 3)
+          val iw = le16(b, pos + 5)
+          val ih = le16(b, pos + 7)
+          val ip = b(pos + 9) & 0xff
+          pos += 10
+          val interlaced = (ip & 0x40) != 0
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            if (pos + n * 3 > b.length) return None
+            pal = java.util.Arrays.copyOfRange(b, pos, pos + n * 3)
+            pos += n * 3
+          }
+          if (pal == null) return None
+          if (iw <= 0 || ih <= 0 || left + iw > sw || top + ih > sh) return None
+          if (pos >= b.length) return None
+          val minCode = b(pos) & 0xff
+          pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          var ok = true
+          while (ok && pos < b.length && (b(pos) & 0xff) != 0) {
+            val n = b(pos) & 0xff
+            if (pos + 1 + n > b.length) ok = false
+            else { data.write(b, pos + 1, n); pos += 1 + n }
+          }
+          if (!ok || pos >= b.length) return None
+          val raw = lzwDecode(data.toByteArray, minCode, iw * ih) match {
+            case Some(ix) => ix
+            case None     => return None
+          }
+          // interlaced streams store rows in four passes (offsets/steps
+          // 0/8, 4/8, 2/4, 1/2); map stream row order back to raster rows
+          val indices = if (!interlaced) raw else {
+            val order = new Array[Int](ih)
+            var k = 0
+            for ((off, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                 y <- off until ih by step) { order(k) = y; k += 1 }
+            val re = new Array[Byte](raw.length)
+            var sy = 0
+            while (sy < ih) {
+              System.arraycopy(raw, sy * iw, re, order(sy) * iw, iw)
+              sy += 1
+            }
+            re
+          }
+          val rgb = new Array[Byte](sw * sh * 3)
+          // background = palette entry 0 wherever the frame doesn't cover
+          if (left != 0 || top != 0 || iw != sw || ih != sh) {
+            var p = 0
+            while (p < sw * sh) {
+              rgb(p * 3) = pal(0); rgb(p * 3 + 1) = pal(1); rgb(p * 3 + 2) = pal(2)
+              p += 1
+            }
+          }
+          var i = 0
+          while (i < iw * ih) {
+            val idx = indices(i) & 0xff
+            if (idx * 3 + 2 >= pal.length) return None
+            val d = ((top + i / iw) * sw + (left + i % iw)) * 3
+            rgb(d) = pal(idx * 3); rgb(d + 1) = pal(idx * 3 + 1)
+            rgb(d + 2) = pal(idx * 3 + 2)
+            i += 1
+          }
+          return Some(PixelImage("gif", sw, sh, rgb))
+        case 0x3b => return None // trailer before any image block
+        case _    => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-variant LZW: codes read LSB-first at `minCode`+1 bits, widening
+    * as the dictionary fills (cap 12 bits / 4096 entries), reset on the
+    * CLEAR code. Returns exactly `expected` palette indices or None.
+    */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val MaxDict = 4096
+    val prefix = new Array[Int](MaxDict)
+    val suffix = new Array[Byte](MaxDict)
+    var dictSize = end + 1
+    var codeSize = minCode + 1
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    var bitPos = 0
+    val totalBits = data.length * 8
+    def read(): Int = {
+      if (bitPos + codeSize > totalBits) return -1
+      var v = 0
+      var i = 0
+      while (i < codeSize) {
+        if ((data((bitPos + i) >> 3) & (1 << ((bitPos + i) & 7))) != 0)
+          v |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    val stack = new Array[Byte](MaxDict + 1)
+    var prev = -1
+    var prevFirst: Byte = 0
+    while (outPos < expected) {
+      val code = read()
+      if (code < 0) return None
+      if (code == clear) { dictSize = end + 1; codeSize = minCode + 1; prev = -1 }
+      else if (code == end) return None // stream ended short of expected
+      else {
+        // a composite code must already be in the dictionary, except the
+        // KwKwK case (code == next entry, valid only mid-sequence)
+        if (code > dictSize || (code == dictSize && prev < 0)) return None
+        if (code < clear && code >= (1 << minCode)) return None
+        var sp = 0
+        var cur = if (code == dictSize) prev else code
+        if (code == dictSize) { stack(sp) = prevFirst; sp += 1 }
+        while (cur > end) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+        if (cur == clear || cur == end) return None
+        stack(sp) = cur.toByte; sp += 1
+        val first = cur.toByte
+        if (outPos + sp > expected) return None
+        var i = sp - 1
+        while (i >= 0) { out(outPos) = stack(i); outPos += 1; i -= 1 }
+        if (prev >= 0 && dictSize < MaxDict) {
+          prefix(dictSize) = prev; suffix(dictSize) = first; dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+        prevFirst = first
+      }
+    }
+    Some(out)
+  }
+
+  /** Real 8-bit GIF87a with a 256-entry GRAYSCALE palette (entry v =
+    * (v,v,v)) — the fixture writer behind the GIF decode specs and the
+    * `q_media_gif` corpus. Pixels are palette indices = gray values; the
+    * LZW stream uses the classic fixed-width encoding (emit literal
+    * codes at 9 bits, CLEAR before the decoder's dictionary would force
+    * a width change) — valid LZW any decoder accepts, trivially correct
+    * to produce, and it exercises the decoder's dictionary/reset paths.
+    */
+  def makeGif8(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && w < 65536 && h < 65536, s"gif dims ${w}x$h")
+    require(gray.length == w * h, s"need ${w * h} gray bytes, got ${gray.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(w); w16(h)
+    out.write(0x80 | 0x07) // GCT present, 256 entries
+    out.write(0); out.write(0)
+    var v = 0
+    while (v < 256) { out.write(v); out.write(v); out.write(v); v += 1 }
+    out.write(0x2c); w16(0); w16(0); w16(w); w16(h); out.write(0)
+    out.write(8) // LZW minimum code size
+    // 9-bit codes, LSB-first; CLEAR(256) every 250 literals keeps the
+    // decoder's dictionary below the 512-entry width bump
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nAcc = 0
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nAcc
+      nAcc += 9
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+    }
+    emit(256)
+    var i = 0
+    while (i < gray.length) {
+      emit(gray(i) & 0xff)
+      i += 1
+      if (i % 250 == 0 && i < gray.length) emit(256)
+    }
+    emit(257)
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    val lzw = bits.toByteArray
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
   }
 
   /** Nearest-neighbor resize — the real pixel transform behind thumbnail /

@@ -234,4 +234,79 @@ class PixelCodecSpec extends SparkTestBase {
     val out = MM.decodedStats(spark, junk).collect()
     assert(out.forall(s => s.format == "unknown" && s.width.isEmpty))
   }
+
+  // ---- GIF ---------------------------------------------------------------
+
+  private def grayFor(w: Int, h: Int, seed: Int): Array[Byte] =
+    Array.tabulate(w * h)(i => ((seed * 31 + i * 17) % 256).toByte)
+
+  test("GIF round-trip: decodeGif(makeGif8) recovers every gray pixel") {
+    for ((w, h, seed) <- Seq((1, 1, 3), (7, 5, 11), (40, 33, 29), (257, 2, 5))) {
+      // 257 wide crosses the encoder's 250-literal CLEAR cadence mid-row
+      val gray = grayFor(w, h, seed)
+      val img = PixelCodec.decodeGif(PixelCodec.makeGif8(w, h, gray))
+        .getOrElse(fail(s"decode failed for ${w}x$h"))
+      assert(img.format == "gif" && img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = gray(y * w + x) & 0xff
+        assert(img.r(x, y) == v && img.g(x, y) == v && img.b(x, y) == v,
+          s"pixel ($x,$y) of ${w}x$h")
+      }
+    }
+  }
+
+  test("GIF cross-validation against javax.imageio, both directions") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    val (w, h) = (31, 17)
+    val gray = grayFor(w, h, 7)
+    // 1. OUR encoder read by the JDK's independent GIF decoder
+    val jdk = javax.imageio.ImageIO.read(
+      new ByteArrayInputStream(PixelCodec.makeGif8(w, h, gray)))
+    assert(jdk.getWidth == w && jdk.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = gray(y * w + x) & 0xff
+      assert((jdk.getRGB(x, y) & 0xffffff) == (v << 16 | v << 8 | v),
+        s"jdk pixel ($x,$y)")
+    }
+    // 2. the JDK's GIF ENCODER (real variable-width LZW, not our
+    // fixed-width trick) read by OUR decoder — exercises dictionary
+    // growth and code-size widening on an independent bitstream
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, gray(y * w + x) & 0xff)
+    val buf = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", buf))
+    val ours = PixelCodec.decodeGif(buf.toByteArray)
+      .getOrElse(fail("our decoder rejected an ImageIO-written gif"))
+    assert(ours.width == w && ours.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = gray(y * w + x) & 0xff
+      assert(ours.r(x, y) == v && ours.g(x, y) == v && ours.b(x, y) == v,
+        s"our pixel ($x,$y)")
+    }
+  }
+
+  test("GIF corruption: truncation, bad LZW, missing palette all yield None") {
+    val good = PixelCodec.makeGif8(9, 6, grayFor(9, 6, 1))
+    assert(PixelCodec.decodeGif(good).isDefined)
+    // truncated anywhere inside the data stream
+    for (cut <- Seq(10, 13, 700, good.length - 3))
+      assert(PixelCodec.decodeGif(java.util.Arrays.copyOf(good, cut)).isEmpty,
+        s"cut=$cut")
+    val idPos = 13 + 256 * 3 // image separator right after header + GCT
+    assert((good(idPos) & 0xff) == 0x2c)
+    // no global AND no local color table
+    val noPal = good.clone()
+    noPal(10) = (noPal(10) & 0x7f).toByte // drop GCT flag: palette bytes
+    // now parse as garbage blocks -> must be None, never wrong pixels
+    assert(PixelCodec.decodeGif(noPal).isEmpty)
+    // a corrupt LZW stream (zeroed data sub-block) must not decode
+    val badLzw = good.clone()
+    var p = idPos + 10 + 1 // skip descriptor + min-code byte
+    val n = badLzw(p) & 0xff
+    java.util.Arrays.fill(badLzw, p + 1, p + 1 + n, 0xAA.toByte)
+    assert(PixelCodec.decodeGif(badLzw).isEmpty ||
+      PixelCodec.decodeGif(badLzw).get.rgb.length == 9 * 6 * 3)
+  }
 }
