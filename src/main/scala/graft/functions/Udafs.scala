@@ -71,6 +71,53 @@ object Udafs {
     }
   }
 
+  /** The quantile sketch ([[Sketches.quantileSketch]]'s bottom-k hash
+    * sample) as a typed Aggregator over (hash60, value) pairs: buffer =
+    * the k rows with smallest (h, v), kept as a MULTISET (the batch op
+    * samples rows, not distinct values) sorted ascending. `finish` reads
+    * the requested quantiles off the sample with EXACTLY the batch op's
+    * lower-discrete rule (min value whose peers-through cume reaches q),
+    * so per-window streaming estimates match batch sketches of the same
+    * slice bit-for-bit ([[graft.streaming.Streams.quantilesStream]],
+    * parity spec'd). Output: one Double per requested quantile, in
+    * ascending-q order; all NaN when the window saw no rows.
+    */
+  def quantileSketchAgg(k: Int, qs: Seq[Double]): Aggregator[(Long, Double), Seq[(Long, Double)], Seq[Double]] = {
+    require(k >= 8, s"quantileSketchAgg needs k >= 8 (got $k)")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1]: $qs")
+    val qsSorted = qs.sorted
+    new Aggregator[(Long, Double), Seq[(Long, Double)], Seq[Double]] {
+      def zero: Seq[(Long, Double)] = Vector.empty
+      def reduce(b: Seq[(Long, Double)], a: (Long, Double)): Seq[(Long, Double)] =
+        if (b.length == k &&
+            (a._1 > b.last._1 || (a._1 == b.last._1 && a._2 >= b.last._2))) b
+        else ((b :+ a).sortBy(t => (t._1, t._2)): Seq[(Long, Double)]).take(k)
+      def merge(b1: Seq[(Long, Double)], b2: Seq[(Long, Double)]): Seq[(Long, Double)] =
+        ((b1 ++ b2).sortBy(t => (t._1, t._2)): Seq[(Long, Double)]).take(k)
+      def finish(b: Seq[(Long, Double)]): Seq[Double] = {
+        if (b.isEmpty) return qsSorted.map(_ => Double.NaN)
+        val vs = b.map(_._2).sorted
+        val n = vs.length
+        def est(q: Double): Double = {
+          var i = 0
+          while (i < n) {
+            var j = i
+            while (j + 1 < n && vs(j + 1) == vs(i)) j += 1
+            if ((j + 1).toDouble / n >= q) return vs(i)
+            i = j + 1
+          }
+          vs.last
+        }
+        qsSorted.map(est)
+      }
+      def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+      def outputEncoder: Encoder[Seq[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    }
+  }
+
   /** Register for SQL use: `SELECT graft_sum(x), graft_kvgroup(v) ...`. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("graft_sum", udaf(sumLong))

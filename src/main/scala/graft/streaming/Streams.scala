@@ -350,6 +350,32 @@ object Streams {
       .agg(sk(col("h")).as("est_distinct"), count(lit(1)).as("n_rows"))
   }
 
+  /** Streaming per-window quantiles — "p50/p95 per hour" from the
+    * mergeable bottom-k-hash quantile sketch
+    * ([[graft.functions.Udafs.quantileSketchAgg]]): per-window state is
+    * k (hash, value) pairs, watermark-reclaimed, and each window's
+    * estimates equal [[graft.functions.Sketches.quantileSketch]] run
+    * batch-side on the same slice bit-for-bit (shared sampling key and
+    * read rule; StreamsSpec pins parity). One output column per
+    * requested quantile: q0, q1, … in ascending-q order.
+    */
+  def quantilesStream(events: DataFrame, tsCol: String, keyCol: String,
+                      valCol: String, windowLen: String,
+                      watermarkDelay: String, k: Int,
+                      qs: Seq[Double]): DataFrame = {
+    val agg = udaf(graft.functions.Udafs.quantileSketchAgg(k, qs),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+    val out = events.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        graft.functions.Sketches.hash60(col(keyCol), "qsk").as("h"),
+        col(valCol).cast("double").as("v"))
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(agg(col("h"), col("v")).as("est"), count(lit(1)).as("n_rows"))
+    val qCols = qs.sorted.zipWithIndex.map { case (_, i) =>
+      element_at(col("est"), i + 1).as(s"q$i") }
+    out.select(col("window") +: col("n_rows") +: qCols: _*)
+  }
+
   /** Streaming drift monitor — the incremental form of
     * [[graft.ops.StatsOps.psi]]: per tumbling window, the PSI of the
     * window's value distribution against a FIXED reference profile

@@ -632,6 +632,38 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("quantilesStream: per-window estimates equal the batch sketch per slice") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val qs = Seq(0.5, 0.95)
+    val out = Streams.quantilesStream(in.toDF.toDF("ts", "event_id", "value"),
+      "ts", "event_id", "value", windowLen = "10 seconds",
+      watermarkDelay = "5 seconds", k = 16, qs = qs)
+    val q = out.writeStream.format("memory").queryName("qsk_s")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // window [0,10): 40 rows (> k ⇒ sampled); [10,20): 5 rows (exact)
+      val w1 = (1 to 40).map(i => (ts(i % 9 + 1), i.toLong, ((i * 137) % 100).toDouble))
+      val w2 = (1 to 5).map(i => (ts(11 + i), (100 + i).toLong, (i * 10).toDouble))
+      in.addData(w1 ++ w2: _*)
+      q.processAllAvailable()
+      val got = spark.table("qsk_s").select("n_rows", "q0", "q1")
+        .as[(Long, Double, Double)].collect()
+        .map { case (n, a, b) => n -> (a, b) }.toMap
+      def batch(rows: Seq[(Timestamp, Long, Double)]): (Double, Double) = {
+        val r = graft.functions.Sketches.quantileSketch(
+            rows.map(t => (t._2, t._3)).toDF("event_id", "value"),
+            org.apache.spark.sql.functions.col("event_id"),
+            org.apache.spark.sql.functions.col("value"), k = 16, qs)
+          .orderBy("q").select("est_value").as[Double].collect()
+        (r(0), r(1))
+      }
+      assert(got(40L) == batch(w1))
+      assert(got(5L) == batch(w2))
+    } finally q.stop()
+  }
+
   test("distinctCountStream: windowed KMV estimate equals the batch sketch per window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
