@@ -305,6 +305,25 @@ object ScaleProbe {
         docs.select(length(col("text")).cast("double").as("value")),
         docs.select((length(col("text")) + 40).cast("double").as("value")),
         "value", bins = 10) }
+    // containment: A-prefix × B-full inverted index. On Zipfian text the
+    // full index's hot shingles rarely meet a rarest-first prefix, so
+    // candidates stay ~linear — this probe is the evidence.
+    timed("containment") {
+      graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 2, tau = 0.9) }
+    // k-core peeling on the constant-degree graph: rounds × (2 joins +
+    // degree count) over surviving edges — ~linear per round, few rounds.
+    timed("kcore") {
+      val edges = spark.range(0, n)
+        .select(col("id").as("src"),
+          explode(transform(sequence(lit(0), lit(7)),
+            j => pmod(hash(col("id"), j), lit(n)))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      graft.ops.GraphOps.kCore(edges, k = 3)
+    }
 
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
