@@ -1359,6 +1359,14 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Correlation matrix over four lineitem measures in ONE pass —
+    // k(k+1)/2 exact decimal sums, closed forms, every pair
+    // oracle-replayed. The feature-redundancy screen before training.
+    "q_corr_matrix" -> ((s, dir) =>
+      graft.ops.StatsOps.corrMatrix(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("x", "y")),
+
     // Per-group PSI: value drift per event type between the even- and
     // odd-id halves of the stream — the fully distributed GROUP BY form
     // (edges are a TABLE, not driver literals; no group sorts in one
@@ -2793,6 +2801,26 @@ object SparkEntry {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_corr_matrix" -> {
+      val cmCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val cents = cmCols.zipWithIndex.map { case (c, i) =>
+        s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT) AS c$i" }
+        .mkString(", ")
+      val sums = (cmCols.indices.map(i => s"CAST(sum(c$i) AS BIGINT) AS s$i") ++
+        (for { i <- cmCols.indices; j <- cmCols.indices if i <= j }
+          yield s"sum(CAST(c$i AS HUGEINT) * c$j) AS s${i}_$j")).mkString(", ")
+      def vx(i: Int) = s"CAST(n * s${i}_$i - CAST(s$i AS HUGEINT) * s$i AS DOUBLE)"
+      val pairSelects = (for { i <- cmCols.indices; j <- cmCols.indices if i < j }
+        yield s"""SELECT '${cmCols(i)}' AS x, '${cmCols(j)}' AS y, n,
+                 |  round(CAST(n * s${i}_$j - CAST(s$i AS HUGEINT) * s$j AS DOUBLE)
+                 |        / (sqrt(${vx(i)}) * sqrt(${vx(j)})), 6) AS corr
+                 |FROM a""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH c AS (SELECT $cents FROM lineitem),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums FROM c)
+         |$pairSelects
+         |ORDER BY x, y""".stripMargin
+    },
 
     "q_psi_groups" ->
       """WITH refv AS (SELECT event_type AS g, value AS v FROM events WHERE event_id % 2 = 0),

@@ -159,6 +159,41 @@ object StatsOps {
       round(cov / (sqrt(vx) * sqrt(vy)), 6).as("corr_xy"))
   }
 
+  /** Pairwise Pearson correlation MATRIX over k fixed-point columns in
+    * ONE aggregation pass — the k-column generalization of
+    * [[exactMomentsProfile]] (same exact-cents contract: ≤ 2 decimals,
+    * sums in decimal, products in decimal so no long wrap, closed forms
+    * in fixed double order, round 6 — the oracle replays every pair).
+    * The feature-redundancy screen run before training: k(k+1)/2 sums
+    * cross the wire ONCE; a naive per-pair `corr` call scans the corpus
+    * k²/2 times.
+    *
+    * Output: (x, y, n, corr) for each unordered pair x < y in `cols`
+    * order.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      s"corrMatrix needs >= 2 distinct columns: $cols")
+    val centCols = cols.zipWithIndex.map { case (c, i) =>
+      (col(c).cast("decimal(18,2)") * 100).cast("long").as(s"c$i") }
+    def d(i: Int) = col(s"c$i").cast("decimal(18,0)")
+    val sums = cols.indices.map(i => sum(col(s"c$i")).as(s"s$i")) ++
+      (for { i <- cols.indices; j <- cols.indices if i <= j }
+        yield sum(d(i) * d(j)).as(s"s${i}_$j"))
+    val agg = df.select(centCols: _*)
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val nD = col("n").cast("decimal(38,0)")
+    def sD(i: Int) = col(s"s$i").cast("decimal(38,0)")
+    def v(i: Int) = (nD * col(s"s${i}_$i") - sD(i) * sD(i)).cast("double")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield
+      struct(lit(cols(i)).as("x"), lit(cols(j)).as("y"),
+        round((nD * col(s"s${i}_$j") - sD(i) * sD(j)).cast("double") /
+          (sqrt(v(i)) * sqrt(v(j))), 6).as("corr"))
+    agg.select(col("n"), explode(array(pairs: _*)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("n"),
+        col("p.corr").as("corr"))
+  }
+
   /** Population Stability Index — the standard "did the data drift
     * between two corpus slices" monitor a production training pipeline
     * runs before retraining. The CURRENT slice is binned against the

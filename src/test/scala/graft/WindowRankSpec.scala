@@ -188,6 +188,25 @@ class WindowRankSpec extends SparkTestBase {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("corrMatrix: matches the two-column profile; linear pair scores 1") {
+    import spark.implicits._
+    val df = (1 to 200).map(i =>
+      (i.toDouble, (2 * i).toDouble, ((i * 37) % 100).toDouble))
+      .toDF("a", "b", "c")
+    val m = graft.ops.StatsOps.corrMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(m.size == 3 && m.forall(_._2._1 == 200L))
+    assert(m(("a", "b"))._2 == 1.0)
+    assert(m.forall { case (_, (_, c)) => c >= -1.0 && c <= 1.0 })
+    // bit-parity with the proven 2-column moments profile on the same pair
+    val ref = graft.ops.StatsOps.exactMomentsProfile(
+        df.withColumn("g", org.apache.spark.sql.functions.lit("all")),
+        "g", "a", "c")
+      .select("corr_xy").head().getDouble(0)
+    assert(m(("a", "c"))._2 == ref)
+  }
+
   test("psiByGroup: a single group reproduces the global psi exactly") {
     import spark.implicits._
     val ref = (1 to 500).map(i => ("s0", ((i * 61) % 300 + 1).toDouble))
