@@ -268,6 +268,24 @@ object SparkEntry {
         .orderBy("query")
     }),
 
+    // Binary-relevance companions: P@10 / R@10 over the same tf/dl
+    // ranking and capped-tf relevance as q_ranking_eval.
+    "q_pr_at_k" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.TextAnalysis.tokensArr(col("text")).as("toks"))
+      val base = toks
+        .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"),
+          explode(array(lit("scan"), lit("column"), lit("window"))).as("query"))
+        .withColumn("tf", size(filter(col("toks"), t => t === col("query"))))
+        .filter(col("tf") > 0)
+        .select(col("query"), col("doc_id"),
+          (col("tf").cast("double") / col("dl")).as("score"),
+          least(lit(3), col("tf")).as("rel"))
+      graft.ops.EvalMetrics.precisionRecallAtK(
+          base, "query", "doc_id", "score", "rel", k = 10)
+        .orderBy("query")
+    }),
+
     // CAPSTONE — the full training-corpus run as ONE declarative plan:
     // exact-dup-proof near-dedup (keep canonical doc) -> deterministic
     // train/val/test split -> per-source char budget on the train slice
@@ -4152,6 +4170,29 @@ object SparkEntry {
         |  round(CASE WHEN idcg > 0 THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
         |             ELSE 0.0 END, 6) AS ndcg,
         |  round(coalesce(1.0 / fr, 0.0), 6) AS mrr
+        |FROM agg ORDER BY query""".stripMargin,
+
+    "q_pr_at_k" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT q.query, t.doc_id,
+        |    len(list_filter(t.toks, x -> x = q.query)) AS tf, len(t.toks) AS dl
+        |  FROM tok t CROSS JOIN (VALUES ('scan'), ('column'), ('window')) AS q(query)),
+        |inp AS (SELECT query, doc_id AS id, CAST(tf AS DOUBLE) / dl AS score,
+        |          least(3, tf) > 0 AS rel
+        |        FROM base WHERE tf > 0),
+        |ranked AS (SELECT query, id, rel,
+        |    row_number() OVER (PARTITION BY query ORDER BY score DESC, id ASC) AS r
+        |  FROM inp),
+        |agg AS (SELECT query,
+        |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+        |    CAST(sum(CASE WHEN rel AND r <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |  FROM ranked GROUP BY query)
+        |SELECT query, n_rel, hits,
+        |  round(CAST(hits AS DOUBLE) / 10, 6) AS precision,
+        |  round(CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE)
+        |             ELSE 0.0 END, 6) AS recall
         |FROM agg ORDER BY query""".stripMargin,
 
     "q_bm25" ->

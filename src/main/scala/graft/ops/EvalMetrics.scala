@@ -124,6 +124,34 @@ object EvalMetrics {
           (col("p").cast("double") * col("ng").cast("double")), 6).as("auc"))
   }
 
+  /** Precision@k / Recall@k per query — the binary-relevance companions
+    * to [[rankingMetrics]]'s graded NDCG (rel > 0 counts as relevant;
+    * same (score desc, id asc) ranking). Precision divides by the FULL
+    * cutoff k (a short candidate list is penalized, the standard IR
+    * convention); queries with no relevant candidate recall 0, never
+    * null. Integer ratios in one fixed double order, round 6. Output:
+    * (query, n_rel, hits, precision, recall).
+    */
+  def precisionRecallAtK(df: DataFrame, queryCol: String, idCol: String,
+                         scoreCol: String, relCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"precisionRecallAtK needs k >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query").orderBy(col("score").desc, col("id").asc)
+    df.select(col(queryCol).as("query"), col(idCol).as("id"),
+        col(scoreCol).cast("double").as("score"),
+        (col(relCol).cast("int") > 0).as("rel"))
+      .withColumn("r", row_number().over(w))
+      .groupBy("query").agg(
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"),
+        sum(when(col("rel") && col("r") <= k, 1L).otherwise(0L)).as("hits"))
+      .select(col("query"), col("n_rel"), col("hits"),
+        round(col("hits").cast("double") / k, 6).as("precision"),
+        round(when(col("n_rel") > 0,
+          col("hits").cast("double") / col("n_rel").cast("double"))
+          .otherwise(0.0), 6).as("recall"))
+  }
+
   /** Ranking-quality metrics per query — NDCG@k (graded, exponential
     * gain: (2^rel − 1)/log₂(rank+1), Järvelin & Kekäläinen 2002) and
     * MRR@k — the retrieval-eval pass next to the classification metrics

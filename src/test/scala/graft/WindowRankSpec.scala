@@ -257,6 +257,25 @@ class WindowRankSpec extends SparkTestBase {
     assert(k1("q1") == ((1.0, 1.0))) // dcg@1 = idcg@1 = 7
   }
 
+  test("precisionRecallAtK: textbook values, short-list penalty, no-rel zeroes") {
+    import spark.implicits._
+    val df = Seq(
+      // q1: 3 candidates, 2 relevant, both in top-2
+      ("q1", 1L, 0.9, 1), ("q1", 2L, 0.8, 2), ("q1", 3L, 0.7, 0),
+      // q2: nothing relevant
+      ("q2", 4L, 0.9, 0),
+      // q3: 1 relevant, ranked below the k=2 cutoff
+      ("q3", 5L, 0.9, 0), ("q3", 6L, 0.8, 0), ("q3", 7L, 0.7, 3)
+    ).toDF("query", "id", "score", "rel")
+    val got = graft.ops.EvalMetrics
+      .precisionRecallAtK(df, "query", "id", "score", "rel", k = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("q1") == ((2L, 2L, 1.0, 1.0)))
+    assert(got("q2") == ((0L, 0L, 0.0, 0.0)))
+    assert(got("q3") == ((1L, 0L, 0.0, 0.0)))
+  }
+
   test("psi: identical slices score ~0, a shifted slice scores high") {
     import spark.implicits._
     val base = (1 to 1000).map(i => (i % 97).toDouble).toDF("value")
