@@ -148,7 +148,21 @@ object Bench {
       else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(",\"errors\":{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$exclJson$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$exclJson$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Artifact of record: the driver captures only a bounded stdout tail
+    // (round 8 kept 37 of 183 queries), so the full per-query summary AND
+    // raw runs are also written to a committed file. Full-suite runs only —
+    // a SPARK_GRAFT_ONLY iteration run must never clobber the record.
+    if (only.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL_r9.json")
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"bench: could not write $out: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

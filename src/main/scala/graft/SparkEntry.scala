@@ -269,7 +269,12 @@ object SparkEntry {
     }),
 
     // Binary-relevance companions: P@10 / R@10 over the same tf/dl
-    // ranking and capped-tf relevance as q_ranking_eval.
+    // ranking as q_ranking_eval, but with a STRICTER relevance cutoff
+    // than the candidate filter (rel = tf >= 2 vs candidates tf > 0) so
+    // the eval contains both relevant and irrelevant candidates and the
+    // metric's discrimination path is actually exercised (round 9,
+    // advisor catch — with rel = tf > 0 every candidate was relevant and
+    // precision@10 degenerated to min(n,10)/10).
     "q_pr_at_k" -> ((s, dir) => {
       val toks = Tables.documents(s, dir).select(col("doc_id"),
         graft.functions.TextAnalysis.tokensArr(col("text")).as("toks"))
@@ -280,7 +285,7 @@ object SparkEntry {
         .filter(col("tf") > 0)
         .select(col("query"), col("doc_id"),
           (col("tf").cast("double") / col("dl")).as("score"),
-          least(lit(3), col("tf")).as("rel"))
+          when(col("tf") >= 2, 1).otherwise(0).as("rel"))
       graft.ops.EvalMetrics.precisionRecallAtK(
           base, "query", "doc_id", "score", "rel", k = 10)
         .orderBy("query")
@@ -4180,7 +4185,7 @@ object SparkEntry {
         |    len(list_filter(t.toks, x -> x = q.query)) AS tf, len(t.toks) AS dl
         |  FROM tok t CROSS JOIN (VALUES ('scan'), ('column'), ('window')) AS q(query)),
         |inp AS (SELECT query, doc_id AS id, CAST(tf AS DOUBLE) / dl AS score,
-        |          least(3, tf) > 0 AS rel
+        |          tf >= 2 AS rel
         |        FROM base WHERE tf > 0),
         |ranked AS (SELECT query, id, rel,
         |    row_number() OVER (PARTITION BY query ORDER BY score DESC, id ASC) AS r

@@ -55,10 +55,23 @@ object Udafs {
     require(k >= 3, s"KMV needs k >= 3 (got $k)")
     new Aggregator[Long, Seq[Long], Double] {
       def zero: Seq[Long] = Vector.empty
+      // Hot path: the buffer is ALWAYS sorted ascending, so membership +
+      // insertion point come from one binary search and the insert is a
+      // single splice — O(log k) compare work per row instead of the
+      // O(k) contains + O(k log k) re-sort (round 9, advisor catch; this
+      // runs per input row on the streaming per-window path with k=256).
       def reduce(b: Seq[Long], h: Long): Seq[Long] =
         if (b.length == k && h >= b.last) b
-        else if (b.contains(h)) b
-        else ((b :+ h).sorted: Seq[Long]).take(k)
+        else {
+          val arr = b.toIndexedSeq
+          var lo = 0; var hi = arr.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (arr(mid) < h) lo = mid + 1 else hi = mid
+          }
+          if (lo < arr.length && arr(lo) == h) b // already present
+          else (arr.patch(lo, Seq(h), 0): Seq[Long]).take(k)
+        }
       def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
         ((b1 ++ b2).distinct.sorted: Seq[Long]).take(k)
       def finish(b: Seq[Long]): Double =
@@ -89,10 +102,21 @@ object Udafs {
     val qsSorted = qs.sorted
     new Aggregator[(Long, Double), Seq[(Long, Double)], Seq[Double]] {
       def zero: Seq[(Long, Double)] = Vector.empty
+      // Sorted-buffer binary-search insert, same rationale as
+      // [[kmvSketch]].reduce; multiset semantics so no duplicate check.
+      private def lt(x: (Long, Double), y: (Long, Double)): Boolean =
+        x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)
       def reduce(b: Seq[(Long, Double)], a: (Long, Double)): Seq[(Long, Double)] =
-        if (b.length == k &&
-            (a._1 > b.last._1 || (a._1 == b.last._1 && a._2 >= b.last._2))) b
-        else ((b :+ a).sortBy(t => (t._1, t._2)): Seq[(Long, Double)]).take(k)
+        if (b.length == k && !lt(a, b.last)) b
+        else {
+          val arr = b.toIndexedSeq
+          var lo = 0; var hi = arr.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (lt(arr(mid), a)) lo = mid + 1 else hi = mid
+          }
+          (arr.patch(lo, Seq(a), 0): Seq[(Long, Double)]).take(k)
+        }
       def merge(b1: Seq[(Long, Double)], b2: Seq[(Long, Double)]): Seq[(Long, Double)] =
         ((b1 ++ b2).sortBy(t => (t._1, t._2)): Seq[(Long, Double)]).take(k)
       def finish(b: Seq[(Long, Double)]): Seq[Double] = {

@@ -375,7 +375,10 @@ object PixelCodec {
         // a composite code must already be in the dictionary, except the
         // KwKwK case (code == next entry, valid only mid-sequence)
         if (code > dictSize || (code == dictSize && prev < 0)) return None
-        if (code < clear && code >= (1 << minCode)) return None
+        // (literal codes < clear need no range check here: palette-range
+        // safety for emitted indices is enforced by decodeGif's
+        // idx-vs-palette bound — round 9, removed a dead guard that
+        // compared code < clear && code >= clear)
         var sp = 0
         var cur = if (code == dictSize) prev else code
         if (code == dictSize) { stack(sp) = prevFirst; sp += 1 }

@@ -179,9 +179,23 @@ object StatsOps {
     def d(i: Int) = col(s"c$i").cast("decimal(18,0)")
     val sums = cols.indices.map(i => sum(col(s"c$i")).as(s"s$i")) ++
       (for { i <- cols.indices; j <- cols.indices if i <= j }
-        yield sum(d(i) * d(j)).as(s"s${i}_$j"))
+        yield sum(d(i) * d(j)).as(s"s${i}_$j")) ++
+      cols.indices.map(i => max(abs(col(s"c$i"))).as(s"m$i"))
     val agg = df.select(centCols: _*)
       .agg(count(lit(1)).as("n"), sums: _*)
+    // Overflow guard (round 9, advisor catch): with precision-loss mode,
+    // decimal(38,0) overflow in nD * s_ij returns NULL silently while the
+    // DuckDB oracle's HUGEINT keeps going. Every term is bounded by
+    // n²·max|cents|², so n·max|cents| < 1e18 (10x under the 10^19
+    // decimal-38 bound) guarantees no intermediate overflows; outside the
+    // bound the op REFUSES loudly instead of emitting NULL corr.
+    val mAbs = greatest(cols.indices.map(i => col(s"m$i").cast("double")): _*)
+    val nGuarded = when(mAbs * col("n").cast("double") >= lit(1e18),
+      raise_error(concat(lit("corrMatrix: overflow bound exceeded: " +
+        "n*max|cents| >= 1e18 (n="), col("n").cast("string"),
+        lit(", max|cents|="), mAbs.cast("string"),
+        lit("); rescale inputs or shard")))
+        .cast("long")).otherwise(col("n"))
     val nD = col("n").cast("decimal(38,0)")
     def sD(i: Int) = col(s"s$i").cast("decimal(38,0)")
     def v(i: Int) = (nD * col(s"s${i}_$i") - sD(i) * sD(i)).cast("double")
@@ -189,7 +203,7 @@ object StatsOps {
       struct(lit(cols(i)).as("x"), lit(cols(j)).as("y"),
         round((nD * col(s"s${i}_$j") - sD(i) * sD(j)).cast("double") /
           (sqrt(v(i)) * sqrt(v(j))), 6).as("corr"))
-    agg.select(col("n"), explode(array(pairs: _*)).as("p"))
+    agg.select(nGuarded.as("n"), explode(array(pairs: _*)).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"), col("n"),
         col("p.corr").as("corr"))
   }
@@ -283,13 +297,19 @@ object StatsOps {
     require(bins >= 2, s"psi needs at least 2 bins: $bins")
     val spark = ref.sparkSession
     val qs = (1 until bins).map(_.toDouble / bins)
-    val edges = WindowOps.exactQuantilesGlobal(ref, valueCol, qs, partitions)
+    // NULLs are excluded everywhere — mirrors psiByGroup's slim() (and the
+    // oracle's equality joins, which drop NULLs): a NULL is "no
+    // observation", not a bin-1 value (round 9, advisor catch — the
+    // when/otherwise bucket otherwise mapped NULL to bin 1).
+    def slim(df: DataFrame) =
+      df.select(col(valueCol).cast("double").as("v")).where(col("v").isNotNull)
+    val edges = WindowOps.exactQuantilesGlobal(slim(ref), "v", qs, partitions)
       .orderBy("q").select(col("value").cast("double"))
       .collect().map(_.getDouble(0)).toSeq
     def bucket(v: org.apache.spark.sql.Column) =
       edges.map(e => when(v > lit(e), 1).otherwise(0)).reduce(_ + _) + 1
     def binCounts(df: DataFrame, name: String) =
-      df.select(bucket(col(valueCol).cast("double")).as("bin"))
+      slim(df).select(bucket(col("v")).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(name))
     val spine = spark.range(1, bins + 1).select(col("id").cast("int").as("bin"))
     val joined = spine
