@@ -1004,12 +1004,16 @@ object SparkEntry {
       TextOps.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id")),
 
-    // Compression-ratio quality filter (zlib level 6): deterministic
-    // deflate-size/raw-size per doc. No DuckDB zlib surface ⇒ no oracle —
-    // rows-only check here; the spec pins determinism and the
-    // boilerplate-vs-noise ordering.
+    // Compressibility quality filter, ORACLE-REPLAYABLE form: distinct-
+    // 8-gram fraction (the substring-repetition signal deflate exploits)
+    // + exact character entropy per doc. The zlib-ratio variant
+    // (TextOps.compressionRatio) stays spec-verified — DuckDB has no
+    // zlib — and the spec pins that both rank boilerplate < prose <
+    // noise in the same order, so this row carries the full
+    // rows+schema+hash check the zlib column never could (round 9,
+    // closing the last no-oracle row).
     "q_compression" -> ((s, dir) =>
-      TextOps.compressionRatio(Tables.documents(s, dir), "doc_id", "text")
+      TextOps.compressibilityProfile(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id")),
 
     // Exact GLOBAL quantiles with no one-task global sort: range-partitioned
@@ -3142,6 +3146,30 @@ object SparkEntry {
         |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |       round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS lm_score
         |FROM lp GROUP BY doc_id ORDER BY id""".stripMargin,
+
+    // Same decimal-summed c*ln(c) treatment as the surprisal score so the
+    // entropy replays cross-engine; the 8-gram fraction is exact integers.
+    "q_compression" ->
+      """WITH d AS (SELECT doc_id AS id, text AS t,
+        |    CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+        |g AS (SELECT id, n_chars,
+        |    CASE WHEN n_chars >= 8 THEN round(
+        |      CAST(len(list_distinct(list_transform(range(1, CAST(n_chars AS INTEGER) - 6),
+        |        i -> substring(t, i, 8)))) AS DOUBLE)
+        |      / CAST(n_chars - 7 AS DOUBLE), 6) END AS gram8_frac
+        |  FROM d),
+        |ch AS (SELECT id, unnest(list_transform(range(1, CAST(n_chars AS INTEGER) + 1),
+        |         i -> substring(t, i, 1))) AS c
+        |       FROM d WHERE n_chars > 0),
+        |cc AS (SELECT id, c, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY id, c),
+        |e AS (SELECT id, sum(cnt) AS n,
+        |        sum(CAST(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+        |            AS DECIMAL(38,18))) AS clc
+        |      FROM cc GROUP BY id)
+        |SELECT g.id, g.n_chars, g.gram8_frac,
+        |  round(ln(CAST(e.n AS DOUBLE)) - CAST(e.clc AS DOUBLE) / CAST(e.n AS DOUBLE), 4)
+        |    AS entropy
+        |FROM g LEFT JOIN e ON g.id = e.id ORDER BY g.id""".stripMargin,
 
     "q_exact_quantiles" ->
       """SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem

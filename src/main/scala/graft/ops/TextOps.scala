@@ -419,6 +419,58 @@ object TextOps {
           .otherwise(null).as("ratio"))
   }
 
+  /** Oracle-replayable compressibility profile — the exact-arithmetic
+    * companion to [[compressionRatio]] (whose zlib byte count no SQL
+    * engine can replay): per document, (a) the distinct-8-gram fraction
+    * — the substring-repetition signal LZ77 compression literally
+    * exploits, so it ranks boilerplate < prose < noise in the same
+    * order as the deflate ratio (spec-pinned) — and (b) the empirical
+    * character entropy, the order-0 compressibility bound in
+    * bits-per-char terms (natural log here).
+    *
+    * Determinism contract: the 8-gram fraction is an exact integer
+    * ratio in one IEEE division; entropy = ln(n) − (Σ c·ln c)/n with
+    * the per-character c·ln c terms cast to decimal(38,18) and summed
+    * order-independently (the surprisal/bigram-LM recipe), then one
+    * fixed double expression rounded to 4 — cross-engine replayable.
+    *
+    * Scale shape: the 8-gram leg is fully ROW-LOCAL (a codegen'd
+    * transform + array_distinct inside the projection — no shuffle, no
+    * explode); the entropy leg is one explode + two hash aggregations
+    * with map-side combine on (id, char) — the wordcount shape, at
+    * alphabet-bounded fan-in per doc.
+    *
+    * Output: (id, n_chars, gram8_frac, entropy); gram8_frac is NULL for
+    * docs shorter than 8 chars, entropy NULL for empty docs.
+    */
+  def compressibilityProfile(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("t"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    val grams = base.select(col("id"), col("n_chars"),
+      when(col("n_chars") >= 8,
+        round(
+          size(array_distinct(transform(
+            sequence(lit(1L), col("n_chars") - 7L),
+            i => col("t").substr(i.cast("int"), lit(8))))).cast("double") /
+          (col("n_chars") - 7L).cast("double"), 6))
+        .as("gram8_frac"))
+    val chars = base.filter(col("n_chars") > 0)
+      .select(col("id"), explode(transform(
+        sequence(lit(1L), col("n_chars")),
+        i => col("t").substr(i.cast("int"), lit(1)))).as("ch"))
+    val ent = chars.groupBy("id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum("c").as("n"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast("decimal(38,18)")).as("clc"))
+      .select(col("id"),
+        round(log(col("n").cast("double")) -
+          col("clc").cast("double") / col("n").cast("double"), 4).as("entropy"))
+    grams.join(ent, Seq("id"), "left")
+      .select(col("id"), col("n_chars"), col("gram8_frac"), col("entropy"))
+  }
+
   /** Unigram surprisal — the cheapest corpus-statistics quality score
     * (a document of globally-rare tokens has high surprisal; templated
     * boilerplate scores low): mean over tokens of -ln(count(tok)/total)

@@ -406,6 +406,44 @@ class PropertySpec extends SparkTestBase {
     assert(r(4L).isEmpty, "empty doc has no ratio")
   }
 
+  test("compressibilityProfile ranks boilerplate < prose < noise like the zlib ratio") {
+    import spark.implicits._
+    // Same fixture as the compressionRatio spec: the oracle-replayable
+    // profile must order documents the way the (spec-only) deflate ratio
+    // does, or it isn't a valid stand-in for the quality filter.
+    val docs = Seq(
+      (1L, "abc " * 500),
+      (2L, "the quick brown fox jumps over the lazy dog " * 25),
+      (3L, { val rnd = new scala.util.Random(42)
+             Array.fill(2000)((rnd.nextInt(94) + 33).toChar).mkString }),
+      (4L, ""), (5L, "short")).toDF("doc_id", "text")
+    val p = graft.ops.TextOps.compressibilityProfile(docs, "doc_id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    val byId = p.map(x => x._1 -> x).toMap
+    def frac(id: Long) = byId(id)._3.get
+    def ent(id: Long) = byId(id)._4.get
+    assert(frac(1L) < frac(2L) && frac(2L) < frac(3L),
+      s"8-gram fraction must rank boilerplate < prose < noise: ${p.toSeq}")
+    assert(ent(1L) < ent(2L) && ent(2L) < ent(3L),
+      s"entropy must rank boilerplate < prose < noise: ${p.toSeq}")
+    // exact closed forms on the boilerplate doc: "abc " repeated has
+    // exactly 4 distinct 8-grams (one per phase) over 1993 windows, and
+    // char entropy = ln(4) for the uniform 4-char alphabet (500 each)
+    assert(frac(1L) == BigDecimal(4.0 / 1993).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, s"got ${frac(1L)}")
+    assert(math.abs(ent(1L) - math.log(4.0)) < 5e-4, s"got ${ent(1L)}")
+    assert(frac(3L) > 0.99, "2000 random printable chars repeat almost no 8-gram")
+    assert(byId(4L)._3.isEmpty && byId(4L)._4.isEmpty, "empty doc -> NULLs")
+    assert(byId(5L)._3.isEmpty && byId(5L)._4.nonEmpty,
+      "sub-8-char doc has entropy but no 8-gram fraction")
+    // partitioning-deterministic
+    val q = graft.ops.TextOps.compressibilityProfile(
+        docs.repartition(7), "doc_id", "text").orderBy("id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    assert(p.sameElements(q))
+  }
+
   test("unigramSurprisal: rare-token docs score above common-token docs") {
     import spark.implicits._
     val docs = Seq(
