@@ -2030,6 +2030,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Baseline-JPEG leg of the decode story (round 9): real ITU T.81
+    // decode — marker walk, DHT canonical Huffman, entropy decode with
+    // byte unstuffing + RSTn resync, dequant, IDCT, 4:2:0 chroma
+    // upsample, fixed-point YCbCr→RGB — over a DC-only corpus whose
+    // blocks are integer-exact under ANY conforming IDCT, so the oracle
+    // replays every pixel from id arithmetic (JpegCodecSpec pins the
+    // decoder against the JDK's native reader in both directions, incl.
+    // real-AC ImageIO files). Channel sums pin the COLOR path, not just
+    // luminance.
+    "q_media_jpeg" -> ((s, dir) => {
+      val media = Multimodal.syntheticJpegImages(
+        s, Tables.documents(s, dir), "doc_id")
+      Multimodal.decodedRgbStats(s, media)
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("n_px"), col("lum_sum"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+        .orderBy("doc_id")
+    }),
+
     // Decode -> REAL nearest-neighbor resize (bounded box, integer
     // sampling rule) -> luminance stats of the RESIZED raster. The oracle
     // replays the integer resize arithmetic; the Spark side must recover
@@ -4606,6 +4625,36 @@ object SparkEntry {
         |  count(*) FILTER (lum // 64 = 2) AS l2,
         |  count(*) FILTER (lum // 64 = 3) AS l3
         |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // JPEG DC-only replay: every 8x8 block is uniform (the fixture
+    // contract), chroma constant per 16x16 MCU; color converts through
+    // the decoder's documented fixed-point formula with a floor shift
+    "q_media_jpeg" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 21 AS w, 8 + doc_id % 17 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+        |c AS (SELECT doc_id, w, h, p % w AS x, p // w AS y FROM px),
+        |v AS (SELECT doc_id, w, h, x, y,
+        |    (doc_id * 5 + (x // 8) * 11 + (y // 8) * 19) % 256 AS gv,
+        |    (doc_id * 3 + (x // 8) * 7  + (y // 8) * 13) % 256 AS yv,
+        |    (doc_id * 5 + (x // 16) * 17 + (y // 16) * 23) % 256 - 128 AS cb,
+        |    (doc_id * 7 + (x // 16) * 29 + (y // 16) * 31) % 256 - 128 AS cr
+        |  FROM c),
+        |rgb AS (SELECT doc_id, w, h,
+        |    CASE WHEN doc_id % 2 = 0 THEN gv
+        |         ELSE LEAST(255, GREATEST(0, yv + CAST(floor((91881 * cr + 32768) / 65536.0) AS BIGINT))) END AS r,
+        |    CASE WHEN doc_id % 2 = 0 THEN gv
+        |         ELSE LEAST(255, GREATEST(0, yv + CAST(floor((-22554 * cb - 46802 * cr + 32768) / 65536.0) AS BIGINT))) END AS g,
+        |    CASE WHEN doc_id % 2 = 0 THEN gv
+        |         ELSE LEAST(255, GREATEST(0, yv + CAST(floor((116130 * cb + 32768) / 65536.0) AS BIGINT))) END AS b
+        |  FROM v)
+        |SELECT doc_id, 'jpeg' AS format,
+        |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        |  count(*) AS n_px,
+        |  CAST(sum((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT) AS lum_sum,
+        |  CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(b) AS BIGINT) AS b_sum
+        |FROM rgb GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // integer resize replay: rw = max(1, w*16 // max(w,h)) (no upscale),
     // sample (x*w // rw, y*h // rh), lum from the pixel formula

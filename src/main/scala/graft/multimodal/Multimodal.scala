@@ -299,6 +299,83 @@ object Multimodal {
       .toDF("id", "media_type", "payload", "meta")
   }
 
+  /** Block/MCU value formulas for [[syntheticJpegImages]] — like
+    * [[PixelFormula]] but at JPEG's 8×8-block grain: every block is
+    * uniform (DC-only encoding), so the decode is integer-exact under any
+    * conforming IDCT and a SQL oracle replays pixels from pure id
+    * arithmetic. Even ids are grayscale, odd ids 4:2:0 color with chroma
+    * constant per 16×16 MCU; ids ≡ 0 (mod 3) carry a restart interval so
+    * RSTn resync is exercised in the corpus, not just specs.
+    */
+  object JpegFormula {
+    def width(id: Long): Int  = (8 + math.floorMod(id, 21)).toInt
+    def height(id: Long): Int = (8 + math.floorMod(id, 17)).toInt
+    def gray(id: Long)(bx: Int, by: Int): Int =
+      math.floorMod(id * 5 + bx * 11 + by * 19, 256).toInt
+    def yv(id: Long)(bx: Int, by: Int): Int =
+      math.floorMod(id * 3 + bx * 7 + by * 13, 256).toInt
+    def cb(id: Long)(mx: Int, my: Int): Int =
+      math.floorMod(id * 5 + mx * 17 + my * 23, 256).toInt
+    def cr(id: Long)(mx: Int, my: Int): Int =
+      math.floorMod(id * 7 + mx * 29 + my * 31, 256).toInt
+    def restart(id: Long): Int = if (math.floorMod(id, 3) == 0L) 2 else 0
+  }
+
+  /** Synthetic baseline-JPEG corpus with REAL entropy-coded content:
+    * grayscale (even ids) / 4:2:0 YCbCr (odd ids) DC-only frames from
+    * [[JpegFormula]], restart markers on every third id. Decoding walks
+    * the full T.81 path — marker segments, DHT Huffman build, entropy
+    * decode with unstuffing and RSTn resync, dequant, IDCT, upsample,
+    * fixed-point color transform ([[JpegCodec]]).
+    */
+  def syntheticJpegImages(spark: SparkSession, df: DataFrame,
+                          idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = JpegFormula.width(id)
+        val h = JpegFormula.height(id)
+        val payload =
+          if (math.floorMod(id, 2) == 0L)
+            JpegCodec.makeJpegGray(w, h, JpegFormula.gray(id),
+              JpegFormula.restart(id))
+          else
+            JpegCodec.makeJpeg420(w, h, JpegFormula.yv(id),
+              JpegFormula.cb(id), JpegFormula.cr(id), JpegFormula.restart(id))
+        MediaRecord(id, "image/jpeg", payload, Map("synthetic" -> "true"))
+      })
+      .toDF("id", "media_type", "payload", "meta")
+  }
+
+  /** Decode → per-image RGB channel sums + integer BT.601 luminance sum —
+    * the channel-level companion to [[decodedStats]] (whose histogram is
+    * luminance-only): r/g/b sums pin the COLOR path (chroma upsample +
+    * YCbCr→RGB), which a gray-only fold can't distinguish from a
+    * luma-correct/chroma-wrong decode. Undecodable payloads are dropped.
+    */
+  def decodedRgbStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        PixelCodec.decode(bytes).map { img =>
+          var rSum = 0L; var gSum = 0L; var bSum = 0L; var lumSum = 0L
+          var i = 0
+          while (i < img.rgb.length) {
+            val r = img.rgb(i) & 0xff
+            val g = img.rgb(i + 1) & 0xff
+            val b = img.rgb(i + 2) & 0xff
+            rSum += r; gSum += g; bSum += b
+            lumSum += PixelFormula.lum(r, g, b)
+            i += 3
+          }
+          (id, img.format, img.width.toLong, img.height.toLong,
+            img.width.toLong * img.height, lumSum, rSum, gSum, bSum)
+        }
+      })
+      .toDF("id", "format", "width", "height", "n_px", "lum_sum",
+        "r_sum", "g_sum", "b_sum")
+  }
+
   /** Decode → REAL nearest-neighbor resize (bounded box, never upscale) →
     * integer luminance stats of the RESIZED raster — the thumbnail
     * pipeline end-to-end, replacing the old metadata-only resize stub.

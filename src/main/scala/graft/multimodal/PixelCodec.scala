@@ -49,6 +49,7 @@ object PixelCodec {
       case (0x42, 0x4d) => decodeBmp(bytes)
       case (0x89, 0x50) => decodePng(bytes)
       case (0x47, 0x49) => decodeGif(bytes)
+      case (0xff, 0xd8) => JpegCodec.decode(bytes)
       case _            => None
     }
   }
