@@ -241,6 +241,25 @@ object SparkEntry {
       graft.ops.Bpe.pairCounts(s, Tables.documents(s, dir), "text")
         .orderBy("a", "b")),
 
+    // BPE APPLICATION at corpus scale (round 9): segment every doc with
+    // a frozen merge table — distinct words segmented once (broadcast
+    // rules), segmented dictionary broadcast-joined back onto the corpus
+    // word stream, per-doc token accounting out. The oracle replays the
+    // merge order with one string-replace per rule (exact because each
+    // rule fires ≤ once per fixture word, spec-pinned).
+    "q_bpe_apply" -> ((s, dir) =>
+      graft.ops.Bpe.applyPerDocStats(s, Tables.documents(s, dir), "doc_id",
+          "text", graft.ops.Bpe.fixtureRules)
+        .orderBy("doc_id")),
+
+    // The token-id table from the same frozen merges, dictionary-grain:
+    // counts are wordCount × per-word occurrences — the corpus is never
+    // exploded to tokens at all.
+    "q_bpe_vocab" -> ((s, dir) =>
+      graft.ops.Bpe.applyVocab(s, Tables.documents(s, dir), "text",
+          graft.ops.Bpe.fixtureRules)
+        .orderBy("tok")),
+
     // Okapi BM25 keyword retrieval (Lucene +1 IDF, k1=1.2 b=0.75):
     // term-filtered postings + one doc-length agg, no materialized index.
     "q_bm25" -> ((s, dir) =>
@@ -4194,6 +4213,65 @@ object SparkEntry {
         |  SELECT substring(word, length(word), 1), '</w>', cnt FROM d)
         |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cnt
         |FROM pairs GROUP BY a, b ORDER BY a, b""".stripMargin,
+
+    // Merge-table application replayed rule by rule: each rule is one
+    // space-delimited string replace (exact because every rule fires at
+    // most once per fixture word — BpeSpec pins that property), then
+    // per-doc token accounting over the segmented dictionary.
+    "q_bpe_apply" ->
+      """WITH words AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |dict AS (SELECT DISTINCT word FROM words),
+        |s0 AS (SELECT word, ' ' || array_to_string(list_transform(
+        |         range(1, length(word) + 1), i -> substring(word, CAST(i AS INT), 1)), ' ')
+        |         || ' </w> ' AS s FROM dict),
+        |s1 AS (SELECT word, replace(s, ' e </w> ', ' e</w> ') AS s FROM s0),
+        |s2 AS (SELECT word, replace(s, ' a n ', ' an ') AS s FROM s1),
+        |s3 AS (SELECT word, replace(s, ' r t ', ' rt ') AS s FROM s2),
+        |s4 AS (SELECT word, replace(s, ' t h ', ' th ') AS s FROM s3),
+        |s5 AS (SELECT word, replace(s, ' q u ', ' qu ') AS s FROM s4),
+        |s6 AS (SELECT word, replace(s, ' s c ', ' sc ') AS s FROM s5),
+        |s7 AS (SELECT word, replace(s, ' sc an ', ' scan ') AS s FROM s6),
+        |s8 AS (SELECT word, replace(s, ' o w ', ' ow ') AS s FROM s7),
+        |s9 AS (SELECT word, replace(s, ' e r ', ' er ') AS s FROM s8),
+        |s10 AS (SELECT word, replace(s, ' er </w> ', ' er</w> ') AS s FROM s9),
+        |seg AS (SELECT word, list_filter(string_split(s, ' '), x -> x <> '') AS toks
+        |        FROM s10),
+        |perword AS (SELECT w.doc_id, s.toks FROM words w JOIN seg s USING (word)),
+        |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |           CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+        |         FROM perword GROUP BY doc_id),
+        |dist AS (SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_toks
+        |         FROM (SELECT doc_id, unnest(toks) AS tok FROM perword)
+        |         GROUP BY doc_id)
+        |SELECT b.doc_id, n_words, n_tokens, n_distinct_toks
+        |FROM base b JOIN dist USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_vocab" ->
+      """WITH words AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY word),
+        |s0 AS (SELECT word, c, ' ' || array_to_string(list_transform(
+        |         range(1, length(word) + 1), i -> substring(word, CAST(i AS INT), 1)), ' ')
+        |         || ' </w> ' AS s FROM wc),
+        |s1 AS (SELECT word, c, replace(s, ' e </w> ', ' e</w> ') AS s FROM s0),
+        |s2 AS (SELECT word, c, replace(s, ' a n ', ' an ') AS s FROM s1),
+        |s3 AS (SELECT word, c, replace(s, ' r t ', ' rt ') AS s FROM s2),
+        |s4 AS (SELECT word, c, replace(s, ' t h ', ' th ') AS s FROM s3),
+        |s5 AS (SELECT word, c, replace(s, ' q u ', ' qu ') AS s FROM s4),
+        |s6 AS (SELECT word, c, replace(s, ' s c ', ' sc ') AS s FROM s5),
+        |s7 AS (SELECT word, c, replace(s, ' sc an ', ' scan ') AS s FROM s6),
+        |s8 AS (SELECT word, c, replace(s, ' o w ', ' ow ') AS s FROM s7),
+        |s9 AS (SELECT word, c, replace(s, ' e r ', ' er ') AS s FROM s8),
+        |s10 AS (SELECT word, c, replace(s, ' er </w> ', ' er</w> ') AS s FROM s9),
+        |t AS (SELECT unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS tok, c
+        |      FROM s10),
+        |cnt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cnt FROM t GROUP BY tok)
+        |SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS tok_id,
+        |       cnt
+        |FROM cnt ORDER BY tok""".stripMargin,
 
     // Same singleton-sum-then-fixed-order-add shape as the Spark plan so
     // the double arithmetic replays bit-for-bit before the round.

@@ -105,6 +105,88 @@ object Bpe {
       .toDF("id", "tok")
   }
 
+  /** A frozen 10-rule merge table for the apply-side queries — the
+    * production flow trains once offline ([[train]], Sennrich-parity
+    * spec'd) and applies the frozen table corpus-wide; this fixed table
+    * keeps the oracle SF-independent. Two composite rules ((sc,an) and
+    * (er,</w>)) only fire through earlier merges, pinning rule-order
+    * semantics. BpeSpec asserts every rule fires at most once per
+    * fixture-vocabulary word, which is what makes the oracle's
+    * single-replace replay exact.
+    */
+  val fixtureRules: Seq[(String, String)] = Seq(
+    ("e", "</w>"), ("a", "n"), ("r", "t"), ("t", "h"), ("q", "u"),
+    ("s", "c"), ("sc", "an"), ("o", "w"), ("e", "r"), ("er", "</w>"))
+
+  /** Segment one word with a frozen merge table: rules in application
+    * order, each applied left-to-right non-overlapping — Sennrich's apply
+    * rule, the same code path [[train]] uses, so train-then-apply is
+    * consistent by construction.
+    */
+  def segment(word: String, rules: Seq[(String, String)]): Seq[String] =
+    rules.foldLeft(toSymbols(word)) { case (s, (a, b)) => mergePair(s, a, b) }
+
+  /** Corpus-wide tokenizer APPLICATION at dictionary grain — the pass an
+    * actual training pipeline runs daily once a merge table is frozen.
+    * The scale trick mirrors training: segment each DISTINCT word once
+    * (rules broadcast, mapPartitions over the dictionary — millions of
+    * rows where the corpus is trillions of tokens), then broadcast-join
+    * the segmented dictionary back onto the corpus word stream. The
+    * corpus side never shuffles on anything but the final per-doc
+    * aggregation; per-word re-segmentation work is ZERO at corpus grain.
+    *
+    * Output: (doc_id, n_words, n_tokens, n_distinct_toks) per document —
+    * the per-doc token accounting (sequence-length budgeting, packing
+    * inputs) downstream sharding consumes.
+    */
+  def applyPerDocStats(spark: SparkSession, df: DataFrame, idCol: String,
+                       textCol: String,
+                       rules: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val words = df.select(col(idCol).cast("long").as("doc_id"),
+      explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("word"))
+    val bc = spark.sparkContext.broadcast(rules)
+    val dict = words.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        val rs = bc.value
+        it.map(w => (w, segment(w, rs)))
+      }
+      .toDF("word", "toks")
+    words.join(broadcast(dict), "word")
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .groupBy("doc_id").agg(
+        sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_words"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_distinct_toks"))
+  }
+
+  /** The corpus token-id table from the same frozen merge table, computed
+    * WITHOUT ever exploding the corpus to tokens: token counts are
+    * Σ wordCount(w) × occurrences(tok, segment(w)) — one dictionary
+    * aggregation (map-side-combined word counts), one dictionary-local
+    * segmentation, one token-grain aggregation. Ids are dense ranks by
+    * (count desc, token asc) over the vocab-sized result — deterministic
+    * across partitionings.
+    *
+    * Output: (tok, tok_id, cnt).
+    */
+  def applyVocab(spark: SparkSession, df: DataFrame, textCol: String,
+                 rules: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rules)
+    val toks = dictionary(df, textCol).as[(String, Long)]
+      .flatMap { case (w, c) =>
+        val rs = bc.value
+        segment(w, rs).map(t => (t, c))
+      }
+      .toDF("tok", "c")
+      .groupBy("tok").agg(sum("c").as("cnt"))
+    toks.withColumn("tok_id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+      .select(col("tok"), col("tok_id"), col("cnt"))
+  }
+
   /** The distributed core of one training round, exposed for the oracle:
     * corpus → word dictionary → count-weighted adjacent symbol pairs.
     * (The argmax loop above is driver-sequenced and spec-verified against

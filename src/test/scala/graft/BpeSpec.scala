@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Bpe
+import org.apache.spark.sql.functions._
 
 /** BPE trainer against the Sennrich et al. (2016) reference example:
   * the corpus {low ×5, lower ×2, newest ×6, widest ×3} with an end-of-word
@@ -98,5 +99,61 @@ class BpeSpec extends SparkTestBase {
     assert(got(("l", "o")) == 7L)
     assert(got(("t", "</w>")) == 9L)
     assert(got(("w", "</w>")) == 5L) // low's marker pair
+  }
+
+  test("fixtureRules: golden segmentations incl. composite-rule ordering") {
+    // the two composite rules only exist after their inputs merged —
+    // segment() must apply rules IN ORDER for these to come out
+    assert(Bpe.segment("scan", Bpe.fixtureRules) == Seq("scan", "</w>"))
+    assert(Bpe.segment("query", Bpe.fixtureRules) == Seq("qu", "er", "y", "</w>"))
+    assert(Bpe.segment("customer", Bpe.fixtureRules) ==
+      Seq("c", "u", "s", "t", "o", "m", "er</w>"))
+    assert(Bpe.segment("the", Bpe.fixtureRules) == Seq("th", "e</w>"))
+    assert(Bpe.segment("window", Bpe.fixtureRules) ==
+      Seq("w", "i", "n", "d", "ow", "</w>"))
+    // a word no rule touches stays fully split
+    assert(Bpe.segment("big", Bpe.fixtureRules) == Seq("b", "i", "g", "</w>"))
+  }
+
+  test("fixtureRules fire at most once per fixture-vocabulary word") {
+    // THE property that makes the DuckDB oracle's one-replace-per-rule
+    // replay exact: if fixture drift ever lets a rule fire twice in one
+    // word, this fails before the oracle silently diverges
+    val dict = graft.core.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextAnalysis.tokensArr(col("text")))
+        .as("w"))
+      .distinct().as[String].collect()
+    assert(dict.nonEmpty)
+    for (w <- dict) {
+      var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+      for ((a, b) <- Bpe.fixtureRules) {
+        val fires = syms.iterator.zip(syms.iterator.drop(1))
+          .count(p => p._1 == a && p._2 == b)
+        assert(fires <= 1, s"rule ($a,$b) fires $fires times in '$w'")
+        syms = Bpe.segment(w, Bpe.fixtureRules.takeWhile(_ != (a, b)) :+ ((a, b)))
+      }
+    }
+  }
+
+  test("applyVocab (dictionary-grain) agrees with tokenize (corpus-grain)") {
+    // same frozen table, two execution shapes: exploding the corpus via
+    // tokenize and the never-explode dictionary-count path must produce
+    // identical token counts
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .limit(200).select(col("doc_id"), col("text"))
+    val viaTokens = Bpe.tokenize(spark, docs, "doc_id", "text", Bpe.fixtureRules)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val viaVocab = Bpe.applyVocab(spark, docs, "text", Bpe.fixtureRules)
+      .select("tok", "cnt").as[(String, Long)].collect().toMap
+    assert(viaVocab == viaTokens,
+      s"dictionary-grain and corpus-grain counts diverge: " +
+        s"${(viaVocab.toSet diff viaTokens.toSet).take(5)}")
+    // ids are dense 1..V by (cnt desc, tok asc)
+    val ids = Bpe.applyVocab(spark, docs, "text", Bpe.fixtureRules)
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ids.map(_._2).toSeq == (1L to ids.length).toSeq)
+    assert(ids.sortBy(t => (-t._3, t._1)).map(_._2).toSeq ==
+      (1L to ids.length).toSeq)
   }
 }
