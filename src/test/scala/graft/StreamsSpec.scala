@@ -731,4 +731,126 @@ class StreamsSpec extends SparkTestBase {
       assert(rows(3L) > rows(4L), "drifted window must out-score the calm one")
     } finally q.stop()
   }
+
+  test("composite recovery: drift + quota + distinct over ONE stream all recover from a mid-window crash") {
+    import org.apache.spark.sql.DataFrame
+    // One event stream feeds THREE independently-checkpointed stateful
+    // pipelines (windowed PSI drift, per-key quota, windowed KMV distinct).
+    // The queries stop MID-WINDOW — window [0,10) is split across the
+    // crash — and after restart every pipeline must equal the batch truth
+    // over the FULL data: the drift/distinct window states (RocksDB) must
+    // merge pre- and post-crash rows, and the quota's per-key accumulator
+    // must carry its pre-crash consumption (a reset would re-accept).
+    val inDir = java.nio.file.Files.createTempDirectory("graft_multi_in")
+    val ckD = java.nio.file.Files.createTempDirectory("graft_multi_ck_drift")
+    val ckC = java.nio.file.Files.createTempDirectory("graft_multi_ck_dc")
+    val ckQ = java.nio.file.Files.createTempDirectory("graft_multi_ck_quota")
+    val qOut = java.nio.file.Files.createTempDirectory("graft_multi_qout")
+    // drift reference profile: quartiles of 1..100 (the broadcast-dim
+    // pattern, as in the single-op drift test)
+    val ref = (1 to 100).map(_.toDouble)
+    val edges = graft.ops.WindowOps.exactQuantilesGlobal(
+        ref.toDF("value"), "value", Seq(0.25, 0.5, 0.75))
+      .orderBy("q").select("value").as[Double].collect().toSeq
+    def bucketOf(v: Double) = 1 + edges.count(v > _)
+    val refCnt = (1 to 4).map(b => ref.count(bucketOf(_) == b))
+    val shares = refCnt.map(c => (c + 1).toDouble / (ref.size + 4))
+    // rows: (ts, user_id, value, grp, ord, sz); ord monotone across files
+    def row(i: Int, t: Long, user: Long, v: Double) =
+      (ts(t), user, v, if (i % 2 == 1) "A" else "B", i.toLong, 5L)
+    val file1 = (1 to 20).map(i =>
+      row(i, (i % 9) + 1, (i % 10) + 1, ((i * 37) % 100 + 1).toDouble))
+    val file2 = (21 to 40).map(i =>
+      row(i, (i % 9) + 1, (i % 15) + 11, ((i * 53) % 100 + 1).toDouble)) ++
+      (41 to 46).map(i =>
+        row(i, 12 + (i % 6), (i % 4) + 100, (95 + i % 5).toDouble))
+    val w1 = file1 ++ file2.filter(_._1.getTime < 10000)
+    val w2 = file2.filter(_._1.getTime >= 10000)
+    assert(w1.size == 40 && w2.size == 6)
+    val cols = Seq("ts", "user_id", "value", "grp", "ord", "sz")
+    def startAll(): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+      val ev = spark.readStream
+        .schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE, grp STRING, ord BIGINT, sz BIGINT")
+        .parquet(inDir.toString)
+      val qd = Streams.driftMonitorStream(ev, "ts", "value", edges, shares,
+          windowLen = "10 seconds", watermarkDelay = "5 seconds")
+        .writeStream.format("memory").queryName("mw_drift")
+        .outputMode(OutputMode.Complete)
+        .option("checkpointLocation", ckD.toString).start()
+      val qc = Streams.distinctCountStream(ev, "ts", "user_id",
+          windowLen = "10 seconds", watermarkDelay = "5 seconds", k = 8)
+        .writeStream.format("memory").queryName("mw_dc")
+        .outputMode(OutputMode.Complete)
+        .option("checkpointLocation", ckC.toString).start()
+      val qq = Streams.quotaStream(ev, "grp", "ord", "sz", budget = 60L)
+        .writeStream.outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckQ.toString)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          // overwrite-by-batch: a replayed batch rewrites its own delta,
+          // so the sink is exactly-once under replay (the
+          // dedupStreamMinhash index pattern)
+          df.write.mode("overwrite").parquet(s"$qOut/batch=$id")
+        }
+        .start()
+      Seq(qd, qc, qq)
+    }
+    file1.toDF(cols: _*).repartition(1).write.mode("append").parquet(inDir.toString)
+    val run1 = startAll()
+    try run1.foreach(_.processAllAvailable()) finally run1.foreach(_.stop())
+    // crash happened mid-window-1; more of window 1 plus window 2 arrive
+    // while everything is down
+    file2.toDF(cols: _*).repartition(1).write.mode("append").parquet(inDir.toString)
+    val run2 = startAll()
+    try {
+      run2.foreach(_.processAllAvailable())
+      // 1. distinct: each window's estimate equals the batch sketch over
+      // the FULL window slice (pre-crash rows must be in the state)
+      val dc = spark.table("mw_dc").select("n_rows", "est_distinct")
+        .as[(Long, Double)].collect().toMap
+      def batchEst(users: Seq[Long]): Double =
+        graft.functions.Sketches.kmvDistinct(users.toDF("u"),
+            org.apache.spark.sql.functions.col("u"), k = 8)
+          .select("est_distinct").head().getDouble(0)
+      assert(dc.keySet == Set(40L, 6L), s"windows seen: ${dc.keySet}")
+      assert(dc(40L) == batchEst(w1.map(_._2)),
+        "window-1 distinct state did not merge across the crash")
+      assert(dc(6L) == batchEst(w2.map(_._2)))
+      // 2. drift: per-window PSI equals the batch formula on full slices
+      def batchPsi(vals: Seq[Double]): Double =
+        (0 until 4).map { i =>
+          val p = shares(i)
+          val qq = (vals.count(bucketOf(_) == i + 1) + 1).toDouble / (vals.size + 4)
+          (p - qq) * math.log(p / qq)
+        }.sum
+      val dr = spark.table("mw_drift").select("n", "psi")
+        .as[(Long, Double)].collect().toMap
+      assert(dr.keySet == Set(40L, 6L))
+      assert(math.abs(dr(40L) - batchPsi(w1.map(_._3))) < 1e-4,
+        "window-1 drift state did not merge across the crash")
+      assert(math.abs(dr(6L) - batchPsi(w2.map(_._3))) < 1e-4)
+      assert(dr(6L) > dr(40L), "the drifted window must out-score the mixed one")
+      // 3. quota: accepted set equals the batch op over the total order,
+      // with no duplicate emissions across the restart
+      val got = spark.read.parquet(qOut.toString)
+        .select("grp", "ord", "cum", "accepted")
+        .as[(String, Long, Long, Boolean)].collect().toSeq
+      assert(got.map(r => (r._1, r._2)).distinct.size == got.size,
+        "duplicate (grp, ord) emissions across restart")
+      assert(got.size == file1.size + file2.size)
+      val all = file1 ++ file2
+      val batchKept = graft.ops.PrefixSum.budgetCapPerGroup(
+          all.map(r => (r._4, r._5, r._6)).toDF("grp", "ord", "sz"),
+          "grp", Seq("ord"), "sz", budget = 60L)
+        .select("grp", "ord", "cum").as[(String, Long, Long)].collect().toSet
+      val streamKept = got.filter(_._4).map(r => (r._1, r._2, r._3)).toSet
+      assert(streamKept == batchKept,
+        s"quota state lost across crash: ${streamKept.size} accepted vs " +
+          s"batch ${batchKept.size}")
+      // the crossing itself must span the crash: some pre-crash rows
+      // accepted, and at least one post-crash rejection caused by
+      // PRE-crash consumption
+      val aCross = got.filter(r => r._1 == "A" && !r._4).map(_._2).min
+      assert(aCross > 20, "A must cross its budget only after the restart")
+    } finally run2.foreach(_.stop())
+  }
 }
