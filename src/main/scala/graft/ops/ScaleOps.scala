@@ -86,6 +86,51 @@ object ScaleOps {
       .drop(rn)
   }
 
+  /** The profile-driven join router, with a MEASURED decision rule
+    * (BENCH_NOTES round 9, planted 80%-hot-key fact⋈dim, 2M and 20M
+    * rows): the unsplit sort-merge join straggles (7.2 s at 20M), and
+    * BOTH remedies fix it — but AQE's runtime skew-split (1.4 s) beats
+    * the salted rewrite (2.6 s), because splitting the one hot partition
+    * replicates only the matching dim partition where salting explodes
+    * the whole dim ×salt and re-hashes the fact. So the router:
+    *
+    *  - `"plain"` when AQE skew-split can run — even pathological skew is
+    *    ITS job (production note: the default 256 MB
+    *    `skewedPartitionThresholdInBytes` fires at cluster partition
+    *    sizes; fixture-scale measurement required lowering it);
+    *  - `"salted"` only when one key holds ≥ `hotShare` of the rows AND
+    *    AQE's split is unavailable — disabled AQE, or the contexts that
+    *    never get it: stream-stream joins and skewed AGGREGATION keys
+    *    (salted pre-agg), where [[saltedJoin]]'s shape is the only tool.
+    *
+    * The profile is one aggregation pass over `big`; at 100 TB hand this
+    * a [[graft.ops.Sampling]] hash sample of the big side instead — key
+    * SHARES are scale-free, so a 1% sample routes identically.
+    */
+  def chooseJoinPlan(big: DataFrame, keyCol: String,
+                     hotShare: Double = 0.5): String = {
+    val conf = big.sparkSession.conf
+    val aqeSplit = conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+      conf.get("spark.sql.adaptive.skewJoin.enabled", "true").toBoolean
+    if (aqeSplit) "plain"
+    else {
+      val top = skewProfile(big, keyCol, topK = 1).collect()
+      if (top.nonEmpty && top.head.getAs[Double]("share") >= hotShare) "salted"
+      else "plain"
+    }
+  }
+
+  /** [[chooseJoinPlan]] + execute: result-identical to `big ⋈ small`
+    * whichever plan wins (spec-pinned both ways).
+    */
+  def skewRoutedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                     smallKey: String, hotShare: Double = 0.5,
+                     salt: Int = 32): DataFrame =
+    chooseJoinPlan(big, bigKey, hotShare) match {
+      case "salted" => saltedJoin(big, small, bigKey, smallKey, salt)
+      case _        => big.join(small, big(bigKey) === small(smallKey))
+    }
+
   /** Per-key cardinality profile — the skew detector that decides between
     * the plain, AQE, and salted plans: top-k heaviest keys + share of total.
     */

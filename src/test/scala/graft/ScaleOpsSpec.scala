@@ -39,6 +39,34 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("join router: AQE-split wins when available, salt only where it can't run") {
+    // the MEASURED rule (BENCH_NOTES round 9): at 80% hot share AQE's
+    // runtime split beats the salted rewrite, so hot data still routes
+    // "plain" while AQE skew-split is on; with it off the profile routes
+    // the pathological key to salting and mild skew stays plain
+    val hotBig = spark.range(0, 2000)
+      .select(when(col("id") < 1600, 0L).otherwise(col("id") % 40).as("k"),
+        col("id").as("payload"))
+    val mildBig = spark.range(0, 2000)
+      .select((col("id") % 40).as("k"), col("id").as("payload"))
+    val small = (0L until 40L).map(k => (k, s"dim_$k")).toDF("sk", "name")
+    assert(ScaleOps.chooseJoinPlan(hotBig, "k") == "plain",
+      "with AQE skew-split on, even 80% skew is AQE's job")
+    val old = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try {
+      assert(ScaleOps.chooseJoinPlan(hotBig, "k") == "salted")
+      assert(ScaleOps.chooseJoinPlan(mildBig, "k") == "plain",
+        "mild skew must not pay the salt's dim explode")
+      // routed result is identical to the plain join on BOTH routes
+      val plain = hotBig.join(small, hotBig("k") === small("sk"))
+        .select("k", "payload", "name")
+      val routed = ScaleOps.skewRoutedJoin(hotBig, small, "k", "sk")
+        .select("k", "payload", "name")
+      assert(routed.exceptAll(plain).isEmpty && plain.exceptAll(routed).isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old)
+  }
+
   test("skew profile surfaces the hot key with its share") {
     val df = spark.range(0, 1000)
       .select(when(col("id") < 900, lit("hot")).otherwise(lit("cold")).as("k"))
