@@ -325,6 +325,51 @@ object ScaleProbe {
       graft.ops.GraphOps.kCore(edges, k = 3)
     }
 
+    // round-9 probes (VERDICT r8 #5). IVFADC: cost splits into the
+    // dictionary-grain trainings (1 coarse + m residual-PQ k-means —
+    // driver-sequenced, amortized at serving scale) and per-row codegen
+    // scoring over probed cells; together they must stay ~linear.
+    timed("ivf_pq") {
+      val qs = embs.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .toSeq.sortBy(_._1)
+      Similarity.ivfAdcTopK(spark, embs, "vec_id", "embedding", qs,
+        k = 5, cells = 4, nProbe = 2, m = 4, ks = 4)
+    }
+    // decode-at-scan throughput: build + REALLY decode one image per doc
+    // (BMP/PNG even/odd; JPEG probe exercises Huffman+IDCT per row).
+    // Embarrassingly row-local — the ratio must be ~the row ratio.
+    timed("media_hist") {
+      val media = graft.multimodal.Multimodal.syntheticPixelImages(
+        spark, spark.range(0, n).toDF("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.decodedStats(spark, media).toDF()
+    }
+    timed("media_jpeg") {
+      val media = graft.multimodal.Multimodal.syntheticJpegImages(
+        spark, spark.range(0, n).toDF("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.decodedRgbStats(spark, media)
+    }
+    // phash near-dup: decode + 8x8 average hash + band-bucket join —
+    // band buckets keep candidates ~linear (never all-pairs).
+    timed("media_phash") {
+      val media = graft.multimodal.Multimodal.syntheticPixelImages(
+        spark, spark.range(0, n).toDF("doc_id"), "doc_id", withDups = true)
+      graft.multimodal.Multimodal.imageNearDupPairs(spark, media,
+        maxHamming = 3)
+    }
+    // correlation matrix: the k² term lives in the AGG BUFFER of one
+    // pass, so doubling k must cost far less than the 4x a per-pair
+    // scan design would — k8 vs k16 at the same n is the evidence.
+    def wide = spark.range(0, n).select(
+      col("id") +: (0 until 16).map(i =>
+        (pmod(hash(col("id"), lit(i)), lit(10000)).cast("double") / 100.0)
+          .as(s"c$i")): _*)
+    timed("corr_k8") {
+      graft.ops.StatsOps.corrMatrix(wide, (0 until 8).map(i => s"c$i")) }
+    timed("corr_k16") {
+      graft.ops.StatsOps.corrMatrix(wide, (0 until 16).map(i => s"c$i")) }
+
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"n":$n,"secs":${j(secs)},"rows":${j(rows)}}""")
