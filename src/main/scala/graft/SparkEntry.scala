@@ -975,6 +975,28 @@ object SparkEntry {
             col("l_extendedprice").as("score")),
         "lab", "score")),
 
+    // Threshold sweep (round 9): the full P/R/F1 curve behind q_auc's one
+    // number — cumulative tp/fp built with the DISTRIBUTED prefix sum at
+    // value grain (price coarsened to 1k bands for a readable curve), not
+    // a one-task global window. What a pipeline reads to pick a filter's
+    // operating threshold.
+    "q_pr_curve" -> ((s, dir) =>
+      graft.ops.EvalMetrics.prCurve(
+        Tables.lineitem(s, dir)
+          .select((col("l_returnflag") === "R").cast("int").as("lab"),
+            floor(col("l_extendedprice").cast("double") / 1000.0).as("score")),
+        "lab", "score")
+        .orderBy("thr")),
+
+    // Gopher/C4-family rule filter (round 9): word-count bounds, mean
+    // word length band, stopword presence, top-word dominance — exact
+    // arithmetic, composite keep verdict, both verdicts populated on the
+    // fixture (thresholds chosen against its distributions).
+    "q_quality_rules" -> ((s, dir) =>
+      TextOps.qualityRules(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Per-doc token entropy: lexical-diversity quality signal (low =
     // templated text), decimal-summed ln terms.
     "q_entropy" -> ((s, dir) =>
@@ -3093,6 +3115,53 @@ object SparkEntry {
         |             - CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE)
         |               / CAST(sum(c) AS DOUBLE), 4) AS entropy
         |FROM c GROUP BY doc_id ORDER BY id""".stripMargin,
+
+    // tp/fp via window cumulation over score-collapsed counts — the
+    // one-task-window form the distributed prefix sum equals bit-for-bit
+    // (PrefixSumSpec pins that); f1 in the same fixed double order.
+    "q_pr_curve" ->
+      """WITH s AS (SELECT CAST(l_returnflag = 'R' AS INT) AS lab,
+        |             CAST(floor(l_extendedprice / 1000) AS BIGINT) AS thr
+        |           FROM lineitem),
+        |c AS (SELECT thr, CAST(sum(lab) AS BIGINT) AS pos,
+        |        CAST(sum(1 - lab) AS BIGINT) AS neg FROM s GROUP BY thr),
+        |cum AS (SELECT thr,
+        |          CAST(sum(pos) OVER (ORDER BY thr DESC) AS BIGINT) AS tp,
+        |          CAST(sum(neg) OVER (ORDER BY thr DESC) AS BIGINT) AS fp
+        |        FROM c),
+        |t AS (SELECT CAST(sum(lab) AS BIGINT) AS p, CAST(sum(1 - lab) AS BIGINT) AS n FROM s)
+        |SELECT thr, tp, fp, CAST(t.p - tp AS BIGINT) AS fn,
+        |       CAST(t.n - fp AS BIGINT) AS tn,
+        |       round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+        |       round(CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE), 6) AS recall,
+        |       round(CASE WHEN tp > 0 THEN
+        |           2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |               * (CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE))
+        |             / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |               + (CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE)))
+        |           ELSE 0.0 END, 6) AS f1
+        |FROM cum CROSS JOIN t ORDER BY thr""".stripMargin,
+
+    "q_quality_rules" ->
+      """WITH t AS (SELECT doc_id,
+        |             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY doc_id, tok),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(length(tok) * c) AS BIGINT) AS chars,
+        |        CAST(sum(CASE WHEN tok IN ('the','a','of','and','in') THEN c ELSE 0 END) AS BIGINT) AS stops,
+        |        CAST(max(c) AS BIGINT) AS maxc
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n AS n_words,
+        |       round(CAST(chars AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_word_len,
+        |       round(CAST(stops AS DOUBLE) / CAST(n AS DOUBLE), 6) AS stop_frac,
+        |       round(CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_share,
+        |       (n >= 30 AND n <= 100000
+        |        AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
+        |        AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0
+        |        AND stops > 0
+        |        AND CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE) <= 0.15) AS keep
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "q_feature_hash" ->
       """WITH t AS (SELECT doc_id,

@@ -124,6 +124,49 @@ object EvalMetrics {
           (col("p").cast("double") * col("ng").cast("double")), 6).as("auc"))
   }
 
+  /** Full precision/recall/F1 curve over every distinct score threshold
+    * (predict positive when score ≥ thr) in ONE value-grain construction:
+    * collapse rows to (score, pos, neg) counts (map-side combine — the
+    * raw corpus never sorts), then cumulative tp/fp over scores
+    * DESCENDING via [[PrefixSum.prefixSum]] — the distributed prefix sum,
+    * NOT a one-task unpartitioned window — and closed-form fn/tn from the
+    * broadcast totals. The threshold-sweep companion to [[aucExact]]
+    * (which integrates this curve into one number); what you read to PICK
+    * the operating threshold.
+    *
+    * Determinism: counts are exact longs; precision/recall/f1 are fixed
+    * double expressions rounded 6 (f1 = 0 when tp = 0, never null).
+    *
+    * Output: (thr, tp, fp, fn, tn, precision, recall, f1), one row per
+    * distinct score, ascending thr.
+    */
+  def prCurve(df: DataFrame, labelCol: String, scoreCol: String,
+              partitions: Int = 32): DataFrame = {
+    val lab0 = col(labelCol).cast("int")
+    val lab = when(lab0 === 0 || lab0 === 1, lab0)
+      .otherwise(raise_error(concat(
+        lit(s"prCurve: label outside {0,1}: "), lab0.cast("string"))))
+    val collapsed = df.select(lab.as("_lab"),
+        col(scoreCol).cast("long").as("thr"))
+      .groupBy("thr").agg(
+        sum(col("_lab").cast("long")).as("pos"),
+        sum(lit(1L) - col("_lab").cast("long")).as("neg"))
+      .withColumn("_ns", -col("thr")) // descending-score order key
+    val tp = PrefixSum.prefixSum(collapsed, "_ns", "pos", partitions)
+      .withColumnRenamed("cum", "tp")
+    val both = PrefixSum.prefixSum(tp, "_ns", "neg", partitions)
+      .withColumnRenamed("cum", "fp")
+    val tot = both.agg(sum("pos").as("p"), sum("neg").as("n"))
+    val pr = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+    val rc = col("tp").cast("double") / col("p").cast("double")
+    both.crossJoin(broadcast(tot))
+      .select(col("thr"), col("tp"), col("fp"),
+        (col("p") - col("tp")).as("fn"), (col("n") - col("fp")).as("tn"),
+        round(pr, 6).as("precision"), round(rc, 6).as("recall"),
+        round(when(col("tp") > 0, lit(2.0) * pr * rc / (pr + rc))
+          .otherwise(0.0), 6).as("f1"))
+  }
+
   /** Precision@k / Recall@k per query — the binary-relevance companions
     * to [[rankingMetrics]]'s graded NDCG (rel > 0 counts as relevant;
     * same (score desc, id asc) ranking). Precision divides by the FULL

@@ -471,6 +471,55 @@ object TextOps {
       .select(col("id"), col("n_chars"), col("gram8_frac"), col("entropy"))
   }
 
+  /** Gopher/C4-family RULE-BASED quality filter (Rae et al. 2021 §A1.1,
+    * Raffel et al. 2020 C4 heuristics), the fixture-computable subset —
+    * per document, exact-arithmetic signals and a composite keep verdict:
+    *
+    *  - `n_words` within [minWords, maxWords] (fragment / runaway cut);
+    *  - mean word length within [minMeanLen, maxMeanLen] (symbol soup /
+    *    concatenated-garbage cut);
+    *  - `stop_frac` > 0 — at least one stopword (the Gopher "has common
+    *    English words" rule at the fixture's tiny stoplist);
+    *  - `top_share` (most frequent word's share) ≤ maxTopShare — the
+    *    single-token repetition dominance cut.
+    *
+    * Everything is integer counts and exact ratios (round 6 / mean round
+    * 4 in one fixed order), so a SQL oracle replays signals AND verdict.
+    * Shape: one explode + two map-side-combined hash aggregations — the
+    * wordcount shape, per-doc fan-in bounded by vocabulary.
+    *
+    * Output: (id, n_words, mean_word_len, stop_frac, top_share, keep).
+    */
+  def qualityRules(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 30, maxWords: Int = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxTopShare: Double = 0.15,
+                   stopwords: Seq[String] = Seq("the", "a", "of", "and", "in"))
+      : DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+    toks.groupBy("id").agg(
+        sum("c").as("n"),
+        sum(length(col("tok")) * col("c")).as("chars"),
+        sum(when(col("tok").isin(stopwords: _*), col("c"))
+          .otherwise(0L)).as("stops"),
+        max("c").as("maxc"))
+      .select(col("id"), col("n").as("n_words"),
+        round(col("chars").cast("double") / col("n").cast("double"), 4)
+          .as("mean_word_len"),
+        round(col("stops").cast("double") / col("n").cast("double"), 6)
+          .as("stop_frac"),
+        round(col("maxc").cast("double") / col("n").cast("double"), 6)
+          .as("top_share"),
+        (col("n") >= minWords && col("n") <= maxWords &&
+          col("chars").cast("double") / col("n").cast("double") >= minMeanLen &&
+          col("chars").cast("double") / col("n").cast("double") <= maxMeanLen &&
+          col("stops") > 0 &&
+          col("maxc").cast("double") / col("n").cast("double") <= maxTopShare)
+          .as("keep"))
+  }
+
   /** Unigram surprisal — the cheapest corpus-statistics quality score
     * (a document of globally-rare tokens has high surprisal; templated
     * boilerplate scores low): mean over tokens of -ln(count(tok)/total)

@@ -444,6 +444,71 @@ class PropertySpec extends SparkTestBase {
     assert(p.sameElements(q))
   }
 
+  test("prCurve: matches a brute-force sweep and is partitioning-deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val rows = Seq.fill(500)((if (rnd.nextBoolean()) 1 else 0,
+      rnd.nextInt(20).toLong))
+    val df = rows.toDF("lab", "score")
+    val got = graft.ops.EvalMetrics.prCurve(df, "lab", "score")
+      .orderBy("thr")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
+    val p = rows.count(_._1 == 1)
+    val n = rows.size - p
+    for ((thr, tp, fp, fn, tn, prec, rec, f1) <- got) {
+      val eTp = rows.count(r => r._1 == 1 && r._2 >= thr)
+      val eFp = rows.count(r => r._1 == 0 && r._2 >= thr)
+      assert(tp == eTp && fp == eFp && fn == p - eTp && tn == n - eFp,
+        s"thr=$thr")
+      assert(tp + fp > 0, "every threshold row has at least its own rows")
+      val ePrec = tp.toDouble / (tp + fp)
+      val eRec = tp.toDouble / p
+      assert(math.abs(prec - ePrec) < 1e-6 && math.abs(rec - eRec) < 1e-6)
+      if (tp == 0) assert(f1 == 0.0)
+      else assert(math.abs(f1 - 2 * ePrec * eRec / (ePrec + eRec)) < 1e-6)
+    }
+    // curve monotonicity: recall never increases with thr, tp+fp shrinks
+    assert(got.map(_._7).toSeq == got.map(_._7).sorted.reverse.toSeq)
+    // one row per distinct score
+    assert(got.length == rows.map(_._2).distinct.size)
+    val repart = graft.ops.EvalMetrics.prCurve(df.repartition(13), "lab", "score")
+      .orderBy("thr")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(repart.sameElements(got))
+  }
+
+  test("qualityRules: hand-computed signals and a discriminating verdict") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the scan runs and the scan waits for the scan"), // top_share 3/10 of 'the'&'scan'... computed below
+      (2L, ("the quick brown fox jumps over a lazy dog " * 4).trim),
+      (3L, "short text here"),                   // too few words
+      (4L, "alpha beta gamma delta " * 10)).toDF("doc_id", "text") // no stopwords
+    val got = graft.ops.TextOps.qualityRules(docs, "doc_id", "text",
+        minWords = 10, maxTopShare = 0.25)
+      .orderBy("id")
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 1: 10 words, 'the'x3 'scan'x3 -> top_share 0.3 > 0.25 -> drop
+    assert(byId(1L)._2 == 10L && byId(1L)._5 == 0.3 && !byId(1L)._6)
+    // doc 2: 36 words, 'the'x4 stop_frac 8/36 (the+a), top 'the' 4/36 -> keep
+    assert(byId(2L)._2 == 36L && byId(2L)._6,
+      s"doc 2 should pass: ${byId(2L)}")
+    assert(byId(2L)._4 == BigDecimal(8.0 / 36).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 3: 3 words < minWords -> drop
+    assert(byId(3L)._2 == 3L && !byId(3L)._6)
+    // doc 4: 40 words but zero stopwords -> drop
+    assert(byId(4L)._2 == 40L && byId(4L)._4 == 0.0 && !byId(4L)._6)
+    // fixture discrimination: the default thresholds keep SOME and drop
+    // SOME real fixture docs (a one-sided verdict tests nothing)
+    val fix = graft.ops.TextOps.qualityRules(
+        graft.core.Tables.documents(spark, sfDir), "doc_id", "text")
+      .groupBy("keep").count().as[(Boolean, Long)].collect().toMap
+    assert(fix.getOrElse(true, 0L) > 0 && fix.getOrElse(false, 0L) > 0,
+      s"degenerate verdict on fixture: $fix")
+  }
+
   test("unigramSurprisal: rare-token docs score above common-token docs") {
     import spark.implicits._
     val docs = Seq(
