@@ -2157,6 +2157,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Compressed-audio leg (round 9): MPEG Layer III frame-header WALK —
+    // ID3v2 syncsafe skip, per-frame sync/version/layer validation,
+    // stepping by the exact Layer III frame length from the public
+    // bitrate/sample-rate tables. n_frames reports SAMPLE frames
+    // (frames × 1152/576) so duration shares the WAV/AIFF arithmetic;
+    // the oracle replays the tables from id arithmetic.
+    "q_media_mp3" -> ((s, dir) => {
+      val media = Multimodal.syntheticMp3(s, Tables.documents(s, dir), "doc_id")
+      Multimodal.audioDims(s, media).toDF()
+        .select(col("id").as("doc_id"), col("format"),
+          col("channels").cast("long").as("channels"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("bits").cast("long").as("bits"),
+          col("nFrames").as("n_frames"),
+          col("durationMs").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     "q_media_audio" -> ((s, dir) => {
       val media = Multimodal.syntheticAudio(
         s, Tables.documents(s, dir), "doc_id", "text")
@@ -4926,6 +4944,30 @@ object SparkEntry {
         |  CAST(n_frames AS BIGINT) AS n_frames,
         |  CAST(n_frames * 1000 // rate AS BIGINT) AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // the public Layer III tables replayed from id arithmetic; sample
+    // frames = frames x 1152 (MPEG-1) / 576 (MPEG-2)
+    "q_media_mp3" ->
+      """WITH p AS (SELECT doc_id,
+        |    doc_id % 2 = 0 AS mpeg1,
+        |    (doc_id * 11) % 3 AS sri,
+        |    (doc_id * 13) % 4 AS mode,
+        |    3 + (doc_id * 17) % 7 AS nf
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN mpeg1 THEN
+        |      CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+        |    ELSE
+        |      CASE sri WHEN 0 THEN 22050 WHEN 1 THEN 24000 ELSE 16000 END
+        |    END AS sr,
+        |    CASE WHEN mode = 3 THEN 1 ELSE 2 END AS ch,
+        |    nf * CASE WHEN mpeg1 THEN 1152 ELSE 576 END AS sf
+        |  FROM p)
+        |SELECT doc_id, 'mp3' AS format, CAST(ch AS BIGINT) AS channels,
+        |  CAST(sr AS BIGINT) AS sample_rate, CAST(0 AS BIGINT) AS bits,
+        |  CAST(sf AS BIGINT) AS n_frames,
+        |  CAST(sf * 1000 // sr AS BIGINT) AS duration_ms
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // io round-trips: the oracle reads the PARQUET source — the Spark side
     // must round-trip losslessly through CSV/text to match.

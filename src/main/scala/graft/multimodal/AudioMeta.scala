@@ -34,6 +34,8 @@ object AudioMeta {
     if (b == null || b.length < 12) return None
     if (fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "WAVE") wav(b)
     else if (fourcc(b, 0) == "FORM" && fourcc(b, 8) == "AIFF") aiff(b)
+    else if ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+      ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)) mp3(b)
     else None
   }
 
@@ -98,6 +100,72 @@ object AudioMeta {
       if ((size & 1L) == 1L) i += 1 // IFF even-padding rule
     }
     found
+  }
+
+  // MPEG audio Layer III tables (ISO/IEC 11172-3 Table B.2 / 13818-3):
+  // bitrate kbps by 4-bit index (0 = free format — refused; 15 = bad).
+  private val Mp3Br1 = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+    160, 192, 224, 256, 320, -1)
+  private val Mp3Br2 = Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+    96, 112, 128, 144, 160, -1)
+  private val Mp3Sr1 = Array(44100, 48000, 32000, -1)
+  private val Mp3Sr2 = Array(22050, 24000, 16000, -1)
+  private val Mp3Sr25 = Array(11025, 12000, 8000, -1)
+
+  /** MPEG-1/2/2.5 Layer III (MP3) FRAME-HEADER WALK — the compressed-audio
+    * leg of the metadata surface (the sound data stays opaque; the header
+    * chain carries the signal): optional ID3v2 container skipped via its
+    * syncsafe length, then every frame header validated (sync, version,
+    * layer III, bitrate/sample-rate indices) and stepped over by the
+    * exact Layer III frame length ⌊spf/8 · bitrate / rate⌋ + padding
+    * (spf = 1152 samples MPEG-1 / 576 MPEG-2/2.5). `nFrames` reports
+    * total SAMPLE frames (frames × spf) so duration arithmetic is shared
+    * with WAV/AIFF; bitsPerSample is 0 — compressed audio has none.
+    *
+    * Strict by design: free-format bitrate, reserved indices, a
+    * mixed-sample-rate chain, a mid-frame truncation, or trailing bytes
+    * after the last frame all refuse with None — at 100 TB "mostly a
+    * valid MP3" is garbage, not data.
+    */
+  private def mp3(b: Array[Byte]): Option[AudioInfo] = {
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2: "ID3" u8 ver u8 rev u8 flags, then a 28-bit SYNCSAFE size
+      // (4 bytes, high bit of each clear) counting the tag body only
+      if (((b(6) | b(7) | b(8) | b(9)) & 0x80) != 0) return None
+      val tagSize = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      i = 10 + tagSize
+    }
+    var frames = 0L
+    var sampleFrames = 0L
+    var rate = -1
+    var channels = -1
+    while (i + 4 <= b.length) {
+      val h = be32(b, i)
+      if (((h >> 21) & 0x7ff) != 0x7ff) return None // lost sync
+      val ver = ((h >> 19) & 3).toInt  // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+      val layer = ((h >> 17) & 3).toInt // 1 = Layer III
+      val brIdx = ((h >> 12) & 0xf).toInt
+      val srIdx = ((h >> 10) & 3).toInt
+      val padding = ((h >> 9) & 1).toInt
+      val mode = ((h >> 6) & 3).toInt
+      if (ver == 1 || layer != 1 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+        return None
+      val mpeg1 = ver == 3
+      val bitrate = (if (mpeg1) Mp3Br1 else Mp3Br2)(brIdx) * 1000L
+      val sr = (if (mpeg1) Mp3Sr1 else if (ver == 2) Mp3Sr2 else Mp3Sr25)(srIdx)
+      val spf = if (mpeg1) 1152 else 576
+      val frameLen = (spf / 8 * bitrate / sr + padding).toInt
+      if (rate < 0) { rate = sr; channels = if (mode == 3) 1 else 2 }
+      else if (sr != rate) return None // mixed-rate chain: refuse
+      if (i + frameLen > b.length) return None // truncated mid-frame
+      frames += 1
+      sampleFrames += spf
+      i += frameLen
+    }
+    if (frames == 0 || i != b.length) None
+    else Some(AudioInfo("mp3", channels, rate, 0, sampleFrames))
   }
 
   /** Decode an 80-bit IEEE extended float at offset `i` to the nearest
@@ -190,6 +258,45 @@ object AudioMeta {
     var i = 0
     while (i < nFrames * blockAlign) { bb.put(((i * 37) & 0xff).toByte); i += 1 }
     bb.array()
+  }
+
+  /** Minimal spec-correct MP3: optional ID3v2 tag (syncsafe length,
+    * filler body) + `nFrames` Layer III frames with correct per-frame
+    * lengths and zeroed audio payloads. `brIdx` indexes the version's
+    * bitrate table (1–14), `srIdx` the sample-rate table (0–2), `mode`
+    * is the 2-bit channel mode (3 = mono).
+    */
+  def makeMp3(mpeg1: Boolean, brIdx: Int, srIdx: Int, mode: Int,
+              nFrames: Int, padding: Int, id3Size: Int): Array[Byte] = {
+    require(brIdx >= 1 && brIdx <= 14 && srIdx >= 0 && srIdx <= 2 &&
+      mode >= 0 && mode <= 3 && nFrames >= 1 && (padding == 0 || padding == 1),
+      s"mp3 params: br=$brIdx sr=$srIdx mode=$mode n=$nFrames pad=$padding")
+    val bitrate = (if (mpeg1) Mp3Br1 else Mp3Br2)(brIdx) * 1000L
+    val sr = (if (mpeg1) Mp3Sr1 else Mp3Sr2)(srIdx)
+    val spf = if (mpeg1) 1152 else 576
+    val frameLen = (spf / 8 * bitrate / sr + padding).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0) // v2.3, no flags
+      out.write((id3Size >> 21) & 0x7f); out.write((id3Size >> 14) & 0x7f)
+      out.write((id3Size >> 7) & 0x7f); out.write(id3Size & 0x7f)
+      var k = 0
+      while (k < id3Size) { out.write((k * 31) & 0x7f); k += 1 } // never 0xFF
+    }
+    val ver = if (mpeg1) 3 else 2
+    val h = (0x7ffL << 21) | (ver.toLong << 19) | (1L << 17) | (1L << 16) |
+      (brIdx.toLong << 12) | (srIdx.toLong << 10) | (padding.toLong << 9) |
+      (mode.toLong << 6)
+    var f = 0
+    while (f < nFrames) {
+      out.write(((h >> 24) & 0xff).toInt); out.write(((h >> 16) & 0xff).toInt)
+      out.write(((h >> 8) & 0xff).toInt); out.write((h & 0xff).toInt)
+      var k = 4
+      while (k < frameLen) { out.write(0); k += 1 }
+      f += 1
+    }
+    out.toByteArray
   }
 
   /** Encode a positive integer as an 80-bit IEEE extended float:

@@ -549,6 +549,33 @@ object Multimodal {
       .toDF("id", "media_type", "payload", "meta")
   }
 
+  /** Synthetic MP3 corpus: one spec-correct Layer III frame chain per
+    * row, all parameters deterministic id arithmetic (MPEG-1/2 split,
+    * the full 1–14 bitrate index range, all three sample-rate indices,
+    * all four channel modes, padding bit, ID3v2 prefix on every fifth
+    * id) — so the frame-header WALK is exercised with real per-frame
+    * lengths and the oracle replays the public tables arithmetically.
+    */
+  def syntheticMp3(spark: SparkSession, df: DataFrame,
+                   idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val mpeg1 = math.floorMod(id, 2) == 0L
+        val brIdx = (1 + math.floorMod(id * 7, 14)).toInt
+        val srIdx = math.floorMod(id * 11, 3).toInt
+        val mode = math.floorMod(id * 13, 4).toInt
+        val nFrames = (3 + math.floorMod(id * 17, 7)).toInt
+        val padding = math.floorMod(id * 19, 2).toInt
+        val id3 = if (math.floorMod(id, 5) == 0L)
+          (10 + math.floorMod(id, 50)).toInt else 0
+        MediaRecord(id, "audio/mpeg",
+          AudioMeta.makeMp3(mpeg1, brIdx, srIdx, mode, nFrames, padding, id3),
+          Map("synthetic" -> "true"))
+      })
+      .toDF("id", "media_type", "payload", "meta")
+  }
+
   /** Batched audio-metadata extraction over the binary column — the real
     * [[AudioMeta.sniff]] chunk walk per partition, no shuffle; garbage
     * yields format "unknown" with null fields. duration_ms is integer

@@ -214,6 +214,64 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("golden MP3: the canonical FF FB 90 00 header parses by hand-checked arithmetic") {
+    // hand-built, independent of makeMp3: MPEG-1 Layer III, 128 kbps
+    // (bitrate index 9), 44100 Hz (index 0), no padding, stereo — frame
+    // length = floor(144·128000/44100) = 417 bytes. Three frames.
+    val frame = new Array[Byte](417)
+    frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte
+    frame(2) = 0x90.toByte; frame(3) = 0x00
+    val bytes = frame ++ frame ++ frame
+    val got = AudioMeta.sniff(bytes)
+    assert(got.contains(AudioInfo("mp3", 2, 44100, 0, 3 * 1152L)), s"got $got")
+    // with an ID3v2 prefix (syncsafe size 0x81 = 129-byte body)
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 1, 1) ++
+      new Array[Byte](129)
+    assert(AudioMeta.sniff(id3 ++ bytes)
+      .contains(AudioInfo("mp3", 2, 44100, 0, 3 * 1152L)))
+  }
+
+  test("MP3 builder round-trips through sniff across the parameter grid") {
+    for (mpeg1 <- Seq(true, false); brIdx <- Seq(1, 9, 14);
+         srIdx <- 0 to 2; mode <- Seq(0, 3); pad <- Seq(0, 1);
+         n <- Seq(1, 5); id3 <- Seq(0, 37)) {
+      val b = AudioMeta.makeMp3(mpeg1, brIdx, srIdx, mode, n, pad, id3)
+      val spf = if (mpeg1) 1152L else 576L
+      val sr = (if (mpeg1) Seq(44100, 48000, 32000)
+                else Seq(22050, 24000, 16000))(srIdx)
+      val got = AudioMeta.sniff(b)
+      assert(got.contains(
+        AudioInfo("mp3", if (mode == 3) 1 else 2, sr, 0, n * spf)),
+        s"mpeg1=$mpeg1 br=$brIdx sr=$srIdx mode=$mode pad=$pad n=$n " +
+          s"id3=$id3 -> $got")
+    }
+  }
+
+  test("MP3 corruption: truncation, free/bad indices, mixed rates -> None") {
+    val good = AudioMeta.makeMp3(mpeg1 = true, 9, 0, 0, 3, 0, 0)
+    assert(AudioMeta.sniff(good).isDefined)
+    // truncated mid-frame, mid-header, and one trailing junk byte
+    for (cut <- Seq(3, 4, 100, good.length - 1))
+      assert(AudioMeta.sniff(good.take(cut)).isEmpty, s"cut=$cut")
+    assert(AudioMeta.sniff(good :+ 0x00.toByte).isEmpty,
+      "trailing junk after the last frame must refuse")
+    // free-format bitrate (index 0) and bad index (15)
+    def patched(f: (Array[Byte]) => Unit): Array[Byte] = {
+      val b = good.clone(); f(b); b
+    }
+    assert(AudioMeta.sniff(patched(b => b(2) = 0x00.toByte)).isEmpty) // free
+    assert(AudioMeta.sniff(patched(b => b(2) = 0xf0.toByte)).isEmpty) // bad
+    // reserved sample-rate index (3)
+    assert(AudioMeta.sniff(patched(b => b(2) = (b(2) | 0x0c).toByte)).isEmpty)
+    // reserved version (bits 01)
+    assert(AudioMeta.sniff(patched(b => b(1) = 0xeb.toByte)).isEmpty)
+    // mixed sample rates across the chain: rewrite the SECOND frame's
+    // rate index (44100 -> 48000)
+    val mixed = good.clone()
+    mixed(417 + 2) = (mixed(417 + 2) | 0x04).toByte
+    assert(AudioMeta.sniff(mixed).isEmpty)
+  }
+
   test("truncated and corrupt audio payloads return None, never throw") {
     val wav = AudioMeta.makeWav(2, 44100, 16, 100, "junk".getBytes)
     val aiff = AudioMeta.makeAiff(2, 44100, 16, 100, "junk".getBytes)
