@@ -260,6 +260,21 @@ object SparkEntry {
           graft.ops.Bpe.fixtureRules)
         .orderBy("tok")),
 
+    // The REAL sharding composite a training pipeline runs: per-doc
+    // token counts from the frozen tokenizer feed token-budget shard
+    // packing on the distributed prefix sum — "cut the corpus into
+    // ~2000-TOKEN shards" end-to-end in one declarative plan (the
+    // char-budget capstone q_corpus_run's token-accurate sibling).
+    "q_token_shards" -> ((s, dir) => {
+      val stats = graft.ops.Bpe.applyPerDocStats(s, Tables.documents(s, dir),
+        "doc_id", "text", graft.ops.Bpe.fixtureRules)
+      graft.ops.PrefixSum.packShards(
+          stats.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", budget = 2000)
+        .select(col("doc_id"), col("n_tokens"), col("cum"), col("shard"))
+        .orderBy("doc_id")
+    }),
+
     // Okapi BM25 keyword retrieval (Lucene +1 IDF, k1=1.2 b=0.75):
     // term-filtered postings + one doc-length agg, no materialized index.
     "q_bm25" -> ((s, dir) =>
@@ -4334,6 +4349,33 @@ object SparkEntry {
         |         GROUP BY doc_id)
         |SELECT b.doc_id, n_words, n_tokens, n_distinct_toks
         |FROM base b JOIN dist USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_token_shards" ->
+      """WITH words AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |dict AS (SELECT DISTINCT word FROM words),
+        |s0 AS (SELECT word, ' ' || array_to_string(list_transform(
+        |         range(1, length(word) + 1), i -> substring(word, CAST(i AS INT), 1)), ' ')
+        |         || ' </w> ' AS s FROM dict),
+        |s1 AS (SELECT word, replace(s, ' e </w> ', ' e</w> ') AS s FROM s0),
+        |s2 AS (SELECT word, replace(s, ' a n ', ' an ') AS s FROM s1),
+        |s3 AS (SELECT word, replace(s, ' r t ', ' rt ') AS s FROM s2),
+        |s4 AS (SELECT word, replace(s, ' t h ', ' th ') AS s FROM s3),
+        |s5 AS (SELECT word, replace(s, ' q u ', ' qu ') AS s FROM s4),
+        |s6 AS (SELECT word, replace(s, ' s c ', ' sc ') AS s FROM s5),
+        |s7 AS (SELECT word, replace(s, ' sc an ', ' scan ') AS s FROM s6),
+        |s8 AS (SELECT word, replace(s, ' o w ', ' ow ') AS s FROM s7),
+        |s9 AS (SELECT word, replace(s, ' e r ', ' er ') AS s FROM s8),
+        |s10 AS (SELECT word, replace(s, ' er </w> ', ' er</w> ') AS s FROM s9),
+        |seg AS (SELECT word, len(list_filter(string_split(s, ' '), x -> x <> '')) AS nt
+        |        FROM s10),
+        |base AS (SELECT w.doc_id, CAST(sum(s.nt) AS BIGINT) AS n_tokens
+        |         FROM words w JOIN seg s USING (word) GROUP BY w.doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 2000 AS BIGINT) AS shard
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     "q_bpe_vocab" ->
       """WITH words AS (SELECT unnest(list_filter(
