@@ -1003,6 +1003,29 @@ object SparkEntry {
         "lab", "score")
         .orderBy("thr")),
 
+    // Ingestion normalization (round 9): Unicode NFC via the native
+    // codegen'd expression + control-char strip + whitespace collapse,
+    // over a corpus with PLANTED dirt (decomposed e+U+0301 runs, BEL/US
+    // control bytes, trailing tab-space runs — deterministic id
+    // arithmetic). The oracle replays NFC through DuckDB's own UAX #15
+    // implementation — two independent engines must agree on the
+    // composed text byte-for-byte.
+    "q_normalize" -> ((s, dir) => {
+      val acc = "e\u0301"
+      val dirty = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" caf"),
+            element_at(array(lit(acc), lit(acc * 2), lit(acc * 3), lit(acc * 4)),
+              (pmod(col("doc_id"), lit(4)) + 1).cast("int"))))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("\u0007\u001f")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("  \t ")).otherwise(lit("")))
+          .as("text"))
+      TextOps.normalizeText(dirty, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Gopher/C4-family rule filter (round 9): word-count bounds, mean
     // word length band, stopword presence, top-word dominance — exact
     // arithmetic, composite keep verdict, both verdicts populated on the
@@ -3174,6 +3197,27 @@ object SparkEntry {
         |               + (CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE)))
         |           ELSE 0.0 END, 6) AS f1
         |FROM cum CROSS JOIN t ORDER BY thr""".stripMargin,
+
+    // NFC replayed by DuckDB's own UAX #15 implementation; regexes use
+    // explicit byte ranges + the 'g' flag (DuckDB replaces first-only by
+    // default, Spark is global)
+    "q_normalize" ->
+      """WITH dirty AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' caf' || repeat('e' || chr(769), CAST(1 + doc_id % 4 AS INT))
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(7) || chr(31) ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '  ' || chr(9) || ' ' ELSE '' END AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t,
+        |        trim(regexp_replace(regexp_replace(nfc_normalize(t),
+        |          '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+        |          '[ \t\n\r\x0B\f]+', ' ', 'g')) AS clean
+        |      FROM dirty)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_raw,
+        |  CAST(length(clean) AS BIGINT) AS n_clean,
+        |  clean <> t AS changed, clean AS text_clean
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q_quality_rules" ->
       """WITH t AS (SELECT doc_id,

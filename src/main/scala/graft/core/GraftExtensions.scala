@@ -33,6 +33,7 @@ object GraftExtensions {
 
   private val functions = Seq(
     fn("rolling_hash", 1, a => RollingHash(a.head)),
+    fn("nfc_normalize", 1, a => graft.functions.NfcNormalize(a.head)),
     fn("vec_dot", 2, a => DotProduct(a(0), a(1))),
     fn("vec_sqdist", 2, a => SqEuclidean(a(0), a(1))),
     fn("vec_dot_prefix", 2, a => DotPrefix(a(0), a(1))),

@@ -487,6 +487,35 @@ object TextOps {
           .as("entropy"))
   }
 
+  /** Ingestion text normalization — the CCNet/RefinedWeb-family cleanup
+    * pass every crawl pipeline runs before hashing or tokenizing, as one
+    * codegen'd projection (no shuffle, no UDF):
+    *
+    *  1. Unicode NFC ([[graft.functions.NfcNormalize]], native
+    *     expression) so decomposed sequences can't defeat dedup;
+    *  2. strip non-whitespace C0/DEL control characters (explicit byte
+    *     ranges, portable across regex engines);
+    *  3. collapse whitespace runs to one space and trim.
+    *
+    * Output: (id, n_raw, n_clean, changed, text_clean) — the cleaned
+    * text plus the accounting a pipeline monitors (how much of the crawl
+    * was dirt). Cross-engine: the oracle replays NFC via DuckDB's
+    * `nfc_normalize` (same UAX #15 algorithm as the JVM) and the same
+    * explicit-range regexes with the 'g' flag.
+    */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nfc = graft.functions.UnicodeNorm.nfc_normalize(col(textCol))
+    val noCtl = regexp_replace(nfc, "[\\x00-\\x08\\x0E-\\x1F\\x7F]", "")
+    val clean = trim(regexp_replace(noCtl, "[ \\t\\n\\r\\x0B\\f]+", " "))
+    df.select(col(idCol).as("id"),
+        length(col(textCol)).cast("long").as("n_raw"),
+        clean.as("text_clean"),
+        (clean =!= col(textCol)).as("changed"))
+      .select(col("id"), col("n_raw"),
+        length(col("text_clean")).cast("long").as("n_clean"),
+        col("changed"), col("text_clean"))
+  }
+
   /** Gopher/C4-family RULE-BASED quality filter (Rae et al. 2021 §A1.1,
     * Raffel et al. 2020 C4 heuristics), the fixture-computable subset —
     * per document, exact-arithmetic signals and a composite keep verdict:

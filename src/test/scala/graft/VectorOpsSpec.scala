@@ -53,6 +53,52 @@ class VectorOpsSpec extends SparkTestBase {
     assert(graft.functions.DotPrefix(arr(1.0, 2.0), arr(3.0)).eval(null) == null)
   }
 
+  test("nfc_normalize: composes decomposed sequences, identity on NFC text, null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val composed = "caf\u00e9" // one code point
+    val decomposed = "cafe\u0301" // e + combining acute
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"),
+        (4L, null.asInstanceOf[String]),
+        (5L, "A\u030angstro\u0308m")) // decomposed ring/diaeresis
+      .toDF("id", "t")
+      .select(col("id"),
+        graft.functions.UnicodeNorm.nfc_normalize(col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(df(1L) == composed, "decomposed must compose")
+    assert(df(2L) == composed, "already-NFC text is untouched")
+    assert(df(3L) == "plain ascii")
+    assert(df(4L) == null)
+    assert(df(5L) == "\u00c5ngstr\u00f6m")
+    // SQL registration via extensions
+    val viaSql = spark.sql("SELECT nfc_normalize('cafe\u0301')").head.getString(0)
+    assert(viaSql == composed)
+    // idempotent
+    val twice = Seq(decomposed).toDF("t")
+      .select(graft.functions.UnicodeNorm.nfc_normalize(
+        graft.functions.UnicodeNorm.nfc_normalize(col("t"))))
+      .head.getString(0)
+    assert(twice == composed)
+  }
+
+  test("normalizeText: NFC + control strip + whitespace collapse, exact accounting") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ok text"),
+      (2L, "cafe\u0301 con leche"), // 15 raw chars -> 14 clean
+      (3L, "bad\u0007\u001fbytes"), // controls stripped, no space
+      (4L, "  spaced\t\tout \n "),
+      (5L, "")).toDF("doc_id", "t")
+    val got = graft.ops.TextOps.normalizeText(docs, "doc_id", "t")
+      .as[(Long, Long, Long, Boolean, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 7L, 7L, false, "ok text")))
+    assert(got(2L) == ((2L, 15L, 14L, true, "caf\u00e9 con leche")))
+    assert(got(3L) == ((3L, 10L, 8L, true, "badbytes")))
+    assert(got(4L) == ((4L, 16L, 10L, true, "spaced out")))
+    assert(got(5L) == ((5L, 0L, 0L, false, "")))
+  }
+
   test("lshBucket: null vector gets a null bucket, not an error") {
     val df = Seq(Tuple1(Option.empty[Array[Double]]),
       Tuple1(Some(Array(1.0, -2.0)))).toDF("v")
