@@ -2607,6 +2607,36 @@ object SparkEntry {
       assigned.select(col("id").as("vec_id"), col("cluster")).orderBy("vec_id")
     }),
 
+    // Logistic regression (round 9): full-batch GD, 3 driver-sequenced
+    // rounds (the chained-job shape) over the first 4 embedding dims +
+    // bias, label = vec_id parity. Per-round gradients are decimal-summed
+    // and quantized to 6 decimals, which is what lets the oracle replay
+    // TRAINING bit-for-bit despite libm exp() differences (the k-means
+    // recipe applied to a sigmoid chain).
+    "q_logreg_train" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .withColumn("y", (col("vec_id") % 2).cast("double"))
+      val w = graft.chain.LogisticRegression.train(s, e, "vec_id",
+        "embedding", "y", dims = 4, iterations = 3, lr = 0.5)
+      w.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+        .toDF("d", "w").orderBy("d")
+    }),
+
+    // Scores of the trained model on its corpus: per-row sigmoid rounded
+    // 6 (the per-row quantization that makes scores engine-portable) +
+    // the 0.5 operating point.
+    "q_logreg_predict" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("y", (col("vec_id") % 2).cast("double"))
+      val w = graft.chain.LogisticRegression.train(s, e, "vec_id",
+        "embedding", "y", dims = 4, iterations = 3, lr = 0.5)
+      graft.chain.LogisticRegression.predict(e, "vec_id", "embedding", "y",
+          dims = 4, w = w)
+        .select(col("id").as("vec_id"), col("p"), col("pred"), col("label"))
+        .orderBy("vec_id")
+    }),
+
     // Naive Bayes training grid — naive_bayes.py:46-159 semantics:
     // document-level binary events (docId, cls=lang, feature=token),
     // +1-pseudocount contingency grid, ll_pair = log a - log b,
@@ -5296,6 +5326,55 @@ object SparkEntry {
          |$body,
          |${assign("afinal", "c3")}
          |SELECT vec_id, cluster FROM afinal ORDER BY vec_id""".stripMargin
+    },
+
+    // Unrolled GD replay (the k-means oracle pattern): per round, the
+    // sigmoid fold in the SAME left-to-right order as vec_dot_prefix,
+    // err·x summed in decimal, gradient rounded 6, sequential weight
+    // update — so the final weights are bit-identical across engines.
+    "q_logreg_train" -> {
+      def sig(wRef: String) =
+        s"(1.0/(1.0 + exp(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, 6), k -> $wRef[k] * x.xs[k])), " +
+          s"(a, b) -> a + b)))))"
+      def round_(i: Int) =
+        s"""g$i AS (SELECT u.d AS d,
+           |    round(CAST(sum(CAST((${sig("w.w")} - x.y) * x.xs[u.d]
+           |        AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS g
+           |  FROM x CROSS JOIN w${i - 1} w CROSS JOIN dims u GROUP BY u.d),
+           |w$i AS (SELECT list(w.w[g.d] - 0.5 * g.g ORDER BY g.d) AS w
+           |        FROM g$i g CROSS JOIN w${i - 1} w)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             CAST(vec_id % 2 AS DOUBLE) AS y FROM embeddings),
+         |x AS (SELECT vec_id, y, [v[1], v[2], v[3], v[4], 1.0] AS xs FROM e),
+         |dims AS (SELECT unnest(range(1, 6)) AS d),
+         |w0 AS (SELECT [0.0, 0.0, 0.0, 0.0, 0.0] AS w),
+         |${(1 to 3).map(round_).mkString(",\n")}
+         |SELECT CAST(u.d AS BIGINT) AS d, w.w[u.d] AS w
+         |FROM w3 w CROSS JOIN dims u ORDER BY d""".stripMargin
+    },
+
+    "q_logreg_predict" -> {
+      def sig(wRef: String) =
+        s"(1.0/(1.0 + exp(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, 6), k -> $wRef[k] * x.xs[k])), " +
+          s"(a, b) -> a + b)))))"
+      def round_(i: Int) =
+        s"""g$i AS (SELECT u.d AS d,
+           |    round(CAST(sum(CAST((${sig("w.w")} - x.y) * x.xs[u.d]
+           |        AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS g
+           |  FROM x CROSS JOIN w${i - 1} w CROSS JOIN dims u GROUP BY u.d),
+           |w$i AS (SELECT list(w.w[g.d] - 0.5 * g.g ORDER BY g.d) AS w
+           |        FROM g$i g CROSS JOIN w${i - 1} w)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             CAST(vec_id % 2 AS DOUBLE) AS y FROM embeddings),
+         |x AS (SELECT vec_id, y, [v[1], v[2], v[3], v[4], 1.0] AS xs FROM e),
+         |dims AS (SELECT unnest(range(1, 6)) AS d),
+         |w0 AS (SELECT [0.0, 0.0, 0.0, 0.0, 0.0] AS w),
+         |${(1 to 3).map(round_).mkString(",\n")}
+         |SELECT x.vec_id, round(${sig("w.w")}, 6) AS p,
+         |  ${sig("w.w")} >= 0.5 AS pred, CAST(x.y AS INT) AS label
+         |FROM x CROSS JOIN w3 w ORDER BY x.vec_id""".stripMargin
     },
 
     "q_nb_train" ->

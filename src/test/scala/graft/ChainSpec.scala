@@ -70,4 +70,40 @@ class ChainSpec extends SparkTestBase {
       .orderBy(desc("score")).select("cls").head().getString(0)
     assert(pred == "A")
   }
+
+  test("LogisticRegression learns a separable problem and is partitioning-deterministic") {
+    import spark.implicits._
+    // y = 1 iff x1 > 0 — linearly separable with margin; GD from zero
+    // must push w1 positive and classify the training set correctly
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map { i =>
+      val x1 = if (i % 2 == 0) 1.0 + rnd.nextDouble() else -1.0 - rnd.nextDouble()
+      (i, Seq(x1, rnd.nextDouble() - 0.5), (if (x1 > 0) 1 else 0))
+    }
+    val df = rows.toDF("id", "v", "y")
+    val w = graft.chain.LogisticRegression.train(spark, df, "id", "v", "y",
+      dims = 2, iterations = 20, lr = 0.5)
+    assert(w.length == 3)
+    assert(w(0) > 0.5, s"w1 must grow positive on the separating dim: $w")
+    val preds = graft.chain.LogisticRegression.predict(df, "id", "v", "y",
+        dims = 2, w = w)
+      .select("pred", "label").as[(Boolean, Int)].collect()
+    val acc = preds.count(p => p._1 == (p._2 == 1)).toDouble / preds.length
+    assert(acc >= 0.99, s"separable data must classify: acc=$acc")
+    // the quantized-gradient contract: identical weights on a different
+    // physical partitioning (decimal sums + round-6 per round)
+    val w2 = graft.chain.LogisticRegression.train(spark, df.repartition(13),
+      "id", "v", "y", dims = 2, iterations = 20, lr = 0.5)
+    assert(w == w2, s"training must be partitioning-deterministic: $w vs $w2")
+    // loss decreases over training (20 rounds vs 1 round)
+    def logloss(ws: Seq[Double]): Double =
+      graft.chain.LogisticRegression.predict(df, "id", "v", "y", 2, ws)
+        .select(avg(when(col("label") === 1, -log(greatest(col("p"), lit(1e-9))))
+          .otherwise(-log(greatest(lit(1.0) - col("p"), lit(1e-9))))))
+        .head.getDouble(0)
+    val w1round = graft.chain.LogisticRegression.train(spark, df, "id", "v", "y",
+      dims = 2, iterations = 1, lr = 0.5)
+    assert(logloss(w) < logloss(w1round),
+      s"more rounds must reduce training loss: ${logloss(w)} vs ${logloss(w1round)}")
+  }
 }
