@@ -1921,6 +1921,30 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
+    // ANN QUALITY MONITORING (round 9): recall@10 of the IVF path against
+    // the exact brute-force ranking, per query — the number a production
+    // serving stack watches to re-tune nProbe/cells. Both rankings are
+    // the existing oracle-replayed operators; the composite joins their
+    // top-k sets and the oracle replays the WHOLE composition.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 10).select("query_id", "vec_id")
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 10, cells = 4, nProbe = 2,
+        lloydIters = 3).select("query_id", "vec_id")
+      val hits = brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / 10.0, 6)
+            .as("recall"))
+        .orderBy("query_id")
+    }),
+
     // sign-LSH bucketed ANN (the scale path): bucket equi-join + exact
     // cosine re-rank. The oracle replicates the md5-derived bucketing
     // bit-for-bit; recall vs brute force is additionally checked in
@@ -4804,6 +4828,37 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
          |  FROM s)
          |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
+
+    // both rankings replayed (brute = all-pairs cosine, IVF = the same
+    // quantizer CTEs + probed-cell candidates), then set-intersected
+    "q_ann_recall" ->
+      s"""WITH ${kmeansCtes(4)},
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |probe AS (SELECT query_id, qv, cell FROM (
+         |  SELECT q.query_id, q.qv, c.cluster AS cell,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqd("q.qv", "c.v")} ASC, c.cluster ASC) AS pr
+         |  FROM q CROSS JOIN c3 c) WHERE pr <= 2),
+         |cand AS (SELECT p.query_id, p.qv, a.vec_id, a.v
+         |         FROM probe p JOIN afinal a ON a.cluster = p.cell AND a.vec_id <> p.query_id),
+         |ivfr AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ${cosSql("v", "qv")} DESC, vec_id ASC) AS rank
+         |  FROM cand) WHERE rank <= 10),
+         |bruter AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, e.vec_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id ASC) AS rank
+         |  FROM e JOIN q ON e.vec_id <> q.query_id) WHERE rank <= 10),
+         |hits AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS hits
+         |         FROM bruter b JOIN ivfr i ON b.query_id = i.query_id
+         |           AND b.vec_id = i.vec_id
+         |         GROUP BY b.query_id)
+         |SELECT q.query_id, coalesce(h.hits, 0) AS hits,
+         |       round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+         |ORDER BY q.query_id""".stripMargin,
 
     // SemDeDup: same quantizer CTEs at 8 cells; csim = cosine to the own-
     // cluster centroid; a row is dropped iff a strictly-more-keepable
