@@ -2422,6 +2422,40 @@ object SparkEntry {
     // chunk files capped small here to force multi-chunk/multi-hunk) →
     // one-task-per-chunk reader → decode. Oracle reads the source table:
     // the codec must be lossless.
+    // WARC round-trip (round 9): documents → spec-layout .warc.gz (one
+    // gzip member per record, warcinfo leader, HTTP response payloads) →
+    // task-per-file distributed read → HTTP body extraction. The oracle
+    // reads the parquet source: the whole archive format must be
+    // invisible to results (the q_chunk_format contract for the
+    // Common-Crawl-shaped ingestion format).
+    "q_warc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val body = text.getBytes("UTF-8")
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+          graft.io.Warc.WarcRecord("response", s"<urn:graft:doc:$id>",
+            "2026-01-01T00:00:00Z", Some(s"http://corpus.test/doc/$id"), http)
+        }
+      val path = graft.io.IoScratch.dir + "/documents_warc"
+      graft.io.Warc.write(recs, path)
+      graft.io.Warc.read(s, path + "/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("content"))
+        .as[(Long, String, Array[Byte])]
+        .map { case (id, t, content) =>
+          val body = graft.io.Warc.httpBody(content).getOrElse(Array.emptyByteArray)
+          (id, t, body.length.toLong, new String(body, "UTF-8"))
+        }
+        .toDF("doc_id", "warc_type", "n_bytes", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_chunk_format" -> ((s, dir) => {
       import s.implicits._
       val kv = Tables.documents(s, dir)
@@ -4902,6 +4936,13 @@ object SparkEntry {
     // chunk-format round-trip: lossless codec, oracle reads the source
     "q_chunk_format" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+
+    // the archive format must be invisible: body bytes round-trip exactly
+    // (fixture text is ASCII, so octet length = strlen)
+    "q_warc_roundtrip" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // pipe round-trip: tr A-Z then lower() must be identity on this corpus
     // (tokens are already lowercase alphanumerics) — same spec as wordcount.
