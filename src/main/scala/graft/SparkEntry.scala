@@ -1473,6 +1473,19 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("x", "y")),
 
+    // Embedding drift (round 9): per-dimension mean shift + centroid
+    // cosine between the even-/odd-id halves of the embeddings — the
+    // vector analog of q_psi (retrain-the-ANN-index alarm). Same-
+    // distribution halves ⇒ high cosine, small drift; decimal-exact
+    // means so the oracle replays every number.
+    "q_embed_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ops.StatsOps.embeddingDrift(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1), "embedding")
+        .orderBy("d")
+    }),
+
     // Per-group PSI: value drift per event type between the even- and
     // odd-id halves of the stream — the fully distributed GROUP BY form
     // (edges are a TABLE, not driver literals; no group sorts in one
@@ -3052,6 +3065,26 @@ object SparkEntry {
          |$pairSelects
          |ORDER BY x, y""".stripMargin
     },
+
+    // decimal-exact per-dim means, centroid cosine from the dims-row fold
+    "q_embed_drift" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS d),
+        |da AS (SELECT d, CAST(sum(CAST(v[d] AS DECIMAL(38,18))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS ma
+        |       FROM e CROSS JOIN dims WHERE vec_id % 2 = 0 GROUP BY d),
+        |db AS (SELECT d, CAST(sum(CAST(v[d] AS DECIMAL(38,18))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS mb
+        |       FROM e CROSS JOIN dims WHERE vec_id % 2 = 1 GROUP BY d),
+        |m AS (SELECT d, ma, mb FROM da JOIN db USING (d)),
+        |c AS (SELECT CAST(sum(CAST(ma * mb AS DECIMAL(38,18))) AS DOUBLE) AS ab,
+        |             CAST(sum(CAST(ma * ma AS DECIMAL(38,18))) AS DOUBLE) AS aa,
+        |             CAST(sum(CAST(mb * mb AS DECIMAL(38,18))) AS DOUBLE) AS bb
+        |      FROM m)
+        |SELECT CAST(m.d AS BIGINT) AS d, round(ma, 6) AS mean_a,
+        |  round(mb, 6) AS mean_b, round(abs(ma - mb), 6) AS drift,
+        |  round(ab / (sqrt(aa) * sqrt(bb)), 6) AS cos_means
+        |FROM m CROSS JOIN c ORDER BY d""".stripMargin,
 
     "q_psi_groups" ->
       """WITH refv AS (SELECT event_type AS g, value AS v FROM events WHERE event_id % 2 = 0),

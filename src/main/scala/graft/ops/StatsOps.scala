@@ -208,6 +208,41 @@ object StatsOps {
         col("p.corr").as("corr"))
   }
 
+  /** Embedding-space drift between two corpus slices — the vector analog
+    * of [[psi]] (which monitors scalars): per-dimension mean shift plus
+    * the cosine between the two mean vectors (1.0 = directionally
+    * identical centroids; the retrain-the-index alarm for an ANN stack
+    * when it drops). All means are decimal-summed exact ratios and the
+    * cosine folds the k-row mean table through decimal sums in fixed
+    * order — cross-engine replayable like every stats op here.
+    *
+    * Shape: one explode + map-side-combined aggregation PER SLICE at
+    * (dim) grain — shuffle volume is dims rows — then dims-sized joins;
+    * nothing collects or sorts a slice.
+    *
+    * Output: (d, mean_a, mean_b, drift, cos_means) — one row per
+    * dimension (1-based), `cos_means` repeated on each row (the psi
+    * convention).
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    def dimMeans(df: DataFrame, name: String) =
+      df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+        .groupBy("d")
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)).cast("double")).as(name))
+    val m = dimMeans(a, "ma").join(dimMeans(b, "mb"), "d")
+    val cosParts = m.agg(
+      sum((col("ma") * col("mb")).cast("decimal(38,18)")).cast("double").as("ab"),
+      sum((col("ma") * col("ma")).cast("decimal(38,18)")).cast("double").as("aa"),
+      sum((col("mb") * col("mb")).cast("decimal(38,18)")).cast("double").as("bb"))
+    m.crossJoin(broadcast(cosParts))
+      .select((col("d") + 1).cast("long").as("d"),
+        round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
+        round(abs(col("ma") - col("mb")), 6).as("drift"),
+        round(col("ab") / (sqrt(col("aa")) * sqrt(col("bb"))), 6)
+          .as("cos_means"))
+  }
+
   /** Population Stability Index — the standard "did the data drift
     * between two corpus slices" monitor a production training pipeline
     * runs before retraining. The CURRENT slice is binned against the
