@@ -1827,6 +1827,18 @@ object SparkEntry {
           TextAnalysis.fingerprintRolling(col("text")).as("fp_roll"))
         .orderBy("doc_id")),
 
+    // Winnowing (round 9): MOSS local fingerprints — min k-gram hash per
+    // sliding window, rightmost tie, as ONE integer window min via the
+    // enc = h·2^32 + (2^32-1-pos) ordering trick; any shared substring
+    // of length >= k+window-1 across docs contributes an identical
+    // selected fingerprint (spec-pinned on planted plagiarism).
+    "q_winnow" -> ((s, dir) =>
+      TextOps.winnowFingerprints(
+          Tables.documents(s, dir).filter(col("doc_id") < 100),
+          "doc_id", "text", k = 5, window = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "fp_pos")),
+
     // -------- LLM-pipeline extension surface: dedup ------------------------
 
     // exact dedup by normalized-content digest (shuffle on 16-byte key).
@@ -4231,6 +4243,30 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    // same rolling-hash recipe as q_fingerprint per gram, same enc trick,
+    // same window frame — the selection must agree bit-for-bit
+    "q_winnow" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        |           FROM documents WHERE doc_id < 100),
+        |b AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n FROM d
+        |      WHERE length(t) >= 8),
+        |g AS (SELECT doc_id, n, i AS pos,
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(string_split_regex(substring(t, CAST(i + 1 AS INT), 5), ''),
+        |                         c -> unicode(c)::BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 2147483647) AS h
+        |      FROM b CROSS JOIN unnest(range(0, n - 4)) AS r(i)),
+        |e AS (SELECT doc_id, n, pos, h * 4294967296 + (4294967295 - pos) AS enc FROM g),
+        |w AS (SELECT doc_id, n, pos,
+        |        min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |      FROM e),
+        |sel AS (SELECT DISTINCT doc_id,
+        |          CAST(4294967295 - (wmin % 4294967296) AS BIGINT) AS fp_pos,
+        |          CAST(wmin // 4294967296 AS BIGINT) AS fp
+        |        FROM w WHERE pos <= n - 8)
+        |SELECT doc_id, fp_pos, fp FROM sel ORDER BY doc_id, fp_pos""".stripMargin,
 
     "q_funnel" ->
       """WITH v AS (SELECT user_id AS u, min(ts) AS ft FROM events

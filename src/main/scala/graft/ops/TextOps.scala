@@ -487,6 +487,56 @@ object TextOps {
           .as("entropy"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * the MOSS algorithm): hash every character k-gram of the normalized
+    * text (the [[graft.functions.RollingHash]] polynomial), then select
+    * the MINIMUM hash of each sliding window of `window` consecutive
+    * grams, ties to the RIGHTMOST position — the paper's robust-winnowing
+    * rule, giving the guarantee that any shared substring of length ≥
+    * k + window − 1 between two documents contributes at least one
+    * IDENTICAL selected fingerprint (position-independent), while
+    * keeping ~2/(window+1) of all grams. The local-fingerprint upgrade
+    * over the whole-doc [[graft.functions.TextAnalysis]] digests.
+    *
+    * The min-with-rightmost-tie selection is ONE integer window min:
+    * enc = h·2³² + (2³²−1−pos) orders by (hash asc, pos desc), so the
+    * frame min IS the robust-winnowing choice — portable arithmetic both
+    * engines replay exactly (hash < 2³¹ keeps enc inside int64; pos <
+    * 2³² supports 4-billion-char documents). Per-doc window frames run
+    * inside one doc's rows — docs distribute across tasks, the
+    * rankingMetrics per-group contract.
+    *
+    * Output: (id, fp_pos, fp) — the distinct selected fingerprints with
+    * the gram position they anchor to, ≥1 per window by construction.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, window: Int = 4): DataFrame = {
+    require(k >= 2 && window >= 2, s"winnow needs k>=2, window>=2: $k/$window")
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val base = df.select(col(idCol).as("id"), split(norm, "").as("cs"),
+        length(norm).cast("long").as("n"))
+      .filter(col("n") >= k + window - 1)
+    val grams = base.select(col("id"), col("n"),
+      posexplode(transform(sequence(lit(0L), col("n") - k),
+        i => graft.functions.RollingHash.rolling_hash(
+          array_join(slice(col("cs"), (i + 1).cast("int"), lit(k)), ""))))
+        .as(Seq("pos", "h")))
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        window - 1)
+    grams
+      .withColumn("enc",
+        col("h") * lit(4294967296L) + (lit(4294967295L) - col("pos")))
+      .withColumn("wmin", min("enc").over(wspec))
+      .filter(col("pos") <= col("n") - k - (window - 1))
+      .select(col("id"),
+        (lit(4294967295L) - pmod(col("wmin"), lit(4294967296L))).as("fp_pos"),
+        ((col("wmin") - pmod(col("wmin"), lit(4294967296L))) /
+          lit(4294967296L)).cast("long").as("fp"))
+      .distinct()
+  }
+
   /** Ingestion text normalization — the CCNet/RefinedWeb-family cleanup
     * pass every crawl pipeline runs before hashing or tokenizing, as one
     * codegen'd projection (no shuffle, no UDF):

@@ -444,6 +444,50 @@ class PropertySpec extends SparkTestBase {
     assert(p.sameElements(q))
   }
 
+  test("winnowFingerprints: the shared-substring guarantee, coverage, determinism") {
+    import spark.implicits._
+    val shared = "the stolen passage lives here"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon"),
+      (2L, s"completely different framing text $shared and a different tail"),
+      (3L, "nothing in common with the others at all zilch")).toDF("doc_id", "text")
+    val fp = graft.ops.TextOps.winnowFingerprints(docs, "doc_id", "text",
+        k = 5, window = 4)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // the paper's guarantee: a shared substring of length >= k+window-1
+    // (here 29 chars >> 8) must contribute >= 1 IDENTICAL fingerprint
+    val common12 = byDoc(1L) intersect byDoc(2L)
+    assert(common12.nonEmpty,
+      s"docs sharing a 29-char passage must share a fingerprint")
+    // and that shared fingerprint must come from the planted passage:
+    // hash the passage's own grams and check the overlap is real
+    val pfp = graft.ops.TextOps.winnowFingerprints(
+        Seq((9L, shared)).toDF("doc_id", "text"), "doc_id", "text", 5, 4)
+      .as[(Long, Long, Long)].collect().map(_._3).toSet
+    assert((common12 intersect pfp).nonEmpty,
+      "the doc-1/doc-2 overlap must include a passage fingerprint")
+    // unrelated docs: no guarantee of zero overlap, but the planted case
+    // must dominate (doc 3 shares the common English words only)
+    assert(common12.size > (byDoc(1L) intersect byDoc(3L)).size)
+    // coverage: selected positions are never more than `window` apart
+    // (every window of 4 gram positions contains a selection)
+    for ((id, rows) <- fp.groupBy(_._1)) {
+      val pos = rows.map(_._2).sorted
+      val gaps = pos.zip(pos.drop(1)).map { case (a, b) => b - a }
+      assert(gaps.forall(_ <= 4), s"doc $id has a coverage gap: $gaps")
+    }
+    // density: robust winnowing keeps ~2/(w+1) of grams, far under 100%
+    val n1 = docs.filter($"doc_id" === 1L).select(length(regexp_replace(
+      trim(lower($"text")), "\\s+", " "))).head.getInt(0) - 4
+    assert(byDoc(1L).size < n1, "selection must be a strict subset of grams")
+    // partitioning-deterministic
+    val fp2 = graft.ops.TextOps.winnowFingerprints(docs.repartition(7),
+        "doc_id", "text", k = 5, window = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(fp.toSet == fp2.toSet)
+  }
+
   test("prCurve: matches a brute-force sweep and is partitioning-deterministic") {
     import spark.implicits._
     val rnd = new scala.util.Random(91)
