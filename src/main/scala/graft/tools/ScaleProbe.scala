@@ -370,6 +370,44 @@ object ScaleProbe {
     timed("corr_k16") {
       graft.ops.StatsOps.corrMatrix(wide, (0 until 16).map(i => s"c$i")) }
 
+    // round-9 session-2 probes: tokenizer application (dictionary-grain
+    // segmentation + broadcast join), ingestion normalization (pure
+    // codegen projection), winnowing (per-doc gram explode + window min —
+    // rows = total chars, the densest text op here), WARC write+read
+    // round-trip (task-per-file IO), and logistic regression (3 GD
+    // rounds, gradient = dims+1 decimals per partition).
+    timed("bpe_apply") {
+      graft.ops.Bpe.applyPerDocStats(spark, docs, "doc_id", "text",
+        graft.ops.Bpe.fixtureRules)
+    }
+    timed("normalize") {
+      graft.ops.TextOps.normalizeText(docs, "doc_id", "text")
+    }
+    timed("winnow") {
+      graft.ops.TextOps.winnowFingerprints(docs, "doc_id", "text",
+        k = 5, window = 4)
+    }
+    timed("warc_roundtrip") {
+      import spark.implicits._
+      val recs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          graft.io.Warc.WarcRecord("response", s"<urn:probe:$id>",
+            "2026-01-01T00:00:00Z", Some(s"http://probe/doc/$id"),
+            text.getBytes("UTF-8"))
+        }
+      val path = graft.io.IoScratch.dir + "/probe_warc"
+      graft.io.Warc.write(recs, path)
+      graft.io.Warc.read(spark, path + "/*.warc.gz")
+        .select(col("warc_type"), octet_length(col("content")).as("nb"))
+    }
+    timed("logreg_train") {
+      import spark.implicits._
+      val e = embs.withColumn("y", (col("vec_id") % 2).cast("double"))
+      val w = graft.chain.LogisticRegression.train(spark, e, "vec_id",
+        "embedding", "y", dims = 4, iterations = 3, lr = 0.5)
+      w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("d", "w")
+    }
+
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"n":$n,"secs":${j(secs)},"rows":${j(rows)}}""")
