@@ -1827,6 +1827,15 @@ object SparkEntry {
           TextAnalysis.fingerprintRolling(col("text")).as("fp_roll"))
         .orderBy("doc_id")),
 
+    // MOSS matching (round 9): doc pairs sharing winnow fingerprints via
+    // the df-capped inverted index (hot ubiquitous grams dropped — the
+    // PMI/PPJoin rare-feature rule), never all-pairs.
+    "q_winnow_pairs" -> ((s, dir) =>
+      TextOps.winnowMatches(
+          Tables.documents(s, dir).filter(col("doc_id") < 100),
+          "doc_id", "text", k = 5, window = 4, maxDf = 10, minShared = 3)
+        .orderBy("a", "b")),
+
     // Winnowing (round 9): MOSS local fingerprints — min k-gram hash per
     // sliding window, rightmost tie, as ONE integer window min via the
     // enc = h·2^32 + (2^32-1-pos) ordering trick; any shared substring
@@ -4243,6 +4252,34 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    // the winnow chain + df-cap + inverted-index self-join replayed
+    "q_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        |           FROM documents WHERE doc_id < 100),
+        |b AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n FROM d
+        |      WHERE length(t) >= 8),
+        |g AS (SELECT doc_id, n, i AS pos,
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(string_split_regex(substring(t, CAST(i + 1 AS INT), 5), ''),
+        |                         c -> unicode(c)::BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 2147483647) AS h
+        |      FROM b CROSS JOIN unnest(range(0, n - 4)) AS r(i)),
+        |e AS (SELECT doc_id, n, pos, h * 4294967296 + (4294967295 - pos) AS enc FROM g),
+        |w AS (SELECT doc_id, n, pos,
+        |        min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |      FROM e),
+        |fp AS (SELECT DISTINCT doc_id, CAST(wmin // 4294967296 AS BIGINT) AS fp
+        |       FROM w WHERE pos <= n - 8),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+        |         WHERE df <= 10),
+        |ix AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM ix x JOIN ix y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |GROUP BY x.doc_id, y.doc_id
+        |HAVING count(*) >= 3
+        |ORDER BY a, b""".stripMargin,
 
     // same rolling-hash recipe as q_fingerprint per gram, same enc trick,
     // same window frame — the selection must agree bit-for-bit

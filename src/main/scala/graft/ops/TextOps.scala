@@ -537,6 +537,36 @@ object TextOps {
       .distinct()
   }
 
+  /** Cross-document overlap detection over [[winnowFingerprints]] — the
+    * MOSS use case: pairs of documents sharing ≥ `minShared` selected
+    * fingerprints, found through the fingerprint INVERTED INDEX (equi-
+    * join on fp), never all-pairs. Fingerprints appearing in more than
+    * `maxDf` documents are dropped first — the standard df-cap: a
+    * ubiquitous gram ("the s…") carries no plagiarism signal and would
+    * otherwise make the index join quadratic on hot keys (the same
+    * rare-feature filtering as the PMI cap and PPJoin prefixes; the cap
+    * is part of the algorithm, not a silent truncation).
+    *
+    * Output: (a, b, n_shared) with a < b, ordered pairs of ids sharing
+    * ≥ minShared surviving fingerprints.
+    */
+  def winnowMatches(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, window: Int = 4, maxDf: Int = 10,
+                    minShared: Int = 5): DataFrame = {
+    require(maxDf >= 2 && minShared >= 1)
+    val fp = winnowFingerprints(df, idCol, textCol, k, window)
+      .select(col("id"), col("fp")).distinct()
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val indexed = fp.join(rare, "fp")
+    indexed.as("x").join(indexed.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Ingestion text normalization — the CCNet/RefinedWeb-family cleanup
     * pass every crawl pipeline runs before hashing or tokenizing, as one
     * codegen'd projection (no shuffle, no UDF):
