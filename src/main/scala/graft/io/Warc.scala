@@ -84,6 +84,11 @@ object Warc {
       }.toMap
       val len = headers.get("content-length").flatMap(_.toLongOption)
         .getOrElse(return fail("missing Content-Length"))
+      // negative and absurd lengths are validated BEFORE the arithmetic
+      // below: a hostile 2^62 length would overflow cStart + len to a
+      // negative long and sail past the truncation check
+      if (len < 0 || len > Int.MaxValue - 8)
+        return fail(s"invalid Content-Length $len")
       val cStart = headEnd + 4
       if (cStart + len + 4 > b.length) return fail("truncated content")
       val content = java.util.Arrays.copyOfRange(b, cStart, (cStart + len).toInt)

@@ -73,6 +73,15 @@ class WarcSpec extends SparkTestBase {
     val noTerm = ("WARC/1.0\r\nWARC-Type: x\r\nWARC-Record-ID: <a>\r\n" +
       "WARC-Date: d\r\nContent-Length: 4\r\n\r\nbodyXXXX").getBytes("US-ASCII")
     intercept[IllegalArgumentException](Warc.parseAll(noTerm))
+    // hostile lengths: negative, and 2^62 (which would overflow the
+    // truncation arithmetic if checked after the addition)
+    for (bad <- Seq("-5", "4611686018427387904")) {
+      val h = (s"WARC/1.0\r\nWARC-Type: x\r\nWARC-Record-ID: <a>\r\n" +
+        s"WARC-Date: d\r\nContent-Length: $bad\r\n\r\nbody\r\n\r\n")
+        .getBytes("US-ASCII")
+      intercept[IllegalArgumentException](Warc.parseAll(h))
+      assert(Warc.parseAll(h, strict = false).isEmpty)
+    }
   }
 
   test("httpBody splits an HTTP payload; payload without CRLFCRLF yields None") {
