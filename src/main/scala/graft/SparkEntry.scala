@@ -351,6 +351,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CAPSTONE v2 (round 9): the modern pipeline front-to-back in ONE
+    // plan — Gopher-rule QUALITY GATE first (the pass every production
+    // corpus runs before dedup), then the full q_corpus_run chain
+    // (near-dedup keep-canonical → split → per-source char budget →
+    // shard pack) over the surviving docs. The oracle replays the
+    // quality CTE and re-roots the whole dedup closure on it.
+    "q_corpus_run2" -> ((s, dir) => {
+      val docs0 = Tables.documents(s, dir)
+      val keep = TextOps.qualityRules(docs0, "doc_id", "text")
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val docs = docs0.join(keep, "doc_id")
+      val edges = Dedup.minhashLshEdges(docs, "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+      val kept = docs.join(Dedup.canonicalize(docs, "doc_id", edges), "doc_id")
+        .filter(col("doc_id") === col("canon_id"))
+        .select("doc_id", "source", "n_chars")
+      val train = Sampling.splitByHash(kept, col("doc_id"),
+          Seq(0.8, 0.1, 0.1), salt = "run")
+        .filter(col("split") === 0)
+        .withColumn("pri", Sampling.hashDraw(col("doc_id"), "runpri"))
+      val capped = graft.ops.PrefixSum.budgetCapPerGroup(
+          train.select("doc_id", "source", "n_chars", "pri"),
+          "source", Seq("pri", "doc_id"), "n_chars", budget = 3000L)
+        .select("doc_id", "n_chars")
+      graft.ops.PrefixSum.packShards(capped, "doc_id", "n_chars", budget = 8000L)
+        .select("doc_id", "cum", "shard")
+        .orderBy("doc_id")
+    }),
+
     // Sequential funnel: users completing view -> click -> purchase in
     // strict time order; per-step frontier joins, no whole-user windows.
     "q_funnel" -> ((s, dir) =>
@@ -4537,6 +4566,52 @@ object SparkEntry {
         |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
         |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 8000 AS BIGINT) AS shard
         |FROM cf ORDER BY doc_id""".stripMargin),
+
+    // quality gate replayed, then the ENTIRE dedup-closure + split +
+    // budget + shard chain re-rooted on the surviving docs (string-level
+    // re-rooting of the shared closure CTEs: documents → qdocs)
+    "q_corpus_run2" -> {
+      val quality =
+        """WITH RECURSIVE qtok AS (SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+          |  FROM documents),
+          |qcnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+          |         FROM qtok GROUP BY doc_id, tok),
+          |qagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+          |           CAST(sum(length(tok) * c) AS BIGINT) AS chars,
+          |           CAST(sum(CASE WHEN tok IN ('the','a','of','and','in') THEN c ELSE 0 END) AS BIGINT) AS stops,
+          |           CAST(max(c) AS BIGINT) AS maxc
+          |         FROM qcnt GROUP BY doc_id),
+          |qkeep AS (SELECT doc_id FROM qagg
+          |          WHERE n >= 30 AND n <= 100000
+          |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
+          |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0
+          |            AND stops > 0
+          |            AND CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE) <= 0.15),
+          |qdocs AS (SELECT d.* FROM documents d JOIN qkeep k USING (doc_id)),""".stripMargin
+      val rebased = DedupClosureCtes.stripPrefix("WITH RECURSIVE ")
+        .replace("FROM documents", "FROM qdocs")
+      quality + "\n" + rebased + ",\n" +
+        s"""canon AS (SELECT d.doc_id, d.source, d.n_chars,
+        |             coalesce(l.canon, d.doc_id) AS canon_id
+        |           FROM qdocs d LEFT JOIN lbl l ON l.id = d.doc_id),
+        |kept AS (SELECT doc_id, source, n_chars FROM canon WHERE doc_id = canon_id),
+        |sp AS (SELECT doc_id, source, n_chars,
+        |         ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.1, 0.1), "run")} AS split
+        |       FROM kept),
+        |train AS (SELECT doc_id, source, n_chars,
+        |            ${graft.ops.Sampling.hashDrawSql("doc_id", "runpri")} AS pri
+        |          FROM sp WHERE split = 0),
+        |cap AS (SELECT doc_id, n_chars,
+        |          CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY pri, doc_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scum
+        |        FROM train),
+        |cf AS (SELECT doc_id, n_chars FROM cap WHERE scum <= 3000)
+        |SELECT doc_id,
+        |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 8000 AS BIGINT) AS shard
+        |FROM cf ORDER BY doc_id""".stripMargin
+    },
 
     // Per-word char pairs + the (last-char, </w>) marker pair, weighted by
     // word frequency — exactly Bpe.pairCounts' shape.
