@@ -155,7 +155,19 @@ object Bench {
     // raw runs are also written to a committed file. Full-suite runs only —
     // a SPARK_GRAFT_ONLY iteration run must never clobber the record.
     if (only.isEmpty) {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL_r9.json")
+      // Default filename derives the CURRENT round from the committed
+      // CORRECTNESS_r{N}.json artifacts (the driver writes one at the END
+      // of round N, so max+1 = the round in progress) — a new round's full
+      // run can never silently overwrite the previous round's committed
+      // record, and nobody has to remember to bump a constant.
+      val round = try {
+        val re = "CORRECTNESS_r(\\d+)\\.json".r
+        val ns = new java.io.File(".").listFiles().toSeq
+          .map(_.getName).collect { case re(n) => n.toInt }
+        if (ns.isEmpty) 1 else ns.max + 1
+      } catch { case _: Throwable => 0 }
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+        s"BENCH_FULL_r$round.json")
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
           (line + "\n").getBytes("UTF-8"))

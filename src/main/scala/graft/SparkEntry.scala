@@ -357,11 +357,17 @@ object SparkEntry {
     // (near-dedup keep-canonical → split → per-source char budget →
     // shard pack) over the surviving docs. The oracle replays the
     // quality CTE and re-roots the whole dedup closure on it.
+    //
+    // The gated docs are materialized ONCE (localCheckpoint): Catalyst
+    // does not dedupe common subtrees, and minhashLshEdges + canonicalize
+    // reference their input ~4-6x — without the checkpoint the full
+    // quality gate (scan + text-analysis agg + join) re-runs at every
+    // reference, a real cost when the gate is a full-corpus text pass.
     "q_corpus_run2" -> ((s, dir) => {
       val docs0 = Tables.documents(s, dir)
       val keep = TextOps.qualityRules(docs0, "doc_id", "text")
         .filter(col("keep")).select(col("id").as("doc_id"))
-      val docs = docs0.join(keep, "doc_id")
+      val docs = docs0.join(keep, "doc_id").localCheckpoint()
       val edges = Dedup.minhashLshEdges(docs, "doc_id", "text",
         shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
       val kept = docs.join(Dedup.canonicalize(docs, "doc_id", edges), "doc_id")
@@ -3348,7 +3354,7 @@ object SparkEntry {
     // (PrefixSumSpec pins that); f1 in the same fixed double order.
     "q_pr_curve" ->
       """WITH s AS (SELECT CAST(l_returnflag = 'R' AS INT) AS lab,
-        |             CAST(floor(l_extendedprice / 1000) AS BIGINT) AS thr
+        |             CAST(floor(l_extendedprice / 1000) AS DOUBLE) AS thr
         |           FROM lineitem),
         |c AS (SELECT thr, CAST(sum(lab) AS BIGINT) AS pos,
         |        CAST(sum(1 - lab) AS BIGINT) AS neg FROM s GROUP BY thr),

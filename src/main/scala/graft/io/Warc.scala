@@ -151,6 +151,14 @@ object Warc {
     * each beginning with the standard `warcinfo` record, one gzip member
     * per record. Deletes the target first — overwrite semantics, the
     * stale-files-beside-new-ones lesson.
+    *
+    * Filesystem contract: part files are written with `java.io` from
+    * inside `foreachPartition`, so `path` must be a filesystem every
+    * executor sees at the same mount point (local mode, NFS, or a FUSE
+    * mount) — the same assumption DiscoChunk's writer makes. On a
+    * cluster writing to HDFS/S3, route through the Hadoop `FileSystem`
+    * API instead (the parquet sinks' path); the record framing
+    * (`recordBytes`/`gzipMember`) is already stream-agnostic.
     */
   def write(ds: org.apache.spark.sql.Dataset[WarcRecord], path: String): Unit = {
     val dir = new java.io.File(path)

@@ -387,6 +387,9 @@ object JpegCodec {
       (b(tp + 1) & 0xff) == 0xff) tp += 1
     if (tp + 1 >= b.length || (b(tp) & 0xff) != 0xff ||
       (b(tp + 1) & 0xff) != 0xd9) return None
+    // ...and EOI must END the payload: trailing bytes after FF D9 are the
+    // same refuse-don't-guess case as the MP3 walk's one-junk-byte rule
+    if (tp + 2 != b.length) return None
     // compose: replication upsampling + (for 3 components) JFIF YCbCr→RGB
     // with the libjpeg fixed-point constants FIX(1.40200)=91881,
     // FIX(0.34414)=22554, FIX(0.71414)=46802, FIX(1.77200)=116130 and a

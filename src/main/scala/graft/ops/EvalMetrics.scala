@@ -136,6 +136,10 @@ object EvalMetrics {
     *
     * Determinism: counts are exact longs; precision/recall/f1 are fixed
     * double expressions rounded 6 (f1 = 0 when tp = 0, never null).
+    * Thresholds are the RAW scores cast to double — fractional scores
+    * (model probabilities in [0,1]) keep their full resolution; grouping
+    * is on the exact double bits, so equal inputs collapse and nothing
+    * is silently truncated to integer bands.
     *
     * Output: (thr, tp, fp, fn, tn, precision, recall, f1), one row per
     * distinct score, ascending thr.
@@ -147,7 +151,7 @@ object EvalMetrics {
       .otherwise(raise_error(concat(
         lit(s"prCurve: label outside {0,1}: "), lab0.cast("string"))))
     val collapsed = df.select(lab.as("_lab"),
-        col(scoreCol).cast("long").as("thr"))
+        col(scoreCol).cast("double").as("thr"))
       .groupBy("thr").agg(
         sum(col("_lab").cast("long")).as("pos"),
         sum(lit(1L) - col("_lab").cast("long")).as("neg"))

@@ -496,7 +496,7 @@ class PropertySpec extends SparkTestBase {
     val df = rows.toDF("lab", "score")
     val got = graft.ops.EvalMetrics.prCurve(df, "lab", "score")
       .orderBy("thr")
-      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
+      .as[(Double, Long, Long, Long, Long, Double, Double, Double)].collect()
     val p = rows.count(_._1 == 1)
     val n = rows.size - p
     for ((thr, tp, fp, fn, tn, prec, rec, f1) <- got) {
@@ -517,8 +517,27 @@ class PropertySpec extends SparkTestBase {
     assert(got.length == rows.map(_._2).distinct.size)
     val repart = graft.ops.EvalMetrics.prCurve(df.repartition(13), "lab", "score")
       .orderBy("thr")
-      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
+      .as[(Double, Long, Long, Long, Long, Double, Double, Double)].collect()
     assert(repart.sameElements(got))
+  }
+
+  test("prCurve: fractional scores keep full resolution (no integer collapse)") {
+    import spark.implicits._
+    // model-probability-shaped scores in [0,1]: a long cast would collapse
+    // ALL of them to threshold 0 and emit a meaningless one-row curve
+    val rows = Seq((1, 0.9), (1, 0.7), (0, 0.7), (0, 0.4), (1, 0.4), (0, 0.1))
+    val df = rows.toDF("lab", "score")
+    val got = graft.ops.EvalMetrics.prCurve(df, "lab", "score")
+      .orderBy("thr")
+      .as[(Double, Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(0.1, 0.4, 0.7, 0.9))
+    for ((thr, tp, fp, fn, tn, prec, rec, _) <- got) {
+      val eTp = rows.count(r => r._1 == 1 && r._2 >= thr)
+      val eFp = rows.count(r => r._1 == 0 && r._2 >= thr)
+      assert(tp == eTp && fp == eFp && fn == 3 - eTp && tn == 3 - eFp, s"thr=$thr")
+      assert(math.abs(prec - eTp.toDouble / (eTp + eFp)) < 1e-6)
+      assert(math.abs(rec - eTp / 3.0) < 1e-6)
+    }
   }
 
   test("qualityRules: hand-computed signals and a discriminating verdict") {
