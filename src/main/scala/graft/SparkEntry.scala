@@ -386,6 +386,80 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CAPSTONE v3 (round 10): the Common-Crawl-shaped FRONT DOOR feeding
+    // the full v2 pipeline in one chain. The corpus is rendered as a
+    // DIRTY crawl — decomposed NFD runs, C0 control bytes, whitespace
+    // runs (the q_normalize dirt, deterministic per doc_id) — into a
+    // spec-layout .warc.gz archive; then task-per-file WARC read → HTTP
+    // body extraction → NFC normalize + control strip + whitespace
+    // collapse → Gopher quality gate → near-dedup keep-canonical → split
+    // → per-source char budget → shard pack. `source` and `n_chars` come
+    // from the ARCHIVE (URI host + cleaned length), never the parquet;
+    // the oracle replays the dirt, the clean, and the whole re-rooted
+    // closure string-level. Parsed docs and gated docs are each
+    // materialized ONCE (localCheckpoint) — neither the WARC parse nor
+    // the quality gate may re-run at every dedup-closure reference.
+    "q_corpus_run3" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, src, text) =>
+          val dirt = new StringBuilder(text)
+          if (id % 3 == 0) {
+            dirt.append(" caf")
+            var i = 0L; while (i < 1 + id % 4) { dirt.append("e\u0301"); i += 1 }
+          }
+          if (id % 4 == 0) dirt.append('\u0007').append('\u001f')
+          if (id % 5 == 0) dirt.append("  \t ")
+          val body = dirt.toString.getBytes("UTF-8")
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+          graft.io.Warc.WarcRecord("response", s"<urn:graft:doc:$id>",
+            "2026-01-01T00:00:00Z", Some(s"http://$src.test/doc/$id"), http)
+        }
+      val path = graft.io.IoScratch.dir + "/corpus_warc"
+      graft.io.Warc.write(recs, path)
+      val parsed = graft.io.Warc.read(s, path + "/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("target_uri"), "^http://([^./]+)\\.test/", 1)
+            .as("source"),
+          col("content"))
+        .as[(Long, String, Array[Byte])]
+        .map { case (id, src, content) =>
+          val body = graft.io.Warc.httpBody(content).getOrElse(Array.emptyByteArray)
+          (id, src, new String(body, "UTF-8"))
+        }
+        .toDF("doc_id", "source", "text_raw")
+        .localCheckpoint()
+      val docs0 = parsed.select("doc_id", "source")
+        .join(TextOps.normalizeText(parsed, "doc_id", "text_raw")
+          .select(col("id").as("doc_id"), col("text_clean").as("text"),
+            col("n_clean").as("n_chars")), "doc_id")
+      val keep = TextOps.qualityRules(docs0, "doc_id", "text")
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val docs = docs0.join(keep, "doc_id").localCheckpoint()
+      val edges = Dedup.minhashLshEdges(docs, "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+      val kept = docs.join(Dedup.canonicalize(docs, "doc_id", edges), "doc_id")
+        .filter(col("doc_id") === col("canon_id"))
+        .select("doc_id", "source", "n_chars")
+      val train = Sampling.splitByHash(kept, col("doc_id"),
+          Seq(0.8, 0.1, 0.1), salt = "run")
+        .filter(col("split") === 0)
+        .withColumn("pri", Sampling.hashDraw(col("doc_id"), "runpri"))
+      val capped = graft.ops.PrefixSum.budgetCapPerGroup(
+          train.select("doc_id", "source", "n_chars", "pri"),
+          "source", Seq("pri", "doc_id"), "n_chars", budget = 3000L)
+        .select("doc_id", "n_chars")
+      graft.ops.PrefixSum.packShards(capped, "doc_id", "n_chars", budget = 8000L)
+        .select("doc_id", "cum", "shard")
+        .orderBy("doc_id")
+    }),
+
     // Sequential funnel: users completing view -> click -> purchase in
     // strict time order; per-step frontier joins, no whole-user windows.
     "q_funnel" -> ((s, dir) =>
@@ -4598,6 +4672,71 @@ object SparkEntry {
       val rebased = DedupClosureCtes.stripPrefix("WITH RECURSIVE ")
         .replace("FROM documents", "FROM qdocs")
       quality + "\n" + rebased + ",\n" +
+        s"""canon AS (SELECT d.doc_id, d.source, d.n_chars,
+        |             coalesce(l.canon, d.doc_id) AS canon_id
+        |           FROM qdocs d LEFT JOIN lbl l ON l.id = d.doc_id),
+        |kept AS (SELECT doc_id, source, n_chars FROM canon WHERE doc_id = canon_id),
+        |sp AS (SELECT doc_id, source, n_chars,
+        |         ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.1, 0.1), "run")} AS split
+        |       FROM kept),
+        |train AS (SELECT doc_id, source, n_chars,
+        |            ${graft.ops.Sampling.hashDrawSql("doc_id", "runpri")} AS pri
+        |          FROM sp WHERE split = 0),
+        |cap AS (SELECT doc_id, n_chars,
+        |          CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY pri, doc_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scum
+        |        FROM train),
+        |cf AS (SELECT doc_id, n_chars FROM cap WHERE scum <= 3000)
+        |SELECT doc_id,
+        |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 8000 AS BIGINT) AS shard
+        |FROM cf ORDER BY doc_id""".stripMargin
+    },
+
+    // Capstone v3: the WARC front door replayed string-level — the dirty
+    // crawl (q_normalize's dirt arithmetic), DuckDB's own UAX #15 NFC +
+    // the same explicit-range regex cleanup, then the v2 quality gate +
+    // dedup closure + split + budget + shard chain re-rooted on the
+    // CLEANED docs (source from the archive URI host = the table's
+    // source; n_chars = cleaned length, NOT the table column). The WARC
+    // container itself is proven invisible by q_warc_roundtrip.
+    "q_corpus_run3" -> {
+      val root =
+        """WITH RECURSIVE wdirty AS (SELECT doc_id, source, text ||
+          |    CASE WHEN doc_id % 3 = 0
+          |         THEN ' caf' || repeat('e' || chr(769), CAST(1 + doc_id % 4 AS INT))
+          |         ELSE '' END ||
+          |    CASE WHEN doc_id % 4 = 0 THEN chr(7) || chr(31) ELSE '' END ||
+          |    CASE WHEN doc_id % 5 = 0 THEN '  ' || chr(9) || ' ' ELSE '' END AS t
+          |  FROM documents),
+          |wclean AS (SELECT doc_id, source,
+          |    trim(regexp_replace(regexp_replace(nfc_normalize(t),
+          |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+          |      '[ \t\n\r\x0B\f]+', ' ', 'g')) AS text
+          |  FROM wdirty),
+          |wdocs AS (SELECT doc_id, source, text,
+          |    CAST(length(text) AS BIGINT) AS n_chars FROM wclean),""".stripMargin
+      val quality =
+        """qtok AS (SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+          |  FROM wdocs),
+          |qcnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+          |         FROM qtok GROUP BY doc_id, tok),
+          |qagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+          |           CAST(sum(length(tok) * c) AS BIGINT) AS chars,
+          |           CAST(sum(CASE WHEN tok IN ('the','a','of','and','in') THEN c ELSE 0 END) AS BIGINT) AS stops,
+          |           CAST(max(c) AS BIGINT) AS maxc
+          |         FROM qcnt GROUP BY doc_id),
+          |qkeep AS (SELECT doc_id FROM qagg
+          |          WHERE n >= 30 AND n <= 100000
+          |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
+          |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0
+          |            AND stops > 0
+          |            AND CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE) <= 0.15),
+          |qdocs AS (SELECT d.* FROM wdocs d JOIN qkeep k USING (doc_id)),""".stripMargin
+      val rebased = DedupClosureCtes.stripPrefix("WITH RECURSIVE ")
+        .replace("FROM documents", "FROM qdocs")
+      root + "\n" + quality + "\n" + rebased + ",\n" +
         s"""canon AS (SELECT d.doc_id, d.source, d.n_chars,
         |             coalesce(l.canon, d.doc_id) AS canon_id
         |           FROM qdocs d LEFT JOIN lbl l ON l.id = d.doc_id),
