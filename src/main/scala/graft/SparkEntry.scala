@@ -1192,6 +1192,33 @@ object SparkEntry {
       TextOps.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id")),
 
+    // Language-ID / fluency GATE (round 10): bigram LM trained ONLY on
+    // the lang='en' reference slice, every doc scored under that frozen
+    // model, keep = lm_score >= -3.42. The threshold comes from the
+    // q_lm_sweep operating-point table (87% en recall, 79% non-en
+    // rejection on the fixture) — the one standard corpus-pipeline stage
+    // the rule gate can't express (reads-like-the-reference, not
+    // rule-computable).
+    "q_lm_filter" -> ((s, dir) =>
+      TextOps.lmFilter(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", threshold = -3.42)
+        .orderBy("id")),
+
+    // The gate's operating-point table: prCurve (distributed prefix-sum
+    // cumulation, fractional thresholds) of the en-trained LM score
+    // against the lang='en' label — what you read to PICK q_lm_filter's
+    // threshold. Fractional scores exercise prCurve's raw-double
+    // grouping (the round-10 fix).
+    "q_lm_sweep" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = TextOps.bigramLmScoreRef(d, "doc_id", "text",
+          col("lang") === "en")
+        .join(d.select(col("doc_id").as("id"),
+          (col("lang") === "en").cast("int").as("lab")), "id")
+      graft.ops.EvalMetrics.prCurve(scored, "lab", "lm_score")
+        .orderBy("thr")
+    }),
+
     // Compressibility quality filter, ORACLE-REPLAYABLE form: distinct-
     // 8-gram fraction (the substring-repetition signal deflate exploits)
     // + exact character entropy per doc. The zlib-ratio variant
@@ -2982,6 +3009,27 @@ object SparkEntry {
   /** The closure's CTE chain (through the `lbl` labels), reusable by any
     * oracle that needs canonical near-dup labels as an input stage.
     */
+  /** Shared CTE chain for the reference-slice bigram LM (q_lm_filter /
+    * q_lm_sweep): en-slice-trained add-one model, every doc's bigrams
+    * LEFT-joined against it (absent n-grams = pure smoothing mass),
+    * per-bigram log-probs as DECIMAL(38,18) ready for the final
+    * per-doc aggregation each query appends.
+    */
+  private val LmRefScoreCtes: String =
+    """WITH arr AS (SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+      |  FROM documents),
+      |tok AS (SELECT doc_id, lang, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+      |bigr AS (SELECT t1.doc_id, t1.lang, t1.w AS w1, t1.w || ' ' || t2.w AS bg
+      |         FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok WHERE lang = 'en' GROUP BY w),
+      |big AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bigr WHERE lang = 'en' GROUP BY bg),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+      |lp AS (SELECT b.doc_id,
+      |         CAST(ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(coalesce(cu, 0) + v.v AS DOUBLE))
+      |              AS DECIMAL(38,18)) AS lp
+      |       FROM bigr b LEFT JOIN big USING (bg) LEFT JOIN uni ON uni.w = b.w1 CROSS JOIN v)""".stripMargin
+
   private val DedupClosureCtes: String =
     """WITH RECURSIVE arr AS (SELECT doc_id,
       |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
@@ -3581,6 +3629,43 @@ object SparkEntry {
         |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |       round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS lm_score
         |FROM lp GROUP BY doc_id ORDER BY id""".stripMargin,
+
+    // en-slice-trained model (LEFT joins: absent bigrams/first-words are
+    // pure smoothing mass), fixed-threshold verdict.
+    "q_lm_filter" ->
+      (LmRefScoreCtes + "\n" +
+      """SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS lm_score,
+        |       round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) >= -3.42 AS keep
+        |FROM lp GROUP BY doc_id ORDER BY id""".stripMargin),
+
+    // the operating-point sweep: score-grain collapse + window cumulation
+    // (the q_pr_curve one-task-window form the distributed prefix sum
+    // equals bit-for-bit), thresholds are the raw fractional scores.
+    "q_lm_sweep" ->
+      (LmRefScoreCtes + ",\n" +
+      """sc AS (SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS thr
+        |       FROM lp GROUP BY doc_id),
+        |sl AS (SELECT s.thr, CAST(d.lang = 'en' AS INT) AS lab
+        |       FROM sc s JOIN documents d USING (doc_id)),
+        |c AS (SELECT thr, CAST(sum(lab) AS BIGINT) AS pos,
+        |        CAST(sum(1 - lab) AS BIGINT) AS neg FROM sl GROUP BY thr),
+        |cum AS (SELECT thr,
+        |          CAST(sum(pos) OVER (ORDER BY thr DESC) AS BIGINT) AS tp,
+        |          CAST(sum(neg) OVER (ORDER BY thr DESC) AS BIGINT) AS fp
+        |        FROM c),
+        |t AS (SELECT CAST(sum(lab) AS BIGINT) AS p, CAST(sum(1 - lab) AS BIGINT) AS n FROM sl)
+        |SELECT thr, tp, fp, CAST(t.p - tp AS BIGINT) AS fn,
+        |       CAST(t.n - fp AS BIGINT) AS tn,
+        |       round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+        |       round(CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE), 6) AS recall,
+        |       round(CASE WHEN tp > 0 THEN
+        |           2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |               * (CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE))
+        |             / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |               + (CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE)))
+        |           ELSE 0.0 END, 6) AS f1
+        |FROM cum CROSS JOIN t ORDER BY thr""".stripMargin),
 
     // Same decimal-summed c*ln(c) treatment as the surprisal score so the
     // entropy replays cross-engine; the 8-gram fraction is exact integers.

@@ -739,4 +739,69 @@ object TextOps {
           (col("slnc").cast("double") / col("n_tokens").cast("double")), 4)
           .as("surprisal"))
   }
+
+  /** Bigram-LM scorer with a REFERENCE training slice — the scoring half
+    * of the language-ID / fluency gate: train the add-one-smoothed bigram
+    * model ONLY on rows where `refCol` is true (the trusted slice, e.g.
+    * docs already identified as the target language), then score EVERY
+    * doc under that frozen model — mean over the doc's bigrams of
+    * ln P(w2|w1) = ln((C_ref(w1w2)+1) / (C_ref(w1)+V_ref)). Bigrams and
+    * first-words absent from the reference fall back to count 0 (pure
+    * smoothing mass), so text unlike the reference floors toward
+    * ln(1/V_ref) — which is exactly what separates other-language /
+    * scrambled text from fluent target text. [[bigramLmScore]] is the
+    * self-trained special case (ref = everything).
+    *
+    * Determinism: per-bigram log-probs through DECIMAL(38,18) before the
+    * sum (order-independent), integer count arithmetic inside the ln —
+    * the oracle replays bit-for-bit. Docs with < 2 tokens have no
+    * bigrams and are absent.
+    *
+    * Shape at 100 TB: the [[bigramLmScore]] shape (explode + hash aggs +
+    * n-gram-key shuffle joins) with the model legs filtered to the
+    * reference slice; the model is dictionary-grain (distinct n-grams),
+    * never corpus-grain.
+    */
+  def bigramLmScoreRef(df: DataFrame, idCol: String, textCol: String,
+                       refCol: Column): DataFrame = {
+    val arr = df.select(col(idCol).as("id"), refCol.as("_ref"),
+        graft.functions.TextAnalysis.tokensArr(col(textCol)).as("a"))
+      .filter(size(col("a")) >= 2)
+    val bigr = arr.select(col("id"), col("_ref"),
+        explode(graft.functions.TextAnalysis.ngramsArr(col("a"), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val uni = df.filter(refCol)
+      .select(explode(graft.functions.TextAnalysis.tokensArr(col(textCol)))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val big = bigr.filter(col("_ref")).groupBy("bg").agg(count(lit(1)).as("cb"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    bigr.join(big, Seq("bg"), "left")
+      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast("decimal(38,18)")).as("_slp"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("_slp").cast("double") / col("n_bigrams").cast("double"), 4)
+          .as("lm_score"))
+  }
+
+  /** Language-ID / fluency GATE — [[bigramLmScoreRef]] composed into the
+    * per-doc keep/drop verdict every corpus pipeline runs after the rule
+    * gate: score every doc under the reference-slice bigram model, keep
+    * when `lm_score >= threshold`. Pick the threshold by sweeping the
+    * curve ([[EvalMetrics.prCurve]] over these scores — the q_lm_sweep
+    * operating-point table); the gate itself is one fixed comparison so
+    * the verdict replays exactly.
+    *
+    * Output: (id, n_bigrams, lm_score, keep). Docs with < 2 tokens are
+    * absent (unscorable — route them to the rule gate's length cut).
+    */
+  def lmFilter(df: DataFrame, idCol: String, textCol: String,
+               refCol: Column, threshold: Double): DataFrame =
+    bigramLmScoreRef(df, idCol, textCol, refCol)
+      .withColumn("keep", col("lm_score") >= threshold)
 }

@@ -650,6 +650,38 @@ class PropertySpec extends SparkTestBase {
     assert(one == Set(2L))
   }
 
+  test("lmFilter: gate equals the offline scorer; ref model discriminates unseen text") {
+    import spark.implicits._
+    // ref slice: 20 fluent docs over one vocabulary; non-ref: one doc in
+    // the ref's own phrasing (should KEEP) and one doc of tokens the ref
+    // has never seen (floors to ln(1/V) mass -> DROP)
+    val docs = ((1 to 20).map(i => (i.toLong, true, "alpha beta gamma delta")) :+
+      ((100L, false, "alpha beta gamma delta")) :+
+      ((200L, false, "zeta eta theta iota"))).toDF("doc_id", "ref", "text")
+    val thr = -1.0 // between fluent ln(22/26) ~ -0.17 and unseen ln(1/4) ~ -1.39
+    val gate = graft.ops.TextOps.lmFilter(docs, "doc_id", "text", col("ref"), thr)
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    // gate == offline scorer: verdict is exactly score >= thr, row by row
+    val offline = graft.ops.TextOps.bigramLmScoreRef(docs, "doc_id", "text", col("ref"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(gate.keySet == offline.keySet)
+    gate.foreach { case (id, (_, _, score, keep)) =>
+      assert(score == offline(id), s"doc $id: gate score differs from offline")
+      assert(keep == (score >= thr), s"doc $id: verdict != score >= thr")
+    }
+    // in-model text scores like the ref slice itself; unseen-vocab text
+    // floors toward ln(1/V) (V=4 -> each lp = ln(1/4)) and is dropped
+    assert(gate(100L)._4 && gate(100L)._3 == offline(1L))
+    assert(!gate(200L)._4)
+    assert(math.abs(gate(200L)._3 - math.log(1.0 / 4.0)) < 1e-4) // round-4 output
+    // self-trained special case: bigramLmScoreRef(ref=everything) == bigramLmScore
+    val all = graft.ops.TextOps.bigramLmScoreRef(docs, "doc_id", "text", lit(true))
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    val self = graft.ops.TextOps.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    assert(all.sameElements(self))
+  }
+
   test("bm25 agrees with the textbook reference model") {
     import spark.implicits._
     val raw = Seq(
