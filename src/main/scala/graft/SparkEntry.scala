@@ -489,6 +489,36 @@ object SparkEntry {
         .select("doc_id", "source", "cum").orderBy("doc_id")
     }),
 
+    // URL → registrable domain (round 10): hosts under the public-suffix
+    // longest-match algorithm — multi-label suffix (co.uk), private-
+    // section entry (example.com), userinfo, port, query, fragment all
+    // exercised by the synthetic per-doc URLs. One codegen'd CASE chain
+    // at scan speed; the oracle runs the SAME chain from
+    // UrlOps.registrableDomainSql so Scala and SQL cannot drift.
+    "q_url_domain" -> ((s, dir) => {
+      val u = Tables.documents(s, dir)
+        .select(col("doc_id"), SyntheticUrl.as("url"))
+      u.select(col("doc_id"), col("url"),
+          graft.ops.UrlOps.host(col("url")).as("host"),
+          graft.ops.UrlOps.registrableDomain(col("url")).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-DOMAIN char-budget cap (round 10): the production grain — a
+    // crawl caps per registrable domain, not per source label. Domain
+    // key from the scan-speed CASE chain, then the same distributed
+    // per-group prefix sum as q_budget_cap keyed on domain.
+    "q_domain_budget" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), SyntheticUrl.as("url"))
+        .withColumn("domain", graft.ops.UrlOps.registrableDomain(col("url")))
+        .withColumn("draw", Sampling.hashDraw(col("doc_id"), "dom"))
+        .select("doc_id", "domain", "n_chars", "draw")
+      graft.ops.PrefixSum.budgetCapPerGroup(d, "domain",
+          Seq("draw", "doc_id"), "n_chars", budget = 800L)
+        .select("doc_id", "domain", "cum").orderBy("doc_id")
+    }),
+
     // Z-order layout stats: Morton-interleave (l_partkey, l_suppkey) with
     // a codegen'd native expression, then show the file-skipping property
     // — every z-bucket (zval >> 16) covers a bounded rectangle of the key
@@ -3009,6 +3039,37 @@ object SparkEntry {
   /** The closure's CTE chain (through the `lbl` labels), reusable by any
     * oracle that needs canonical near-dup labels as an input stage.
     */
+  /** Deterministic per-doc crawl URL (q_url_domain / q_domain_budget):
+    * five shapes cycling on doc_id — www + private-section suffix,
+    * cdn + multi-label suffix + query, bare host + port, userinfo +
+    * deep subdomain, mirror subdomain — so every branch of the
+    * public-suffix CASE chain is exercised. [[SyntheticUrlSql]] is the
+    * string-level twin.
+    */
+  private def SyntheticUrl: org.apache.spark.sql.Column = element_at(array(
+    concat(lit("https://www."), col("source"), lit("-news.example.com/a/"),
+      col("doc_id").cast("string")),
+    concat(lit("http://cdn."), col("source"), lit(".co.uk/x?id="),
+      col("doc_id").cast("string")),
+    concat(lit("https://"), col("source"), lit(".net:8443/p/"),
+      col("doc_id").cast("string")),
+    concat(lit("http://user:pw@deep.sub."), col("source"), lit(".org/"),
+      col("doc_id").cast("string")),
+    concat(lit("https://mirror."), col("source"), lit(".example.com/b/"),
+      col("doc_id").cast("string"))),
+    // doc_id//5 % 5, NOT doc_id % 5: the fixture's source IS doc_id % 20,
+    // so a %5 shape would be constant per source (20 domains instead of
+    // 100, one URL shape per source)
+    (pmod(floor(col("doc_id") / lit(5)).cast("long"), lit(5)) + 1).cast("int"))
+
+  private val SyntheticUrlSql: String =
+    """CASE doc_id // 5 % 5
+      |      WHEN 0 THEN 'https://www.' || source || '-news.example.com/a/' || doc_id
+      |      WHEN 1 THEN 'http://cdn.' || source || '.co.uk/x?id=' || doc_id
+      |      WHEN 2 THEN 'https://' || source || '.net:8443/p/' || doc_id
+      |      WHEN 3 THEN 'http://user:pw@deep.sub.' || source || '.org/' || doc_id
+      |      ELSE 'https://mirror.' || source || '.example.com/b/' || doc_id END""".stripMargin
+
   /** Shared CTE chain for the reference-slice bigram LM (q_lm_filter /
     * q_lm_sweep): en-slice-trained add-one model, every doc's bigrams
     * LEFT-joined against it (absent n-grams = pure smoothing mass),
@@ -4553,6 +4614,34 @@ object SparkEntry {
         |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |      FROM p)
         |SELECT doc_id, source, cum FROM c WHERE cum <= 4000 ORDER BY doc_id""".stripMargin,
+
+    // the SAME public-suffix CASE chain, generated from UrlOps so the
+    // Scala expression and the SQL cannot drift
+    "q_url_domain" ->
+      s"""WITH u AS (SELECT doc_id, $SyntheticUrlSql AS url FROM documents),
+        |h AS (SELECT doc_id, url,
+        |        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+        |      FROM u)
+        |SELECT doc_id, url, host,
+        |  ${graft.ops.UrlOps.registrableDomainSql("host")} AS domain
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_domain_budget" ->
+      s"""WITH u AS (SELECT doc_id, n_chars, $SyntheticUrlSql AS url FROM documents),
+        |h AS (SELECT doc_id, n_chars,
+        |        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+        |      FROM u),
+        |d AS (SELECT doc_id, n_chars,
+        |        ${graft.ops.UrlOps.registrableDomainSql("host")} AS domain
+        |      FROM h),
+        |p AS (SELECT doc_id, domain, n_chars,
+        |        ${graft.ops.Sampling.hashDrawSql("doc_id", "dom")} AS draw
+        |      FROM d),
+        |c AS (SELECT doc_id, domain,
+        |        CAST(sum(n_chars) OVER (PARTITION BY domain ORDER BY draw, doc_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM p)
+        |SELECT doc_id, domain, cum FROM c WHERE cum <= 800 ORDER BY doc_id""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (SELECT quantile_disc(l_extendedprice, 0.05) AS lo,
