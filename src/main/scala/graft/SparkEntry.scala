@@ -2002,6 +2002,16 @@ object SparkEntry {
           "doc_id", "text", k = 5, window = 4, maxDf = 10, minShared = 3)
         .orderBy("a", "b")),
 
+    // Span-grain MOSS (round 10): the winnow_pairs matches with the
+    // anchor POSITIONS in both docs per shared fingerprint — which span
+    // of a aligns with which span of b (feeds the substring-rewrite
+    // family). Same df-cap and pair gate; one anchor-index self-join.
+    "q_winnow_spans" -> ((s, dir) =>
+      TextOps.winnowSpans(
+          Tables.documents(s, dir).filter(col("doc_id") < 100),
+          "doc_id", "text", k = 5, window = 4, maxDf = 10, minShared = 3)
+        .orderBy("a", "b", "fp", "a_pos", "b_pos")),
+
     // Winnowing (round 9): MOSS local fingerprints — min k-gram hash per
     // sliding window, rightmost tie, as ONE integer window min via the
     // enc = h·2^32 + (2^32-1-pos) ordering trick; any shared substring
@@ -4535,6 +4545,41 @@ object SparkEntry {
         |GROUP BY x.doc_id, y.doc_id
         |HAVING count(*) >= 3
         |ORDER BY a, b""".stripMargin,
+
+    // span grain: the same chain keeps fp_pos through the index join;
+    // pair gate = distinct shared fps, rows = all anchor combinations
+    "q_winnow_spans" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        |           FROM documents WHERE doc_id < 100),
+        |b AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n FROM d
+        |      WHERE length(t) >= 8),
+        |g AS (SELECT doc_id, n, i AS pos,
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(string_split_regex(substring(t, CAST(i + 1 AS INT), 5), ''),
+        |                         c -> unicode(c)::BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 2147483647) AS h
+        |      FROM b CROSS JOIN unnest(range(0, n - 4)) AS r(i)),
+        |e AS (SELECT doc_id, n, pos, h * 4294967296 + (4294967295 - pos) AS enc FROM g),
+        |w AS (SELECT doc_id, n, pos,
+        |        min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |      FROM e),
+        |sel AS (SELECT DISTINCT doc_id,
+        |          CAST(4294967295 - (wmin % 4294967296) AS BIGINT) AS fp_pos,
+        |          CAST(wmin // 4294967296 AS BIGINT) AS fp
+        |        FROM w WHERE pos <= n - 8),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+        |         WHERE df <= 10),
+        |ixa AS (SELECT s.doc_id, s.fp_pos, s.fp FROM sel s JOIN rare USING (fp)),
+        |j AS (SELECT x.doc_id AS a, y.doc_id AS b, x.fp AS fp,
+        |             x.fp_pos AS a_pos, y.fp_pos AS b_pos
+        |      FROM ixa x JOIN ixa y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+        |ns AS (SELECT a, b FROM (SELECT a, b, count(DISTINCT fp) AS c FROM j GROUP BY a, b)
+        |       WHERE c >= 3)
+        |SELECT j.a, j.b, j.fp, j.a_pos, j.b_pos
+        |FROM j JOIN ns USING (a, b)
+        |ORDER BY a, b, fp, a_pos, b_pos""".stripMargin,
 
     // same rolling-hash recipe as q_fingerprint per gram, same enc trick,
     // same window frame — the selection must agree bit-for-bit

@@ -185,6 +185,16 @@ object Warc {
   /** Distributed read: task-per-file binary scan → parsed records.
     * Output: (file, warc_type, record_id, date, target_uri, content).
     */
+  /** Decode one archive file's bytes to records: gunzip when the path
+    * says so, then the record parse. The shared task-body of the batch
+    * [[read]] and the streaming landing-directory ingest.
+    */
+  def decodeFile(path: String, bytes: Array[Byte],
+                 strict: Boolean = true): Seq[WarcRecord] = {
+    val raw = if (path.endsWith(".gz")) gunzipAll(bytes, strict) else bytes
+    parseAll(raw, strict)
+  }
+
   def read(spark: SparkSession, glob: String,
            strict: Boolean = true): DataFrame = {
     import spark.implicits._
@@ -192,8 +202,7 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val raw = if (path.endsWith(".gz")) gunzipAll(bytes, strict) else bytes
-        parseAll(raw, strict).map(r =>
+        decodeFile(path, bytes, strict).map(r =>
           (path, r.warcType, r.recordId, r.date, r.targetUri.orNull, r.content))
       }
       .toDF("file", "warc_type", "record_id", "date", "target_uri", "content")

@@ -567,6 +567,47 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Span-grain MOSS matching — [[winnowMatches]] upgraded to report
+    * WHERE the overlap is: for every matching pair (same df-cap, same
+    * minShared-distinct-fingerprints gate), one row per shared
+    * fingerprint ANCHOR pair — the gram position in each document whose
+    * k-gram hashed to the shared fingerprint. The anchored gram is
+    * `text[pos, pos+k)` of the normalized text, so the rows feed the
+    * substring-rewrite family directly (which span of a to align with
+    * which span of b). A fingerprint selected at several positions in a
+    * doc yields all anchor combinations — that IS the span evidence,
+    * still df-cap-bounded, never all-pairs.
+    *
+    * One pass: the pair gate (distinct-fp count) and the span rows come
+    * from a single anchor-index self-join + one aggregation (spans
+    * collect per pair, explode after the gate) — the inverted-index
+    * subtree is not executed twice.
+    *
+    * Output: (a, b, fp, a_pos, b_pos) with a < b.
+    */
+  def winnowSpans(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, window: Int = 4, maxDf: Int = 10,
+                  minShared: Int = 5): DataFrame = {
+    require(maxDf >= 2 && minShared >= 1)
+    val anchors = winnowFingerprints(df, idCol, textCol, k, window)
+    val rare = anchors.select("id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val ix = anchors.join(rare, "fp")
+    ix.as("x").join(ix.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), col("x.fp").as("fp"),
+        col("x.fp_pos").as("a_pos"), col("y.fp_pos").as("b_pos"))
+      .groupBy("a", "b")
+      .agg(countDistinct(col("fp")).as("n_shared"),
+        collect_list(struct(col("fp"), col("a_pos"), col("b_pos"))).as("sp"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("a"), col("b"), explode(col("sp")).as("s"))
+      .select(col("a"), col("b"), col("s.fp").as("fp"),
+        col("s.a_pos").as("a_pos"), col("s.b_pos").as("b_pos"))
+  }
+
   /** Ingestion text normalization — the CCNet/RefinedWeb-family cleanup
     * pass every crawl pipeline runs before hashing or tokenizing, as one
     * codegen'd projection (no shuffle, no UDF):
@@ -630,6 +671,74 @@ object TextOps {
         sum(when(col("tok").isin(stopwords: _*), col("c"))
           .otherwise(0L)).as("stops"),
         max("c").as("maxc"))
+      .select(col("id"), col("n").as("n_words"),
+        round(col("chars").cast("double") / col("n").cast("double"), 4)
+          .as("mean_word_len"),
+        round(col("stops").cast("double") / col("n").cast("double"), 6)
+          .as("stop_frac"),
+        round(col("maxc").cast("double") / col("n").cast("double"), 6)
+          .as("top_share"),
+        (col("n") >= minWords && col("n") <= maxWords &&
+          col("chars").cast("double") / col("n").cast("double") >= minMeanLen &&
+          col("chars").cast("double") / col("n").cast("double") <= maxMeanLen &&
+          col("stops") > 0 &&
+          col("maxc").cast("double") / col("n").cast("double") <= maxTopShare)
+          .as("keep"))
+  }
+
+  /** [[qualityRules]] as a ROW-LOCAL projection — the streaming-gate
+    * form: every signal computed from the doc's own token array with
+    * array lambdas (no shuffle, no state), so the gate drops into a
+    * Structured Streaming pipeline in append mode where the batch op's
+    * two chained aggregations cannot. Same signals, same rounding, same
+    * verdict; docs with zero tokens are filtered (the batch op's
+    * absent-from-output contract). The top-share histogram is O(n·d)
+    * per row (d = distinct tokens) — the price of statelessness; the
+    * batch form stays the corpus-scale path.
+    */
+  /** The row-local quality signals as ONE struct Column over a text
+    * column: (n, chars, stops, maxc) — integer counts from the token
+    * array, no shuffle, no state. Shared by [[qualityRulesLocal]] and
+    * the streaming ingest (which must keep its other columns alongside
+    * the verdict).
+    */
+  def qualitySignalsLocal(text: Column,
+                          stopwords: Seq[String] = Seq("the", "a", "of", "and", "in"))
+      : Column = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val a = graft.functions.TextAnalysis.tokensArr(text)
+    struct(
+      size(a).cast("long").as("n"),
+      aggregate(a, lit(0L), (acc, x) => acc + length(x)).as("chars"),
+      size(filter(a, x => array_contains(stopArr, x))).cast("long").as("stops"),
+      coalesce(array_max(transform(array_distinct(a),
+        x => size(filter(a, y => y === x)))).cast("long"), lit(0L)).as("maxc"))
+  }
+
+  /** The composite keep verdict over a [[qualitySignalsLocal]] struct —
+    * the same inequality chain as [[qualityRules]], unrounded ratios.
+    */
+  def qualityKeepExpr(q: Column,
+                      minWords: Int = 30, maxWords: Int = 100000,
+                      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                      maxTopShare: Double = 0.15): Column =
+    q("n") >= minWords && q("n") <= maxWords &&
+      q("chars").cast("double") / q("n").cast("double") >= minMeanLen &&
+      q("chars").cast("double") / q("n").cast("double") <= maxMeanLen &&
+      q("stops") > 0 &&
+      q("maxc").cast("double") / q("n").cast("double") <= maxTopShare
+
+  def qualityRulesLocal(df: DataFrame, idCol: String, textCol: String,
+                        minWords: Int = 30, maxWords: Int = 100000,
+                        minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                        maxTopShare: Double = 0.15,
+                        stopwords: Seq[String] = Seq("the", "a", "of", "and", "in"))
+      : DataFrame = {
+    df.select(col(idCol).as("id"),
+        qualitySignalsLocal(col(textCol), stopwords).as("q"))
+      .filter(col("q.n") > 0)
+      .select(col("id"), col("q.n").as("n"), col("q.chars").as("chars"),
+        col("q.stops").as("stops"), col("q.maxc").as("maxc"))
       .select(col("id"), col("n").as("n_words"),
         round(col("chars").cast("double") / col("n").cast("double"), 4)
           .as("mean_word_len"),

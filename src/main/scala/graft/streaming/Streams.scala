@@ -561,4 +561,57 @@ object Streams {
         ()
       }
       .start()
+
+  /** Streaming WARC landing-directory ingestion — the `add_inputs`
+    * incremental-job analog at the crawl's front door: `.warc.gz`
+    * archives appearing in `dir` stream through HTTP-body extraction →
+    * NFC normalize → the ROW-LOCAL quality gate
+    * ([[graft.ops.TextOps.qualityRulesLocal]] — stateless, so the whole
+    * chain runs append-mode with exactly-once file semantics; the batch
+    * gate's chained aggregations cannot stream). Emits one row per
+    * response record: (doc_id from the target URI, source from the URI
+    * host label, text_clean, n_clean, keep).
+    *
+    * File grain is the WARC contract (not block-splittable without an
+    * index) — same as the batch reader; the file-source checkpoint gives
+    * ingest-each-archive-exactly-once across restarts.
+    */
+  def warcIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val parsed = spark.readStream.format("binaryFile").schema(schema)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        graft.io.Warc.decodeFile(path, bytes, strict = true)
+          .filter(_.warcType == "response")
+          .flatMap { r =>
+            for {
+              uri <- r.targetUri
+              m <- "^https?://([^./]+)[^/]*/doc/(\\d+)$".r.findFirstMatchIn(uri)
+              body <- graft.io.Warc.httpBody(r.content)
+            } yield (m.group(2).toLong, m.group(1),
+              new String(body, "UTF-8"))
+          }
+      }
+      .toDF("doc_id", "source", "text_raw")
+    // one stateless projection end to end: normalize keeps the text, the
+    // verdict is the shared row-local signal struct + keep expression —
+    // no second leg, no stream-stream join, no state
+    graft.ops.TextOps.normalizeText(parsed, "doc_id", "text_raw")
+      .select(col("id").as("doc_id"), col("n_clean"), col("text_clean"))
+      .withColumn("_q", graft.ops.TextOps.qualitySignalsLocal(col("text_clean")))
+      .select(col("doc_id"), col("text_clean"), col("n_clean"),
+        (col("_q.n") > 0 &&
+          graft.ops.TextOps.qualityKeepExpr(col("_q"))).as("keep"))
+  }
 }

@@ -488,6 +488,46 @@ class PropertySpec extends SparkTestBase {
     assert(fp.toSet == fp2.toSet)
   }
 
+  test("winnowSpans: anchors point at genuinely equal grams; parity with winnowMatches") {
+    import spark.implicits._
+    val shared = "the stolen passage lives here and keeps going for a while"
+    val raw = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon"),
+      (2L, s"completely different framing text $shared and a different tail"),
+      (3L, "nothing in common with the others at all zilch"))
+    val docs = raw.toDF("doc_id", "text")
+    val k = 5
+    val spans = graft.ops.TextOps.winnowSpans(docs, "doc_id", "text",
+        k = k, window = 4, maxDf = 10, minShared = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(spans.nonEmpty)
+    // brute-force parity: every anchor pair must point at IDENTICAL
+    // k-grams of the two normalized texts (fp equality is not trusted —
+    // the strings themselves must match)
+    val norm = raw.map { case (id, t) =>
+      id -> t.trim.toLowerCase.replaceAll("\\s+", " ") }.toMap
+    for ((a, b, _, aPos, bPos) <- spans) {
+      val ga = norm(a).substring(aPos.toInt, aPos.toInt + k)
+      val gb = norm(b).substring(bPos.toInt, bPos.toInt + k)
+      assert(ga == gb, s"anchor ($a@$aPos, $b@$bPos): '$ga' != '$gb'")
+    }
+    // the planted passage must be what the (1,2) spans point into
+    val p12 = spans.filter(s => s._1 == 1L && s._2 == 2L)
+    assert(p12.nonEmpty)
+    val s1 = norm(1L).indexOf(shared); val e1 = s1 + shared.length
+    assert(p12.exists(s => s._4 >= s1 && s._4 + k <= e1),
+      "at least one doc-1 anchor must land inside the planted passage")
+    // pair + count parity with winnowMatches: identical gate
+    val matches = graft.ops.TextOps.winnowMatches(docs, "doc_id", "text",
+        k = k, window = 4, maxDf = 10, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val byPair = spans.groupBy(s => (s._1, s._2))
+      .view.mapValues(_.map(_._3).distinct.size.toLong).toMap
+    assert(byPair == matches,
+      s"span pairs/distinct-fp counts must equal winnowMatches: $byPair vs $matches")
+  }
+
   test("prCurve: matches a brute-force sweep and is partitioning-deterministic") {
     import spark.implicits._
     val rnd = new scala.util.Random(91)

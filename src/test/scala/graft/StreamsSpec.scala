@@ -853,4 +853,83 @@ class StreamsSpec extends SparkTestBase {
       assert(aCross > 20, "A must cross its budget only after the restart")
     } finally run2.foreach(_.stop())
   }
+
+  test("warcIngest: archives landing over time stream through normalize+gate; crash between files is exactly-once") {
+    import graft.io.Warc
+    val land = java.nio.file.Files.createTempDirectory("graft_warc_land")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_warc_ck")
+    val outD = java.nio.file.Files.createTempDirectory("graft_warc_out")
+    // fluent keep-doc: 32 words, stopwords present, varied vocabulary
+    val fluent = (1 to 28).map(i => s"word$i").mkString(" ") +
+      " the scan of and in"
+    // dirty text: decomposed e+COMBINING ACUTE + control byte + ws run —
+    // the normalize pass must clean it before the gate counts words
+    def dirty(s: String) = s + " caf" + "e\u0301" + "\u0007" + "  \t "
+    def archive(docs: Seq[(Long, String)]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      docs.foreach { case (id, text) =>
+        val body = text.getBytes("UTF-8")
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Length: ${body.length}\r\n\r\n")
+          .getBytes("US-ASCII") ++ body
+        bos.write(Warc.gzipMember(Warc.recordBytes(Warc.WarcRecord(
+          "response", s"<urn:t:$id>", "2026-01-01T00:00:00Z",
+          Some(s"http://src${id % 3}.test/doc/$id"), http))))
+      }
+      bos.toByteArray
+    }
+    val batch1 = Seq(1L -> dirty(fluent), 2L -> "too short to keep")
+    val batch2 = Seq(3L -> fluent, 4L -> dirty("also too short"))
+    java.nio.file.Files.write(land.resolve("a.warc.gz"), archive(batch1))
+    def start() = Streams.warcIngest(spark, land.toString + "/*.warc.gz")
+      .writeStream.format("parquet")
+      .option("path", outD.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // second archive lands while the query is DOWN (crash between files);
+    // the restart must ingest exactly the delta — no replay of archive 1
+    java.nio.file.Files.write(land.resolve("b.warc.gz"), archive(batch2))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outD.toString)
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 4, s"each doc exactly once, got ${got.size}")
+    // batch truth: the batch WARC reader + normalize + ROW-LOCAL gate
+    // over both archives must agree row for row
+    val parsed = Warc.read(spark, land.toString + "/*.warc.gz")
+      .filter($"warc_type" === "response")
+      .select(org.apache.spark.sql.functions
+          .regexp_extract($"target_uri", "/doc/(\\d+)$", 1)
+        .cast("long").as("doc_id"), $"content")
+      .as[(Long, Array[Byte])]
+      .map { case (id, c) =>
+        (id, new String(Warc.httpBody(c).get, "UTF-8")) }
+      .toDF("doc_id", "text_raw")
+    val truth = graft.ops.TextOps.normalizeText(parsed, "doc_id", "text_raw")
+      .select($"id".as("doc_id"), $"n_clean", $"text_clean")
+      .withColumn("_q", graft.ops.TextOps.qualitySignalsLocal($"text_clean"))
+      .select($"doc_id", $"text_clean", $"n_clean",
+        ($"_q.n" > 0 && graft.ops.TextOps.qualityKeepExpr($"_q")).as("keep"))
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got == truth)
+    // the gate discriminated: fluent docs kept, short ones dropped, and
+    // the dirt is gone from the cleaned text (normalize ran before it)
+    assert(got(1L)._4 && got(3L)._4 && !got(2L)._4 && !got(4L)._4)
+    assert(!got(1L)._2.contains("\u0007") && got(1L)._2.endsWith("caf\u00e9"))
+  }
+
+  test("qualityRulesLocal equals the batch qualityRules on the fixture corpus") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val batch = graft.ops.TextOps.qualityRules(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val local = graft.ops.TextOps.qualityRulesLocal(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(local == batch,
+      "row-local gate must equal the corpus-scale aggregation gate")
+  }
 }
