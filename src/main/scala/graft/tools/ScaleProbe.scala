@@ -65,8 +65,14 @@ object ScaleProbe {
 
     val secs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // SPARK_GRAFT_PROBE_WARMUP=1: run each selected op once untimed
+    // first, then time the second run — comparisons between ops in one
+    // probe run are otherwise biased ~2x against whichever op runs first
+    // (JIT + codegen warmup land on it; measured on corpus_run2_ckpt).
+    val warm = sys.env.get("SPARK_GRAFT_PROBE_WARMUP").contains("1")
     def timed(name: String)(df: => DataFrame): Unit =
       if (only.forall(_.exists(name.contains))) {
+        if (warm) df.write.format("noop").mode("overwrite").save()
         // clock starts BEFORE construction: eager work inside the builder
         // (connected components' localCheckpoint rounds) is part of the op
         val t0 = System.nanoTime()
@@ -407,6 +413,143 @@ object ScaleProbe {
         "embedding", "y", dims = 4, iterations = 3, lr = 0.5)
       w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("d", "w")
     }
+
+    // ---- round-10 probes ----------------------------------------------
+    // Gate-once evidence (VERDICT r9 #1): the same quality-gate → dedup →
+    // split → budget → shards chain with the gated docs materialized once
+    // (localCheckpoint, the shipped q_corpus_run2 shape) vs re-derived at
+    // every closure reference (the pre-fix shape). Stopwords are the 500
+    // most-frequent synthetic tokens so the gate keeps most docs and the
+    // full text-analysis aggregation really runs.
+    val probeStops = (0 until 500).map(i => s"w$i")
+    def gatedChain(checkpoint: Boolean): DataFrame = {
+      val src = docs.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(20))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val keep = graft.ops.TextOps.qualityRules(src, "doc_id", "text",
+          stopwords = probeStops)
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val gated0 = src.join(keep, "doc_id")
+      val gated = if (checkpoint) gated0.localCheckpoint() else gated0
+      val edges = Dedup.minhashLshEdges(gated, "doc_id", "text", 2, 4, 4, 0.8)
+      val kept = gated.join(Dedup.canonicalize(gated, "doc_id", edges), "doc_id")
+        .filter(col("doc_id") === col("canon_id"))
+        .select("doc_id", "source", "n_chars")
+      val train = graft.ops.Sampling.splitByHash(kept, col("doc_id"),
+          Seq(0.8, 0.1, 0.1), salt = "run")
+        .filter(col("split") === 0)
+        .withColumn("pri", graft.ops.Sampling.hashDraw(col("doc_id"), "runpri"))
+      val capped = graft.ops.PrefixSum.budgetCapPerGroup(
+          train.select("doc_id", "source", "n_chars", "pri"),
+          "source", Seq("pri", "doc_id"), "n_chars", budget = n * 20)
+        .select("doc_id", "n_chars")
+      graft.ops.PrefixSum.packShards(capped, "doc_id", "n_chars",
+        budget = n * 10)
+    }
+    timed("corpus_run2_ckpt") { gatedChain(checkpoint = true) }
+    timed("corpus_run2_nockpt") { gatedChain(checkpoint = false) }
+
+    // Capstone v3 probe: the WARC front door feeding the gated chain —
+    // archive write+read+HTTP-body extraction + normalize ahead of the
+    // same pipeline. Must track corpus_run2_ckpt plus the (linear)
+    // archive IO, never multiply it.
+    timed("corpus_run3") {
+      import spark.implicits._
+      val recs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val body = text.getBytes("UTF-8")
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Length: ${body.length}\r\n\r\n")
+            .getBytes("US-ASCII") ++ body
+          graft.io.Warc.WarcRecord("response", s"<urn:probe:$id>",
+            "2026-01-01T00:00:00Z", Some(s"http://s${id % 20}.test/doc/$id"), http)
+        }
+      val path = graft.io.IoScratch.dir + "/probe_warc3"
+      graft.io.Warc.write(recs, path)
+      val parsed = graft.io.Warc.read(spark, path + "/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+          regexp_extract(col("target_uri"), "^http://([^./]+)\\.test/", 1)
+            .as("source"), col("content"))
+        .as[(Long, String, Array[Byte])]
+        .map { case (id, src, c) =>
+          (id, src, new String(graft.io.Warc.httpBody(c)
+            .getOrElse(Array.emptyByteArray), "UTF-8")) }
+        .toDF("doc_id", "source", "text_raw")
+        .localCheckpoint()
+      val base = parsed.select(col("doc_id"), col("source"),
+          col("text_raw").as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val keep = graft.ops.TextOps.qualityRules(base, "doc_id", "text",
+          stopwords = probeStops)
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val gated = base.join(keep, "doc_id").localCheckpoint()
+      val edges = Dedup.minhashLshEdges(gated, "doc_id", "text", 2, 4, 4, 0.8)
+      val kept = gated.join(Dedup.canonicalize(gated, "doc_id", edges), "doc_id")
+        .filter(col("doc_id") === col("canon_id"))
+        .select("doc_id", "source", "n_chars")
+      val train = graft.ops.Sampling.splitByHash(kept, col("doc_id"),
+          Seq(0.8, 0.1, 0.1), salt = "run")
+        .filter(col("split") === 0)
+        .withColumn("pri", graft.ops.Sampling.hashDraw(col("doc_id"), "runpri"))
+      val capped = graft.ops.PrefixSum.budgetCapPerGroup(
+          train.select("doc_id", "source", "n_chars", "pri"),
+          "source", Seq("pri", "doc_id"), "n_chars", budget = n * 20)
+        .select("doc_id", "n_chars")
+      graft.ops.PrefixSum.packShards(capped, "doc_id", "n_chars",
+        budget = n * 10)
+    }
+
+    // WARC at bigger archive counts (task-per-file grain): same bytes,
+    // 8× the files — the read must track file count ~linearly, no
+    // per-file fixed cost blowup.
+    timed("warc_many_files") {
+      import spark.implicits._
+      val recs = docs.repartition(256)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          graft.io.Warc.WarcRecord("response", s"<urn:probe:$id>",
+            "2026-01-01T00:00:00Z", Some(s"http://probe/doc/$id"),
+            text.getBytes("UTF-8"))
+        }
+      val path = graft.io.IoScratch.dir + "/probe_warc_many"
+      graft.io.Warc.write(recs, path)
+      graft.io.Warc.read(spark, path + "/*.warc.gz")
+        .select(col("warc_type"), octet_length(col("content")).as("nb"))
+    }
+
+    // MOSS matching as docs DENSIFY: the sparse corpus (98% distinct) vs
+    // the boilerplate corpus (half the docs are copies of 50). Uncapped,
+    // every boilerplate fingerprint bucket holds ~n/100 docs and the
+    // index join goes quadratic; the df-cap drops those buckets first,
+    // so the dense corpus must not cost more than the sparse one.
+    timed("winnow_pairs_sparse") {
+      graft.ops.TextOps.winnowMatches(docs, "doc_id", "text",
+        k = 5, window = 4, maxDf = 10, minShared = 3) }
+    timed("winnow_pairs_dense") {
+      graft.ops.TextOps.winnowMatches(boiler, "doc_id", "text",
+        k = 5, window = 4, maxDf = 10, minShared = 3) }
+    timed("winnow_spans") {
+      graft.ops.TextOps.winnowSpans(docs, "doc_id", "text",
+        k = 5, window = 4, maxDf = 10, minShared = 3) }
+
+    // LM gate + domain budget (round-10 ops): both must stay ~linear —
+    // the LM filter is the bigram_lm shape with slice-filtered model
+    // legs; the domain budget is a scan-speed CASE chain + the
+    // distributed per-group prefix sum.
+    timed("lm_filter") {
+      graft.ops.TextOps.lmFilter(docs, "doc_id", "text",
+        pmod(col("doc_id"), lit(2)) === 0, threshold = -3.42) }
+    timed("domain_budget") {
+      val d = docs
+        .withColumn("url", concat(lit("https://www.s"),
+          pmod(col("doc_id"), lit(100)), lit(".example.com/a/"), col("doc_id")))
+        .withColumn("domain", graft.ops.UrlOps.registrableDomain(col("url")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("draw", graft.ops.Sampling.hashDraw(col("doc_id"), "dom"))
+        .select("doc_id", "domain", "n_chars", "draw")
+      graft.ops.PrefixSum.budgetCapPerGroup(d, "domain",
+        Seq("draw", "doc_id"), "n_chars", budget = n * 4) }
 
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
