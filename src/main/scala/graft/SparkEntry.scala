@@ -504,6 +504,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL canonicalization (round 10): the crawl-frontier / seen-set key
+    // — case-folded scheme+host, userinfo dropped, default ports
+    // removed, tracking params (utm_*/fbclid/gclid) dropped, surviving
+    // params SORTED, fragment dropped. Dirty URLs planted per doc
+    // exercise every rule; oracle runs the generated SQL twin.
+    "q_url_canon" -> ((s, dir) => {
+      val dirty = element_at(array(
+        concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".Example.COM:443/a/"), col("doc_id").cast("string"),
+          lit("?b=2&utm_source=x&a=1#frag")),
+        concat(lit("http://"), col("source"), lit(".test:80/"),
+          col("doc_id").cast("string"), lit("?z=9&y=8")),
+        concat(lit("https://"), col("source"), lit(".net:8443/p/"),
+          col("doc_id").cast("string")),
+        concat(lit("http://user@"), col("source"), lit(".org/"),
+          col("doc_id").cast("string"), lit("/?gclid=abc&fbclid=def"))),
+        (pmod(floor(col("doc_id") / lit(7)).cast("long"), lit(4)) + 1).cast("int"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), dirty.as("url"))
+        .withColumn("canon", graft.ops.UrlOps.canonicalizeUrl(col("url")))
+        .orderBy("doc_id")
+    }),
+
     // Per-DOMAIN char-budget cap (round 10): the production grain — a
     // crawl caps per registrable domain, not per source label. Domain
     // key from the scan-speed CASE chain, then the same distributed
@@ -593,6 +616,14 @@ object SparkEntry {
       Sampling.rebalanceToMin(Tables.documents(s, dir), col("doc_id"),
           col("lang"), salt = "mix")
         .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Temperature-scaled mixing weights (round 10): q_g ∝ (n_g/N)^0.3
+    // per language — the upsample-low-resource table (XLM formula);
+    // powered weights quantized before the decimal-summed normalizer so
+    // libm pow ulps cannot propagate cross-engine.
+    "q_mix_weights" -> ((s, dir) =>
+      Sampling.mixWeights(Tables.documents(s, dir), col("lang"), alpha = 0.3)
+        .orderBy("grp")),
 
     // End-to-end training-data prep: language filter → token-count quality
     // gate → exact dedup (min-id canonical per content fingerprint) →
@@ -2027,6 +2058,26 @@ object SparkEntry {
     // -------- LLM-pipeline extension surface: dedup ------------------------
 
     // exact dedup by normalized-content digest (shuffle on 16-byte key).
+    // Line-grain boilerplate removal (round 10): the RefinedWeb/CCNet
+    // pass — lines verbatim-shared by >= 5 docs (planted cookie-banner/
+    // footer dirt, deterministic per doc_id) are dropped and each doc is
+    // reassembled from its surviving lines in order; per-doc signature
+    // lines (df=1) survive. One line-key aggregation + anti-join +
+    // one-agg reassembly, never a window.
+    "q_line_dedup" -> ((s, dir) => {
+      val dirty = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("\nall rights reserved worldwide")).otherwise(lit("")),
+          concat(lit("\nsignature "), col("doc_id").cast("string")))
+          .as("text"))
+      graft.dedup.Dedup.lineDedup(dirty, "doc_id", "text", minDocs = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("fp")),
@@ -4518,6 +4569,28 @@ object SparkEntry {
         |       min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
 
+    // planted boilerplate replayed: hot lines (distinct-doc df >= 5)
+    // dropped, docs rebuilt from surviving lines in original order
+    "q_line_dedup" ->
+      """WITH dirty AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved worldwide' ELSE '' END ||
+        |    chr(10) || 'signature ' || doc_id AS t
+        |  FROM documents),
+        |arr AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM dirty),
+        |l AS (SELECT doc_id, unnest(a) AS line, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+        |                          FROM l GROUP BY line) WHERE df >= 5),
+        |kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot)),
+        |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id),
+        |re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+        |       FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, c.n_lines,
+        |       CAST(c.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |       coalesce(r.text_clean, '') AS text_clean
+        |FROM counts c LEFT JOIN re r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // the winnow chain + df-cap + inverted-index self-join replayed
     "q_winnow_pairs" ->
       """WITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
@@ -4670,6 +4743,18 @@ object SparkEntry {
         |SELECT doc_id, url, host,
         |  ${graft.ops.UrlOps.registrableDomainSql("host")} AS domain
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_url_canon" ->
+      s"""WITH u AS (SELECT doc_id,
+        |    CASE doc_id // 7 % 4
+        |      WHEN 0 THEN 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/a/' || doc_id || '?b=2&utm_source=x&a=1#frag'
+        |      WHEN 1 THEN 'http://' || source || '.test:80/' || doc_id || '?z=9&y=8'
+        |      WHEN 2 THEN 'https://' || source || '.net:8443/p/' || doc_id
+        |      ELSE 'http://user@' || source || '.org/' || doc_id || '/?gclid=abc&fbclid=def' END AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  ${graft.ops.UrlOps.canonicalizeUrlSql("url")} AS canon
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "q_domain_budget" ->
       s"""WITH u AS (SELECT doc_id, n_chars, $SyntheticUrlSql AS url FROM documents),
@@ -5189,6 +5274,22 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
          |WHERE ${Sampling.hashDrawSql("d.doc_id", "mix")} < t.thr
          |ORDER BY d.doc_id""".stripMargin,
+
+    // powered weight quantized to 6 decimals BEFORE the decimal-summed
+    // normalizer — a 1-ulp pow() difference cannot propagate
+    "q_mix_weights" ->
+      """WITH c AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+        |s AS (SELECT grp, n,
+        |        CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share,
+        |        round(pow(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE), 0.3), 6) AS w
+        |      FROM c CROSS JOIN t),
+        |z AS (SELECT sum(CAST(w AS DECIMAL(38,18))) AS z FROM s)
+        |SELECT grp, n, round(share, 6) AS share,
+        |       round(w / CAST(z.z AS DOUBLE), 6) AS weight,
+        |       round(w / CAST(z.z AS DOUBLE) / share, 6) AS boost
+        |FROM s CROSS JOIN z ORDER BY grp""".stripMargin,
 
     "q_prep_pipeline" ->
       s"""WITH en AS (

@@ -48,6 +48,48 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
+  /** LINE-grain boilerplate removal (the RefinedWeb / CCNet line-dedup
+    * pass): drop every line that occurs verbatim in >= `minDocs`
+    * DISTINCT documents — cookie banners, nav bars, footers — and
+    * reassemble each document from its surviving lines in original
+    * order. Exact line identity (no normalization beyond the split):
+    * the op composes AFTER [[graft.ops.TextOps.normalizeText]], which
+    * owns whitespace canonicalization.
+    *
+    * Shape at 100 TB: explode to (doc, pos, line) → one hash
+    * aggregation on the line key (map-side combine collapses per-doc
+    * repeats via the distinct-doc count) → anti-join lines against the
+    * hot set → per-doc reassembly as ONE aggregation (sort_array of
+    * (pos, line) structs inside the agg buffer, never a window). The
+    * hot-line set is tiny (boilerplate is by definition few distinct
+    * strings) — AQE broadcasts the anti-join probe side.
+    *
+    * Output: (id, n_lines, n_removed, text_clean) — per-doc accounting
+    * plus the rebuilt text, docs with every line removed keep an empty
+    * string (never dropped: the pipeline decides, not the op).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDocs: Int = 5): DataFrame = {
+    require(minDocs >= 2, s"lineDedup: minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = lines.groupBy("line")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("line")
+    val kept = lines.join(hot, Seq("line"), "left_anti")
+    val counts = lines.groupBy("id").agg(count(lit(1)).as("n_lines"))
+    kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text_clean"))
+      .join(counts, Seq("id"), "right")
+      .select(col("id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Distinct (id, token) pairs. Deduped PER ROW (array_distinct before
     * the explode) — zero shuffle, because a row's tokens live in that row.
     *

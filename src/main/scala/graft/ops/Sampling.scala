@@ -196,4 +196,36 @@ object Sampling {
         col("id").as("neg_id")), Seq("_b", "_rj"))
       .select("id", "neg_id", "j")
   }
+
+  /** Temperature-scaled source-mixing WEIGHTS — the multilingual /
+    * multi-source sampling formula (Lample & Conneau 2019 XLM §3.1,
+    * also the mT5/data-mixture recipe): q_g ∝ (n_g/N)^alpha, alpha in
+    * (0,1] flattening the natural distribution (alpha=1 → proportional,
+    * alpha→0 → uniform) so low-resource sources are upsampled. This is
+    * the TABLE a mixing pipeline computes first; the per-doc draw then
+    * uses [[weightedSamplePerGroup]]/[[rebalanceToMin]] machinery.
+    *
+    * Determinism: share = one double division of exact longs; the
+    * powered weight is round(pow, 6) BEFORE normalizing (the logreg
+    * quantize trick — a 1-ulp libm pow difference cannot propagate),
+    * the normalizer sums DECIMAL(38,18) (order-independent), outputs
+    * round 6. Two 1-row broadcasts, one group aggregation — the whole
+    * op is group-grain.
+    *
+    * Output: (grp, n, share, weight, boost) with boost = weight/share,
+    * the per-doc oversampling factor.
+    */
+  def mixWeights(df: DataFrame, group: Column, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"mixWeights: alpha in (0,1]: $alpha")
+    val counts = df.groupBy(group.as("grp")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("t"))
+    val shared = counts.crossJoin(broadcast(tot))
+      .withColumn("share", col("n").cast("double") / col("t").cast("double"))
+      .withColumn("w", round(pow(col("share"), lit(alpha)), 6))
+    val norm = shared.agg(sum(col("w").cast("decimal(38,18)")).as("z"))
+    shared.crossJoin(broadcast(norm))
+      .select(col("grp"), col("n"), round(col("share"), 6).as("share"),
+        round(col("w") / col("z").cast("double"), 6).as("weight"),
+        round(col("w") / col("z").cast("double") / col("share"), 6).as("boost"))
+  }
 }

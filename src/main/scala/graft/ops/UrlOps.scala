@@ -59,6 +59,70 @@ object UrlOps {
     }
   }
 
+  /** URL canonicalization — the crawl-frontier / seen-set key every
+    * pipeline needs before URL-grain dedup (the same page arrives as
+    * `HTTP://Site.com:80/x?utm_source=feed&b=2#top` and
+    * `http://site.com/x?b=2`):
+    *
+    *  - scheme and host lowercased; userinfo dropped;
+    *  - default ports removed (`:80` for http, `:443` for https),
+    *    explicit non-default ports kept;
+    *  - empty path becomes `/`;
+    *  - tracking parameters dropped (`utm_*`, `fbclid`, `gclid` — the
+    *    configurable-deny-list pattern), remaining query params SORTED
+    *    (param order is not page identity), `?` dropped when none
+    *    survive;
+    *  - fragment dropped (never sent to the server).
+    *
+    * Pure codegen'd string/array expressions; null for non-URL input.
+    * [[canonicalizeUrlSql]] generates the identical chain as ANSI SQL.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)", 1)
+    val h = lower(regexp_extract(hostport, "^([^:]+)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val pathPart = when(path === "", lit("/")).otherwise(path)
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(q, "&"),
+      p => p =!= "" && !p.rlike("^(utm_|fbclid|gclid)")))
+    val qPart = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), h, portPart, pathPart, qPart))
+  }
+
+  /** [[canonicalizeUrl]] as ANSI SQL over a URL expression — the oracle
+    * twin, generated so the chains cannot drift.
+    */
+  def canonicalizeUrlSql(u: String): String =
+    s"""CASE WHEN regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN NULL
+       |ELSE lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+       |  lower(regexp_extract(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1), '^([^:]+)', 1)) ||
+       |  CASE WHEN regexp_extract(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1), ':([0-9]+)$$', 1) = ''
+       |         OR (lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+       |             AND regexp_extract(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1), ':([0-9]+)$$', 1) = '80')
+       |         OR (lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+       |             AND regexp_extract(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1), ':([0-9]+)$$', 1) = '443')
+       |       THEN ''
+       |       ELSE ':' || regexp_extract(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1), ':([0-9]+)$$', 1) END ||
+       |  CASE WHEN regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+       |       ELSE regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END ||
+       |  CASE WHEN len(list_filter(string_split(regexp_extract($u, '\\?([^#]*)', 1), '&'),
+       |         p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)'))) > 0
+       |       THEN '?' || array_to_string(list_sort(list_filter(
+       |              string_split(regexp_extract($u, '\\?([^#]*)', 1), '&'),
+       |              p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)'))), '&')
+       |       ELSE '' END
+       |END""".stripMargin
+
   /** The same CASE chain as ANSI SQL over a host expression — the oracle
     * twin of [[registrableDomain]], kept next to the Scala so the two
     * stay in lockstep.

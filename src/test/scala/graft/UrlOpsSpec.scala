@@ -67,6 +67,42 @@ class UrlOpsSpec extends SparkTestBase {
     assert(m("ex")._2 == null)
   }
 
+  test("canonicalizeUrl: every rule hand-computed") {
+    import spark.implicits._
+    val cases = Seq(
+      // case-fold + default https port + tracking strip + param sort + fragment
+      ("https://Www.Ex.COM:443/A/b?b=2&utm_source=x&a=1#top",
+        "https://www.ex.com/A/b?a=1&b=2"),
+      // http default port, params sorted
+      ("HTTP://site.org:80/p?z=9&y=8", "http://site.org/p?y=8&z=9"),
+      // explicit non-default port kept
+      ("https://x.net:8443/p", "https://x.net:8443/p"),
+      // userinfo dropped, ALL params tracking -> no '?'
+      ("http://user:pw@x.org/a/?gclid=1&fbclid=2", "http://x.org/a/"),
+      // empty path -> '/'
+      ("https://bare.com", "https://bare.com/"),
+      ("https://bare.com?a=1", "https://bare.com/?a=1"),
+      // utm params anywhere in the list, empty params dropped
+      ("http://a.com/x?utm_campaign=c&k=v&&utm_medium=m", "http://a.com/x?k=v"),
+      // path case PRESERVED (only scheme/host fold)
+      ("http://A.com/CaseSensitive/Path", "http://a.com/CaseSensitive/Path"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), graft.ops.UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- cases)
+      assert(got(in) == want, s"$in -> ${got(in)}, want $want")
+    // non-URL input -> null
+    val nu = Seq("not a url").toDF("url")
+      .select(graft.ops.UrlOps.canonicalizeUrl(col("url"))).collect()
+    assert(nu.head.isNullAt(0))
+    // idempotence: canon(canon(u)) == canon(u)
+    val twice = cases.map(_._2).toDF("url")
+      .select(col("url"), graft.ops.UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
+  }
+
   test("SQL twin produces the identical CASE semantics on the fixture") {
     import spark.implicits._
     // run the generated SQL through Spark itself: same rows as the Column
