@@ -625,6 +625,36 @@ object SparkEntry {
       Sampling.mixWeights(Tables.documents(s, dir), col("lang"), alpha = 0.3)
         .orderBy("grp")),
 
+    // Reproducible global shuffle (round 10): the epoch read order —
+    // position = rank in (hashDraw, id) order via the DISTRIBUTED prefix
+    // sum (never a one-task window); same salt = same permutation on any
+    // cluster, new salt = fresh epoch.
+    "q_shuffle_index" -> ((s, dir) =>
+      Sampling.shuffleIndex(Tables.documents(s, dir), col("doc_id"),
+          salt = "epoch0")
+        .orderBy("id")),
+
+    // Perplexity-bucket table (round 10): docs bucketed by the en-LM
+    // fluency score at its own exact quartiles (the quality-tier mixing
+    // table a pipeline samples from); edges via the distributed exact-
+    // quantile machinery, bucket = codegen'd edge comparisons, means
+    // decimal-summed.
+    "q_lm_buckets" -> ((s, dir) => {
+      val scored = TextOps.bigramLmScoreRef(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en")
+      val e = graft.ops.WindowOps.exactQuantilesGlobal(
+          scored, "lm_score", Seq(0.25, 0.5, 0.75))
+        .agg(sort_array(collect_list("value")).as("edges"))
+      scored.crossJoin(broadcast(e))
+        .withColumn("bucket",
+          lit(1) + size(filter(col("edges"), x => col("lm_score") > x)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("lm_score").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("mean_score"))
+        .orderBy("bucket")
+    }),
+
     // End-to-end training-data prep: language filter → token-count quality
     // gate → exact dedup (min-id canonical per content fingerprint) →
     // deterministic 50% sample. The composite pipeline a 100 TB corpus
@@ -5290,6 +5320,27 @@ object SparkEntry {
         |       round(w / CAST(z.z AS DOUBLE), 6) AS weight,
         |       round(w / CAST(z.z AS DOUBLE) / share, 6) AS boost
         |FROM s CROSS JOIN z ORDER BY grp""".stripMargin,
+
+    "q_shuffle_index" ->
+      s"""SELECT doc_id AS id,
+        |  CAST(row_number() OVER (ORDER BY ${graft.ops.Sampling.hashDrawSql("doc_id", "epoch0")}, doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // bucket = 1 + (#quartile edges strictly below the score); edges are
+    // quantile_disc of the score multiset, means decimal-summed round 4
+    "q_lm_buckets" ->
+      (LmRefScoreCtes + ",\n" +
+      """sc AS (SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS s
+        |       FROM lp GROUP BY doc_id),
+        |e AS (SELECT quantile_disc(s, 0.25) AS e1, quantile_disc(s, 0.5) AS e2,
+        |             quantile_disc(s, 0.75) AS e3 FROM sc),
+        |b AS (SELECT CAST(1 + CAST(s > e1 AS INT) + CAST(s > e2 AS INT)
+        |               + CAST(s > e3 AS INT) AS INT) AS bucket, s
+        |      FROM sc CROSS JOIN e)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 4) AS mean_score
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
 
     "q_prep_pipeline" ->
       s"""WITH en AS (

@@ -197,6 +197,27 @@ object Sampling {
       .select("id", "neg_id", "j")
   }
 
+  /** Reproducible GLOBAL SHUFFLE index — the order a training run reads
+    * the corpus in: position = rank in (hashDraw(key, salt), key) order.
+    * Changing `salt` is a fresh epoch permutation; the same salt replays
+    * the identical order on any cluster. The rank is the DISTRIBUTED
+    * prefix sum over a unique encoded order key (draw·2³¹ + key — the
+    * 32-bit draw shifted 31 keeps the encoding inside int64 under ANSI
+    * arithmetic; key must be a non-negative id < 2³¹), never a
+    * one-task global window.
+    *
+    * Output: (id, pos) with pos in [0, n).
+    */
+  def shuffleIndex(df: DataFrame, key: Column, salt: String,
+                   partitions: Int = 32): DataFrame = {
+    val base = df.select(key.cast("long").as("id"))
+      .withColumn("_enc",
+        hashDraw(col("id"), salt) * lit(2147483648L) + col("id"))
+      .withColumn("_one", lit(1L))
+    PrefixSum.prefixSum(base, "_enc", "_one", partitions)
+      .select(col("id"), (col("cum") - 1).as("pos"))
+  }
+
   /** Temperature-scaled source-mixing WEIGHTS — the multilingual /
     * multi-source sampling formula (Lample & Conneau 2019 XLM §3.1,
     * also the mT5/data-mixture recipe): q_g ∝ (n_g/N)^alpha, alpha in

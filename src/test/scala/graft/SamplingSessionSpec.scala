@@ -125,4 +125,54 @@ class SamplingSessionSpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect()
     assert(tiny.length == 2 && tiny.forall(r => r._1 != r._2), s"got ${tiny.toSeq}")
   }
+
+  test("shuffleIndex: a bijective permutation, repartition-invariant, salt-independent epochs") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 500).toDF("id")
+    val a = graft.ops.Sampling.shuffleIndex(df, col("id"), "e0")
+      .as[(Long, Long)].collect()
+    // bijection: every position 0..n-1 exactly once
+    assert(a.map(_._2).sorted.toSeq == (0L until 500L))
+    assert(a.map(_._1).distinct.length == 500)
+    // position = rank in (draw, id) order — check against a driver-side sort
+    val drawOf = df.select(col("id"),
+        graft.ops.Sampling.hashDraw(col("id"), "e0").as("d"))
+      .as[(Long, Long)].collect().toMap
+    val expected = a.map(_._1).sortBy(id => (drawOf(id), id)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    a.foreach { case (id, pos) => assert(pos == expected(id), s"id $id") }
+    // repartition-invariant
+    val b = graft.ops.Sampling.shuffleIndex(df.repartition(13), col("id"), "e0")
+      .as[(Long, Long)].collect()
+    assert(a.toSet == b.toSet)
+    // a new salt is a genuinely different permutation
+    val c = graft.ops.Sampling.shuffleIndex(df, col("id"), "e1")
+      .as[(Long, Long)].collect().toMap
+    assert(a.count { case (id, pos) => c(id) == pos } < 50,
+      "epoch permutations should share almost no fixed points")
+  }
+
+  test("mixWeights: hand-computed temperature scaling, weights sum to 1, flattening") {
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    // groups of size 100, 300, 600
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("g", org.apache.spark.sql.functions
+        .when(col("id") < 100, "small")
+        .when(col("id") < 400, "mid").otherwise("big"))
+    val m = graft.ops.Sampling.mixWeights(df, col("g"), alpha = 0.5)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val w = Map("small" -> math.sqrt(0.1), "mid" -> math.sqrt(0.3),
+      "big" -> math.sqrt(0.6)).map { case (k, v) =>
+        k -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    val z = w.values.sum
+    for ((g, n, share) <- Seq(("small", 100L, 0.1), ("mid", 300L, 0.3), ("big", 600L, 0.6))) {
+      assert(m(g)._2 == n && math.abs(m(g)._3 - share) < 1e-9)
+      assert(math.abs(m(g)._4 - w(g) / z) < 1e-6, s"$g weight")
+      assert(math.abs(m(g)._5 - w(g) / z / share) < 1e-5, s"$g boost")
+    }
+    // weights sum to ~1; temperature flattens: small upsampled, big down
+    assert(math.abs(m.values.map(_._4).sum - 1.0) < 1e-5)
+    assert(m("small")._5 > 1.0 && m("big")._5 < 1.0)
+  }
 }
