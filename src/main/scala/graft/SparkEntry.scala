@@ -527,6 +527,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL-grain exact dedup (round 10): the crawl seen-set — the same
+    // page fetched as different raw URLs (case, default port, tracking
+    // params, fragment, param order) collapses onto ONE canonical key;
+    // keep the min doc_id per canonical URL. The planted dirt guarantees
+    // real collisions: doc pairs (2k, 2k+1) differ only in tracking/
+    // case/port noise.
+    "q_dedup_url" -> ((s, dir) => {
+      val base = floor(col("doc_id") / lit(2)).cast("long")
+      val dirty = when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("https://Site"), pmod(base, lit(50)).cast("string"),
+          lit(".example.com:443/page/"), base.cast("string"),
+          lit("?id=1&utm_source=a#top")))
+        .otherwise(
+          concat(lit("HTTPS://site"), pmod(base, lit(50)).cast("string"),
+            lit(".Example.COM/page/"), base.cast("string"),
+            lit("?utm_medium=b&id=1")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), dirty.as("url"))
+        .withColumn("canon", graft.ops.UrlOps.canonicalizeUrl(col("url")))
+        .groupBy("canon")
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_urls"))
+        .orderBy("canon")
+    }),
+
     // Per-DOMAIN char-budget cap (round 10): the production grain — a
     // crawl caps per registrable domain, not per source label. Domain
     // key from the scan-speed CASE chain, then the same distributed
@@ -2208,6 +2232,19 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "vec_id")
+    }),
+
+    // Matryoshka two-stage retrieval (round 10): shortlist by cosine on
+    // the first 16 dims (the 4x-smaller index a serving stack scans
+    // first), exact full-dim re-rank of the top-30 shortlist — recall
+    // loss confined to prefix-rank > 30, survivor ordering exact.
+    "q_ann_prefix" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.prefixRerankTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          prefixDims = 16, shortlist = 30, k = 10)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "vec_id")
     }),
@@ -4786,6 +4823,17 @@ object SparkEntry {
         |  ${graft.ops.UrlOps.canonicalizeUrlSql("url")} AS canon
         |FROM u ORDER BY doc_id""".stripMargin,
 
+    // pairs (2k, 2k+1) collapse onto one canonical URL; keep min doc_id
+    "q_dedup_url" ->
+      s"""WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'https://Site' || (doc_id // 2 % 50) || '.example.com:443/page/' || (doc_id // 2) || '?id=1&utm_source=a#top'
+        |      ELSE 'HTTPS://site' || (doc_id // 2 % 50) || '.Example.COM/page/' || (doc_id // 2) || '?utm_medium=b&id=1' END AS url
+        |  FROM documents)
+        |SELECT ${graft.ops.UrlOps.canonicalizeUrlSql("url")} AS canon,
+        |       min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_urls
+        |FROM u GROUP BY canon ORDER BY canon""".stripMargin,
+
     "q_domain_budget" ->
       s"""WITH u AS (SELECT doc_id, n_chars, $SyntheticUrlSql AS url FROM documents),
         |h AS (SELECT doc_id, n_chars,
@@ -5505,6 +5553,32 @@ object SparkEntry {
         |        list_dot_product(e.v, q.qv) /
         |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
         |      FROM e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM (
+        |  SELECT query_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM s)
+        |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
+
+    // two-stage replay: prefix-16 cosine shortlist (DuckDB list slice,
+    // same dot fold) -> exact full-dim re-rank of the top-30
+    "q_ann_prefix" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |p AS (SELECT q.query_id, e.vec_id, e.v, q.qv,
+        |        list_dot_product(e.v[1:16], q.qv[1:16]) /
+        |        (sqrt(list_dot_product(e.v[1:16], e.v[1:16]))
+        |         * sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))) AS psim
+        |      FROM e JOIN q ON e.vec_id <> q.query_id),
+        |sl AS (SELECT query_id, vec_id, v, qv FROM (
+        |         SELECT query_id, vec_id, v, qv,
+        |                row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY psim DESC, vec_id ASC) AS prank
+        |         FROM p WHERE psim IS NOT NULL AND NOT isnan(psim))
+        |       WHERE prank <= 30),
+        |s AS (SELECT query_id, vec_id,
+        |        list_dot_product(v, qv) /
+        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        |      FROM sl)
         |SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM (
         |  SELECT query_id, vec_id, sim,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank

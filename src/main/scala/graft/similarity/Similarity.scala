@@ -80,6 +80,52 @@ object Similarity {
         .withColumn("qn", vec_norm(col("qv"))))), k)
   }
 
+  /** Matryoshka TWO-STAGE retrieval (the MRL serving pattern, Kusupati
+    * et al. 2022: embeddings trained so any prefix of dims is itself a
+    * valid lower-resolution embedding): stage 1 shortlists by cosine on
+    * the first `prefixDims` dims — at scale that prefix lives in a
+    * 4-16× smaller index and the scan is proportionally cheaper —
+    * stage 2 re-ranks ONLY each query's `shortlist` candidates with the
+    * exact full-dim cosine. Recall loss is confined to candidates the
+    * prefix ranking pushes below `shortlist`; the final ordering among
+    * survivors is exact.
+    *
+    * Both stages are the [[bruteForceTopK]] shape (codegen'd prefix
+    * dots, per-query rank windows over bounded candidate sets); the
+    * full-dim work collapses from corpus × queries to shortlist ×
+    * queries. Output: (query_id, vec_id, rank, sim), exact sims.
+    */
+  def prefixRerankTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       prefixDims: Int, shortlist: Int, k: Int): DataFrame = {
+    require(prefixDims >= 1 && shortlist >= k && k >= 1,
+      s"prefixRerankTopK: prefixDims=$prefixDims shortlist=$shortlist k=$k")
+    val pc = corpus.select(col(corpusId).as("vec_id"),
+        asDouble(col(corpusVec)).as("cv"))
+      .withColumn("pv", slice(col("cv"), 1, prefixDims))
+      .withColumn("pn", vec_norm(col("pv")))
+    val pq = broadcast(queries.select(col(queryId).as("query_id"),
+        asDouble(col(queryVec)).as("qv"))
+      .withColumn("pqv", slice(col("qv"), 1, prefixDims))
+      .withColumn("pqn", vec_norm(col("pqv"))))
+    val short = pc.crossJoin(pq)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("psim", vec_dot(col("pv"), col("pqv")) / (col("pn") * col("pqn")))
+      .filter(col("psim").isNotNull && !isnan(col("psim")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("psim").desc, col("vec_id").asc)))
+      .filter(col("prank") <= shortlist)
+    short
+      .withColumn("cn", vec_norm(col("cv")))
+      .withColumn("qn", vec_norm(col("qv")))
+      .withColumn("sim", vec_dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** b-bit sign-LSH bucket of a vector (table t): bit j = [dot(plane_j,v)>0],
     * plane component (t,j,d) = ±1 by the first hex digit of md5("t:j_d")
     * being < '8' — deterministic and engine-portable (the DuckDB oracle
