@@ -2196,6 +2196,19 @@ object SparkEntry {
       Dedup.canonicalize(docs, "doc_id", edges).orderBy("doc_id")
     }),
 
+    // SCOPE-LOCAL dedup (round 10): near-dup canonicalization within
+    // each source only — the scope lives IN the LSH bucket join key, so
+    // buckets shrink by the publisher fan-out (the standard 100 TB cost
+    // lever; cross-site boilerplate is q_line_dedup's job). Oracle =
+    // the shared dedup closure with the scope equality in the candidate
+    // join.
+    "q_scoped_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairsScoped(docs, "doc_id", "text",
+        "source", shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+      Dedup.canonicalize(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
     // Leakage-safe split: split assigned on the near-dup cluster's
     // canonical id, so near-duplicates never straddle train/eval. Edges
     // come from the exact-duplication-proof path (component-equal to the
@@ -3254,6 +3267,25 @@ object SparkEntry {
     """SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
       |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** The dedup closure restricted to same-SCOPE candidate pairs (the
+    * q_scoped_dedup oracle): the shared CTE chain with the source
+    * equality injected into the candidate join — derived by rewrite so
+    * the two closures cannot drift.
+    */
+  private val ScopedDedupClosureSql: String = {
+    val target = "AND x.doc_id < y.doc_id),"
+    val scoped = DedupClosureCtes.replace(target,
+      """AND x.doc_id < y.doc_id
+        |         JOIN documents dx ON dx.doc_id = x.doc_id
+        |         JOIN documents dy ON dy.doc_id = y.doc_id AND dx.source = dy.source),""".stripMargin)
+    require(scoped != DedupClosureCtes,
+      "ScopedDedupClosureSql: candidate-join anchor not found in DedupClosureCtes")
+    scoped + "\n" +
+      """SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
+        |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_wordcount" ->
@@ -5472,6 +5504,9 @@ object SparkEntry {
     // "same connected components as the naive pair set" — the naive
     // recursive-CTE closure must reproduce its canonical labels.
     "q_dedup_scaled" -> DedupClusterClosureSql,
+
+    // same closure, candidates constrained to same-source pairs
+    "q_scoped_dedup" -> ScopedDedupClosureSql,
 
     // q_dedup_cluster's recursive-CTE closure, then the bit-portable md5
     // split CASE on the canonical label — the declarative spec of

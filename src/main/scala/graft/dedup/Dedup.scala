@@ -354,6 +354,44 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** SCOPE-LOCAL near-dup pairs — LSH banding with a scope column (the
+    * registrable domain from [[graft.ops.UrlOps.registrableDomain]], or
+    * a source/publisher label) IN the bucket join key, so dedup runs
+    * within each scope only. The standard 100 TB cost lever: most real
+    * duplication is intra-site (templates, reposts, mirrors of the same
+    * publisher), the scoped join's buckets shrink by the scope fan-out,
+    * and cross-site boilerplate is the LINE-dedup pass's job
+    * ([[lineDedup]]) — a global near-dup sweep stays an occasional
+    * sampled audit. Semantics: exactly [[minhashLshPairs]] restricted
+    * to same-scope pairs (the oracle replays it as the same closure
+    * with the scope equality in the candidate join).
+    */
+  def minhashLshPairsScoped(df: DataFrame, idCol: String, textCol: String,
+                            scopeCol: String,
+                            shingleN: Int = 3, bands: Int = 4,
+                            rowsPerBand: Int = 4, tau: Double = 0.7,
+                            storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val mh = persistAt(minhashWide(shingles(df, idCol, textCol, shingleN),
+      bands * rowsPerBand), storage)
+    val scope = df.select(col(idCol).cast("long").as("id"),
+      col(scopeCol).cast("string").as("_sc"))
+    val bandHash = bandHashes(mh, bands, rowsPerBand).join(scope, "id")
+    val cands = bandHash.as("x").join(bandHash.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x._sc") === col("y._sc") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val sets = mh.select(col("id"), col("set"))
+    cands
+      .join(sets.as("sa"), col("a") === col("sa.id"))
+      .join(sets.as("sb"), col("b") === col("sb.id"))
+      .withColumn("inter", size(array_intersect(col("sa.set"), col("sb.set"))).cast("double"))
+      .withColumn("jac", col("inter") /
+        (size(col("sa.set")) + size(col("sb.set")) - col("inter")))
+      .filter(col("jac") >= tau)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
+  }
+
   /** (id, band, bandHash, set) rows for an incoming document batch — the
     * per-batch half of the STREAMING near-dup pipeline ([[graft.streaming
     * .Streams.dedupStreamMinhash]] drives it): band hashes for the LSH
