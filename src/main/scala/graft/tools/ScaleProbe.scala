@@ -551,6 +551,40 @@ object ScaleProbe {
       graft.ops.PrefixSum.budgetCapPerGroup(d, "domain",
         Seq("draw", "doc_id"), "n_chars", budget = n * 4) }
 
+    // Round-10 session-2 probes. Line dedup: explode + line-key agg +
+    // anti-join + one-agg rebuild — ~linear in total lines.
+    timed("line_dedup") {
+      val withLines = docs.withColumn("text", concat(col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("\nsubscribe to our newsletter")).otherwise(lit("")),
+        concat(lit("\nsig "), col("doc_id").cast("string"))))
+      Dedup.lineDedup(withLines, "doc_id", "text", minDocs = 5)
+    }
+    // The scope lever, quantified on the BOILERPLATE corpus (where the
+    // cost matters): global LSH pairs vs the same banding with a
+    // 100-way scope in the bucket key — every bucket shrinks by the
+    // scope fan-out, so the m² pair volume divides by it.
+    timed("dedup_pairs_global") {
+      Dedup.minhashLshPairs(boiler, "doc_id", "text", 2, 4, 4, 0.8) }
+    timed("dedup_pairs_scoped") {
+      // hash-derived scope: a doc_id-arithmetic scope would correlate
+      // with the boilerplate groups (ids ≡ b mod 50) and fake the fan-out
+      val sc = boiler.withColumn("src",
+        concat(lit("s"), pmod(hash(col("doc_id"), lit(7)), lit(100))))
+      Dedup.minhashLshPairsScoped(sc, "doc_id", "text", "src", 2, 4, 4, 0.8) }
+    // Matryoshka two-stage: prefix-16 shortlist over the corpus + exact
+    // re-rank of 30×queries rows — must track the brute-force scan's
+    // linear shape with a ~4× cheaper stage-1 dot.
+    timed("ann_prefix") {
+      Similarity.prefixRerankTopK(embs, "vec_id", "embedding",
+        embs.filter(col("vec_id") < 5), "vec_id", "embedding",
+        prefixDims = 16, shortlist = 30, k = 5) }
+    timed("ann_brute") {
+      Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+        embs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5) }
+    timed("shuffle_index") {
+      graft.ops.Sampling.shuffleIndex(docs, col("doc_id"), "e0") }
+
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"n":$n,"secs":${j(secs)},"rows":${j(rows)}}""")
