@@ -252,6 +252,24 @@ object SparkEntry {
           "text", graft.ops.Bpe.fixtureRules)
         .orderBy("doc_id")),
 
+    // Tokenizer FERTILITY per language (round 10): tokens-per-word under
+    // the frozen merge table, by lang — the standard multilingual-
+    // tokenizer eval (a high-fertility language pays more sequence
+    // budget per word; the number that drives vocab rebalancing).
+    // Integer sums + one double division: exact cross-engine.
+    "q_bpe_fertility" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.ops.Bpe.applyPerDocStats(s, d, "doc_id", "text",
+          graft.ops.Bpe.fixtureRules)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(
+          sum("n_words").as("n_words"),
+          sum("n_tokens").as("n_tokens"),
+          round(sum("n_tokens").cast("double") /
+            sum("n_words").cast("double"), 6).as("fertility"))
+        .orderBy("lang")
+    }),
+
     // The token-id table from the same frozen merges, dictionary-grain:
     // counts are wordCount × per-word occurrences — the corpus is never
     // exploded to tokens at all.
@@ -5221,6 +5239,36 @@ object SparkEntry {
         |         GROUP BY doc_id)
         |SELECT b.doc_id, n_words, n_tokens, n_distinct_toks
         |FROM base b JOIN dist USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // same frozen-merge segmentation chain, aggregated per language
+    "q_bpe_fertility" ->
+      """WITH words AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |dict AS (SELECT DISTINCT word FROM words),
+        |s0 AS (SELECT word, ' ' || array_to_string(list_transform(
+        |         range(1, length(word) + 1), i -> substring(word, CAST(i AS INT), 1)), ' ')
+        |         || ' </w> ' AS s FROM dict),
+        |s1 AS (SELECT word, replace(s, ' e </w> ', ' e</w> ') AS s FROM s0),
+        |s2 AS (SELECT word, replace(s, ' a n ', ' an ') AS s FROM s1),
+        |s3 AS (SELECT word, replace(s, ' r t ', ' rt ') AS s FROM s2),
+        |s4 AS (SELECT word, replace(s, ' t h ', ' th ') AS s FROM s3),
+        |s5 AS (SELECT word, replace(s, ' q u ', ' qu ') AS s FROM s4),
+        |s6 AS (SELECT word, replace(s, ' s c ', ' sc ') AS s FROM s5),
+        |s7 AS (SELECT word, replace(s, ' sc an ', ' scan ') AS s FROM s6),
+        |s8 AS (SELECT word, replace(s, ' o w ', ' ow ') AS s FROM s7),
+        |s9 AS (SELECT word, replace(s, ' e r ', ' er ') AS s FROM s8),
+        |s10 AS (SELECT word, replace(s, ' er </w> ', ' er</w> ') AS s FROM s9),
+        |seg AS (SELECT word, len(list_filter(string_split(s, ' '), x -> x <> '')) AS nt
+        |        FROM s10),
+        |per AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+        |          CAST(sum(s.nt) AS BIGINT) AS n_tokens
+        |        FROM words w JOIN seg s USING (word)
+        |        JOIN documents d USING (doc_id)
+        |        GROUP BY d.lang)
+        |SELECT lang, n_words, n_tokens,
+        |       round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS fertility
+        |FROM per ORDER BY lang""".stripMargin,
 
     "q_token_shards" ->
       """WITH words AS (SELECT doc_id, unnest(list_filter(

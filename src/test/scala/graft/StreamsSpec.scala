@@ -921,6 +921,56 @@ class StreamsSpec extends SparkTestBase {
     assert(!got(1L)._2.contains("\u0007") && got(1L)._2.endsWith("caf\u00e9"))
   }
 
+  test("streaming per-DOMAIN quota: raw URLs collapse to registrable domains, state spans batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit}
+    // raw URLs in mixed case / with tracking params; domain is the
+    // registrable-domain of the CANONICALIZED url — the round-10 URL ops
+    // composed with the per-key quota state
+    val in = MemoryStream[(String, Long, Long)] // (url, ord, n_chars)
+    val domained = in.toDF.toDF("url", "ord", "n_chars")
+      .withColumn("domain", graft.ops.UrlOps.registrableDomain(
+        graft.ops.UrlOps.canonicalizeUrl(col("url"))))
+    val q = Streams.quotaStream(domained, "domain", "ord", "n_chars", budget = 100L)
+      .writeStream.format("memory").queryName("dom_quota")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: a.example.com consumes 90 of its 100 budget across two
+      // raw spellings; b.example.com consumes 40
+      in.addData(
+        ("https://A.example.com/x?utm_source=f", 1L, 50L),
+        ("https://a.EXAMPLE.com:443/y", 2L, 40L),
+        ("http://b.example.com/z", 3L, 40L))
+      q.processAllAvailable()
+      // batch 2: a's next doc (30) must be REJECTED on pre-batch
+      // consumption (90+30 > 100); b's next (50) fits (40+50 <= 100)
+      in.addData(
+        ("https://a.example.com/w", 4L, 30L),
+        ("HTTP://B.example.COM/v?fbclid=1", 5L, 50L))
+      q.processAllAvailable()
+      val got = spark.table("dom_quota")
+        .select("domain", "ord", "cum", "accepted")
+        .as[(String, Long, Long, Boolean)].collect()
+        .map(r => r._2 -> r).toMap
+      assert(got.size == 5)
+      assert(got(1L) == ("a.example.com", 1L, 50L, true))
+      assert(got(2L) == ("a.example.com", 2L, 90L, true))
+      assert(got(3L) == ("b.example.com", 3L, 40L, true))
+      assert(got(4L) == ("a.example.com", 4L, 120L, false),
+        "pre-batch consumption must carry: 90+30 > 100")
+      assert(got(5L) == ("b.example.com", 5L, 90L, true))
+      // batch parity: accepted set equals the per-group prefix-sum cut
+      val batchRows = Seq(
+        ("a.example.com", 1L, 50L), ("a.example.com", 2L, 40L),
+        ("b.example.com", 3L, 40L), ("a.example.com", 4L, 30L),
+        ("b.example.com", 5L, 50L)).toDF("domain", "ord", "n_chars")
+      val batchKept = graft.ops.PrefixSum.budgetCapPerGroup(
+          batchRows, "domain", Seq("ord"), "n_chars", budget = 100L)
+        .select("ord").as[Long].collect().toSet
+      assert(got.filter(_._2._4).keySet == batchKept)
+    } finally q.stop()
+  }
+
   test("qualityRulesLocal equals the batch qualityRules on the fixture corpus") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val batch = graft.ops.TextOps.qualityRules(docs, "doc_id", "text")
