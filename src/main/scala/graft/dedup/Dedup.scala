@@ -78,6 +78,16 @@ object Dedup {
       .filter(col("df") >= minDocs)
       .select("line")
     val kept = lines.join(hot, Seq("line"), "left_anti")
+    reassembleLines(lines, kept)
+  }
+
+  /** Rebuild documents from surviving (id, pos, line) rows against the
+    * full line table — the shared back half of [[lineDedup]] and the
+    * streaming incremental form
+    * ([[graft.streaming.Streams.lineDedupStream]]).
+    */
+  private[graft] def reassembleLines(lines: DataFrame,
+                                     kept: DataFrame): DataFrame = {
     val counts = lines.groupBy("id").agg(count(lit(1)).as("n_lines"))
     kept.groupBy("id")
       .agg(count(lit(1)).as("n_kept"),

@@ -266,6 +266,52 @@ object Streams {
       }
       .start()
 
+  /** Streaming LINE-dedup — the incremental form of
+    * [[graft.dedup.Dedup.lineDedup]] for a continuously-ingested crawl:
+    * each batch's documents are cleaned against the ACCUMULATED line
+    * document-frequency index (index + this batch — a line crossing
+    * `minDocs` total is removed from this batch's docs onward; documents
+    * already emitted in earlier batches are final, the inherent
+    * streaming-prefix semantics), then the batch's line counts append to
+    * the index under `batch=<id>` — overwrite-by-batch, and prior-batch
+    * filtering on read, make a foreachBatch replay after a crash
+    * idempotent (the [[dedupStreamMinhash]] contract).
+    */
+  def lineDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                      indexPath: String, minDocs: Int, checkpointDir: String)(
+                      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val lines = batch.select(col(idCol).as("id"),
+            posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+          .localCheckpoint() // feeds counts, anti-join, and the index write
+        val batchCounts = lines.groupBy("line")
+          .agg(count_distinct(col("id")).as("c"))
+          .localCheckpoint() // pinned BEFORE the index write mutates state
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val haveIndex = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
+        val prior =
+          if (!haveIndex)
+            batchCounts.limit(0).select(col("line"), col("c"))
+          else spark.read.option("basePath", indexPath).parquet(indexPath)
+            .filter(col("batch") =!= batchId) // replay: skip own partition
+            .select(col("line"), col("c"))
+        val hot = batchCounts.unionByName(prior)
+          .groupBy("line").agg(sum("c").as("ct"))
+          .filter(col("ct") >= minDocs)
+          .select("line")
+        val kept = lines.join(hot, Seq("line"), "left_anti")
+        emit(graft.dedup.Dedup.reassembleLines(lines, kept)
+          .localCheckpoint(), batchId)
+        batchCounts.select("line", "c") // batch comes from the partition path
+          .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** Declarative session windows — Spark's native `session_window`
     * (dynamic gap-merged windows in the engine's stateful operator), the
     * built-in dual of the two custom sessionizers here

@@ -971,6 +971,41 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("lineDedupStream: a banner crossing minDocs mid-stream is removed from that batch onward") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_ld_idx")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ld_ck")
+    val banner = "subscribe to our newsletter"
+    def doc(id: Long) = (id, s"body text $id\n$banner")
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, String)]
+    val q = Streams.lineDedupStream(in.toDF.toDF("doc_id", "text"),
+        "doc_id", "text", idx.toString + "/index", minDocs = 5,
+        ckpt.toString) { (df, _) =>
+      df.as[(Long, Long, Long, String)].collect()
+        .foreach(r => got(r._1) = r)
+    }
+    try {
+      in.addData(doc(1), doc(2), doc(3)) // banner df = 3 < 5: everything kept
+      q.processAllAvailable()
+      assert((1L to 3L).forall(i => got(i)._3 == 0 &&
+        got(i)._4 == s"body text $i\n$banner"))
+      // batch 2 pushes the banner's ACCUMULATED df to 6 >= 5: removed from
+      // THIS batch's docs; batch-1 docs are already emitted and final
+      in.addData(doc(4), doc(5), doc(6))
+      q.processAllAvailable()
+      assert((4L to 6L).forall(i => got(i)._3 == 1L &&
+        got(i)._4 == s"body text $i"), s"batch-2 docs must lose the banner: $got")
+      assert(got(1L)._4.contains(banner), "batch-1 emissions are final")
+      // batch 3: the index remembers — still hot with a single new doc
+      in.addData(doc(7))
+      q.processAllAvailable()
+      assert(got(7L)._3 == 1L && got(7L)._4 == "body text 7")
+      // the unique body lines never trip the threshold
+      assert(got.values.forall(_._2 == 2L))
+    } finally q.stop()
+  }
+
   test("qualityRulesLocal equals the batch qualityRules on the fixture corpus") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val batch = graft.ops.TextOps.qualityRules(docs, "doc_id", "text")
