@@ -2105,6 +2105,29 @@ object SparkEntry {
           "doc_id", "text", k = 5, window = 4, maxDf = 10, minShared = 3)
         .orderBy("a", "b")),
 
+    // CROSS-CORPUS span decontamination (round 10): which eval text
+    // leaked into which train doc, and WHERE — planted leakage (40-char
+    // eval snippets appended to every third train doc) found by the
+    // fingerprint equi-join between the two corpora's winnow sets,
+    // df-capped on the eval side, span evidence per shared fingerprint.
+    // The audit that cuts the SPAN, not the doc.
+    "q_decontam_spans" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val eval = d.filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+      val snip = eval.select(col("doc_id").as("_eid"),
+        substring(col("text"), 1, 40).as("_snip"))
+      val train = d.filter(col("doc_id") >= 100)
+        .withColumn("_eid", pmod(col("doc_id"), lit(20)))
+        .join(snip, "_eid")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" "), col("_snip")))
+            .otherwise(col("text")).as("text"))
+      TextOps.winnowSpansCross(train, eval, "doc_id", "text",
+          k = 5, window = 4, maxEvalDf = 10, minShared = 3)
+        .orderBy("train_id", "eval_id", "fp", "train_pos", "eval_pos")
+    }),
+
     // Span-grain MOSS (round 10): the winnow_pairs matches with the
     // anchor POSITIONS in both docs per shared fingerprint — which span
     // of a aligns with which span of b (feeds the substring-rewrite
@@ -4735,6 +4758,66 @@ object SparkEntry {
         |GROUP BY x.doc_id, y.doc_id
         |HAVING count(*) >= 3
         |ORDER BY a, b""".stripMargin,
+
+    // two winnow chains (train with the planted snippets, eval), fp
+    // equi-join with the eval-side df-cap, same pair gate + span grain
+    "q_decontam_spans" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        |sn AS (SELECT doc_id AS eid, substring(text, 1, 40) AS snip FROM ev),
+        |tr AS (SELECT d.doc_id,
+        |         CASE WHEN d.doc_id % 3 = 0 THEN d.text || ' ' || s.snip
+        |              ELSE d.text END AS text
+        |       FROM documents d JOIN sn s ON s.eid = d.doc_id % 20
+        |       WHERE d.doc_id >= 100),
+        |td AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM tr),
+        |tb AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n FROM td
+        |       WHERE length(t) >= 8),
+        |tg AS (SELECT doc_id, n, i AS pos,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(string_split_regex(substring(t, CAST(i + 1 AS INT), 5), ''),
+        |                          c -> unicode(c)::BIGINT)),
+        |           (a, b) -> (a * 31 + b) % 2147483647) AS h
+        |       FROM tb CROSS JOIN unnest(range(0, n - 4)) AS r(i)),
+        |te AS (SELECT doc_id, n, pos, h * 4294967296 + (4294967295 - pos) AS enc FROM tg),
+        |tw AS (SELECT doc_id, n, pos,
+        |         min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |       FROM te),
+        |tsel AS (SELECT DISTINCT doc_id,
+        |           CAST(4294967295 - (wmin % 4294967296) AS BIGINT) AS fp_pos,
+        |           CAST(wmin // 4294967296 AS BIGINT) AS fp
+        |         FROM tw WHERE pos <= n - 8),
+        |ed AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM ev),
+        |eb AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n FROM ed
+        |       WHERE length(t) >= 8),
+        |eg AS (SELECT doc_id, n, i AS pos,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(string_split_regex(substring(t, CAST(i + 1 AS INT), 5), ''),
+        |                          c -> unicode(c)::BIGINT)),
+        |           (a, b) -> (a * 31 + b) % 2147483647) AS h
+        |       FROM eb CROSS JOIN unnest(range(0, n - 4)) AS r(i)),
+        |ee AS (SELECT doc_id, n, pos, h * 4294967296 + (4294967295 - pos) AS enc FROM eg),
+        |ew AS (SELECT doc_id, n, pos,
+        |         min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |       FROM ee),
+        |esel AS (SELECT DISTINCT doc_id,
+        |           CAST(4294967295 - (wmin % 4294967296) AS BIGINT) AS fp_pos,
+        |           CAST(wmin // 4294967296 AS BIGINT) AS fp
+        |         FROM ew WHERE pos <= n - 8),
+        |ef AS (SELECT DISTINCT doc_id, fp FROM esel),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM ef GROUP BY fp)
+        |         WHERE df <= 10),
+        |eix AS (SELECT s.doc_id, s.fp_pos, s.fp FROM esel s JOIN rare USING (fp)),
+        |j AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id, t.fp,
+        |             t.fp_pos AS train_pos, e.fp_pos AS eval_pos
+        |      FROM tsel t JOIN eix e ON t.fp = e.fp),
+        |ns AS (SELECT train_id, eval_id FROM (
+        |         SELECT train_id, eval_id, count(DISTINCT fp) AS c
+        |         FROM j GROUP BY train_id, eval_id) WHERE c >= 3)
+        |SELECT j.train_id, j.eval_id, j.fp, j.train_pos, j.eval_pos
+        |FROM j JOIN ns USING (train_id, eval_id)
+        |ORDER BY train_id, eval_id, fp, train_pos, eval_pos""".stripMargin,
 
     // span grain: the same chain keeps fp_pos through the index join;
     // pair gate = distinct shared fps, rows = all anchor combinations

@@ -608,6 +608,46 @@ object TextOps {
         col("s.a_pos").as("a_pos"), col("s.b_pos").as("b_pos"))
   }
 
+  /** CROSS-CORPUS span decontamination — [[winnowSpans]] between a train
+    * corpus and an evaluation set: which eval text leaked into which
+    * train document, and WHERE. Fingerprints come from each side's own
+    * [[winnowFingerprints]]; candidates are the fingerprint equi-join
+    * (train fp × eval fp — eval is benchmark-sized, its index
+    * broadcasts), df-capped on the EVAL side (a fingerprint matching
+    * more than `maxEvalDf` eval docs is generic phrasing, not leakage);
+    * pairs sharing ≥ `minShared` distinct fingerprints emit one row per
+    * anchor combination. The span-evidence upgrade of
+    * [[graft.dedup.Dedup.crossCorpusContamination]] — what a
+    * decontamination audit actually reads (cut the span, not the doc).
+    *
+    * Output: (train_id, eval_id, fp, train_pos, eval_pos).
+    */
+  def winnowSpansCross(train: DataFrame, eval: DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int = 5, window: Int = 4, maxEvalDf: Int = 10,
+                       minShared: Int = 5): DataFrame = {
+    require(maxEvalDf >= 1 && minShared >= 1)
+    val tfp = winnowFingerprints(train, idCol, textCol, k, window)
+    val efp = winnowFingerprints(eval, idCol, textCol, k, window)
+    val rare = efp.select("id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxEvalDf)
+      .select("fp")
+    val eIx = efp.join(rare, "fp")
+    tfp.as("t").join(eIx.as("e"), Seq("fp"))
+      .select(col("t.id").as("train_id"), col("e.id").as("eval_id"),
+        col("fp"), col("t.fp_pos").as("train_pos"),
+        col("e.fp_pos").as("eval_pos"))
+      .groupBy("train_id", "eval_id")
+      .agg(countDistinct(col("fp")).as("n_shared"),
+        collect_list(struct(col("fp"), col("train_pos"), col("eval_pos")))
+          .as("sp"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_id"), col("eval_id"), explode(col("sp")).as("s"))
+      .select(col("train_id"), col("eval_id"), col("s.fp").as("fp"),
+        col("s.train_pos").as("train_pos"), col("s.eval_pos").as("eval_pos"))
+  }
+
   /** Ingestion text normalization — the CCNet/RefinedWeb-family cleanup
     * pass every crawl pipeline runs before hashing or tokenizing, as one
     * codegen'd projection (no shuffle, no UDF):

@@ -21,7 +21,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q_media_phash", "q_lpa", "q_substring_rewrite", "q_ivf_pq",
     "q_containment", "q_media_jpeg", "q_bpe_apply", "q_bpe_vocab",
     "q_winnow_pairs", "q_winnow_spans", "q_token_shards", "q_corpus_run2",
-    "q_corpus_run3", "q_scoped_dedup", "q_line_dedup")
+    "q_corpus_run3", "q_scoped_dedup", "q_line_dedup", "q_decontam_spans")
 
   test("no CartesianProduct / BroadcastNestedLoopJoin in any scale-path similarity plan") {
     for (name <- guarded) {

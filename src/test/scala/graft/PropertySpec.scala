@@ -690,6 +690,35 @@ class PropertySpec extends SparkTestBase {
     assert(one == Set(2L))
   }
 
+  test("winnowSpansCross: planted eval leakage found with genuinely equal anchors") {
+    import spark.implicits._
+    val k = 5
+    val evalDocs = Seq(
+      (1L, "what is the capital of kazakhstan exactly"),
+      (2L, "compute the determinant of this matrix now"))
+    val trainDocs = Seq(
+      (100L, "some ordinary training prose " +
+        "what is the capital of kazakhstan exactly and more prose"), // leaks eval 1
+      (101L, "completely clean document with its own words only here"),
+      (102L, "prefix text compute the determinant of this matrix now suffix")) // leaks eval 2
+    val spans = graft.ops.TextOps.winnowSpansCross(
+        trainDocs.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"),
+        "doc_id", "text", k = k, window = 4, maxEvalDf = 10, minShared = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val pairs = spans.map(s => (s._1, s._2)).toSet
+    assert(pairs.contains((100L, 1L)) && pairs.contains((102L, 2L)),
+      s"planted leaks must be reported: $pairs")
+    assert(!pairs.exists(_._1 == 101L), "the clean doc must not be flagged")
+    // anchors point at IDENTICAL k-grams of the normalized texts
+    val norm = (trainDocs ++ evalDocs).map { case (id, t) =>
+      id -> t.trim.toLowerCase.replaceAll("\\s+", " ") }.toMap
+    for ((tid, eid, _, tPos, ePos) <- spans) {
+      val gt = norm(tid).substring(tPos.toInt, tPos.toInt + k)
+      val ge = norm(eid).substring(ePos.toInt, ePos.toInt + k)
+      assert(gt == ge, s"anchor ($tid@$tPos, $eid@$ePos): '$gt' != '$ge'")
+    }
+  }
+
   test("lmFilter: gate equals the offline scorer; ref model discriminates unseen text") {
     import spark.implicits._
     // ref slice: 20 fluent docs over one vocabulary; non-ref: one doc in
