@@ -667,6 +667,16 @@ object SparkEntry {
       Sampling.mixWeights(Tables.documents(s, dir), col("lang"), alpha = 0.3)
         .orderBy("grp")),
 
+    // Temperature-mixing EPOCH (round 10): mixWeights materialized —
+    // every doc replicated floor(boost) times + one more when its
+    // deterministic draw clears frac(boost), so the epoch holds
+    // ~N·weight_g rows per language; group table broadcast + one in-row
+    // explode, zero extra shuffles.
+    "q_mix_epoch" -> ((s, dir) =>
+      Sampling.mixEpoch(Tables.documents(s, dir), col("doc_id"),
+          col("lang"), alpha = 0.3, salt = "mix")
+        .orderBy("id", "copy")),
+
     // Reproducible global shuffle (round 10): the epoch read order —
     // position = rank in (hashDraw, id) order via the DISTRIBUTED prefix
     // sum (never a one-task window); same salt = same permutation on any
@@ -5531,6 +5541,31 @@ object SparkEntry {
         |       round(w / CAST(z.z AS DOUBLE), 6) AS weight,
         |       round(w / CAST(z.z AS DOUBLE) / share, 6) AS boost
         |FROM s CROSS JOIN z ORDER BY grp""".stripMargin,
+
+    // the mixWeights chain joined back, floor+frac replication decided
+    // by the same md5 draw, range-exploded
+    "q_mix_epoch" ->
+      s"""WITH c AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+        |s AS (SELECT grp, n,
+        |        CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share,
+        |        round(pow(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE), 0.3), 6) AS w
+        |      FROM c CROSS JOIN t),
+        |z AS (SELECT sum(CAST(w AS DECIMAL(38,18))) AS z FROM s),
+        |wt AS (SELECT grp,
+        |         round(w / CAST(z.z AS DOUBLE) / share, 6) AS boost
+        |       FROM s CROSS JOIN z),
+        |j AS (SELECT d.doc_id AS id, d.lang AS grp, wt.boost
+        |      FROM documents d JOIN wt ON wt.grp = d.lang),
+        |cc AS (SELECT id, grp,
+        |         CAST(floor(boost) AS BIGINT) +
+        |         CASE WHEN ${graft.ops.Sampling.hashDrawSql("id", "mix")} <
+        |                CAST(floor(4294967296.0 * (boost - floor(boost))) AS BIGINT)
+        |              THEN 1 ELSE 0 END AS copies
+        |       FROM j)
+        |SELECT id, grp, unnest(range(1, copies + 1)) AS copy
+        |FROM cc WHERE copies > 0 ORDER BY id, copy""".stripMargin,
 
     "q_shuffle_index" ->
       s"""SELECT doc_id AS id,

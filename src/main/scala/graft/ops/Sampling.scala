@@ -249,4 +249,34 @@ object Sampling {
         round(col("w") / col("z").cast("double"), 6).as("weight"),
         round(col("w") / col("z").cast("double") / col("share"), 6).as("boost"))
   }
+
+  /** Temperature-mixing EPOCH materializer — [[mixWeights]] applied to
+    * the corpus: every document of group g is replicated floor(boost_g)
+    * times plus one more with probability frac(boost_g), decided by the
+    * same deterministic [[hashDraw]] as every sampler here — so the
+    * epoch has ≈ N·weight_g rows per group (upsampled low-resource
+    * groups repeat docs, downsampled ones drop docs), is retry-stable,
+    * partitioning-independent, and fully oracle-replayable. `copy`
+    * numbers the repetitions (1..copies) so downstream shuffling /
+    * sharding can treat each repetition as its own row.
+    *
+    * Shape: the group-grain weight table broadcast onto the scan + one
+    * in-row sequence explode — zero extra shuffles.
+    *
+    * Output: (id, grp, copy).
+    */
+  def mixEpoch(df: DataFrame, key: Column, group: Column, alpha: Double,
+               salt: String = "mix"): DataFrame = {
+    val w = mixWeights(df, group, alpha).select(col("grp"), col("boost"))
+    val fl = floor(col("boost")).cast("long")
+    val frac = col("boost") - floor(col("boost"))
+    val extra = (hashDraw(col("id"), salt) <
+      floor(lit(4294967296.0) * frac).cast("long")).cast("long")
+    df.select(key.cast("long").as("id"), group.as("grp"))
+      .join(broadcast(w), "grp")
+      .withColumn("_copies", fl + extra)
+      .filter(col("_copies") > 0)
+      .select(col("id"), col("grp"),
+        explode(sequence(lit(1L), col("_copies"))).as("copy"))
+  }
 }

@@ -175,4 +175,38 @@ class SamplingSessionSpec extends SparkTestBase {
     assert(math.abs(m.values.map(_._4).sum - 1.0) < 1e-5)
     assert(m("small")._5 > 1.0 && m("big")._5 < 1.0)
   }
+
+  test("mixEpoch: per-doc copies follow floor(boost)+Bernoulli(frac), epoch sizes ~ N*weight") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("g", org.apache.spark.sql.functions
+        .when(col("id") < 100, "small")
+        .when(col("id") < 400, "mid").otherwise("big"))
+    val weights = graft.ops.Sampling.mixWeights(df, col("g"), alpha = 0.5)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val epoch = graft.ops.Sampling.mixEpoch(df, col("id"), col("g"),
+        alpha = 0.5, salt = "ep")
+      .as[(Long, String, Long)].collect() // (id, grp, copy)
+    val byId = epoch.groupBy(_._1)
+    // per-doc: copies == floor(boost) or floor(boost)+1, copy numbering 1..copies
+    for ((id, rows) <- byId) {
+      val g = if (id < 100) "small" else if (id < 400) "mid" else "big"
+      val fl = math.floor(weights(g)._5).toLong
+      val n = rows.length.toLong
+      assert(n == fl || n == fl + 1, s"id $id: $n copies vs boost ${weights(g)._5}")
+      assert(rows.map(_._3).sorted.toSeq == (1L to n))
+    }
+    // group totals track N * weight (binomial concentration at n>=100)
+    for (g <- Seq("small", "mid", "big")) {
+      val got = epoch.count(_._2 == g).toDouble
+      val want = 1000.0 * weights(g)._4
+      assert(math.abs(got - want) / want < 0.15, s"$g: $got vs ~$want")
+    }
+    // deterministic + repartition-invariant
+    val again = graft.ops.Sampling.mixEpoch(df.repartition(13), col("id"),
+        col("g"), alpha = 0.5, salt = "ep")
+      .as[(Long, String, Long)].collect()
+    assert(epoch.toSet == again.toSet)
+  }
 }
