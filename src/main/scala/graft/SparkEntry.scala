@@ -677,6 +677,24 @@ object SparkEntry {
           col("lang"), alpha = 0.3, salt = "mix")
         .orderBy("id", "copy")),
 
+    // Curriculum read order (round 10): highest LM-quality tier first,
+    // hash-shuffled within each tier — the q_lm_buckets tiers fed into
+    // the distributed (bucket DESC, draw, id) rank; per-tier prefix-sum
+    // ranks + a broadcast 4-row offset table.
+    "q_curriculum" -> ((s, dir) => {
+      val scored = TextOps.bigramLmScoreRef(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en")
+      val e = graft.ops.WindowOps.exactQuantilesGlobal(
+          scored, "lm_score", Seq(0.25, 0.5, 0.75))
+        .agg(sort_array(collect_list("value")).as("edges"))
+      val tiers = scored.crossJoin(broadcast(e))
+        .select(col("id"),
+          (lit(1) + size(filter(col("edges"),
+            x => col("lm_score") > x))).as("bucket"))
+      Sampling.curriculumIndex(tiers, col("bucket"), col("id"), salt = "cur")
+        .orderBy("id")
+    }),
+
     // Reproducible global shuffle (round 10): the epoch read order —
     // position = rank in (hashDraw, id) order via the DISTRIBUTED prefix
     // sum (never a one-task window); same salt = same permutation on any
@@ -5566,6 +5584,22 @@ object SparkEntry {
         |       FROM j)
         |SELECT id, grp, unnest(range(1, copies + 1)) AS copy
         |FROM cc WHERE copies > 0 ORDER BY id, copy""".stripMargin,
+
+    // LM tiers + row_number over (bucket DESC, draw, id) — the one-task
+    // window form the distributed per-tier prefix sum equals
+    "q_curriculum" ->
+      (LmRefScoreCtes + ",\n" +
+      s"""sc AS (SELECT doc_id AS id, round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS s
+        |       FROM lp GROUP BY doc_id),
+        |e AS (SELECT quantile_disc(s, 0.25) AS e1, quantile_disc(s, 0.5) AS e2,
+        |             quantile_disc(s, 0.75) AS e3 FROM sc),
+        |b AS (SELECT id, CAST(1 + CAST(s > e1 AS INT) + CAST(s > e2 AS INT)
+        |               + CAST(s > e3 AS INT) AS INT) AS bucket
+        |      FROM sc CROSS JOIN e)
+        |SELECT id, bucket,
+        |  CAST(row_number() OVER (ORDER BY bucket DESC,
+        |    ${graft.ops.Sampling.hashDrawSql("id", "cur")}, id) - 1 AS BIGINT) AS pos
+        |FROM b ORDER BY id""".stripMargin),
 
     "q_shuffle_index" ->
       s"""SELECT doc_id AS id,

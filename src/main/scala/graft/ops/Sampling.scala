@@ -250,6 +250,38 @@ object Sampling {
         round(col("w") / col("z").cast("double") / col("share"), 6).as("boost"))
   }
 
+  /** CURRICULUM read order — the training-prep step "read the highest
+    * quality tier first, shuffled within each tier": position = rank in
+    * (bucket DESC, draw, id) order. Distributed as within-bucket
+    * [[PrefixSum.prefixSumByGroup]] ranks (range-partitioned two-pass,
+    * never a one-task global window) plus a bucket-grain offset table
+    * (counts of higher buckets — a handful of rows, broadcast). Same
+    * salt = same curriculum on any cluster.
+    *
+    * Output: (id, bucket, pos) with pos in [0, n), descending-bucket
+    * blocks each internally hash-shuffled.
+    */
+  def curriculumIndex(df: DataFrame, bucket: Column, key: Column,
+                      salt: String = "curriculum",
+                      partitions: Int = 32): DataFrame = {
+    val base = df.select(bucket.cast("int").as("bucket"),
+        key.cast("long").as("id"))
+      .withColumn("draw", hashDraw(col("id"), salt))
+      .withColumn("_one", lit(1L))
+    val within = PrefixSum.prefixSumByGroup(base, "bucket",
+      Seq("draw", "id"), "_one", partitions)
+    val counts = base.groupBy("bucket").agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts // bucket-grain: a handful of rows through one window
+      .withColumn("_off", coalesce(sum("_n").over(w), lit(0L)))
+      .select("bucket", "_off")
+    within.join(broadcast(offsets), "bucket")
+      .select(col("id"), col("bucket"),
+        (col("_off") + col("cum") - 1).as("pos"))
+  }
+
   /** Temperature-mixing EPOCH materializer — [[mixWeights]] applied to
     * the corpus: every document of group g is replicated floor(boost_g)
     * times plus one more with probability frac(boost_g), decided by the
