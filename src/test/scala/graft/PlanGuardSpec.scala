@@ -34,6 +34,46 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("URL ops are scan-speed: one file scan, zero shuffles, codegen'd projection") {
+    import org.apache.spark.sql.functions._
+    // the registrable-domain + canonicalization CASE chains must stay a
+    // pure projection over the scan — no UDF, no Exchange, one stage —
+    // or the "domain keys derive at scan speed" scaladoc claim is false
+    val d = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.ops.UrlOps.registrableDomain(concat(lit("https://www."),
+          col("source"), lit(".example.com/a"))).as("dom"),
+        graft.ops.UrlOps.canonicalizeUrl(concat(lit("HTTP://u@x."),
+          col("source"), lit(".com:80/p?utm_a=1&b=2#f"))).as("canon"))
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"URL projection must not shuffle:\n$plan")
+    assert("FileScan".r.findAllIn(plan).length == 1)
+    // the registrable-domain chain ALONE is codegen'd (pure CASE/regexp —
+    // the `*(n)` whole-stage prefix); canonicalizeUrl's param-sort lambdas
+    // are interpreted by design (higher-order functions don't codegen),
+    // which is why it shares the single projection rather than its own op
+    val domOnly = graft.core.Tables.documents(spark, sfDir)
+      .select(graft.ops.UrlOps.registrableDomain(concat(lit("https://www."),
+        col("source"), lit(".example.com/a"))).as("dom"))
+      .queryExecution.executedPlan.toString
+    assert(domOnly.contains("*(1) Project"),
+      s"registrableDomain must stay inside whole-stage codegen:\n$domOnly")
+  }
+
+  test("mixEpoch: the weight table broadcasts onto the scan") {
+    import org.apache.spark.sql.functions.col
+    val plan = graft.ops.Sampling.mixEpoch(
+        graft.core.Tables.documents(spark, sfDir),
+        col("doc_id"), col("lang"), alpha = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the group-grain weight table must broadcast, never shuffle the corpus")
+    // the weight table itself holds two SANCTIONED 1-row broadcasts
+    // (total + normalizer crossJoins) — those are BNLJs by construction;
+    // only a genuine cartesian would be a regression
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_ann_topk is the one sanctioned nested-loop plan (exactness baseline)") {
     // bruteForceTopK is DOCUMENTED as corpus-scan × broadcast-queries; it
     // must stay a broadcast NLJ (small side broadcast), never a cartesian.
