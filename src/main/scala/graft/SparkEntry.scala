@@ -1365,6 +1365,25 @@ object SparkEntry {
         col("lang") === "en", threshold = -3.42)
         .orderBy("id")),
 
+    // Held-out LM evaluation (round 10): train the bigram model on the
+    // 80% split only, score BOTH splits under it — the per-split mean
+    // score + doc-perplexity table whose train/held-out gap is the
+    // overfitting monitor. exp() argument quantized (round 6) before
+    // the transcendental so libm ulps cannot propagate.
+    "q_lm_heldout" -> ((s, dir) => {
+      val d = Sampling.splitByHash(Tables.documents(s, dir), col("doc_id"),
+        Seq(0.8, 0.2), salt = "lm")
+      val scored = TextOps.bigramLmScoreRef(d, "doc_id", "text",
+        col("split") === 0)
+      scored.join(d.select(col("doc_id").as("id"), col("split")), "id")
+        .groupBy("split").agg(
+          count(lit(1)).as("n_docs"),
+          round(sum(col("lm_score").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_lm"))
+        .withColumn("ppl", round(exp(-col("mean_lm")), 4))
+        .orderBy("split")
+    }),
+
     // The gate's operating-point table: prCurve (distributed prefix-sum
     // cumulation, fractional thresholds) of the en-trained LM score
     // against the lang='en' label — what you read to PICK q_lm_filter's
@@ -3928,6 +3947,35 @@ object SparkEntry {
         |       round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS lm_score,
         |       round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) >= -3.42 AS keep
         |FROM lp GROUP BY doc_id ORDER BY id""".stripMargin),
+
+    // the LM chain with the model legs filtered to split 0, per-split
+    // aggregation; exp arg quantized before the transcendental
+    "q_lm_heldout" ->
+      s"""WITH sp AS (SELECT doc_id, text,
+        |    ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.2), "lm")} AS split
+        |  FROM documents),
+        |arr AS (SELECT doc_id, split,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |  FROM sp),
+        |tok AS (SELECT doc_id, split, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |bigr AS (SELECT t1.doc_id, t1.split, t1.w AS w1, t1.w || ' ' || t2.w AS bg
+        |         FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok WHERE split = 0 GROUP BY w),
+        |big AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bigr WHERE split = 0 GROUP BY bg),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |lp AS (SELECT b.doc_id, b.split,
+        |         CAST(ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(coalesce(cu, 0) + v.v AS DOUBLE))
+        |              AS DECIMAL(38,18)) AS lp
+        |       FROM bigr b LEFT JOIN big USING (bg) LEFT JOIN uni ON uni.w = b.w1 CROSS JOIN v),
+        |sc AS (SELECT doc_id, any_value(split) AS split,
+        |         round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS s
+        |       FROM lp GROUP BY doc_id),
+        |ag AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |         round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE)
+        |               / CAST(count(*) AS DOUBLE), 6) AS mean_lm
+        |       FROM sc GROUP BY split)
+        |SELECT split, n_docs, mean_lm, round(exp(-mean_lm), 4) AS ppl
+        |FROM ag ORDER BY split""".stripMargin,
 
     // the operating-point sweep: score-grain collapse + window cumulation
     // (the q_pr_curve one-task-window form the distributed prefix sum
