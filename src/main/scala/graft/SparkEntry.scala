@@ -1311,6 +1311,23 @@ object SparkEntry {
       TextOps.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id")),
 
+    // CORPUS DATA-CARD statistics (round 10): Zipf-law OLS fit of the
+    // frequency spectrum (slope ≈ -1 on healthy text; ln values
+    // quantized round-9 before decimal sums — the logreg recipe — so
+    // the regression replays bit-for-bit). Top-200 via TakeOrdered,
+    // never a global sort.
+    "q_zipf" -> ((s, dir) =>
+      TextOps.zipfFit(Tables.documents(s, dir), "text", topN = 200)),
+
+    // Heaps-law vocabulary growth: token + distinct-type counts at 10
+    // id-prefix cuts, computed from ONE corpus pass (per-token first
+    // occurrence + per-doc counts, broadcast-joined against the bounded
+    // cut list) — never a distinct-count per cut.
+    "q_heaps" -> ((s, dir) =>
+      TextOps.heapsGrowth(Tables.documents(s, dir), "doc_id", "text",
+          buckets = 10)
+        .orderBy("bucket")),
+
     // Hashing-trick bag-of-words: fixed-dim sparse vectors, no dictionary
     // state, engine-portable bucketing.
     "q_feature_hash" -> ((s, dir) =>
@@ -1382,6 +1399,38 @@ object SparkEntry {
             count(lit(1)).cast("double"), 6).as("mean_lm"))
         .withColumn("ppl", round(exp(-col("mean_lm")), 4))
         .orderBy("split")
+    }),
+
+    // QUALITY-CLASSIFIER DISTILLATION (round 10): the CCNet/fastText
+    // pattern — an expensive LM judge labels the corpus once (teacher =
+    // the q_lm_filter gate), a CHEAP linear student learns to mimic it
+    // from the four exact-arithmetic Gopher signals, and production runs
+    // the student at scan speed. Training is the oracle-replayable
+    // logreg chain (decimal-summed, round-6-quantized gradients); output
+    // is per-doc student score + teacher verdict + agreement — the
+    // distillation-quality table you read before deploying the student.
+    // The joined training set is localCheckpointed ONCE: the teacher leg
+    // is a full LM-scoring pass and is referenced by every GD round plus
+    // predict (the q_corpus_run2 lesson).
+    "q_distill" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val teacher = TextOps.lmFilter(d, "doc_id", "text",
+          col("lang") === "en", threshold = -3.42)
+        .select(col("id").as("doc_id"), col("keep").cast("double").as("y"))
+      val feats = TextOps.qualityRules(d, "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          array(col("n_words").cast("double") / lit(100.0),
+            col("mean_word_len"), col("stop_frac"), col("top_share"))
+            .as("fs"))
+      val train = feats.join(teacher, "doc_id").localCheckpoint()
+      val w = graft.chain.LogisticRegression.train(s, train, "doc_id",
+        "fs", "y", dims = 4, iterations = 3, lr = 0.1)
+      graft.chain.LogisticRegression.predict(train, "doc_id", "fs", "y",
+          dims = 4, w = w)
+        .select(col("id").as("doc_id"), col("p"), col("pred"),
+          col("label").as("teacher"),
+          (col("pred") === (col("label") === 1)).as("agree"))
+        .orderBy("doc_id")
     }),
 
     // The gate's operating-point table: prCurve (distributed prefix-sum
@@ -2337,6 +2386,19 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
+    // HARD-NEGATIVE MINING (round 10): per query, the top-10 most-similar
+    // vectors with a DIFFERENT label — the contrastive-training negatives
+    // that matter (DPR recipe). Label filter before the rank window, so
+    // ranks are over negatives only; exact-cosine baseline (the ANN
+    // candidate stages compose in unchanged at corpus scale).
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+          e.filter(col("vec_id") < 8), "vec_id", "embedding", "label", k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     // Matryoshka two-stage retrieval (round 10): shortlist by cosine on
     // the first 16 dims (the 4x-smaller index a serving stack scans
     // first), exact full-dim re-rank of the top-30 shortlist — recall
@@ -2664,6 +2726,40 @@ object SparkEntry {
           col("nFrames").as("n_frames"),
           col("durationMs").as("duration_ms"))
         .orderBy("doc_id")
+    }),
+
+    // VIDEO leg (round 10): MP4 / ISO-BMFF box-tree walk (ISO/IEC
+    // 14496-12) — ftyp brand, mvhd timescale/duration, per-trak hdlr +
+    // tkhd 16.16 dims + stsd codec fourcc, largesize mdat on every
+    // seventh id, an unknown `free` box every reader must skip. The
+    // synthetic corpus is spec-correct files built from id arithmetic,
+    // so the oracle replays the arithmetic while the Spark side must
+    // recover it from the bytes.
+    "q_media_mp4" -> ((s, dir) => {
+      val media = Multimodal.syntheticMp4(s, Tables.documents(s, dir), "doc_id")
+      Multimodal.mp4Dims(s, media)
+        .select(col("id").as("doc_id"), col("brand"), col("timescale"),
+          col("duration_ms"),
+          col("n_tracks").cast("long").as("n_tracks"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("vcodec"), col("acodec"))
+        .orderBy("doc_id")
+    }),
+
+    // Frame SAMPLING over the video column — the brief's "frame-sample"
+    // op made real at the container level: every 3rd video sample
+    // resolved to its absolute byte range via the stts/stsz/stsc/stco
+    // join (short tail chunks force the multi-entry stsc semantics),
+    // then the actual bytes at that range folded to an exact sum — so a
+    // wrong offset anywhere in the chunk-map walk fails the hash. At
+    // 100 TB this is the access pattern: fetch ranges for every k-th
+    // frame, never whole files.
+    "q_media_frames" -> ((s, dir) => {
+      val media = Multimodal.syntheticMp4(s, Tables.documents(s, dir), "doc_id")
+      Multimodal.mp4FrameSamples(s, media, stride = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "sample_idx")
     }),
 
     "q_media_audio" -> ((s, dir) => {
@@ -3876,6 +3972,47 @@ object SparkEntry {
         |FROM p JOIN f fx ON p.x = fx.tok JOIN f fy ON p.y = fy.tok
         |ORDER BY x, y""".stripMargin,
 
+    // regression replay: identical quantize-then-decimal-sum pipeline and
+    // the exact same double expression tree for slope/intercept/r2.
+    "q_zipf" ->
+      """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |           FROM documents),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tok),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rank FROM f),
+        |q AS (SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+        |             round(ln(CAST(c AS DOUBLE)), 9) AS y
+        |      FROM r WHERE rank <= 200),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(x*y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(x*x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(y*y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        |      FROM q)
+        |SELECT CAST(n AS BIGINT) AS n_ranks,
+        |  round((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS slope,
+        |  round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n, 6) AS intercept,
+        |  round((n*sxy - sx*sy)*(n*sxy - sx*sy)/((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+        |FROM s""".stripMargin,
+
+    // growth replay: per-token first occurrence + per-doc counts joined
+    // against the value-space cut list (integer // division).
+    "q_heaps" ->
+      """WITH t AS (SELECT doc_id,
+        |             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |           FROM documents),
+        |fs AS (SELECT tok, min(doc_id) AS first_id FROM t GROUP BY tok),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM t GROUP BY doc_id),
+        |mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |cuts AS (SELECT CAST(b AS BIGINT) AS bucket, CAST(b * mx.mx // 10 AS BIGINT) AS cut
+        |         FROM mx, LATERAL unnest(range(1, 11)) AS t2(b)),
+        |nt AS (SELECT bucket, cut, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |       FROM pd, cuts WHERE doc_id <= cut GROUP BY bucket, cut),
+        |vc AS (SELECT bucket, cut, CAST(count(*) AS BIGINT) AS vocab
+        |       FROM fs, cuts WHERE first_id <= cut GROUP BY bucket, cut)
+        |SELECT nt.bucket, nt.cut, n_tokens, vocab
+        |FROM nt JOIN vc USING (bucket, cut) ORDER BY bucket""".stripMargin,
+
     "q_surprisal" ->
       """WITH t AS (SELECT doc_id,
         |             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
@@ -4004,6 +4141,53 @@ object SparkEntry {
         |               + (CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE)))
         |           ELSE 0.0 END, 6) AS f1
         |FROM cum CROSS JOIN t ORDER BY thr""".stripMargin),
+
+    // distillation replay: teacher CTEs (the LM-gate chain) + student
+    // feature CTEs (the quality-rule signals, q-prefixed to avoid CTE
+    // collisions) + the unrolled 3-round GD CTEs at lr=0.1, then the
+    // predict/agreement select — training replayed bit-for-bit.
+    "q_distill" -> {
+      def sig(wRef: String) =
+        s"(1.0/(1.0 + exp(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(1, 6), k -> $wRef[k] * x.xs[k])), " +
+          s"(a, b) -> a + b)))))"
+      def round_(i: Int) =
+        s"""g$i AS (SELECT u.d AS d,
+           |    round(CAST(sum(CAST((${sig("w.w")} - x.y) * x.xs[u.d]
+           |        AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS g
+           |  FROM x CROSS JOIN w${i - 1} w CROSS JOIN dims u GROUP BY u.d),
+           |w$i AS (SELECT list(w.w[g.d] - 0.1 * g.g ORDER BY g.d) AS w
+           |        FROM g$i g CROSS JOIN w${i - 1} w)""".stripMargin
+      LmRefScoreCtes + ",\n" +
+        s"""teach AS (SELECT doc_id,
+           |    CAST(round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) >= -3.42
+           |         AS DOUBLE) AS y
+           |  FROM lp GROUP BY doc_id),
+           |qt AS (SELECT doc_id,
+           |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok2
+           |  FROM documents),
+           |qc AS (SELECT doc_id, tok2, CAST(count(*) AS BIGINT) AS c FROM qt GROUP BY doc_id, tok2),
+           |qa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+           |        CAST(sum(length(tok2) * c) AS BIGINT) AS chars,
+           |        CAST(sum(CASE WHEN tok2 IN ('the','a','of','and','in') THEN c ELSE 0 END) AS BIGINT) AS stops,
+           |        CAST(max(c) AS BIGINT) AS maxc
+           |      FROM qc GROUP BY doc_id),
+           |feat AS (SELECT doc_id,
+           |    [CAST(n AS DOUBLE) / 100.0,
+           |     round(CAST(chars AS DOUBLE) / CAST(n AS DOUBLE), 4),
+           |     round(CAST(stops AS DOUBLE) / CAST(n AS DOUBLE), 6),
+           |     round(CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE), 6),
+           |     1.0] AS xs
+           |  FROM qa),
+           |x AS (SELECT f.doc_id AS vec_id, t.y, f.xs FROM feat f JOIN teach t USING (doc_id)),
+           |dims AS (SELECT unnest(range(1, 6)) AS d),
+           |w0 AS (SELECT [0.0, 0.0, 0.0, 0.0, 0.0] AS w),
+           |${(1 to 3).map(round_).mkString(",\n")}
+           |SELECT x.vec_id AS doc_id, round(${sig("w.w")}, 6) AS p,
+           |  ${sig("w.w")} >= 0.5 AS pred, CAST(x.y AS INT) AS teacher,
+           |  (${sig("w.w")} >= 0.5) = (CAST(x.y AS INT) = 1) AS agree
+           |FROM x CROSS JOIN w3 w ORDER BY doc_id""".stripMargin
+    },
 
     // Same decimal-summed c*ln(c) treatment as the surprisal score so the
     // entropy replays cross-engine; the 8-gram fraction is exact integers.
@@ -5842,6 +6026,21 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
 
+    // negatives-only replay: same dot fold, label-inequality join predicate
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS qlab, v AS qv
+        |      FROM e WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |        list_dot_product(e.v, q.qv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        |      FROM e JOIN q ON e.vec_id <> q.query_id AND e.label <> q.qlab)
+        |SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM (
+        |  SELECT query_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM s)
+        |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
+
     // two-stage replay: prefix-16 cosine shortlist (DuckDB list slice,
     // same dot fold) -> exact full-dim re-rank of the top-30
     "q_ann_prefix" ->
@@ -6234,6 +6433,42 @@ object SparkEntry {
         |  CAST(sf AS BIGINT) AS n_frames,
         |  CAST(sf * 1000 // sr AS BIGINT) AS duration_ms
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // mp4 replay: the id arithmetic behind Multimodal.syntheticMp4 —
+    // timescale table, track count by id%3, 16.16 dims, codec table;
+    // duration_ms = n·(ts/25)·1000 div ts exactly as mvhd arithmetic.
+    "q_media_mp4" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE (doc_id*7)%4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |         WHEN 2 THEN 90000 ELSE 48000 END AS ts,
+        |    5 + (doc_id*31)%20 AS n
+        |  FROM documents)
+        |SELECT doc_id, 'isom' AS brand, CAST(ts AS BIGINT) AS timescale,
+        |  CAST(n*(ts//25)*1000//ts AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id%3=0 THEN 1 ELSE 2 END AS BIGINT) AS n_tracks,
+        |  CAST(16*(4+(doc_id*13)%117) AS BIGINT) AS width,
+        |  CAST(16*(3+(doc_id*19)%64) AS BIGINT) AS height,
+        |  CASE (doc_id*29)%4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+        |       WHEN 2 THEN 'vp09' ELSE 'av01' END AS vcodec,
+        |  CASE WHEN doc_id%3=0 THEN NULL ELSE 'mp4a' END AS acodec
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // frame-sample replay: every 3rd sample's dts/size and the byte fold
+    // (constant fill per sample -> sum = size · fill).
+    "q_media_frames" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE (doc_id*7)%4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |         WHEN 2 THEN 90000 ELSE 48000 END AS ts,
+        |    5 + (doc_id*31)%20 AS n
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS sample_idx,
+        |  CAST(i*(ts//25) AS BIGINT) AS dts,
+        |  CAST(i*(ts//25)*1000//ts AS BIGINT) AS dts_ms,
+        |  CAST(100 + (doc_id + 7*i)%155 AS BIGINT) AS size,
+        |  CAST((100 + (doc_id + 7*i)%155) * ((doc_id + 11*i)%251) AS BIGINT)
+        |    AS byte_sum
+        |FROM p, LATERAL unnest(range(0, n)) AS t(i)
+        |WHERE i % 3 = 0 ORDER BY doc_id, sample_idx""".stripMargin,
 
     // io round-trips: the oracle reads the PARQUET source — the Spark side
     // must round-trip losslessly through CSV/text to match.

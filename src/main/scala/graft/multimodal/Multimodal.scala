@@ -623,6 +623,87 @@ object Multimodal {
       .toDF("id", "format", "n_samples", "sum_val", "peak", "sum_sq")
   }
 
+  /** Synthetic MP4 corpus: one spec-correct ISO-BMFF file per row, all
+    * parameters deterministic id arithmetic (four movie timescales, 5–24
+    * video samples in 4-per-chunk runs with a short tail chunk, four
+    * codec fourccs, an audio track on two of every three ids, a 64-bit
+    * largesize mdat on every seventh) — so the box-tree walk and the
+    * stts/stsz/stsc/stco sample-table join are exercised on real layouts
+    * and the oracle replays the arithmetic.
+    */
+  def syntheticMp4(spark: SparkSession, df: DataFrame,
+                   idCol: String): DataFrame = {
+    import spark.implicits._
+    val scales = Array(600, 1000, 90000, 48000)
+    val codecs = Array("avc1", "hev1", "vp09", "av01")
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val ts = scales(math.floorMod(id * 7, 4).toInt)
+        val n = (5 + math.floorMod(id * 31, 20)).toInt
+        val delta = ts / 25
+        val w = 16 * (4 + math.floorMod(id * 13, 117)).toInt
+        val h = 16 * (3 + math.floorMod(id * 19, 64)).toInt
+        val codec = codecs(math.floorMod(id * 29, 4).toInt)
+        val withAudio = math.floorMod(id, 3) != 0L
+        MediaRecord(id, "video/mp4",
+          Mp4Meta.makeMp4(ts, n, delta, w, h, codec, withAudio,
+            sizeOf = i => 100 + math.floorMod(id + 7L * i, 155).toInt,
+            fillOf = i => math.floorMod(id + 11L * i, 251).toInt,
+            largeMdat = math.floorMod(id, 7) == 0L),
+          Map("synthetic" -> "true"))
+      })
+      .toDF("id", "media_type", "payload", "meta")
+  }
+
+  /** Batched MP4 container-metadata extraction over the binary column —
+    * the real [[Mp4Meta.sniff]] box walk per partition, no shuffle;
+    * garbage yields brand "unknown" with null fields. duration_ms is
+    * integer arithmetic (duration·1000 div timescale).
+    */
+  def mp4Dims(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        Mp4Meta.sniff(bytes) match {
+          case Some(m) => (id, m.brand, Some(m.timescale), Some(m.durationMs),
+            Some(m.nTracks), m.width, m.height, m.videoCodec, m.audioCodec)
+          case None => (id, "unknown", None, None, None, None, None, None, None)
+        }
+      })
+      .toDF("id", "brand", "timescale", "duration_ms", "n_tracks",
+        "width", "height", "vcodec", "acodec")
+  }
+
+  /** Frame sampling over the video column: resolve every `stride`-th
+    * video sample of each payload to its ABSOLUTE byte range via the
+    * sample tables ([[Mp4Meta.videoSamples]]) and fold the actual bytes
+    * at that range (exact unsigned sum) — proof the resolved offsets hit
+    * the real sample data, which is the whole job of a frame-sampler at
+    * 100 TB: fetch byte ranges for every k-th frame, never whole files.
+    * Row-local (mapPartitions flatMap), no shuffle; undecodable payloads
+    * contribute no rows.
+    */
+  def mp4FrameSamples(spark: SparkSession, media: DataFrame,
+                      stride: Int): DataFrame = {
+    require(stride >= 1, s"mp4FrameSamples stride: $stride")
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Mp4Meta.sniff(bytes).zip(Mp4Meta.videoSamples(bytes)).toSeq
+          .flatMap { case (info, samples) =>
+            samples.iterator.filter(_.idx % stride == 0).map { s =>
+              var sum = 0L
+              var k = s.offset.toInt
+              val end = k + s.size
+              while (k < end) { sum += bytes(k) & 0xff; k += 1 }
+              (id, s.idx.toLong, s.dts,
+                s.dts * 1000L / info.timescale, s.size.toLong, sum)
+            }
+          }
+      })
+      .toDF("id", "sample_idx", "dts", "dts_ms", "size", "byte_sum")
+  }
+
   /** Content-defined chunking over opaque payloads — Rabin-style rolling
     * hash: a chunk boundary falls wherever the hash of the trailing
     * `window` bytes is 0 mod 2^maskBits, so expected chunk size ≈

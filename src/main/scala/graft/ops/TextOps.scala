@@ -953,4 +953,85 @@ object TextOps {
                refCol: Column, threshold: Double): DataFrame =
     bigramLmScoreRef(df, idCol, textCol, refCol)
       .withColumn("keep", col("lm_score") >= threshold)
+
+  /** Zipf-law fit of the corpus frequency spectrum (Zipf 1949; the
+    * sanity panel every corpus data card carries — a healthy natural
+    * corpus fits log f ≈ α·log r + c with α ≈ −1; boilerplate floods
+    * flatten the head, OCR/garbage fattens the tail): OLS of ln(freq)
+    * on ln(rank) over the top `topN` tokens by frequency.
+    *
+    * Shape at 100 TB: one wordcount (map-side-combined, shuffle =
+    * vocabulary), a distributed TakeOrdered for the top-N (never a
+    * global sort), and a single bounded agg — the window rank runs over
+    * topN rows only. Cross-engine: both ln values are QUANTIZED (round
+    * 9) before the decimal sums and every product is an exact IEEE
+    * double of quantized inputs (the logreg gradient recipe), so the
+    * fitted coefficients replay bit-for-bit.
+    *
+    * Output: one row (n_ranks, slope, intercept, r2), round 6.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 200): DataFrame = {
+    require(topN >= 2, s"zipfFit topN: $topN")
+    val freq = df
+      .select(explode(graft.functions.TextAnalysis.tokensArr(col(textCol)))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val top = freq.orderBy(col("c").desc, col("tok").asc).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok").asc)))
+    val q = top.select(
+      round(log(col("rank").cast("double")), 9).as("x"),
+      round(log(col("c").cast("double")), 9).as("y"))
+    val s = q.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast("decimal(38,18)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(38,18)")).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,18)")).cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,18)")).cast("double").as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,18)")).cast("double").as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(col("n").cast("long").as("n_ranks"),
+      round(cov / varx, 6).as("slope"),
+      round((col("sy") - (cov / varx) * col("sx")) / col("n"), 6).as("intercept"),
+      round(cov * cov / (varx * vary), 6).as("r2"))
+  }
+
+  /** Heaps-law vocabulary growth (Heaps 1978: V(n) ≈ K·n^β, β < 1 for
+    * natural text — a vocabulary growing LINEARLY with corpus size means
+    * ids/noise, one that plateaus hard means boilerplate): cumulative
+    * token and distinct-type counts at `buckets` id-prefix cut points.
+    *
+    * Computed WITHOUT a per-cut corpus pass: one agg produces each
+    * token's FIRST-occurrence doc id and each doc's token count; a
+    * bounded broadcast join against the cut list (buckets rows, cuts in
+    * VALUE space off one max(id) aggregate — no global rank over doc
+    * ids) then cumulates both. Vocabulary at cut c = tokens whose first
+    * occurrence ≤ c — the identity that turns 10 distinct-counts into
+    * one. Output: (bucket, cut, n_tokens, vocab) per cut.
+    */
+  def heapsGrowth(df: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"heapsGrowth buckets: $buckets")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("tok"))
+    val firstSeen = toks.groupBy("tok").agg(min(col("id")).as("first_id"))
+    val perDoc = toks.groupBy("id").agg(count(lit(1)).as("n_tok"))
+    val maxId = df.agg(max(col(idCol).cast("long")).as("mx"))
+    val cuts = maxId.select(explode(sequence(lit(1), lit(buckets)))
+        .as("bucket"), col("mx"))
+      .select(col("bucket").cast("long").as("bucket"),
+        // integer division: `/` would go through double and drift at scale
+        expr(s"CAST(bucket AS BIGINT) * mx DIV $buckets").as("cut"))
+    val nTok = perDoc.crossJoin(broadcast(cuts))
+      .filter(col("id") <= col("cut"))
+      .groupBy("bucket", "cut").agg(sum(col("n_tok")).as("n_tokens"))
+    val vocab = firstSeen.crossJoin(broadcast(cuts))
+      .filter(col("first_id") <= col("cut"))
+      .groupBy("bucket", "cut").agg(count(lit(1)).as("vocab"))
+    nTok.join(vocab, Seq("bucket", "cut"))
+      .select(col("bucket"), col("cut"), col("n_tokens"), col("vocab"))
+  }
 }

@@ -80,6 +80,32 @@ object Similarity {
         .withColumn("qn", vec_norm(col("qv"))))), k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training (the DPR
+    * recipe, Karpukhin et al. 2020: the negatives that teach are the
+    * most-similar WRONG answers, not random draws): for each query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label. The label-inequality predicate runs before the rank window,
+    * so ranks are over negatives only and a query's own positives never
+    * crowd the list. Same exact-cosine rank tail as [[bruteForceTopK]];
+    * at corpus scale the candidate stage swaps for the ANN paths
+    * (prefix shortlist / IVF probes) unchanged — the label filter and
+    * rank tail compose with any candidate generator, and brute force
+    * stays as the exactness baseline the recall monitor measures
+    * against. Output: (query_id, vec_id, rank, sim), negatives only.
+    */
+  def hardNegatives(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    corpusLabel: String,
+                    queries: DataFrame, queryId: String, queryVec: String,
+                    queryLabel: String, k: Int): DataFrame =
+    rankTopK(corpus.select(col(corpusId).as("vec_id"),
+        asDouble(col(corpusVec)).as("cv"), col(corpusLabel).as("_clab"))
+      .withColumn("cn", vec_norm(col("cv")))
+      .crossJoin(broadcast(queries.select(col(queryId).as("query_id"),
+        asDouble(col(queryVec)).as("qv"), col(queryLabel).as("_qlab"))
+        .withColumn("qn", vec_norm(col("qv")))))
+      .filter(col("_clab") =!= col("_qlab"))
+      .drop("_clab", "_qlab"), k)
+
   /** Matryoshka TWO-STAGE retrieval (the MRL serving pattern, Kusupati
     * et al. 2022: embeddings trained so any prefix of dims is itself a
     * valid lower-resolution embedding): stage 1 shortlists by cosine on

@@ -155,6 +155,34 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(fp(samePair._1) == fp(samePair._2)) // same token set -> same simhash
   }
 
+  test("hard negatives: never the query's label, equal to label-filtered brute force") {
+    import spark.implicits._
+    val queries = embs.filter(col("vec_id") < 8)
+    val negs = Similarity.hardNegatives(embs, "vec_id", "embedding", "label",
+      queries, "vec_id", "embedding", "label", k = 10)
+    val qLabel = queries.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    val cLabel = embs.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    val rows = negs.select("query_id", "vec_id", "rank").as[(Long, Long, Int)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, v, _) =>
+      assert(cLabel(v) != qLabel(q), s"negative $v shares label with query $q")
+    }
+    // per query: exactly the top-10 of the brute-force ranking restricted
+    // to different-label candidates
+    val full = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = embs.count().toInt)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    val expected = full.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      cs.sortBy(_._3).iterator
+        .filter { case (_, v, _) => cLabel(v) != qLabel(q) }
+        .take(10).map { case (_, v, _) => (q, v) }
+    }.toSet
+    assert(rows.map { case (q, v, _) => (q, v) }.toSet == expected)
+  }
+
   test("LSH ANN achieves reasonable recall vs brute force") {
     import spark.implicits._
     val queries = embs.filter(col("vec_id") < 20)

@@ -751,6 +751,48 @@ class PropertySpec extends SparkTestBase {
     assert(all.sameElements(self))
   }
 
+  test("zipfFit: hand-computed OLS on a planted power law; negative slope on the fixture") {
+    import spark.implicits._
+    // planted exact power law: token w_r repeated floor(1000/r) times ->
+    // ln f = ln 1000 - ln r, so slope == -1, r2 == 1 up to the round-9
+    // quantization of the ln values
+    val rows = (1 to 50).flatMap { r =>
+      Seq.fill(1000 / r)(s"w$r")
+    }.mkString(" ")
+    val df = Seq((1L, rows)).toDF("doc_id", "text")
+    val fit = graft.ops.TextOps.zipfFit(df, "text", topN = 50).head()
+    assert(fit.getLong(0) == 50)
+    assert(math.abs(fit.getDouble(1) + 1.0) < 0.02, s"slope ${fit.getDouble(1)}")
+    assert(fit.getDouble(3) > 0.999, s"r2 ${fit.getDouble(3)}")
+    // the synthetic fixture corpus: slope is negative but FLAT (~-0.18 —
+    // near-uniform token draws), which is precisely the unnatural-corpus
+    // signal the data-card stat exists to surface
+    val corpus = graft.ops.TextOps.zipfFit(
+      graft.core.Tables.documents(spark, sfDir), "text").head()
+    assert(corpus.getDouble(1) < 0.0)
+    assert(corpus.getDouble(3) >= 0.0 && corpus.getDouble(3) <= 1.0)
+  }
+
+  test("heapsGrowth: cumulative, monotone, and exact at the final cut") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val g = graft.ops.TextOps.heapsGrowth(docs, "doc_id", "text", buckets = 10)
+      .orderBy("bucket").collect()
+    assert(g.length == 10)
+    g.sliding(2).foreach { w =>
+      assert(w(0).getLong(2) <= w(1).getLong(2)) // tokens cumulate
+      assert(w(0).getLong(3) <= w(1).getLong(3)) // vocab cumulates
+    }
+    // final cut covers the whole corpus: totals equal direct counts
+    val toks = docs.select(explode(
+      graft.functions.TextAnalysis.tokensArr(col("text"))).as("tok"))
+    assert(g.last.getLong(2) == toks.count())
+    assert(g.last.getLong(3) == toks.distinct().count())
+    // sublinear growth: vocabulary grows slower than tokens (Heaps beta<1)
+    val tokRatio = g.last.getLong(2).toDouble / g.head.getLong(2)
+    val vocRatio = g.last.getLong(3).toDouble / g.head.getLong(3)
+    assert(vocRatio < tokRatio)
+  }
+
   test("bm25 agrees with the textbook reference model") {
     import spark.implicits._
     val raw = Seq(
