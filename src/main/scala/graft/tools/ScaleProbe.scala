@@ -585,6 +585,44 @@ object ScaleProbe {
     timed("shuffle_index") {
       graft.ops.Sampling.shuffleIndex(docs, col("doc_id"), "e0") }
 
+    // Round-10 session-3 probes. MP4 build+walk+frame-resolve is pure
+    // row-local byte work — must stay linear at scan speed.
+    timed("mp4_frames") {
+      val media = graft.multimodal.Multimodal.syntheticMp4(spark,
+        docs.select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.mp4FrameSamples(spark, media, stride = 3) }
+    // Hard negatives: brute-force scan × 8 broadcast queries + label
+    // filter — must track ann_brute's linear shape.
+    timed("hard_negatives") {
+      val lab = embs.withColumn("label",
+        pmod(col("vec_id"), lit(4)).cast("int"))
+      Similarity.hardNegatives(lab, "vec_id", "embedding", "label",
+        lab.filter(col("vec_id") < 8), "vec_id", "embedding", "label",
+        k = 10) }
+    // Zipf fit: wordcount + TakeOrdered(200) + one bounded agg — linear
+    // in tokens with a constant-size fit stage.
+    timed("zipf") { graft.ops.TextOps.zipfFit(docs, "text", topN = 200) }
+    // Heaps growth: two token-grain aggs + bounded broadcast cut joins.
+    timed("heaps") {
+      graft.ops.TextOps.heapsGrowth(docs, "doc_id", "text", buckets = 10) }
+    // Distillation: the lm_filter teacher + quality features + 3 GD
+    // rounds over 5 dims — must track lm_filter plus constant extra
+    // scans of the checkpointed training table.
+    timed("distill") {
+      val teacher = graft.ops.TextOps.lmFilter(docs, "doc_id", "text",
+          pmod(col("doc_id"), lit(2)) === 0, threshold = -3.42)
+        .select(col("id").as("doc_id"), col("keep").cast("double").as("y"))
+      val feats = graft.ops.TextOps.qualityRules(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          array(col("n_words").cast("double") / lit(100.0),
+            col("mean_word_len"), col("stop_frac"), col("top_share"))
+            .as("fs"))
+      val train = feats.join(teacher, "doc_id").localCheckpoint()
+      val w = graft.chain.LogisticRegression.train(spark, train, "doc_id",
+        "fs", "y", dims = 4, iterations = 3, lr = 0.1)
+      graft.chain.LogisticRegression.predict(train, "doc_id", "fs", "y",
+        dims = 4, w = w) }
+
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"n":$n,"secs":${j(secs)},"rows":${j(rows)}}""")
