@@ -634,6 +634,18 @@ object SparkEntry {
 
     // §2.5 extension — batch sessionization: 30-min inactivity gap, session
     // stats per (user, session). Integer epoch-micros arithmetic (exact).
+    // CONVERSATION ASSEMBLY (round 10): event log → training-ready
+    // multi-turn transcripts — thread by user, collapse consecutive
+    // same-role runs into turns (payloads merged in event order), trim
+    // to the LAST 8 turns (context windows truncate from the head),
+    // assemble "role: content" lines. Every ordered aggregation keys on
+    // the same unique (ts, seq), so transcript bytes replay exactly.
+    "q_chat_threads" -> ((s, dir) =>
+      graft.ops.Dialog.assembleThreads(Tables.events(s, dir), "user_id",
+          "ts", "event_id", "event_type", "props", maxTurns = 8)
+        .withColumnRenamed("thread", "user_id")
+        .orderBy("user_id")),
+
     "q_sessionize" -> ((s, dir) =>
       WindowOps.sessionize(Tables.events(s, dir), "user_id", "ts", "event_id", 1800)
         .groupBy("user_id", "session_n")
@@ -2760,6 +2772,24 @@ object SparkEntry {
       Multimodal.mp4FrameSamples(s, media, stride = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "sample_idx")
+    }),
+
+    // EXIF / TIFF-IFD leg (round 10): the camera-metadata walk (TIFF 6.0
+    // offset-graph: BOM + magic + linked IFDs of tag/type/count/value
+    // entries with the inline-iff-≤4-bytes rule; Exif 2.3 sub-IFD via
+    // the 0x8769 pointer) over a corpus that exercises BOTH byte orders,
+    // inline AND out-of-line values, and both containers (bare TIFF vs
+    // JPEG APP1 "Exif\0\0" behind a marker walk). Provenance fields a
+    // pipeline keys on without touching pixels.
+    "q_media_exif" -> ((s, dir) => {
+      val media = Multimodal.syntheticExif(s, Tables.documents(s, dir), "doc_id")
+      Multimodal.exifDims(s, media)
+        .select(col("id").as("doc_id"), col("container"), col("byte_order"),
+          col("orientation").cast("long").as("orientation"),
+          col("make"), col("model"), col("dt"),
+          col("exposure_den"), col("iso").cast("long").as("iso"),
+          col("width"), col("height"))
+        .orderBy("doc_id")
     }),
 
     "q_media_audio" -> ((s, dir) => {
@@ -5744,6 +5774,30 @@ object SparkEntry {
         |FROM ps ORDER BY doc_id""".stripMargin,
 
     // epoch_us on both sides: integer micros, no float time arithmetic.
+    // threading replay: lag run-break + ROWS-framed running sum + two
+    // ordered string_aggs on the identical (ts, seq) key
+    "q_chat_threads" ->
+      """WITH e AS (SELECT user_id AS thread, ts, event_id AS seq,
+        |             event_type AS role, props AS payload FROM events),
+        |m AS (SELECT *, CASE WHEN lag(role) OVER w IS NULL
+        |                       OR lag(role) OVER w <> role
+        |                     THEN 1 ELSE 0 END AS new_run
+        |      FROM e WINDOW w AS (PARTITION BY thread ORDER BY ts, seq)),
+        |r AS (SELECT *, sum(new_run) OVER (PARTITION BY thread ORDER BY ts, seq
+        |                                   ROWS UNBOUNDED PRECEDING) AS run
+        |      FROM m),
+        |t AS (SELECT thread, run, min(role) AS role,
+        |        CAST(count(*) AS BIGINT) AS n_events,
+        |        string_agg(payload, ' | ' ORDER BY ts, seq) AS content
+        |      FROM r GROUP BY thread, run),
+        |k AS (SELECT *, max(run) OVER (PARTITION BY thread) AS n_turns FROM t),
+        |f AS (SELECT * FROM k WHERE run > n_turns - 8)
+        |SELECT thread AS user_id, CAST(max(n_turns) AS BIGINT) AS n_turns,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  string_agg(role || ': ' || content, chr(10) ORDER BY run) AS transcript
+        |FROM f GROUP BY thread ORDER BY user_id""".stripMargin,
+
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |s AS (SELECT user_id, event_id, us,
@@ -6469,6 +6523,23 @@ object SparkEntry {
         |    AS byte_sum
         |FROM p, LATERAL unnest(range(0, n)) AS t(i)
         |WHERE i % 3 = 0 ORDER BY doc_id, sample_idx""".stripMargin,
+
+    // exif replay: the id arithmetic behind Multimodal.syntheticExif —
+    // container by id%3, byte order by parity, zero-padded datetime.
+    "q_media_exif" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id%3=0 THEN 'tiff' ELSE 'jpeg' END AS container,
+        |  CASE WHEN doc_id%2=0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(1 + (doc_id*3)%8 AS BIGINT) AS orientation,
+        |  'Make' || (doc_id%7) AS make,
+        |  'Cam' || (doc_id%13) AS model,
+        |  '2024:01:' || lpad(CAST(1 + doc_id%28 AS VARCHAR), 2, '0') || ' '
+        |    || lpad(CAST(doc_id%24 AS VARCHAR), 2, '0') || ':00:00' AS dt,
+        |  CAST(1 << (doc_id%10) AS BIGINT) AS exposure_den,
+        |  CAST(100*(1 + (doc_id*5)%32) AS BIGINT) AS iso,
+        |  CAST(640 + 16*(doc_id%60) AS BIGINT) AS width,
+        |  CAST(480 + 16*(doc_id%40) AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // io round-trips: the oracle reads the PARQUET source — the Spark side
     // must round-trip losslessly through CSV/text to match.

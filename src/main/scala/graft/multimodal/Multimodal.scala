@@ -704,6 +704,58 @@ object Multimodal {
       .toDF("id", "sample_idx", "dts", "dts_ms", "size", "byte_sum")
   }
 
+  /** Synthetic EXIF corpus: one spec-correct TIFF/EXIF blob per row —
+    * IFD0 + Exif sub-IFD with inline AND out-of-line values, both byte
+    * orders (even ids "II", odd "MM"), bare TIFF on every third id and
+    * the JPEG APP1 wrapper otherwise — all field values deterministic id
+    * arithmetic so the oracle replays them.
+    */
+  def syntheticExif(spark: SparkSession, df: DataFrame,
+                    idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val day = 1 + math.floorMod(id, 28)
+        val hour = math.floorMod(id, 24)
+        val tiff = ExifMeta.makeExifTiff(
+          le = math.floorMod(id, 2) == 0L,
+          orientation = (1 + math.floorMod(id * 3, 8)).toInt,
+          make = "Make" + math.floorMod(id, 7),
+          model = "Cam" + math.floorMod(id, 13),
+          dateTime = f"2024:01:$day%02d $hour%02d:00:00",
+          exposureDen = 1L << math.floorMod(id, 10),
+          iso = (100 * (1 + math.floorMod(id * 5, 32))).toInt,
+          width = 640 + 16 * math.floorMod(id, 60),
+          height = 480 + 16 * math.floorMod(id, 40))
+        val payload =
+          if (math.floorMod(id, 3) == 0L) tiff else ExifMeta.wrapJpeg(tiff)
+        MediaRecord(id,
+          if (math.floorMod(id, 3) == 0L) "image/tiff" else "image/jpeg",
+          payload, Map("synthetic" -> "true"))
+      })
+      .toDF("id", "media_type", "payload", "meta")
+  }
+
+  /** Batched EXIF extraction over the binary column — the real
+    * [[ExifMeta.sniff]] IFD walk per partition, no shuffle; garbage
+    * yields container "unknown" with null fields.
+    */
+  def exifDims(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ExifMeta.sniff(bytes) match {
+          case Some(e) => (id, e.container, e.byteOrder, e.orientation,
+            e.make, e.model, e.dateTime, e.exposureDen, e.iso,
+            e.width, e.height)
+          case None => (id, "unknown", "", None, None, None, None, None,
+            None, None, None)
+        }
+      })
+      .toDF("id", "container", "byte_order", "orientation", "make",
+        "model", "dt", "exposure_den", "iso", "width", "height")
+  }
+
   /** Content-defined chunking over opaque payloads — Rabin-style rolling
     * hash: a chunk boundary falls wherever the hash of the trailing
     * `window` bytes is 0 mod 2^maskBits, so expected chunk size ≈

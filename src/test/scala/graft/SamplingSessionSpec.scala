@@ -11,6 +11,33 @@ import graft.ops.{Sampling, WindowOps}
 class SamplingSessionSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("assembleThreads: run collapse, tail trim, transcript bytes — hand-computed") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      // thread 1: roles u,u,a,u -> runs [u:p1|p2][a:p3][u:p4]
+      (1L, ts(1), 10L, "u", "p1"), (1L, ts(2), 11L, "u", "p2"),
+      (1L, ts(3), 12L, "a", "p3"), (1L, ts(4), 13L, "u", "p4"),
+      // thread 2: single event
+      (2L, ts(1), 20L, "a", "solo"))
+      .toDF("thread", "t", "seq", "role", "payload")
+    val all = graft.ops.Dialog.assembleThreads(ev, "thread", "t", "seq",
+        "role", "payload", maxTurns = 8)
+      .orderBy("thread").collect()
+    assert(all(0).getLong(1) == 3 && all(0).getLong(2) == 3 &&
+      all(0).getLong(3) == 4)
+    assert(all(0).getString(4) == "u: p1 | p2\na: p3\nu: p4")
+    assert(all(1).getString(4) == "a: solo" && all(1).getLong(1) == 1)
+    // context trim keeps the TAIL: maxTurns=2 drops the first run only
+    val trimmed = graft.ops.Dialog.assembleThreads(ev, "thread", "t", "seq",
+        "role", "payload", maxTurns = 2)
+      .filter($"thread" === 1L).head()
+    assert(trimmed.getLong(1) == 3 && trimmed.getLong(2) == 2 &&
+      trimmed.getLong(3) == 2)
+    assert(trimmed.getString(4) == "a: p3\nu: p4")
+  }
+
   test("hashSample is deterministic and repartition-invariant") {
     val df = spark.range(0, 5000).toDF("id")
     val a = Sampling.hashSample(df, col("id"), 0.3).as[Long].collect().sorted
