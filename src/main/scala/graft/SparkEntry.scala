@@ -653,6 +653,17 @@ object SparkEntry {
           min("event_id").as("first_event"), max("event_id").as("last_event"))
         .orderBy("user_id", "session_n")),
 
+    // PREFERENCE-PAIR construction (round 10): the RLHF/DPO data-prep
+    // stage — per group, rank by score, pair best↔worst inward
+    // (maximal-margin comparisons), drop ties (a preference needs a
+    // strict order). Group = source, score = n_chars on the fixture.
+    "q_pref_pairs" -> ((s, dir) =>
+      Sampling.preferencePairs(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars")
+        .orderBy("grp", "chosen_id")),
+
     // Deterministic stratified sampling: en kept at 50%, other langs at 10%;
     // the draw is a pure function of doc_id so the sample is reproducible
     // under retry / rerun / repartition and the oracle replays it exactly.
@@ -2816,6 +2827,23 @@ object SparkEntry {
       val path = graft.io.IoScratch.dir + "/documents_csv"
       graft.io.Sinks.writeCsv(d, path)
       graft.io.Sources.readCsv(s, path, schema = d.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy("lang")
+    }),
+
+    // Avro OCF round-trip (round 10): documents → one deflate OCF per
+    // partition (avro lib directly — no spark-avro on this classpath) →
+    // task-per-file read honoring the embedded writer schema → aggregate.
+    // The oracle reads the parquet source, so any loss in the Avro path
+    // fails the hash.
+    "q_avro_roundtrip" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val path = graft.io.IoScratch.dir + "/documents_avro"
+      graft.io.Avro.write(d, path)
+      graft.io.Avro.read(s, path + "/*.avro", d.schema)
         .groupBy("lang")
         .agg(count(lit(1)).as("cnt"),
           sum(col("n_chars")).as("sum_chars"),
@@ -6557,6 +6585,27 @@ object SparkEntry {
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_avro_roundtrip" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // pairing replay: same rank window, same partner-rank equi-join,
+    // same strict-score tie drop
+    "q_pref_pairs" ->
+      """WITH d AS (SELECT doc_id AS id, source AS grp,
+        |             CAST(n_chars AS DOUBLE) AS score FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY grp
+        |                  ORDER BY score DESC, id ASC) AS rk,
+        |        count(*) OVER (PARTITION BY grp) AS n FROM d)
+        |SELECT a.grp, a.id AS chosen_id, b.id AS rejected_id,
+        |  a.score AS chosen_score, b.score AS rejected_score,
+        |  a.score - b.score AS margin
+        |FROM r a JOIN r b ON a.grp = b.grp AND b.rk = a.n + 1 - a.rk
+        |  AND a.rk < b.rk
+        |WHERE a.score > b.score
+        |ORDER BY a.grp, chosen_id""".stripMargin,
 
     "q_partition_prune" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars

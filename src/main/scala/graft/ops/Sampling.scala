@@ -311,4 +311,38 @@ object Sampling {
       .select(col("id"), col("grp"),
         explode(sequence(lit(1L), col("_copies"))).as("copy"))
   }
+
+  /** Preference-pair construction — the RLHF/DPO data-prep stage: within
+    * each group (prompt), rank candidates by score and pair BEST with
+    * WORST, second-best with second-worst, … (rank r ↔ rank n+1−r, r <
+    * n+1−r) — the maximal-margin pairing that gives a reward model its
+    * highest-signal comparisons. Tied-score pairs are dropped: a
+    * preference needs a strict order, and emitting coin-flip pairs
+    * teaches noise.
+    *
+    * Shape at 100 TB: one shuffle on the group key; the rank window is
+    * per-group, which matches the workload — a prompt's candidate list
+    * is small (a sampling batch), it's the GROUP COUNT that is huge.
+    * The pairing self-join is an equi-join on (group, partner rank).
+    * Output: (grp, chosen_id, rejected_id, chosen_score, rejected_score,
+    * margin), exact doubles.
+    */
+  def preferencePairs(df: DataFrame, idCol: String, groupCol: String,
+                      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id").asc)
+    val r = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col(scoreCol).cast("double").as("score"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+    r.as("a").join(r.as("b"),
+        col("a.grp") === col("b.grp") &&
+          col("b.rk") === col("a.n") + 1 - col("a.rk") &&
+          col("a.rk") < col("b.rk"))
+      .filter(col("a.score") > col("b.score"))
+      .select(col("a.grp").as("grp"),
+        col("a.id").as("chosen_id"), col("b.id").as("rejected_id"),
+        col("a.score").as("chosen_score"), col("b.score").as("rejected_score"),
+        (col("a.score") - col("b.score")).as("margin"))
+  }
 }

@@ -38,6 +38,24 @@ class SamplingSessionSpec extends SparkTestBase {
     assert(trimmed.getString(4) == "a: p3\nu: p4")
   }
 
+  test("preferencePairs: best-worst inward pairing, ties dropped — hand-computed") {
+    import spark.implicits._
+    // group g: scores 40,30,20,10 -> (40,10),(30,20); group h: 5,5 -> tie
+    // dropped; group i: singleton -> no pair; group j: odd count 3 ->
+    // middle unpaired
+    val df = Seq(
+      (1L, "g", 40), (2L, "g", 30), (3L, "g", 20), (4L, "g", 10),
+      (5L, "h", 5), (6L, "h", 5), (7L, "i", 9),
+      (8L, "j", 3), (9L, "j", 2), (10L, "j", 1))
+      .toDF("id", "grp", "score")
+    val got = graft.ops.Sampling.preferencePairs(df, "id", "grp", "score")
+      .orderBy("grp", "chosen_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("g", 1L, 4L, 30.0), ("g", 2L, 3L, 10.0), ("j", 8L, 10L, 2.0)))
+  }
+
   test("hashSample is deterministic and repartition-invariant") {
     val df = spark.range(0, 5000).toDF("id")
     val a = Sampling.hashSample(df, col("id"), 0.3).as[Long].collect().sorted
