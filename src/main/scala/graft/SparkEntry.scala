@@ -3278,6 +3278,31 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // BRADLEY-TERRY ratings (round 10): the reward-model-lite — fit
+    // per-item strengths from pairwise outcomes by 3 MM rounds (Hunter
+    // 2004), entirely as DataFrames (no driver round-trip: items are
+    // bounded, comparisons scale). Comparisons synthesized linearly via
+    // a lead window (consecutive docs per source, different lang, winner
+    // = more chars) — comparisons normally ARRIVE as data; nothing here
+    // is quadratic. Decimal-summed denominators + round-6 rescale make
+    // training oracle-replayable.
+    "q_bt_ratings" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .withColumn("nl", lead(col("lang"), 1).over(w))
+        .withColumn("nc", lead(col("n_chars"), 1).over(w))
+      val pairs = d.filter(col("nl").isNotNull &&
+          col("nl") =!= col("lang") && col("nc") =!= col("n_chars"))
+        .select(
+          when(col("n_chars") > col("nc"), col("lang")).otherwise(col("nl"))
+            .as("win"),
+          when(col("n_chars") > col("nc"), col("nl")).otherwise(col("lang"))
+            .as("lose"))
+      chain.BradleyTerry.fit(pairs, iterations = 3).orderBy("item")
+    }),
+
     // Naive Bayes training grid — naive_bayes.py:46-159 semantics:
     // document-level binary events (docId, cls=lang, feature=token),
     // +1-pseudocount contingency grid, ll_pair = log a - log b,
@@ -6880,6 +6905,42 @@ object SparkEntry {
          |SELECT x.vec_id, round(${sig("w.w")}, 6) AS p,
          |  ${sig("w.w")} >= 0.5 AS pred, CAST(x.y AS INT) AS label
          |FROM x CROSS JOIN w3 w ORDER BY x.vec_id""".stripMargin
+    },
+
+    // BT replay: pair synthesis CTEs + the unrolled MM rounds (decimal
+    // denominator sums, round-6 rescale each round).
+    "q_bt_ratings" -> {
+      def round_(i: Int) =
+        s"""j$i AS (SELECT c.a, c.b, CAST(c.nij AS DOUBLE)/(sa.s + sb.s) AS c
+           |  FROM counts c JOIN s${i - 1} sa ON sa.item = c.a
+           |                JOIN s${i - 1} sb ON sb.item = c.b),
+           |d$i AS (SELECT item, CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS den
+           |  FROM (SELECT a AS item, c FROM j$i UNION ALL SELECT b AS item, c FROM j$i)
+           |  GROUP BY item),
+           |r$i AS (SELECT w.item, CASE WHEN d.den IS NOT NULL AND w.w > 0
+           |          THEN CAST(w.w AS DOUBLE)/d.den ELSE 0.0 END AS s
+           |  FROM wins w LEFT JOIN d$i d USING (item)),
+           |t$i AS (SELECT CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE) AS t,
+           |          CAST(count(*) AS DOUBLE) AS k FROM r$i),
+           |s$i AS (SELECT item, round(s * k / t, 6) AS s FROM r$i CROSS JOIN t$i)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, source, lang, n_chars,
+         |    lead(lang) OVER (PARTITION BY source ORDER BY doc_id) AS nl,
+         |    lead(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS nc
+         |  FROM documents),
+         |p AS (SELECT CASE WHEN n_chars > nc THEN lang ELSE nl END AS win,
+         |             CASE WHEN n_chars > nc THEN nl ELSE lang END AS lose
+         |      FROM d WHERE nl IS NOT NULL AND nl <> lang AND nc <> n_chars),
+         |items AS (SELECT DISTINCT item FROM
+         |  (SELECT win AS item FROM p UNION ALL SELECT lose AS item FROM p)),
+         |wins AS (SELECT i.item, CAST(coalesce(w.w, 0) AS BIGINT) AS w
+         |  FROM items i LEFT JOIN
+         |    (SELECT win AS item, count(*) AS w FROM p GROUP BY win) w USING (item)),
+         |counts AS (SELECT least(win, lose) AS a, greatest(win, lose) AS b,
+         |    CAST(count(*) AS BIGINT) AS nij FROM p GROUP BY 1, 2),
+         |s0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS s FROM items),
+         |${(1 to 3).map(round_).mkString(",\n")}
+         |SELECT w.item, w.w, s3.s AS rating
+         |FROM wins w JOIN s3 USING (item) ORDER BY item""".stripMargin
     },
 
     "q_nb_train" ->

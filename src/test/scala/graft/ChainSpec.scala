@@ -8,6 +8,28 @@ import graft.chain.{KMeans, NaiveBayes, PageRank}
   * fixture-scale behavior; these specs pin the math on tiny inputs.
   */
 class ChainSpec extends SparkTestBase {
+
+  test("bradleyTerry: planted strengths recovered in order; never-winner floors at 0") {
+    import spark.implicits._
+    // round-robin outcomes consistent with strength A > B > C; D never wins
+    val pairs = (Seq.fill(9)(("A", "B")) ++ Seq.fill(3)(("B", "A")) ++
+      Seq.fill(9)(("B", "C")) ++ Seq.fill(3)(("C", "B")) ++
+      Seq.fill(10)(("A", "C")) ++ Seq.fill(2)(("C", "A")) ++
+      Seq.fill(4)(("A", "D")) ++ Seq.fill(4)(("B", "D")))
+      .toDF("win", "lose")
+    val got = graft.chain.BradleyTerry.fit(pairs, iterations = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("A")._1 == 23 && got("D")._1 == 0)
+    assert(got("A")._2 > got("B")._2 && got("B")._2 > got("C")._2)
+    assert(got("C")._2 > 0.0 && got("D")._2 == 0.0)
+    // rescale contract: mean rating 1 over the 4 items
+    val tot = got.values.map(_._2).sum
+    assert(math.abs(tot - 4.0) < 1e-4, s"sum $tot")
+    // determinism: a second fit reproduces identical quantized ratings
+    val again = graft.chain.BradleyTerry.fit(pairs, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    got.foreach { case (k, (_, v)) => assert(again(k) == v) }
+  }
   import spark.implicits._
 
   test("PageRank on a 3-node cycle converges to uniform scores") {
