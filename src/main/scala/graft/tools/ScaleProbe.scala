@@ -623,6 +623,45 @@ object ScaleProbe {
       graft.chain.LogisticRegression.predict(train, "doc_id", "fs", "y",
         dims = 4, w = w) }
 
+    // EXIF walk: row-local byte work, must stay at scan speed.
+    timed("exif") {
+      val media = graft.multimodal.Multimodal.syntheticExif(spark,
+        docs.select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.exifDims(spark, media) }
+    // Conversation assembly over a synthetic event log (8 events per
+    // thread id): two thread-keyed windows + two ordered aggs — linear,
+    // one shuffle on the thread key.
+    timed("chat_threads") {
+      val ev = spark.range(0, n).select(
+        (col("id") / 8).cast("long").as("thread"),
+        col("id").as("seq"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("t"),
+        concat(lit("r"), pmod(hash(col("id")), lit(3))).as("role"),
+        concat(lit("p"), col("id")).as("payload"))
+      graft.ops.Dialog.assembleThreads(ev, "thread", "t", "seq",
+        "role", "payload", maxTurns = 8) }
+    // Preference pairs: rank window over bounded groups + equi-join.
+    timed("pref_pairs") {
+      graft.ops.Sampling.preferencePairs(
+        docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(50)).as("grp"),
+          length(col("text")).as("score")),
+        "doc_id", "grp", "score") }
+    // Bradley-Terry: comparisons grow with n, items stay 20 — three MM
+    // rounds of bounded joins; must be linear in comparisons.
+    timed("bt_ratings") {
+      val pairs = docs.select(
+        concat(lit("i"), pmod(hash(col("doc_id"), lit(1)), lit(20))).as("win"),
+        concat(lit("i"), pmod(hash(col("doc_id"), lit(2)), lit(20))).as("lose"))
+        .filter(col("win") =!= col("lose"))
+      graft.chain.BradleyTerry.fit(pairs, iterations = 3) }
+    // Avro OCF round-trip at corpus scale: write one file per partition,
+    // task-per-file read-back — both sides must stay linear.
+    timed("avro_roundtrip") {
+      val path = graft.io.IoScratch.dir + "/probe_avro"
+      graft.io.Avro.write(docs, path)
+      graft.io.Avro.read(spark, path + "/*.avro", docs.schema) }
+
     def j(m: collection.Map[String, Any]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"n":$n,"secs":${j(secs)},"rows":${j(rows)}}""")
