@@ -9,6 +9,14 @@ case class SessionResult(userId: Long, nEvents: Long, totalValue: Double,
                          firstTs: Long, lastTs: Long)
 
 /** Running per-key session state. */
+/** One kept turn of a streaming conversation thread. */
+case class ThreadRun(run: Long, role: String, nEvents: Long, content: String)
+
+/** Bounded per-thread conversation state: the last `maxTurns` runs plus
+  * the total run counter — O(maxTurns) forever, never the history.
+  */
+case class ThreadState(runs: Seq[ThreadRun], nTurns: Long)
+
 case class SessionState(nEvents: Long, totalValue: Double,
                         firstTs: Long, lastTs: Long)
 
@@ -100,6 +108,58 @@ object Streams {
             closed.reverse.iterator
           }
       }
+  }
+
+  /** Streaming conversation assembly — [[graft.ops.Dialog]]'s run-collapse
+    * + tail-trim maintained incrementally: per-thread state is a BOUNDED
+    * ring of the last `maxTurns` turns (role, merged content, event
+    * count) plus the total run counter — O(maxTurns) per thread forever,
+    * never the thread's history. Each micro-batch folds its events in
+    * (ts, seq) order into the ring: a same-role tail turn EXTENDS (run
+    * collapse works across batch boundaries too — the case a
+    * batch-at-a-time reimplementation gets wrong), a new role appends
+    * and evicts the head. After each batch the thread emits its current
+    * (n_turns, n_kept, n_events, transcript) — exactly the batch
+    * operator's row, which is the StreamsSpec parity contract. Update
+    * output mode.
+    */
+  def chatThreadsStream(events: DataFrame, threadCol: String, tsCol: String,
+                        seqCol: String, roleCol: String, payloadCol: String,
+                        maxTurns: Int): DataFrame = {
+    require(maxTurns >= 1, s"chatThreadsStream maxTurns: $maxTurns")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(threadCol).cast("long"),
+        col(tsCol).cast("timestamp").cast("long"),
+        col(seqCol).cast("long"), col(roleCol).cast("string"),
+        col(payloadCol).cast("string"))
+      .as[(Long, Long, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ThreadState, (Long, Long, Long, Long, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (thread, it, state: GroupState[ThreadState]) =>
+          var st = state.getOption.getOrElse(ThreadState(Vector.empty, 0L))
+          it.toArray.sortBy(e => (e._2, e._3)).foreach {
+            case (_, _, _, role, payload) =>
+              st =
+                if (st.runs.nonEmpty && st.runs.last.role == role) {
+                  val t = st.runs.last
+                  st.copy(runs = st.runs.init :+ t.copy(
+                    nEvents = t.nEvents + 1,
+                    content = t.content + " | " + payload))
+                } else {
+                  val nt = st.nTurns + 1
+                  ThreadState(
+                    (st.runs :+ ThreadRun(nt, role, 1L, payload))
+                      .takeRight(maxTurns), nt)
+                }
+          }
+          state.update(st)
+          Iterator.single((thread, st.nTurns, st.runs.size.toLong,
+            st.runs.map(_.nEvents).sum,
+            st.runs.map(r => s"${r.role}: ${r.content}").mkString("\n")))
+      }
+      .toDF("thread", "n_turns", "n_kept", "n_events", "transcript")
   }
 
   /** Streaming heavy hitters — incremental Misra–Gries per group: state is

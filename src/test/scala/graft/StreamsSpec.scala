@@ -196,6 +196,42 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming chat threads: run collapse across batch boundaries, parity with the batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, String)]
+    val q = Streams.chatThreadsStream(
+        in.toDF.toDF("thread", "t", "seq", "role", "payload"),
+        "thread", "t", "seq", "role", "payload", maxTurns = 3)
+      .writeStream.format("memory").queryName("chat_s")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1 ends mid-run of role "u"; batch 2 CONTINUES that run —
+      // the collapse must bridge the boundary, not open a new turn
+      in.addData((1L, ts(1), 1L, "u", "p1"), (1L, ts(2), 2L, "a", "p2"),
+        (1L, ts(3), 3L, "u", "p3"))
+      q.processAllAvailable()
+      in.addData((1L, ts(4), 4L, "u", "p4"), (1L, ts(5), 5L, "a", "p5"),
+        (1L, ts(6), 6L, "u", "p6"))
+      q.processAllAvailable()
+      val last = spark.table("chat_s")
+        .filter($"n_turns" === 5)
+        .select("thread", "n_turns", "n_kept", "n_events", "transcript")
+        .as[(Long, Long, Long, Long, String)].head()
+      // 5 runs total (u|a|u+u|a|u), last 3 kept: u: p3 | p4, a: p5, u: p6
+      assert(last == ((1L, 5L, 3L, 4L, "u: p3 | p4\na: p5\nu: p6")))
+      // parity: the batch operator over ALL events produces the same row
+      val batch = graft.ops.Dialog.assembleThreads(
+          Seq((1L, ts(1), 1L, "u", "p1"), (1L, ts(2), 2L, "a", "p2"),
+            (1L, ts(3), 3L, "u", "p3"), (1L, ts(4), 4L, "u", "p4"),
+            (1L, ts(5), 5L, "a", "p5"), (1L, ts(6), 6L, "u", "p6"))
+            .toDF("thread", "t", "seq", "role", "payload"),
+          "thread", "t", "seq", "role", "payload", maxTurns = 3)
+        .select("thread", "n_turns", "n_kept", "n_events", "transcript")
+        .as[(Long, Long, Long, Long, String)].head()
+      assert(batch == last)
+    } finally q.stop()
+  }
+
   test("streaming quota: state persists across batches and equals the batch op") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Long)]
