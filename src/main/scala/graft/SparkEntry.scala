@@ -653,6 +653,28 @@ object SparkEntry {
           min("event_id").as("first_event"), max("event_id").as("last_event"))
         .orderBy("user_id", "session_n")),
 
+    // PADDING-WASTE audit (round 10): what fixed-size batching costs in
+    // pad tokens under arrival order vs a length-sorted order — the
+    // number that justifies length bucketing in a training/serving
+    // stack. Batch ranks ride the DISTRIBUTED prefix sum (no one-task
+    // global window); the sorted strategy's key packs (len, doc_id)
+    // into one integer so the total order stays unique.
+    "q_pad_waste" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("len"))
+      val arrival = graft.ops.PrefixSum.padWaste(d, "doc_id", "len", batchSize = 32)
+        .withColumn("strategy", lit("arrival"))
+      val sorted = graft.ops.PrefixSum.padWaste(
+          d.withColumn("k", expr("len * 4294967296L + doc_id")),
+          "k", "len", batchSize = 32)
+        .withColumn("strategy", lit("sorted"))
+      arrival.unionByName(sorted)
+        .select("strategy", "n_rows", "n_batches", "total", "padded",
+          "waste", "waste_frac")
+        .orderBy("strategy")
+    }),
+
     // PREFERENCE-PAIR construction (round 10): the RLHF/DPO data-prep
     // stage — per group, rank by score, pair best↔worst inward
     // (maximal-margin comparisons), drop ties (a preference needs a
@@ -6615,6 +6637,37 @@ object SparkEntry {
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // waste replay: plain window ranks (the oracle runs single-node),
+    // same batch grouping and exact integer arithmetic
+    "q_pad_waste" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS len
+        |  FROM documents),
+        |a AS (SELECT len, row_number() OVER (ORDER BY doc_id) AS rn FROM d),
+        |ab AS (SELECT (rn-1)//32 AS batch, count(*) AS m, max(len) AS mx,
+        |         sum(len) AS s FROM a GROUP BY 1),
+        |aa AS (SELECT CAST(sum(m) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_batches,
+        |         CAST(sum(s) AS BIGINT) AS total,
+        |         CAST(sum(m*mx) AS BIGINT) AS padded FROM ab),
+        |so AS (SELECT len, row_number() OVER (ORDER BY len*4294967296 + doc_id) AS rn FROM d),
+        |sb AS (SELECT (rn-1)//32 AS batch, count(*) AS m, max(len) AS mx,
+        |         sum(len) AS s FROM so GROUP BY 1),
+        |sa AS (SELECT CAST(sum(m) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_batches,
+        |         CAST(sum(s) AS BIGINT) AS total,
+        |         CAST(sum(m*mx) AS BIGINT) AS padded FROM sb)
+        |SELECT * FROM (
+        |  SELECT 'arrival' AS strategy, n_rows, n_batches, total, padded,
+        |    padded - total AS waste,
+        |    round(CAST(padded - total AS DOUBLE)/CAST(padded AS DOUBLE), 6) AS waste_frac
+        |  FROM aa
+        |  UNION ALL
+        |  SELECT 'sorted', n_rows, n_batches, total, padded,
+        |    padded - total,
+        |    round(CAST(padded - total AS DOUBLE)/CAST(padded AS DOUBLE), 6)
+        |  FROM sa) ORDER BY strategy""".stripMargin,
 
     // pairing replay: same rank window, same partner-rank equi-join,
     // same strict-score tie drop

@@ -128,4 +128,36 @@ object PrefixSum {
                         partitions: Int = 32): DataFrame =
     prefixSumByGroup(df, groupCol, orderCols, sizeCol, partitions)
       .filter(col("cum") <= budget)
+
+  /** Padding-waste audit of fixed-size batching — the number a
+    * training/serving stack reads before turning on length bucketing:
+    * batches of `batchSize` rows pad every member to the batch max, so
+    * waste = Σ_batches (members·max − Σ len). Computed for the given
+    * `orderCol` (arrival order vs a length-sorted key — pass both and
+    * diff them). Batch index = (rank − 1) div batchSize where rank is
+    * the DISTRIBUTED [[prefixSum]] of ones over `orderCol` — no global
+    * one-task window. Output: one row (n_rows, n_batches, total, padded,
+    * waste, waste_frac round 6), exact integers.
+    */
+  def padWaste(df: DataFrame, orderCol: String, lenCol: String,
+               batchSize: Int, partitions: Int = 32): DataFrame = {
+    require(batchSize >= 1, s"padWaste batchSize: $batchSize")
+    val ranked = prefixSum(
+      df.select(col(orderCol).as("_ord"), col(lenCol).cast("long").as("len"))
+        .withColumn("_one", lit(1L)),
+      "_ord", "_one", partitions)
+    ranked
+      .withColumn("batch", expr(s"(cum - 1) div ${batchSize}L"))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("m"), max(col("len")).as("mx"),
+        sum(col("len")).as("s"))
+      .agg(sum(col("m")).as("n_rows"),
+        count(lit(1)).as("n_batches"),
+        sum(col("s")).as("total"),
+        sum(col("m") * col("mx")).as("padded"))
+      .select(col("n_rows"), col("n_batches"), col("total"), col("padded"),
+        (col("padded") - col("total")).as("waste"),
+        round((col("padded") - col("total")).cast("double") /
+          col("padded").cast("double"), 6).as("waste_frac"))
+  }
 }

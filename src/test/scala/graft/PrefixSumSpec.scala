@@ -93,4 +93,27 @@ class PrefixSumSpec extends SparkTestBase {
     assert(kept.forall(_._4 <= 500L))
     assert(kept.nonEmpty)
   }
+
+  test("padWaste: hand-computed batches; length-sorting cuts waste on the fixture") {
+    import spark.implicits._
+    // batchSize 2, lens in id order 10,2,8,4,6: batches [10,2],[8,4],[6]
+    // waste = (2*10-12) + (2*8-12) + (1*6-6) = 8+4+0 = 12; padded = 42
+    val d = Seq((1L, 10L), (2L, 2L), (3L, 8L), (4L, 4L), (5L, 6L))
+      .toDF("id", "len")
+    val r = graft.ops.PrefixSum.padWaste(d, "id", "len", batchSize = 2).head()
+    assert(r.getLong(0) == 5 && r.getLong(1) == 3)
+    assert(r.getLong(2) == 30 && r.getLong(3) == 42 && r.getLong(4) == 12)
+    // fixture: sorting by length must strictly reduce waste, same totals
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("len"))
+    val arrival = graft.ops.PrefixSum.padWaste(docs, "doc_id", "len", 32).head()
+    val sorted = graft.ops.PrefixSum.padWaste(
+      docs.withColumn("k", expr("len * 4294967296L + doc_id")),
+      "k", "len", 32).head()
+    assert(arrival.getLong(2) == sorted.getLong(2)) // same token mass
+    assert(sorted.getLong(4) < arrival.getLong(4),
+      s"sorted waste ${sorted.getLong(4)} !< arrival ${arrival.getLong(4)}")
+  }
 }
