@@ -1356,6 +1356,59 @@ object SparkEntry {
       TextOps.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id")),
 
+    // THE DATA CARD (round 10): the whole per-corpus report as ONE query
+    // — scale counts, duplication, language share, Zipf spectrum health,
+    // rule-gate and LM-gate keep rates — the (metric, value) table a
+    // dataset release ships. Composes the proven legs (zipfFit,
+    // qualityRules, lmFilter) plus two corpus aggregates; every value is
+    // exact-arithmetic or quantized per its leg's recipe, so the whole
+    // card replays.
+    "q_data_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val basic = d.agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          countDistinct(col("text")).as("n_distinct"),
+          sum((col("lang") === "en").cast("long")).as("n_en"))
+        .select(explode(array(
+          struct(lit("n_docs").as("metric"),
+            col("n_docs").cast("double").as("value")),
+          struct(lit("n_tokens").as("metric"),
+            col("n_tokens").cast("double").as("value")),
+          struct(lit("mean_doc_tokens").as("metric"),
+            round(col("n_tokens").cast("double") / col("n_docs").cast("double"),
+              6).as("value")),
+          struct(lit("dup_frac").as("metric"),
+            round(lit(1.0) -
+              col("n_distinct").cast("double") / col("n_docs").cast("double"),
+              6).as("value")),
+          struct(lit("en_frac").as("metric"),
+            round(col("n_en").cast("double") / col("n_docs").cast("double"),
+              6).as("value")))).as("kv"))
+        .select("kv.*")
+      val vocab = d.select(explode(TextAnalysis.tokensArr(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+        .select(lit("vocab").as("metric"), col("v").cast("double").as("value"))
+      val zipf = TextOps.zipfFit(d, "text", topN = 200)
+        .select(explode(array(
+          struct(lit("zipf_slope").as("metric"), col("slope").as("value")),
+          struct(lit("zipf_r2").as("metric"), col("r2").as("value")))).as("kv"))
+        .select("kv.*")
+      val quality = TextOps.qualityRules(d, "doc_id", "text")
+        .agg((sum(col("keep").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("v"))
+        .select(lit("quality_keep_frac").as("metric"),
+          round(col("v"), 6).as("value"))
+      val lm = TextOps.lmFilter(d, "doc_id", "text", col("lang") === "en",
+          threshold = -3.42)
+        .agg((sum(col("keep").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("v"))
+        .select(lit("lm_keep_frac").as("metric"), round(col("v"), 6).as("value"))
+      basic.unionByName(vocab).unionByName(zipf).unionByName(quality)
+        .unionByName(lm)
+        .orderBy("metric")
+    }),
+
     // CORPUS DATA-CARD statistics (round 10): Zipf-law OLS fit of the
     // frequency spectrum (slope ≈ -1 on healthy text; ln values
     // quantized round-9 before decimal sums — the logreg recipe — so
