@@ -4153,6 +4153,77 @@ object SparkEntry {
         |  round((n*sxy - sx*sy)*(n*sxy - sx*sy)/((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
         |FROM s""".stripMargin,
 
+    // THE DATA CARD oracle: the composed (metric, value) report — each
+    // leg is the SAME CTE chain as its standalone twin (LmRefScoreCtes
+    // verbatim via string surgery; zipf/quality chains copied with
+    // dc_/zf_/qr_ prefixes to avoid CTE-name clashes), so data-card
+    // parity is inherited leg-by-leg from the already-green oracles.
+    "q_data_card" ->
+      (s"""WITH ${LmRefScoreCtes.stripPrefix("WITH ")},
+        |dc_t AS (SELECT doc_id,
+        |           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |         FROM documents),
+        |dc_basic AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+        |        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        |      FROM documents),
+        |dc_ntok AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM dc_t),
+        |dc_vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM dc_t),
+        |dc_sc AS (SELECT b.n_docs, b.n_distinct, b.n_en, t.n_tokens, v.vocab
+        |          FROM dc_basic b, dc_ntok t, dc_vocab v),
+        |zf_f AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM dc_t GROUP BY tok),
+        |zf_r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rank FROM zf_f),
+        |zf_q AS (SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+        |                round(ln(CAST(c AS DOUBLE)), 9) AS y
+        |         FROM zf_r WHERE rank <= 200),
+        |zf_s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(x*y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(x*x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(y*y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        |      FROM zf_q),
+        |zf_out AS (SELECT
+        |  round((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS slope,
+        |  round((n*sxy - sx*sy)*(n*sxy - sx*sy)/((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+        |  FROM zf_s),
+        |qr_c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |         FROM dc_t GROUP BY doc_id, tok),
+        |qr_a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(length(tok) * c) AS BIGINT) AS chars,
+        |        CAST(sum(CASE WHEN tok IN ('the','a','of','and','in') THEN c ELSE 0 END) AS BIGINT) AS stops,
+        |        CAST(max(c) AS BIGINT) AS maxc
+        |      FROM qr_c GROUP BY doc_id),
+        |qr_out AS (SELECT round(CAST(sum(CASE WHEN
+        |         n >= 30 AND n <= 100000
+        |         AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
+        |         AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0
+        |         AND stops > 0
+        |         AND CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE) <= 0.15
+        |       THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS qv
+        |       FROM qr_a),
+        |lm_sc AS (SELECT doc_id,
+        |            round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS s
+        |          FROM lp GROUP BY doc_id),
+        |lm_out AS (SELECT round(CAST(sum(CASE WHEN s >= -3.42 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS lv
+        |           FROM lm_sc)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM dc_sc
+        |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM dc_sc
+        |  UNION ALL SELECT 'mean_doc_tokens',
+        |    round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM dc_sc
+        |  UNION ALL SELECT 'dup_frac',
+        |    round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM dc_sc
+        |  UNION ALL SELECT 'en_frac',
+        |    round(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM dc_sc
+        |  UNION ALL SELECT 'vocab', CAST(vocab AS DOUBLE) FROM dc_sc
+        |  UNION ALL SELECT 'zipf_slope', slope FROM zf_out
+        |  UNION ALL SELECT 'zipf_r2', r2 FROM zf_out
+        |  UNION ALL SELECT 'quality_keep_frac', qv FROM qr_out
+        |  UNION ALL SELECT 'lm_keep_frac', lv FROM lm_out
+        |) ORDER BY metric""".stripMargin),
+
     // growth replay: per-token first occurrence + per-doc counts joined
     // against the value-space cut list (integer // division).
     "q_heaps" ->
