@@ -168,9 +168,23 @@ object Bench {
       } catch { case _: Throwable => 0 }
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
         s"BENCH_FULL_r$round.json")
+      // Write-ONCE within a round: round 10's quiet-box record was
+      // clobbered by a later loaded-box re-run one commit after landing.
+      // An existing artifact is never overwritten unless the re-record is
+      // explicit (SPARK_GRAFT_BENCH_FORCE=1); the refused line still
+      // lands beside it as <out>.latest for comparison.
+      val path = java.nio.file.Paths.get(out)
+      val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
       try {
-        java.nio.file.Files.write(java.nio.file.Paths.get(out),
-          (line + "\n").getBytes("UTF-8"))
+        if (java.nio.file.Files.exists(path) && !force) {
+          val alt = java.nio.file.Paths.get(out + ".latest")
+          java.nio.file.Files.write(alt, (line + "\n").getBytes("UTF-8"))
+          System.err.println(
+            s"bench: $out exists — artifact of record preserved; " +
+            s"this run written to $alt (set SPARK_GRAFT_BENCH_FORCE=1 to re-record)")
+        } else {
+          java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"))
+        }
       } catch { case e: Throwable =>
         System.err.println(s"bench: could not write $out: ${e.getMessage}")
       }

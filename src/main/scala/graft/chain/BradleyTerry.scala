@@ -31,8 +31,10 @@ import org.apache.spark.sql.functions._
   */
 object BradleyTerry {
 
-  def fit(pairs: DataFrame, iterations: Int): DataFrame = {
+  def fit(pairs: DataFrame, iterations: Int,
+          checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 1, s"bradleyTerry iterations: $iterations")
+    require(checkpointEvery >= 1, s"bradleyTerry checkpointEvery: $checkpointEvery")
     val items = pairs.select(col("win").as("item"))
       .unionByName(pairs.select(col("lose").as("item")))
       .distinct()
@@ -48,7 +50,7 @@ object BradleyTerry {
       .groupBy("a", "b").agg(count(lit(1)).as("nij"))
       .localCheckpoint() // the pair scan must not rerun per round
     var s = items.withColumn("s", lit(1.0))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val sa = s.select(col("item").as("a"), col("s").as("s_a"))
       val sb = s.select(col("item").as("b"), col("s").as("s_b"))
       val joined = counts.join(sa, "a").join(sb, "b")
@@ -67,6 +69,11 @@ object BradleyTerry {
       s = raw.crossJoin(broadcast(tot))
         .select(col("item"),
           round(col("s") * col("k") / col("t"), 6).as("s"))
+      // Each round references the previous `s` THREE times (sa, sb, and
+      // the tot→raw rescale), so an untruncated lineage regrows ~4^i —
+      // fine at 3 rounds, impractical at 20. PageRank-style per-round
+      // truncation keeps the cost flat in the round count.
+      if (i % checkpointEvery == 0 && i < iterations) s = s.localCheckpoint()
     }
     wins.join(s, "item").select(col("item"), col("w"), col("s").as("rating"))
   }

@@ -242,8 +242,10 @@ object Dedup {
         countDistinct(col("gid")).as("n_unique_sets"))
       .crossJoin(pref.agg(
         sum(col("c")).as("n_prefix_entries"),
-        // c(c-1) is even, the halved product is integer-exact
-        sum((col("c") * (col("c") - 1) / 2).cast("long")).as("est_candidates")))
+        // c(c-1) is even — integral `div` keeps the halved product exact
+        // past 2^53, where double `/` would silently round (the dense
+        // hot-key regime this profiler exists to detect)
+        sum(expr("c * (c - 1) div 2")).as("est_candidates")))
   }
 
   /** Which engine [[jaccardPairsAuto]] would pick: "ppjoin" when the
@@ -383,7 +385,9 @@ object Dedup {
                             storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     val mh = persistAt(minhashWide(shingles(df, idCol, textCol, shingleN),
       bands * rowsPerBand), storage)
-    val scope = df.select(col(idCol).cast("long").as("id"),
+    // keep the ORIGINAL id type: a long cast here silently nulls string
+    // ids, empties the scope join, and turns the dedup into a no-op
+    val scope = df.select(col(idCol).as("id"),
       col(scopeCol).cast("string").as("_sc"))
     val bandHash = bandHashes(mh, bands, rowsPerBand).join(scope, "id")
     val cands = bandHash.as("x").join(bandHash.as("y"),

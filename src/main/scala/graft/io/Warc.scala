@@ -152,33 +152,40 @@ object Warc {
     * per record. Deletes the target first — overwrite semantics, the
     * stale-files-beside-new-ones lesson.
     *
-    * Filesystem contract: part files are written with `java.io` from
-    * inside `foreachPartition`, so `path` must be a filesystem every
-    * executor sees at the same mount point (local mode, NFS, or a FUSE
-    * mount) — the same assumption DiscoChunk's writer makes. On a
-    * cluster writing to HDFS/S3, route through the Hadoop `FileSystem`
-    * API instead (the parquet sinks' path); the record framing
-    * (`recordBytes`/`gzipMember`) is already stream-agnostic.
+    * Streams the partition iterator record-by-record through the Hadoop
+    * `FileSystem` API (the DiscoChunk/parquet-sink path): peak executor
+    * memory is ONE record + gzip buffers, never the partition — at
+    * 100 TB a WARC partition is GBs of payloads, and `path` may be any
+    * filesystem the cluster's Hadoop conf resolves (HDFS, S3A, local).
+    * The warcinfo header is written lazily on the first record so empty
+    * partitions produce no file, matching the old behavior.
     */
   def write(ds: org.apache.spark.sql.Dataset[WarcRecord], path: String): Unit = {
-    val dir = new java.io.File(path)
-    new scala.reflect.io.Directory(dir).deleteRecursively()
-    dir.mkdirs()
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      ds.sparkSession.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val bfs = base.getFileSystem(conf.value)
+    bfs.delete(base, true)
+    bfs.mkdirs(base)
     ds.foreachPartition { (it: Iterator[WarcRecord]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val records = it.toSeq
-      if (records.nonEmpty) {
-        val f = new java.io.FileOutputStream(
-          new java.io.File(dir, f"part-$pid%05d.warc.gz"))
-        try {
-          val info = WarcRecord("warcinfo", s"<urn:graft:warcinfo:$pid>",
-            "2026-01-01T00:00:00Z", None,
-            "software: graft\r\nformat: WARC File Format 1.0\r\n"
-              .getBytes("US-ASCII"))
-          f.write(gzipMember(recordBytes(info)))
-          records.foreach(r => f.write(gzipMember(recordBytes(r))))
-        } finally f.close()
-      }
+      var out: org.apache.hadoop.fs.FSDataOutputStream = null
+      try {
+        it.foreach { r =>
+          if (out == null) { // first record: open + warcinfo header
+            val fs = new org.apache.hadoop.fs.Path(path)
+              .getFileSystem(conf.value)
+            out = fs.create(new org.apache.hadoop.fs.Path(path,
+              f"part-$pid%05d.warc.gz"), true)
+            val info = WarcRecord("warcinfo", s"<urn:graft:warcinfo:$pid>",
+              "2026-01-01T00:00:00Z", None,
+              "software: graft\r\nformat: WARC File Format 1.0\r\n"
+                .getBytes("US-ASCII"))
+            out.write(gzipMember(recordBytes(info)))
+          }
+          out.write(gzipMember(recordBytes(r)))
+        }
+      } finally if (out != null) out.close()
     }
   }
 

@@ -90,7 +90,9 @@ object UrlOps {
     val path = regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val pathPart = when(path === "", lit("/")).otherwise(path)
-    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    // query anchored to the pre-fragment prefix: a '?' INSIDE the
+    // fragment of a query-less URL (http://h/p#sec?x=1) is not a query
+    val q = regexp_extract(regexp_extract(url, "^([^#]*)", 1), "\\?(.*)$", 1)
     val params = array_sort(filter(split(q, "&"),
       p => p =!= "" && !p.rlike("^(utm_|fbclid|gclid)")))
     val qPart = when(size(params) > 0,
@@ -115,10 +117,10 @@ object UrlOps {
        |       ELSE ':' || regexp_extract(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1), ':([0-9]+)$$', 1) END ||
        |  CASE WHEN regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = '' THEN '/'
        |       ELSE regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END ||
-       |  CASE WHEN len(list_filter(string_split(regexp_extract($u, '\\?([^#]*)', 1), '&'),
+       |  CASE WHEN len(list_filter(string_split(regexp_extract(regexp_extract($u, '^([^#]*)', 1), '\\?(.*)$$', 1), '&'),
        |         p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)'))) > 0
        |       THEN '?' || array_to_string(list_sort(list_filter(
-       |              string_split(regexp_extract($u, '\\?([^#]*)', 1), '&'),
+       |              string_split(regexp_extract(regexp_extract($u, '^([^#]*)', 1), '\\?(.*)$$', 1), '&'),
        |              p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)'))), '&')
        |       ELSE '' END
        |END""".stripMargin

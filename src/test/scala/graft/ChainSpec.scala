@@ -30,6 +30,29 @@ class ChainSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     got.foreach { case (k, (_, v)) => assert(again(k) == v) }
   }
+  test("bradleyTerry: 20 MM rounds stay flat-cost (per-round truncation) and refine the 3-round fit") {
+    import spark.implicits._
+    val pairs = (Seq.fill(9)(("A", "B")) ++ Seq.fill(3)(("B", "A")) ++
+      Seq.fill(9)(("B", "C")) ++ Seq.fill(3)(("C", "B")) ++
+      Seq.fill(10)(("A", "C")) ++ Seq.fill(2)(("C", "A")) ++
+      Seq.fill(4)(("A", "D")) ++ Seq.fill(4)(("B", "D")))
+      .toDF("win", "lose")
+    // without per-round lineage truncation this plan is ~4^20 nodes and
+    // never finishes analysis; with it, 20 rounds complete in seconds
+    val t0 = System.nanoTime()
+    val got = graft.chain.BradleyTerry.fit(pairs, iterations = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120.0, s"20 MM rounds took $secs s — lineage regrowth?")
+    assert(got("A") > got("B") && got("B") > got("C") && got("C") > got("D"))
+    assert(got("D") == 0.0)
+    assert(math.abs(got.values.sum - 4.0) < 1e-4)
+    // deeper fit sharpens the planted ordering vs 3 rounds (A pulls away)
+    val coarse = graft.chain.BradleyTerry.fit(pairs, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("A") / got("C") >= coarse("A") / coarse("C") - 1e-6)
+  }
+
   import spark.implicits._
 
   test("PageRank on a 3-node cycle converges to uniform scores") {

@@ -85,7 +85,11 @@ class UrlOpsSpec extends SparkTestBase {
       // utm params anywhere in the list, empty params dropped
       ("http://a.com/x?utm_campaign=c&k=v&&utm_medium=m", "http://a.com/x?k=v"),
       // path case PRESERVED (only scheme/host fold)
-      ("http://A.com/CaseSensitive/Path", "http://a.com/CaseSensitive/Path"))
+      ("http://A.com/CaseSensitive/Path", "http://a.com/CaseSensitive/Path"),
+      // '?' INSIDE the fragment of a query-less URL is NOT a query
+      ("http://h.com/p#sec?x=1", "http://h.com/p"),
+      // real query still found when the fragment also contains '?'
+      ("http://h.com/p?b=2&a=1#sec?x=1", "http://h.com/p?a=1&b=2"))
     val got = cases.map(_._1).toDF("url")
       .select(col("url"), graft.ops.UrlOps.canonicalizeUrl(col("url")).as("c"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
