@@ -1546,6 +1546,71 @@ object SparkEntry {
         .orderBy("thr")
     }),
 
+    // SCORE-ONCE LM COMPOSITION (round 11): the five LM-score consumers
+    // each recompute the full bigram-score chain when benched alone (each
+    // stays independent for its own oracle); a production pipeline scores
+    // ONCE. This is that composition — one bigramLmScoreRef pass,
+    // localCheckpointed, feeding the fluency gate, the quartile tier
+    // table, AND the curriculum order (the q_corpus_run2 gate-once lesson
+    // applied one level up). Output: per-tier doc count, mean score, gate
+    // keep count, mean curriculum position — everything downstream of a
+    // single scoring pass instead of three.
+    "q_lm_pipeline" -> ((s, dir) => {
+      val scored = TextOps.bigramLmScoreRef(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en").localCheckpoint()
+      val e = graft.ops.WindowOps.exactQuantilesGlobal(
+          scored, "lm_score", Seq(0.25, 0.5, 0.75))
+        .agg(sort_array(collect_list("value")).as("edges"))
+      val tiers = scored.crossJoin(broadcast(e))
+        .withColumn("bucket",
+          lit(1) + size(filter(col("edges"), x => col("lm_score") > x)))
+      val cur = Sampling.curriculumIndex(tiers, col("bucket"), col("id"),
+        salt = "cur")
+      tiers.join(cur.select(col("id"), col("pos")), "id")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("lm_score").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("mean_score"),
+          sum((col("lm_score") >= -3.42).cast("long")).as("n_keep"),
+          round(sum(col("pos").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("mean_pos"))
+        .orderBy("bucket")
+    }),
+
+    // KNESER-NEY fluency scoring (round 11): the standard n-gram
+    // smoothing (Kneser & Ney 1995) as a drop-in upgrade of the add-one
+    // fluency gate — backoff mass goes to words by CONTEXT-TYPE count,
+    // not raw frequency. Same en-reference-slice protocol as q_lm_filter.
+    "q_kn_lm" -> ((s, dir) => {
+      TextOps.knLmScore(Tables.documents(s, dir), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy("id")
+    }),
+
+    // The model bake-off that justifies q_kn_lm: train BOTH bigram models
+    // (add-one, interpolated KN) on the same 80% hash split, report
+    // held-out mean log-prob + perplexity per (model, split). The KN
+    // held-out ppl beating add-one's is the data-card row that says the
+    // smoothing upgrade is real on THIS corpus, not just in the textbook.
+    "q_kn_heldout" -> ((s, dir) => {
+      val d = Sampling.splitByHash(Tables.documents(s, dir), col("doc_id"),
+        Seq(0.8, 0.2), salt = "lm")
+      val splits = d.select(col("doc_id").as("id"), col("split"))
+      def leg(scored: DataFrame, scoreCol: String, model: String) =
+        scored.join(splits, "id")
+          .groupBy("split").agg(
+            count(lit(1)).as("n_docs"),
+            round(sum(col(scoreCol).cast("decimal(38,18)")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("mean_lm"))
+          .select(lit(model).as("model"), col("split"), col("n_docs"),
+            col("mean_lm"), round(exp(-col("mean_lm")), 4).as("ppl"))
+      leg(TextOps.bigramLmScoreRef(d, "doc_id", "text", col("split") === 0),
+          "lm_score", "addone")
+        .unionAll(leg(TextOps.knLmScore(d, "doc_id", "text",
+          col("split") === 0), "kn_score", "kn"))
+        .orderBy("model", "split")
+    }),
+
     // Compressibility quality filter, ORACLE-REPLAYABLE form: distinct-
     // 8-gram fraction (the substring-repetition signal deflate exploits)
     // + exact character entropy per doc. The zlib-ratio variant
@@ -3573,6 +3638,36 @@ object SparkEntry {
       |         CAST(ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(coalesce(cu, 0) + v.v AS DOUBLE))
       |              AS DECIMAL(38,18)) AS lp
       |       FROM bigr b LEFT JOIN big USING (bg) LEFT JOIN uni ON uni.w = b.w1 CROSS JOIN v)""".stripMargin
+
+  /** Kneser-Ney model + per-bigram log-prob CTEs (the q_kn_lm twin of
+    * LmRefScoreCtes). Expects upstream CTEs `tok(doc_id, …, w, pos)` and
+    * `bigr(doc_id, …, w1, w2, bg)`; `ref` is the training-slice predicate
+    * over those CTEs' columns; `extra` columns are carried through klp.
+    * The probability expression mirrors the Column chain in
+    * TextOps.knLmScore term-for-term (same association order, round-9
+    * ln-quantization) so the per-doc means replay bit-for-bit.
+    */
+  private def KnModelCtes(ref: String, extra: String = ""): String = {
+    val ex = if (extra.isEmpty) "" else extra + ", "
+    s"""kbig AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bigr WHERE $ref GROUP BY bg),
+       |kctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw,
+       |           CAST(count(DISTINCT w2) AS BIGINT) AS n1f
+       |         FROM bigr WHERE $ref GROUP BY w1),
+       |kcont AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS n1b
+       |          FROM bigr WHERE $ref GROUP BY w2),
+       |kv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok WHERE $ref),
+       |kbt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM kbig),
+       |kraw AS (SELECT b.doc_id, ${ex}cb, cw, n1f,
+       |           CAST(coalesce(n1b, 0) + 1 AS DOUBLE) / CAST(kbt.b + kv.v AS DOUBLE) AS pc
+       |         FROM bigr b LEFT JOIN kbig USING (bg) LEFT JOIN kctx USING (w1)
+       |           LEFT JOIN kcont USING (w2) CROSS JOIN kv CROSS JOIN kbt),
+       |klp AS (SELECT doc_id, ${ex}
+       |          CAST(round(ln(CASE WHEN cw IS NULL THEN pc
+       |            ELSE greatest(CAST(coalesce(cb, 0) AS DOUBLE) - 0.75, 0.0) / CAST(cw AS DOUBLE)
+       |                 + 0.75 * CAST(n1f AS DOUBLE) / CAST(cw AS DOUBLE) * pc END), 9)
+       |            AS DECIMAL(38,18)) AS lp
+       |        FROM kraw)""".stripMargin
+  }
 
   private val DedupClosureCtes: String =
     """WITH RECURSIVE arr AS (SELECT doc_id,
@@ -6106,6 +6201,30 @@ object SparkEntry {
         |       round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE)
         |             / CAST(count(*) AS DOUBLE), 4) AS mean_score
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // the composed score-once pipeline: ONE lp chain (the CTE engine runs
+    // it once), quartile tiers, gate verdict, and curriculum positions all
+    // off the same score table — per-tier rollup
+    "q_lm_pipeline" ->
+      (LmRefScoreCtes + ",\n" +
+      s"""sc AS (SELECT doc_id AS id, round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS s
+        |       FROM lp GROUP BY doc_id),
+        |e AS (SELECT quantile_disc(s, 0.25) AS e1, quantile_disc(s, 0.5) AS e2,
+        |             quantile_disc(s, 0.75) AS e3 FROM sc),
+        |b AS (SELECT id, s, CAST(1 + CAST(s > e1 AS INT) + CAST(s > e2 AS INT)
+        |               + CAST(s > e3 AS INT) AS INT) AS bucket
+        |      FROM sc CROSS JOIN e),
+        |p AS (SELECT id, s, bucket,
+        |        CAST(row_number() OVER (ORDER BY bucket DESC,
+        |          ${graft.ops.Sampling.hashDrawSql("id", "cur")}, id) - 1 AS BIGINT) AS pos
+        |      FROM b)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 4) AS mean_score,
+        |       CAST(sum(CASE WHEN s >= -3.42 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |       round(CAST(sum(CAST(pos AS DECIMAL(38,18))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 4) AS mean_pos
+        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin),
 
     "q_prep_pipeline" ->
       s"""WITH en AS (

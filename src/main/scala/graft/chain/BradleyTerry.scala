@@ -72,8 +72,13 @@ object BradleyTerry {
       // Each round references the previous `s` THREE times (sa, sb, and
       // the tot→raw rescale), so an untruncated lineage regrows ~4^i —
       // fine at 3 rounds, impractical at 20. PageRank-style per-round
-      // truncation keeps the cost flat in the round count.
-      if (i % checkpointEvery == 0 && i < iterations) s = s.localCheckpoint()
+      // truncation keeps the cost flat in the round count. Lineage.truncate
+      // (not bare localCheckpoint) because the checkpoint carries the
+      // origin plan's size ESTIMATE forward, and the same multi-reference
+      // structure doubles that BigInt's digit count per round — measured
+      // 119 s of driver-side BigInteger math at round 18 without the cap.
+      if (i % checkpointEvery == 0 && i < iterations)
+        s = graft.core.Lineage.truncate(s)
     }
     wins.join(s, "item").select(col("item"), col("w"), col("s").as("rating"))
   }

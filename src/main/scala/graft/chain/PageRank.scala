@@ -37,7 +37,8 @@ object PageRank {
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("received"), lit(0.0)))
             .as("score"))
-      if (i % checkpointEvery == 0) scores = scores.localCheckpoint()
+      if (i % checkpointEvery == 0)
+        scores = graft.core.Lineage.truncate(scores)
     }
     scores
   }

@@ -501,11 +501,15 @@ object Dedup {
       val nbrMin = und.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("lbl").as("nbr"))
         .withColumnRenamed("src", "id")
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"),
-          (col("nbr") < col("lbl")).as("chg"))
-        .localCheckpoint()
+      // Lineage.truncate, not bare localCheckpoint: the round references
+      // `labels` twice (nbrMin + the left join), so the size ESTIMATE the
+      // checkpoint carries forward doubles its digit count per round — see
+      // graftbridge.localCheckpointCappedStats for the measured blowup.
+      val next = graft.core.Lineage.truncate(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"),
+            (col("nbr") < col("lbl")).as("chg")))
       changed = next.filter(col("chg")).count()
       labels = next.select("id", "lbl")
       i += 1

@@ -57,12 +57,12 @@ object GraphOps {
       // argmax(count desc, label asc) as one aggregation: max of
       // (count, -label) orders first by vote count, then by SMALLEST
       // label — no per-node window, no row_number over a shuffle.
-      labels = und.join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("src"))
-        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("src").as("id"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint()
+      labels = graft.core.Lineage.truncate(
+        und.join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("src").as("id"), (-col("m.nl")).as("lbl")))
     }
     labels
   }
@@ -100,7 +100,11 @@ object GraphOps {
     var changed = true
     var i = 0
     while (changed && i < maxRounds) {
-      val next = peel(alive).select(col("src").as("v")).localCheckpoint()
+      // truncate, not bare localCheckpoint: peel references `alive` twice
+      // (src + dst joins) → carried size estimate doubles digits per round
+      // (see graftbridge.localCheckpointCappedStats).
+      val next = graft.core.Lineage.truncate(
+        peel(alive).select(col("src").as("v")))
       val m = next.count()
       changed = m != n
       alive = next; n = m

@@ -954,6 +954,78 @@ object TextOps {
     bigramLmScoreRef(df, idCol, textCol, refCol)
       .withColumn("keep", col("lm_score") >= threshold)
 
+  /** Interpolated Kneser-Ney bigram LM score (Kneser & Ney 1995; Chen &
+    * Goodman 1999 — the standard n-gram smoothing, consistently better
+    * held-out perplexity than add-one because the backoff weight of a
+    * word is its CONTEXT-TYPE count, not its raw frequency: "Francisco"
+    * is frequent but follows almost nothing except "San", so KN backs
+    * off to it far less than add-one does). Train on the `refCol` slice,
+    * score every doc — drop-in upgrade for the [[lmFilter]] fluency gate.
+    *
+    *   P(w2|w1) = max(c(w1w2)−d, 0)/c(w1·) + d·N1+(w1,·)/c(w1·) · Pc(w2)
+    *   Pc(w2)   = (N1+(·,w2) + 1) / (B + V)        (open-vocab smoothed)
+    *   unseen w1 → P(w2|w1) = Pc(w2)               (pure continuation)
+    *
+    * with d = 0.75 (the Chen-Goodman fixed discount), c(w1·) = bigram
+    * starts of w1 in ref, N1+(w1,·)/N1+(·,w2) = distinct successor /
+    * predecessor TYPE counts, B = distinct ref bigrams, V = ref vocab.
+    * The +1/(B+V) continuation smoothing keeps every probability
+    * positive for out-of-reference words (the same open-vocab floor the
+    * add-one model gets from its +1).
+    *
+    * Determinism: per-bigram ln-probs are QUANTIZED (round 9) before the
+    * DECIMAL(38,18) sum — the zipfFit recipe — so the per-doc mean
+    * replays bit-for-bit cross-engine. Docs with < 2 tokens are absent.
+    *
+    * Shape at 100 TB: identical to [[bigramLmScoreRef]] — explode + hash
+    * aggregations + shuffle joins on n-gram keys; every model leg
+    * (bigram counts, context totals, successor/predecessor type counts)
+    * is dictionary-grain, the type totals are a 1-row broadcast.
+    */
+  def knLmScore(df: DataFrame, idCol: String, textCol: String,
+                refCol: Column, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"knLmScore discount: $discount")
+    val arr = df.select(col(idCol).as("id"), refCol.as("_ref"),
+        graft.functions.TextAnalysis.tokensArr(col(textCol)).as("a"))
+      .filter(size(col("a")) >= 2)
+    val bigr = arr.select(col("id"), col("_ref"),
+        explode(graft.functions.TextAnalysis.ngramsArr(col("a"), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    // model legs — all dictionary-grain, trained on the ref slice only
+    val refBg = bigr.filter(col("_ref"))
+    val big = refBg.groupBy("bg").agg(count(lit(1)).as("cb"))       // c(w1w2)
+    val ctx = refBg.groupBy("w1").agg(count(lit(1)).as("cw"),       // c(w1·)
+      count_distinct(col("w2")).as("n1f"))                          // N1+(w1,·)
+    val cont = refBg.groupBy("w2")
+      .agg(count_distinct(col("w1")).as("n1b"))                     // N1+(·,w2)
+    val vocab = df.filter(refCol)
+      .select(explode(graft.functions.TextAnalysis.tokensArr(col(textCol)))
+        .as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val btypes = big.agg(count(lit(1)).as("b"))
+    val d = lit(discount)
+    bigr.join(big, Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(btypes))
+      .withColumn("pc",
+        (coalesce(col("n1b"), lit(0L)) + 1).cast("double") /
+          (col("b") + col("v")).cast("double"))
+      .withColumn("p", when(col("cw").isNull, col("pc"))
+        .otherwise(
+          greatest(coalesce(col("cb"), lit(0L)).cast("double") - d, lit(0.0)) /
+            col("cw").cast("double") +
+          d * col("n1f").cast("double") / col("cw").cast("double") * col("pc")))
+      .withColumn("lp", round(log(col("p")), 9))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast("decimal(38,18)")).as("_slp"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("_slp").cast("double") / col("n_bigrams").cast("double"), 4)
+          .as("kn_score"))
+  }
+
   /** Zipf-law fit of the corpus frequency spectrum (Zipf 1949; the
     * sanity panel every corpus data card carries — a healthy natural
     * corpus fits log f ≈ α·log r + c with α ≈ −1; boilerplate floods

@@ -19,4 +19,45 @@ package object graftbridge {
   def functionRegistry(spark: SparkSession)
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+
+  /** `localCheckpoint` that CAPS the size estimate the checkpoint carries
+    * forward. `Dataset.localCheckpoint` wraps the materialized RDD in a
+    * `LogicalRDD` that preserves the ORIGIN plan's `Statistics` (so that a
+    * small checkpointed table stays broadcast-eligible). But
+    * `SizeInBytesOnlyStatsPlanVisitor` estimates a join as the PRODUCT of
+    * its children's `sizeInBytes` (an unbounded `BigInt`), so in an
+    * iterative chain whose round joins the loop-carried state against
+    * itself more than once (Bradley-Terry references `s` as both join
+    * sides plus the rescale), the carried estimate's DIGIT COUNT doubles
+    * every round: by round ~17 the driver spends minutes inside
+    * `BigInteger.multiplyToomCook3` on million-digit integers just to
+    * re-derive a number that means nothing beyond "huge" (measured: rounds
+    * 1-15 ≈ 0.6 s, round 18 = 119 s, all of it CPU in the main thread's
+    * stats visitor). Single-reference loops (PageRank) only grow digits
+    * linearly, which is why they never hit it.
+    *
+    * Fix: after checkpointing, if the carried `sizeInBytes` no longer fits
+    * in a Long the estimate is garbage anyway — rebuild the `LogicalRDD`
+    * with the estimate clamped to `Long.MaxValue` (still "never
+    * broadcast", but bounded, so downstream products stay small BigInts).
+    * Stats that fit in a Long are kept EXACT, preserving broadcast
+    * decisions for genuinely small checkpoints — on that fast path this is
+    * byte-for-byte `localCheckpoint`.
+    */
+  def localCheckpointCappedStats(df: Dataset[Row]): Dataset[Row] = {
+    val ck = df.localCheckpoint().asInstanceOf[classic.Dataset[Row]]
+    ck.queryExecution.logical match {
+      case lr: execution.LogicalRDD =>
+        val s = lr.stats
+        if (s.sizeInBytes.isValidLong) ck
+        else {
+          val capped = catalyst.plans.logical.Statistics(
+            sizeInBytes = BigInt(Long.MaxValue),
+            rowCount = s.rowCount.map(_.min(BigInt(Long.MaxValue))))
+          classic.Dataset.ofRows(ck.sparkSession,
+            lr.copy()(ck.sparkSession, Some(capped), None))
+        }
+      case _ => ck
+    }
+  }
 }
