@@ -1592,10 +1592,18 @@ object SparkEntry {
     // held-out mean log-prob + perplexity per (model, split). The KN
     // held-out ppl beating add-one's is the data-card row that says the
     // smoothing upgrade is real on THIS corpus, not just in the textbook.
+    // The tokenize/explode front end runs ONCE (lmFrames, both frames
+    // localCheckpointed) and feeds both model legs — the q_lm_pipeline
+    // score-once lesson applied to training: without it each leg
+    // re-explodes the full corpus.
     "q_kn_heldout" -> ((s, dir) => {
       val d = Sampling.splitByHash(Tables.documents(s, dir), col("doc_id"),
         Seq(0.8, 0.2), salt = "lm")
       val splits = d.select(col("doc_id").as("id"), col("split"))
+      val (bigr0, refTok0) = TextOps.lmFrames(d, "doc_id", "text",
+        col("split") === 0)
+      val bigr = bigr0.localCheckpoint()
+      val refTok = refTok0.localCheckpoint()
       def leg(scored: DataFrame, scoreCol: String, model: String) =
         scored.join(splits, "id")
           .groupBy("split").agg(
@@ -1604,10 +1612,8 @@ object SparkEntry {
               count(lit(1)).cast("double"), 6).as("mean_lm"))
           .select(lit(model).as("model"), col("split"), col("n_docs"),
             col("mean_lm"), round(exp(-col("mean_lm")), 4).as("ppl"))
-      leg(TextOps.bigramLmScoreRef(d, "doc_id", "text", col("split") === 0),
-          "lm_score", "addone")
-        .unionAll(leg(TextOps.knLmScore(d, "doc_id", "text",
-          col("split") === 0), "kn_score", "kn"))
+      leg(TextOps.bigramLmScoreOn(bigr, refTok), "lm_score", "addone")
+        .unionAll(leg(TextOps.knLmScoreOn(bigr, refTok), "kn_score", "kn"))
         .orderBy("model", "split")
     }),
 
@@ -3649,6 +3655,10 @@ object SparkEntry {
     */
   private def KnModelCtes(ref: String, extra: String = ""): String = {
     val ex = if (extra.isEmpty) "" else extra + ", "
+    // the discount literal comes from the SAME constant knLmScore defaults
+    // to — a non-default Scala call site would have to thread its d here
+    // explicitly, so the default path cannot drift
+    val d = graft.ops.TextOps.KnDiscount.toString
     s"""kbig AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bigr WHERE $ref GROUP BY bg),
        |kctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw,
        |           CAST(count(DISTINCT w2) AS BIGINT) AS n1f
@@ -3663,8 +3673,8 @@ object SparkEntry {
        |           LEFT JOIN kcont USING (w2) CROSS JOIN kv CROSS JOIN kbt),
        |klp AS (SELECT doc_id, ${ex}
        |          CAST(round(ln(CASE WHEN cw IS NULL THEN pc
-       |            ELSE greatest(CAST(coalesce(cb, 0) AS DOUBLE) - 0.75, 0.0) / CAST(cw AS DOUBLE)
-       |                 + 0.75 * CAST(n1f AS DOUBLE) / CAST(cw AS DOUBLE) * pc END), 9)
+       |            ELSE greatest(CAST(coalesce(cb, 0) AS DOUBLE) - $d, 0.0) / CAST(cw AS DOUBLE)
+       |                 + $d * CAST(n1f AS DOUBLE) / CAST(cw AS DOUBLE) * pc END), 9)
        |            AS DECIMAL(38,18)) AS lp
        |        FROM kraw)""".stripMargin
   }
@@ -4437,6 +4447,62 @@ object SparkEntry {
         |       FROM sc GROUP BY split)
         |SELECT split, n_docs, mean_lm, round(exp(-mean_lm), 4) AS ppl
         |FROM ag ORDER BY split""".stripMargin,
+
+    // KN model trained on the en slice, every doc scored: the w2-bearing
+    // bigram CTE (KN needs predecessor/successor TYPE counts) + the
+    // KnModelCtes chain whose probability expression mirrors
+    // TextOps.knLmScoreOn term-for-term (same association order, same
+    // round-9 ln-quantization, discount interpolated from KnDiscount).
+    "q_kn_lm" ->
+      ("""WITH arr AS (SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |bigr AS (SELECT t1.doc_id, t1.lang, t1.w AS w1, t2.w AS w2, t1.w || ' ' || t2.w AS bg
+        |         FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        |""".stripMargin +
+      KnModelCtes("lang = 'en'") + "\n" +
+      """SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS kn_score
+        |FROM klp GROUP BY doc_id ORDER BY id""".stripMargin),
+
+    // the bake-off twin: ONE split + tokenize + bigram CTE chain feeds
+    // BOTH model legs (add-one from the q_lm_heldout CTEs, KN from
+    // KnModelCtes with the split carried through), per-(model, split)
+    // aggregation identical to the Scala leg()
+    "q_kn_heldout" ->
+      (s"""WITH sp AS (SELECT doc_id, text,
+        |    ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.2), "lm")} AS split
+        |  FROM documents),
+        |arr AS (SELECT doc_id, split,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |  FROM sp),
+        |tok AS (SELECT doc_id, split, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |bigr AS (SELECT t1.doc_id, t1.split, t1.w AS w1, t2.w AS w2, t1.w || ' ' || t2.w AS bg
+        |         FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok WHERE split = 0 GROUP BY w),
+        |big AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bigr WHERE split = 0 GROUP BY bg),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |lp AS (SELECT b.doc_id, b.split,
+        |         CAST(ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(coalesce(cu, 0) + v.v AS DOUBLE))
+        |              AS DECIMAL(38,18)) AS lp
+        |       FROM bigr b LEFT JOIN big USING (bg) LEFT JOIN uni ON uni.w = b.w1 CROSS JOIN v),
+        |""".stripMargin +
+      KnModelCtes("split = 0", extra = "split") + ",\n" +
+      """a1 AS (SELECT doc_id, any_value(split) AS split,
+        |         round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS s
+        |       FROM lp GROUP BY doc_id),
+        |k1 AS (SELECT doc_id, any_value(split) AS split,
+        |         round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS s
+        |       FROM klp GROUP BY doc_id),
+        |legs AS (SELECT 'addone' AS model, split, s FROM a1
+        |         UNION ALL SELECT 'kn' AS model, split, s FROM k1),
+        |ag AS (SELECT model, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |         round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE)
+        |               / CAST(count(*) AS DOUBLE), 6) AS mean_lm
+        |       FROM legs GROUP BY model, split)
+        |SELECT model, split, n_docs, mean_lm, round(exp(-mean_lm), 4) AS ppl
+        |FROM ag ORDER BY model, split""".stripMargin),
 
     // the operating-point sweep: score-grain collapse + window cumulation
     // (the q_pr_curve one-task-window form the distributed prefix sum

@@ -913,16 +913,40 @@ object TextOps {
     */
   def bigramLmScoreRef(df: DataFrame, idCol: String, textCol: String,
                        refCol: Column): DataFrame = {
+    val (bigr, refTok) = lmFrames(df, idCol, textCol, refCol)
+    bigramLmScoreOn(bigr, refTok)
+  }
+
+  /** Shared tokenize/explode front end for the bigram LMs: `bigr` =
+    * (id, _ref, bg, w1, w2), one row per bigram of every ≥2-token doc;
+    * `refTok` = one (tok) row per token of every reference-slice doc
+    * (INCLUDING <2-token docs — the vocabulary sees them even though the
+    * bigram stream can't). Both [[bigramLmScoreOn]] and [[knLmScoreOn]]
+    * consume exactly these frames, so a bake-off like q_kn_heldout can
+    * tokenize ONCE (localCheckpoint both) and train both models from the
+    * same pass instead of re-exploding the corpus per model.
+    */
+  def lmFrames(df: DataFrame, idCol: String, textCol: String,
+               refCol: Column): (DataFrame, DataFrame) = {
     val arr = df.select(col(idCol).as("id"), refCol.as("_ref"),
         graft.functions.TextAnalysis.tokensArr(col(textCol)).as("a"))
       .filter(size(col("a")) >= 2)
     val bigr = arr.select(col("id"), col("_ref"),
         explode(graft.functions.TextAnalysis.ngramsArr(col("a"), 2)).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
-    val uni = df.filter(refCol)
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val refTok = df.filter(refCol)
       .select(explode(graft.functions.TextAnalysis.tokensArr(col(textCol)))
         .as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    (bigr, refTok)
+  }
+
+  /** Add-one model + scoring over pre-built [[lmFrames]] output —
+    * identical arithmetic to the original inline form, factored so the
+    * frames can be shared across models.
+    */
+  def bigramLmScoreOn(bigr: DataFrame, refTok: DataFrame): DataFrame = {
+    val uni = refTok.groupBy("tok").agg(count(lit(1)).as("cu"))
     val big = bigr.filter(col("_ref")).groupBy("bg").agg(count(lit(1)).as("cb"))
     val vocab = uni.agg(count(lit(1)).as("v"))
     bigr.join(big, Seq("bg"), "left")
@@ -983,15 +1007,24 @@ object TextOps {
     * is dictionary-grain, the type totals are a 1-row broadcast.
     */
   def knLmScore(df: DataFrame, idCol: String, textCol: String,
-                refCol: Column, discount: Double = 0.75): DataFrame = {
+                refCol: Column, discount: Double = KnDiscount): DataFrame = {
+    val (bigr, refTok) = lmFrames(df, idCol, textCol, refCol)
+    knLmScoreOn(bigr, refTok, discount)
+  }
+
+  /** The Chen-Goodman fixed discount — the SINGLE source of the KN d:
+    * [[knLmScore]]'s default and the oracle SQL's interpolated literal
+    * both read this constant, so the Scala op and its DuckDB twin cannot
+    * silently disagree on the operating point.
+    */
+  val KnDiscount: Double = 0.75
+
+  /** KN model + scoring over pre-built [[lmFrames]] output (see
+    * [[knLmScore]] for the math and determinism notes).
+    */
+  def knLmScoreOn(bigr: DataFrame, refTok: DataFrame,
+                  discount: Double = KnDiscount): DataFrame = {
     require(discount > 0 && discount < 1, s"knLmScore discount: $discount")
-    val arr = df.select(col(idCol).as("id"), refCol.as("_ref"),
-        graft.functions.TextAnalysis.tokensArr(col(textCol)).as("a"))
-      .filter(size(col("a")) >= 2)
-    val bigr = arr.select(col("id"), col("_ref"),
-        explode(graft.functions.TextAnalysis.ngramsArr(col("a"), 2)).as("bg"))
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
-      .withColumn("w2", split(col("bg"), " ").getItem(1))
     // model legs — all dictionary-grain, trained on the ref slice only
     val refBg = bigr.filter(col("_ref"))
     val big = refBg.groupBy("bg").agg(count(lit(1)).as("cb"))       // c(w1w2)
@@ -999,10 +1032,7 @@ object TextOps {
       count_distinct(col("w2")).as("n1f"))                          // N1+(w1,·)
     val cont = refBg.groupBy("w2")
       .agg(count_distinct(col("w1")).as("n1b"))                     // N1+(·,w2)
-    val vocab = df.filter(refCol)
-      .select(explode(graft.functions.TextAnalysis.tokensArr(col(textCol)))
-        .as("tok"))
-      .agg(count_distinct(col("tok")).as("v"))
+    val vocab = refTok.agg(count_distinct(col("tok")).as("v"))
     val btypes = big.agg(count(lit(1)).as("b"))
     val d = lit(discount)
     bigr.join(big, Seq("bg"), "left")

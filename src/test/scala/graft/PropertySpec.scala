@@ -751,6 +751,60 @@ class PropertySpec extends SparkTestBase {
     assert(all.sameElements(self))
   }
 
+  test("knLmScore: hand-computed interpolated KN on a 2-doc reference") {
+    import spark.implicits._
+    // ref corpus: "a b a", "b a c" ->
+    //   V = |{a,b,c}| = 3; distinct bigrams B = |{ab, ba, ac}| = 3
+    //   cb: ab=1 ba=2 ac=1; ctx a: cw=2,n1f=2; ctx b: cw=2,n1f=1
+    //   n1b: a=1 b=1 c=1 -> pc(seen)=(1+1)/(3+3)=1/3, pc(unseen)=1/6
+    val docs = Seq(
+      (1L, true, "a b a"), (2L, true, "b a c"),
+      (100L, false, "a b x"),   // seen-context bigram + unseen successor
+      (200L, false, "x y z")    // unseen contexts: pure continuation
+    ).toDF("doc_id", "ref", "text")
+    // the op's determinism recipe, replayed independently: per-bigram
+    // round-9 ln, exact decimal sum, round-4 mean
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(ps: Double*) =
+      r(ps.map(p => BigDecimal(r(math.log(p), 9))).sum.toDouble / ps.size, 4)
+    val got = graft.ops.TextOps.knLmScore(docs, "doc_id", "text", col("ref"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // hand-derived probabilities at d = 0.75:
+    //   p(b|a) = (1-.75)/2 + .75*(2/2)*(1/3) = 0.375
+    //   p(a|b) = (2-.75)/2 + .75*(1/2)*(1/3) = 0.75
+    //   p(c|a) = (1-.75)/2 + .75*(2/2)*(1/3) = 0.375
+    //   p(x|b) = max(0-.75,0)/2 + .75*(1/2)*(1/6) = 0.0625  (unseen succ)
+    //   p(*|unseen w1) = pc(*) = 1/6                         (pure cont.)
+    assert(got(1L) == ((2L, score(0.375, 0.75))))
+    assert(got(2L) == ((2L, score(0.75, 0.375))))
+    assert(got(100L) == ((2L, score(0.375, 0.0625))))
+    assert(got(200L) == ((2L, score(1.0 / 6, 1.0 / 6))))
+    // KN's defining property on this fixture: the unseen-successor bigram
+    // is punished harder than pure add-one would (0.0625 < (0+1)/(cu+V))
+    assert(got(100L)._2 < got(1L)._2)
+    // non-default discount threads through: d = 0.5 ->
+    //   p(b|a) = .25 + .5*(2/2)*(1/3) = 5/12; p(x|b) = .5*(1/2)*(1/6) = 1/24
+    val d5 = graft.ops.TextOps.knLmScore(docs, "doc_id", "text", col("ref"),
+        discount = 0.5)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(d5(100L) == score(5.0 / 12, 1.0 / 24))
+    // the shared-frame path (q_kn_heldout's shape: lmFrames built once,
+    // localCheckpointed, fed to both models) equals the inline path
+    val (bigr, refTok) = graft.ops.TextOps.lmFrames(docs, "doc_id", "text",
+      col("ref"))
+    val b = bigr.localCheckpoint(); val t = refTok.localCheckpoint()
+    val viaFrames = graft.ops.TextOps.knLmScoreOn(b, t)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(viaFrames == got)
+    val addoneFrames = graft.ops.TextOps.bigramLmScoreOn(b, t)
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    val addoneInline = graft.ops.TextOps.bigramLmScoreRef(docs, "doc_id",
+        "text", col("ref"))
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    assert(addoneFrames.sameElements(addoneInline))
+  }
+
   test("zipfFit: hand-computed OLS on a planted power law; negative slope on the fixture") {
     import spark.implicits._
     // planted exact power law: token w_r repeated floor(1000/r) times ->
