@@ -1549,32 +1549,52 @@ object SparkEntry {
     // SCORE-ONCE LM COMPOSITION (round 11): the five LM-score consumers
     // each recompute the full bigram-score chain when benched alone (each
     // stays independent for its own oracle); a production pipeline scores
-    // ONCE. This is that composition — one bigramLmScoreRef pass,
-    // localCheckpointed, feeding the fluency gate, the quartile tier
-    // table, AND the curriculum order (the q_corpus_run2 gate-once lesson
-    // applied one level up). Output: per-tier doc count, mean score, gate
-    // keep count, mean curriculum position — everything downstream of a
-    // single scoring pass instead of three.
+    // ONCE. This is that composition — one scoring pass, localCheckpointed,
+    // feeding the fluency gate, the quartile tier table, AND the
+    // curriculum order (the q_corpus_run2 gate-once lesson applied one
+    // level up). Output: per-tier doc count, mean score, gate keep count,
+    // mean curriculum position — everything downstream of a single
+    // scoring pass instead of three.
+    //
+    // ROUND 12: the scoring pass is now Kneser-Ney — the q_kn_heldout
+    // bake-off showed KN beats add-one on held-out perplexity (30.98 vs
+    // 31.42 at sf0.01), so the production composition adopts the winner;
+    // threshold -3.41 from the q_kn_sweep operating table (89% en
+    // recall / 76% non-en rejection, ≈max F1). The add-one gate queries
+    // (q_lm_filter/q_lm_sweep) stay as the baseline lens.
     "q_lm_pipeline" -> ((s, dir) => {
-      val scored = TextOps.bigramLmScoreRef(Tables.documents(s, dir),
+      val scored = TextOps.knLmScore(Tables.documents(s, dir),
         "doc_id", "text", col("lang") === "en").localCheckpoint()
       val e = graft.ops.WindowOps.exactQuantilesGlobal(
-          scored, "lm_score", Seq(0.25, 0.5, 0.75))
+          scored, "kn_score", Seq(0.25, 0.5, 0.75))
         .agg(sort_array(collect_list("value")).as("edges"))
       val tiers = scored.crossJoin(broadcast(e))
         .withColumn("bucket",
-          lit(1) + size(filter(col("edges"), x => col("lm_score") > x)))
+          lit(1) + size(filter(col("edges"), x => col("kn_score") > x)))
       val cur = Sampling.curriculumIndex(tiers, col("bucket"), col("id"),
         salt = "cur")
       tiers.join(cur.select(col("id"), col("pos")), "id")
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("lm_score").cast("decimal(38,18)")).cast("double") /
+          round(sum(col("kn_score").cast("decimal(38,18)")).cast("double") /
             count(lit(1)).cast("double"), 4).as("mean_score"),
-          sum((col("lm_score") >= -3.42).cast("long")).as("n_keep"),
+          sum((col("kn_score") >= KnGateThreshold).cast("long")).as("n_keep"),
           round(sum(col("pos").cast("decimal(38,18)")).cast("double") /
             count(lit(1)).cast("double"), 4).as("mean_pos"))
         .orderBy("bucket")
+    }),
+
+    // The KN gate's operating-point table (the q_lm_sweep twin for the
+    // round-12 model): prCurve of the en-trained KN score against the
+    // lang='en' label — the evidence behind KnGateThreshold.
+    "q_kn_sweep" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = TextOps.knLmScore(d, "doc_id", "text",
+          col("lang") === "en")
+        .join(d.select(col("doc_id").as("id"),
+          (col("lang") === "en").cast("int").as("lab")), "id")
+      graft.ops.EvalMetrics.prCurve(scored, "lab", "kn_score")
+        .orderBy("thr")
     }),
 
     // KNESER-NEY fluency scoring (round 11): the standard n-gram
@@ -3653,6 +3673,25 @@ object SparkEntry {
     * TextOps.knLmScore term-for-term (same association order, round-9
     * ln-quantization) so the per-doc means replay bit-for-bit.
     */
+  /** The KN fluency gate's operating point — picked from the q_kn_sweep
+    * table at sf0.01 (≈max F1: 89% en recall, 76% non-en rejection);
+    * single-sourced into both the q_lm_pipeline Scala plan and its SQL.
+    */
+  private val KnGateThreshold: Double = -3.41
+
+  /** The lang-carried tokenize→bigram CTE prefix every KN oracle roots on
+    * (arr/tok/bigr with w1 AND w2 — KN needs predecessor/successor TYPE
+    * counts, which is why LmRefScoreCtes' w1-only bigr can't serve).
+    */
+  private val KnCorpusCtes: String =
+    """WITH arr AS (SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+      |  FROM documents),
+      |tok AS (SELECT doc_id, lang, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+      |bigr AS (SELECT t1.doc_id, t1.lang, t1.w AS w1, t2.w AS w2, t1.w || ' ' || t2.w AS bg
+      |         FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+      |""".stripMargin
+
   private def KnModelCtes(ref: String, extra: String = ""): String = {
     val ex = if (extra.isEmpty) "" else extra + ", "
     // the discount literal comes from the SAME constant knLmScore defaults
@@ -4454,17 +4493,37 @@ object SparkEntry {
     // TextOps.knLmScoreOn term-for-term (same association order, same
     // round-9 ln-quantization, discount interpolated from KnDiscount).
     "q_kn_lm" ->
-      ("""WITH arr AS (SELECT doc_id, lang,
-        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
-        |  FROM documents),
-        |tok AS (SELECT doc_id, lang, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
-        |bigr AS (SELECT t1.doc_id, t1.lang, t1.w AS w1, t2.w AS w2, t1.w || ' ' || t2.w AS bg
-        |         FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
-        |""".stripMargin +
-      KnModelCtes("lang = 'en'") + "\n" +
+      (KnCorpusCtes + KnModelCtes("lang = 'en'") + "\n" +
       """SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |       round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS kn_score
         |FROM klp GROUP BY doc_id ORDER BY id""".stripMargin),
+
+    // the KN operating-point sweep: the q_lm_sweep tail (score-grain
+    // collapse + one-task-window cumulation) rooted on the KN chain
+    "q_kn_sweep" ->
+      (KnCorpusCtes + KnModelCtes("lang = 'en'") + ",\n" +
+      """sc AS (SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS thr
+        |       FROM klp GROUP BY doc_id),
+        |sl AS (SELECT s.thr, CAST(d.lang = 'en' AS INT) AS lab
+        |       FROM sc s JOIN documents d USING (doc_id)),
+        |c AS (SELECT thr, CAST(sum(lab) AS BIGINT) AS pos,
+        |        CAST(sum(1 - lab) AS BIGINT) AS neg FROM sl GROUP BY thr),
+        |cum AS (SELECT thr,
+        |          CAST(sum(pos) OVER (ORDER BY thr DESC) AS BIGINT) AS tp,
+        |          CAST(sum(neg) OVER (ORDER BY thr DESC) AS BIGINT) AS fp
+        |        FROM c),
+        |t AS (SELECT CAST(sum(lab) AS BIGINT) AS p, CAST(sum(1 - lab) AS BIGINT) AS n FROM sl)
+        |SELECT thr, tp, fp, CAST(t.p - tp AS BIGINT) AS fn,
+        |       CAST(t.n - fp AS BIGINT) AS tn,
+        |       round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+        |       round(CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE), 6) AS recall,
+        |       round(CASE WHEN tp > 0 THEN
+        |           2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |               * (CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE))
+        |             / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |               + (CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE)))
+        |           ELSE 0.0 END, 6) AS f1
+        |FROM cum CROSS JOIN t ORDER BY thr""".stripMargin),
 
     // the bake-off twin: ONE split + tokenize + bigram CTE chain feeds
     // BOTH model legs (add-one from the q_lm_heldout CTEs, KN from
@@ -6272,9 +6331,9 @@ object SparkEntry {
     // it once), quartile tiers, gate verdict, and curriculum positions all
     // off the same score table — per-tier rollup
     "q_lm_pipeline" ->
-      (LmRefScoreCtes + ",\n" +
+      (KnCorpusCtes + KnModelCtes("lang = 'en'") + ",\n" +
       s"""sc AS (SELECT doc_id AS id, round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS s
-        |       FROM lp GROUP BY doc_id),
+        |       FROM klp GROUP BY doc_id),
         |e AS (SELECT quantile_disc(s, 0.25) AS e1, quantile_disc(s, 0.5) AS e2,
         |             quantile_disc(s, 0.75) AS e3 FROM sc),
         |b AS (SELECT id, s, CAST(1 + CAST(s > e1 AS INT) + CAST(s > e2 AS INT)
@@ -6287,7 +6346,7 @@ object SparkEntry {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
         |       round(CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE)
         |             / CAST(count(*) AS DOUBLE), 4) AS mean_score,
-        |       CAST(sum(CASE WHEN s >= -3.42 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |       CAST(sum(CASE WHEN s >= $KnGateThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
         |       round(CAST(sum(CAST(pos AS DECIMAL(38,18))) AS DOUBLE)
         |             / CAST(count(*) AS DOUBLE), 4) AS mean_pos
         |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin),
