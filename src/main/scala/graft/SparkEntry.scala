@@ -727,8 +727,12 @@ object SparkEntry {
     // the distributed (bucket DESC, draw, id) rank; per-tier prefix-sum
     // ranks + a broadcast 4-row offset table.
     "q_curriculum" -> ((s, dir) => {
+      // Score ONCE (localCheckpoint): the LM chain is referenced by the
+      // quantile pass, the tier crossJoin, and curriculumIndex's ranking —
+      // Catalyst does not dedupe common subtrees, so without this the
+      // full corpus scoring pass runs ~3x (the q_lm_pipeline lesson).
       val scored = TextOps.bigramLmScoreRef(Tables.documents(s, dir),
-        "doc_id", "text", col("lang") === "en")
+        "doc_id", "text", col("lang") === "en").localCheckpoint()
       val e = graft.ops.WindowOps.exactQuantilesGlobal(
           scored, "lm_score", Seq(0.25, 0.5, 0.75))
         .agg(sort_array(collect_list("value")).as("edges"))
@@ -755,8 +759,10 @@ object SparkEntry {
     // quantile machinery, bucket = codegen'd edge comparisons, means
     // decimal-summed.
     "q_lm_buckets" -> ((s, dir) => {
+      // Score ONCE (localCheckpoint) — consumed by both the quantile
+      // pass and the bucket aggregation (same rationale as q_curriculum).
       val scored = TextOps.bigramLmScoreRef(Tables.documents(s, dir),
-        "doc_id", "text", col("lang") === "en")
+        "doc_id", "text", col("lang") === "en").localCheckpoint()
       val e = graft.ops.WindowOps.exactQuantilesGlobal(
           scored, "lm_score", Seq(0.25, 0.5, 0.75))
         .agg(sort_array(collect_list("value")).as("edges"))

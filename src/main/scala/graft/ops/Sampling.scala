@@ -270,7 +270,13 @@ object Sampling {
       .withColumn("_one", lit(1L))
     val within = PrefixSum.prefixSumByGroup(base, "bucket",
       Seq("draw", "id"), "_one", partitions)
-    val counts = base.groupBy("bucket").agg(count(lit(1)).as("_n"))
+    // Bucket counts come from the prefix-sum OUTPUT (max inclusive rank
+    // per bucket == bucket size), not from `base`: prefixSumByGroup
+    // checkpointed its own copy of the input, so grouping `base` here
+    // would re-execute the caller's entire upstream chain (for
+    // q_curriculum that chain is a full corpus LM-scoring pass) a second
+    // time just to count rows it already ranked.
+    val counts = within.groupBy("bucket").agg(max(col("cum")).as("_n"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("bucket").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

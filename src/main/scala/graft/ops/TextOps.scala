@@ -913,7 +913,7 @@ object TextOps {
     */
   def bigramLmScoreRef(df: DataFrame, idCol: String, textCol: String,
                        refCol: Column): DataFrame = {
-    val (bigr, refTok) = lmFrames(df, idCol, textCol, refCol)
+    val (bigr, refTok) = lmFramesShared(df, idCol, textCol, refCol)
     bigramLmScoreOn(bigr, refTok)
   }
 
@@ -939,6 +939,21 @@ object TextOps {
       .select(explode(graft.functions.TextAnalysis.tokensArr(col(textCol)))
         .as("tok"))
     (bigr, refTok)
+  }
+
+  /** [[lmFrames]] with both frames materialized ONCE (localCheckpoint).
+    * Every model built on the frames references them several times (the
+    * add-one legs read bigr 2x / refTok 2x; the KN legs read bigr 4x) and
+    * Catalyst does not dedupe common subtrees — each leg's branch re-runs
+    * the full corpus tokenize/explode up to its first exchange. One
+    * materialized pass beats 3-5 re-scans at any scale; this is the
+    * q_kn_heldout share-the-tokenize-pass treatment applied at the
+    * library layer so every scoring entry point gets it.
+    */
+  def lmFramesShared(df: DataFrame, idCol: String, textCol: String,
+                     refCol: Column): (DataFrame, DataFrame) = {
+    val (bigr, refTok) = lmFrames(df, idCol, textCol, refCol)
+    (bigr.localCheckpoint(), refTok.localCheckpoint())
   }
 
   /** Add-one model + scoring over pre-built [[lmFrames]] output —
@@ -1008,7 +1023,7 @@ object TextOps {
     */
   def knLmScore(df: DataFrame, idCol: String, textCol: String,
                 refCol: Column, discount: Double = KnDiscount): DataFrame = {
-    val (bigr, refTok) = lmFrames(df, idCol, textCol, refCol)
+    val (bigr, refTok) = lmFramesShared(df, idCol, textCol, refCol)
     knLmScoreOn(bigr, refTok, discount)
   }
 

@@ -54,8 +54,15 @@ package object graftbridge {
           val capped = catalyst.plans.logical.Statistics(
             sizeInBytes = BigInt(Long.MaxValue),
             rowCount = s.rowCount.map(_.min(BigInt(Long.MaxValue))))
+          // Carry the origin CONSTRAINTS through the rebuild too — only the
+          // size estimate is garbage. `lr.constraints` is the origin set
+          // already filtered to deterministic exprs over the output, and
+          // LogicalRDD's own constraints re-apply that same filter, so
+          // passing the filtered set as the new origin is a fixed point:
+          // the capped plan exposes byte-for-byte the constraints the
+          // plain checkpoint would (IsNotNull pruning etc. keep working).
           classic.Dataset.ofRows(ck.sparkSession,
-            lr.copy()(ck.sparkSession, Some(capped), None))
+            lr.copy()(ck.sparkSession, Some(capped), Some(lr.constraints)))
         }
       case _ => ck
     }

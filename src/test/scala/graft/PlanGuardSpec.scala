@@ -284,4 +284,31 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("localCheckpointCappedStats: capped path clamps the estimate AND keeps constraints") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge
+    // A join chain whose SIZE ESTIMATE overflows Long but whose actual
+    // result is one row: filters don't shrink the size-only estimate, so
+    // five cross-joined single-row slices of a ~64 KB file estimate to
+    // (64 KB)^5 ≈ 2^80 while executing five 1-row legs.
+    val legs = (1 to 5).map { n =>
+      graft.core.Tables.documents(spark, sfDir)
+        .select(col("doc_id").as(s"d$n")).filter(col(s"d$n") === 1)
+    }
+    val df = legs.reduce(_ crossJoin _).filter(col("d1") > 0)
+    val plainLr = df.localCheckpoint().queryExecution.logical
+    assert(!plainLr.stats.sizeInBytes.isValidLong,
+      s"probe too small — capped path not exercised: ${plainLr.stats.sizeInBytes}")
+    val cappedLr = graftbridge.localCheckpointCappedStats(df)
+      .queryExecution.logical
+    assert(cappedLr.stats.sizeInBytes == BigInt(Long.MaxValue),
+      s"estimate not clamped: ${cappedLr.stats.sizeInBytes}")
+    // the rebuild must expose byte-for-byte the plain checkpoint's
+    // constraint set (same output attrs on both checkpoints of one df)
+    assert(cappedLr.constraints == plainLr.constraints,
+      s"constraints dropped on the capped path:\n plain=${plainLr.constraints}\n capped=${cappedLr.constraints}")
+    assert(cappedLr.constraints.exists(_.references.exists(_.name == "d1")),
+      "expected the d1 filter constraint to survive the capped rebuild")
+  }
 }
