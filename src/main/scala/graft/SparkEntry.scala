@@ -3650,26 +3650,45 @@ object SparkEntry {
       |      WHEN 3 THEN 'http://user:pw@deep.sub.' || source || '.org/' || doc_id
       |      ELSE 'https://mirror.' || source || '.example.com/b/' || doc_id END""".stripMargin
 
-  /** Shared CTE chain for the reference-slice bigram LM (q_lm_filter /
-    * q_lm_sweep): en-slice-trained add-one model, every doc's bigrams
-    * LEFT-joined against it (absent n-grams = pure smoothing mass),
-    * per-bigram log-probs as DECIMAL(38,18) ready for the final
-    * per-doc aggregation each query appends.
+  /** The ONE tokenize→bigram CTE prefix every bigram-LM oracle roots on
+    * (mirrors TextOps.lmFrames): arr/tok/bigr over `from`, carrying the
+    * `carry` column (lang for corpus-sliced models, split for held-out
+    * bake-offs) through every frame, bigr always bearing w1 AND w2 (KN
+    * needs predecessor/successor TYPE counts; the add-one legs just
+    * ignore w2). Formerly three hand-synced copies (LmRefScoreCtes,
+    * KnCorpusCtes, the q_lm/kn_heldout inline chains) that could drift.
+    * Emits through a trailing ",\n" — callers append model CTEs.
     */
-  private val LmRefScoreCtes: String =
-    """WITH arr AS (SELECT doc_id, lang,
+  private def LmTokenizeCtes(carry: String, from: String = "documents",
+                             lead: String = "WITH "): String =
+    s"""${lead}arr AS (SELECT doc_id, $carry,
       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
-      |  FROM documents),
-      |tok AS (SELECT doc_id, lang, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
-      |bigr AS (SELECT t1.doc_id, t1.lang, t1.w AS w1, t1.w || ' ' || t2.w AS bg
+      |  FROM $from),
+      |tok AS (SELECT doc_id, $carry, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
+      |bigr AS (SELECT t1.doc_id, t1.$carry, t1.w AS w1, t2.w AS w2, t1.w || ' ' || t2.w AS bg
       |         FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
-      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok WHERE lang = 'en' GROUP BY w),
-      |big AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bigr WHERE lang = 'en' GROUP BY bg),
+      |""".stripMargin
+
+  /** Add-one model + per-bigram log-prob CTEs over [[LmTokenizeCtes]]
+    * frames (mirrors TextOps.bigramLmScoreOn): model legs filtered to
+    * `ref`, every doc's bigrams LEFT-joined (absent n-grams = pure
+    * smoothing mass), log-probs as DECIMAL(38,18) with `carry` kept for
+    * per-split aggregation. Ends at lp — no trailing comma.
+    */
+  private def LmAddOneModelCtes(ref: String, carry: String): String =
+    s"""uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok WHERE $ref GROUP BY w),
+      |big AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bigr WHERE $ref GROUP BY bg),
       |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-      |lp AS (SELECT b.doc_id,
+      |lp AS (SELECT b.doc_id, b.$carry,
       |         CAST(ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(coalesce(cu, 0) + v.v AS DOUBLE))
       |              AS DECIMAL(38,18)) AS lp
       |       FROM bigr b LEFT JOIN big USING (bg) LEFT JOIN uni ON uni.w = b.w1 CROSS JOIN v)""".stripMargin
+
+  /** Shared CTE chain for the reference-slice bigram LM (q_lm_filter /
+    * q_lm_sweep): the shared tokenize prefix + the en-slice add-one model.
+    */
+  private val LmRefScoreCtes: String =
+    LmTokenizeCtes("lang") + LmAddOneModelCtes("lang = 'en'", "lang")
 
   /** Kneser-Ney model + per-bigram log-prob CTEs (the q_kn_lm twin of
     * LmRefScoreCtes). Expects upstream CTEs `tok(doc_id, …, w, pos)` and
@@ -3685,18 +3704,10 @@ object SparkEntry {
     */
   private val KnGateThreshold: Double = -3.41
 
-  /** The lang-carried tokenize→bigram CTE prefix every KN oracle roots on
-    * (arr/tok/bigr with w1 AND w2 — KN needs predecessor/successor TYPE
-    * counts, which is why LmRefScoreCtes' w1-only bigr can't serve).
+  /** The lang-carried tokenize→bigram CTE prefix the corpus-rooted KN
+    * oracles start from — exactly the shared prefix.
     */
-  private val KnCorpusCtes: String =
-    """WITH arr AS (SELECT doc_id, lang,
-      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
-      |  FROM documents),
-      |tok AS (SELECT doc_id, lang, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
-      |bigr AS (SELECT t1.doc_id, t1.lang, t1.w AS w1, t2.w AS w2, t1.w || ' ' || t2.w AS bg
-      |         FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
-      |""".stripMargin
+  private val KnCorpusCtes: String = LmTokenizeCtes("lang")
 
   private def KnModelCtes(ref: String, extra: String = ""): String = {
     val ex = if (extra.isEmpty) "" else extra + ", "
@@ -4467,22 +4478,13 @@ object SparkEntry {
     // the LM chain with the model legs filtered to split 0, per-split
     // aggregation; exp arg quantized before the transcendental
     "q_lm_heldout" ->
-      s"""WITH sp AS (SELECT doc_id, text,
+      (s"""WITH sp AS (SELECT doc_id, text,
         |    ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.2), "lm")} AS split
         |  FROM documents),
-        |arr AS (SELECT doc_id, split,
-        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
-        |  FROM sp),
-        |tok AS (SELECT doc_id, split, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
-        |bigr AS (SELECT t1.doc_id, t1.split, t1.w AS w1, t1.w || ' ' || t2.w AS bg
-        |         FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
-        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok WHERE split = 0 GROUP BY w),
-        |big AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bigr WHERE split = 0 GROUP BY bg),
-        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-        |lp AS (SELECT b.doc_id, b.split,
-        |         CAST(ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(coalesce(cu, 0) + v.v AS DOUBLE))
-        |              AS DECIMAL(38,18)) AS lp
-        |       FROM bigr b LEFT JOIN big USING (bg) LEFT JOIN uni ON uni.w = b.w1 CROSS JOIN v),
+        |""".stripMargin +
+      LmTokenizeCtes("split", from = "sp", lead = "") +
+      LmAddOneModelCtes("split = 0", "split") +
+      """,
         |sc AS (SELECT doc_id, any_value(split) AS split,
         |         round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS s
         |       FROM lp GROUP BY doc_id),
@@ -4491,7 +4493,7 @@ object SparkEntry {
         |               / CAST(count(*) AS DOUBLE), 6) AS mean_lm
         |       FROM sc GROUP BY split)
         |SELECT split, n_docs, mean_lm, round(exp(-mean_lm), 4) AS ppl
-        |FROM ag ORDER BY split""".stripMargin,
+        |FROM ag ORDER BY split""".stripMargin),
 
     // KN model trained on the en slice, every doc scored: the w2-bearing
     // bigram CTE (KN needs predecessor/successor TYPE counts) + the
@@ -4539,20 +4541,9 @@ object SparkEntry {
       (s"""WITH sp AS (SELECT doc_id, text,
         |    ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.2), "lm")} AS split
         |  FROM documents),
-        |arr AS (SELECT doc_id, split,
-        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
-        |  FROM sp),
-        |tok AS (SELECT doc_id, split, unnest(a) AS w, unnest(range(1, len(a)+1)) AS pos FROM arr),
-        |bigr AS (SELECT t1.doc_id, t1.split, t1.w AS w1, t2.w AS w2, t1.w || ' ' || t2.w AS bg
-        |         FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
-        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok WHERE split = 0 GROUP BY w),
-        |big AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bigr WHERE split = 0 GROUP BY bg),
-        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-        |lp AS (SELECT b.doc_id, b.split,
-        |         CAST(ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(coalesce(cu, 0) + v.v AS DOUBLE))
-        |              AS DECIMAL(38,18)) AS lp
-        |       FROM bigr b LEFT JOIN big USING (bg) LEFT JOIN uni ON uni.w = b.w1 CROSS JOIN v),
         |""".stripMargin +
+      LmTokenizeCtes("split", from = "sp", lead = "") +
+      LmAddOneModelCtes("split = 0", "split") + ",\n" +
       KnModelCtes("split = 0", extra = "split") + ",\n" +
       """a1 AS (SELECT doc_id, any_value(split) AS split,
         |         round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS s

@@ -38,7 +38,11 @@ import org.apache.spark.sql.functions._
   * script/style block keeps its text (the open tag itself is still
   * stripped); CDATA sections lose only their markers; numeric entities
   * are decoded for the common few (&#34; &#39; &#160;), others pass
-  * through verbatim.
+  * through verbatim; a bare '<' in prose survives only when NOT followed
+  * by a tag-start character — the catch-all requires `</?[a-zA-Z!?]` so
+  * `for x < 10 and y > 2` keeps its text, but `a <b and c> d` parses as
+  * a tag (exactly what a browser's tokenizer does with it) and is
+  * stripped.
   */
 object HtmlOps {
 
@@ -64,8 +68,11 @@ object HtmlOps {
     Re("(?s)<!--.*?-->", " "),
     // block tags (open, close, or self-closing) = paragraph breaks
     Re("(?i)</?(" + BlockTags.mkString("|") + ")\\b[^>]*>", "\n"),
-    // every remaining tag (inline markup, doctype, unknown) vanishes
-    Re("<[^>]*>", ""),
+    // every remaining tag (inline markup, doctype, PI, unknown) vanishes;
+    // the char after `</?` must be a tag-start ([a-zA-Z] element, `!`
+    // doctype/comment-remnant, `?` processing instruction) so a bare '<'
+    // in prose ("x < 10 and y > 2") never swallows text to the next '>'
+    Re("</?[a-zA-Z!?][^>]*>", ""),
     // entity decode strictly AFTER tag stripping; &amp; strictly LAST
     // (single-pass decode: "&amp;lt;" is the ESCAPED text "&lt;")
     Lit("&nbsp;", " "), Lit("&#160;", " "),
