@@ -478,6 +478,120 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTML→text extraction (round 13): the crawl front door. Every doc
+    // rendered into the planted-dirt page (htmlDirt — script/style/comment
+    // bodies that must vanish, block tags → line breaks, inline tag
+    // mid-word, &nbsp;/named entities, the &amp;lt; double-escape, bare
+    // '<' prose) and extracted by the HtmlOps step chain — a pure
+    // codegen'd Column chain at scan grain, zero shuffle. The oracle runs
+    // the IDENTICAL chain rendered as SQL from the same step list
+    // (HtmlOps.htmlExtractSql), so op and oracle cannot drift.
+    "q_html_extract" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.ops.HtmlOps.htmlExtract(
+            htmlDirt(col("doc_id"), col("text"))).as("text"))
+        .orderBy("doc_id")),
+
+    // Per-block boilerplate classification (round 13): the jusText-style
+    // verdict over htmlExtract's LINE structure (each extracted line = one
+    // rendered block) — a block is content when it has enough tokens AND
+    // enough stopword density (integer-exact: stops*20 >= n_tok ⇔
+    // density >= 0.05; the Gopher stopword list). Headings/nav/list
+    // crumbs classify as boilerplate, prose classifies as content —
+    // the quality leg of the HTML front door. Scan-grain: one explode,
+    // per-block signals in-row, no shuffle before the final sort.
+    "q_html_blocks" -> ((s, dir) => {
+      val blocks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(
+            graft.ops.HtmlOps.htmlExtract(htmlDirt(col("doc_id"), col("text"))),
+            "\n", -1)).as(Seq("block_idx", "block")))
+      val toks = TextAnalysis.tokensArr(col("block"))
+      val stopArr = array(TextOps.Stopwords.map(lit): _*)
+      blocks.select(col("doc_id"), col("block_idx").cast("long").as("block_idx"),
+          size(toks).cast("long").as("n_tok"),
+          size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("stops"))
+        .withColumn("verdict",
+          when(col("n_tok") >= 5 && col("stops") * 20 >= col("n_tok"), "content")
+            .otherwise("boilerplate"))
+        .orderBy("doc_id", "block_idx")
+    }),
+
+    // CAPSTONE v4 (round 13): the real crawl shape end-to-end — the dirty
+    // corpus (q_corpus_run3's NFD/control/whitespace dirt) rendered as
+    // HTML PAGES inside spec-layout .warc.gz archives, then task-per-file
+    // WARC read → HTTP body → HtmlOps.htmlExtract (the front door run3
+    // lacked: real crawl bodies are markup, not plain text) → NFC
+    // normalize + control strip + whitespace collapse → Gopher quality
+    // gate → near-dedup keep-canonical → split → per-source char budget →
+    // shard pack, one declarative plan. The oracle replays the dirt, the
+    // page render (same piece list), the extraction (same step list), the
+    // clean, and the whole re-rooted closure string-level. Extracted docs
+    // and gated docs are each materialized ONCE (localCheckpoint).
+    "q_corpus_run4" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, src, text) =>
+          val dirt = new StringBuilder(text)
+          if (id % 3 == 0) {
+            dirt.append(" caf")
+            var i = 0L; while (i < 1 + id % 4) { dirt.append("e\u0301"); i += 1 }
+          }
+          if (id % 4 == 0) dirt.append('\u0007').append('\u001f')
+          if (id % 5 == 0) dirt.append("  \t ")
+          val body = htmlDirtScala(id, dirt.toString).getBytes("UTF-8")
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+          graft.io.Warc.WarcRecord("response", s"<urn:graft:doc:$id>",
+            "2026-01-01T00:00:00Z", Some(s"http://$src.test/doc/$id"), http)
+        }
+      val path = graft.io.IoScratch.dir + "/corpus_warc_html"
+      graft.io.Warc.write(recs, path)
+      val parsed = graft.io.Warc.read(s, path + "/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("target_uri"), "^http://([^./]+)\\.test/", 1)
+            .as("source"),
+          col("content"))
+        .as[(Long, String, Array[Byte])]
+        .map { case (id, src, content) =>
+          val body = graft.io.Warc.httpBody(content).getOrElse(Array.emptyByteArray)
+          (id, src, new String(body, "UTF-8"))
+        }
+        .toDF("doc_id", "source", "html_raw")
+        .select(col("doc_id"), col("source"),
+          graft.ops.HtmlOps.htmlExtract(col("html_raw")).as("text_raw"))
+        .localCheckpoint()
+      val docs0 = parsed.select("doc_id", "source")
+        .join(TextOps.normalizeText(parsed, "doc_id", "text_raw")
+          .select(col("id").as("doc_id"), col("text_clean").as("text"),
+            col("n_clean").as("n_chars")), "doc_id")
+      val keep = TextOps.qualityRules(docs0, "doc_id", "text")
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val docs = docs0.join(keep, "doc_id").localCheckpoint()
+      val edges = Dedup.minhashLshEdges(docs, "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+      val kept = docs.join(Dedup.canonicalize(docs, "doc_id", edges), "doc_id")
+        .filter(col("doc_id") === col("canon_id"))
+        .select("doc_id", "source", "n_chars")
+      val train = Sampling.splitByHash(kept, col("doc_id"),
+          Seq(0.8, 0.1, 0.1), salt = "run")
+        .filter(col("split") === 0)
+        .withColumn("pri", Sampling.hashDraw(col("doc_id"), "runpri"))
+      val capped = graft.ops.PrefixSum.budgetCapPerGroup(
+          train.select("doc_id", "source", "n_chars", "pri"),
+          "source", Seq("pri", "doc_id"), "n_chars", budget = 3000L)
+        .select("doc_id", "n_chars")
+      graft.ops.PrefixSum.packShards(capped, "doc_id", "n_chars", budget = 8000L)
+        .select("doc_id", "cum", "shard")
+        .orderBy("doc_id")
+    }),
+
     // Sequential funnel: users completing view -> click -> purchase in
     // strict time order; per-step frontier joins, no whole-user windows.
     "q_funnel" -> ((s, dir) =>
@@ -3650,6 +3764,65 @@ object SparkEntry {
       |      WHEN 3 THEN 'http://user:pw@deep.sub.' || source || '.org/' || doc_id
       |      ELSE 'https://mirror.' || source || '.example.com/b/' || doc_id END""".stripMargin
 
+  // ------------------------------------------------------------ html fixture
+
+  /** The planted-dirt HTML page every q_html_* query renders around a
+    * document: every extraction hazard HtmlOps claims to handle, in one
+    * template — invisible subtrees (style with a comment, script whose
+    * body contains '<'/'>'/quotes and an escaped entity), a multi-line
+    * comment, block tags that must become line breaks, an inline tag
+    * mid-word (must NOT split the word), &nbsp;/named entities, the
+    * `&amp;lt;` double-escape (must decode to the TEXT `&lt;`, never a
+    * tag), and bare '<'/'>' prose that must survive. The document's own
+    * text is HTML-escaped into the `<p>` body so extraction must round-trip
+    * it back exactly.
+    *
+    * ONE piece list, THREE renderers (the HtmlOps.Steps pattern one level
+    * up): a Column chain for the Spark queries, a plain-Scala string
+    * function for the WARC writer's record builder, and a DuckDB SQL
+    * expression for the oracles — none can drift from the others.
+    */
+  private sealed trait HPiece
+  private final case class HLit(s: String) extends HPiece
+  private case object HId extends HPiece
+  private case object HText extends HPiece
+
+  private val HtmlDirtPieces: Seq[HPiece] = Seq(
+    HLit("<!DOCTYPE html>\n<html><head><title>Doc "), HId,
+    HLit("</title>\n<style type=\"text/css\">body { color: #222; } /* hidden */</style>\n" +
+      "<script>if (x < 10 && y > 2) { alert(\"hidden&amp;\"); }</script>\n" +
+      "</head><body>\n<!-- nav boilerplate\nspanning lines -->\n<h1 class=\"hd\">Doc "), HId,
+    HLit("</h1>\n<p>"), HText,
+    HLit("</p>\n<ul><li>Item <b>one</b></li><li>Item&nbsp;two &amp; three</li></ul>\n" +
+      "<div>math: 1 &lt; 2, x < 10 and y > 2, escaped tag: &amp;lt;p&amp;gt;</div>\n" +
+      "</body></html>"))
+
+  private def htmlDirt(id: org.apache.spark.sql.Column,
+                       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(HtmlDirtPieces.map {
+      case HLit(s) => lit(s)
+      case HId     => id.cast("string")
+      case HText   => replace(replace(replace(text, lit("&"), lit("&amp;")),
+        lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    }: _*)
+
+  private def htmlDirtScala(id: Long, text: String): String =
+    HtmlDirtPieces.map {
+      case HLit(s) => s
+      case HId     => id.toString
+      case HText   => text.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;")
+    }.mkString
+
+  /** `id` / `text` are SQL expressions (id must already be VARCHAR). */
+  private def htmlDirtSql(id: String, text: String): String =
+    HtmlDirtPieces.map {
+      case HLit(s) => "'" + s.replace("'", "''") + "'"
+      case HId     => id
+      case HText   =>
+        s"replace(replace(replace($text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    }.mkString(" || ")
+
   /** The ONE tokenize→bigram CTE prefix every bigram-LM oracle roots on
     * (mirrors TextOps.lmFrames): arr/tok/bigr over `from`, carrying the
     * `carry` column (lang for corpus-sliced models, split for held-out
@@ -3765,6 +3938,89 @@ object SparkEntry {
       |  UNION
       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
       |lbl AS (SELECT src AS id, min(dst) AS canon FROM reach GROUP BY src)""".stripMargin
+
+  /** The dirty-crawl corpus (q_normalize's dirt arithmetic — NFD runs,
+    * C0 control bytes, whitespace runs, deterministic per doc_id) as one
+    * CTE `wdirty(doc_id, source, t)`; shared root of the q_corpus_run3/4
+    * oracles. Carries the leading WITH RECURSIVE (the closure needs it).
+    */
+  private def WarcDirtyCte: String =
+    """WITH RECURSIVE wdirty AS (SELECT doc_id, source, text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' caf' || repeat('e' || chr(769), CAST(1 + doc_id % 4 AS INT))
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN chr(7) || chr(31) ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '  ' || chr(9) || ' ' ELSE '' END AS t
+      |  FROM documents),""".stripMargin
+
+  /** The normalize pass replayed (DuckDB's own UAX #15 NFC + the same
+    * explicit-range control strip + whitespace collapse as
+    * TextOps.normalizeText) over `$from.$expr`, ending in
+    * `wdocs(doc_id, source, text, n_chars)` with n_chars = CLEANED length.
+    */
+  private def WarcCleanCtes(from: String, expr: String): String =
+    raw"""wclean AS (SELECT doc_id, source,
+      |    trim(regexp_replace(regexp_replace(nfc_normalize($expr),
+      |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+      |      '[ \t\n\r\x0B\f]+', ' ', 'g')) AS text
+      |  FROM $from),
+      |wdocs AS (SELECT doc_id, source, text,
+      |    CAST(length(text) AS BIGINT) AS n_chars FROM wclean),""".stripMargin
+
+  /** The shared back half of every corpus-run oracle: Gopher quality gate
+    * over `$root(doc_id, source, text, n_chars)` → the dedup closure
+    * re-rooted (string-level: documents → qdocs) → keep-canonical → md5
+    * split → per-source budget window → global pack window. Formerly
+    * duplicated verbatim across the q_corpus_run2/3 oracles.
+    */
+  private def CorpusGateAndPackSql(root: String): String = {
+    val quality =
+      s"""qtok AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM $root),
+        |qcnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |         FROM qtok GROUP BY doc_id, tok),
+        |qagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |           CAST(sum(length(tok) * c) AS BIGINT) AS chars,
+        |           CAST(sum(CASE WHEN tok IN ($StopwordsInSql) THEN c ELSE 0 END) AS BIGINT) AS stops,
+        |           CAST(max(c) AS BIGINT) AS maxc
+        |         FROM qcnt GROUP BY doc_id),
+        |qkeep AS (SELECT doc_id FROM qagg
+        |          WHERE n >= 30 AND n <= 100000
+        |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
+        |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0
+        |            AND stops > 0
+        |            AND CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE) <= 0.15),
+        |qdocs AS (SELECT d.* FROM $root d JOIN qkeep k USING (doc_id)),""".stripMargin
+    val rebased = DedupClosureCtes.stripPrefix("WITH RECURSIVE ")
+      .replace("FROM documents", "FROM qdocs")
+    quality + "\n" + rebased + ",\n" +
+      s"""canon AS (SELECT d.doc_id, d.source, d.n_chars,
+      |             coalesce(l.canon, d.doc_id) AS canon_id
+      |           FROM qdocs d LEFT JOIN lbl l ON l.id = d.doc_id),
+      |kept AS (SELECT doc_id, source, n_chars FROM canon WHERE doc_id = canon_id),
+      |sp AS (SELECT doc_id, source, n_chars,
+      |         ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.1, 0.1), "run")} AS split
+      |       FROM kept),
+      |train AS (SELECT doc_id, source, n_chars,
+      |            ${graft.ops.Sampling.hashDrawSql("doc_id", "runpri")} AS pri
+      |          FROM sp WHERE split = 0),
+      |cap AS (SELECT doc_id, n_chars,
+      |          CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY pri, doc_id
+      |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scum
+      |        FROM train),
+      |cf AS (SELECT doc_id, n_chars FROM cap WHERE scum <= 3000)
+      |SELECT doc_id,
+      |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 8000 AS BIGINT) AS shard
+      |FROM cf ORDER BY doc_id""".stripMargin
+  }
+
+  /** TextOps.Stopwords as a SQL IN-list — the oracle twin of the single
+    * Scala source.
+    */
+  private def StopwordsInSql: String =
+    graft.ops.TextOps.Stopwords.map(w => s"'$w'").mkString(",")
 
   private val DedupClusterClosureSql: String = DedupClosureCtes + "\n" +
     """SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
@@ -5869,50 +6125,9 @@ object SparkEntry {
         |FROM cf ORDER BY doc_id""".stripMargin),
 
     // quality gate replayed, then the ENTIRE dedup-closure + split +
-    // budget + shard chain re-rooted on the surviving docs (string-level
-    // re-rooting of the shared closure CTEs: documents → qdocs)
-    "q_corpus_run2" -> {
-      val quality =
-        """WITH RECURSIVE qtok AS (SELECT doc_id,
-          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
-          |  FROM documents),
-          |qcnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
-          |         FROM qtok GROUP BY doc_id, tok),
-          |qagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-          |           CAST(sum(length(tok) * c) AS BIGINT) AS chars,
-          |           CAST(sum(CASE WHEN tok IN ('the','a','of','and','in') THEN c ELSE 0 END) AS BIGINT) AS stops,
-          |           CAST(max(c) AS BIGINT) AS maxc
-          |         FROM qcnt GROUP BY doc_id),
-          |qkeep AS (SELECT doc_id FROM qagg
-          |          WHERE n >= 30 AND n <= 100000
-          |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
-          |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0
-          |            AND stops > 0
-          |            AND CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE) <= 0.15),
-          |qdocs AS (SELECT d.* FROM documents d JOIN qkeep k USING (doc_id)),""".stripMargin
-      val rebased = DedupClosureCtes.stripPrefix("WITH RECURSIVE ")
-        .replace("FROM documents", "FROM qdocs")
-      quality + "\n" + rebased + ",\n" +
-        s"""canon AS (SELECT d.doc_id, d.source, d.n_chars,
-        |             coalesce(l.canon, d.doc_id) AS canon_id
-        |           FROM qdocs d LEFT JOIN lbl l ON l.id = d.doc_id),
-        |kept AS (SELECT doc_id, source, n_chars FROM canon WHERE doc_id = canon_id),
-        |sp AS (SELECT doc_id, source, n_chars,
-        |         ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.1, 0.1), "run")} AS split
-        |       FROM kept),
-        |train AS (SELECT doc_id, source, n_chars,
-        |            ${graft.ops.Sampling.hashDrawSql("doc_id", "runpri")} AS pri
-        |          FROM sp WHERE split = 0),
-        |cap AS (SELECT doc_id, n_chars,
-        |          CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY pri, doc_id
-        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scum
-        |        FROM train),
-        |cf AS (SELECT doc_id, n_chars FROM cap WHERE scum <= 3000)
-        |SELECT doc_id,
-        |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-        |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 8000 AS BIGINT) AS shard
-        |FROM cf ORDER BY doc_id""".stripMargin
-    },
+    // budget + shard chain re-rooted on the surviving docs (the shared
+    // CorpusGateAndPackSql builder rooted on the documents table itself)
+    "q_corpus_run2" -> ("WITH RECURSIVE " + CorpusGateAndPackSql("documents")),
 
     // Capstone v3: the WARC front door replayed string-level — the dirty
     // crawl (q_normalize's dirt arithmetic), DuckDB's own UAX #15 NFC +
@@ -5921,63 +6136,54 @@ object SparkEntry {
     // CLEANED docs (source from the archive URI host = the table's
     // source; n_chars = cleaned length, NOT the table column). The WARC
     // container itself is proven invisible by q_warc_roundtrip.
-    "q_corpus_run3" -> {
-      val root =
-        """WITH RECURSIVE wdirty AS (SELECT doc_id, source, text ||
-          |    CASE WHEN doc_id % 3 = 0
-          |         THEN ' caf' || repeat('e' || chr(769), CAST(1 + doc_id % 4 AS INT))
-          |         ELSE '' END ||
-          |    CASE WHEN doc_id % 4 = 0 THEN chr(7) || chr(31) ELSE '' END ||
-          |    CASE WHEN doc_id % 5 = 0 THEN '  ' || chr(9) || ' ' ELSE '' END AS t
-          |  FROM documents),
-          |wclean AS (SELECT doc_id, source,
-          |    trim(regexp_replace(regexp_replace(nfc_normalize(t),
-          |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
-          |      '[ \t\n\r\x0B\f]+', ' ', 'g')) AS text
-          |  FROM wdirty),
-          |wdocs AS (SELECT doc_id, source, text,
-          |    CAST(length(text) AS BIGINT) AS n_chars FROM wclean),""".stripMargin
-      val quality =
-        """qtok AS (SELECT doc_id,
-          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
-          |  FROM wdocs),
-          |qcnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
-          |         FROM qtok GROUP BY doc_id, tok),
-          |qagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-          |           CAST(sum(length(tok) * c) AS BIGINT) AS chars,
-          |           CAST(sum(CASE WHEN tok IN ('the','a','of','and','in') THEN c ELSE 0 END) AS BIGINT) AS stops,
-          |           CAST(max(c) AS BIGINT) AS maxc
-          |         FROM qcnt GROUP BY doc_id),
-          |qkeep AS (SELECT doc_id FROM qagg
-          |          WHERE n >= 30 AND n <= 100000
-          |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
-          |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0
-          |            AND stops > 0
-          |            AND CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE) <= 0.15),
-          |qdocs AS (SELECT d.* FROM wdocs d JOIN qkeep k USING (doc_id)),""".stripMargin
-      val rebased = DedupClosureCtes.stripPrefix("WITH RECURSIVE ")
-        .replace("FROM documents", "FROM qdocs")
-      root + "\n" + quality + "\n" + rebased + ",\n" +
-        s"""canon AS (SELECT d.doc_id, d.source, d.n_chars,
-        |             coalesce(l.canon, d.doc_id) AS canon_id
-        |           FROM qdocs d LEFT JOIN lbl l ON l.id = d.doc_id),
-        |kept AS (SELECT doc_id, source, n_chars FROM canon WHERE doc_id = canon_id),
-        |sp AS (SELECT doc_id, source, n_chars,
-        |         ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.1, 0.1), "run")} AS split
-        |       FROM kept),
-        |train AS (SELECT doc_id, source, n_chars,
-        |            ${graft.ops.Sampling.hashDrawSql("doc_id", "runpri")} AS pri
-        |          FROM sp WHERE split = 0),
-        |cap AS (SELECT doc_id, n_chars,
-        |          CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY pri, doc_id
-        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scum
-        |        FROM train),
-        |cf AS (SELECT doc_id, n_chars FROM cap WHERE scum <= 3000)
-        |SELECT doc_id,
-        |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-        |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 8000 AS BIGINT) AS shard
-        |FROM cf ORDER BY doc_id""".stripMargin
-    },
+    "q_corpus_run3" ->
+      (WarcDirtyCte + "\n" + WarcCleanCtes("wdirty", "t") + "\n" +
+        CorpusGateAndPackSql("wdocs")),
+
+    // Capstone v4: v3 with the HTML front door in the middle — the dirty
+    // text rendered into the planted-dirt page (htmlDirtSql, same piece
+    // list as the Scala WARC writer), extracted by the HtmlOps step chain
+    // (htmlExtractSql, same step list as the Column op), THEN the v3
+    // clean + gate + closure + pack chain over the extracted text. The
+    // WARC container itself is proven invisible by q_warc_roundtrip.
+    "q_corpus_run4" ->
+      (WarcDirtyCte + "\n" +
+        s"""wh AS (SELECT doc_id, source, ${htmlDirtSql("CAST(doc_id AS VARCHAR)", "t")} AS html
+           |  FROM wdirty),
+           |wx AS (SELECT doc_id, source, ${graft.ops.HtmlOps.htmlExtractSql("html")} AS t
+           |  FROM wh),""".stripMargin + "\n" +
+        WarcCleanCtes("wx", "t") + "\n" +
+        CorpusGateAndPackSql("wdocs")),
+
+    // the planted-dirt page rendered (htmlDirtSql — same piece list as
+    // the Column chain) and extracted (htmlExtractSql — same step list),
+    // both generated from the single Scala source
+    "q_html_extract" ->
+      s"""WITH h AS (SELECT doc_id, ${htmlDirtSql("CAST(doc_id AS VARCHAR)", "text")} AS html
+        |  FROM documents)
+        |SELECT doc_id, ${graft.ops.HtmlOps.htmlExtractSql("html")} AS text
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // block explode with ordinality + the integer-exact jusText verdict
+    // (stops*20 >= n_tok ⇔ density >= 0.05) over the same render/extract
+    "q_html_blocks" ->
+      s"""WITH h AS (SELECT doc_id, ${htmlDirtSql("CAST(doc_id AS VARCHAR)", "text")} AS html
+        |  FROM documents),
+        |e AS (SELECT doc_id, ${graft.ops.HtmlOps.htmlExtractSql("html")} AS txt FROM h),
+        |l AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM e),
+        |b AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS block_idx,
+        |        ls[CAST(i AS INT)] AS block
+        |      FROM l CROSS JOIN unnest(range(1, len(ls) + 1)) AS t(i)),
+        |tk AS (SELECT doc_id, block_idx,
+        |        list_filter(regexp_split_to_array(lower(block), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |      FROM b),
+        |sig AS (SELECT doc_id, block_idx, CAST(len(toks) AS BIGINT) AS n_tok,
+        |          CAST(len(list_filter(toks, t -> list_contains([$StopwordsInSql], t))) AS BIGINT) AS stops
+        |        FROM tk)
+        |SELECT doc_id, block_idx, n_tok, stops,
+        |       CASE WHEN n_tok >= 5 AND stops * 20 >= n_tok
+        |            THEN 'content' ELSE 'boilerplate' END AS verdict
+        |FROM sig ORDER BY doc_id, block_idx""".stripMargin,
 
     // Per-word char pairs + the (last-char, </w>) marker pair, weighted by
     // word frequency — exactly Bpe.pairCounts' shape.

@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
   *
   * Known limits (documented, deterministic on both sides): an UNCLOSED
   * script/style block keeps its text (the open tag itself is still
-  * stripped); CDATA sections lose only their markers; numeric entities
+  * stripped); a CDATA section strips as one pseudo-tag up to its first
+  * '>' (content after an embedded '>' survives); numeric entities
   * are decoded for the common few (&#34; &#39; &#160;), others pass
   * through verbatim; a bare '<' in prose survives only when NOT followed
   * by a tag-start character — the catch-all requires `</?[a-zA-Z!?]` so

@@ -677,6 +677,12 @@ object TextOps {
         col("changed"), col("text_clean"))
   }
 
+  /** The fixture's Gopher stopword list — the SINGLE source for every
+    * stopword-density signal (qualityRules, the streaming gate, the
+    * q_html_blocks jusText verdict) and the oracle SQL's IN-list.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
+
   /** Gopher/C4-family RULE-BASED quality filter (Rae et al. 2021 §A1.1,
     * Raffel et al. 2020 C4 heuristics), the fixture-computable subset —
     * per document, exact-arithmetic signals and a composite keep verdict:
@@ -700,7 +706,7 @@ object TextOps {
                    minWords: Int = 30, maxWords: Int = 100000,
                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                    maxTopShare: Double = 0.15,
-                   stopwords: Seq[String] = Seq("the", "a", "of", "and", "in"))
+                   stopwords: Seq[String] = Stopwords)
       : DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("tok"))
@@ -743,7 +749,7 @@ object TextOps {
     * the verdict).
     */
   def qualitySignalsLocal(text: Column,
-                          stopwords: Seq[String] = Seq("the", "a", "of", "and", "in"))
+                          stopwords: Seq[String] = Stopwords)
       : Column = {
     val stopArr = array(stopwords.map(lit): _*)
     val a = graft.functions.TextAnalysis.tokensArr(text)
@@ -772,7 +778,7 @@ object TextOps {
                         minWords: Int = 30, maxWords: Int = 100000,
                         minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                         maxTopShare: Double = 0.15,
-                        stopwords: Seq[String] = Seq("the", "a", "of", "and", "in"))
+                        stopwords: Seq[String] = Stopwords)
       : DataFrame = {
     df.select(col(idCol).as("id"),
         qualitySignalsLocal(col(textCol), stopwords).as("q"))

@@ -21,7 +21,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q_media_phash", "q_lpa", "q_substring_rewrite", "q_ivf_pq",
     "q_containment", "q_media_jpeg", "q_bpe_apply", "q_bpe_vocab",
     "q_winnow_pairs", "q_winnow_spans", "q_token_shards", "q_corpus_run2",
-    "q_corpus_run3", "q_scoped_dedup", "q_line_dedup", "q_decontam_spans")
+    "q_corpus_run3", "q_corpus_run4", "q_scoped_dedup", "q_line_dedup",
+    "q_decontam_spans")
 
   test("no CartesianProduct / BroadcastNestedLoopJoin in any scale-path similarity plan") {
     for (name <- guarded) {
@@ -58,6 +59,19 @@ class PlanGuardSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(domOnly.contains("*(1) Project"),
       s"registrableDomain must stay inside whole-stage codegen:\n$domOnly")
+  }
+
+  test("htmlExtract is scan-speed: one file scan, zero shuffles") {
+    import org.apache.spark.sql.functions._
+    // the whole step chain (regexp_replace/replace + the line-split
+    // lambdas) must stay a pure projection over the scan — the "runs at
+    // scan grain inside the task-per-file WARC read" scaladoc claim
+    val d = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.ops.HtmlOps.htmlExtract(col("text")).as("t"))
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"htmlExtract must not shuffle:\n$plan")
+    assert("FileScan".r.findAllIn(plan).length == 1)
   }
 
   test("mixEpoch: the weight table broadcasts onto the scan") {
