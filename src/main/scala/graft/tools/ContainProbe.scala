@@ -19,9 +19,11 @@ object ContainProbe {
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val tau = 0.9
+    // gid construction mirrors Dedup.containmentPairs (Dedup.scala:656)
+    // exactly — the \u0001 separator, NOT '|' (r11's probe drifted here)
     val docArr = graft.dedup.Dedup.shingles(df, "doc_id", "text", 2)
       .groupBy("id").agg(array_sort(collect_list(col("shingle"))).as("set"))
-      .withColumn("gid", md5(to_binary(concat_ws("|", col("set")), lit("utf-8"))))
+      .withColumn("gid", md5(to_binary(concat_ws("\u0001", col("set")), lit("utf-8"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     t("docArr")(docArr.count())
     val usets = docArr.groupBy("gid").agg(first(col("set")).as("set"))
