@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -681,8 +683,15 @@ object Streams {
     * File grain is the WARC contract (not block-splittable without an
     * index) — same as the batch reader; the file-source checkpoint gives
     * ingest-each-archive-exactly-once across restarts.
+    *
+    * `extractHtml = true` inserts [[graft.ops.HtmlOps.htmlExtract]]
+    * between the HTTP body and the normalize pass — the round-13 crawl
+    * front door: real response bodies are markup, and the extraction is
+    * a row-local Column chain, so the whole pipeline stays one stateless
+    * append-mode projection.
     */
-  def warcIngest(spark: SparkSession, dir: String): DataFrame = {
+  def warcIngest(spark: SparkSession, dir: String,
+                 extractHtml: Boolean = false): DataFrame = {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
@@ -710,6 +719,9 @@ object Streams {
           }
       }
       .toDF("doc_id", "source", "text_raw")
+      .pipe(df => if (extractHtml) df.select(col("doc_id"), col("source"),
+        graft.ops.HtmlOps.htmlExtract(col("text_raw")).as("text_raw"))
+      else df)
     // one stateless projection end to end: normalize keeps the text, the
     // verdict is the shared row-local signal struct + keep expression —
     // no second leg, no stream-stream join, no state

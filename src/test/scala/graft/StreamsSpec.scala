@@ -957,6 +957,73 @@ class StreamsSpec extends SparkTestBase {
     assert(!got(1L)._2.contains("\u0007") && got(1L)._2.endsWith("caf\u00e9"))
   }
 
+  test("warcIngest extractHtml: HTML-bodied archives stream through extract+normalize+gate with batch parity") {
+    import graft.io.Warc
+    val land = java.nio.file.Files.createTempDirectory("graft_html_land")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_html_ck")
+    val outD = java.nio.file.Files.createTempDirectory("graft_html_out")
+    val fluent = (1 to 28).map(i => s"word$i").mkString(" ") +
+      " the scan of and in"
+    // real crawl shape: the body is a PAGE — script/style/comment dirt
+    // that must vanish before the gate ever counts a word, block tags
+    // that must not glue words together
+    def page(text: String) =
+      "<html><head><title>T</title><style>body{color:red}</style>" +
+      "<script>var secret = 1;</script></head><body>" +
+      "<!-- nav --><h1>Hdr</h1><p>" + text + "</p></body></html>"
+    def archive(docs: Seq[(Long, String)]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      docs.foreach { case (id, html) =>
+        val body = html.getBytes("UTF-8")
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+        bos.write(Warc.gzipMember(Warc.recordBytes(Warc.WarcRecord(
+          "response", s"<urn:t:$id>", "2026-01-01T00:00:00Z",
+          Some(s"http://src${id % 3}.test/doc/$id"), http))))
+      }
+      bos.toByteArray
+    }
+    java.nio.file.Files.write(land.resolve("a.warc.gz"),
+      archive(Seq(1L -> page(fluent), 2L -> page("too short to keep"))))
+    java.nio.file.Files.write(land.resolve("b.warc.gz"),
+      archive(Seq(3L -> page(fluent + " extra the words here of note"))))
+    val q = Streams.warcIngest(spark, land.toString + "/*.warc.gz",
+        extractHtml = true)
+      .writeStream.format("parquet")
+      .option("path", outD.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(outD.toString)
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 3)
+    // markup stripped BEFORE the gate: no script/style/comment text, no
+    // tags; heading and prose joined by the normalize whitespace collapse
+    assert(got(1L)._4 && got(3L)._4 && !got(2L)._4)
+    assert(got(1L)._2 == s"T Hdr $fluent", got(1L)._2)
+    // batch truth: batch WARC reader + the SAME extract+normalize+gate
+    val parsed = Warc.read(spark, land.toString + "/*.warc.gz")
+      .filter($"warc_type" === "response")
+      .select(org.apache.spark.sql.functions
+          .regexp_extract($"target_uri", "/doc/(\\d+)$", 1)
+        .cast("long").as("doc_id"), $"content")
+      .as[(Long, Array[Byte])]
+      .map { case (id, c) =>
+        (id, new String(Warc.httpBody(c).get, "UTF-8")) }
+      .toDF("doc_id", "text_html")
+      .select($"doc_id",
+        graft.ops.HtmlOps.htmlExtract($"text_html").as("text_raw"))
+    val truth = graft.ops.TextOps.normalizeText(parsed, "doc_id", "text_raw")
+      .select($"id".as("doc_id"), $"n_clean", $"text_clean")
+      .withColumn("_q", graft.ops.TextOps.qualitySignalsLocal($"text_clean"))
+      .select($"doc_id", $"text_clean", $"n_clean",
+        ($"_q.n" > 0 && graft.ops.TextOps.qualityKeepExpr($"_q")).as("keep"))
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got == truth)
+  }
+
   test("streaming per-DOMAIN quota: raw URLs collapse to registrable domains, state spans batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, lit}
