@@ -478,6 +478,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Language-ID the n-gram way (round 13): Cavnar-Trenkle rank
+    // profiles — per-lang top-K char trigrams of the 80% hash-split
+    // TRAINING slice, every doc classified by the out-of-place rank
+    // distance, argmin over languages. Every rank/distance is integer
+    // arithmetic so the whole classification replays bit-for-bit.
+    //
+    // Honest fixture read: the synthetic languages share ONE vocabulary
+    // and differ only in continuous word-frequency shifts, which
+    // rank-ORDER profiles discard by design — held-out accuracy here is
+    // chance (word-gram variants measured no better: unigram 24%,
+    // bigram 69% train / 15% held-out = pure overfit). The method's
+    // discrimination is proven on orthographically distinct corpora by
+    // the planted-alphabet PropertySpec (100% held-out); for same-script
+    // frequency-shift corpora the LM gate (q_lm_filter — continuous
+    // frequencies, not ranks) is the right tool, which is why both ship.
+    "q_langid" -> ((s, dir) => {
+      val d = Sampling.splitByHash(Tables.documents(s, dir), col("doc_id"),
+        Seq(0.8, 0.2), salt = "lid")
+      TextOps.langIdNgram(d, "doc_id", "text", "lang",
+          col("split") === 0, n = 3, profileK = LangIdK, docM = LangIdM)
+        .orderBy("id")
+    }),
+
     // HTML→text extraction (round 13): the crawl front door. Every doc
     // rendered into the planted-dirt page (htmlDirt — script/style/comment
     // bodies that must vanish, block tags → line breaks, inline tag
@@ -3764,6 +3787,12 @@ object SparkEntry {
       |      WHEN 3 THEN 'http://user:pw@deep.sub.' || source || '.org/' || doc_id
       |      ELSE 'https://mirror.' || source || '.example.com/b/' || doc_id END""".stripMargin
 
+  /** q_langid's operating sizes — single-sourced into the Scala call and
+    * the oracle's literals (profile top-K, per-doc top-M).
+    */
+  private val LangIdK: Int = 100
+  private val LangIdM: Int = 50
+
   // ------------------------------------------------------------ html fixture
 
   /** The planted-dirt HTML page every q_html_* query renders around a
@@ -6154,6 +6183,45 @@ object SparkEntry {
            |  FROM wh),""".stripMargin + "\n" +
         WarcCleanCtes("wx", "t") + "\n" +
         CorpusGateAndPackSql("wdocs")),
+
+    // Cavnar-Trenkle replayed: the same normalize/gram/rank/out-of-place
+    // chain with integer ranks and the identical (count DESC, gram ASC)
+    // and (dist, lang) tie-breaks; K/M literals interpolated from the
+    // same constants the Scala call uses
+    "q_langid" ->
+      s"""WITH nrm AS (SELECT doc_id, lang,
+        |    ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.2), "lid")} = 0 AS tr,
+        |    ' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ' AS t
+        |  FROM documents),
+        |f AS (SELECT * FROM nrm WHERE length(t) >= 3),
+        |g AS (SELECT doc_id, lang, tr, substring(t, CAST(i AS INT), 3) AS gram
+        |      FROM f CROSS JOIN unnest(range(1, length(t) - 1)) AS u(i)),
+        |dc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        |       FROM g GROUP BY doc_id, gram),
+        |dr AS (SELECT doc_id, gram,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS INT) AS rd
+        |       FROM dc),
+        |dt AS (SELECT * FROM dr WHERE rd <= $LangIdM),
+        |pc AS (SELECT lang AS plang, gram, CAST(count(*) AS BIGINT) AS c
+        |       FROM g WHERE tr GROUP BY lang, gram),
+        |pr AS (SELECT plang, gram,
+        |         CAST(row_number() OVER (PARTITION BY plang ORDER BY c DESC, gram) AS INT) AS rp
+        |       FROM pc),
+        |pt AS (SELECT * FROM pr WHERE rp <= $LangIdK),
+        |langs AS (SELECT DISTINCT plang FROM pt),
+        |pen AS (SELECT d.doc_id, l.plang,
+        |          CAST(coalesce(abs(d.rd - p.rp), $LangIdK) AS BIGINT) AS pen
+        |        FROM dt d CROSS JOIN langs l
+        |        LEFT JOIN pt p ON p.plang = l.plang AND p.gram = d.gram),
+        |dist AS (SELECT doc_id, plang, CAST(sum(pen) AS BIGINT) AS dist
+        |         FROM pen GROUP BY doc_id, plang),
+        |best AS (SELECT doc_id, plang, dist,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY dist, plang) AS rn
+        |         FROM dist)
+        |SELECT b.doc_id AS id, f.lang, b.plang AS pred_lang, b.dist,
+        |       f.tr AS is_train, f.lang = b.plang AS correct
+        |FROM best b JOIN f ON f.doc_id = b.doc_id
+        |WHERE b.rn = 1 ORDER BY id""".stripMargin,
 
     // the planted-dirt page rendered (htmlDirtSql — same piece list as
     // the Column chain) and extracted (htmlExtractSql — same step list),

@@ -102,6 +102,31 @@ class PropertySpec extends SparkTestBase {
     assert(got == Seq(("x", 5000L)))
   }
 
+  test("langIdNgram: planted character distributions classify every held-out doc; tokenless docs absent") {
+    import spark.implicits._
+    // two synthetic "languages" over disjoint alphabets — the rank
+    // profiles must separate them perfectly on the held-out split
+    def word(r: scala.util.Random, letters: String) =
+      (1 to 3 + r.nextInt(5)).map(_ => letters(r.nextInt(letters.length))).mkString
+    val docs = (0L until 60L).map { id =>
+      val r = new scala.util.Random(id)
+      val letters = if (id % 2 == 0) "abcdef" else "uvwxyz"
+      (id, (1 to 40).map(_ => word(r, letters)).mkString(" "),
+        if (id % 2 == 0) "aa" else "zz")
+    } :+ ((99L, "!!! ...", "aa")) // tokenless: must be absent from output
+    val d = graft.ops.Sampling.splitByHash(docs.toDF("doc_id", "text", "lang"),
+      col("doc_id"), Seq(0.8, 0.2), salt = "lid")
+    def run() = graft.ops.TextOps.langIdNgram(
+      d, "doc_id", "text", "lang", col("split") === 0)
+    val rows = run().orderBy("id").collect()
+    assert(rows.length == 60, s"tokenless doc must be absent: ${rows.length}")
+    val wrong = rows.filterNot(_.getAs[Boolean]("correct"))
+    assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
+    assert(rows.exists(!_.getAs[Boolean]("is_train")), "held-out slice empty")
+    // integer-exact determinism: an independent re-run is bit-identical
+    assert(rows.toSeq == run().orderBy("id").collect().toSeq)
+  }
+
   test("tokensArr agrees with the reference tokenizer on arbitrary text") {
     import spark.implicits._
     def model(s: String): Seq[String] =
