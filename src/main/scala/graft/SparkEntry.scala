@@ -631,6 +631,18 @@ object SparkEntry {
         .select(col("doc_id"), col("cum"), col("shard"))
         .orderBy("doc_id")),
 
+    // GPT-style SEQUENCE PACKING (round 13): the corpus as one contiguous
+    // stream in doc_id order cut every 2048 chars, docs CONTINUING across
+    // cuts (shards are files and never split docs; sequences are training
+    // windows and do) — output is the (sequence, document) segment table
+    // with attention-reset offsets a data loader reads. Global offsets
+    // ride the distributed prefix sum, the segment explode is in-row.
+    "q_seq_pack" -> ((s, dir) =>
+      graft.ops.PrefixSum.packSequences(
+          Tables.documents(s, dir).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", seqLen = 2048L)
+        .orderBy("id", "seq")),
+
     // Per-source token-budget cap (data mixing): deterministic hash
     // priority within each source, keep docs while the source's running
     // char count fits the budget — distributed per-GROUP prefix sum
@@ -5893,6 +5905,23 @@ object SparkEntry {
         |       CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
         |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 20000 AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the one-task-window form of the distributed stream offsets + the
+    // same integer segment arithmetic (greatest/least against the seqLen
+    // grid) the Column chain computes
+    "q_seq_pack" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM documents WHERE n_chars > 0),
+        |seg AS (SELECT doc_id AS id, cum - n_chars AS st,
+        |          CAST(n_chars AS BIGINT) AS sz,
+        |          unnest(range((cum - n_chars) // 2048, (cum - 1) // 2048 + 1)) AS seq
+        |        FROM c)
+        |SELECT id, CAST(seq AS BIGINT) AS seq,
+        |       CAST(greatest(st, seq * 2048) - seq * 2048 AS BIGINT) AS seq_off,
+        |       CAST(greatest(st, seq * 2048) - st AS BIGINT) AS doc_off,
+        |       CAST(least(st + sz, (seq + 1) * 2048) - greatest(st, seq * 2048) AS BIGINT) AS len
+        |FROM seg ORDER BY id, seq""".stripMargin,
 
     "q_zorder3" ->
       (s"""WITH z AS (SELECT l_partkey AS pk, l_suppkey AS sk, l_orderkey AS ok,

@@ -67,6 +67,50 @@ object PrefixSum {
       // integral `div`, not double `/`: exact past 2^53 (100 TB of tokens)
       .withColumn("shard", expr(s"(cum - $sizeCol) div ${budget}L"))
 
+  /** GPT-style SEQUENCE PACKING — the loader-facing map from documents to
+    * fixed-length training sequences: the corpus is one contiguous token
+    * stream in `orderCol` order, cut every `seqLen` tokens, and a document
+    * crossing a cut CONTINUES in the next sequence (unlike [[packShards]],
+    * which never splits a doc — shards are files, sequences are training
+    * windows). Output is the SEGMENT table a data loader actually reads:
+    * one row per (sequence, document) overlap —
+    *
+    *   (id, seq, seq_off, doc_off, len)
+    *
+    * meaning: tokens [doc_off, doc_off+len) of document `id` land at
+    * [seq_off, seq_off+len) of sequence `seq`. The segment boundaries are
+    * exactly where an attention-reset mask flips, so this table IS the
+    * packing-with-boundaries metadata (every token covered exactly once:
+    * per-doc Σlen = doc size, per-seq Σlen = seqLen except the final
+    * partial sequence — both spec-pinned).
+    *
+    * Shape at 100 TB: the global offsets ride the DISTRIBUTED
+    * [[prefixSum]] (never a one-task window); the per-doc segment explode
+    * is in-row and bounded by ⌈size/seqLen⌉+1 rows per doc, so total
+    * output rows ≤ docs + total_tokens/seqLen. Zero-size docs are absent
+    * (nothing to pack).
+    */
+  def packSequences(df: DataFrame, orderCol: String, sizeCol: String,
+                    seqLen: Long, partitions: Int = 32): DataFrame = {
+    require(seqLen >= 1, s"packSequences: seqLen must be >= 1: $seqLen")
+    val cum = prefixSum(df.filter(col(sizeCol) > 0), orderCol, sizeCol,
+      partitions)
+    val start = col("cum") - col(sizeCol)                 // global start, 0-based
+    val firstSeq = expr(s"(cum - $sizeCol) div ${seqLen}L")
+    val lastSeq = expr(s"(cum - 1) div ${seqLen}L")
+    cum.select(col(orderCol).as("id"), col(sizeCol).cast("long").as("_sz"),
+        start.cast("long").as("_start"),
+        explode(sequence(firstSeq, lastSeq)).as("seq"))
+      .withColumn("_segStart",
+        greatest(col("_start"), col("seq") * seqLen))
+      .withColumn("_segEnd",
+        least(col("_start") + col("_sz"), (col("seq") + 1) * seqLen))
+      .select(col("id"), col("seq"),
+        (col("_segStart") - col("seq") * seqLen).as("seq_off"),
+        (col("_segStart") - col("_start")).as("doc_off"),
+        (col("_segEnd") - col("_segStart")).as("len"))
+  }
+
   /** Adds `cum` = running sum of `valCol` within each group, in
     * `orderCols` order (inclusive). The per-GROUP dual of [[prefixSum]],
     * on the [[WindowOps.rankFunctions]] two-pass shape: a naive

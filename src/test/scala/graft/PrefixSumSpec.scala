@@ -94,6 +94,43 @@ class PrefixSumSpec extends SparkTestBase {
     assert(kept.nonEmpty)
   }
 
+  test("packSequences: hand-checked boundary segments + exact-cover invariants") {
+    // docs 5,3,4 at seqLen 4 — stream [0,12): doc 1 spans the seq0/seq1
+    // cut, doc 2 fills seq1's tail, doc 3 is exactly seq2
+    val d = Seq((1L, 5L), (2L, 3L), (3L, 4L), (4L, 0L)).toDF("id", "sz")
+    val got = PrefixSum.packSequences(d, "id", "sz", seqLen = 4)
+      .orderBy("id", "seq")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L, 4L),   // doc 1 tokens [0,4) -> seq 0 at offset 0
+      (1L, 1L, 0L, 4L, 1L),   // doc 1 token  [4,5) CONTINUES into seq 1
+      (2L, 1L, 1L, 0L, 3L),   // doc 2 fills seq 1 positions [1,4)
+      (3L, 2L, 0L, 0L, 4L)),  // doc 3 is exactly seq 2; zero-size doc 4 absent
+      got.toString)
+    // fixture invariants: every token covered exactly once
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+    val seg = PrefixSum.packSequences(docs, "doc_id", "n_chars", seqLen = 512)
+    val perDoc = seg.groupBy("id").agg(sum("len").as("l"))
+      .join(docs, col("id") === col("doc_id"))
+      .filter(col("l") =!= col("n_chars")).count()
+    assert(perDoc == 0, "per-doc segment lengths must sum to the doc size")
+    val total = docs.agg(sum("n_chars")).head.getLong(0)
+    val perSeq = seg.groupBy("seq").agg(sum("len").as("l")).collect()
+    val lastSeq = (total - 1) / 512
+    perSeq.foreach { r =>
+      val (s, l) = (r.getLong(0), r.getLong(1))
+      if (s < lastSeq) assert(l == 512, s"seq $s holds $l of 512")
+      else assert(l == total - lastSeq * 512, s"final seq $s holds $l")
+    }
+    // segments within a sequence tile it: offsets are a disjoint cover
+    val overlap = seg.as("a").join(seg.as("b"),
+        col("a.seq") === col("b.seq") && col("a.id") < col("b.id") &&
+          col("a.seq_off") < col("b.seq_off") + col("b.len") &&
+          col("b.seq_off") < col("a.seq_off") + col("a.len")).count()
+    assert(overlap == 0, "segments within a sequence must not overlap")
+  }
+
   test("padWaste: hand-computed batches; length-sorting cuts waste on the fixture") {
     import spark.implicits._
     // batchSize 2, lens in id order 10,2,8,4,6: batches [10,2],[8,4],[6]
