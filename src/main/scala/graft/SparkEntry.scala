@@ -835,6 +835,17 @@ object SparkEntry {
         "doc_id", "source", "n_chars")
         .orderBy("grp", "chosen_id")),
 
+    // Best-of-n rejection sampling (round 13): each prompt group's top-4
+    // candidates by reward, deterministic id tie-break — the selection
+    // dual of q_pref_pairs' best<->worst pairing; ranks ride the
+    // two-level no-one-task top-k.
+    "q_best_of_n" -> ((s, dir) =>
+      Sampling.bestOfN(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars", n = 4)
+        .orderBy("grp", "rank")),
+
     // Deterministic stratified sampling: en kept at 50%, other langs at 10%;
     // the draw is a pure function of doc_id so the sample is reproducible
     // under retry / rerun / repartition and the oracle replays it exactly.
@@ -7339,6 +7350,18 @@ object SparkEntry {
 
     // pairing replay: same rank window, same partner-rank equi-join,
     // same strict-score tie drop
+    // the one-task-window rank form of the two-level top-k (identical
+    // (score DESC, id) order and tie-break)
+    "q_best_of_n" ->
+      """WITH d AS (SELECT doc_id AS id, source AS grp,
+        |             CAST(n_chars AS DOUBLE) AS score FROM documents),
+        |r AS (SELECT grp, id, score,
+        |        CAST(row_number() OVER (PARTITION BY grp
+        |               ORDER BY score DESC, id) AS INT) AS rank
+        |      FROM d)
+        |SELECT grp, id, score, rank FROM r WHERE rank <= 4
+        |ORDER BY grp, rank""".stripMargin,
+
     "q_pref_pairs" ->
       """WITH d AS (SELECT doc_id AS id, source AS grp,
         |             CAST(n_chars AS DOUBLE) AS score FROM documents),

@@ -351,4 +351,32 @@ object Sampling {
         col("a.score").as("chosen_score"), col("b.score").as("rejected_score"),
         (col("a.score") - col("b.score")).as("margin"))
   }
+
+  /** REJECTION-SAMPLING selection — the best-of-n data-prep stage (keep
+    * each prompt's top-n highest-reward candidates; the Llama-2 "SFT from
+    * the reward model's favorites" recipe, the selection dual of
+    * [[preferencePairs]]' best↔worst pairing). Rank = (score DESC, id
+    * ASC) within each group — the id tie-break makes the cut replay
+    * exactly under retry/repartition.
+    *
+    * Shape at 100 TB: ranks go through
+    * [[graft.ops.ScaleOps.smallestKPerGroup]]'s two-level heap, so a
+    * viral prompt with millions of sampled candidates never funnels
+    * through one task; the final row_number window only ever sees ≤ n
+    * survivors per group.
+    *
+    * Output: (grp, id, score, rank), rank in [1, n].
+    */
+  def bestOfN(df: DataFrame, idCol: String, groupCol: String,
+              scoreCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"bestOfN: n must be >= 1: $n")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(scoreCol).cast("double").as("score"))
+      .withColumn("_ns", -col("score"))
+    val w = Window.partitionBy("grp").orderBy(col("_ns"), col("id"))
+    graft.ops.ScaleOps.smallestKPerGroup(base, "grp", Seq("_ns", "id"), n)
+      .withColumn("rank", row_number().over(w))
+      .select("grp", "id", "score", "rank")
+  }
 }

@@ -56,6 +56,22 @@ class SamplingSessionSpec extends SparkTestBase {
       ("g", 1L, 4L, 30.0), ("g", 2L, 3L, 10.0), ("j", 8L, 10L, 2.0)))
   }
 
+  test("bestOfN: top-n per group with id tie-break, repartition-invariant — hand-computed") {
+    // group g1: scores 9,7,7,3 — n=2 keeps 9 and the LOWER-id 7;
+    // group g2: fewer candidates than n — all kept, ranked
+    val d = Seq((1L, "g1", 7.0), (2L, "g1", 9.0), (3L, "g1", 7.0),
+        (4L, "g1", 3.0), (5L, "g2", 1.0))
+      .toDF("id", "grp", "score")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.bestOfN(df, "id", "grp", "score", n = 2)
+        .orderBy("grp", "rank")
+        .as[(String, Long, Double, Int)].collect().toSeq
+    val got = run(d)
+    assert(got == Seq(("g1", 2L, 9.0, 1), ("g1", 1L, 7.0, 2),
+      ("g2", 5L, 1.0, 1)), got.toString)
+    assert(got == run(d.repartition(7)), "selection must be partitioning-independent")
+  }
+
   test("hashSample is deterministic and repartition-invariant") {
     val df = spark.range(0, 5000).toDF("id")
     val a = Sampling.hashSample(df, col("id"), 0.3).as[Long].collect().sorted
