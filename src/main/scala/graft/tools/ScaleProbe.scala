@@ -121,6 +121,30 @@ object ScaleProbe {
       Dedup.crossCorpusContamination(
         docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100),
         "doc_id", "text", shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.7) }
+    // round-13 HTML front door: a pure regex/replace projection — must
+    // stay linear at scan speed (aggregate over the extracted column so
+    // Catalyst cannot prune the chain)
+    timed("html_extract") {
+      docs.select(graft.ops.HtmlOps.htmlExtract(concat(
+          lit("<html><head><style>b{}</style><script>var x=1;</script>" +
+            "</head><body><!-- nav --><h1>T</h1><p>"),
+          col("text"), lit("</p></body></html>"))).as("t"))
+        .agg(max(length(col("t")))) }
+    // round-13 Cavnar-Trenkle: the gram explode is the corpus char pass;
+    // profiles are (langs x K) dictionary-grain; train pred is
+    // hash-derived so it cannot correlate with the synthetic lang
+    timed("langid_ngram") {
+      graft.ops.TextOps.langIdNgram(
+        docs.withColumn("lang",
+          concat(lit("l"), pmod(col("doc_id"), lit(5)))),
+        "doc_id", "text", "lang",
+        pmod(hash(col("doc_id")), lit(10)) < 8) }
+    // round-13 sequence packing: one distributed prefix sum + an in-row
+    // segment explode — must track the prefix-sum shape
+    timed("seq_pack") {
+      graft.ops.PrefixSum.packSequences(
+        docs.select(col("doc_id"), length(col("text")).cast("long").as("sz")),
+        "doc_id", "sz", seqLen = 2048L) }
     // chunking: pure per-row transform, must stay linear at scan speed
     timed("chunk_overlap") {
       graft.ops.TextOps.tokenChunks(docs, "doc_id", "text", 16, 8) }
