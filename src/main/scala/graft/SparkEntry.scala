@@ -478,6 +478,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Fill-in-the-middle transform (round 13): Bavarian et al. 2022 PSM
+    // re-serialization at FimRate, both split positions hash-drawn per
+    // doc — the code-LLM infill data prep as one scan-grain projection,
+    // deterministic character for character.
+    "q_fim" -> ((s, dir) =>
+      TextOps.fimSplit(Tables.documents(s, dir), "doc_id", "text",
+          rate = FimRate, salt = "fim")
+        .orderBy("id")),
+
     // Language-ID the n-gram way (round 13): Cavnar-Trenkle rank
     // profiles — per-lang top-K char trigrams of the 80% hash-split
     // TRAINING slice, every doc classified by the out-of-place rank
@@ -3816,6 +3825,11 @@ object SparkEntry {
   private val LangIdK: Int = 100
   private val LangIdM: Int = 50
 
+  /** q_fim's transform rate — single-sourced into the Scala call and the
+    * oracle's draw threshold.
+    */
+  private val FimRate: Double = 0.5
+
   // ------------------------------------------------------------ html fixture
 
   /** The planted-dirt HTML page every q_html_* query renders around a
@@ -6223,6 +6237,27 @@ object SparkEntry {
            |  FROM wh),""".stripMargin + "\n" +
         WarcCleanCtes("wx", "t") + "\n" +
         CorpusGateAndPackSql("wdocs")),
+
+    // FIM replayed: the same hash-drawn coin + split positions and the
+    // same 1-based substring arithmetic; threshold interpolated from
+    // FimRate so the operating point cannot drift
+    "q_fim" ->
+      s"""WITH p AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+        |    ${graft.ops.Sampling.hashDrawSql("doc_id", "fim:p")} < ${math.floor(FimRate * 4294967296.0).toLong} AS fim,
+        |    ${graft.ops.Sampling.hashDrawSql("doc_id", "fim:a")} % (length(text) + 1) AS da,
+        |    ${graft.ops.Sampling.hashDrawSql("doc_id", "fim:b")} % (length(text) + 1) AS db
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, len, fim,
+        |        least(da, db) AS lo, greatest(da, db) AS hi FROM p)
+        |SELECT doc_id AS id, fim,
+        |       CAST(CASE WHEN fim THEN lo ELSE len END AS BIGINT) AS pre_len,
+        |       CAST(CASE WHEN fim THEN hi - lo ELSE 0 END AS BIGINT) AS mid_len,
+        |       CAST(CASE WHEN fim THEN len - hi ELSE 0 END AS BIGINT) AS suf_len,
+        |       CASE WHEN fim THEN '<|fim_pre|>' || substring(text, 1, CAST(lo AS INT))
+        |              || '<|fim_suf|>' || substring(text, CAST(hi + 1 AS INT), CAST(len - hi AS INT))
+        |              || '<|fim_mid|>' || substring(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+        |            ELSE text END AS text_out
+        |FROM s ORDER BY id""".stripMargin,
 
     // Cavnar-Trenkle replayed: the same normalize/gram/rank/out-of-place
     // chain with integer ranks and the identical (count DESC, gram ASC)

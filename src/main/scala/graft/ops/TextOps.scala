@@ -1077,6 +1077,50 @@ object TextOps {
           .as("kn_score"))
   }
 
+  /** FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle" — the code-LLM
+    * data-prep transform): with probability `rate`, a document is split
+    * at two uniform character positions into (prefix, middle, suffix)
+    * and re-serialized in PSM order with sentinel tokens —
+    * `<|fim_pre|>prefix<|fim_suf|>suffix<|fim_mid|>middle` — so the
+    * model learns to infill; the rest of the corpus passes through
+    * unchanged (the paper's joint objective).
+    *
+    * Everything is deterministic: the FIM coin and both split positions
+    * are [[Sampling.hashDraw]]s of the id (independent salts), so the
+    * transform is retry-stable, partitioning-independent, and
+    * oracle-replayable character for character. Split positions are
+    * uniform over [0, len] (empty pieces are legal — the paper keeps
+    * them). Output: (id, fim, pre_len, mid_len, suf_len, text_out);
+    * non-FIM rows report (len, 0, 0).
+    *
+    * Shape at 100 TB: one codegen'd projection at scan grain — no
+    * shuffle, no state, safe inside any ingest chain.
+    */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String,
+               rate: Double = 0.5, salt: String = "fim"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"fimSplit rate: $rate")
+    val len = length(col(textCol))
+    val thr = math.floor(rate * 4294967296.0).toLong
+    val fim = Sampling.hashDraw(col(idCol), salt + ":p") < lit(thr)
+    val da = pmod(Sampling.hashDraw(col(idCol), salt + ":a"),
+      (len + 1).cast("long"))
+    val db = pmod(Sampling.hashDraw(col(idCol), salt + ":b"),
+      (len + 1).cast("long"))
+    val lo = least(da, db).cast("int")
+    val hi = greatest(da, db).cast("int")
+    val pre = col(textCol).substr(lit(1), lo)
+    val mid = col(textCol).substr(lo + 1, hi - lo)
+    val suf = col(textCol).substr(hi + 1, len - hi)
+    df.select(col(idCol).as("id"), fim.as("fim"),
+      when(fim, lo.cast("long")).otherwise(len.cast("long")).as("pre_len"),
+      when(fim, (hi - lo).cast("long")).otherwise(lit(0L)).as("mid_len"),
+      when(fim, (len - hi).cast("long")).otherwise(lit(0L)).as("suf_len"),
+      when(fim, concat(lit("<|fim_pre|>"), pre, lit("<|fim_suf|>"), suf,
+          lit("<|fim_mid|>"), mid))
+        .otherwise(col(textCol)).as("text_out"))
+  }
+
   /** Cavnar-Trenkle n-gram rank-profile language ID (Cavnar & Trenkle
     * 1994, "N-Gram-Based Text Categorization" — the langid/CLD lineage's
     * root algorithm, and the concrete form of the reference-era

@@ -74,6 +74,17 @@ class PlanGuardSpec extends SparkTestBase {
     assert("FileScan".r.findAllIn(plan).length == 1)
   }
 
+  test("q_langid: profile joins broadcast; the only NLJ is the bounded langs expansion") {
+    val plan = SparkEntry.queries("q_langid")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the (langs x K) profile must broadcast onto the doc-gram stream,
+    // never shuffle it; the langs cross-expansion is a handful of rows
+    // (broadcast-NLJ by construction) and no unplanned cartesian exists
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lang profile must broadcast-join:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("mixEpoch: the weight table broadcasts onto the scan") {
     import org.apache.spark.sql.functions.col
     val plan = graft.ops.Sampling.mixEpoch(

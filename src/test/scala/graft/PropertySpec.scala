@@ -102,6 +102,39 @@ class PropertySpec extends SparkTestBase {
     assert(got == Seq(("x", 5000L)))
   }
 
+  test("fimSplit: pieces reconstruct the original exactly; non-FIM rows pass through") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val out = graft.ops.TextOps.fimSplit(docs, "doc_id", "text", rate = 0.5)
+      .join(docs.withColumnRenamed("doc_id", "id"), "id")
+      .as[(Long, Boolean, Long, Long, Long, String, String)].collect()
+    assert(out.nonEmpty)
+    val (fimmed, plain) = out.partition(_._2)
+    // rate ≈ 0.5 on the fixture (hash-drawn coin)
+    assert(fimmed.nonEmpty && plain.nonEmpty)
+    plain.foreach { case (_, _, p, m, sfx, t, orig) =>
+      assert(t == orig && p == orig.length && m == 0 && sfx == 0)
+    }
+    fimmed.foreach { case (id, _, p, m, sfx, t, orig) =>
+      assert(p + m + sfx == orig.length, s"doc $id lengths")
+      // parse the PSM serialization back into pieces and reassemble
+      assert(t.startsWith("<|fim_pre|>"), s"doc $id missing pre sentinel")
+      val body = t.stripPrefix("<|fim_pre|>")
+      val Array(pre, rest) = body.split("\\Q<|fim_suf|>\\E", 2)
+      val Array(suf, mid) = rest.split("\\Q<|fim_mid|>\\E", 2)
+      assert(pre.length == p && mid.length == m && suf.length == sfx,
+        s"doc $id piece lengths")
+      assert(pre + mid + suf == orig, s"doc $id does not reconstruct")
+    }
+    // determinism: same salt, bit-identical re-run
+    val again = graft.ops.TextOps.fimSplit(docs, "doc_id", "text", rate = 0.5)
+      .orderBy("id").collect().toSeq
+    val first = graft.ops.TextOps.fimSplit(docs, "doc_id", "text", rate = 0.5)
+      .orderBy("id").collect().toSeq
+    assert(first == again)
+  }
+
   test("langIdNgram: planted character distributions classify every held-out doc; tokenless docs absent") {
     import spark.implicits._
     // two synthetic "languages" over disjoint alphabets — the rank
