@@ -3644,6 +3644,31 @@ object SparkEntry {
       chain.BradleyTerry.fit(pairs, iterations = 3).orderBy("item")
     }),
 
+    // RLHF DATA PIPELINE capstone (round 13): the arena-leaderboard
+    // composition — per-prompt candidates (prompt = source, reward =
+    // n_chars, generating policy = lang) ranked into maximal-margin
+    // preference pairs (Sampling.preferencePairs), pairs projected onto
+    // their POLICY labels (cross-policy outcomes only — a policy cannot
+    // beat itself), Bradley-Terry MM fit over the bounded policy set.
+    // Every stage is the library op; the oracle replays ranking, pairing,
+    // label join, and the unrolled MM rounds through the SAME shared
+    // machinery as q_bt_ratings (BtMmSql).
+    "q_rlhf_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Sampling.preferencePairs(
+        d.select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars")
+      val lab = d.select(col("doc_id"), col("lang"))
+      val outcomes = pairs
+        .join(lab.select(col("doc_id").as("chosen_id"),
+          col("lang").as("win")), "chosen_id")
+        .join(lab.select(col("doc_id").as("rejected_id"),
+          col("lang").as("lose")), "rejected_id")
+        .filter(col("win") =!= col("lose"))
+        .select("win", "lose")
+      chain.BradleyTerry.fit(outcomes, iterations = 3).orderBy("item")
+    }),
+
     // Naive Bayes training grid — naive_bayes.py:46-159 semantics:
     // document-level binary events (docId, cls=lang, feature=token),
     // +1-pseudocount contingency grid, ll_pair = log a - log b,
@@ -4087,6 +4112,39 @@ object SparkEntry {
     */
   private def StopwordsInSql: String =
     graft.ops.TextOps.Stopwords.map(w => s"'$w'").mkString(",")
+
+  /** The Bradley-Terry MM machinery as CTEs + final select, expecting an
+    * upstream CTE `p(win, lose)` (one row per pairwise outcome) — the
+    * SHARED back half of the q_bt_ratings and q_rlhf_pipeline oracles,
+    * mirroring chain.BradleyTerry.fit round for round (decimal
+    * denominator sums, round-6 rescale).
+    */
+  private def BtMmSql(rounds: Int): String = {
+    def round_(i: Int) =
+      s"""j$i AS (SELECT c.a, c.b, CAST(c.nij AS DOUBLE)/(sa.s + sb.s) AS c
+         |  FROM counts c JOIN s${i - 1} sa ON sa.item = c.a
+         |                JOIN s${i - 1} sb ON sb.item = c.b),
+         |d$i AS (SELECT item, CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS den
+         |  FROM (SELECT a AS item, c FROM j$i UNION ALL SELECT b AS item, c FROM j$i)
+         |  GROUP BY item),
+         |r$i AS (SELECT w.item, CASE WHEN d.den IS NOT NULL AND w.w > 0
+         |          THEN CAST(w.w AS DOUBLE)/d.den ELSE 0.0 END AS s
+         |  FROM wins w LEFT JOIN d$i d USING (item)),
+         |t$i AS (SELECT CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE) AS t,
+         |          CAST(count(*) AS DOUBLE) AS k FROM r$i),
+         |s$i AS (SELECT item, round(s * k / t, 6) AS s FROM r$i CROSS JOIN t$i)""".stripMargin
+    s"""items AS (SELECT DISTINCT item FROM
+       |  (SELECT win AS item FROM p UNION ALL SELECT lose AS item FROM p)),
+       |wins AS (SELECT i.item, CAST(coalesce(w.w, 0) AS BIGINT) AS w
+       |  FROM items i LEFT JOIN
+       |    (SELECT win AS item, count(*) AS w FROM p GROUP BY win) w USING (item)),
+       |counts AS (SELECT least(win, lose) AS a, greatest(win, lose) AS b,
+       |    CAST(count(*) AS BIGINT) AS nij FROM p GROUP BY 1, 2),
+       |s0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS s FROM items),
+       |${(1 to rounds).map(round_).mkString(",\n")}
+       |SELECT w.item, w.w, s$rounds.s AS rating
+       |FROM wins w JOIN s$rounds USING (item) ORDER BY item""".stripMargin
+  }
 
   private val DedupClusterClosureSql: String = DedupClosureCtes + "\n" +
     """SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
@@ -7686,41 +7744,36 @@ object SparkEntry {
          |FROM x CROSS JOIN w3 w ORDER BY x.vec_id""".stripMargin
     },
 
-    // BT replay: pair synthesis CTEs + the unrolled MM rounds (decimal
-    // denominator sums, round-6 rescale each round).
-    "q_bt_ratings" -> {
-      def round_(i: Int) =
-        s"""j$i AS (SELECT c.a, c.b, CAST(c.nij AS DOUBLE)/(sa.s + sb.s) AS c
-           |  FROM counts c JOIN s${i - 1} sa ON sa.item = c.a
-           |                JOIN s${i - 1} sb ON sb.item = c.b),
-           |d$i AS (SELECT item, CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS den
-           |  FROM (SELECT a AS item, c FROM j$i UNION ALL SELECT b AS item, c FROM j$i)
-           |  GROUP BY item),
-           |r$i AS (SELECT w.item, CASE WHEN d.den IS NOT NULL AND w.w > 0
-           |          THEN CAST(w.w AS DOUBLE)/d.den ELSE 0.0 END AS s
-           |  FROM wins w LEFT JOIN d$i d USING (item)),
-           |t$i AS (SELECT CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE) AS t,
-           |          CAST(count(*) AS DOUBLE) AS k FROM r$i),
-           |s$i AS (SELECT item, round(s * k / t, 6) AS s FROM r$i CROSS JOIN t$i)""".stripMargin
-      s"""WITH d AS (SELECT doc_id, source, lang, n_chars,
+    // BT replay: pair synthesis CTEs + the shared unrolled MM machinery
+    // (BtMmSql — decimal denominator sums, round-6 rescale each round).
+    "q_bt_ratings" ->
+      (s"""WITH d AS (SELECT doc_id, source, lang, n_chars,
          |    lead(lang) OVER (PARTITION BY source ORDER BY doc_id) AS nl,
          |    lead(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS nc
          |  FROM documents),
          |p AS (SELECT CASE WHEN n_chars > nc THEN lang ELSE nl END AS win,
          |             CASE WHEN n_chars > nc THEN nl ELSE lang END AS lose
          |      FROM d WHERE nl IS NOT NULL AND nl <> lang AND nc <> n_chars),
-         |items AS (SELECT DISTINCT item FROM
-         |  (SELECT win AS item FROM p UNION ALL SELECT lose AS item FROM p)),
-         |wins AS (SELECT i.item, CAST(coalesce(w.w, 0) AS BIGINT) AS w
-         |  FROM items i LEFT JOIN
-         |    (SELECT win AS item, count(*) AS w FROM p GROUP BY win) w USING (item)),
-         |counts AS (SELECT least(win, lose) AS a, greatest(win, lose) AS b,
-         |    CAST(count(*) AS BIGINT) AS nij FROM p GROUP BY 1, 2),
-         |s0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS s FROM items),
-         |${(1 to 3).map(round_).mkString(",\n")}
-         |SELECT w.item, w.w, s3.s AS rating
-         |FROM wins w JOIN s3 USING (item) ORDER BY item""".stripMargin
-    },
+         |""".stripMargin + BtMmSql(3)),
+
+    // the RLHF composition replayed: the q_pref_pairs ranking CTEs, the
+    // policy-label join with the cross-policy filter, then the SAME
+    // shared BT machinery rooted on those outcomes
+    "q_rlhf_pipeline" ->
+      (s"""WITH cd AS (SELECT doc_id AS id, source AS grp,
+         |             CAST(n_chars AS DOUBLE) AS score FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY grp
+         |                  ORDER BY score DESC, id ASC) AS rk,
+         |        count(*) OVER (PARTITION BY grp) AS n FROM cd),
+         |pp AS (SELECT a.id AS cid, b.id AS rid
+         |       FROM r a JOIN r b ON a.grp = b.grp AND b.rk = a.n + 1 - a.rk
+         |         AND a.rk < b.rk
+         |       WHERE a.score > b.score),
+         |p AS (SELECT dc.lang AS win, dr.lang AS lose
+         |      FROM pp JOIN documents dc ON dc.doc_id = pp.cid
+         |              JOIN documents dr ON dr.doc_id = pp.rid
+         |      WHERE dc.lang <> dr.lang),
+         |""".stripMargin + BtMmSql(3)),
 
     "q_nb_train" ->
       """WITH toks AS (

@@ -72,6 +72,34 @@ class SamplingSessionSpec extends SparkTestBase {
     assert(got == run(d.repartition(7)), "selection must be partitioning-independent")
   }
 
+  test("rlhf composition: cross-policy outcomes only, stronger policy out-rates") {
+    // prompt p1: policy A's candidates (40,30) outscore B's (20,10) ->
+    // inward pairs (40,10),(30,20), both A-beats-B; prompt p2: 9(A),
+    // 8(A),2(A),1(B) -> pair (9,1) is A-beats-B but (8,2) is A-vs-A,
+    // which the cross-policy projection must drop (a policy cannot
+    // beat itself in an arena leaderboard)
+    val d = Seq(
+      (1L, "p1", 40.0, "A"), (2L, "p1", 10.0, "B"),
+      (3L, "p1", 30.0, "A"), (4L, "p1", 20.0, "B"),
+      (5L, "p2", 9.0, "A"), (6L, "p2", 1.0, "B"),
+      (7L, "p2", 8.0, "A"), (8L, "p2", 2.0, "A"))
+      .toDF("id", "grp", "score", "policy")
+    val pairs = Sampling.preferencePairs(d, "id", "grp", "score")
+    val lab = d.select($"id", $"policy")
+    val outcomes = pairs
+      .join(lab.select($"id".as("chosen_id"), $"policy".as("win")), "chosen_id")
+      .join(lab.select($"id".as("rejected_id"), $"policy".as("lose")), "rejected_id")
+      .filter($"win" =!= $"lose")
+      .select("win", "lose")
+    assert(outcomes.count() == 3, "the A-vs-A pair must not reach the BT stage")
+    val ratings = graft.chain.BradleyTerry.fit(outcomes, iterations = 3)
+      .orderBy("item").as[(String, Long, Double)].collect().toSeq
+    assert(ratings.map(_._1) == Seq("A", "B"))
+    assert(ratings.head._2 == 3L && ratings(1)._2 == 0L)
+    assert(ratings.head._3 > ratings(1)._3,
+      s"undefeated policy must out-rate: $ratings")
+  }
+
   test("hashSample is deterministic and repartition-invariant") {
     val df = spark.range(0, 5000).toDF("id")
     val a = Sampling.hashSample(df, col("id"), 0.3).as[Long].collect().sorted
