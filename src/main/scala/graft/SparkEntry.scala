@@ -855,6 +855,37 @@ object SparkEntry {
         "doc_id", "source", "n_chars", n = 4)
         .orderBy("grp", "rank")),
 
+    // GROUP-RELATIVE ADVANTAGE (round 13): each candidate's reward
+    // z-scored within its prompt group (population std, decimal sums,
+    // round-6) — the GRPO normalization stage; degenerate groups
+    // (singleton / constant reward) get advantage 0. Prompt = source,
+    // reward = n_chars on the fixture.
+    "q_grpo_adv" -> ((s, dir) =>
+      Sampling.groupAdvantage(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars")
+        .orderBy("id")),
+
+    // DSIR importance resampling (round 13): hashed-unigram target-vs-raw
+    // log-likelihood-ratio weight per document (target = lang='en',
+    // featureHash's 64-bucket space, add-one smoothing), then keep the
+    // top quartile by weight — threshold from the distributed exact
+    // quantile, keep = lw >= thr (ties land inclusive, so the budget is
+    // a floor). The weights frame is checkpointed once and feeds both
+    // the threshold scan and the keep projection.
+    "q_dsir" -> ((s, dir) => {
+      val w = TextOps.dsirWeights(Tables.documents(s, dir), "doc_id",
+          "text", col("lang") === "en", dim = 64)
+        .localCheckpoint()
+      val thr = graft.ops.WindowOps.exactQuantilesGlobal(w, "lw", Seq(0.75))
+        .select(col("value").as("thr"))
+      w.crossJoin(broadcast(thr))
+        .select(col("id"), col("n_tokens"), col("lw"),
+          (col("lw") >= col("thr")).as("keep"))
+        .orderBy("id")
+    }),
+
     // Deterministic stratified sampling: en kept at 50%, other langs at 10%;
     // the draw is a pure function of doc_id so the sample is reproducible
     // under retry / rerun / repartition and the oracle replays it exactly.
@@ -7468,6 +7499,51 @@ object SparkEntry {
         |  AND a.rk < b.rk
         |WHERE a.score > b.score
         |ORDER BY a.grp, chosen_id""".stripMargin,
+
+    // per-group decimal mean / population std, round-6 z, std-0 guard —
+    // the q_standardize arithmetic regrouped by prompt
+    "q_grpo_adv" ->
+      """WITH d AS (SELECT source AS grp, doc_id AS id,
+        |             CAST(n_chars AS DOUBLE) AS reward FROM documents),
+        |s AS (SELECT grp, count(*) AS n,
+        |        sum(CAST(reward AS DECIMAL(38,18))) AS sx,
+        |        sum(CAST(reward * reward AS DECIMAL(38,18))) AS sxx
+        |      FROM d GROUP BY grp),
+        |st AS (SELECT grp, CAST(sx AS DOUBLE) / n AS mean,
+        |         sqrt(greatest(0.0,
+        |           CAST(sxx AS DOUBLE) / n
+        |           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))) AS std
+        |       FROM s)
+        |SELECT d.grp, d.id, d.reward,
+        |       round(CASE WHEN std = 0.0 THEN 0.0
+        |             ELSE (reward - mean) / std END, 6) AS adv
+        |FROM d JOIN st USING (grp) ORDER BY id""".stripMargin,
+
+    // DSIR replay: featureHash's bucket space, add-one bucket models on
+    // the en slice vs the full corpus, per-bucket log-ratio quantized
+    // BEFORE the decimal per-doc sum, quantile_disc threshold
+    "q_dsir" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |           FROM documents),
+        |b AS (SELECT doc_id, tgt,
+        |        CAST(('0x' || substr(md5(tok || ':fh'), 1, 8)) AS BIGINT) % 64 AS b
+        |      FROM t),
+        |db AS (SELECT doc_id, tgt, b, count(*) AS c FROM b GROUP BY doc_id, tgt, b),
+        |raw AS (SELECT b, sum(c) AS cr FROM db GROUP BY b),
+        |tg AS (SELECT b, sum(c) AS ct FROM db WHERE tgt GROUP BY b),
+        |tot AS (SELECT (SELECT sum(cr) FROM raw) AS r,
+        |               (SELECT coalesce(sum(ct), 0) FROM tg) AS t),
+        |lr AS (SELECT raw.b,
+        |         round(ln(CAST(coalesce(tg.ct, 0) + 1 AS DOUBLE) / CAST(tot.t + 64 AS DOUBLE))
+        |             - ln(CAST(raw.cr + 1 AS DOUBLE) / CAST(tot.r + 64 AS DOUBLE)), 6) AS lr
+        |       FROM raw LEFT JOIN tg ON raw.b = tg.b CROSS JOIN tot),
+        |w AS (SELECT db.doc_id AS id, CAST(sum(db.c) AS BIGINT) AS n_tokens,
+        |        round(CAST(sum(CAST(CAST(db.c AS DOUBLE) * lr.lr AS DECIMAL(38,18))) AS DOUBLE), 6) AS lw
+        |      FROM db JOIN lr ON db.b = lr.b GROUP BY db.doc_id),
+        |thr AS (SELECT quantile_disc(lw, 0.75) AS thr FROM w)
+        |SELECT id, n_tokens, lw, lw >= thr.thr AS keep
+        |FROM w CROSS JOIN thr ORDER BY id""".stripMargin,
 
     "q_partition_prune" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -379,4 +379,42 @@ object Sampling {
       .withColumn("rank", row_number().over(w))
       .select("grp", "id", "score", "rank")
   }
+
+  /** GROUP-RELATIVE ADVANTAGE — the reward-normalization stage of
+    * group-relative policy optimization (Shao et al. 2024, public): each
+    * candidate's advantage is its reward z-scored WITHIN its prompt
+    * group, adv = (r − mean_g) / std_g (population std), so a prompt
+    * whose every sample scores high contributes no spurious gradient.
+    * Degenerate groups (singleton, or all rewards equal → std 0) get
+    * advantage 0 — no signal, not a division blow-up.
+    *
+    * Determinism across engines: per-group sums go through
+    * DECIMAL(38,18) so the mean/std are association-order-free, and the
+    * advantage is quantized to 6 decimals — the q_standardize recipe
+    * applied per group.
+    *
+    * Shape at 100 TB: one shuffle on the group key for the stats, one
+    * for the join back — NO broadcast (prompt count scales with the
+    * corpus, unlike q_standardize's bounded dim table) and NO global
+    * window. Output: (grp, id, reward, adv).
+    */
+  def groupAdvantage(df: DataFrame, idCol: String, groupCol: String,
+                     rewardCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(rewardCol).cast("double").as("reward"))
+    val stats = base.groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        sum(col("reward").cast("decimal(38,18)")).as("sx"),
+        sum((col("reward") * col("reward")).cast("decimal(38,18)")).as("sxx"))
+      .select(col("grp"),
+        (col("sx").cast("double") / col("n")).as("mean"),
+        sqrt(greatest(lit(0.0),
+          col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) *
+            (col("sx").cast("double") / col("n")))).as("std"))
+    base.join(stats, "grp")
+      .select(col("grp"), col("id"), col("reward"),
+        round(when(col("std") === 0.0, 0.0)
+          .otherwise((col("reward") - col("mean")) / col("std")), 6).as("adv"))
+  }
 }

@@ -330,6 +330,59 @@ object TextOps {
           e => concat(e("b"), lit(":"), e("c")))).as("features"))
   }
 
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023 — public paper): score every document by how much
+    * more likely its hashed-n-gram bag is under a TARGET-slice unigram
+    * model than under the RAW-corpus model,
+    * lw(doc) = Σ_tok [ln p̂_tgt(b(tok)) − ln p̂_raw(b(tok))],
+    * with add-one smoothing over the `dim` hash buckets. High lw =
+    * "reads like the target domain"; resampling by lw is the standard
+    * recipe for steering a web-scale corpus toward a quality slice
+    * without training a classifier.
+    *
+    * The feature space is exactly [[featureHash]]'s bucketing (same md5
+    * derivation, same `:fh` salt), so the oracle replays it and the
+    * weights are comparable with the hashed bag-of-words features.
+    *
+    * Determinism across engines: each bucket's log-ratio is quantized
+    * (round 6) BEFORE the per-doc sum, the sum runs through
+    * DECIMAL(38,18) (association-order-free), and the final weight is
+    * quantized again — both engines add identical numbers.
+    *
+    * Shape at 100 TB: ONE tokenize/hash pass (the (id, bucket, count)
+    * frame is localCheckpointed and feeds the target counts, the raw
+    * counts, and the scoring join); both models are dictionary-grain
+    * (≤ dim rows) so the scoring join BROADCASTS; no all-pairs, no
+    * global window. Output: (id, n_tokens, lw).
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetCol: Column, dim: Int): DataFrame = {
+    require(dim >= 2, s"dsirWeights: dim must be >= 2: $dim")
+    val bucket = pmod(conv(substring(md5(to_binary(
+      concat(col("tok"), lit(":fh")), lit("utf-8"))), 1, 8), 16, 10)
+      .cast("long"), lit(dim.toLong))
+    val perDocB = df.select(col(idCol).as("id"), targetCol.as("_tgt"),
+        explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("tok"))
+      .select(col("id"), col("_tgt"), bucket.as("b"))
+      .groupBy("id", "_tgt", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // 3 consumers: target counts, raw counts, scoring
+    val raw = perDocB.groupBy("b").agg(sum(col("c")).as("cr"))
+    val tgt = perDocB.filter(col("_tgt")).groupBy("b").agg(sum(col("c")).as("ct"))
+    val tot = raw.agg(sum(col("cr")).as("r"))
+      .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("t")))
+    val lr = raw.join(tgt, Seq("b"), "left").crossJoin(tot)
+      .select(col("b"), round(
+        log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t") + lit(dim.toLong)).cast("double")) -
+        log((col("cr") + lit(1L)).cast("double") /
+          (col("r") + lit(dim.toLong)).cast("double")), 6).as("lr"))
+    perDocB.join(broadcast(lr), "b")
+      .groupBy("id").agg(
+        sum(col("c")).as("n_tokens"),
+        round(sum((col("c").cast("double") * col("lr"))
+          .cast("decimal(38,18)")).cast("double"), 6).as("lw"))
+  }
+
   /** Doc-level PMI co-occurrence — the word-association table (collocation
     * mining, embedding-training diagnostics): for token pairs x < y,
     * PMI = ln(P(x,y) / (P(x)·P(y))) with document-level probabilities

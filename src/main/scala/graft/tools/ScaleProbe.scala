@@ -145,6 +145,21 @@ object ScaleProbe {
       graft.ops.PrefixSum.packSequences(
         docs.select(col("doc_id"), length(col("text")).cast("long").as("sz")),
         "doc_id", "sz", seqLen = 2048L) }
+    // round-13 DSIR weights: one tokenize/hash pass (checkpointed, 3
+    // consumers), dictionary-grain bucket models, broadcast scoring
+    // join — must track the feature_hash shape, not the corpus²
+    timed("dsir") {
+      graft.ops.TextOps.dsirWeights(docs, "doc_id", "text",
+        pmod(hash(col("doc_id")), lit(10)) < 8, dim = 256) }
+    // round-13 GRPO advantage: group count scales with n (~4 candidates
+    // per prompt, the realistic group size) — two group-keyed shuffles,
+    // no window, must stay ~linear
+    timed("grpo_adv") {
+      graft.ops.Sampling.groupAdvantage(
+        docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(math.max(1L, n / 4))).as("grp"),
+          length(col("text")).cast("double").as("r")),
+        "doc_id", "grp", "r") }
     // chunking: pure per-row transform, must stay linear at scan speed
     timed("chunk_overlap") {
       graft.ops.TextOps.tokenChunks(docs, "doc_id", "text", 16, 8) }

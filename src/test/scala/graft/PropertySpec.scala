@@ -685,6 +685,29 @@ class PropertySpec extends SparkTestBase {
     assert(math.abs(s(0)._3 - math.log(12.0 / 6.0)) < 1e-3)
   }
 
+  test("dsirWeights: target-vocab docs out-weigh raw-only docs; text-determined; repartition-invariant") {
+    import spark.implicits._
+    // target slice speaks {aa,bb,cc,dd,ee}; raw-only docs speak
+    // {vv,ww,xx,yy,zz}; doc 6 mixes both vocabularies and must land
+    // strictly between — and doc 3 (target vocab, NON-target doc) must
+    // tie doc 1 exactly: the weight is a function of the text alone
+    val docs = Seq(
+      (1L, "aa bb cc dd ee", true), (2L, "aa bb cc dd ee", true),
+      (3L, "aa bb cc dd ee", false),
+      (4L, "vv ww xx yy zz", false), (5L, "vv ww xx yy zz", false),
+      (6L, "aa bb vv ww xx", false)).toDF("doc_id", "text", "tgt")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.dsirWeights(df, "doc_id", "text", col("tgt"), dim = 64)
+        .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    val got = run(docs)
+    assert(got.map(_._2) == Seq.fill(6)(5L), s"token counts: $got")
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(3L) == byId(1L), s"weight must depend on text only: $got")
+    assert(byId(3L) > byId(6L) && byId(6L) > byId(4L),
+      s"target-vocab > mixed > raw-only expected: $got")
+    assert(got == run(docs.repartition(7)), "weights must be partitioning-independent")
+  }
+
   test("media sniffers are TOTAL: arbitrary bytes and mutated valid files never throw") {
     import graft.multimodal.{AudioMeta, ImageMeta}
     val rnd = new scala.util.Random(31)

@@ -100,6 +100,21 @@ class SamplingSessionSpec extends SparkTestBase {
       s"undefeated policy must out-rate: $ratings")
   }
 
+  test("groupAdvantage: within-group z-score, degenerate groups get 0 — hand-computed") {
+    // group g: rewards 1,2,3 -> mean 2, pop std sqrt(2/3), advs
+    // ±1/sqrt(2/3) = ±1.224745 (round 6); group h: constant rewards ->
+    // std 0 -> adv 0 (not NaN); group i: singleton -> adv 0
+    val d = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0),
+        (4L, "h", 5.0), (5L, "h", 5.0), (6L, "i", 7.0))
+      .toDF("id", "grp", "reward")
+    val got = Sampling.groupAdvantage(d, "id", "grp", "reward")
+      .orderBy("id").as[(String, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._4) == Seq(-1.224745, 0.0, 1.224745, 0.0, 0.0, 0.0),
+      got.toString)
+    assert(got.map(r => (r._1, r._3)) == Seq(("g", 1.0), ("g", 2.0),
+      ("g", 3.0), ("h", 5.0), ("h", 5.0), ("i", 7.0)))
+  }
+
   test("hashSample is deterministic and repartition-invariant") {
     val df = spark.range(0, 5000).toDF("id")
     val a = Sampling.hashSample(df, col("id"), 0.3).as[Long].collect().sorted
