@@ -370,7 +370,7 @@ object TextOps {
     val tgt = perDocB.filter(col("_tgt")).groupBy("b").agg(sum(col("c")).as("ct"))
     val tot = raw.agg(sum(col("cr")).as("r"))
       .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("t")))
-    val lr = raw.join(tgt, Seq("b"), "left").crossJoin(tot)
+    val lr = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
       .select(col("b"), round(
         log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
           (col("t") + lit(dim.toLong)).cast("double")) -

@@ -336,4 +336,35 @@ class PlanGuardSpec extends SparkTestBase {
     assert(cappedLr.constraints.exists(_.references.exists(_.name == "d1")),
       "expected the d1 filter constraint to survive the capped rebuild")
   }
+
+  test("dsirWeights: the scoring join broadcasts the dictionary-grain model") {
+    import org.apache.spark.sql.functions._
+    val plan = graft.ops.TextOps.dsirWeights(
+        graft.core.Tables.documents(spark, sfDir), "doc_id", "text",
+        col("lang") === "en", dim = 64)
+      .queryExecution.executedPlan.toString
+    // the corpus-grain (id, bucket, count) frame must join the ≤ dim-row
+    // log-ratio model by BROADCAST — a shuffle here would move the whole
+    // corpus to co-locate with a 64-row table
+    assert(plan.contains("BroadcastHashJoin"),
+      s"DSIR scoring join must broadcast the bucket model:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      "all-pairs join in the DSIR plan")
+  }
+
+  test("groupAdvantage: stats come from groupBy + join-back, never a window") {
+    import org.apache.spark.sql.functions._
+    val plan = graft.ops.Sampling.groupAdvantage(
+        graft.core.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars")
+      .queryExecution.executedPlan.toString
+    // prompt count scales with the corpus: the z-score must ride
+    // group-keyed hash aggregation, not a per-group Window (whose sort
+    // is wasted) and never a broadcast of the unbounded stats side
+    assert(!plan.contains("Window"),
+      s"groupAdvantage must not plan a Window:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
