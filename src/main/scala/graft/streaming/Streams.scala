@@ -164,6 +164,42 @@ object Streams {
       .toDF("thread", "n_turns", "n_kept", "n_events", "transcript")
   }
 
+  /** Streaming best-of-n rejection sampling —
+    * [[graft.ops.Sampling.bestOfN]] maintained incrementally as
+    * candidates arrive: per-prompt state is the BOUNDED current top-n
+    * list in the batch op's exact (score DESC, id ASC) order — O(n) per
+    * prompt forever, never the candidate history. Each micro-batch
+    * merges its arrivals into the list and the prompt re-emits its
+    * current ranked selection — row-for-row what the batch operator
+    * returns over the same event prefix (the StreamsSpec parity
+    * contract), so a reward-model scoring stream can keep a live
+    * "SFT favorites" table without rescanning the archive. Update
+    * output mode.
+    */
+  def bestOfNStream(cands: DataFrame, groupCol: String, idCol: String,
+                    scoreCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"bestOfNStream: n must be >= 1, got $n")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        col(scoreCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(Double, Long)], (String, Long, Double, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (grp, it, state: GroupState[Vector[(Double, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Vector.empty) ++
+              it.map(e => (e._3, e._2)))
+            .sortBy { case (s, id) => (-s, id) }
+            .take(n)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case ((s, id), i) =>
+            (grp, id, s, i + 1)
+          }
+      }
+      .toDF("grp", "id", "score", "rank")
+  }
+
   /** Streaming heavy hitters — incremental Misra–Gries per group: state is
     * ≤ k−1 counters per group (bounded forever, no TTL needed), updated
     * per micro-batch; after each batch the group's current candidates

@@ -267,6 +267,43 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming best-of-n: the live top-n per prompt equals the batch op after every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Long, Double)]
+    val q = Streams.bestOfNStream(in.toDF.toDF("grp", "id", "score"),
+        "grp", "id", "score", n = 2)
+      .writeStream.format("memory").queryName("bofn_s")
+      .outputMode(OutputMode.Update).start()
+    def latest(): Set[(String, Long, Double, Int)] = {
+      // Update mode re-emits a prompt's full current list each batch it
+      // changes; the LIVE table is each prompt's latest emission — for a
+      // memory sink, the max-rank-consistent last rows per (grp, rank)
+      val all = spark.table("bofn_s")
+        .as[(String, Long, Double, Int)].collect()
+      // later emissions overwrite: take the last occurrence per (grp, rank)
+      all.zipWithIndex.groupBy(r => (r._1._1, r._1._4))
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }.toSet
+    }
+    def batchOn(rows: Seq[(String, Long, Double)]) =
+      graft.ops.Sampling.bestOfN(rows.toDF("grp", "id", "score"),
+          "id", "grp", "score", n = 2)
+        .as[(String, Long, Double, Int)].collect().toSet
+    try {
+      // batch 1: p1 fills with 9,7 (id 2 wins the 7-tie by lower id)
+      val b1 = Seq(("p1", 1L, 7.0), ("p1", 2L, 9.0), ("p2", 3L, 1.0))
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchOn(b1), s"after batch 1: ${latest()}")
+      // batch 2: a late 8.0 evicts p1's 7.0; a worse candidate (0.5)
+      // leaves p2 unchanged in state but the contract is vs the batch op
+      val b2 = Seq(("p1", 4L, 8.0), ("p2", 5L, 0.5))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(latest() == batchOn(b1 ++ b2), s"after batch 2: ${latest()}")
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup: later near-copies are dropped against the index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = graft.io.IoScratch.dir + "/stream_neardup"
