@@ -300,6 +300,17 @@ object SparkEntry {
         Seq("scan", "column", "window"))
         .orderBy("doc_id")),
 
+    // Multi-query BM25 retrieval (round 13): a 3-query batch scored
+    // against the corpus in ONE token pass, top-10 docs per query via
+    // the two-level no-one-task heap — the search / RAG-labeling path.
+    // dl rides the explode (no doc-grain lens join); parts quantized
+    // round-6 before the order-free decimal per-(query, doc) sum.
+    "q_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq(1 -> Seq("scan", "column"), 2 -> Seq("window", "sort"),
+          3 -> Seq("stream", "batch")), k = 10)
+        .orderBy("qid", "rank")),
+
     // Retrieval eval: NDCG@10 + MRR@10 per query term over a tf/dl
     // ranking, graded relevance = capped term frequency. The ranking-
     // quality leg of the eval suite (AUC/logloss/calibration cover
@@ -6626,6 +6637,37 @@ object SparkEntry {
         |       round(coalesce(p_scan, 0.0) + coalesce(p_column, 0.0)
         |             + coalesce(p_window, 0.0), 6) AS score
         |FROM ps ORDER BY doc_id""".stripMargin,
+
+    // retrieval replay: same tokenize, same BM25 arithmetic, parts
+    // quantized round-6 before the decimal per-(query, doc) sum, rank
+    // window = (score DESC, doc_id) — the one-task form of the
+    // two-level heap
+    "q_bm25_topk" ->
+      """WITH q(qid, term) AS (VALUES (1, 'scan'), (1, 'column'),
+        |    (2, 'window'), (2, 'sort'), (3, 'stream'), (3, 'batch')),
+        |tok AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |                 (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM lens) AS avgdl),
+        |terms AS (SELECT DISTINCT term AS tok FROM q),
+        |hits AS (SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+        |         FROM tok t JOIN terms USING (tok) GROUP BY t.doc_id, t.tok),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY tok),
+        |parts AS (SELECT q.qid, h.doc_id,
+        |            round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |              * (tf * (1.2 + 1.0))
+        |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / avgdl)), 6) AS part
+        |          FROM hits h JOIN lens USING (doc_id) JOIN dfreq USING (tok)
+        |               JOIN q ON q.term = h.tok CROSS JOIN stats),
+        |sc AS (SELECT qid, doc_id,
+        |         round(CAST(sum(CAST(part AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+        |       FROM parts GROUP BY qid, doc_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
+        |SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
 
     // epoch_us on both sides: integer micros, no float time arithmetic.
     // threading replay: lag run-break + ROWS-framed running sum + two

@@ -123,6 +123,74 @@ object TextOps {
           .reduce(_ + _), 6).as("score"))
   }
 
+  /** Multi-query BM25 retrieval — the search / RAG-labeling path: score a
+    * BATCH of queries against the corpus in ONE token pass and return
+    * each query's top-k documents (Robertson-Spärck Jones BM25, same
+    * arithmetic as [[bm25]]). The query batch is broadcast-grain by
+    * contract (a labeling run ships thousands of queries, not
+    * corpus-many), so every query-side join broadcasts.
+    *
+    * Determinism across engines: each (query, doc, term) part is
+    * quantized (round 6) BEFORE the per-(query, doc) DECIMAL(38,18) sum
+    * — order-free, unlike a double sum — and the final score is
+    * quantized again; ranks tie-break (score DESC, doc_id ASC).
+    *
+    * Shape at 100 TB: ONE tokenize/explode pass; `dl` rides the explode
+    * from `size(toks)` so there is NO doc-grain length join (an
+    * improvement over [[bm25]]'s lens join); the posting frame is
+    * checkpointed once for its two consumers (doc-frequencies +
+    * scoring); per-query ranks go through
+    * [[graft.ops.ScaleOps.smallestKPerGroup]]'s two-level heap so a
+    * stopword-heavy query's million hits never funnel through one task.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Int, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK: empty query batch")
+    require(queries.forall(_._2.nonEmpty), "bm25TopK: a query has no terms")
+    require(k >= 1, s"bm25TopK: k must be >= 1: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "tok")
+    val terms = qt.select("tok").distinct()
+    val base = df.select(col(idCol).as("doc_id"),
+      graft.functions.TextAnalysis.tokensArr(col(textCol)).as("toks"))
+    // n_docs over ALL documents; avgdl over documents with >= 1 token
+    // (the [[bm25]] / oracle convention) — integer sums, exact division
+    val stats = df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(base.select(size(col("toks")).cast("long").as("dl"))
+        .filter(col("dl") > 0)
+        .agg((sum("dl").cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl")))
+    val hits = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .join(broadcast(terms), "tok")
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // 2 consumers: doc-frequencies + scoring
+    val dfreq = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    val parts = hits.join(broadcast(dfreq), "tok")
+      .join(broadcast(qt), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), round(
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+        .as("part"))
+    val scored = parts.groupBy("qid", "doc_id")
+      .agg(round(sum(col("part").cast("decimal(38,18)")).cast("double"), 6)
+        .as("score"))
+      .withColumn("_ns", -col("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("_ns"), col("doc_id"))
+    graft.ops.ScaleOps.smallestKPerGroup(scored, "qid", Seq("_ns", "doc_id"), k)
+      .withColumn("rank", row_number().over(w))
+      .select("qid", "doc_id", "score", "rank")
+  }
+
   /** PII scrubbing — the standard pre-training redaction pass: emails,
     * phone-like number runs, and IPv4 literals replaced by typed
     * placeholder tokens. Pure codegen'd regexp_replace chain (scan-speed

@@ -160,6 +160,13 @@ object ScaleProbe {
           pmod(col("doc_id"), lit(math.max(1L, n / 4))).as("grp"),
           length(col("text")).cast("double").as("r")),
         "doc_id", "grp", "r") }
+    // round-13 multi-query BM25 retrieval: one tokenize/explode pass,
+    // broadcast query joins, two-level per-query top-k — must stay
+    // ~linear in corpus tokens
+    timed("bm25_topk") {
+      graft.ops.TextOps.bm25TopK(docs, "doc_id", "text",
+        Seq(1 -> Seq("w1", "w2"), 2 -> Seq("w3", "w4"),
+          3 -> Seq("w5", "w6")), k = 10) }
     // chunking: pure per-row transform, must stay linear at scan speed
     timed("chunk_overlap") {
       graft.ops.TextOps.tokenChunks(docs, "doc_id", "text", 16, 8) }

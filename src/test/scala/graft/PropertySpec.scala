@@ -708,6 +708,32 @@ class PropertySpec extends SparkTestBase {
     assert(got == run(docs.repartition(7)), "weights must be partitioning-independent")
   }
 
+  test("bm25TopK: tf monotone, rare-term idf dominates, per-query isolation, k cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"), (2L, "apple banana banana"),
+      (3L, "cherry cherry cherry"), (4L, "banana"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) =
+      graft.ops.TextOps.bm25TopK(df, "doc_id", "text",
+        Seq(1 -> Seq("apple"), 2 -> Seq("cherry", "banana")), k)
+        .orderBy("qid", "rank").as[(Int, Long, Double, Int)].collect().toSeq
+    val got = run(docs, 10)
+    val q1 = got.filter(_._1 == 1)
+    // only the apple docs answer q1; tf 2 outranks tf 1 at equal dl
+    assert(q1.map(_._2) == Seq(1L, 2L), s"q1 ranking: $got")
+    assert(q1.map(_._4) == Seq(1, 2))
+    // cherry appears in ONE doc (max idf): doc 3 must lead q2 over the
+    // banana docs (df 3)
+    val q2 = got.filter(_._1 == 2)
+    assert(q2.head._2 == 3L && q2.head._4 == 1, s"q2 ranking: $got")
+    assert(q2.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+    // k cap + determinism under repartition
+    assert(run(docs, 1).map(_._2) == Seq(1L, 3L))
+    assert(got == run(docs.repartition(5), 10),
+      "ranking must be partitioning-independent")
+  }
+
   test("media sniffers are TOTAL: arbitrary bytes and mutated valid files never throw") {
     import graft.multimodal.{AudioMeta, ImageMeta}
     val rnd = new scala.util.Random(31)
