@@ -815,6 +815,18 @@ object SparkEntry {
         .withColumnRenamed("thread", "user_id")
         .orderBy("user_id")),
 
+    // SFT LOSS-MASK SPANS (round 13): per-thread character spans of the
+    // mask-role's turn content inside the q_chat_threads transcript
+    // (same runs/trim machinery — one keptTurns definition, spans
+    // cannot drift from the transcript bytes). maskRole = 'click'
+    // stands in for the assistant role on the fixture.
+    "q_sft_spans" -> ((s, dir) =>
+      graft.ops.Dialog.lossMaskSpans(Tables.events(s, dir), "user_id",
+          "ts", "event_id", "event_type", "props", maxTurns = 8,
+          maskRole = "click")
+        .withColumnRenamed("thread", "user_id")
+        .orderBy("user_id", "turn")),
+
     "q_sessionize" -> ((s, dir) =>
       WindowOps.sessionize(Tables.events(s, dir), "user_id", "ts", "event_id", 1800)
         .groupBy("user_id", "session_n")
@@ -6693,6 +6705,36 @@ object SparkEntry {
         |  CAST(sum(n_events) AS BIGINT) AS n_events,
         |  string_agg(role || ': ' || content, chr(10) ORDER BY run) AS transcript
         |FROM f GROUP BY thread ORDER BY user_id""".stripMargin,
+
+    // span replay: the q_chat_threads CTEs + a per-thread ROWS-framed
+    // running sum of newline-terminated line lengths; content starts
+    // after the "role: " header
+    "q_sft_spans" ->
+      """WITH e AS (SELECT user_id AS thread, ts, event_id AS seq,
+        |             event_type AS role, props AS payload FROM events),
+        |m AS (SELECT *, CASE WHEN lag(role) OVER w IS NULL
+        |                       OR lag(role) OVER w <> role
+        |                     THEN 1 ELSE 0 END AS new_run
+        |      FROM e WINDOW w AS (PARTITION BY thread ORDER BY ts, seq)),
+        |r AS (SELECT *, sum(new_run) OVER (PARTITION BY thread ORDER BY ts, seq
+        |                                   ROWS UNBOUNDED PRECEDING) AS run
+        |      FROM m),
+        |t AS (SELECT thread, run, min(role) AS role,
+        |        string_agg(payload, ' | ' ORDER BY ts, seq) AS content
+        |      FROM r GROUP BY thread, run),
+        |k AS (SELECT *, max(run) OVER (PARTITION BY thread) AS n_turns FROM t),
+        |f AS (SELECT * FROM k WHERE run > n_turns - 8),
+        |o AS (SELECT thread, run, role,
+        |        CAST(length(role || ': ' || content) AS BIGINT) AS line_len,
+        |        CAST(row_number() OVER (PARTITION BY thread ORDER BY run) AS INT) AS turn,
+        |        CAST(sum(length(role || ': ' || content) + 1)
+        |          OVER (PARTITION BY thread ORDER BY run
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM f)
+        |SELECT thread AS user_id, turn,
+        |  CAST(cum - line_len - 1 + length(role) + 2 AS BIGINT) AS start,
+        |  CAST(cum - 1 AS BIGINT) AS "end"
+        |FROM o WHERE role = 'click' ORDER BY user_id, turn""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -33,9 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object Dialog {
 
-  def assembleThreads(df: DataFrame, threadCol: String, tsCol: String,
-                      seqCol: String, roleCol: String, payloadCol: String,
-                      maxTurns: Int): DataFrame = {
+  /** The shared front half: thread → role-run collapse → context trim.
+    * Returns the KEPT-turns frame (thread, run, role, n_events, content,
+    * n_turns) that both [[assembleThreads]] and [[lossMaskSpans]] root
+    * on — one definition, so the transcript and its spans cannot drift.
+    */
+  private def keptTurns(df: DataFrame, threadCol: String, tsCol: String,
+                        seqCol: String, roleCol: String, payloadCol: String,
+                        maxTurns: Int): DataFrame = {
     require(maxTurns >= 1, s"assembleThreads maxTurns: $maxTurns")
     val w = Window.partitionBy("thread").orderBy(col("ts"), col("seq"))
     val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -54,9 +59,16 @@ object Dialog {
           array_sort(collect_list(struct(col("ts"), col("seq"),
             col("payload").as("p")))),
           x => x.getField("p")), " | ").as("content"))
-    val kept = turns
+    turns
       .withColumn("n_turns", max(col("run")).over(Window.partitionBy("thread")))
       .filter(col("run") > col("n_turns") - maxTurns)
+  }
+
+  def assembleThreads(df: DataFrame, threadCol: String, tsCol: String,
+                      seqCol: String, roleCol: String, payloadCol: String,
+                      maxTurns: Int): DataFrame = {
+    val kept = keptTurns(df, threadCol, tsCol, seqCol, roleCol, payloadCol,
+      maxTurns)
     kept.groupBy("thread")
       .agg(max(col("n_turns")).as("n_turns"),
         count(lit(1)).as("n_kept"),
@@ -65,5 +77,44 @@ object Dialog {
           array_sort(collect_list(struct(col("run"),
             concat(col("role"), lit(": "), col("content")).as("line")))),
           x => x.getField("line")), "\n").as("transcript"))
+  }
+
+  /** LOSS-MASK SPANS — the SFT masking prep: for each thread, the
+    * character spans of `maskRole`'s turn CONTENT inside the transcript
+    * [[assembleThreads]] builds with the same parameters, so a trainer
+    * can compute loss on the model's turns only. Spans are 0-based
+    * half-open [start, end) over the transcript; each covers exactly the
+    * content after its "role: " header (headers and the joining
+    * newlines stay masked out).
+    *
+    * Both ops root on the SAME [[keptTurns]] frame — the span arithmetic
+    * (a per-thread ROWS-framed running sum of line lengths + 1) is the
+    * only addition, so spans cannot drift from the transcript bytes; the
+    * spec pins substring(transcript, start, end) == content per span.
+    *
+    * Shape at 100 TB: everything stays inside the thread-partitioned
+    * window — no new shuffle beyond [[assembleThreads]]' own. Output:
+    * (thread, turn, start, end) per maskRole turn, turn = 1-based kept
+    * index.
+    */
+  def lossMaskSpans(df: DataFrame, threadCol: String, tsCol: String,
+                    seqCol: String, roleCol: String, payloadCol: String,
+                    maxTurns: Int, maskRole: String): DataFrame = {
+    val kept = keptTurns(df, threadCol, tsCol, seqCol, roleCol, payloadCol,
+      maxTurns)
+    val wk = Window.partitionBy("thread").orderBy("run")
+    val wkRows = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept
+      .withColumn("_line_len",
+        length(concat(col("role"), lit(": "), col("content"))).cast("long"))
+      // cumulative chars through this line AS IF newline-terminated; the
+      // line itself starts at cum − (len + 1)
+      .withColumn("_cum", sum(col("_line_len") + lit(1L)).over(wkRows))
+      .withColumn("turn", row_number().over(wk))
+      .filter(col("role") === maskRole)
+      .select(col("thread"), col("turn"),
+        (col("_cum") - col("_line_len") - lit(1L) +
+          length(col("role")).cast("long") + lit(2L)).as("start"),
+        (col("_cum") - lit(1L)).as("end"))
   }
 }

@@ -38,6 +38,36 @@ class SamplingSessionSpec extends SparkTestBase {
     assert(trimmed.getString(4) == "a: p3\nu: p4")
   }
 
+  test("lossMaskSpans: spans address exactly the maskRole content in the transcript") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      (1L, ts(1), 10L, "u", "p1"), (1L, ts(2), 11L, "u", "p2"),
+      (1L, ts(3), 12L, "a", "p3"), (1L, ts(4), 13L, "u", "p4"),
+      (2L, ts(1), 20L, "a", "solo"))
+      .toDF("thread", "t", "seq", "role", "payload")
+    val spans = graft.ops.Dialog.lossMaskSpans(ev, "thread", "t", "seq",
+        "role", "payload", maxTurns = 8, maskRole = "a")
+      .orderBy("thread", "turn").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // thread 1: "u: p1 | p2\na: p3\nu: p4" — "p3" at [14,16);
+    // thread 2: "a: solo" — "solo" at [3,7)
+    assert(spans == Seq((1L, 2, 14L, 16L), (2L, 1, 3L, 7L)), spans.toString)
+    // the invariant that makes spans trustworthy: substring(transcript)
+    // over each span is the turn's content byte-for-byte
+    val tx = graft.ops.Dialog.assembleThreads(ev, "thread", "t", "seq",
+        "role", "payload", maxTurns = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(tx(1L).substring(14, 16) == "p3" && tx(2L).substring(3, 7) == "solo")
+    // spans follow the TRIMMED transcript when maxTurns trims: thread 1
+    // becomes "a: p3\nu: p4", content at [3,5), kept-turn index 1
+    val t2 = graft.ops.Dialog.lossMaskSpans(ev, "thread", "t", "seq",
+        "role", "payload", maxTurns = 2, maskRole = "a")
+      .filter($"thread" === 1L).head()
+    assert((t2.getInt(1), t2.getLong(2), t2.getLong(3)) == ((1, 3L, 5L)))
+  }
+
   test("preferencePairs: best-worst inward pairing, ties dropped — hand-computed") {
     import spark.implicits._
     // group g: scores 40,30,20,10 -> (40,10),(30,20); group h: 5,5 -> tie
