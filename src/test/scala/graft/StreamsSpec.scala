@@ -304,6 +304,41 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bestOfNStream: per-prompt state survives a restart from checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bofn_in")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bofn_ckpt")
+    val schema = StructType(Seq(StructField("grp", StringType),
+      StructField("id", LongType), StructField("score", DoubleType)))
+    // memory sink can't recover from a checkpoint — collect emissions
+    // through foreachBatch (which can) into a driver-side queue
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Double, Int)]()
+    def start() = Streams.bestOfNStream(
+        spark.readStream.schema(schema).csv(dir.toString),
+        "grp", "id", "score", n = 2)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.as[(String, Long, Double, Int)].collect().foreach(sink.add)
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Update).start()
+    java.nio.file.Files.write(dir.resolve("a.csv"),
+      "p1,1,7.0\np1,2,9.0\n".getBytes)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    sink.clear() // keep only post-restart emissions
+    // a candidate lands while the query is DOWN; the restarted query
+    // must merge it against the CHECKPOINTED list — 9.0 from before the
+    // restart stays on top, 8.0 evicts 7.0. Losing state would emit a
+    // one-element list (8.0 at rank 1) instead.
+    java.nio.file.Files.write(dir.resolve("b.csv"), "p1,4,8.0\n".getBytes)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = sink.toArray(Array.empty[(String, Long, Double, Int)]).toSet
+    assert(got == Set(("p1", 2L, 9.0, 1), ("p1", 4L, 8.0, 2)), s"got $got")
+  }
+
   test("streaming minhash near-dup: later near-copies are dropped against the index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = graft.io.IoScratch.dir + "/stream_neardup"
