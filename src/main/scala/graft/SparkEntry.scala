@@ -635,6 +635,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CAPSTONE v5 (round 13): the v2 chain with a DSIR IMPORTANCE-
+    // SELECTION stage between the quality gate and the dedup — the
+    // modern pipeline where a target-domain model, not just rules,
+    // decides what survives: gate → DSIR top-quartile (target =
+    // lang='en', featureHash bucket space) → near-dedup keep-canonical
+    // → split → per-source budget → shard pack, one plan. Gated docs,
+    // the weight frame, and the selected docs are each materialized
+    // ONCE; the oracle replays gate, the full DSIR weight/threshold
+    // chain re-rooted on the gated docs, and the re-rooted dedup
+    // closure — all through the SAME shared CTE builders as
+    // q_corpus_run2 and q_dsir.
+    "q_corpus_run5" -> ((s, dir) => {
+      val docs0 = Tables.documents(s, dir)
+      val keep = TextOps.qualityRules(docs0, "doc_id", "text")
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val gated = docs0.join(keep, "doc_id").localCheckpoint()
+      val w = TextOps.dsirWeights(gated, "doc_id", "text",
+          col("lang") === "en", dim = 64)
+        .localCheckpoint()
+      val thr = graft.ops.WindowOps.exactQuantilesGlobal(w, "lw", Seq(0.75))
+        .select(col("value").as("thr"))
+      val sel = w.crossJoin(broadcast(thr))
+        .filter(col("lw") >= col("thr")).select(col("id").as("doc_id"))
+      val docs = gated.join(sel, "doc_id").localCheckpoint()
+      val edges = Dedup.minhashLshEdges(docs, "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+      val kept = docs.join(Dedup.canonicalize(docs, "doc_id", edges), "doc_id")
+        .filter(col("doc_id") === col("canon_id"))
+        .select("doc_id", "source", "n_chars")
+      val train = Sampling.splitByHash(kept, col("doc_id"),
+          Seq(0.8, 0.1, 0.1), salt = "run")
+        .filter(col("split") === 0)
+        .withColumn("pri", Sampling.hashDraw(col("doc_id"), "runpri"))
+      val capped = graft.ops.PrefixSum.budgetCapPerGroup(
+          train.select("doc_id", "source", "n_chars", "pri"),
+          "source", Seq("pri", "doc_id"), "n_chars", budget = 3000L)
+        .select("doc_id", "n_chars")
+      graft.ops.PrefixSum.packShards(capped, "doc_id", "n_chars", budget = 8000L)
+        .select("doc_id", "cum", "shard")
+        .orderBy("doc_id")
+    }),
+
     // Sequential funnel: users completing view -> click -> purchase in
     // strict time order; per-step frontier joins, no whole-user windows.
     "q_funnel" -> ((s, dir) =>
@@ -4118,31 +4160,17 @@ object SparkEntry {
     * split → per-source budget window → global pack window. Formerly
     * duplicated verbatim across the q_corpus_run2/3 oracles.
     */
-  private def CorpusGateAndPackSql(root: String): String = {
-    val quality =
-      s"""qtok AS (SELECT doc_id,
-        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
-        |  FROM $root),
-        |qcnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
-        |         FROM qtok GROUP BY doc_id, tok),
-        |qagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-        |           CAST(sum(length(tok) * c) AS BIGINT) AS chars,
-        |           CAST(sum(CASE WHEN tok IN ($StopwordsInSql) THEN c ELSE 0 END) AS BIGINT) AS stops,
-        |           CAST(max(c) AS BIGINT) AS maxc
-        |         FROM qcnt GROUP BY doc_id),
-        |qkeep AS (SELECT doc_id FROM qagg
-        |          WHERE n >= 30 AND n <= 100000
-        |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
-        |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0
-        |            AND stops > 0
-        |            AND CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE) <= 0.15),
-        |qdocs AS (SELECT d.* FROM $root d JOIN qkeep k USING (doc_id)),""".stripMargin
+  /** The capstone back half — dedup closure re-rooted on `root`, then
+    * split → per-source budget → shard pack (one definition shared by
+    * every corpus_run oracle, so the chains cannot drift).
+    */
+  private def CorpusDedupAndPackSql(root: String): String = {
     val rebased = DedupClosureCtes.stripPrefix("WITH RECURSIVE ")
-      .replace("FROM documents", "FROM qdocs")
-    quality + "\n" + rebased + ",\n" +
+      .replace("FROM documents", s"FROM $root")
+    rebased + ",\n" +
       s"""canon AS (SELECT d.doc_id, d.source, d.n_chars,
       |             coalesce(l.canon, d.doc_id) AS canon_id
-      |           FROM qdocs d LEFT JOIN lbl l ON l.id = d.doc_id),
+      |           FROM $root d LEFT JOIN lbl l ON l.id = d.doc_id),
       |kept AS (SELECT doc_id, source, n_chars FROM canon WHERE doc_id = canon_id),
       |sp AS (SELECT doc_id, source, n_chars,
       |         ${graft.ops.Sampling.splitByHashSql("doc_id", Seq(0.8, 0.1, 0.1), "run")} AS split
@@ -4160,6 +4188,61 @@ object SparkEntry {
       |       CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) // 8000 AS BIGINT) AS shard
       |FROM cf ORDER BY doc_id""".stripMargin
   }
+
+  /** The DSIR weight + threshold machinery as CTEs rooted on `root`
+    * (which must expose doc_id, lang, text), every name prefixed with
+    * `p` — ends with `${p}w(id, n_tokens, lw)` and
+    * `${p}thr(thr)`, no trailing comma. The SHARED source of the q_dsir
+    * oracle and the capstone-v5 selection stage, mirroring
+    * TextOps.dsirWeights (featureHash bucket space, add-one smoothing,
+    * per-bucket round-6 quantization before the decimal per-doc sum)
+    * and the dim=64 / target lang='en' / q=0.75 operating point.
+    */
+  private def DsirWeightCtes(root: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, lang = 'en' AS tgt,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+      |  FROM $root),
+      |${p}b AS (SELECT doc_id, tgt,
+      |    CAST(('0x' || substr(md5(tok || ':fh'), 1, 8)) AS BIGINT) % 64 AS b
+      |  FROM ${p}t),
+      |${p}db AS (SELECT doc_id, tgt, b, count(*) AS c FROM ${p}b GROUP BY doc_id, tgt, b),
+      |${p}raw AS (SELECT b, sum(c) AS cr FROM ${p}db GROUP BY b),
+      |${p}tg AS (SELECT b, sum(c) AS ct FROM ${p}db WHERE tgt GROUP BY b),
+      |${p}tot AS (SELECT (SELECT sum(cr) FROM ${p}raw) AS r,
+      |               (SELECT coalesce(sum(ct), 0) FROM ${p}tg) AS t),
+      |${p}lr AS (SELECT ${p}raw.b,
+      |         round(ln(CAST(coalesce(${p}tg.ct, 0) + 1 AS DOUBLE) / CAST(${p}tot.t + 64 AS DOUBLE))
+      |             - ln(CAST(${p}raw.cr + 1 AS DOUBLE) / CAST(${p}tot.r + 64 AS DOUBLE)), 6) AS lr
+      |       FROM ${p}raw LEFT JOIN ${p}tg ON ${p}raw.b = ${p}tg.b CROSS JOIN ${p}tot),
+      |${p}w AS (SELECT ${p}db.doc_id AS id, CAST(sum(${p}db.c) AS BIGINT) AS n_tokens,
+      |        round(CAST(sum(CAST(CAST(${p}db.c AS DOUBLE) * ${p}lr.lr AS DECIMAL(38,18))) AS DOUBLE), 6) AS lw
+      |      FROM ${p}db JOIN ${p}lr ON ${p}db.b = ${p}lr.b GROUP BY ${p}db.doc_id),
+      |${p}thr AS (SELECT quantile_disc(lw, 0.75) AS thr FROM ${p}w)""".stripMargin
+
+  /** The capstone front half — the Gopher-rule quality gate rooted on
+    * `root`, producing `qdocs` (trailing comma included).
+    */
+  private def CorpusQualityGateSql(root: String): String =
+    s"""qtok AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM $root),
+        |qcnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |         FROM qtok GROUP BY doc_id, tok),
+        |qagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |           CAST(sum(length(tok) * c) AS BIGINT) AS chars,
+        |           CAST(sum(CASE WHEN tok IN ($StopwordsInSql) THEN c ELSE 0 END) AS BIGINT) AS stops,
+        |           CAST(max(c) AS BIGINT) AS maxc
+        |         FROM qcnt GROUP BY doc_id),
+        |qkeep AS (SELECT doc_id FROM qagg
+        |          WHERE n >= 30 AND n <= 100000
+        |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
+        |            AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0
+        |            AND stops > 0
+        |            AND CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE) <= 0.15),
+        |qdocs AS (SELECT d.* FROM $root d JOIN qkeep k USING (doc_id)),""".stripMargin
+
+  private def CorpusGateAndPackSql(root: String): String =
+    CorpusQualityGateSql(root) + "\n" + CorpusDedupAndPackSql("qdocs")
 
   /** TextOps.Stopwords as a SQL IN-list — the oracle twin of the single
     * Scala source.
@@ -6324,6 +6407,17 @@ object SparkEntry {
     // CorpusGateAndPackSql builder rooted on the documents table itself)
     "q_corpus_run2" -> ("WITH RECURSIVE " + CorpusGateAndPackSql("documents")),
 
+    // Capstone v5: gate → DSIR top-quartile selection → dedup closure →
+    // split → budget → shard, every stage from the shared builders —
+    // the DSIR weight chain re-rooted on the GATED docs, the closure
+    // re-rooted on the SELECTED docs
+    "q_corpus_run5" ->
+      ("WITH RECURSIVE " + CorpusQualityGateSql("documents") + "\n" +
+        DsirWeightCtes("qdocs", "ds") + ",\n" +
+        """sdocs AS (SELECT d.* FROM qdocs d JOIN dsw ON dsw.id = d.doc_id
+          |          CROSS JOIN dsthr WHERE dsw.lw >= dsthr.thr),""".stripMargin +
+        "\n" + CorpusDedupAndPackSql("sdocs")),
+
     // Capstone v3: the WARC front door replayed string-level — the dirty
     // crawl (q_normalize's dirt arithmetic), DuckDB's own UAX #15 NFC +
     // the same explicit-range regex cleanup, then the v2 quality gate +
@@ -7603,31 +7697,16 @@ object SparkEntry {
         |             ELSE (reward - mean) / std END, 6) AS adv
         |FROM d JOIN st USING (grp) ORDER BY id""".stripMargin,
 
-    // DSIR replay: featureHash's bucket space, add-one bucket models on
-    // the en slice vs the full corpus, per-bucket log-ratio quantized
-    // BEFORE the decimal per-doc sum, quantile_disc threshold
+    // DSIR replay through the SHARED weight/threshold CTE builder
+    // (DsirWeightCtes — featureHash's bucket space, add-one bucket
+    // models on the en slice vs the full corpus, per-bucket log-ratio
+    // quantized BEFORE the decimal per-doc sum, quantile_disc
+    // threshold; q_corpus_run5's selection stage roots on the SAME
+    // builder, so the two cannot drift)
     "q_dsir" ->
-      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
-        |             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
-        |           FROM documents),
-        |b AS (SELECT doc_id, tgt,
-        |        CAST(('0x' || substr(md5(tok || ':fh'), 1, 8)) AS BIGINT) % 64 AS b
-        |      FROM t),
-        |db AS (SELECT doc_id, tgt, b, count(*) AS c FROM b GROUP BY doc_id, tgt, b),
-        |raw AS (SELECT b, sum(c) AS cr FROM db GROUP BY b),
-        |tg AS (SELECT b, sum(c) AS ct FROM db WHERE tgt GROUP BY b),
-        |tot AS (SELECT (SELECT sum(cr) FROM raw) AS r,
-        |               (SELECT coalesce(sum(ct), 0) FROM tg) AS t),
-        |lr AS (SELECT raw.b,
-        |         round(ln(CAST(coalesce(tg.ct, 0) + 1 AS DOUBLE) / CAST(tot.t + 64 AS DOUBLE))
-        |             - ln(CAST(raw.cr + 1 AS DOUBLE) / CAST(tot.r + 64 AS DOUBLE)), 6) AS lr
-        |       FROM raw LEFT JOIN tg ON raw.b = tg.b CROSS JOIN tot),
-        |w AS (SELECT db.doc_id AS id, CAST(sum(db.c) AS BIGINT) AS n_tokens,
-        |        round(CAST(sum(CAST(CAST(db.c AS DOUBLE) * lr.lr AS DECIMAL(38,18))) AS DOUBLE), 6) AS lw
-        |      FROM db JOIN lr ON db.b = lr.b GROUP BY db.doc_id),
-        |thr AS (SELECT quantile_disc(lw, 0.75) AS thr FROM w)
-        |SELECT id, n_tokens, lw, lw >= thr.thr AS keep
-        |FROM w CROSS JOIN thr ORDER BY id""".stripMargin,
+      ("WITH " + DsirWeightCtes("documents", "ds") + "\n" +
+        """SELECT id, n_tokens, lw, lw >= dsthr.thr AS keep
+          |FROM dsw CROSS JOIN dsthr ORDER BY id""".stripMargin),
 
     "q_partition_prune" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
