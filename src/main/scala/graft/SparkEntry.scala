@@ -354,6 +354,15 @@ object SparkEntry {
         .orderBy("query")
     }),
 
+    // Unbiased pass@k (round 13, the Codex estimator): per problem group
+    // (source), n sampled generations of which c pass (pass = lang='en'
+    // on the fixture), pass@{1,5,10} = 1 − C(n−c,k)/C(n,k) via the
+    // fixed-order product — Column and oracle SQL from ONE term builder.
+    "q_pass_at_k" -> ((s, dir) =>
+      graft.ops.EvalMetrics.passAtK(Tables.documents(s, dir), "source",
+        col("lang") === "en", ks = Seq(1, 5, 10))
+        .orderBy("grp")),
+
     // CAPSTONE — the full training-corpus run as ONE declarative plan:
     // exact-dup-proof near-dedup (keep canonical doc) -> deterministic
     // train/val/test split -> per-source char budget on the train slice
@@ -6717,6 +6726,19 @@ object SparkEntry {
         |  round(CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE)
         |             ELSE 0.0 END, 6) AS recall
         |FROM agg ORDER BY query""".stripMargin,
+
+    // pass@k replay: the per-k CASE + product expressions are GENERATED
+    // by EvalMetrics.passAtKSql — same terms, same left-associated
+    // multiply order as the Column rendering
+    "q_pass_at_k" ->
+      s"""WITH g AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM documents GROUP BY source)
+         |SELECT grp, n, c,
+         |  ${graft.ops.EvalMetrics.passAtKSql("n", "c", 1)} AS pass_1,
+         |  ${graft.ops.EvalMetrics.passAtKSql("n", "c", 5)} AS pass_5,
+         |  ${graft.ops.EvalMetrics.passAtKSql("n", "c", 10)} AS pass_10
+         |FROM g ORDER BY grp""".stripMargin,
 
     "q_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(

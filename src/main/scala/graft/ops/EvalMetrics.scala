@@ -246,4 +246,54 @@ object EvalMetrics {
           .otherwise(0.0), 6).as("ndcg"),
         round(coalesce(lit(1.0) / col("fr"), lit(0.0)), 6).as("mrr"))
   }
+
+  /** Unbiased pass@k (Chen et al. 2021, public — the Codex estimator):
+    * per problem group with n samples of which c pass,
+    * pass@k = 1 − C(n−c, k)/C(n, k), computed exactly as the
+    * fixed-order product Π_{i=0..k−1} (n−c−i)/(n−i) — the standard
+    * code-eval metric over a sampled-generations table.
+    *
+    * The Column expression here and the SQL [[passAtKSql]] generates
+    * come from the SAME term layout (left-associated double multiply of
+    * identical CAST'd integers), so both engines multiply the same
+    * numbers in the same order; the result is quantized (round 6).
+    * Semantics: c = 0 → 0; n − c < k → 1 (every k-subset contains a
+    * pass); n < k → NULL (the estimator needs n ≥ k).
+    *
+    * Shape at 100 TB: ONE group-keyed count aggregation; each pass@k is
+    * k in-row product terms — problems scale, k is a literal.
+    */
+  def passAtK(df: DataFrame, groupCol: String,
+              passCol: org.apache.spark.sql.Column,
+              ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"passAtK ks: $ks")
+    val base = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(passCol.cast("int").cast("long")).as("c"))
+    val cols = ks.map { k =>
+      val prod = (0 until k).map(i =>
+        (col("n") - col("c") - lit(i.toLong)).cast("double") /
+          (col("n") - lit(i.toLong)).cast("double")).reduceLeft(_ * _)
+      round(when(col("n") < k, lit(null).cast("double"))
+        .when(col("c") === 0L, 0.0)
+        .when(col("n") - col("c") < k, 1.0)
+        .otherwise(lit(1.0) - prod), 6).as(s"pass_$k")
+    }
+    base.select(col("grp") +: col("n") +: col("c") +: cols: _*)
+  }
+
+  /** The SQL twin of one [[passAtK]] column over integer expressions
+    * `n`/`c` — generated, not hand-written, so the two renderings cannot
+    * drift.
+    */
+  def passAtKSql(n: String, c: String, k: Int): String = {
+    require(k >= 1, s"passAtKSql k: $k")
+    val prod = (0 until k).map(i =>
+      s"(CAST($n - $c - $i AS DOUBLE) / CAST($n - $i AS DOUBLE))")
+      .mkString(" * ")
+    s"""round(CASE WHEN $n < $k THEN NULL
+       |           WHEN $c = 0 THEN 0.0
+       |           WHEN $n - $c < $k THEN 1.0
+       |           ELSE 1.0 - ($prod) END, 6)""".stripMargin
+  }
 }

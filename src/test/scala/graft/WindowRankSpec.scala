@@ -276,6 +276,27 @@ class WindowRankSpec extends SparkTestBase {
     assert(got("q3") == ((1L, 0L, 0.0, 0.0)))
   }
 
+  test("passAtK: Codex-estimator hand values and the three edge branches") {
+    import spark.implicits._
+    // A: n=4, c=2 → pass@1 = 1 − 2/4 = 0.5; pass@2 = 1 − (2/4)(1/3) = 5/6
+    // B: c=0 → 0 at every k;  C: n−c=1 < 2 → pass@2 = 1 exactly
+    // D: singleton → pass@2 NULL (estimator needs n ≥ k), pass@1 = 1
+    val df = (Seq.fill(2)(("A", true)) ++ Seq.fill(2)(("A", false)) ++
+      Seq.fill(3)(("B", false)) ++
+      Seq.fill(2)(("C", true)) ++ Seq(("C", false)) ++
+      Seq(("D", true))).toDF("prob", "ok")
+    val got = graft.ops.EvalMetrics
+      .passAtK(df, "prob", col("ok"), ks = Seq(1, 2))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got("A") == ((4L, 2L, Some(0.5), Some(0.833333))))
+    assert(got("B") == ((3L, 0L, Some(0.0), Some(0.0))))
+    assert(got("C") == ((3L, 2L, Some(0.666667), Some(1.0))))
+    assert(got("D") == ((1L, 1L, Some(1.0), None)))
+  }
+
   test("psi: identical slices score ~0, a shifted slice scores high") {
     import spark.implicits._
     val base = (1 to 1000).map(i => (i % 97).toDouble).toDF("value")
