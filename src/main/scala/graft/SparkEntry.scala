@@ -252,6 +252,17 @@ object SparkEntry {
           "text", graft.ops.Bpe.fixtureRules)
         .orderBy("doc_id")),
 
+    // WordPiece greedy longest-match segmentation (round 13): the BERT
+    // tokenizer's inference rule over a frozen multi-char piece vocab
+    // (single chars implicit/UNK-like) — vocab-driven where q_bpe_apply
+    // is merge-rule-driven; tie-free by construction, the greedy walk
+    // runs once per DISTINCT word, the oracle replays it as a
+    // recursive-CTE walk over the same vocab literal.
+    "q_wordpiece" -> ((s, dir) =>
+      graft.ops.Bpe.wordpieceStats(s, Tables.documents(s, dir), "text",
+        graft.ops.Bpe.fixtureVocab)
+        .orderBy("word")),
+
     // Tokenizer FERTILITY per language (round 10): tokens-per-word under
     // the frozen merge table, by lang — the standard multilingual-
     // tokenizer eval (a high-fertility language pays more sequence
@@ -6592,6 +6603,29 @@ object SparkEntry {
         |         GROUP BY doc_id)
         |SELECT b.doc_id, n_words, n_tokens, n_distinct_toks
         |FROM base b JOIN dist USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // greedy longest-match replay: a recursive walk per dictionary word,
+    // each step advancing by the longest vocab piece matching at pos
+    // (else 1, the UNK-char convention) — the vocab VALUES list is
+    // interpolated from Bpe.fixtureVocab, the same literal the Scala op
+    // broadcasts, so the two cannot drift
+    "q_wordpiece" ->
+      s"""WITH RECURSIVE words AS (SELECT unnest(list_filter(
+         |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+         |  FROM documents),
+         |dict AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM words GROUP BY word),
+         |vocab(p) AS (VALUES ${graft.ops.Bpe.fixtureVocab.map(p => s"('$p')").mkString(", ")}),
+         |walk(word, pos, np) AS (
+         |  SELECT word, 0, CAST(0 AS BIGINT) FROM dict
+         |  UNION ALL
+         |  SELECT word,
+         |    pos + coalesce((SELECT max(length(v.p)) FROM vocab v
+         |                    WHERE substr(word, pos + 1, length(v.p)) = v.p), 1),
+         |    np + 1
+         |  FROM walk WHERE pos < length(word))
+         |SELECT d.word, d.wc, w.np AS n_pieces
+         |FROM dict d JOIN walk w ON w.word = d.word AND w.pos = length(d.word)
+         |ORDER BY d.word""".stripMargin,
 
     // same frozen-merge segmentation chain, aggregated per language
     "q_bpe_fertility" ->

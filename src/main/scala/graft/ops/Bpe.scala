@@ -204,4 +204,50 @@ object Bpe {
       .toDF("a", "b", "w")
       .groupBy("a", "b").agg(sum("w").as("cnt"))
   }
+
+  /** WordPiece-style GREEDY LONGEST-MATCH segmentation stats (Wu et al.
+    * 2016 / the BERT tokenizer's inference rule — public): at each
+    * position take the longest vocabulary piece that matches, else emit
+    * the single character as its own (UNK-like) piece and advance one.
+    * The complement of [[applyPerDocStats]]' merge-table BPE: vocab-
+    * driven instead of rule-driven, and tie-free by construction (the
+    * longest match is unique), which is what makes the oracle replay
+    * exact — DuckDB walks the same greedy recursion per word.
+    *
+    * Scale contract: the greedy walk runs ONCE per DISTINCT word (the
+    * dictionary, millions of rows where the corpus is trillions of
+    * tokens) with the vocabulary broadcast; the corpus itself is only
+    * touched by the word-count aggregation. Output: (word, wc,
+    * n_pieces) per distinct word.
+    */
+  def wordpieceStats(spark: SparkSession, df: DataFrame, textCol: String,
+                     vocab: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(vocab.nonEmpty && vocab.forall(_.length >= 2),
+      "wordpieceStats: vocab lists the MULTI-char pieces (single chars are implicit)")
+    val bc = spark.sparkContext.broadcast(
+      (vocab.toSet, vocab.map(_.length).max))
+    dictionary(df, textCol).as[(String, Long)]
+      .map { case (w, c) =>
+        val (vs, ml) = bc.value
+        var pos = 0
+        var np = 0L
+        while (pos < w.length) {
+          var l = math.min(ml, w.length - pos)
+          while (l > 1 && !vs.contains(w.substring(pos, pos + l))) l -= 1
+          pos += l
+          np += 1
+        }
+        (w, c, np)
+      }
+      .toDF("word", "wc", "n_pieces")
+  }
+
+  /** A frozen multi-char piece list for the apply-side query —
+    * SF-independent like [[fixtureRules]]; overlapping pieces ("sc" vs
+    * "scan", "wind" vs "window") pin the longest-match priority.
+    */
+  val fixtureVocab: Seq[String] = Seq(
+    "th", "the", "an", "and", "in", "ing", "er", "on", "re",
+    "sc", "scan", "wind", "window", "str", "stream", "umn")
 }

@@ -167,6 +167,12 @@ object ScaleProbe {
       graft.ops.TextOps.bm25TopK(docs, "doc_id", "text",
         Seq(1 -> Seq("w1", "w2"), 2 -> Seq("w3", "w4"),
           3 -> Seq("w5", "w6")), k = 10) }
+    // round-13 WordPiece greedy segmentation: word-count agg + a greedy
+    // walk per DISTINCT word (dictionary grain) — must track the
+    // dictionary, not the corpus
+    timed("wordpiece") {
+      graft.ops.Bpe.wordpieceStats(spark, docs, "text",
+        graft.ops.Bpe.fixtureVocab) }
     // chunking: pure per-row transform, must stay linear at scan speed
     timed("chunk_overlap") {
       graft.ops.TextOps.tokenChunks(docs, "doc_id", "text", 16, 8) }

@@ -156,4 +156,19 @@ class BpeSpec extends SparkTestBase {
     assert(ids.sortBy(t => (-t._3, t._1)).map(_._2).toSeq ==
       (1L to ids.length).toSeq)
   }
+
+  test("wordpieceStats: greedy longest-match, UNK chars advance singly — hand-computed") {
+    // "window" is one whole-word piece (beats "wind"); "windows" adds an
+    // UNK 's'; "scanner" = scan|n|er (longest "scan" beats "sc", bare
+    // 'n' is UNK); "then" = the|n ("the" beats "th"); "string" =
+    // str|ing; "xyz" is three UNK chars
+    val docs = Seq((1L, "window windows scanner the then string xyz window"))
+      .toDF("doc_id", "text")
+    val got = Bpe.wordpieceStats(spark, docs, "text", Bpe.fixtureVocab)
+      .orderBy("word").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("scanner", 1L, 3L), ("string", 1L, 2L), ("the", 1L, 1L),
+      ("then", 1L, 2L), ("window", 2L, 1L), ("windows", 1L, 2L),
+      ("xyz", 1L, 3L)), got.toString)
+  }
 }
