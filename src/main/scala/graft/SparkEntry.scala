@@ -374,6 +374,43 @@ object SparkEntry {
         col("lang") === "en", ks = Seq(1, 5, 10))
         .orderBy("grp")),
 
+    // Corpus BLEU-4 (Papineni 2002) over deterministic self-overlap pairs
+    // (cand = first 60% of tokens, ref = last 70% — a contiguous overlap
+    // so every n-gram order matches, cand < ref so BP < 1). Clipped
+    // counting is the wordcount shape on (pair, n, gram); both renderers
+    // generated from OverlapEval's constants.
+    "q_bleu" -> ((s, dir) =>
+      graft.ops.OverlapEval.bleu(
+        graft.ops.OverlapEval.slicePair(Tables.documents(s, dir),
+          "doc_id", "text"), maxN = 4)),
+
+    // ROUGE-1/2 precision/recall/F1 over the same pair construction —
+    // the summarization-eval twin of q_bleu (Lin 2004).
+    "q_rouge" -> ((s, dir) =>
+      graft.ops.OverlapEval.rougeN(
+        graft.ops.OverlapEval.slicePair(Tables.documents(s, dir),
+          "doc_id", "text"), maxN = 2)
+        .orderBy("n")),
+
+    // Self-consistency majority vote (Wang et al. 2023): per source group,
+    // the modal lang across its documents (min-ans tie-break), vote share,
+    // and gold agreement — the "sample N, take the majority answer" eval.
+    "q_self_consistency" -> ((s, dir) =>
+      graft.ops.EvalMetrics.majorityVote(Tables.documents(s, dir),
+        "source", "lang", gold = "en")
+        .orderBy("grp")),
+
+    // Cohen's kappa between the declared lang column and the heuristic
+    // langId prediction — the inter-annotator-agreement number for the
+    // labeling pipeline (how much better than chance the heuristic rater
+    // agrees with the gold rater).
+    "q_kappa" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.ops.EvalMetrics.cohenKappa(
+        d.select(col("lang").as("a"),
+          TextAnalysis.langId(col("text")).as("b")), "a", "b")
+    }),
+
     // CAPSTONE — the full training-corpus run as ONE declarative plan:
     // exact-dup-proof near-dedup (keep canonical doc) -> deterministic
     // train/val/test split -> per-source char budget on the train slice
@@ -3769,21 +3806,18 @@ object SparkEntry {
     // Every stage is the library op; the oracle replays ranking, pairing,
     // label join, and the unrolled MM rounds through the SAME shared
     // machinery as q_bt_ratings (BtMmSql).
-    "q_rlhf_pipeline" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val pairs = Sampling.preferencePairs(
-        d.select(col("doc_id"), col("source"), col("n_chars")),
-        "doc_id", "source", "n_chars")
-      val lab = d.select(col("doc_id"), col("lang"))
-      val outcomes = pairs
-        .join(lab.select(col("doc_id").as("chosen_id"),
-          col("lang").as("win")), "chosen_id")
-        .join(lab.select(col("doc_id").as("rejected_id"),
-          col("lang").as("lose")), "rejected_id")
-        .filter(col("win") =!= col("lose"))
-        .select("win", "lose")
-      chain.BradleyTerry.fit(outcomes, iterations = 3).orderBy("item")
-    }),
+    "q_rlhf_pipeline" -> ((s, dir) =>
+      chain.BradleyTerry.fit(policyOutcomes(Tables.documents(s, dir)),
+        iterations = 3).orderBy("item")),
+
+    // The leaderboard's error bars: per-policy win rate over the SAME
+    // cross-policy outcomes as q_rlhf_pipeline, with the 95% Wilson score
+    // interval — the uncertainty view next to the BT point ratings.
+    // Interval math generated into both renderers by EvalMetrics.wilsonSql.
+    "q_win_rate" -> ((s, dir) =>
+      graft.ops.EvalMetrics.wilsonWinRate(
+        policyOutcomes(Tables.documents(s, dir)), "win", "lose")
+        .orderBy("policy")),
 
     // Naive Bayes training grid — naive_bayes.py:46-159 semantics:
     // document-level binary events (docId, cls=lang, feature=token),
@@ -3827,6 +3861,43 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** Cross-policy preference outcomes shared by q_rlhf_pipeline and
+    * q_win_rate: hash-priority preference pairs joined to the policy
+    * label (lang) on both sides, same-policy games dropped. One row per
+    * game: (win, lose).
+    */
+  private def policyOutcomes(d: DataFrame): DataFrame = {
+    val pairs = Sampling.preferencePairs(
+      d.select(col("doc_id"), col("source"), col("n_chars")),
+      "doc_id", "source", "n_chars")
+    val lab = d.select(col("doc_id"), col("lang"))
+    pairs
+      .join(lab.select(col("doc_id").as("chosen_id"),
+        col("lang").as("win")), "chosen_id")
+      .join(lab.select(col("doc_id").as("rejected_id"),
+        col("lang").as("lose")), "rejected_id")
+      .filter(col("win") =!= col("lose"))
+      .select("win", "lose")
+  }
+
+  /** The DuckDB twin of [[policyOutcomes]] as CTE bodies `cd`/`r`/`pp`/`p`
+    * — shared by the q_rlhf_pipeline and q_win_rate oracles.
+    */
+  private val PolicyOutcomeCtes: String =
+    """cd AS (SELECT doc_id AS id, source AS grp,
+      |             CAST(n_chars AS DOUBLE) AS score FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY grp
+      |                  ORDER BY score DESC, id ASC) AS rk,
+      |        count(*) OVER (PARTITION BY grp) AS n FROM cd),
+      |pp AS (SELECT a.id AS cid, b.id AS rid
+      |       FROM r a JOIN r b ON a.grp = b.grp AND b.rk = a.n + 1 - a.rk
+      |         AND a.rk < b.rk
+      |       WHERE a.score > b.score),
+      |p AS (SELECT dc.lang AS win, dr.lang AS lose
+      |      FROM pp JOIN documents dc ON dc.doc_id = pp.cid
+      |              JOIN documents dr ON dr.doc_id = pp.rid
+      |      WHERE dc.lang <> dr.lang)""".stripMargin
 
   // Shared DuckDB fragments for the k-means-quantizer oracles (q_ann_ivf,
   // q_semdedup, alongside q_kmeans_assign's inline copy): decimal-exact
@@ -5910,22 +5981,12 @@ object SparkEntry {
         |       CAST(list_sum(list_transform(toks, w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) AS bpe_est
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // langId legs generated by TextAnalysis.langIdSqlCtes — one source
+    // with the Column renderer (and with q_kappa's oracle)
     "q_lang_quality" ->
-      """WITH t AS (SELECT doc_id, text,
-        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-        |FROM documents),
-        |s AS (SELECT doc_id, text, toks,
-        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS c_de,
-        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS c_en,
-        |  len(list_filter(toks, x -> x IN ('el','la','de','y','es'))) AS c_es,
-        |  len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS c_fr,
-        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS c_zh
-        |FROM t),
-        |m AS (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS best FROM s)
-        |SELECT doc_id,
-        |  CASE WHEN c_de = best THEN 'de' WHEN c_en = best THEN 'en'
-        |       WHEN c_es = best THEN 'es' WHEN c_fr = best THEN 'fr'
-        |       ELSE 'zh' END AS lang_pred,
+      s"""WITH ${TextAnalysis.langIdSqlCtes("documents")}
+         |SELECT doc_id,
+         |  ${TextAnalysis.langIdCaseSql} AS lang_pred,
         |  round(
         |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.25
         |    + least((CASE WHEN len(toks) > 0
@@ -6773,6 +6834,46 @@ object SparkEntry {
          |  ${graft.ops.EvalMetrics.passAtKSql("n", "c", 5)} AS pass_5,
          |  ${graft.ops.EvalMetrics.passAtKSql("n", "c", 10)} AS pass_10
          |FROM g ORDER BY grp""".stripMargin,
+
+    // Both statements fully GENERATED by OverlapEval's SQL renderers —
+    // slice fractions, gram construction, clipping, BP and geo-mean all
+    // share one source with the Column chain.
+    "q_bleu" ->
+      graft.ops.OverlapEval.bleuSql("documents", "doc_id", "text", maxN = 4),
+
+    "q_rouge" ->
+      graft.ops.OverlapEval.rougeSql("documents", "doc_id", "text", maxN = 2),
+
+    "q_self_consistency" ->
+      """WITH votes AS (SELECT source AS grp, lang AS ans,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2),
+        |m AS (SELECT grp, max(cnt) AS mc, CAST(sum(cnt) AS BIGINT) AS tot
+        |      FROM votes GROUP BY grp)
+        |SELECT v.grp AS grp, min(v.ans) AS vote, m.mc AS votes, m.tot AS total,
+        |  round(CAST(m.mc AS DOUBLE)/CAST(m.tot AS DOUBLE), 6) AS share,
+        |  CAST(min(v.ans) = 'en' AS INT) AS correct
+        |FROM votes v JOIN m USING (grp) WHERE v.cnt = m.mc
+        |GROUP BY v.grp, m.mc, m.tot ORDER BY grp""".stripMargin,
+
+    // langId legs generated by TextAnalysis.langIdSqlCtes (the same
+    // builder q_lang_quality's oracle uses) with lang carried through.
+    "q_kappa" ->
+      s"""WITH ${TextAnalysis.langIdSqlCtes("documents", carry = Seq("lang"))},
+         |p AS (SELECT lang AS a, ${TextAnalysis.langIdCaseSql} AS b FROM m),
+         |cell AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY a, b),
+         |pe AS (SELECT sum(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) AS s FROM
+         |  (SELECT a AS k, sum(c) AS ca FROM cell GROUP BY a) ma
+         |  JOIN (SELECT b AS k, sum(c) AS cb FROM cell GROUP BY b) mb USING (k)),
+         |agg AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+         |  CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree FROM cell)
+         |SELECT tot,
+         |  round(CAST(agree AS DOUBLE)/CAST(tot AS DOUBLE), 6) AS po,
+         |  round(s/(CAST(tot AS DOUBLE)*CAST(tot AS DOUBLE)), 6) AS pe,
+         |  round(CASE WHEN 1.0 - s/(CAST(tot AS DOUBLE)*CAST(tot AS DOUBLE)) = 0.0 THEN NULL
+         |    ELSE (CAST(agree AS DOUBLE)/CAST(tot AS DOUBLE)
+         |          - s/(CAST(tot AS DOUBLE)*CAST(tot AS DOUBLE)))
+         |         / (1.0 - s/(CAST(tot AS DOUBLE)*CAST(tot AS DOUBLE))) END, 6) AS kappa
+         |FROM agg, pe""".stripMargin,
 
     "q_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(
@@ -8055,20 +8156,20 @@ object SparkEntry {
     // policy-label join with the cross-policy filter, then the SAME
     // shared BT machinery rooted on those outcomes
     "q_rlhf_pipeline" ->
-      (s"""WITH cd AS (SELECT doc_id AS id, source AS grp,
-         |             CAST(n_chars AS DOUBLE) AS score FROM documents),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY grp
-         |                  ORDER BY score DESC, id ASC) AS rk,
-         |        count(*) OVER (PARTITION BY grp) AS n FROM cd),
-         |pp AS (SELECT a.id AS cid, b.id AS rid
-         |       FROM r a JOIN r b ON a.grp = b.grp AND b.rk = a.n + 1 - a.rk
-         |         AND a.rk < b.rk
-         |       WHERE a.score > b.score),
-         |p AS (SELECT dc.lang AS win, dr.lang AS lose
-         |      FROM pp JOIN documents dc ON dc.doc_id = pp.cid
-         |              JOIN documents dr ON dr.doc_id = pp.rid
-         |      WHERE dc.lang <> dr.lang),
+      (s"""WITH $PolicyOutcomeCtes,
          |""".stripMargin + BtMmSql(3)),
+
+    // outcomes CTEs shared with q_rlhf_pipeline (PolicyOutcomeCtes);
+    // interval projection generated by EvalMetrics.wilsonSql
+    "q_win_rate" ->
+      s"""WITH $PolicyOutcomeCtes,
+         |g AS (SELECT policy, CAST(sum(w) AS BIGINT) AS wins,
+         |             CAST(count(*) AS BIGINT) AS games FROM (
+         |        SELECT win AS policy, 1 AS w FROM p
+         |        UNION ALL SELECT lose AS policy, 0 AS w FROM p)
+         |      GROUP BY policy)
+         |SELECT policy, wins, games, ${graft.ops.EvalMetrics.wilsonSql("wins", "games")}
+         |FROM g ORDER BY policy""".stripMargin,
 
     "q_nb_train" ->
       """WITH toks AS (

@@ -98,6 +98,37 @@ object TextAnalysis {
   /** Rolling polynomial fingerprint (custom codegen'd Catalyst expression). */
   def fingerprintRolling(text: Column): Column = RollingHash.rolling_hash(text)
 
+  /** DuckDB rendering of [[langIdOver]]'s score legs as `t`/`s`/`m` CTE
+    * bodies over a documents-shaped table (doc_id, text [, carried
+    * columns]): `t` tokenizes, `s` counts the marker hits (IN-lists
+    * generated from the SAME `stop` map the Column renderer uses — the two
+    * engines cannot drift), `m` attaches the winning score. `carry` lists
+    * extra columns to thread through (e.g. `lang` for agreement evals).
+    */
+  def langIdSqlCtes(table: String, carry: Seq[String] = Nil): String = {
+    val extra = carry.map(c => s"$c, ").mkString
+    def inList(l: String) = stop(l).map(w => s"'$w'").mkString(",")
+    s"""t AS (SELECT doc_id, ${extra}text,
+       |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |FROM $table),
+       |s AS (SELECT doc_id, ${extra}text, toks,
+       |  len(list_filter(toks, x -> x IN (${inList("de")}))) AS c_de,
+       |  len(list_filter(toks, x -> x IN (${inList("en")}))) AS c_en,
+       |  len(list_filter(toks, x -> x IN (${inList("es")}))) AS c_es,
+       |  len(list_filter(toks, x -> x IN (${inList("fr")}))) AS c_fr,
+       |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS c_zh
+       |FROM t),
+       |m AS (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS best FROM s)""".stripMargin
+  }
+
+  /** The argmax CASE over `m`'s score columns — [[langIdSqlCtes]]'s
+    * companion, same first-match-wins order as [[langIdOver]]'s fold.
+    */
+  val langIdCaseSql: String =
+    """CASE WHEN c_de = best THEN 'de' WHEN c_en = best THEN 'en'
+      |       WHEN c_es = best THEN 'es' WHEN c_fr = best THEN 'fr'
+      |       ELSE 'zh' END""".stripMargin
+
   /** Attach the full text-analysis profile to a documents DataFrame. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCount(col(textCol)))

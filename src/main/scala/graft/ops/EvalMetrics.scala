@@ -296,4 +296,109 @@ object EvalMetrics {
        |           WHEN $n - $c < $k THEN 1.0
        |           ELSE 1.0 - ($prod) END, 6)""".stripMargin
   }
+
+  /** Self-consistency majority vote (Wang et al. 2023): per problem group,
+    * the modal answer across sampled generations (ties broken to the
+    * lexicographically smallest answer — deterministic, engine-portable),
+    * its vote share, and whether it matches `gold`. One row per group:
+    * (grp, vote, votes, total, share, correct).
+    *
+    * Shape at 100 TB: one corpus-grain count aggregation down to
+    * (group × answer) grain — checkpointed, two group-grain consumers
+    * after it. No window; the argmax is max-count join-back + min(ans).
+    */
+  def majorityVote(df: DataFrame, groupCol: String, ansCol: String,
+                   gold: String): DataFrame = {
+    val votes = df.groupBy(col(groupCol).as("grp"), col(ansCol).as("ans"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val m = votes.groupBy("grp").agg(max("cnt").as("mc"), sum("cnt").as("tot"))
+    votes.join(m, "grp").filter(col("cnt") === col("mc"))
+      .groupBy("grp", "mc", "tot").agg(min("ans").as("vote"))
+      .select(col("grp"), col("vote"), col("mc").as("votes"),
+        col("tot").as("total"),
+        round(col("mc").cast("double") / col("tot").cast("double"), 6)
+          .as("share"),
+        (col("vote") === lit(gold)).cast("int").as("correct"))
+  }
+
+  /** The z for the 95% Wilson interval — single source for both
+    * renderers (the SQL twin interpolates z and z² from here).
+    */
+  val WilsonZ: Double = 1.96
+
+  /** Arena win rates with Wilson score intervals (Wilson 1927) — the
+    * leaderboard-with-error-bars view of pairwise policy outcomes, the
+    * uncertainty companion to the Bradley-Terry ratings. Input: one row
+    * per game (winCol = winning policy, loseCol = losing policy). One row
+    * per policy: (policy, wins, games, rate, lo, hi); lo/hi clamped to
+    * [0,1] — the Wilson interval never needs the clamp mathematically,
+    * but the fixed round-6 boundary does.
+    *
+    * Shape at 100 TB: union-explode to (policy, win-flag) grain, one
+    * group-keyed count agg; the interval is in-row closed-form math.
+    */
+  def wilsonWinRate(outcomes: DataFrame, winCol: String, loseCol: String,
+                    z: Double = WilsonZ): DataFrame = {
+    val games = outcomes.select(col(winCol).as("policy"), lit(1L).as("w"))
+      .unionByName(outcomes.select(col(loseCol).as("policy"), lit(0L).as("w")))
+    val agg = games.groupBy("policy")
+      .agg(sum("w").as("wins"), count(lit(1)).as("games"))
+    val nD = col("games").cast("double")
+    val p = col("wins").cast("double") / nD
+    val z2 = z * z
+    val denom = lit(1.0) + lit(z2) / nD
+    val center = (p + lit(z2) / (lit(2.0) * nD)) / denom
+    val half = lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (lit(4.0) * nD * nD)) / denom
+    agg.select(col("policy"), col("wins"), col("games"),
+      round(p, 6).as("rate"),
+      round(greatest(lit(0.0), center - half), 6).as("lo"),
+      round(least(lit(1.0), center + half), 6).as("hi"))
+  }
+
+  /** The SQL twin of [[wilsonWinRate]]'s projection over integer columns
+    * `wins`/`games` — generated (same operation order, z/z² interpolated
+    * from [[WilsonZ]]) so the two renderings cannot drift.
+    */
+  def wilsonSql(wins: String, games: String, z: Double = WilsonZ): String = {
+    val z2 = z * z
+    val n = s"CAST($games AS DOUBLE)"
+    val p = s"(CAST($wins AS DOUBLE) / $n)"
+    val denom = s"(1.0 + $z2 / $n)"
+    val center = s"(($p + $z2 / (2.0 * $n)) / $denom)"
+    val half =
+      s"($z * sqrt($p * (1.0 - $p) / $n + $z2 / (4.0 * $n * $n)) / $denom)"
+    s"""round($p, 6) AS rate,
+       |  round(greatest(0.0, $center - $half), 6) AS lo,
+       |  round(least(1.0, $center + $half), 6) AS hi""".stripMargin
+  }
+
+  /** Cohen's kappa (1960) between two categorical raters — the
+    * inter-annotator-agreement number every labeling/RLHF pipeline reports:
+    * κ = (pₒ − pₑ)/(1 − pₑ) with pₒ the observed agreement and pₑ the
+    * chance agreement from the marginals. NULL (never NaN) at the
+    * degenerate pₑ = 1. One row: (tot, po, pe, kappa).
+    *
+    * Shape at 100 TB: one corpus pass to the |A|×|B| contingency table
+    * (checkpointed), then marginal math at label grain. The final 1-row
+    * crossJoin is the benign broadcast-totals pattern.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cell = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val ra = cell.groupBy(col("a").as("k")).agg(sum("c").as("ca"))
+    val rb = cell.groupBy(col("b").as("k")).agg(sum("c").as("cb"))
+    val pe = ra.join(rb, "k")
+      .agg(sum(col("ca").cast("double") * col("cb").cast("double")).as("s"))
+    val agg = cell.agg(sum("c").as("tot"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(lit(0L)))
+        .as("agree"))
+    val poRaw = col("agree").cast("double") / col("tot").cast("double")
+    val peRaw = col("s") /
+      (col("tot").cast("double") * col("tot").cast("double"))
+    agg.crossJoin(broadcast(pe))
+      .select(col("tot"), round(poRaw, 6).as("po"), round(peRaw, 6).as("pe"),
+        round(when(lit(1.0) - peRaw === 0.0, lit(null).cast("double"))
+          .otherwise((poRaw - peRaw) / (lit(1.0) - peRaw)), 6).as("kappa"))
+  }
 }

@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Generation-eval metrics over (candidate, reference) text pairs: corpus
+  * BLEU (Papineni 2002 — clipped modified n-gram precision + brevity
+  * penalty) and ROUGE-N (Lin 2004 — n-gram recall/precision/F1). The
+  * judge-side summarization/translation eval a training pipeline runs over
+  * millions of generations.
+  *
+  * Scale shape: ONE pass builds the pair frame (checkpointed — three
+  * consumers), then clipped-match counting is the wordcount shape on
+  * (pair, n, gram) keys — two explodes, one equi-join, group-grain
+  * roll-ups. Nothing is ever all-pairs and no window touches corpus rows;
+  * pairs scale, n is a literal. Every formula is rendered twice from the
+  * constants below (Column chain + DuckDB SQL) so the two engines cannot
+  * drift.
+  */
+object OverlapEval {
+
+  /** Fixture pairing fractions for the self-overlap construction
+    * ([[slicePair]]): candidate = first 60% of tokens, reference = last
+    * 70% — a contiguous 30% overlap region, candidate shorter than
+    * reference so the brevity penalty is exercised. Single source for
+    * both renderers.
+    */
+  val CandFrac = 0.6
+  val RefFrac = 0.7
+
+  /** Deterministic (candidate, reference) token-array pairs derived from a
+    * document table: cand = first ceil(0.6·len) tokens, ref = last
+    * ceil(0.7·len). Output: (id, cand, ref).
+    */
+  def slicePair(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sz = size(col("a"))
+    val candLen = ceil(lit(CandFrac) * sz).cast("int")
+    val refLen = ceil(lit(RefFrac) * sz).cast("int")
+    df.select(col(idCol).as("id"),
+        TextAnalysis.tokensArr(col(textCol)).as("a"))
+      .select(col("id"),
+        slice(col("a"), lit(1), candLen).as("cand"),
+        slice(col("a"), sz - refLen + 1, refLen).as("ref"))
+  }
+
+  /** Per-n corpus overlap counts, n = 1..maxN: clipped matches
+    * (Σ_pairs Σ_grams min(count_cand, count_ref)), total candidate
+    * n-grams, total reference n-grams. The shared engine under
+    * [[rougeN]] and [[bleu]].
+    */
+  def ngramOverlap(pairDf: DataFrame, maxN: Int): DataFrame = {
+    require(maxN >= 1, s"ngramOverlap maxN: $maxN")
+    // three consumers (cand counts, ref counts, length totals) — score the
+    // tokenize/slice front end once
+    val pair = pairDf.localCheckpoint()
+    def gramStructs(arr: Column): Column =
+      flatten(array((1 to maxN).map { n =>
+        val gs = when(size(arr) >= n, TextAnalysis.ngramsArr(arr, n))
+          .otherwise(array().cast("array<string>"))
+        transform(gs, g => struct(lit(n).as("n"), g.as("g")))
+      }: _*))
+    def gramCounts(c: String, cnt: String) = pair
+      .select(col("id"), explode(gramStructs(col(c))).as("x"))
+      .groupBy(col("id"), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as(cnt))
+    val cg = gramCounts("cand", "cc")
+    val rg = gramCounts("ref", "rc")
+    val clip = cg.join(rg, Seq("id", "n", "g"), "left")
+      .groupBy("n")
+      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("clipped"))
+    val tot = pair
+      .select(explode(array((1 to maxN).map(n =>
+        struct(lit(n).as("n"),
+          greatest(lit(0), size(col("cand")) - n + 1).cast("long").as("ct"),
+          greatest(lit(0), size(col("ref")) - n + 1).cast("long").as("rt"))): _*))
+        .as("x"))
+      .groupBy(col("x.n").as("n"))
+      .agg(sum(col("x.ct")).as("cand_total"), sum(col("x.rt")).as("ref_total"))
+    tot.join(clip, Seq("n"), "left")
+      .select(col("n"), coalesce(col("clipped"), lit(0L)).as("clipped"),
+        col("cand_total"), col("ref_total"))
+  }
+
+  private def pRaw: Column =
+    when(col("cand_total") > 0,
+      col("clipped").cast("double") / col("cand_total").cast("double"))
+      .otherwise(lit(0.0))
+  private def rRaw: Column =
+    when(col("ref_total") > 0,
+      col("clipped").cast("double") / col("ref_total").cast("double"))
+      .otherwise(lit(0.0))
+
+  /** ROUGE-N table, one row per n: (n, precision, recall, f1). Recall is
+    * the headline ROUGE number; precision/F1 ride along for free.
+    */
+  def rougeN(pairDf: DataFrame, maxN: Int): DataFrame =
+    ngramOverlap(pairDf, maxN)
+      .select(col("n"), round(pRaw, 6).as("precision"),
+        round(rRaw, 6).as("recall"),
+        round(when(pRaw + rRaw > 0,
+          lit(2.0) * pRaw * rRaw / (pRaw + rRaw)).otherwise(0.0), 6)
+          .as("f1"))
+
+  /** Corpus BLEU-maxN, one row: (bp, p1..pmaxN, bleu). bleu = BP ·
+    * exp(Σ ln pₙ / maxN); zero (never NaN) when any pₙ = 0 — the standard
+    * unsmoothed corpus score.
+    */
+  def bleu(pairDf: DataFrame, maxN: Int = 4): DataFrame = {
+    val ov = ngramOverlap(pairDf, maxN)
+    val wide = ov.agg(
+      max(when(col("n") === 1, col("cand_total"))).as("cand_len"),
+      max(when(col("n") === 1, col("ref_total"))).as("ref_len") +:
+        (1 to maxN).map(k =>
+          max(when(col("n") === k, pRaw)).as(s"p$k")): _*)
+    val bpRaw = when(col("cand_len") === 0, lit(0.0))
+      .when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("ref_len").cast("double") / col("cand_len").cast("double")))
+    val allPos = (1 to maxN).map(k => col(s"p$k") > 0.0).reduce(_ && _)
+    val geo = exp((1 to maxN).map(k => log(col(s"p$k"))).reduce(_ + _) /
+      lit(maxN.toDouble))
+    wide.select(round(bpRaw, 6).as("bp") +:
+      (1 to maxN).map(k => round(col(s"p$k"), 6).as(s"p$k")) :+
+      round(when(allPos, bpRaw * geo).otherwise(0.0), 6).as("bleu"): _*)
+  }
+
+  // ── DuckDB renderings (generated from the same constants) ──────────────
+
+  /** `arr` + `pair` CTE bodies: the SQL twin of [[slicePair]]. */
+  def slicePairSql(table: String, idCol: String, textCol: String): String =
+    s"""arr AS (SELECT $idCol AS id,
+       |  list_filter(regexp_split_to_array(lower($textCol), '[^a-z0-9]+'), x -> x <> '') AS a
+       |  FROM $table),
+       |pair AS (SELECT id,
+       |  list_slice(a, 1, CAST(ceil($CandFrac * len(a)) AS BIGINT)) AS cand,
+       |  list_slice(a, len(a) - CAST(ceil($RefFrac * len(a)) AS BIGINT) + 1, len(a)) AS ref
+       |  FROM arr)""".stripMargin
+
+  private def gramExprSql(arr: String, n: Int): String =
+    (0 until n).map(j => if (j == 0) s"$arr[i]" else s"$arr[i+$j]")
+      .mkString(" || ' ' || ")
+
+  /** `cg`/`rg`/`clip`/`tot`/`j` CTE bodies over `pair`: the SQL twin of
+    * [[ngramOverlap]] (j = the joined per-n overlap table).
+    */
+  def overlapCtesSql(maxN: Int): String = {
+    def legs(c: String) = (1 to maxN).map(n =>
+      s"SELECT id, $n AS n, unnest(list_transform(range(1, len($c) - $n + 2), " +
+        s"i -> ${gramExprSql(c, n)})) AS g FROM pair WHERE len($c) >= $n")
+      .mkString("\n  UNION ALL\n  ")
+    val totLegs = (1 to maxN).map(n =>
+      s"SELECT $n AS n, greatest(0, len(cand) - $n + 1) AS ct, " +
+        s"greatest(0, len(ref) - $n + 1) AS rt FROM pair")
+      .mkString("\n  UNION ALL\n  ")
+    s"""cg AS (SELECT id, n, g, CAST(count(*) AS BIGINT) AS c FROM (
+       |  ${legs("cand")}) GROUP BY id, n, g),
+       |rg AS (SELECT id, n, g, CAST(count(*) AS BIGINT) AS c FROM (
+       |  ${legs("ref")}) GROUP BY id, n, g),
+       |clip AS (SELECT cg.n AS n, sum(least(cg.c, coalesce(rg.c, 0))) AS clipped
+       |         FROM cg LEFT JOIN rg ON cg.id = rg.id AND cg.n = rg.n AND cg.g = rg.g
+       |         GROUP BY cg.n),
+       |tot AS (SELECT n, sum(ct) AS cand_total, sum(rt) AS ref_total FROM (
+       |  $totLegs) GROUP BY n),
+       |j AS (SELECT t.n AS n, CAST(coalesce(c.clipped, 0) AS BIGINT) AS clipped,
+       |             CAST(t.cand_total AS BIGINT) AS cand_total,
+       |             CAST(t.ref_total AS BIGINT) AS ref_total
+       |      FROM tot t LEFT JOIN clip c USING (n))""".stripMargin
+  }
+
+  private val pRawSql =
+    "CASE WHEN cand_total > 0 THEN CAST(clipped AS DOUBLE)/CAST(cand_total AS DOUBLE) ELSE 0.0 END"
+  private val rRawSql =
+    "CASE WHEN ref_total > 0 THEN CAST(clipped AS DOUBLE)/CAST(ref_total AS DOUBLE) ELSE 0.0 END"
+
+  /** Full DuckDB statement: the twin of
+    * `rougeN(slicePair(table, id, text), maxN)`.
+    */
+  def rougeSql(table: String, idCol: String, textCol: String,
+               maxN: Int): String =
+    s"""WITH ${slicePairSql(table, idCol, textCol)},
+       |${overlapCtesSql(maxN)}
+       |SELECT n, round($pRawSql, 6) AS precision, round($rRawSql, 6) AS recall,
+       |  round(CASE WHEN ($pRawSql) + ($rRawSql) > 0
+       |        THEN 2.0 * ($pRawSql) * ($rRawSql) / (($pRawSql) + ($rRawSql))
+       |        ELSE 0.0 END, 6) AS f1
+       |FROM j ORDER BY n""".stripMargin
+
+  /** Full DuckDB statement: the twin of
+    * `bleu(slicePair(table, id, text), maxN)`.
+    */
+  def bleuSql(table: String, idCol: String, textCol: String,
+              maxN: Int): String = {
+    val ps = (1 to maxN).map(k =>
+      s"max(CASE WHEN n = $k THEN $pRawSql END) AS p$k").mkString(",\n  ")
+    val bpRaw = "CASE WHEN cand_len = 0 THEN 0.0 " +
+      "WHEN cand_len >= ref_len THEN 1.0 " +
+      "ELSE exp(1.0 - CAST(ref_len AS DOUBLE)/CAST(cand_len AS DOUBLE)) END"
+    val allPos = (1 to maxN).map(k => s"p$k > 0.0").mkString(" AND ")
+    val geo = s"exp((${(1 to maxN).map(k => s"ln(p$k)").mkString(" + ")}) / " +
+      s"${maxN.toDouble})"
+    s"""WITH ${slicePairSql(table, idCol, textCol)},
+       |${overlapCtesSql(maxN)},
+       |w AS (SELECT
+       |  max(CASE WHEN n = 1 THEN cand_total END) AS cand_len,
+       |  max(CASE WHEN n = 1 THEN ref_total END) AS ref_len,
+       |  $ps
+       |FROM j)
+       |SELECT round($bpRaw, 6) AS bp,
+       |  ${(1 to maxN).map(k => s"round(p$k, 6) AS p$k").mkString(",\n  ")},
+       |  round(CASE WHEN $allPos THEN ($bpRaw) * $geo ELSE 0.0 END, 6) AS bleu
+       |FROM w""".stripMargin
+  }
+}

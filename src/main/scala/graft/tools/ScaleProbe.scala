@@ -173,6 +173,35 @@ object ScaleProbe {
     timed("wordpiece") {
       graft.ops.Bpe.wordpieceStats(spark, docs, "text",
         graft.ops.Bpe.fixtureVocab) }
+    // round-13 generation eval: clipped-count machinery is the wordcount
+    // shape on (pair, n, gram) keys — must stay token-linear
+    timed("bleu_rouge") {
+      graft.ops.OverlapEval.bleu(
+        graft.ops.OverlapEval.slicePair(docs, "doc_id", "text"), maxN = 4) }
+    // round-13 majority vote: corpus → (group × answer) grain in one agg;
+    // groups scale with n (~25 samples per problem)
+    timed("majority_vote") {
+      graft.ops.EvalMetrics.majorityVote(
+        docs.select(pmod(col("doc_id"), lit(math.max(1L, n / 25))).as("grp"),
+          concat(lit("a"), pmod(hash(col("doc_id")), lit(4))).as("ans")),
+        "grp", "ans", gold = "a0") }
+    // round-13 Wilson win-rate leaderboard: union-explode to (policy,
+    // flag) grain + one count agg; interval is in-row closed form —
+    // must be scan-bound like kappa
+    timed("wilson_win_rate") {
+      graft.ops.EvalMetrics.wilsonWinRate(
+        docs.select(
+          concat(lit("pol"), pmod(hash(col("doc_id"), lit(3)), lit(8))).as("win"),
+          concat(lit("pol"), pmod(hash(col("doc_id"), lit(4)), lit(8))).as("lose")),
+        "win", "lose") }
+    // round-13 Cohen's kappa: one corpus pass to a 4×4 contingency table,
+    // label-grain marginal math after — must be scan-bound
+    timed("cohen_kappa") {
+      graft.ops.EvalMetrics.cohenKappa(
+        docs.select(
+          concat(lit("a"), pmod(hash(col("doc_id"), lit(1)), lit(4))).as("a"),
+          concat(lit("a"), pmod(hash(col("doc_id"), lit(2)), lit(4))).as("b")),
+        "a", "b") }
     // chunking: pure per-row transform, must stay linear at scan speed
     timed("chunk_overlap") {
       graft.ops.TextOps.tokenChunks(docs, "doc_id", "text", 16, 8) }

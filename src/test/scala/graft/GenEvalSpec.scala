@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EvalMetrics, OverlapEval}
+
+/** Hand-computed fixtures for the generation-eval ops: BLEU clipping/BP,
+  * ROUGE-N, the slice-pair construction, self-consistency majority vote,
+  * and Cohen's kappa.
+  */
+class GenEvalSpec extends SparkTestBase {
+
+  test("ngramOverlap: the Papineni clipping example") {
+    import spark.implicits._
+    // cand = 'the'×7 vs ref = 'the cat is on the mat': clipped unigram
+    // matches = min(7, 2) = 2 of 7 candidate tokens
+    val pair = Seq((1, Seq.fill(7)("the"),
+      Seq("the", "cat", "is", "on", "the", "mat")))
+      .toDF("id", "cand", "ref")
+    val r = OverlapEval.ngramOverlap(pair, maxN = 1).collect()
+    assert(r.length == 1)
+    assert((r(0).getInt(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3)) == ((1, 2L, 7L, 6L)))
+  }
+
+  test("bleu: identical pair scores 1, disjoint pair scores 0") {
+    import spark.implicits._
+    val same = Seq((1, Seq("a", "b", "c", "d", "e"),
+      Seq("a", "b", "c", "d", "e"))).toDF("id", "cand", "ref")
+    val s = OverlapEval.bleu(same, maxN = 4).collect()(0)
+    assert(s.getDouble(0) == 1.0 && s.getDouble(5) == 1.0) // bp, bleu
+    val disj = Seq((1, Seq("x", "y", "z", "w", "v"),
+      Seq("a", "b", "c", "d", "e"))).toDF("id", "cand", "ref")
+    val d = OverlapEval.bleu(disj, maxN = 4).collect()(0)
+    assert(d.getDouble(5) == 0.0 && d.getDouble(1) == 0.0) // bleu, p1
+  }
+
+  test("bleu: brevity penalty exp(1 - r/c) when the candidate is short") {
+    import spark.implicits._
+    // cand = prefix half of ref: every n-gram matches (p_n = 1),
+    // bp = exp(1 - 8/4) = e^-1
+    val pair = Seq((1, Seq("a", "b", "c", "d"),
+      Seq("a", "b", "c", "d", "e", "f", "g", "h")))
+      .toDF("id", "cand", "ref")
+    val r = OverlapEval.bleu(pair, maxN = 4).collect()(0)
+    assert(r.getDouble(0) == 0.367879) // bp = round(e^-1, 6)
+    assert((1 to 4).forall(k => r.getDouble(k) == 1.0))
+    assert(r.getDouble(5) == 0.367879) // bleu = bp · 1
+  }
+
+  test("rougeN: clipped precision/recall/F1 hand values") {
+    import spark.implicits._
+    // cand = [a,b,b], ref = [a,b,c]: clipped = min(1,1)+min(2,1) = 2,
+    // p = r = f1 = 2/3
+    val pair = Seq((1, Seq("a", "b", "b"), Seq("a", "b", "c")))
+      .toDF("id", "cand", "ref")
+    val r = OverlapEval.rougeN(pair, maxN = 1).collect()(0)
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((0.666667, 0.666667, 0.666667)))
+  }
+
+  test("slicePair: 60/70 split of a 10-token doc overlaps in the middle") {
+    import spark.implicits._
+    val df = Seq((1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val r = OverlapEval.slicePair(df, "doc_id", "text").collect()(0)
+    assert(r.getSeq[String](1) == (0 until 6).map(i => s"t$i")) // first 60%
+    assert(r.getSeq[String](2) == (3 until 10).map(i => s"t$i")) // last 70%
+  }
+
+  test("majorityVote: modal answer, min tie-break, gold flag") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("p1", "yes")) ++ Seq.fill(2)(("p1", "no")) ++
+      Seq(("p2", "b"), ("p2", "a")) ++ // tie → min wins
+      Seq.fill(2)(("p3", "yes"))).toDF("prob", "ans")
+    val got = EvalMetrics.majorityVote(df, "prob", "ans", gold = "yes")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getInt(5))).toMap
+    assert(got("p1") == (("yes", 3L, 5L, 0.6, 1)))
+    assert(got("p2") == (("a", 1L, 2L, 0.5, 0)))
+    assert(got("p3") == (("yes", 2L, 2L, 1.0, 1)))
+  }
+
+  test("cohenKappa: textbook 2x2 confusion gives kappa 0.4") {
+    import spark.implicits._
+    // cells (A,A)=20 (A,B)=5 (B,A)=10 (B,B)=15: po = 35/50 = 0.7,
+    // pe = (25·30 + 25·20)/50² = 0.5, kappa = 0.2/0.5 = 0.4
+    val df = (Seq.fill(20)(("A", "A")) ++ Seq.fill(5)(("A", "B")) ++
+      Seq.fill(10)(("B", "A")) ++ Seq.fill(15)(("B", "B"))).toDF("a", "b")
+    val r = EvalMetrics.cohenKappa(df, "a", "b").collect()(0)
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((50L, 0.7, 0.5, 0.4)))
+  }
+
+  test("wilsonWinRate: hand intervals incl. the 0-win and all-win clamps") {
+    import spark.implicits._
+    // A beats B 8×, B beats A 2×; C beats D 5×. Wilson(z=1.96):
+    // 8/10 → (0.490157, 0.943319); 2/10 mirrors; 5/5 → (0.565509, 1.0);
+    // 0/5 → (0.0, 0.434491)
+    val games = (Seq.fill(8)(("A", "B")) ++ Seq.fill(2)(("B", "A")) ++
+      Seq.fill(5)(("C", "D"))).toDF("win", "lose")
+    val got = graft.ops.EvalMetrics.wilsonWinRate(games, "win", "lose")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got("A") == ((8L, 10L, 0.8, 0.490157, 0.943319)))
+    assert(got("B") == ((2L, 10L, 0.2, 0.056681, 0.509843)))
+    assert(got("C") == ((5L, 5L, 1.0, 0.565509, 1.0)))
+    assert(got("D") == ((0L, 5L, 0.0, 0.0, 0.434491)))
+  }
+
+  test("cohenKappa: perfect single-cell agreement yields null (pe = 1)") {
+    import spark.implicits._
+    val df = Seq.fill(4)(("A", "A")).toDF("a", "b")
+    val r = EvalMetrics.cohenKappa(df, "a", "b").collect()(0)
+    assert(r.isNullAt(3))
+  }
+}
