@@ -392,6 +392,14 @@ object SparkEntry {
           "doc_id", "text"), maxN = 2)
         .orderBy("n")),
 
+    // chrF (Popović 2015): character n-gram F-2 over n=1..6 on the same
+    // pair construction — the third standard generation metric beside
+    // BLEU/ROUGE, robust to tokenization because it never tokenizes.
+    "q_chrf" -> ((s, dir) =>
+      graft.ops.OverlapEval.chrF(
+        graft.ops.OverlapEval.charPair(Tables.documents(s, dir),
+          "doc_id", "text"))),
+
     // Self-consistency majority vote (Wang et al. 2023): per source group,
     // the modal lang across its documents (min-ans tie-break), vote share,
     // and gold agreement — the "sample N, take the majority answer" eval.
@@ -6843,6 +6851,9 @@ object SparkEntry {
 
     "q_rouge" ->
       graft.ops.OverlapEval.rougeSql("documents", "doc_id", "text", maxN = 2),
+
+    "q_chrf" ->
+      graft.ops.OverlapEval.chrfSql("documents", "doc_id", "text"),
 
     "q_self_consistency" ->
       """WITH votes AS (SELECT source AS grp, lang AS ans,

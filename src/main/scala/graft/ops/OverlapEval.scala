@@ -45,21 +45,21 @@ object OverlapEval {
         slice(col("a"), sz - refLen + 1, refLen).as("ref"))
   }
 
-  /** Per-n corpus overlap counts, n = 1..maxN: clipped matches
-    * (Σ_pairs Σ_grams min(count_cand, count_ref)), total candidate
-    * n-grams, total reference n-grams. The shared engine under
-    * [[rougeN]] and [[bleu]].
+  /** The clipped-count engine shared by the word-gram ([[ngramOverlap]])
+    * and char-gram ([[charNgramOverlap]]) metrics: given a per-n gram
+    * builder and a unit-length expression, produce the per-n corpus rows
+    * (n, clipped, cand_total, ref_total).
     */
-  def ngramOverlap(pairDf: DataFrame, maxN: Int): DataFrame = {
-    require(maxN >= 1, s"ngramOverlap maxN: $maxN")
+  private def overlapCore(pairDf: DataFrame, maxN: Int,
+                          gramsOf: (Column, Int) => Column,
+                          lenOf: Column => Column): DataFrame = {
+    require(maxN >= 1, s"overlapCore maxN: $maxN")
     // three consumers (cand counts, ref counts, length totals) — score the
     // tokenize/slice front end once
     val pair = pairDf.localCheckpoint()
-    def gramStructs(arr: Column): Column =
+    def gramStructs(c: Column): Column =
       flatten(array((1 to maxN).map { n =>
-        val gs = when(size(arr) >= n, TextAnalysis.ngramsArr(arr, n))
-          .otherwise(array().cast("array<string>"))
-        transform(gs, g => struct(lit(n).as("n"), g.as("g")))
+        transform(gramsOf(c, n), g => struct(lit(n).as("n"), g.as("g")))
       }: _*))
     def gramCounts(c: String, cnt: String) = pair
       .select(col("id"), explode(gramStructs(col(c))).as("x"))
@@ -73,8 +73,8 @@ object OverlapEval {
     val tot = pair
       .select(explode(array((1 to maxN).map(n =>
         struct(lit(n).as("n"),
-          greatest(lit(0), size(col("cand")) - n + 1).cast("long").as("ct"),
-          greatest(lit(0), size(col("ref")) - n + 1).cast("long").as("rt"))): _*))
+          greatest(lit(0), lenOf(col("cand")) - n + 1).cast("long").as("ct"),
+          greatest(lit(0), lenOf(col("ref")) - n + 1).cast("long").as("rt"))): _*))
         .as("x"))
       .groupBy(col("x.n").as("n"))
       .agg(sum(col("x.ct")).as("cand_total"), sum(col("x.rt")).as("ref_total"))
@@ -82,6 +82,32 @@ object OverlapEval {
       .select(col("n"), coalesce(col("clipped"), lit(0L)).as("clipped"),
         col("cand_total"), col("ref_total"))
   }
+
+  /** Per-n corpus overlap counts over word-gram pairs, n = 1..maxN:
+    * clipped matches (Σ_pairs Σ_grams min(count_cand, count_ref)), total
+    * candidate n-grams, total reference n-grams. The shared engine under
+    * [[rougeN]] and [[bleu]].
+    */
+  def ngramOverlap(pairDf: DataFrame, maxN: Int): DataFrame =
+    overlapCore(pairDf, maxN,
+      gramsOf = (arr, n) =>
+        when(size(arr) >= n, TextAnalysis.ngramsArr(arr, n))
+          .otherwise(array().cast("array<string>")),
+      lenOf = size)
+
+  /** [[ngramOverlap]] over CHARACTER n-grams of string pairs (id, cand,
+    * ref strings) — the engine under [[chrF]].
+    */
+  def charNgramOverlap(pairDf: DataFrame, maxN: Int): DataFrame =
+    overlapCore(pairDf, maxN,
+      gramsOf = (s, n) =>
+        // guard BEFORE sequence: sequence(1, 0) would DESCEND, not
+        // produce empty (same pitfall ngramsArr documents)
+        when(length(s) >= n,
+          transform(sequence(lit(1), length(s) - n + 1),
+            i => s.substr(i, lit(n))))
+          .otherwise(array().cast("array<string>")),
+      lenOf = s => length(s))
 
   private def pRaw: Column =
     when(col("cand_total") > 0,
@@ -124,6 +150,46 @@ object OverlapEval {
     wide.select(round(bpRaw, 6).as("bp") +:
       (1 to maxN).map(k => round(col(s"p$k"), 6).as(s"p$k")) :+
       round(when(allPos, bpRaw * geo).otherwise(0.0), 6).as("bleu"): _*)
+  }
+
+  /** chrF's n-gram order (1..6) and β (recall weighted 2×) — the
+    * Popović 2015 standard settings, single source for both renderers.
+    */
+  val ChrfMaxN = 6
+  val ChrfBeta = 2.0
+
+  /** [[slicePair]] re-joined to strings for the character-level metric:
+    * (id, cand string, ref string), tokens joined by single spaces.
+    */
+  def charPair(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    slicePair(df, idCol, textCol)
+      .select(col("id"), array_join(col("cand"), " ").as("cand"),
+        array_join(col("ref"), " ").as("ref"))
+
+  /** chrF (Popović 2015): character n-gram F-β over n = 1..[[ChrfMaxN]],
+    * per-n precision/recall averaged first (plain average over all
+    * orders), then F with β = [[ChrfBeta]] (recall weighted β²). One row:
+    * (chrp, chrr, chrf). Zero (never NaN) at the degenerate
+    * all-empty corpus.
+    */
+  def chrF(pairDf: DataFrame, maxN: Int = ChrfMaxN,
+           beta: Double = ChrfBeta): DataFrame = {
+    val ov = charNgramOverlap(pairDf, maxN)
+    // pivot per-n to columns so the average is a FIXED-order sum (a
+    // sum() over double rows would add in partition order)
+    val wide = ov.agg(
+      max(when(col("n") === 1, pRaw)).as("p1"),
+      (2 to maxN).map(k => max(when(col("n") === k, pRaw)).as(s"p$k")) ++
+        (1 to maxN).map(k => max(when(col("n") === k, rRaw)).as(s"r$k")): _*)
+    val chrp = (1 to maxN).map(k => col(s"p$k")).reduce(_ + _) /
+      lit(maxN.toDouble)
+    val chrr = (1 to maxN).map(k => col(s"r$k")).reduce(_ + _) /
+      lit(maxN.toDouble)
+    val b2 = beta * beta
+    val den = lit(b2) * chrp + chrr
+    wide.select(round(chrp, 6).as("chrp"), round(chrr, 6).as("chrr"),
+      round(when(den > 0, lit(1.0 + b2) * chrp * chrr / den)
+        .otherwise(0.0), 6).as("chrf"))
   }
 
   // ── DuckDB renderings (generated from the same constants) ──────────────
@@ -186,6 +252,53 @@ object OverlapEval {
        |        THEN 2.0 * ($pRawSql) * ($rRawSql) / (($pRawSql) + ($rRawSql))
        |        ELSE 0.0 END, 6) AS f1
        |FROM j ORDER BY n""".stripMargin
+
+  /** Full DuckDB statement: the twin of
+    * `chrF(charPair(table, id, text), maxN, beta)`.
+    */
+  def chrfSql(table: String, idCol: String, textCol: String,
+              maxN: Int = ChrfMaxN, beta: Double = ChrfBeta): String = {
+    def legs(c: String) = (1 to maxN).map(n =>
+      s"SELECT id, $n AS n, unnest(list_transform(range(1, length($c) - $n + 2), " +
+        s"i -> substring($c, CAST(i AS INT), $n))) AS g FROM cpair WHERE length($c) >= $n")
+      .mkString("\n  UNION ALL\n  ")
+    val totLegs = (1 to maxN).map(n =>
+      s"SELECT $n AS n, greatest(0, length(cand) - $n + 1) AS ct, " +
+        s"greatest(0, length(ref) - $n + 1) AS rt FROM cpair")
+      .mkString("\n  UNION ALL\n  ")
+    val ps = (1 to maxN).map(k =>
+      s"max(CASE WHEN n = $k THEN $pRawSql END) AS p$k").mkString(",\n  ")
+    val rs = (1 to maxN).map(k =>
+      s"max(CASE WHEN n = $k THEN $rRawSql END) AS r$k").mkString(",\n  ")
+    val chrp = s"((${(1 to maxN).map(k => s"p$k").mkString(" + ")}) / ${maxN.toDouble})"
+    val chrr = s"((${(1 to maxN).map(k => s"r$k").mkString(" + ")}) / ${maxN.toDouble})"
+    val b2 = beta * beta
+    val den = s"($b2 * $chrp + $chrr)"
+    s"""WITH ${slicePairSql(table, idCol, textCol)},
+       |cpair AS (SELECT id, array_to_string(cand, ' ') AS cand,
+       |                 array_to_string(ref, ' ') AS ref FROM pair),
+       |cg AS (SELECT id, n, g, CAST(count(*) AS BIGINT) AS c FROM (
+       |  ${legs("cand")}) GROUP BY id, n, g),
+       |rg AS (SELECT id, n, g, CAST(count(*) AS BIGINT) AS c FROM (
+       |  ${legs("ref")}) GROUP BY id, n, g),
+       |clip AS (SELECT cg.n AS n, sum(least(cg.c, coalesce(rg.c, 0))) AS clipped
+       |         FROM cg LEFT JOIN rg ON cg.id = rg.id AND cg.n = rg.n AND cg.g = rg.g
+       |         GROUP BY cg.n),
+       |tot AS (SELECT n, sum(ct) AS cand_total, sum(rt) AS ref_total FROM (
+       |  $totLegs) GROUP BY n),
+       |j AS (SELECT t.n AS n, CAST(coalesce(c.clipped, 0) AS BIGINT) AS clipped,
+       |             CAST(t.cand_total AS BIGINT) AS cand_total,
+       |             CAST(t.ref_total AS BIGINT) AS ref_total
+       |      FROM tot t LEFT JOIN clip c USING (n)),
+       |w AS (SELECT
+       |  $ps,
+       |  $rs
+       |FROM j)
+       |SELECT round($chrp, 6) AS chrp, round($chrr, 6) AS chrr,
+       |  round(CASE WHEN $den > 0 THEN ${1.0 + b2} * $chrp * $chrr / $den
+       |        ELSE 0.0 END, 6) AS chrf
+       |FROM w""".stripMargin
+  }
 
   /** Full DuckDB statement: the twin of
     * `bleu(slicePair(table, id, text), maxN)`.

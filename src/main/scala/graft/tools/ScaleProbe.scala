@@ -178,6 +178,12 @@ object ScaleProbe {
     timed("bleu_rouge") {
       graft.ops.OverlapEval.bleu(
         graft.ops.OverlapEval.slicePair(docs, "doc_id", "text"), maxN = 4) }
+    // round-13 chrF: 6 char-gram orders × 2 sides ≈ 12× corpus chars of
+    // gram rows — token-linear with a big constant, the heaviest of the
+    // generation metrics by design
+    timed("chrf") {
+      graft.ops.OverlapEval.chrF(
+        graft.ops.OverlapEval.charPair(docs, "doc_id", "text")) }
     // round-13 majority vote: corpus → (group × answer) grain in one agg;
     // groups scale with n (~25 samples per problem)
     timed("majority_vote") {

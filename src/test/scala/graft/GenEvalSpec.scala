@@ -92,6 +92,21 @@ class GenEvalSpec extends SparkTestBase {
       ((50L, 0.7, 0.5, 0.4)))
   }
 
+  test("chrF: hand values — F equals P when P = R, recall weighted 2x") {
+    import spark.implicits._
+    // cand='abc' ref='abd', maxN=2: p1=r1=2/3, p2=r2=1/2 →
+    // chrp=chrr=7/12, chrf = 7/12 (F = P when P = R)
+    val pr = Seq((1, "abc", "abd")).toDF("id", "cand", "ref")
+    val r1 = OverlapEval.chrF(pr, maxN = 2).collect()(0)
+    assert((r1.getDouble(0), r1.getDouble(1), r1.getDouble(2)) ==
+      ((0.583333, 0.583333, 0.583333)))
+    // cand='aa' ref='aaa', maxN=1: p=1, r=2/3 → F2 = 5·(2/3)/(4+2/3) = 5/7
+    val pr2 = Seq((1, "aa", "aaa")).toDF("id", "cand", "ref")
+    val r2 = OverlapEval.chrF(pr2, maxN = 1).collect()(0)
+    assert((r2.getDouble(0), r2.getDouble(1), r2.getDouble(2)) ==
+      ((1.0, 0.666667, 0.714286)))
+  }
+
   test("wilsonWinRate: hand intervals incl. the 0-win and all-win clamps") {
     import spark.implicits._
     // A beats B 8×, B beats A 2×; C beats D 5×. Wilson(z=1.96):
