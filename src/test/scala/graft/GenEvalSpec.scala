@@ -92,6 +92,24 @@ class GenEvalSpec extends SparkTestBase {
       ((50L, 0.7, 0.5, 0.4)))
   }
 
+  test("ngramOverlap property: swapping cand/ref swaps precision and recall") {
+    import spark.implicits._
+    // min() is symmetric and the totals swap roles, so ROUGE over the
+    // swapped pair must mirror p <-> r exactly — for every n
+    val rnd = new scala.util.Random(42)
+    def arr() = Seq.fill(5 + rnd.nextInt(20))("w" + rnd.nextInt(8))
+    val pairs = (1 to 20).map(i => (i, arr(), arr()))
+    val fwd = OverlapEval.rougeN(pairs.toDF("id", "cand", "ref"), maxN = 2)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rev = OverlapEval.rougeN(pairs.map(p => (p._1, p._3, p._2))
+        .toDF("id", "cand", "ref"), maxN = 2)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for (n <- 1 to 2) {
+      assert(fwd(n)._1 == rev(n)._2 && fwd(n)._2 == rev(n)._1,
+        s"n=$n: ${fwd(n)} vs swapped ${rev(n)}")
+    }
+  }
+
   test("chrF: hand values — F equals P when P = R, recall weighted 2x") {
     import spark.implicits._
     // cand='abc' ref='abd', maxN=2: p1=r1=2/3, p2=r2=1/2 →

@@ -367,4 +367,33 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("generation-eval plans: no cartesian/NLJ; kappa's one NLJ is the 1-row totals broadcast") {
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Tables.documents(spark, sfDir)
+    // the clipped-count metrics and the vote/win-rate aggs must plan as
+    // pure hash-agg + hash-join chains — an NLJ anywhere here would put
+    // an unbounded gram or group side on an all-pairs loop
+    val clean = Seq(
+      "bleu" -> graft.ops.OverlapEval.bleu(
+        graft.ops.OverlapEval.slicePair(d, "doc_id", "text"), maxN = 4),
+      "chrf" -> graft.ops.OverlapEval.chrF(
+        graft.ops.OverlapEval.charPair(d, "doc_id", "text")),
+      "vote" -> graft.ops.EvalMetrics.majorityVote(d, "source", "lang", "en"),
+      "wilson" -> graft.ops.EvalMetrics.wilsonWinRate(
+        d.select(col("source").as("win"), col("lang").as("lose")),
+        "win", "lose"))
+    for ((name, q) <- clean) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans an NLJ")
+    }
+    val kp = graft.ops.EvalMetrics.cohenKappa(
+        d.select(col("lang").as("a"),
+          graft.functions.TextAnalysis.langId(col("text")).as("b")), "a", "b")
+      .queryExecution.executedPlan.toString
+    assert(!kp.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(kp).length == 1,
+      s"kappa must have exactly the 1-row pe-broadcast NLJ:\n${kp.take(1500)}")
+  }
 }
