@@ -2376,6 +2376,16 @@ object SparkEntry {
         .orderBy("d")
     }),
 
+    // Top principal component of the embedding space by fixed-round power
+    // iteration — the anisotropy/whitening diagnostic (dominant direction
+    // + eigenvalue). Deterministic cross-engine: decimal-exact sums in the
+    // covariance build and every contraction; the oracle unrolls the same
+    // 8 rounds as CTEs from the same PcaIters constant.
+    "q_pca_top" -> ((s, dir) =>
+      graft.ops.StatsOps.topPrincipalComponent(
+        Tables.embeddings(s, dir), "embedding")
+        .orderBy("dim")),
+
     // Per-group PSI: value drift per event type between the even- and
     // odd-id halves of the stream — the fully distributed GROUP BY form
     // (edges are a TABLE, not driver literals; no group sorts in one
@@ -4585,6 +4595,11 @@ object SparkEntry {
     },
 
     // decimal-exact per-dim means, centroid cosine from the dims-row fold
+    // covariance build + 8 unrolled power-iteration CTE rounds, all
+    // generated by StatsOps.pcaSql from the same PcaIters constant
+    "q_pca_top" ->
+      graft.ops.StatsOps.pcaSql("embeddings", "embedding"),
+
     "q_embed_drift" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS d),

@@ -366,4 +366,115 @@ object StatsOps {
         round(col("p"), 6).as("ref_share"), round(col("qq"), 6).as("cur_share"),
         round(col("term"), 6).as("term"), col("psi"))
   }
+
+  /** Power-iteration rounds for [[topPrincipalComponent]] — single source
+    * for the Column renderer and the unrolled-CTE SQL twin. Determinism
+    * does not require convergence: both engines run the SAME fixed
+    * iteration count from the same start vector. 16 rounds: the fixture
+    * embedding spectrum is near-flat (λ₂/λ₁ ≈ 0.93), so convergence is
+    * geometric-but-slow — 16 rounds land the eigen-equation residual
+    * ≈ 3% of λ, enough for the diagnostic while keeping the unrolled
+    * oracle bounded.
+    */
+  val PcaIters: Int = 16
+
+  /** Top principal component of an embedding column — the dominant
+    * direction of the covariance matrix by POWER ITERATION (v ← C·v/‖C·v‖
+    * from v₀ = e₁, [[PcaIters]] rounds), the "which way does this
+    * embedding space mostly point" diagnostic behind whitening and
+    * anisotropy checks (Mu & Viswanath 2018 all-but-the-top). One row per
+    * dimension: (dim, loading, eigval) with eigval the final iterate's
+    * ‖C·v‖ (the Rayleigh quotient at convergence).
+    *
+    * Engine-portable numerics: the two corpus passes (per-dim sums, in-row
+    * outer products) and every per-iteration contraction accumulate in
+    * decimal(38,18) — order-independent — and the closed forms run in
+    * double with a fixed operation order, so the DuckDB twin reproduces
+    * the doubles bit-for-bit regardless of row order.
+    *
+    * Shape at 100 TB: the outer-product explode is dim² per row but
+    * map-side partial aggregation collapses each task to dim² rows before
+    * the shuffle; the iterations run on the dim²-row covariance table
+    * (checkpointed once) — corpus touched exactly twice, never per round.
+    */
+  def topPrincipalComponent(df: DataFrame, vecCol: String,
+                            iters: Int = PcaIters): DataFrame = {
+    require(iters >= 1, s"topPrincipalComponent iters: $iters")
+    val vec = col(vecCol).cast("array<double>")
+    val means = df.select(posexplode(vec).as(Seq("p", "x")))
+      .select((col("p") + 1).as("i"), col("x"))
+      .groupBy("i")
+      .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("sx"))
+    val nRow = df.agg(count(lit(1)).cast("double").as("n"))
+    val pairs = df.select(explode(flatten(transform(vec, (xi, pi) =>
+        transform(vec, (xj, pj) => struct((pi + 1).as("i"), (pj + 1).as("j"),
+          (xi * xj).as("xx")))))).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.xx").cast("decimal(38,18)")).cast("double").as("sxy"))
+    val c = pairs
+      .join(means.select(col("i"), col("sx").as("sxi")), "i")
+      .join(means.select(col("i").as("j"), col("sx").as("sxj")), "j")
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"),
+        ((col("sxy") - col("sxi") * col("sxj") / col("n")) / col("n")).as("c"))
+      .localCheckpoint() // dim² rows; every iteration consumes it
+    var vk = c.select(col("i")).distinct()
+      .select(col("i"),
+        when(col("i") === 1, lit(1.0)).otherwise(lit(0.0)).as("v"))
+      .localCheckpoint()
+    var nrm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = c.join(vk.select(col("i").as("j"), col("v")), "j")
+        .groupBy("i")
+        .agg(sum((col("c") * col("v")).cast("decimal(38,18)"))
+          .cast("double").as("w"))
+      nrm = w.agg(sqrt(sum((col("w") * col("w")).cast("decimal(38,18)"))
+        .cast("double")).as("nm"))
+      vk = w.crossJoin(broadcast(nrm))
+        .select(col("i"), (col("w") / col("nm")).as("v"))
+        .localCheckpoint()
+    }
+    vk.crossJoin(broadcast(nrm))
+      .select(col("i").cast("long").as("dim"),
+        round(col("v"), 6).as("loading"), round(col("nm"), 6).as("eigval"))
+  }
+
+  /** Full DuckDB statement: the twin of
+    * `topPrincipalComponent(table, vecCol, iters)` — the covariance
+    * build plus `iters` unrolled w/nrm/v CTE rounds (the kmeansCtes
+    * unrolling pattern), decimal sums everywhere a row order could leak.
+    */
+  def pcaSql(table: String, vecCol: String,
+             iters: Int = PcaIters): String = {
+    // every CTE is MATERIALIZED: each round references the previous one
+    // more than once, and un-materialized CTEs re-inline the WHOLE chain
+    // per reference — exponential replay in chain depth (the q_ivf_pq
+    // lesson; at 16 rounds it exhausts file handles before it exhausts
+    // patience)
+    val rounds = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT c.i AS i, CAST(sum(CAST(c.c * v.v AS DECIMAL(38,18))) AS DOUBLE) AS w
+         |        FROM c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
+         |nrm$k AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nm FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i, w / nm AS v FROM w$k CROSS JOIN nrm$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |m AS MATERIALIZED (SELECT i, CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx FROM (
+       |  SELECT i, v[i] AS x FROM e CROSS JOIN unnest(range(1, len(v)+1)) AS a(i))
+       |  GROUP BY i),
+       |xp AS MATERIALIZED (SELECT i, j, CAST(sum(CAST(xx AS DECIMAL(38,18))) AS DOUBLE) AS sxy FROM (
+       |  SELECT a.i AS i, b.j AS j, v[a.i] * v[b.j] AS xx FROM e
+       |  CROSS JOIN unnest(range(1, len(v)+1)) AS a(i)
+       |  CROSS JOIN unnest(range(1, len(v)+1)) AS b(j))
+       |  GROUP BY i, j),
+       |c AS MATERIALIZED (SELECT x.i AS i, x.j AS j,
+       |        (x.sxy - mi.sx * mj.sx / nn.n) / nn.n AS c
+       |      FROM xp x JOIN m mi ON mi.i = x.i JOIN m mj ON mj.i = x.j
+       |      CROSS JOIN nn),
+       |v0 AS MATERIALIZED (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v FROM m),
+       |$rounds
+       |SELECT CAST(v.i AS BIGINT) AS dim, round(v.v, 6) AS loading,
+       |       round(nm, 6) AS eigval
+       |FROM v$iters v CROSS JOIN nrm$iters ORDER BY dim""".stripMargin
+  }
 }

@@ -184,6 +184,12 @@ object ScaleProbe {
     timed("chrf") {
       graft.ops.OverlapEval.chrF(
         graft.ops.OverlapEval.charPair(docs, "doc_id", "text")) }
+    // round-13 top-PC power iteration: the outer-product explode is
+    // dim²/row but map-side partial agg bounds the shuffle at dim² rows
+    // per task; the 16 rounds run on the checkpointed dim² covariance —
+    // corpus touched exactly twice, must scale with n, never with rounds
+    timed("pca_top") {
+      graft.ops.StatsOps.topPrincipalComponent(embs, "embedding") }
     // round-13 majority vote: corpus → (group × answer) grain in one agg;
     // groups scale with n (~25 samples per problem)
     timed("majority_vote") {
