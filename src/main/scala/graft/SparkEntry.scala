@@ -2386,6 +2386,15 @@ object SparkEntry {
         Tables.embeddings(s, dir), "embedding")
         .orderBy("dim")),
 
+    // All-but-the-top whitening (Mu & Viswanath 2018): mean-center and
+    // remove the q_pca_top direction from every embedding — the transform
+    // that de-anisotropizes the space before cosine work. Same PC chain,
+    // one more broadcast-(μ,v) scan; per-row folds are fixed-order.
+    "q_whiten" -> ((s, dir) =>
+      graft.ops.StatsOps.whitenAllButTop(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("id")),
+
     // Per-group PSI: value drift per event type between the even- and
     // odd-id halves of the stream — the fully distributed GROUP BY form
     // (edges are a TABLE, not driver literals; no group sorts in one
@@ -4595,10 +4604,14 @@ object SparkEntry {
     },
 
     // decimal-exact per-dim means, centroid cosine from the dims-row fold
-    // covariance build + 8 unrolled power-iteration CTE rounds, all
+    // covariance build + 16 unrolled power-iteration CTE rounds, all
     // generated by StatsOps.pcaSql from the same PcaIters constant
     "q_pca_top" ->
       graft.ops.StatsOps.pcaSql("embeddings", "embedding"),
+
+    // the same generated PC chain + the projection transform
+    "q_whiten" ->
+      graft.ops.StatsOps.whitenSql("embeddings", "vec_id", "embedding"),
 
     "q_embed_drift" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

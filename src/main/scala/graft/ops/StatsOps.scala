@@ -399,7 +399,19 @@ object StatsOps {
     */
   def topPrincipalComponent(df: DataFrame, vecCol: String,
                             iters: Int = PcaIters): DataFrame = {
-    require(iters >= 1, s"topPrincipalComponent iters: $iters")
+    val (_, _, vk, nrm) = pcaCore(df, vecCol, iters)
+    vk.crossJoin(broadcast(nrm))
+      .select(col("i").cast("long").as("dim"),
+        round(col("v"), 6).as("loading"), round(col("nm"), 6).as("eigval"))
+  }
+
+  /** The shared engine under [[topPrincipalComponent]] and
+    * [[whitenAllButTop]]: (per-dim decimal sums `(i, sx)`, 1-row `n`,
+    * final iterate `(i, v)`, 1-row `nm`).
+    */
+  private def pcaCore(df: DataFrame, vecCol: String, iters: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(iters >= 1, s"pcaCore iters: $iters")
     val vec = col(vecCol).cast("array<double>")
     val means = df.select(posexplode(vec).as(Seq("p", "x")))
       .select((col("p") + 1).as("i"), col("x"))
@@ -411,9 +423,10 @@ object StatsOps {
           (xi * xj).as("xx")))))).as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
       .agg(sum(col("e.xx").cast("decimal(38,18)")).cast("double").as("sxy"))
+    val meansCk = means.localCheckpoint() // dim rows; 3 consumers
     val c = pairs
-      .join(means.select(col("i"), col("sx").as("sxi")), "i")
-      .join(means.select(col("i").as("j"), col("sx").as("sxj")), "j")
+      .join(meansCk.select(col("i"), col("sx").as("sxi")), "i")
+      .join(meansCk.select(col("i").as("j"), col("sx").as("sxj")), "j")
       .crossJoin(broadcast(nRow))
       .select(col("i"), col("j"),
         ((col("sxy") - col("sxi") * col("sxj") / col("n")) / col("n")).as("c"))
@@ -434,9 +447,43 @@ object StatsOps {
         .select(col("i"), (col("w") / col("nm")).as("v"))
         .localCheckpoint()
     }
-    vk.crossJoin(broadcast(nrm))
-      .select(col("i").cast("long").as("dim"),
-        round(col("v"), 6).as("loading"), round(col("nm"), 6).as("eigval"))
+    (meansCk, nRow, vk, nrm)
+  }
+
+  /** All-but-the-top whitening (Mu & Viswanath 2018): per vector,
+    * subtract the corpus mean and remove the projection onto the top
+    * principal component — the post-processing that measurably improves
+    * cosine-similarity quality on anisotropic embedding spaces (and so
+    * the semantic-dedup/ANN legs here). Output: (id, w) with w the
+    * whitened array, elements rounded to 6.
+    *
+    * Shape at 100 TB: the PC fit is [[topPrincipalComponent]]'s two
+    * corpus passes; the transform itself is one more scan with the
+    * (μ, v) pair broadcast as two dim-length arrays — per-row math is
+    * fixed-order in-row folds (deterministic without decimal help).
+    */
+  def whitenAllButTop(df: DataFrame, idCol: String, vecCol: String,
+                      iters: Int = PcaIters): DataFrame = {
+    val (means, nRow, vk, _) = pcaCore(df, vecCol, iters)
+    val mv = means.crossJoin(broadcast(nRow))
+      .select(col("i"), (col("sx") / col("n")).as("mu"))
+      .join(vk, "i")
+      .agg(array_sort(collect_list(struct(col("i"), col("mu")))).as("ms"),
+        array_sort(collect_list(struct(col("i"), col("v")))).as("vs"))
+      .select(transform(col("ms"), s => s.getField("mu")).as("mu"),
+        transform(col("vs"), s => s.getField("v")).as("pc"))
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("x"))
+      .crossJoin(broadcast(mv))
+      // bind cent/proj behind a projection boundary so the fold is not
+      // re-evaluated per output element
+      .select(col("id"), col("pc"),
+        zip_with(col("x"), col("mu"), (a, b) => a - b).as("cent"))
+      .select(col("id"), col("pc"), col("cent"),
+        aggregate(zip_with(col("cent"), col("pc"), (a, b) => a * b),
+          lit(0.0), (acc, e) => acc + e).as("proj"))
+      .select(col("id"),
+        zip_with(col("cent"), col("pc"),
+          (c0, vv) => round(c0 - col("proj") * vv, 6)).as("w"))
   }
 
   /** Full DuckDB statement: the twin of
@@ -445,19 +492,29 @@ object StatsOps {
     * unrolling pattern), decimal sums everywhere a row order could leak.
     */
   def pcaSql(table: String, vecCol: String,
-             iters: Int = PcaIters): String = {
-    // every CTE is MATERIALIZED: each round references the previous one
-    // more than once, and un-materialized CTEs re-inline the WHOLE chain
-    // per reference — exponential replay in chain depth (the q_ivf_pq
-    // lesson; at 16 rounds it exhausts file handles before it exhausts
-    // patience)
+             iters: Int = PcaIters): String =
+    s"""WITH ${pcaCtesSql(table, vecCol, iters)}
+       |SELECT CAST(v.i AS BIGINT) AS dim, round(v.v, 6) AS loading,
+       |       round(nm, 6) AS eigval
+       |FROM v$iters v CROSS JOIN nrm$iters ORDER BY dim""".stripMargin
+
+  /** The covariance build + `iters` unrolled w/nrm/v rounds as CTE
+    * bodies (`e`/`nn`/`m`/`xp`/`c`/`v0`/…/`v{iters}`) — shared by
+    * [[pcaSql]] and [[whitenSql]]. Every CTE is MATERIALIZED: each round
+    * references the previous one more than once, and un-materialized
+    * CTEs re-inline the WHOLE chain per reference — exponential replay
+    * in chain depth (the q_ivf_pq lesson; at 16 rounds it exhausts file
+    * handles before it exhausts patience).
+    */
+  def pcaCtesSql(table: String, vecCol: String,
+                 iters: Int = PcaIters): String = {
     val rounds = (1 to iters).map { k =>
       s"""w$k AS MATERIALIZED (SELECT c.i AS i, CAST(sum(CAST(c.c * v.v AS DECIMAL(38,18))) AS DOUBLE) AS w
          |        FROM c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
          |nrm$k AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nm FROM w$k),
          |v$k AS MATERIALIZED (SELECT i, w / nm AS v FROM w$k CROSS JOIN nrm$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (SELECT CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+    s"""e AS MATERIALIZED (SELECT CAST($vecCol AS DOUBLE[]) AS v FROM $table),
        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
        |m AS MATERIALIZED (SELECT i, CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx FROM (
        |  SELECT i, v[i] AS x FROM e CROSS JOIN unnest(range(1, len(v)+1)) AS a(i))
@@ -472,9 +529,33 @@ object StatsOps {
        |      FROM xp x JOIN m mi ON mi.i = x.i JOIN m mj ON mj.i = x.j
        |      CROSS JOIN nn),
        |v0 AS MATERIALIZED (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v FROM m),
-       |$rounds
-       |SELECT CAST(v.i AS BIGINT) AS dim, round(v.v, 6) AS loading,
-       |       round(nm, 6) AS eigval
-       |FROM v$iters v CROSS JOIN nrm$iters ORDER BY dim""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** Full DuckDB statement: the twin of
+    * `whitenAllButTop(table, idCol, vecCol, iters)` — the [[pcaCtesSql]]
+    * chain plus the broadcast-(μ, v) projection transform; the per-row
+    * fold replays Spark's in-row left fold exactly
+    * (list_prepend + list_reduce).
+    */
+  def whitenSql(table: String, idCol: String, vecCol: String,
+                iters: Int = PcaIters): String =
+    s"""WITH ${pcaCtesSql(table, vecCol, iters)},
+       |pcw AS MATERIALIZED (SELECT m.i AS i, m.sx / nn.n AS mu, v.v AS v
+       |      FROM m JOIN v$iters v ON v.i = m.i CROSS JOIN nn),
+       |mv AS MATERIALIZED (SELECT list(mu ORDER BY i) AS mu,
+       |                           list(v ORDER BY i) AS pc FROM pcw),
+       |base AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS x FROM $table),
+       |cent AS (SELECT b.id,
+       |           list_transform(range(1, len(b.x)+1), i -> b.x[i] - a.mu[i]) AS cent,
+       |           a.pc AS pc
+       |         FROM base b CROSS JOIN mv a),
+       |p AS (SELECT id, cent, pc,
+       |        list_reduce(list_prepend(0.0,
+       |          list_transform(range(1, len(cent)+1), i -> cent[i] * pc[i])),
+       |          (acc, e) -> acc + e) AS proj
+       |      FROM cent)
+       |SELECT id, list_transform(range(1, len(cent)+1),
+       |         i -> round(cent[i] - proj * pc[i], 6)) AS w
+       |FROM p ORDER BY id""".stripMargin
 }

@@ -190,6 +190,10 @@ object ScaleProbe {
     // corpus touched exactly twice, must scale with n, never with rounds
     timed("pca_top") {
       graft.ops.StatsOps.topPrincipalComponent(embs, "embedding") }
+    // whitening = the same PC fit + ONE more scan with (μ, v) broadcast;
+    // per-row folds are in-row — must track pca_top plus a linear pass
+    timed("whiten") {
+      graft.ops.StatsOps.whitenAllButTop(embs, "vec_id", "embedding") }
     // round-13 majority vote: corpus → (group × answer) grain in one agg;
     // groups scale with n (~25 samples per problem)
     timed("majority_vote") {

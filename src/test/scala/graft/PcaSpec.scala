@@ -37,6 +37,28 @@ class PcaSpec extends SparkTestBase {
     assert(got(2L) == ((0.8, 2.5)))
   }
 
+  test("whitenAllButTop: a rank-1 cloud whitens to zero; real rows lose the v-direction") {
+    import spark.implicits._
+    // every point sits ON the top PC → centering + removing the v
+    // projection leaves nothing
+    val rank1 = Seq(-2.0, -1.0, 1.0, 2.0)
+      .map(t => (t.toLong, Seq(0.6 * t, 0.8 * t))).toDF("vec_id", "embedding")
+    val z = StatsOps.whitenAllButTop(rank1, "vec_id", "embedding")
+      .collect().flatMap(_.getSeq[Double](1))
+    assert(z.forall(x => math.abs(x) < 1e-9), s"rank-1 residual: ${z.toSeq}")
+
+    // real embeddings: each whitened row must be orthogonal to the fitted
+    // top PC (that projection was subtracted exactly), up to round-6 noise
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val v = StatsOps.topPrincipalComponent(e, "embedding")
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    val w = StatsOps.whitenAllButTop(e, "vec_id", "embedding")
+      .collect().map(_.getSeq[Double](1))
+    val maxDot = w.map(row =>
+      math.abs(row.zip(v).map { case (a, b) => a * b }.sum)).max
+    assert(maxDot < 1e-4, s"residual projection onto v: $maxDot")
+  }
+
   test("topPrincipalComponent invariants on real embeddings: unit norm, C·v = λ·v") {
     val e = graft.core.Tables.embeddings(spark, sfDir)
     val rows = StatsOps.topPrincipalComponent(e, "embedding").collect()
