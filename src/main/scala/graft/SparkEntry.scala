@@ -2386,6 +2386,14 @@ object SparkEntry {
         Tables.embeddings(s, dir), "embedding")
         .orderBy("dim")),
 
+    // Top-2 principal components by Hotelling deflation: fit v1, deflate
+    // C2 = C − λ1·v1·v1ᵀ on the dim² table, iterate again — the corpus is
+    // still touched exactly twice. Long output (comp, dim) grain.
+    "q_pca2" -> ((s, dir) =>
+      graft.ops.StatsOps.topTwoPrincipalComponents(
+        Tables.embeddings(s, dir), "embedding")
+        .orderBy("comp", "dim")),
+
     // All-but-the-top whitening (Mu & Viswanath 2018): mean-center and
     // remove the q_pca_top direction from every embedding — the transform
     // that de-anisotropizes the space before cosine work. Same PC chain,
@@ -4612,6 +4620,10 @@ object SparkEntry {
     // the same generated PC chain + the projection transform
     "q_whiten" ->
       graft.ops.StatsOps.whitenSql("embeddings", "vec_id", "embedding"),
+
+    // the PC chain + the deflated second chain (prefixed round CTEs)
+    "q_pca2" ->
+      graft.ops.StatsOps.pca2Sql("embeddings", "embedding"),
 
     "q_embed_drift" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

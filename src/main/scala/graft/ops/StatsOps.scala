@@ -370,13 +370,14 @@ object StatsOps {
   /** Power-iteration rounds for [[topPrincipalComponent]] — single source
     * for the Column renderer and the unrolled-CTE SQL twin. Determinism
     * does not require convergence: both engines run the SAME fixed
-    * iteration count from the same start vector. 16 rounds: the fixture
+    * iteration count from the same start vector. 24 rounds: the fixture
     * embedding spectrum is near-flat (λ₂/λ₁ ≈ 0.93), so convergence is
-    * geometric-but-slow — 16 rounds land the eigen-equation residual
-    * ≈ 3% of λ, enough for the diagnostic while keeping the unrolled
-    * oracle bounded.
+    * geometric-but-slow — 24 rounds land the eigen-equation residual
+    * ≈ 4% of λ AND keep the deflated second chain's eigenvalue below
+    * the first (16 was measurably not enough for the ordering), while
+    * keeping the unrolled oracle bounded.
     */
-  val PcaIters: Int = 16
+  val PcaIters: Int = 24
 
   /** Top principal component of an embedding column — the dominant
     * direction of the covariance matrix by POWER ITERATION (v ← C·v/‖C·v‖
@@ -399,18 +400,19 @@ object StatsOps {
     */
   def topPrincipalComponent(df: DataFrame, vecCol: String,
                             iters: Int = PcaIters): DataFrame = {
-    val (_, _, vk, nrm) = pcaCore(df, vecCol, iters)
+    val (_, _, _, vk, nrm) = pcaCore(df, vecCol, iters)
     vk.crossJoin(broadcast(nrm))
       .select(col("i").cast("long").as("dim"),
         round(col("v"), 6).as("loading"), round(col("nm"), 6).as("eigval"))
   }
 
-  /** The shared engine under [[topPrincipalComponent]] and
-    * [[whitenAllButTop]]: (per-dim decimal sums `(i, sx)`, 1-row `n`,
+  /** The shared engine under [[topPrincipalComponent]],
+    * [[topTwoPrincipalComponents]] and [[whitenAllButTop]]: (per-dim
+    * decimal sums `(i, sx)`, 1-row `n`, dim² covariance `(i, j, c)`,
     * final iterate `(i, v)`, 1-row `nm`).
     */
   private def pcaCore(df: DataFrame, vecCol: String, iters: Int)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1, s"pcaCore iters: $iters")
     val vec = col(vecCol).cast("array<double>")
     val means = df.select(posexplode(vec).as(Seq("p", "x")))
@@ -431,23 +433,63 @@ object StatsOps {
       .select(col("i"), col("j"),
         ((col("sxy") - col("sxi") * col("sxj") / col("n")) / col("n")).as("c"))
       .localCheckpoint() // dim² rows; every iteration consumes it
+    val (vk, nrm) = powerIterate(c, iters)
+    (meansCk, nRow, c, vk, nrm)
+  }
+
+  /** `iters` power rounds over a (i, j, c) covariance-shaped table from
+    * the ALL-ONES start (generic position — an axis start can sit in the
+    * null space of a deflated matrix and never move; the first round
+    * normalizes, so the start needs no scaling). Returns the final
+    * iterate `(i, v)` and the 1-row `‖C·v‖` frame.
+    */
+  private def powerIterate(c: DataFrame, iters: Int)
+      : (DataFrame, DataFrame) = {
     var vk = c.select(col("i")).distinct()
-      .select(col("i"),
-        when(col("i") === 1, lit(1.0)).otherwise(lit(0.0)).as("v"))
+      .select(col("i"), lit(1.0).as("v"))
       .localCheckpoint()
     var nrm: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       val w = c.join(vk.select(col("i").as("j"), col("v")), "j")
         .groupBy("i")
         .agg(sum((col("c") * col("v")).cast("decimal(38,18)"))
           .cast("double").as("w"))
       nrm = w.agg(sqrt(sum((col("w") * col("w")).cast("decimal(38,18)"))
         .cast("double")).as("nm"))
-      vk = w.crossJoin(broadcast(nrm))
+      val next = w.crossJoin(broadcast(nrm))
         .select(col("i"), (col("w") / col("nm")).as("v"))
-        .localCheckpoint()
+      // checkpoint every 4th round, not every round: each round's tree
+      // references the previous twice (w feeds nrm AND the update), so
+      // un-checkpointed growth is 2^rounds — but 2^4 of a tiny tree is
+      // nothing, and dropping 3 of every 4 eager checkpoint jobs is the
+      // bulk of the wall-clock at local scale
+      vk = if (k % 4 == 0 || k == iters) next.localCheckpoint() else next
     }
-    (meansCk, nRow, vk, nrm)
+    (vk, nrm)
+  }
+
+  /** Top TWO principal components by Hotelling deflation: fit v₁/λ₁ as
+    * [[topPrincipalComponent]], deflate C₂ = C − λ₁v₁v₁ᵀ on the dim²
+    * table, iterate again. Long output, one row per (component, dim):
+    * (comp, dim, loading, eigval). The corpus is still touched exactly
+    * twice — deflation and the second chain run entirely at dim² grain.
+    */
+  def topTwoPrincipalComponents(df: DataFrame, vecCol: String,
+                                iters: Int = PcaIters): DataFrame = {
+    val (_, _, c, v1, n1) = pcaCore(df, vecCol, iters)
+    val c2 = c
+      .join(v1.select(col("i"), col("v").as("vi")), "i")
+      .join(v1.select(col("i").as("j"), col("v").as("vj")), "j")
+      .crossJoin(broadcast(n1))
+      .select(col("i"), col("j"),
+        (col("c") - (col("nm") * col("vi")) * col("vj")).as("c"))
+      .localCheckpoint()
+    val (v2, n2) = powerIterate(c2, iters)
+    def comp(k: Int, v: DataFrame, nm: DataFrame) =
+      v.crossJoin(broadcast(nm))
+        .select(lit(k).as("comp"), col("i").cast("long").as("dim"),
+          round(col("v"), 6).as("loading"), round(col("nm"), 6).as("eigval"))
+    comp(1, v1, n1).unionByName(comp(2, v2, n2))
   }
 
   /** All-but-the-top whitening (Mu & Viswanath 2018): per vector,
@@ -464,7 +506,7 @@ object StatsOps {
     */
   def whitenAllButTop(df: DataFrame, idCol: String, vecCol: String,
                       iters: Int = PcaIters): DataFrame = {
-    val (means, nRow, vk, _) = pcaCore(df, vecCol, iters)
+    val (means, nRow, _, vk, _) = pcaCore(df, vecCol, iters)
     val mv = means.crossJoin(broadcast(nRow))
       .select(col("i"), (col("sx") / col("n")).as("mu"))
       .join(vk, "i")
@@ -508,12 +550,7 @@ object StatsOps {
     */
   def pcaCtesSql(table: String, vecCol: String,
                  iters: Int = PcaIters): String = {
-    val rounds = (1 to iters).map { k =>
-      s"""w$k AS MATERIALIZED (SELECT c.i AS i, CAST(sum(CAST(c.c * v.v AS DECIMAL(38,18))) AS DOUBLE) AS w
-         |        FROM c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
-         |nrm$k AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nm FROM w$k),
-         |v$k AS MATERIALIZED (SELECT i, w / nm AS v FROM w$k CROSS JOIN nrm$k)""".stripMargin
-    }.mkString(",\n")
+    val rounds = pcaRoundsSql(iters, p = "", cov = "c")
     s"""e AS MATERIALIZED (SELECT CAST($vecCol AS DOUBLE[]) AS v FROM $table),
        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
        |m AS MATERIALIZED (SELECT i, CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx FROM (
@@ -528,9 +565,45 @@ object StatsOps {
        |        (x.sxy - mi.sx * mj.sx / nn.n) / nn.n AS c
        |      FROM xp x JOIN m mi ON mi.i = x.i JOIN m mj ON mj.i = x.j
        |      CROSS JOIN nn),
-       |v0 AS MATERIALIZED (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v FROM m),
+       |v0 AS MATERIALIZED (SELECT i, 1.0 AS v FROM m),
        |$rounds""".stripMargin
   }
+
+  /** `iters` unrolled power rounds over covariance CTE `$cov` starting
+    * from `${p}v0`, names prefixed `$p` so a second (deflated) chain can
+    * coexist with the first — all MATERIALIZED (see [[pcaCtesSql]]).
+    */
+  private def pcaRoundsSql(iters: Int, p: String, cov: String): String =
+    (1 to iters).map { k =>
+      s"""${p}w$k AS MATERIALIZED (SELECT $cov.i AS i, CAST(sum(CAST($cov.c * v.v AS DECIMAL(38,18))) AS DOUBLE) AS w
+         |        FROM $cov JOIN ${p}v${k - 1} v ON v.i = $cov.j GROUP BY $cov.i),
+         |${p}nrm$k AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nm FROM ${p}w$k),
+         |${p}v$k AS MATERIALIZED (SELECT i, w / nm AS v FROM ${p}w$k CROSS JOIN ${p}nrm$k)""".stripMargin
+    }.mkString(",\n")
+
+  /** Full DuckDB statement: the twin of
+    * `topTwoPrincipalComponents(table, vecCol, iters)` — the
+    * [[pcaCtesSql]] chain, the Hotelling deflation of the dim² table,
+    * and a second prefixed round chain.
+    */
+  def pca2Sql(table: String, vecCol: String,
+              iters: Int = PcaIters): String =
+    s"""WITH ${pcaCtesSql(table, vecCol, iters)},
+       |c2 AS MATERIALIZED (SELECT c.i AS i, c.j AS j,
+       |        c.c - (x.nm * vi.v) * vj.v AS c
+       |      FROM c JOIN v$iters vi ON vi.i = c.i
+       |             JOIN v$iters vj ON vj.i = c.j
+       |      CROSS JOIN nrm$iters x),
+       |dv0 AS MATERIALIZED (SELECT i, 1.0 AS v FROM m),
+       |${pcaRoundsSql(iters, p = "d", cov = "c2")}
+       |SELECT 1 AS comp, CAST(v.i AS BIGINT) AS dim, round(v.v, 6) AS loading,
+       |       round(nm, 6) AS eigval
+       |FROM v$iters v CROSS JOIN nrm$iters
+       |UNION ALL
+       |SELECT 2 AS comp, CAST(v.i AS BIGINT) AS dim, round(v.v, 6) AS loading,
+       |       round(nm, 6) AS eigval
+       |FROM dv$iters v CROSS JOIN dnrm$iters
+       |ORDER BY comp, dim""".stripMargin
 
   /** Full DuckDB statement: the twin of
     * `whitenAllButTop(table, idCol, vecCol, iters)` — the [[pcaCtesSql]]

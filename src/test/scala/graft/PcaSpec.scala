@@ -37,6 +37,38 @@ class PcaSpec extends SparkTestBase {
     assert(got(2L) == ((0.8, 2.5)))
   }
 
+  test("topTwoPrincipalComponents: diagonal cloud recovers both eigenpairs") {
+    import spark.implicits._
+    // cov = diag(10/6, 2/6): v1 = e1 (λ 1.666667), deflation leaves
+    // diag(~0, 1/3) → v2 = e2 (λ 0.333333) — both exact from the
+    // all-ones start
+    val df = Seq(Seq(2.0, 0.0), Seq(-2.0, 0.0), Seq(1.0, 0.0),
+      Seq(-1.0, 0.0), Seq(0.0, 1.0), Seq(0.0, -1.0)).toDF("embedding")
+    val got = StatsOps.topTwoPrincipalComponents(df, "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got((1, 1L)) == ((1.0, 1.666667)))
+    assert(got((1, 2L))._1 == 0.0)
+    assert(got((2, 2L)) == ((1.0, 0.333333)))
+    assert(math.abs(got((2, 1L))._1) < 1e-6)
+  }
+
+  test("topTwoPrincipalComponents on real embeddings: unit norms, near-orthogonal, ordered") {
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val rows = StatsOps.topTwoPrincipalComponents(e, "embedding").collect()
+    val v1 = rows.filter(_.getInt(0) == 1).sortBy(_.getLong(1)).map(_.getDouble(2))
+    val v2 = rows.filter(_.getInt(0) == 2).sortBy(_.getLong(1)).map(_.getDouble(2))
+    val l1 = rows.find(_.getInt(0) == 1).get.getDouble(3)
+    val l2 = rows.find(_.getInt(0) == 2).get.getDouble(3)
+    assert(math.abs(v1.map(x => x * x).sum - 1.0) < 1e-5)
+    assert(math.abs(v2.map(x => x * x).sum - 1.0) < 1e-5)
+    assert(l2 > 0.0 && l2 <= l1 * 1.01, s"eigvals out of order: $l1, $l2")
+    // deflation used the 16-round (not fully converged) v1, so v2 keeps
+    // an O(residual) v1 component — near-orthogonal, not exactly
+    val dot = math.abs(v1.zip(v2).map { case (a, b) => a * b }.sum)
+    assert(dot < 0.15, s"v1·v2 = $dot")
+  }
+
   test("whitenAllButTop: a rank-1 cloud whitens to zero; real rows lose the v-direction") {
     import spark.implicits._
     // every point sits ON the top PC → centering + removing the v
