@@ -400,6 +400,14 @@ object SparkEntry {
         graft.ops.OverlapEval.charPair(Tables.documents(s, dir),
           "doc_id", "text"))),
 
+    // Distinct-n diversity (Li et al. 2016): distinct/total n-grams per
+    // source group, n=1..2 — the mode-collapse / repetitive-sampling
+    // monitor next to the quality metrics.
+    "q_distinct_n" -> ((s, dir) =>
+      graft.ops.EvalMetrics.distinctN(Tables.documents(s, dir),
+        "source", "text", maxN = 2)
+        .orderBy("grp", "n")),
+
     // Self-consistency majority vote (Wang et al. 2023): per source group,
     // the modal lang across its documents (min-ans tie-break), vote share,
     // and gold agreement — the "sample N, take the majority answer" eval.
@@ -6894,6 +6902,21 @@ object SparkEntry {
 
     "q_chrf" ->
       graft.ops.OverlapEval.chrfSql("documents", "doc_id", "text"),
+
+    "q_distinct_n" ->
+      """WITH toks AS (SELECT source AS grp,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |  FROM documents),
+        |g AS (
+        |  SELECT grp, 1 AS n, unnest(a) AS g FROM toks WHERE len(a) >= 1
+        |  UNION ALL
+        |  SELECT grp, 2 AS n,
+        |    unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS g
+        |  FROM toks WHERE len(a) >= 2)
+        |SELECT grp, n, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+        |  round(CAST(count(DISTINCT g) AS DOUBLE)/CAST(count(*) AS DOUBLE), 6) AS distinct_ratio
+        |FROM g GROUP BY grp, n ORDER BY grp, n""".stripMargin,
 
     "q_self_consistency" ->
       """WITH votes AS (SELECT source AS grp, lang AS ans,

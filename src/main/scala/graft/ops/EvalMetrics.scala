@@ -373,6 +373,38 @@ object EvalMetrics {
        |  round(least(1.0, $center + $half), 6) AS hi""".stripMargin
   }
 
+  /** Distinct-n generation diversity (Li et al. 2016): per problem
+    * group, distinct n-grams / total n-grams pooled across the group's
+    * generations, n = 1..maxN — low ratios flag mode collapse /
+    * repetitive sampling. One row per (grp, n):
+    * (grp, n, n_total, n_distinct, distinct_ratio).
+    *
+    * Shape at 100 TB: the gram explode is token-linear; the per-group
+    * distinct is a two-level hash aggregation — nothing is ever
+    * all-pairs and no window appears.
+    */
+  def distinctN(df: DataFrame, groupCol: String, textCol: String,
+                maxN: Int): DataFrame = {
+    require(maxN >= 1, s"distinctN maxN: $maxN")
+    import graft.functions.TextAnalysis
+    val toks = df.select(col(groupCol).as("grp"),
+      TextAnalysis.tokensArr(col(textCol)).as("toks"))
+    val grams = toks.select(col("grp"),
+      explode(flatten(array((1 to maxN).map { n =>
+        val gs = when(size(col("toks")) >= n,
+          TextAnalysis.ngramsArr(col("toks"), n))
+          .otherwise(array().cast("array<string>"))
+        transform(gs, g => struct(lit(n).as("n"), g.as("g")))
+      }: _*))).as("x"))
+      .select(col("grp"), col("x.n").as("n"), col("x.g").as("g"))
+    grams.groupBy("grp", "n")
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("g")).as("n_distinct"))
+      .select(col("grp"), col("n"), col("n_total"), col("n_distinct"),
+        round(col("n_distinct").cast("double") /
+          col("n_total").cast("double"), 6).as("distinct_ratio"))
+  }
+
   /** Cohen's kappa (1960) between two categorical raters — the
     * inter-annotator-agreement number every labeling/RLHF pipeline reports:
     * κ = (pₒ − pₑ)/(1 − pₑ) with pₒ the observed agreement and pₑ the

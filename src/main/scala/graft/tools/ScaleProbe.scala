@@ -194,6 +194,12 @@ object ScaleProbe {
     // per-row folds are in-row — must track pca_top plus a linear pass
     timed("whiten") {
       graft.ops.StatsOps.whitenAllButTop(embs, "vec_id", "embedding") }
+    // round-13 distinct-n diversity: token-linear gram explode + a
+    // two-level per-group distinct — the bleu_rouge class without a join
+    timed("distinct_n") {
+      graft.ops.EvalMetrics.distinctN(
+        docs.withColumn("grp", pmod(col("doc_id"), lit(math.max(1L, n / 25)))),
+        "grp", "text", maxN = 2) }
     // round-13 majority vote: corpus → (group × answer) grain in one agg;
     // groups scale with n (~25 samples per problem)
     timed("majority_vote") {

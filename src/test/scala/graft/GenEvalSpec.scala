@@ -67,6 +67,22 @@ class GenEvalSpec extends SparkTestBase {
     assert(r.getSeq[String](2) == (3 until 10).map(i => s"t$i")) // last 70%
   }
 
+  test("distinctN: pooled distinct/total ratios per group and order") {
+    import spark.implicits._
+    // g1 pools 'a a b' + 'a b': unigrams 5 total / 2 distinct = 0.4,
+    // bigrams [a a, a b, a b] = 3 total / 2 distinct = 0.666667
+    // g2 'x y' is all-distinct at both orders
+    val df = Seq(("g1", "a a b"), ("g1", "a b"), ("g2", "x y"))
+      .toDF("grp", "text")
+    val got = EvalMetrics.distinctN(df, "grp", "text", maxN = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(("g1", 1)) == ((5L, 2L, 0.4)))
+    assert(got(("g1", 2)) == ((3L, 2L, 0.666667)))
+    assert(got(("g2", 1)) == ((2L, 2L, 1.0)))
+    assert(got(("g2", 2)) == ((1L, 1L, 1.0)))
+  }
+
   test("majorityVote: modal answer, min tie-break, gold flag") {
     import spark.implicits._
     val df = (Seq.fill(3)(("p1", "yes")) ++ Seq.fill(2)(("p1", "no")) ++
