@@ -442,30 +442,41 @@ object StatsOps {
     * null space of a deflated matrix and never move; the first round
     * normalizes, so the start needs no scaling). Returns the final
     * iterate `(i, v)` and the 1-row `‖C·v‖` frame.
+    *
+    * The rounds run ON THE DRIVER over the collected dim² table — the
+    * same bounded model-state pull as the k-means/logreg chains (dim² ≈
+    * 4k doubles, never corpus rows); a distributed rendering spent
+    * 2 shuffles × `iters` Spark stages moving 64-row frames (~0.4 s a
+    * round of pure local-mode overhead). The decimal arithmetic
+    * replicates the SQL twin exactly: each product rounds to
+    * DECIMAL(38,18) via the double's shortest decimal representation
+    * (what Spark's Cast and DuckDB both do), sums are exact, and the
+    * closed forms run in double — bit-identical to the oracle's rounds.
     */
   private def powerIterate(c: DataFrame, iters: Int)
       : (DataFrame, DataFrame) = {
-    var vk = c.select(col("i")).distinct()
-      .select(col("i"), lit(1.0).as("v"))
-      .localCheckpoint()
-    var nrm: DataFrame = null
-    for (k <- 1 to iters) {
-      val w = c.join(vk.select(col("i").as("j"), col("v")), "j")
-        .groupBy("i")
-        .agg(sum((col("c") * col("v")).cast("decimal(38,18)"))
-          .cast("double").as("w"))
-      nrm = w.agg(sqrt(sum((col("w") * col("w")).cast("decimal(38,18)"))
-        .cast("double")).as("nm"))
-      val next = w.crossJoin(broadcast(nrm))
-        .select(col("i"), (col("w") / col("nm")).as("v"))
-      // checkpoint every 4th round, not every round: each round's tree
-      // references the previous twice (w feeds nrm AND the update), so
-      // un-checkpointed growth is 2^rounds — but 2^4 of a tiny tree is
-      // nothing, and dropping 3 of every 4 eager checkpoint jobs is the
-      // bulk of the wall-clock at local scale
-      vk = if (k % 4 == 0 || k == iters) next.localCheckpoint() else next
+    val spark = c.sparkSession
+    import spark.implicits._
+    val entries = c.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val dims = entries.map(_._1).distinct.sorted
+    val idx = dims.zipWithIndex.toMap
+    def dec(d: Double) =
+      new java.math.BigDecimal(java.lang.Double.toString(d))
+        .setScale(18, java.math.RoundingMode.HALF_UP)
+    var v = Array.fill(dims.length)(1.0)
+    var nm = 0.0
+    for (_ <- 1 to iters) {
+      val acc = Array.fill(dims.length)(java.math.BigDecimal.ZERO)
+      for ((i, j, cv) <- entries)
+        acc(idx(i)) = acc(idx(i)).add(dec(cv * v(idx(j))))
+      val w = acc.map(_.doubleValue)
+      nm = math.sqrt(
+        w.map(x => dec(x * x)).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+          .doubleValue)
+      v = w.map(_ / nm)
     }
-    (vk, nrm)
+    (dims.zip(v).toSeq.toDF("i", "v"), Seq(nm).toDF("nm"))
   }
 
   /** Top TWO principal components by Hotelling deflation: fit v₁/λ₁ as
