@@ -415,13 +415,22 @@ object StatsOps {
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1, s"pcaCore iters: $iters")
     val vec = col(vecCol).cast("array<double>")
-    val means = df.select(posexplode(vec).as(Seq("p", "x")))
+    // the outer-product projection is dim² heavy per row: spread it even
+    // when the input is one small parquet split (a 2k-row file otherwise
+    // runs the whole 8M-struct explode in ONE task — measured 6× the
+    // wall-clock; at real scale inputs arrive pre-split and this shuffle
+    // of bare vectors is noise)
+    val src = df.select(vec.as("_v"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val srcVec = col("_v")
+    val means = src.select(posexplode(srcVec).as(Seq("p", "x")))
       .select((col("p") + 1).as("i"), col("x"))
       .groupBy("i")
       .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("sx"))
-    val nRow = df.agg(count(lit(1)).cast("double").as("n"))
-    val pairs = df.select(explode(flatten(transform(vec, (xi, pi) =>
-        transform(vec, (xj, pj) => struct((pi + 1).as("i"), (pj + 1).as("j"),
+    val nRow = src.agg(count(lit(1)).cast("double").as("n"))
+    val pairs = src.select(explode(flatten(transform(srcVec, (xi, pi) =>
+        transform(srcVec, (xj, pj) => struct((pi + 1).as("i"), (pj + 1).as("j"),
           (xi * xj).as("xx")))))).as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
       .agg(sum(col("e.xx").cast("decimal(38,18)")).cast("double").as("sxy"))
