@@ -3032,6 +3032,18 @@ object SparkEntry {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")),
 
+    // SemDeDup in the WHITENED space — the composition all-but-the-top
+    // exists for: de-anisotropize (q_whiten's exact transform), then the
+    // same k-means + per-cluster cosine verdicts. One declarative plan;
+    // the oracle replays whiten's chain into kmeansCtes' src seat.
+    "q_semdedup_whitened" -> ((s, dir) =>
+      Similarity.semDedup(
+          graft.ops.StatsOps.whitenAllButTop(
+            Tables.embeddings(s, dir), "vec_id", "embedding"),
+          "id", "w", tau = 0.35, k = 8, lloydIters = 3)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
     // §2.3 #33 — estimate π (examples/util/estimate_pi.py) with a
     // deterministic hash-uniform instead of random(); input-free generator,
     // map-side partial aggregation — one codegen pass at any scale.
@@ -3955,7 +3967,9 @@ object SparkEntry {
   /** CTE chain `e, dims, c0 … c3, afinal`: embeddings as DOUBLE[], k seed
     * centers (first k by vec_id), 3 assign/update rounds, final assignment.
     */
-  private def kmeansCtes(k: Int, materialized: Boolean = false): String = {
+  private def kmeansCtes(k: Int, materialized: Boolean = false,
+      src: String = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+      : String = {
     // `AS MATERIALIZED` pins each Lloyd step to one evaluation — without
     // it, an oracle that references the chain's tail from several places
     // (q_ivf_pq's residual-PQ chains) re-inlines the WHOLE chain per
@@ -3980,13 +3994,31 @@ object SparkEntry {
          |  USING (cluster))""".stripMargin
     val body = (1 to 3).map(i => assign(s"a$i", s"c${i - 1}") + ",\n" + update(i))
       .mkString(",\n")
-    s"""e AS $mat(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS $mat($src),
        |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS d),
        |c0 AS $mat(SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
        |$body,
        |${assign("afinal", "c3")}""".stripMargin
   }
+
+  /** SemDeDup verdict tail over a finished [[kmeansCtes]] chain
+    * (`afinal`/`c3`): per-cluster centroid-cosine ranking, drop any
+    * vector that a better-ranked cluster-mate covers at `tau` — shared
+    * by the raw and whitened-space oracles.
+    */
+  private def SemdedupTailCtes(tau: Double): String =
+    s"""scored AS (
+       |  SELECT a.vec_id, a.v, a.cluster, ${cosSql("a.v", "c.v")} AS csim
+       |  FROM afinal a JOIN c3 c USING (cluster)),
+       |dropped AS (
+       |  SELECT DISTINCT x.vec_id FROM scored x JOIN scored y
+       |    ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+       |   AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+       |   AND ${cosSql("x.v", "y.v")} >= $tau)
+       |SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS keep
+       |FROM scored s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+       |ORDER BY s.vec_id""".stripMargin
 
   /** PQ oracle CTEs: one [[kmeansCtes]]-style Lloyd chain PER SUBSPACE
     * over DuckDB list slices (`v[lo:hi]`), each ending in `s<i>r`
@@ -7493,17 +7525,15 @@ object SparkEntry {
     // same-cluster neighbor (lower csim, id tie-break) is cosine >= 0.35.
     "q_semdedup" ->
       s"""WITH ${kmeansCtes(8)},
-         |scored AS (
-         |  SELECT a.vec_id, a.v, a.cluster, ${cosSql("a.v", "c.v")} AS csim
-         |  FROM afinal a JOIN c3 c USING (cluster)),
-         |dropped AS (
-         |  SELECT DISTINCT x.vec_id FROM scored x JOIN scored y
-         |    ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
-         |   AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id))
-         |   AND ${cosSql("x.v", "y.v")} >= 0.35)
-         |SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS keep
-         |FROM scored s LEFT JOIN dropped d ON s.vec_id = d.vec_id
-         |ORDER BY s.vec_id""".stripMargin,
+         |${SemdedupTailCtes(0.35)}""".stripMargin,
+
+    // the whitened-space rerun: the whiten chain's wout feeds the SAME
+    // kmeans/semdedup machinery via kmeansCtes' src parameter
+    "q_semdedup_whitened" ->
+      s"""WITH ${graft.ops.StatsOps.whitenCtesSql("embeddings", "vec_id", "embedding")},
+         |${kmeansCtes(8, materialized = true,
+             src = "SELECT id AS vec_id, w AS v FROM wout")},
+         |${SemdedupTailCtes(0.35)}""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_nationkey FROM customer c

@@ -571,13 +571,13 @@ object StatsOps {
   def pcaCtesSql(table: String, vecCol: String,
                  iters: Int = PcaIters): String = {
     val rounds = pcaRoundsSql(iters, p = "", cov = "c")
-    s"""e AS MATERIALIZED (SELECT CAST($vecCol AS DOUBLE[]) AS v FROM $table),
-       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+    s"""pe AS MATERIALIZED (SELECT CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM pe),
        |m AS MATERIALIZED (SELECT i, CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx FROM (
-       |  SELECT i, v[i] AS x FROM e CROSS JOIN unnest(range(1, len(v)+1)) AS a(i))
+       |  SELECT i, v[i] AS x FROM pe CROSS JOIN unnest(range(1, len(v)+1)) AS a(i))
        |  GROUP BY i),
        |xp AS MATERIALIZED (SELECT i, j, CAST(sum(CAST(xx AS DECIMAL(38,18))) AS DOUBLE) AS sxy FROM (
-       |  SELECT a.i AS i, b.j AS j, v[a.i] * v[b.j] AS xx FROM e
+       |  SELECT a.i AS i, b.j AS j, v[a.i] * v[b.j] AS xx FROM pe
        |  CROSS JOIN unnest(range(1, len(v)+1)) AS a(i)
        |  CROSS JOIN unnest(range(1, len(v)+1)) AS b(j))
        |  GROUP BY i, j),
@@ -633,7 +633,16 @@ object StatsOps {
     */
   def whitenSql(table: String, idCol: String, vecCol: String,
                 iters: Int = PcaIters): String =
-    s"""WITH ${pcaCtesSql(table, vecCol, iters)},
+    s"""WITH ${whitenCtesSql(table, idCol, vecCol, iters)}
+       |SELECT id, w FROM wout ORDER BY id""".stripMargin
+
+  /** [[whitenSql]]'s chain as CTE bodies ending in
+    * `wout AS (id, w double[])` — composable under downstream chains
+    * (the whitened-SemDeDup oracle).
+    */
+  def whitenCtesSql(table: String, idCol: String, vecCol: String,
+                    iters: Int = PcaIters): String =
+    s"""${pcaCtesSql(table, vecCol, iters)},
        |pcw AS MATERIALIZED (SELECT m.i AS i, m.sx / nn.n AS mu, v.v AS v
        |      FROM m JOIN v$iters v ON v.i = m.i CROSS JOIN nn),
        |mv AS MATERIALIZED (SELECT list(mu ORDER BY i) AS mu,
@@ -647,8 +656,8 @@ object StatsOps {
        |        list_reduce(list_prepend(0.0,
        |          list_transform(range(1, len(cent)+1), i -> cent[i] * pc[i])),
        |          (acc, e) -> acc + e) AS proj
-       |      FROM cent)
-       |SELECT id, list_transform(range(1, len(cent)+1),
+       |      FROM cent),
+       |wout AS MATERIALIZED (SELECT id, list_transform(range(1, len(cent)+1),
        |         i -> round(cent[i] - proj * pc[i], 6)) AS w
-       |FROM p ORDER BY id""".stripMargin
+       |      FROM p)""".stripMargin
 }
