@@ -3036,13 +3036,17 @@ object SparkEntry {
     // exists for: de-anisotropize (q_whiten's exact transform), then the
     // same k-means + per-cluster cosine verdicts. One declarative plan;
     // the oracle replays whiten's chain into kmeansCtes' src seat.
-    "q_semdedup_whitened" -> ((s, dir) =>
-      Similarity.semDedup(
-          graft.ops.StatsOps.whitenAllButTop(
-            Tables.embeddings(s, dir), "vec_id", "embedding"),
-          "id", "w", tau = 0.35, k = 8, lloydIters = 3)
+    "q_semdedup_whitened" -> ((s, dir) => {
+      // checkpoint the composition seam: KMeans' Lloyd rounds consume the
+      // input once per iteration — uncheckpointed, each round re-runs the
+      // whole whiten chain including the PC fit (probed 18x at 10x before
+      // the checkpoint, 4.5x after)
+      val w = graft.ops.StatsOps.whitenAllButTop(
+        Tables.embeddings(s, dir), "vec_id", "embedding").localCheckpoint()
+      Similarity.semDedup(w, "id", "w", tau = 0.35, k = 8, lloydIters = 3)
         .withColumnRenamed("id", "vec_id")
-        .orderBy("vec_id")),
+        .orderBy("vec_id")
+    }),
 
     // §2.3 #33 — estimate π (examples/util/estimate_pi.py) with a
     // deterministic hash-uniform instead of random(); input-free generator,

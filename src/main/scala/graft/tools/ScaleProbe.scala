@@ -194,6 +194,18 @@ object ScaleProbe {
     // per-row folds are in-row — must track pca_top plus a linear pass
     timed("whiten") {
       graft.ops.StatsOps.whitenAllButTop(embs, "vec_id", "embedding") }
+    // two fits + a dim²-grain deflation — must track 2× pca_top's tail
+    // over the SAME two corpus passes
+    timed("pca2") {
+      graft.ops.StatsOps.topTwoPrincipalComponents(embs, "embedding") }
+    // the whiten→semdedup composition: fit + transform + cluster
+    // verdicts; checkpoint the seam or Lloyd re-runs the whiten chain
+    // per round
+    timed("semdedup_whitened") {
+      Similarity.semDedup(
+        graft.ops.StatsOps.whitenAllButTop(embs, "vec_id", "embedding")
+          .localCheckpoint(),
+        "id", "w", tau = 0.999, k = math.max(8, (n / 500).toInt)) }
     // round-13 distinct-n diversity: token-linear gram explode + a
     // two-level per-group distinct — the bleu_rouge class without a join
     timed("distinct_n") {
