@@ -3032,6 +3032,16 @@ object SparkEntry {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")),
 
+    // SemDeDup with the quantizer fit on a deterministic half hash-sample
+    // (the scaladoc's 100 TB contract made literal): 3 Lloyd rounds over
+    // ~n/2, ONE assign pass over everything. Same verdict rule.
+    "q_semdedup_sampled" -> ((s, dir) =>
+      Similarity.semDedupSampledFit(Tables.embeddings(s, dir),
+          "vec_id", "embedding", tau = 0.35, k = 8, lloydIters = 3,
+          fitRate = 0.5)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
     // SemDeDup in the WHITENED space — the composition all-but-the-top
     // exists for: de-anisotropize (q_whiten's exact transform), then the
     // same k-means + per-cluster cosine verdicts. One declarative plan;
@@ -3972,20 +3982,25 @@ object SparkEntry {
     * centers (first k by vec_id), 3 assign/update rounds, final assignment.
     */
   private def kmeansCtes(k: Int, materialized: Boolean = false,
-      src: String = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
-      : String = {
+      src: String = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+      fitWhere: String = ""): String = {
     // `AS MATERIALIZED` pins each Lloyd step to one evaluation — without
     // it, an oracle that references the chain's tail from several places
     // (q_ivf_pq's residual-PQ chains) re-inlines the WHOLE chain per
     // reference and the replay cost goes exponential in chain depth.
     val mat = if (materialized) "MATERIALIZED " else ""
-    def assign(a: String, cPrev: String) =
+    // sampled-fit contract (Similarity.semDedupSampledFit): Lloyd trains
+    // on the `et` hash-sample slice, the final assign covers full `e`
+    val train = if (fitWhere.nonEmpty) "et" else "e"
+    val etCte = if (fitWhere.isEmpty) ""
+      else s"et AS $mat(SELECT * FROM e WHERE $fitWhere),\n"
+    def assign(a: String, cPrev: String, from: String) =
       s"""$a AS $mat(
          |  SELECT vec_id, v, cluster FROM (
          |    SELECT e.vec_id, e.v, c.cluster,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${sqd("e.v", "c.v")} ASC, c.cluster ASC) AS rn
-         |    FROM e CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
+         |    FROM $from e CROSS JOIN $cPrev c) WHERE rn = 1)""".stripMargin
     def update(i: Int) =
       s"""u$i AS $mat(
          |  SELECT cluster, d,
@@ -3996,14 +4011,15 @@ object SparkEntry {
          |  FROM c${i - 1} c LEFT JOIN (
          |    SELECT cluster, list(m ORDER BY d) AS v FROM u$i GROUP BY cluster) nv
          |  USING (cluster))""".stripMargin
-    val body = (1 to 3).map(i => assign(s"a$i", s"c${i - 1}") + ",\n" + update(i))
+    val body = (1 to 3)
+      .map(i => assign(s"a$i", s"c${i - 1}", train) + ",\n" + update(i))
       .mkString(",\n")
     s"""e AS $mat($src),
-       |dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS d),
+       |${etCte}dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS d),
        |c0 AS $mat(SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
-       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+       |       FROM (SELECT vec_id, v FROM $train ORDER BY vec_id LIMIT $k)),
        |$body,
-       |${assign("afinal", "c3")}""".stripMargin
+       |${assign("afinal", "c3", "e")}""".stripMargin
   }
 
   /** SemDeDup verdict tail over a finished [[kmeansCtes]] chain
@@ -7529,6 +7545,13 @@ object SparkEntry {
     // same-cluster neighbor (lower csim, id tie-break) is cosine >= 0.35.
     "q_semdedup" ->
       s"""WITH ${kmeansCtes(8)},
+         |${SemdedupTailCtes(0.35)}""".stripMargin,
+
+    // sampled-fit: Lloyd trains on the et hash-sample, afinal assigns
+    // full e — fitWhere generated by the same hashSample builder the op uses
+    "q_semdedup_sampled" ->
+      s"""WITH ${kmeansCtes(8,
+             fitWhere = graft.ops.Sampling.hashSampleSql("vec_id", 0.5, "sdfit"))},
          |${SemdedupTailCtes(0.35)}""".stripMargin,
 
     // the whitened-space rerun: the whiten chain's wout feeds the SAME

@@ -78,6 +78,12 @@ object Sampling {
   def hashDrawSql(keyExpr: String, salt: String): String =
     s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 8)) AS BIGINT)"
 
+  /** The SQL twin of [[hashSample]]'s keep predicate — same draw, same
+    * floor(rate·2³²) threshold, so a sampled FIT set replays identically.
+    */
+  def hashSampleSql(keyExpr: String, rate: Double, salt: String): String =
+    s"${hashDrawSql(keyExpr, salt)} < ${threshold(rate)}"
+
   /** Deterministic train/val/test split: adds `split` = the index of the
     * weight bucket the row's [[hashDraw]] lands in (weights are
     * normalized; cumulative thresholds floor(2³²·Σwᵢ) in IEEE doubles with

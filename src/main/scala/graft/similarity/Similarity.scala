@@ -278,6 +278,37 @@ object Similarity {
     val spark = df.sparkSession
     val (centers, assigned) =
       graft.chain.KMeans.run(spark, df, idCol, vecCol, k, lloydIters)
+    clusterVerdicts(centers, assigned, tau, storage)
+  }
+
+  /** [[semDedup]] with the quantizer FIT on a deterministic hash sample
+    * (the scaladoc's 100 TB contract, now literal): Lloyd trains on
+    * ~`fitRate` of the corpus, then ONE [[graft.chain.KMeans.assign]]
+    * pass places every vector. Training cost drops from
+    * `lloydIters · n · k` distance evals to `lloydIters · fitRate·n · k`
+    * + one `n · k` assign — at the paper's k ∝ n operating point that is
+    * the difference between 4 quadratic-ish passes and 1. Same verdict
+    * rule, same determinism (the sample is a hash predicate both engines
+    * replay).
+    */
+  def semDedupSampledFit(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, k: Int = 8, lloydIters: Int = 3, fitRate: Double = 0.1,
+      salt: String = "sdfit",
+      storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val spark = df.sparkSession
+    val fit = graft.ops.Sampling.hashSample(df, col(idCol), fitRate, salt)
+    val (centers, _) =
+      graft.chain.KMeans.run(spark, fit, idCol, vecCol, k, lloydIters)
+    clusterVerdicts(centers,
+      graft.chain.KMeans.assign(df, idCol, vecCol, centers), tau, storage)
+  }
+
+  /** The SemDeDup verdict tail shared by the full-corpus and sampled-fit
+    * quantizers: centroid-cosine ranking within each cluster, drop any
+    * vector a better-ranked cluster-mate covers at `tau`.
+    */
+  private def clusterVerdicts(centers: Seq[Seq[Double]], assigned: DataFrame,
+      tau: Double, storage: Option[StorageLevel]): DataFrame = {
     val centArr = array(centers.map(c => lit(c.toArray)): _*)
     val scoredPlan = assigned
       .withColumn("n", vec_norm(col("v")))

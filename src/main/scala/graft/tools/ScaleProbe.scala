@@ -100,6 +100,11 @@ object ScaleProbe {
     // the probe scales k with n/500 to exercise exactly that knob
     timed("semdedup") { Similarity.semDedup(embs, "vec_id", "embedding",
       tau = 0.999, k = math.max(8, (n / 500).toInt)) }
+    // sampled-fit: Lloyd on ~n/10, ONE full assign — at k ∝ n this must
+    // cut the quantizer's n·k·rounds cost to ~n·k once (+ rounds/10)
+    timed("semdedup_sampled") {
+      Similarity.semDedupSampledFit(embs, "vec_id", "embedding",
+        tau = 0.999, k = math.max(8, (n / 500).toInt), fitRate = 0.1) }
     // quality/safety filters: scan-shaped, should stay ~linear
     timed("repetition") {
       graft.ops.TextOps.repetitionProfile(docs, "doc_id", "text", 2) }

@@ -363,6 +363,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("semDedupSampledFit: rate 1.0 equals the full fit; partial fit still covers every id") {
+    // threshold(1.0) = 2^32 keeps every row — the sampled path must then
+    // be the SAME quantizer, so verdicts match row-for-row
+    val full = Similarity.semDedup(embs, "vec_id", "embedding",
+      tau = 0.35, k = 8).orderBy("id").collect().toSeq
+    val all = Similarity.semDedupSampledFit(embs, "vec_id", "embedding",
+      tau = 0.35, k = 8, fitRate = 1.0).orderBy("id").collect().toSeq
+    assert(all == full)
+    // a half-sample fit trains on fewer points but the assign pass must
+    // still place EVERY input vector exactly once
+    val half = Similarity.semDedupSampledFit(embs, "vec_id", "embedding",
+      tau = 0.35, k = 8, fitRate = 0.5)
+    assert(half.count() == embs.count())
+    assert(half.select("id").distinct().count() == embs.count())
+  }
+
   test("jaccardPairsAuto: dense/templated corpus routes to minhash, real text to ppjoin") {
     import spark.implicits._
     // templated corpus: every doc shares a 5-token boilerplate prefix and
