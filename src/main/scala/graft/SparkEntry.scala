@@ -2406,10 +2406,14 @@ object SparkEntry {
     // remove the q_pca_top direction from every embedding — the transform
     // that de-anisotropizes the space before cosine work. Same PC chain,
     // one more broadcast-(μ,v) scan; per-row folds are fixed-order.
+    // Long-form (id, d, w) output — the q_standardize convention; the
+    // library keeps the array return, the declared query explodes it
+    // (the driver comparator cannot hash top-level arrays).
     "q_whiten" -> ((s, dir) =>
       graft.ops.StatsOps.whitenAllButTop(
         Tables.embeddings(s, dir), "vec_id", "embedding")
-        .orderBy("id")),
+        .select(col("id"), posexplode(col("w")).as(Seq("d", "w")))
+        .orderBy("id", "d")),
 
     // Per-group PSI: value drift per event type between the even- and
     // odd-id halves of the stream — the fully distributed GROUP BY form

@@ -629,12 +629,16 @@ object StatsOps {
     * `whitenAllButTop(table, idCol, vecCol, iters)` — the [[pcaCtesSql]]
     * chain plus the broadcast-(μ, v) projection transform; the per-row
     * fold replays Spark's in-row left fold exactly
-    * (list_prepend + list_reduce).
+    * (list_prepend + list_reduce). Output is the LONG form (id, d, w) —
+    * 0-based dim like Spark's posexplode — because the driver comparator
+    * cannot hash a top-level array column.
     */
   def whitenSql(table: String, idCol: String, vecCol: String,
                 iters: Int = PcaIters): String =
     s"""WITH ${whitenCtesSql(table, idCol, vecCol, iters)}
-       |SELECT id, w FROM wout ORDER BY id""".stripMargin
+       |SELECT id, CAST(a.i - 1 AS INT) AS d, w[a.i] AS w
+       |FROM wout CROSS JOIN unnest(range(1, len(w)+1)) AS a(i)
+       |ORDER BY id, d""".stripMargin
 
   /** [[whitenSql]]'s chain as CTE bodies ending in
     * `wout AS (id, w double[])` — composable under downstream chains

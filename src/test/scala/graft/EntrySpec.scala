@@ -12,9 +12,22 @@ class EntrySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every declared query runs and returns rows at sf0.001") {
+  test("every declared query runs, returns rows, and emits a hashable schema") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      // the driver comparator sorts/hashes cell values with pandas —
+      // top-level arrays/maps/structs are unhashable there and make the
+      // row err even when the math is right (the q_whiten r13 lesson).
+      // This defect class must be structurally impossible.
+      val complex = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+          || f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+          || f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          s"${f.name}: ${f.dataType.simpleString}"
+      }
+      assert(complex.isEmpty,
+        s"$name declares comparator-unhashable top-level column(s): ${complex.mkString(", ")}")
+      val n = df.count()
       assert(n > 0, s"$name returned 0 rows")
     }
   }
