@@ -3050,6 +3050,10 @@ object SparkEntry {
     // exists for: de-anisotropize (q_whiten's exact transform), then the
     // same k-means + per-cluster cosine verdicts. One declarative plan;
     // the oracle replays whiten's chain into kmeansCtes' src seat.
+    // Production path = the SAMPLED quantizer fit (Lloyd on the half
+    // hash-sample, one full assign): the full-corpus fit probed 17.5x
+    // wall-clock at a 10x corpus — the k∝n Lloyd was the suite's one
+    // superlinear production number.
     "q_semdedup_whitened" -> ((s, dir) => {
       // checkpoint the composition seam: KMeans' Lloyd rounds consume the
       // input once per iteration — uncheckpointed, each round re-runs the
@@ -3057,7 +3061,8 @@ object SparkEntry {
       // the checkpoint, 4.5x after)
       val w = graft.ops.StatsOps.whitenAllButTop(
         Tables.embeddings(s, dir), "vec_id", "embedding").localCheckpoint()
-      Similarity.semDedup(w, "id", "w", tau = 0.35, k = 8, lloydIters = 3)
+      Similarity.semDedupSampledFit(w, "id", "w", tau = 0.35, k = 8,
+          lloydIters = 3, fitRate = 0.5)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     }),
@@ -7559,11 +7564,14 @@ object SparkEntry {
          |${SemdedupTailCtes(0.35)}""".stripMargin,
 
     // the whitened-space rerun: the whiten chain's wout feeds the SAME
-    // kmeans/semdedup machinery via kmeansCtes' src parameter
+    // kmeans/semdedup machinery via kmeansCtes' src parameter; the
+    // quantizer trains on the et hash-sample (the sampled-fit production
+    // path), afinal assigns full e
     "q_semdedup_whitened" ->
       s"""WITH ${graft.ops.StatsOps.whitenCtesSql("embeddings", "vec_id", "embedding")},
          |${kmeansCtes(8, materialized = true,
-             src = "SELECT id AS vec_id, w AS v FROM wout")},
+             src = "SELECT id AS vec_id, w AS v FROM wout",
+             fitWhere = graft.ops.Sampling.hashSampleSql("vec_id", 0.5, "sdfit"))},
          |${SemdedupTailCtes(0.35)}""".stripMargin,
 
     "q_semi_join" ->

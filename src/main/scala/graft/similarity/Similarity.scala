@@ -341,16 +341,27 @@ object Similarity {
     * of silently degrading toward n²/k with a fixed k. The paper's
     * operating point is docsPerCluster ≈ 10⁴ (k ≈ n/10⁴); fixtures and
     * specs pass a smaller value to exercise the scaling.
+    *
+    * The quantizer FIT routes through [[semDedupSampledFit]] — at k ∝ n a
+    * full-corpus Lloyd is `lloydIters · n · k` distance evals (measured
+    * 17.5× wall-clock at a 10× corpus), while the sampled fit trains on
+    * ~`fitRate`·n and pays one n·k assign. `fitRate = 1.0` reproduces the
+    * full fit bit-for-bit (the hash sample keeps every row). The default
+    * keeps ≥ fitRate·docsPerCluster ≈ 10³ training points per center at
+    * the paper's operating point — pass a larger rate for tiny corpora
+    * where that product approaches 1.
     */
   def semDedupAutoK(df: DataFrame, idCol: String, vecCol: String, tau: Double,
                     kMin: Int = 8, docsPerCluster: Long = 10000L,
-                    lloydIters: Int = 3,
+                    lloydIters: Int = 3, fitRate: Double = 0.1,
+                    salt: String = "sdfit",
                     storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     require(docsPerCluster > 0, s"docsPerCluster must be positive: $docsPerCluster")
     val n = df.count()
     val k = math.max(kMin.toLong, (n + docsPerCluster - 1) / docsPerCluster)
     require(k <= Int.MaxValue, s"auto-k overflow: $k clusters")
-    semDedup(df, idCol, vecCol, tau, k.toInt, lloydIters, storage)
+    semDedupSampledFit(df, idCol, vecCol, tau, k.toInt, lloydIters,
+      fitRate, salt, storage)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, sim >= tau). Exact

@@ -205,12 +205,14 @@ object ScaleProbe {
       graft.ops.StatsOps.topTwoPrincipalComponents(embs, "embedding") }
     // the whiten→semdedup composition: fit + transform + cluster
     // verdicts; checkpoint the seam or Lloyd re-runs the whiten chain
-    // per round
+    // per round. Probes the PRODUCTION path (sampled quantizer fit) —
+    // the full-corpus Lloyd at k ∝ n measured 17.5× at 10× in r13.
     timed("semdedup_whitened") {
-      Similarity.semDedup(
+      Similarity.semDedupSampledFit(
         graft.ops.StatsOps.whitenAllButTop(embs, "vec_id", "embedding")
           .localCheckpoint(),
-        "id", "w", tau = 0.999, k = math.max(8, (n / 500).toInt)) }
+        "id", "w", tau = 0.999, k = math.max(8, (n / 500).toInt),
+        fitRate = 0.1) }
     // round-13 distinct-n diversity: token-linear gram explode + a
     // two-level per-group distinct — the bleu_rouge class without a join
     timed("distinct_n") {
