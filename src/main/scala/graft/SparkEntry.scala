@@ -263,6 +263,31 @@ object SparkEntry {
         graft.ops.Bpe.fixtureVocab)
         .orderBy("word")),
 
+    // Unigram-LM tokenizer TRAINING (Kudo 2018, round 14): the third
+    // production tokenizer — seed vocab = top substrings by occurrence
+    // weight + all chars, then 2 hard-EM rounds (Viterbi-count →
+    // renormalize, unused pieces pruned, chars floored). Dictionary-grain
+    // throughout; the model is a bounded driver pull between rounds (the
+    // k-means-centers pattern); the oracle unrolls every Viterbi pass as
+    // position CTEs with the identical (cost asc, length desc) tie-break.
+    "q_unigram_lm" -> ((s, dir) => {
+      val m = graft.ops.UnigramLm.train(s, Tables.documents(s, dir), "text",
+        seedSize = 40, maxPieceLen = 4, rounds = 2, maxWordLen = 12)
+      graft.ops.UnigramLm.vocabTable(s, m).orderBy("piece")
+    }),
+
+    // The apply side of the trained unigram LM: Viterbi-best segmentation
+    // per DISTINCT word under the final piece probabilities (one more
+    // broadcast-model dictionary pass — the corpus is only touched by the
+    // word-count aggregation).
+    "q_unigram_segment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val m = graft.ops.UnigramLm.train(s, d, "text",
+        seedSize = 40, maxPieceLen = 4, rounds = 2, maxWordLen = 12)
+      graft.ops.UnigramLm.segmentStats(s, d, "text", m, maxWordLen = 12)
+        .orderBy("word")
+    }),
+
     // Tokenizer FERTILITY per language (round 10): tokens-per-word under
     // the frozen merge table, by lang — the standard multilingual-
     // tokenizer eval (a high-fertility language pays more sequence
@@ -6804,6 +6829,18 @@ object SparkEntry {
          |SELECT d.word, d.wc, w.np AS n_pieces
          |FROM dict d JOIN walk w ON w.word = d.word AND w.pos = length(d.word)
          |ORDER BY d.word""".stripMargin,
+
+    // the unigram-LM hard-EM chain: candidate/seed CTEs + 2 rounds of
+    // position-unrolled Viterbi passes, all generated by
+    // UnigramLm.trainSql from the SAME parameters as the op
+    "q_unigram_lm" ->
+      graft.ops.UnigramLm.trainSql("documents", "text",
+        seedSize = 40, maxPieceLen = 4, rounds = 2, maxWordLen = 12),
+
+    // the same chain + one more Viterbi pass under the final vocab
+    "q_unigram_segment" ->
+      graft.ops.UnigramLm.segmentSql("documents", "text",
+        seedSize = 40, maxPieceLen = 4, rounds = 2, maxWordLen = 12),
 
     // same frozen-merge segmentation chain, aggregated per language
     "q_bpe_fertility" ->

@@ -1,0 +1,278 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer training — Kudo 2018
+  * (arXiv:1804.10959, public paper), the third production tokenizer next
+  * to BPE ([[Bpe.train]]) and WordPiece ([[Bpe.wordpieceStats]]): pieces
+  * carry probabilities, a word's segmentation is the Viterbi-best path
+  * under the piece LM, and training re-estimates piece probabilities from
+  * segmentations (EM over a seed vocabulary).
+  *
+  * This implementation runs the HARD-EM (Viterbi-EM) variant: the E-step
+  * counts pieces along each word's single best path instead of
+  * forward-backward expectations — the standard engineering
+  * simplification, and what makes every step exactly replayable in a
+  * second engine (integral counts, one deterministic best path). The
+  * M-step renormalizes: multi-char pieces that went unused are pruned
+  * (Kudo's vocabulary shrinking, taken to the hard limit), single-char
+  * pieces are floored at count 1 so segmentation coverage can never be
+  * lost (Kudo keeps characters unconditionally).
+  *
+  * Scale shape (the [[Bpe]] contract): every pass runs at DISTINCT-WORD
+  * grain — one corpus pass builds the (word, count) dictionary, each EM
+  * round Viterbi-segments the dictionary with the model broadcast, and
+  * the model itself is vocab-grain (collected to the driver between
+  * rounds — the bounded model-state pull of [[graft.chain.KMeans]], never
+  * corpus rows). At 100 TB the corpus is touched once; rounds cost
+  * O(dictionary · maxPieceLen).
+  *
+  * Determinism: seed selection orders by (count desc, piece asc); Viterbi
+  * tie-breaks by (cost asc, piece-length desc) with costs accumulated in
+  * the identical left-to-right IEEE order both engines use; counts stay
+  * integral (LONG) so probabilities are exact ratios of longs in either
+  * engine.
+  */
+object UnigramLm {
+
+  /** Final trained model: (piece, cnt) after `rounds` hard-EM rounds,
+    * plus the char floor. Probabilities are cnt / Σcnt.
+    */
+  final case class Model(counts: Seq[(String, Long)], maxPieceLen: Int) {
+    lazy val total: Double = counts.map(_._2).sum.toDouble
+    lazy val costs: Map[String, Double] =
+      counts.map { case (p, c) => p -> -math.log(c.toDouble / total) }.toMap
+  }
+
+  private def dictionary(df: DataFrame, textCol: String,
+                         maxWordLen: Int): DataFrame =
+    df.select(explode(graft.functions.TextAnalysis.tokensArr(col(textCol)))
+        .as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+
+  /** Viterbi-best segmentation of one word under piece costs (-ln p).
+    * DP over end positions; at each position the candidate ending pieces
+    * are the ≤ maxPieceLen suffixes present in the vocab; ties on exact
+    * cost equality prefer the LONGER piece. Single-char coverage makes
+    * every position reachable.
+    */
+  private[graft] def viterbi(word: String, cost: Map[String, Double],
+                             maxPieceLen: Int): Seq[String] = {
+    val n = word.length
+    val best = Array.fill(n + 1)(Double.MaxValue)
+    val back = Array.fill(n + 1)(0)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, j)
+      while (l <= lMax) {
+        if (best(j - l) < Double.MaxValue) {
+          cost.get(word.substring(j - l, j)) match {
+            case Some(c) =>
+              val nc = best(j - l) + c
+              if (nc < best(j) || (nc == best(j) && l > back(j))) {
+                best(j) = nc; back(j) = l
+              }
+            case None =>
+          }
+        }
+        l += 1
+      }
+      j += 1
+    }
+    var p = n
+    var acc: List[String] = Nil
+    while (p > 0) {
+      val l = back(p)
+      require(l > 0, s"unigram viterbi: position $p of '$word' unreachable")
+      acc = word.substring(p - l, p) :: acc
+      p -= l
+    }
+    acc
+  }
+
+  /** Train the model: seed vocab = the top `seedSize` multi-char
+    * substrings by occurrence weight (count desc, piece asc) plus ALL
+    * single chars, then `rounds` hard-EM rounds of
+    * Viterbi-count → renormalize.
+    */
+  def train(spark: SparkSession, df: DataFrame, textCol: String,
+            seedSize: Int, maxPieceLen: Int = 4, rounds: Int = 2,
+            maxWordLen: Int = 12): Model = {
+    import spark.implicits._
+    require(rounds >= 1 && seedSize >= 1 && maxPieceLen >= 2)
+    // the dictionary feeds candidate gen + one pass per round: pin it
+    val dict = dictionary(df, textCol, maxWordLen)
+      .as[(String, Long)].localCheckpoint()
+    // candidate pieces: every substring of length 1..maxPieceLen of every
+    // distinct word, weighted by word count × occurrences — one
+    // dictionary-grain explode, map-side combined
+    val cand = dict.flatMap { case (w, c) =>
+        for {
+          l <- 1 to math.min(maxPieceLen, w.length)
+          i <- 0 to w.length - l
+        } yield (w.substring(i, i + l), c)
+      }
+      .toDF("piece", "c").groupBy("piece").agg(sum("c").as("cnt"))
+      .localCheckpoint() // seed + chars both consume it
+    val seed = cand.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+      .as[(String, Long)].collect().toSeq
+    val chars = cand.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect().toSeq
+    var model = Model(seed ++ chars, maxPieceLen)
+    for (_ <- 1 to rounds) {
+      val costs = model.costs
+      val used = dict
+        .flatMap { case (w, c) => viterbi(w, costs, maxPieceLen).map(p => (p, c)) }
+        .toDF("piece", "c").groupBy("piece").agg(sum("c").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      // M-step: unused multi-char pieces pruned, chars floored at 1
+      val next = model.counts.flatMap { case (p, _) =>
+        val u = used.getOrElse(p, 0L)
+        if (p.length >= 2) { if (u > 0) Some(p -> u) else None }
+        else Some(p -> math.max(u, 1L))
+      }
+      model = Model(next, maxPieceLen)
+    }
+    model
+  }
+
+  /** The trained vocabulary as a table: (piece, cnt, prob rounded 6). */
+  def vocabTable(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.counts.toDF("piece", "cnt")
+      .select(col("piece"), col("cnt"),
+        round(col("cnt").cast("double") / lit(model.total), 6).as("prob"))
+  }
+
+  /** Viterbi-segment the corpus dictionary under a trained model:
+    * (word, wc, n_pieces, seg) per distinct word — the apply-side pass
+    * (model broadcast, dictionary grain; the corpus is only touched by
+    * the word-count aggregation).
+    */
+  def segmentStats(spark: SparkSession, df: DataFrame, textCol: String,
+                   model: Model, maxWordLen: Int = 12): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((model.costs, model.maxPieceLen))
+    dictionary(df, textCol, maxWordLen).as[(String, Long)]
+      .map { case (w, c) =>
+        val (costs, mpl) = bc.value
+        val seg = viterbi(w, costs, mpl)
+        (w, c, seg.length.toLong, seg.mkString(" "))
+      }
+      .toDF("word", "wc", "n_pieces", "seg")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB twins: the same seed/EM/segment chain as unrolled MATERIALIZED
+  // CTEs (the kmeansCtes/pcaCtesSql pattern) — position-unrolled Viterbi
+  // (maxWordLen CTEs per pass, ≤ maxPieceLen branches each), integral
+  // counts, identical (cost asc, length desc) tie-break via row_number.
+  // ---------------------------------------------------------------------
+
+  /** CTE bodies `dict, cand, seed, chars, v0 … v{rounds}` ending in the
+    * final vocab `v{rounds}(piece, cnt)`.
+    */
+  def trainCtesSql(table: String, textCol: String, seedSize: Int,
+                   maxPieceLen: Int = 4, rounds: Int = 2,
+                   maxWordLen: Int = 12): String = {
+    val base =
+      s"""uwords AS (SELECT unnest(list_filter(
+         |    regexp_split_to_array(lower($textCol), '[^a-z0-9]+'), x -> x <> '')) AS word
+         |  FROM $table),
+         |dict AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS wc
+         |  FROM uwords WHERE length(word) <= $maxWordLen GROUP BY word),
+         |cand AS MATERIALIZED (
+         |  SELECT substring(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         |         CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM dict
+         |  CROSS JOIN unnest(range(1, $maxPieceLen + 1)) AS ll(l)
+         |  CROSS JOIN unnest(range(1, length(word) + 1)) AS ii(i)
+         |  WHERE i + l - 1 <= length(word)
+         |  GROUP BY 1),
+         |seed AS MATERIALIZED (
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+         |    FROM cand WHERE length(piece) >= 2) WHERE rn <= $seedSize),
+         |chars AS MATERIALIZED (SELECT piece, cnt FROM cand WHERE length(piece) = 1),
+         |v0 AS MATERIALIZED (SELECT piece, cnt FROM seed
+         |  UNION ALL SELECT piece, cnt FROM chars)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""${viterbiCtesSql(s"r$r", s"v${r - 1}", maxPieceLen, maxWordLen)},
+         |u$r AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(path, ' ')) AS piece, wc FROM r${r}seg)
+         |  GROUP BY piece),
+         |v$r AS MATERIALIZED (
+         |  SELECT piece, cnt FROM u$r WHERE length(piece) >= 2
+         |  UNION ALL
+         |  SELECT ch.piece, greatest(coalesce(u.cnt, 0), 1) AS cnt
+         |  FROM chars ch LEFT JOIN u$r u USING (piece))""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$roundCtes"
+  }
+
+  /** One position-unrolled Viterbi pass under vocab `$vocab(piece, cnt)`:
+    * CTEs `${p}cost`, `${p}b0 … ${p}b{maxWordLen}`, ending in
+    * `${p}seg(word, wc, path)` — path = best segmentation, pieces
+    * space-joined.
+    */
+  private def viterbiCtesSql(p: String, vocab: String, maxPieceLen: Int,
+                             maxWordLen: Int): String = {
+    val cost =
+      s"""${p}t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM $vocab),
+         |${p}cost AS MATERIALIZED (SELECT piece,
+         |    -ln(CAST(cnt AS DOUBLE) / total) AS cost
+         |  FROM $vocab CROSS JOIN ${p}t)""".stripMargin
+    val b0 = s"${p}b0 AS (SELECT word, wc, CAST(0.0 AS DOUBLE) AS cost, '' AS path FROM dict)"
+    val bs = (1 to maxWordLen).map { j =>
+      val branches = (1 to math.min(maxPieceLen, j)).map { l =>
+        s"""    SELECT b.word, b.wc, b.cost + c.cost AS cost,
+           |      CASE WHEN b.path = '' THEN c.piece
+           |           ELSE b.path || ' ' || c.piece END AS path, $l AS l
+           |    FROM ${p}b${j - l} b JOIN ${p}cost c
+           |      ON c.piece = substring(b.word, ${j - l + 1}, $l)
+           |    WHERE length(b.word) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""${p}b$j AS MATERIALIZED (
+         |  SELECT word, wc, cost, path FROM (
+         |    SELECT word, wc, cost, path,
+         |      row_number() OVER (PARTITION BY word ORDER BY cost ASC, l DESC) AS rn
+         |    FROM (
+         |$branches))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val seg = (1 to maxWordLen).map { j =>
+      s"SELECT word, wc, path FROM ${p}b$j WHERE length(word) = $j"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$cost,
+       |$b0,
+       |$bs,
+       |${p}seg AS MATERIALIZED (
+       |  $seg)""".stripMargin
+  }
+
+  /** Full DuckDB statement: the twin of [[train]] + [[vocabTable]]. */
+  def trainSql(table: String, textCol: String, seedSize: Int,
+               maxPieceLen: Int = 4, rounds: Int = 2,
+               maxWordLen: Int = 12): String =
+    s"""WITH ${trainCtesSql(table, textCol, seedSize, maxPieceLen, rounds, maxWordLen)},
+       |tf AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v$rounds)
+       |SELECT piece, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS prob
+       |FROM v$rounds CROSS JOIN tf ORDER BY piece""".stripMargin
+
+  /** Full DuckDB statement: the twin of [[train]] + [[segmentStats]] —
+    * one more Viterbi pass under the final vocab.
+    */
+  def segmentSql(table: String, textCol: String, seedSize: Int,
+                 maxPieceLen: Int = 4, rounds: Int = 2,
+                 maxWordLen: Int = 12): String =
+    s"""WITH ${trainCtesSql(table, textCol, seedSize, maxPieceLen, rounds, maxWordLen)},
+       |${viterbiCtesSql("fin", s"v$rounds", maxPieceLen, maxWordLen)}
+       |SELECT word, wc, CAST(len(string_split(path, ' ')) AS BIGINT) AS n_pieces,
+       |       path AS seg
+       |FROM finseg ORDER BY word""".stripMargin
+}

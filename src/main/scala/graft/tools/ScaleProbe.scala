@@ -178,6 +178,14 @@ object ScaleProbe {
     timed("wordpiece") {
       graft.ops.Bpe.wordpieceStats(spark, docs, "text",
         graft.ops.Bpe.fixtureVocab) }
+    // round-14 unigram-LM hard-EM training: one corpus word-count pass,
+    // then dictionary-grain candidate gen + 2 Viterbi-EM rounds with the
+    // vocab-grain model pulled to the driver between rounds — must track
+    // the corpus pass + dictionary work, never corpus × rounds
+    timed("unigram_lm") {
+      graft.ops.UnigramLm.vocabTable(spark,
+        graft.ops.UnigramLm.train(spark, docs, "text",
+          seedSize = 200, maxPieceLen = 4, rounds = 2)) }
     // round-13 generation eval: clipped-count machinery is the wordcount
     // shape on (pair, n, gram) keys — must stay token-linear
     timed("bleu_rouge") {

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.UnigramLm
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (Kudo 2018) hard-EM trainer against a hand-computed
+  * fixture: corpus {abab ×3, ab ×2, cd ×1}, maxPieceLen 2, seed 2.
+  *
+  * Hand derivation: candidate weights a=8, b=8, ab=8, ba=3, c=1, d=1;
+  * seed keeps the top-2 multi pieces {ab:8, ba:3}; v0 adds all chars,
+  * total 29. Under v0 costs, Viterbi gives abab→[ab,ab], ab→[ab],
+  * cd→[c,d] (cd never made the seed), so round-1 counts are ab=8
+  * (2·3 + 1·2), ba=0 (pruned), chars a,b unused (floored to 1), c=d=1.
+  */
+class UnigramLmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = (Seq.fill(3)("abab") ++ Seq.fill(2)("ab") ++ Seq("cd"))
+    .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    .toDF("doc_id", "text")
+
+  private def fixtureModel = UnigramLm.train(spark, corpus, "text",
+    seedSize = 2, maxPieceLen = 2, rounds = 1)
+
+  test("train: hand-computed EM round — counts, pruning, char floor") {
+    val m = fixtureModel
+    assert(m.counts.toMap == Map(
+      "ab" -> 8L, "a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L),
+      s"got ${m.counts}")
+    val probs = UnigramLm.vocabTable(spark, m)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(probs("ab") == 0.666667 && probs("c") == 0.083333, probs.toString)
+  }
+
+  test("segmentStats: Viterbi under the trained model, pieces rebuild the word") {
+    val got = UnigramLm.segmentStats(spark, corpus, "text", fixtureModel)
+      .orderBy("word").as[(String, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("ab", 2L, 1L, "ab"), ("abab", 3L, 2L, "ab ab"), ("cd", 1L, 2L, "c d")),
+      got.toString)
+    got.foreach { case (w, _, _, seg) =>
+      assert(seg.replace(" ", "") == w, s"$seg does not rebuild $w")
+    }
+  }
+
+  test("viterbi: exact-cost ties prefer the longer piece; min cost wins otherwise") {
+    // "a a" and "aa" both cost exactly 2.0 -> the longer piece wins
+    assert(UnigramLm.viterbi("aa", Map("a" -> 1.0, "aa" -> 2.0), 2)
+      == Seq("aa"))
+    // strictly cheaper split beats the longer piece
+    assert(UnigramLm.viterbi("aa", Map("a" -> 0.5, "aa" -> 2.0), 2)
+      == Seq("a", "a"))
+    // unreachable multi-char route falls back to chars
+    assert(UnigramLm.viterbi("abc", Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0,
+      "zz" -> 0.1), 2) == Seq("a", "b", "c"))
+  }
+
+  test("train is invariant under repartitioning") {
+    val a = fixtureModel.counts.toMap
+    val b = UnigramLm.train(spark, corpus.repartition(13), "text",
+      seedSize = 2, maxPieceLen = 2, rounds = 1).counts.toMap
+    assert(a == b)
+  }
+
+  test("words beyond maxWordLen are excluded from training and segmentation") {
+    val docs = Seq((1L, "short averyveryverylongword short")).toDF("doc_id", "text")
+    val m = UnigramLm.train(spark, docs, "text", seedSize = 4,
+      maxPieceLen = 3, rounds = 1, maxWordLen = 8)
+    val segged = UnigramLm.segmentStats(spark, docs, "text", m, maxWordLen = 8)
+      .select("word").as[String].collect().toSet
+    assert(segged == Set("short"))
+  }
+}
