@@ -3049,6 +3049,34 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
+    // ANN index EXPORT (round 14): the serving handoff — IVF centroids,
+    // hive-partitioned inverted lists, PQ codebooks and coded vectors
+    // materialized as plain parquet tables plus a read-back manifest
+    // (the q_shard_manifest source-of-truth rule). Oracle replays the
+    // quantizer cell counts; the PQ component sizes are structural
+    // (m×ks codebook rows, one code row per vector).
+    "q_ann_export" -> ((s, dir) =>
+      graft.similarity.AnnIndex.export(s, Tables.embeddings(s, dir),
+          "vec_id", "embedding", graft.io.IoScratch.dir + "/ann_index",
+          cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+        .orderBy("component", "cell")),
+
+    // The reader over the exported tables: q_ann_ivf answered FROM DISK —
+    // same probe rule (shared code), stored norms reused, results
+    // bit-identical to the in-session path (round-trip parity spec'd);
+    // the oracle IS q_ann_ivf's oracle.
+    "q_ann_served" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val path = graft.io.IoScratch.dir + "/ann_index_served"
+      graft.similarity.AnnIndex.export(s, e, "vec_id", "embedding", path,
+        cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+      graft.similarity.AnnIndex.servedTopK(s, path,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nProbe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023, public paper): semantic dedup — k-means
     // clusters (same deterministic quantizer as q_ann_ivf, 8 cells), then
     // intra-cluster cosine prune keeping the LEAST-centroid-similar member
@@ -4073,6 +4101,31 @@ object SparkEntry {
        |SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS keep
        |FROM scored s LEFT JOIN dropped d ON s.vec_id = d.vec_id
        |ORDER BY s.vec_id""".stripMargin
+
+  /** The IVF top-k replay shared by q_ann_ivf and q_ann_served (the
+    * served path reads the exported tables but must answer bit-identical
+    * results, so the two queries bind ONE oracle): quantizer CTEs at 4
+    * cells, 2-cell probe per query, exact cosine re-rank.
+    */
+  private def annIvfOracleSql: String =
+    s"""WITH ${kmeansCtes(4)},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |probe AS (SELECT query_id, qv, cell FROM (
+       |  SELECT q.query_id, q.qv, c.cluster AS cell,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${sqd("q.qv", "c.v")} ASC, c.cluster ASC) AS pr
+       |  FROM q CROSS JOIN c3 c) WHERE pr <= 2),
+       |cand AS (SELECT p.query_id, p.qv, a.vec_id, a.v
+       |         FROM probe p JOIN afinal a ON a.cluster = p.cell AND a.vec_id <> p.query_id),
+       |s AS (SELECT query_id, vec_id,
+       |        list_dot_product(v, qv) /
+       |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+       |      FROM cand)
+       |SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM (
+       |  SELECT query_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+       |  FROM s)
+       |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin
 
   /** PQ oracle CTEs: one [[kmeansCtes]]-style Lloyd chain PER SUBSPACE
     * over DuckDB list slices (`v[lo:hi]`), each ending in `s<i>r`
@@ -7535,25 +7588,29 @@ object SparkEntry {
 
     // IVF: the q_kmeans_assign quantizer CTEs (4 cells, 3 decimal-exact
     // Lloyd steps, same init/tie-breaks) + 2-cell probe + exact re-rank.
-    "q_ann_ivf" ->
-      s"""WITH ${kmeansCtes(4)},
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-         |probe AS (SELECT query_id, qv, cell FROM (
-         |  SELECT q.query_id, q.qv, c.cluster AS cell,
-         |    row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY ${sqd("q.qv", "c.v")} ASC, c.cluster ASC) AS pr
-         |  FROM q CROSS JOIN c3 c) WHERE pr <= 2),
-         |cand AS (SELECT p.query_id, p.qv, a.vec_id, a.v
-         |         FROM probe p JOIN afinal a ON a.cluster = p.cell AND a.vec_id <> p.query_id),
-         |s AS (SELECT query_id, vec_id,
-         |        list_dot_product(v, qv) /
-         |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
-         |      FROM cand)
-         |SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM (
-         |  SELECT query_id, vec_id, sim,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
-         |  FROM s)
-         |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
+    "q_ann_ivf" -> annIvfOracleSql,
+
+    // the served path answers FROM the exported tables and must be
+    // bit-identical to the in-session IVF — one oracle, two queries
+    "q_ann_served" -> annIvfOracleSql,
+
+    // export manifest: the quantizer cell counts replayed (afinal GROUP
+    // BY), the PQ component sizes structural — codebooks always hold
+    // m×ks rows (empty clusters keep their previous center — the
+    // KMeans.run contract), codes one row per vector
+    "q_ann_export" ->
+      s"""WITH ${kmeansCtes(4)}
+         |SELECT component, cell, rows FROM (
+         |  SELECT 'vectors' AS component, CAST(cluster AS BIGINT) AS cell,
+         |         CAST(count(*) AS BIGINT) AS rows
+         |  FROM afinal GROUP BY cluster
+         |  UNION ALL
+         |  SELECT 'centroids', CAST(-1 AS BIGINT), CAST(4 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'codebooks', CAST(-1 AS BIGINT), CAST(16 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'codes', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT) FROM e)
+         |ORDER BY component, cell""".stripMargin,
 
     // both rankings replayed (brute = all-pairs cosine, IVF = the same
     // quantizer CTEs + probed-cell candidates), then set-intersected

@@ -89,6 +89,83 @@ object KMeans {
     (centers, finalAssign)
   }
 
+  /** ROUTED assignment for large k — the FAISS-IVF assign rule: cluster
+    * the k centers themselves into ~√k coarse cells (a driver-side Lloyd
+    * over k rows — bounded model state), then per point find the `nProbe`
+    * nearest non-empty coarse cells and take the exact argmin over ONLY
+    * those cells' member centers. Distance evals per point drop from k to
+    * ~√k·(1 + nProbe·avg-members) — at k ∝ n this breaks the n·k assign
+    * term that is otherwise the one superlinear pass of a sampled-fit
+    * clustering pipeline (measured ~25 s/execution at n=50k, k=100).
+    *
+    * Semantics: EXACT within the probed cells (same (dist, lowest-id)
+    * tie-break as [[assign]]); a point whose true nearest center lives
+    * outside its probed cells gets its best probed member instead — the
+    * standard IVF approximation, spec-bounded agreement with [[assign]].
+    * Falls back to the exact scan when k is small or the route would not
+    * prune. Everything is a guarded codegen expression: only the probed
+    * cells' member distances are evaluated per row (CaseWhen branches),
+    * and the plan stays partitioning-agnostic and deterministic.
+    */
+  def assignRouted(points: DataFrame, idCol: String, vecCol: String,
+                   centers: Seq[Seq[Double]], nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1, s"assignRouted: nProbe $nProbe")
+    val k = centers.length
+    val c = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    if (k <= 8 || c <= nProbe) return assign(points, idCol, vecCol, centers)
+    val (coarse, members) = routeTables(centers, c, iters = 3)
+    val nonEmpty = members.zipWithIndex.filter(_._1.nonEmpty)
+    // degenerate routing (everything lands in ≤ nProbe cells) prunes
+    // nothing — the exact scan is the same work without the probe step
+    if (nonEmpty.size <= nProbe) return assign(points, idCol, vecCol, centers)
+    val v = asDouble(col(vecCol))
+    // nProbe nearest non-empty coarse cells: struct sort = (d asc, cell asc)
+    val probed = slice(array_sort(array(nonEmpty.map { case (_, j) =>
+      struct(sqDist(v, coarse(j)).as("d"), lit(j).as("cell"))
+    }: _*)), 1, nProbe)
+    val probedCells = transform(probed, p => p.getField("cell"))
+    // per coarse cell: the guarded local argmin over its member centers —
+    // array_min on struct(d, id) = lowest distance, lowest id on ties
+    // (the assign tie-break); unprobed cells' branches never evaluate
+    val bests = nonEmpty.map { case (ids, j) =>
+      when(array_contains(probedCells, lit(j)),
+        array_min(array(ids.map(i =>
+          struct(sqDist(v, centers(i)).as("d"), lit(i).as("id"))): _*)))
+    }
+    points.select(col(idCol).as("id"), v.as("v"),
+      least(bests: _*).getField("id").cast("int").as("cluster"))
+  }
+
+  /** The routing tables: a deterministic driver-side Lloyd over the k
+    * centers (init = first c, 3 rounds, lowest-index tie-break — the
+    * [[run]] conventions), returning (coarse centers, member center ids
+    * per coarse cell from a final assignment pass).
+    */
+  private[graft] def routeTables(centers: Seq[Seq[Double]], c: Int,
+      iters: Int): (Seq[Seq[Double]], Seq[Seq[Int]]) = {
+    def sq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def nearest(ct: Seq[Double], cs: Seq[Seq[Double]]): Int =
+      cs.indices.minBy(j => (sq(ct, cs(j)), j))
+    var coarse = centers.take(c)
+    for (_ <- 1 to iters) {
+      val a = centers.map(nearest(_, coarse))
+      coarse = coarse.indices.map { j =>
+        val mem = centers.indices.filter(a(_) == j)
+        if (mem.isEmpty) coarse(j)
+        else {
+          val dim = centers.head.length
+          (0 until dim).map(d => mem.map(i => centers(i)(d)).sum / mem.size)
+        }
+      }
+    }
+    val fin = centers.map(nearest(_, coarse))
+    (coarse, coarse.indices.map(j => centers.indices.filter(fin(_) == j).toSeq))
+  }
+
   /** Total within-cluster sum of squares (inertia) for given centers. */
   def inertia(points: DataFrame, idCol: String, vecCol: String,
               centers: Seq[Seq[Double]]): Double = {

@@ -49,7 +49,7 @@ object Similarity {
     * under-k queries and a NaN sorts ABOVE every real similarity, becoming
     * everyone's rank-1 neighbor.
     */
-  private def rankTopK(cands: DataFrame, k: Int): DataFrame =
+  private[similarity] def rankTopK(cands: DataFrame, k: Int): DataFrame =
     cands
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", vec_dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
@@ -233,13 +233,24 @@ object Similarity {
     val corpusCells = assigned.select(
       col("id").as("vec_id"), col("v").as("cv"), col("cluster").as("cell"))
       .withColumn("cn", vec_norm(col("cv")))
+    rankTopK(corpusCells.join(
+      broadcast(probeCells(queries, queryId, queryVec, centers, nProbe)), "cell"), k)
+  }
+
+  /** The IVF probe list: each query's `nProbe` nearest coarse cells
+    * (squared euclidean, lowest-cell tie-break) — shared by [[ivfTopK]]
+    * and the exported-index reader ([[AnnIndex.servedTopK]]), so the
+    * served path cannot drift from the in-session one.
+    */
+  private[similarity] def probeCells(queries: DataFrame, queryId: String,
+      queryVec: String, centers: Seq[Seq[Double]], nProbe: Int): DataFrame = {
     val q0 = queries.select(col(queryId).as("query_id"),
       asDouble(col(queryVec)).as("qv"))
       .withColumn("qn", vec_norm(col("qv")))
     val centArr = array(centers.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cell"), lit(c.toArray).as("cv"))
     }: _*)
-    val probes = q0.select(col("query_id"), col("qv"), col("qn"),
+    q0.select(col("query_id"), col("qv"), col("qn"),
         explode(centArr).as("cent"))
       .withColumn("d",
         graft.functions.VectorOps.vec_sqdist(col("qv"), col("cent.cv")))
@@ -247,7 +258,6 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("d").asc, col("cent.cell").asc)))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cent.cell").as("cell"))
-    rankTopK(corpusCells.join(broadcast(probes), "cell"), k)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
@@ -294,13 +304,20 @@ object Similarity {
   def semDedupSampledFit(df: DataFrame, idCol: String, vecCol: String,
       tau: Double, k: Int = 8, lloydIters: Int = 3, fitRate: Double = 0.1,
       salt: String = "sdfit",
-      storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+      storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK),
+      assignNProbe: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val fit = graft.ops.Sampling.hashSample(df, col(idCol), fitRate, salt)
     val (centers, _) =
       graft.chain.KMeans.run(spark, fit, idCol, vecCol, k, lloydIters)
-    clusterVerdicts(centers,
-      graft.chain.KMeans.assign(df, idCol, vecCol, centers), tau, storage)
+    // assignNProbe > 0 routes the full-corpus assign through ~√k coarse
+    // cells (KMeans.assignRouted — the FAISS-IVF rule): at k ∝ n the
+    // exact n·k scan is the pipeline's one remaining superlinear pass
+    val assigned =
+      if (assignNProbe > 0)
+        graft.chain.KMeans.assignRouted(df, idCol, vecCol, centers, assignNProbe)
+      else graft.chain.KMeans.assign(df, idCol, vecCol, centers)
+    clusterVerdicts(centers, assigned, tau, storage)
   }
 
   /** The SemDeDup verdict tail shared by the full-corpus and sampled-fit
@@ -355,13 +372,14 @@ object Similarity {
                     kMin: Int = 8, docsPerCluster: Long = 10000L,
                     lloydIters: Int = 3, fitRate: Double = 0.1,
                     salt: String = "sdfit",
-                    storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+                    storage: Option[StorageLevel] = Some(StorageLevel.MEMORY_AND_DISK),
+                    assignNProbe: Int = 2): DataFrame = {
     require(docsPerCluster > 0, s"docsPerCluster must be positive: $docsPerCluster")
     val n = df.count()
     val k = math.max(kMin.toLong, (n + docsPerCluster - 1) / docsPerCluster)
     require(k <= Int.MaxValue, s"auto-k overflow: $k clusters")
     semDedupSampledFit(df, idCol, vecCol, tau, k.toInt, lloydIters,
-      fitRate, salt, storage)
+      fitRate, salt, storage, assignNProbe)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, sim >= tau). Exact

@@ -178,6 +178,15 @@ object ScaleProbe {
     timed("wordpiece") {
       graft.ops.Bpe.wordpieceStats(spark, docs, "text",
         graft.ops.Bpe.fixtureVocab) }
+    // round-14 ANN index export: quantizer + PQ fits (bounded driver
+    // pulls), corpus written once hive-partitioned by cell, read-back
+    // manifest — must stay write-bound linear (cells ∝ n keeps
+    // directories scan-sized)
+    timed("ann_export") {
+      graft.similarity.AnnIndex.export(spark, embs, "vec_id", "embedding",
+        graft.io.IoScratch.dir + "/ann_index_probe",
+        cells = math.max(8, (n / 500).toInt), lloydIters = 3,
+        m = 4, ks = 16, pqIters = 3, fitRate = 0.1, assignNProbe = 2) }
     // round-14 unigram-LM hard-EM training: one corpus word-count pass,
     // then dictionary-grain candidate gen + 2 Viterbi-EM rounds with the
     // vocab-grain model pulled to the driver between rounds — must track
@@ -220,7 +229,7 @@ object ScaleProbe {
         graft.ops.StatsOps.whitenAllButTop(embs, "vec_id", "embedding")
           .localCheckpoint(),
         "id", "w", tau = 0.999, k = math.max(8, (n / 500).toInt),
-        fitRate = 0.1) }
+        fitRate = 0.1, assignNProbe = 2) }
     // round-13 distinct-n diversity: token-linear gram explode + a
     // two-level per-group distinct — the bleu_rouge class without a join
     timed("distinct_n") {

@@ -95,6 +95,42 @@ class ChainSpec extends SparkTestBase {
     assert(KMeans.inertia(pts, "id", "vec", centers) < 0.2)
   }
 
+  test("assignRouted: small k and degenerate routes fall back to the exact scan") {
+    val pts = spark.range(0, 200).select(col("id"),
+      array((pmod(hash(col("id")), lit(1000)) / 100.0),
+        (pmod(hash(col("id") * 3), lit(1000)) / 100.0)).as("vec"))
+    val centers = (0 until 6).map(i => Seq(i * 2.0, 10.0 - i))
+    // k = 6 <= 8 -> exact path by construction
+    val exact = KMeans.assign(pts, "id", "vec", centers)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val routed = KMeans.assignRouted(pts, "id", "vec", centers, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(routed == exact)
+  }
+
+  test("assignRouted: every point assigned once; high agreement with the exact argmin") {
+    // 64 well-spread centers on a hash grid, 2000 points
+    val pts = spark.range(0, 2000).select(col("id"),
+      array((pmod(hash(col("id")), lit(1000)) / 100.0),
+        (pmod(hash(col("id") * 3), lit(1000)) / 100.0)).as("vec"))
+    val centers = (0 until 64).map(i => Seq((i % 8) * 1.25, (i / 8) * 1.25))
+    val exact = KMeans.assign(pts, "id", "vec", centers)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val routedDf = KMeans.assignRouted(pts, "id", "vec", centers, nProbe = 2)
+    val routed = routedDf.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(routed.size == 2000 && routed.values.forall(c => c >= 0 && c < 64))
+    val agree = routed.count { case (id, c) => exact(id) == c }
+    assert(agree >= 1900, s"routed/exact agreement only $agree/2000")
+    // deterministic under repartitioning
+    val again = KMeans.assignRouted(pts.repartition(13), "id", "vec",
+      centers, nProbe = 2).collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(again == routed)
+    // probing every coarse cell IS the exact scan
+    val full = KMeans.assignRouted(pts, "id", "vec", centers, nProbe = 64)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(full == exact)
+  }
+
   test("NaiveBayes contingency math matches hand counts") {
     // 4 docs: two classes, feature f1 only in class A, f2 in both
     val ev = Seq(
