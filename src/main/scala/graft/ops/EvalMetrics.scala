@@ -270,7 +270,17 @@ object EvalMetrics {
     val base = df.groupBy(col(groupCol).as("grp"))
       .agg(count(lit(1)).as("n"),
         sum(passCol.cast("int").cast("long")).as("c"))
-    val cols = ks.map { k =>
+    base.select(col("grp") +: col("n") +: col("c") +: passAtKCols(ks): _*)
+  }
+
+  /** The pass@k projections over LONG columns `n`/`c` — one builder for
+    * the batch aggregation and the streaming maintained counts
+    * ([[graft.streaming.Streams.passAtKStream]]), so the two paths share
+    * every multiply, cast and round and cannot drift.
+    */
+  private[graft] def passAtKCols(ks: Seq[Int])
+      : Seq[org.apache.spark.sql.Column] =
+    ks.map { k =>
       val prod = (0 until k).map(i =>
         (col("n") - col("c") - lit(i.toLong)).cast("double") /
           (col("n") - lit(i.toLong)).cast("double")).reduceLeft(_ * _)
@@ -279,8 +289,6 @@ object EvalMetrics {
         .when(col("n") - col("c") < k, 1.0)
         .otherwise(lit(1.0) - prod), 6).as(s"pass_$k")
     }
-    base.select(col("grp") +: col("n") +: col("c") +: cols: _*)
-  }
 
   /** The SQL twin of one [[passAtK]] column over integer expressions
     * `n`/`c` — generated, not hand-written, so the two renderings cannot
@@ -343,6 +351,17 @@ object EvalMetrics {
       .unionByName(outcomes.select(col(loseCol).as("policy"), lit(0L).as("w")))
     val agg = games.groupBy("policy")
       .agg(sum("w").as("wins"), count(lit(1)).as("games"))
+    agg.select(col("policy") +: col("wins") +: col("games") +:
+      wilsonCols(z): _*)
+  }
+
+  /** The Wilson rate/lo/hi projections over LONG columns `wins`/`games` —
+    * one builder for the batch aggregation and the streaming maintained
+    * counts ([[graft.streaming.Streams.winRateStream]]): shared operation
+    * order, shared clamps, shared rounding.
+    */
+  private[graft] def wilsonCols(z: Double = WilsonZ)
+      : Seq[org.apache.spark.sql.Column] = {
     val nD = col("games").cast("double")
     val p = col("wins").cast("double") / nD
     val z2 = z * z
@@ -350,8 +369,7 @@ object EvalMetrics {
     val center = (p + lit(z2) / (lit(2.0) * nD)) / denom
     val half = lit(z) *
       sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (lit(4.0) * nD * nD)) / denom
-    agg.select(col("policy"), col("wins"), col("games"),
-      round(p, 6).as("rate"),
+    Seq(round(p, 6).as("rate"),
       round(greatest(lit(0.0), center - half), 6).as("lo"),
       round(least(lit(1.0), center + half), 6).as("hi"))
   }

@@ -200,6 +200,71 @@ object Streams {
       .toDF("grp", "id", "score", "rank")
   }
 
+  /** Streaming pass@k — [[graft.ops.EvalMetrics.passAtK]] maintained
+    * incrementally over an arriving generations stream: per-problem state
+    * is the BOUNDED (n, c) count pair (never the sample history); each
+    * micro-batch folds its arrivals in and the problem re-emits its
+    * current row. The metric projections are
+    * [[graft.ops.EvalMetrics.passAtKCols]] — the batch op's own column
+    * builder applied to the maintained counts, so after every micro-batch
+    * each problem's row equals the batch operator over the same event
+    * prefix (the StreamsSpec parity contract). Update output mode.
+    */
+  def passAtKStream(samples: DataFrame, groupCol: String, passCol: String,
+                    ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"passAtKStream ks: $ks")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples.select(col(groupCol).cast("string"),
+        col(passCol).cast("boolean"))
+      .as[(String, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (grp, it, state: GroupState[(Long, Long)]) =>
+          var (n, c) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { case (_, pass) => n += 1; if (pass) c += 1 }
+          state.update((n, c))
+          Iterator.single((grp, n, c))
+      }
+      .toDF("grp", "n", "c")
+      .select(col("grp") +: col("n") +: col("c") +:
+        graft.ops.EvalMetrics.passAtKCols(ks): _*)
+  }
+
+  /** Streaming arena win rates — [[graft.ops.EvalMetrics.wilsonWinRate]]
+    * maintained incrementally over an arriving outcomes stream
+    * (winCol = winning policy, loseCol = losing policy): each outcome
+    * explodes to its two (policy, win-flag) legs BEFORE the state op, so
+    * per-policy state is the bounded (wins, games) pair; the Wilson
+    * interval is [[graft.ops.EvalMetrics.wilsonCols]] — the batch
+    * projection applied to the maintained counts (batch-parity after
+    * every micro-batch). Update output mode.
+    */
+  def winRateStream(outcomes: DataFrame, winCol: String,
+                    loseCol: String): DataFrame = {
+    val spark = outcomes.sparkSession
+    import spark.implicits._
+    outcomes.select(explode(array(
+        struct(col(winCol).cast("string").as("policy"), lit(1L).as("w")),
+        struct(col(loseCol).cast("string").as("policy"), lit(0L).as("w"))))
+        .as("leg"))
+      .select(col("leg.policy"), col("leg.w"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (policy, it, state: GroupState[(Long, Long)]) =>
+          var (wins, games) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { case (_, w) => games += 1; wins += w }
+          state.update((wins, games))
+          Iterator.single((policy, wins, games))
+      }
+      .toDF("policy", "wins", "games")
+      .select(col("policy") +: col("wins") +: col("games") +:
+        graft.ops.EvalMetrics.wilsonCols(): _*)
+  }
+
   /** Streaming heavy hitters — incremental Misra–Gries per group: state is
     * ≤ k−1 counters per group (bounded forever, no TTL needed), updated
     * per micro-batch; after each batch the group's current candidates

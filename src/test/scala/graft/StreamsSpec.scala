@@ -1192,4 +1192,68 @@ class StreamsSpec extends SparkTestBase {
     assert(local == batch,
       "row-local gate must equal the corpus-scale aggregation gate")
   }
+
+  test("passAtKStream equals the batch passAtK after every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Boolean)]
+    val q = Streams.passAtKStream(in.toDF.toDF("grp", "pass"),
+        "grp", "pass", ks = Seq(1, 3))
+      .writeStream.format("memory").queryName("passk_s")
+      .outputMode(OutputMode.Update).start()
+    def latest(): Map[String, (Long, Long, Option[Double], Option[Double])] = {
+      val all = spark.table("passk_s")
+        .as[(String, Long, Long, Option[Double], Option[Double])].collect()
+      all.zipWithIndex.groupBy(_._1._1)
+        .map { case (g, vs) =>
+          val r = vs.maxBy(_._2)._1; g -> (r._2, r._3, r._4, r._5) }
+    }
+    def batchOn(rows: Seq[(String, Boolean)]) =
+      graft.ops.EvalMetrics.passAtK(rows.toDF("grp", "pass"),
+          "grp", org.apache.spark.sql.functions.col("pass"), Seq(1, 3))
+        .as[(String, Long, Long, Option[Double], Option[Double])].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    try {
+      // batch 1: p1 has n=2 (1 pass) -> pass@3 NULL (n < k); p2 all-fail
+      val b1 = Seq(("p1", true), ("p1", false), ("p2", false))
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchOn(b1), s"after batch 1: ${latest()}")
+      // batch 2: p1 crosses n >= 3; p2 gets its first pass; p3 is new
+      val b2 = Seq(("p1", false), ("p1", true), ("p2", true), ("p3", true))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(latest() == batchOn(b1 ++ b2), s"after batch 2: ${latest()}")
+    } finally q.stop()
+  }
+
+  test("winRateStream equals the batch wilsonWinRate after every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = Streams.winRateStream(in.toDF.toDF("win", "lose"), "win", "lose")
+      .writeStream.format("memory").queryName("winrate_s")
+      .outputMode(OutputMode.Update).start()
+    def latest(): Map[String, (Long, Long, Double, Double, Double)] = {
+      val all = spark.table("winrate_s")
+        .as[(String, Long, Long, Double, Double, Double)].collect()
+      all.zipWithIndex.groupBy(_._1._1)
+        .map { case (p, vs) =>
+          val r = vs.maxBy(_._2)._1; p -> (r._2, r._3, r._4, r._5, r._6) }
+    }
+    def batchOn(rows: Seq[(String, String)]) =
+      graft.ops.EvalMetrics.wilsonWinRate(rows.toDF("win", "lose"),
+          "win", "lose")
+        .as[(String, Long, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    try {
+      val b1 = Seq(("a", "b"), ("a", "c"), ("b", "c"))
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchOn(b1), s"after batch 1: ${latest()}")
+      // c finally wins one; a policy can appear on both legs in one batch
+      val b2 = Seq(("c", "a"), ("b", "a"))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(latest() == batchOn(b1 ++ b2), s"after batch 2: ${latest()}")
+    } finally q.stop()
+  }
 }
