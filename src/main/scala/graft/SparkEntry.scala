@@ -2413,7 +2413,7 @@ object SparkEntry {
     // iteration — the anisotropy/whitening diagnostic (dominant direction
     // + eigenvalue). Deterministic cross-engine: decimal-exact sums in the
     // covariance build and every contraction; the oracle unrolls the same
-    // 8 rounds as CTEs from the same PcaIters constant.
+    // PcaIters rounds as CTEs from the same constant.
     "q_pca_top" -> ((s, dir) =>
       graft.ops.StatsOps.topPrincipalComponent(
         Tables.embeddings(s, dir), "embedding")
@@ -4759,7 +4759,7 @@ object SparkEntry {
     },
 
     // decimal-exact per-dim means, centroid cosine from the dims-row fold
-    // covariance build + 16 unrolled power-iteration CTE rounds, all
+    // covariance build + PcaIters unrolled power-iteration CTE rounds, all
     // generated by StatsOps.pcaSql from the same PcaIters constant
     "q_pca_top" ->
       graft.ops.StatsOps.pcaSql("embeddings", "embedding"),
@@ -7086,7 +7086,7 @@ object SparkEntry {
       s"""WITH ${TextAnalysis.langIdSqlCtes("documents", carry = Seq("lang"))},
          |p AS (SELECT lang AS a, ${TextAnalysis.langIdCaseSql} AS b FROM m),
          |cell AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY a, b),
-         |pe AS (SELECT sum(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) AS s FROM
+         |pe AS (SELECT coalesce(sum(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)), 0.0) AS s FROM
          |  (SELECT a AS k, sum(c) AS ca FROM cell GROUP BY a) ma
          |  JOIN (SELECT b AS k, sum(c) AS cb FROM cell GROUP BY b) mb USING (k)),
          |agg AS (SELECT CAST(sum(c) AS BIGINT) AS tot,

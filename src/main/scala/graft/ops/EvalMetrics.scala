@@ -438,8 +438,12 @@ object EvalMetrics {
       .agg(count(lit(1)).as("c")).localCheckpoint()
     val ra = cell.groupBy(col("a").as("k")).agg(sum("c").as("ca"))
     val rb = cell.groupBy(col("b").as("k")).agg(sum("c").as("cb"))
+    // disjoint rater label sets join to an EMPTY marginal product: the
+    // chance agreement is genuinely 0 (no label both raters use), not
+    // NULL — coalesce so kappa degrades to po instead of NULL
     val pe = ra.join(rb, "k")
-      .agg(sum(col("ca").cast("double") * col("cb").cast("double")).as("s"))
+      .agg(coalesce(sum(col("ca").cast("double") * col("cb").cast("double")),
+        lit(0.0)).as("s"))
     val agg = cell.agg(sum("c").as("tot"),
       sum(when(col("a") === col("b"), col("c")).otherwise(lit(0L)))
         .as("agree"))

@@ -381,7 +381,7 @@ object StatsOps {
 
   /** Top principal component of an embedding column — the dominant
     * direction of the covariance matrix by POWER ITERATION (v ← C·v/‖C·v‖
-    * from v₀ = e₁, [[PcaIters]] rounds), the "which way does this
+    * from the all-ones start, [[PcaIters]] rounds), the "which way does this
     * embedding space mostly point" diagnostic behind whitening and
     * anisotropy checks (Mu & Viswanath 2018 all-but-the-top). One row per
     * dimension: (dim, loading, eigval) with eigval the final iterate's
@@ -483,7 +483,11 @@ object StatsOps {
       nm = math.sqrt(
         w.map(x => dec(x * x)).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
           .doubleValue)
-      v = w.map(_ / nm)
+      // degenerate covariance (all vectors identical → C = 0): w is the
+      // zero vector and nm = 0 — keep the zero iterate (loadings 0,
+      // eigval 0) instead of dividing into NaN; the SQL twin's rounds
+      // carry the same CASE
+      v = if (nm == 0.0) w else w.map(_ / nm)
     }
     (dims.zip(v).toSeq.toDF("i", "v"), Seq(nm).toDF("nm"))
   }
@@ -598,7 +602,7 @@ object StatsOps {
       s"""${p}w$k AS MATERIALIZED (SELECT $cov.i AS i, CAST(sum(CAST($cov.c * v.v AS DECIMAL(38,18))) AS DOUBLE) AS w
          |        FROM $cov JOIN ${p}v${k - 1} v ON v.i = $cov.j GROUP BY $cov.i),
          |${p}nrm$k AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nm FROM ${p}w$k),
-         |${p}v$k AS MATERIALIZED (SELECT i, w / nm AS v FROM ${p}w$k CROSS JOIN ${p}nrm$k)""".stripMargin
+         |${p}v$k AS MATERIALIZED (SELECT i, CASE WHEN nm = 0 THEN w ELSE w / nm END AS v FROM ${p}w$k CROSS JOIN ${p}nrm$k)""".stripMargin
     }.mkString(",\n")
 
   /** Full DuckDB statement: the twin of

@@ -190,7 +190,11 @@ object Streams {
         case (grp, it, state: GroupState[Vector[(Double, Long)]]) =>
           val merged = (state.getOption.getOrElse(Vector.empty) ++
               it.map(e => (e._3, e._2)))
-            .sortBy { case (s, id) => (-s, id) }
+            // s + 0.0 normalizes -0.0 to +0.0 before negating: Spark's
+            // SQL sort ranks -0.0 == 0.0 (id tie-break) while a raw
+            // Scala Ordering on -s would order them strictly — the one
+            // edge where the two renderings could disagree
+            .sortBy { case (s, id) => (-(s + 0.0), id) }
             .take(n)
           state.update(merged)
           merged.iterator.zipWithIndex.map { case ((s, id), i) =>

@@ -208,7 +208,7 @@ object ScaleProbe {
         graft.ops.OverlapEval.charPair(docs, "doc_id", "text")) }
     // round-13 top-PC power iteration: the outer-product explode is
     // dim²/row but map-side partial agg bounds the shuffle at dim² rows
-    // per task; the 16 rounds run on the checkpointed dim² covariance —
+    // per task; the PcaIters rounds run on the checkpointed dim² covariance —
     // corpus touched exactly twice, must scale with n, never with rounds
     timed("pca_top") {
       graft.ops.StatsOps.topPrincipalComponent(embs, "embedding") }

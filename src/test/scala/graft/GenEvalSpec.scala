@@ -164,4 +164,17 @@ class GenEvalSpec extends SparkTestBase {
     val r = EvalMetrics.cohenKappa(df, "a", "b").collect()(0)
     assert(r.isNullAt(3))
   }
+
+  test("cohenKappa: disjoint rater label sets give pe = 0 and kappa = po, not NULL") {
+    import spark.implicits._
+    // rater a only uses {A, B}, rater b only {X, Y}: no shared label, so
+    // the chance-agreement marginal product is empty — pe is genuinely 0
+    val df = Seq(("A", "X"), ("A", "Y"), ("B", "X"), ("B", "Y"))
+      .toDF("a", "b")
+    val r = EvalMetrics.cohenKappa(df, "a", "b")
+      .collect()(0)
+    assert(r.getDouble(2) == 0.0, s"pe: ${r.get(2)}")
+    assert(!r.isNullAt(3) && r.getDouble(3) == r.getDouble(1),
+      s"kappa must equal po: $r")
+  }
 }

@@ -116,4 +116,23 @@ class PcaSpec extends SparkTestBase {
       (cv(i) - lam * v(i)) * (cv(i) - lam * v(i))).sum)
     assert(resid / lam < 0.05, s"eigen residual $resid vs lambda $lam")
   }
+
+  test("degenerate input (all vectors identical) yields zero loadings, never NaN") {
+    import spark.implicits._
+    // zero covariance -> the power rounds' norm is 0; the guard keeps the
+    // zero iterate instead of dividing into NaN (and the SQL twin's CASE
+    // does the same)
+    val e = Seq.fill(5)(Seq(1.0, 2.0, 3.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val rows = StatsOps.topPrincipalComponent(e, "embedding").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(!r.getDouble(1).isNaN && r.getDouble(1) == 0.0, s"loading: $r")
+      assert(!r.getDouble(2).isNaN && r.getDouble(2) == 0.0, s"eigval: $r")
+    }
+    val w = StatsOps.whitenAllButTop(e, "vec_id", "embedding")
+      .collect().map(_.getSeq[Double](1))
+    // whitening degrades to plain mean-centering: all-zero residuals here
+    assert(w.forall(_.forall(x => !x.isNaN && x == 0.0)))
+  }
 }
