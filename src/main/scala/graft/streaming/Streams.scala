@@ -269,6 +269,68 @@ object Streams {
         graft.ops.EvalMetrics.wilsonCols(): _*)
   }
 
+  /** Streaming ANN SERVING over an exported index
+    * ([[graft.similarity.AnnIndex.export]]) — queries ARRIVE as a stream,
+    * the index is the static side: per query the nProbe nearest coarse
+    * cells are picked by a WINDOWLESS in-row struct sort (streaming plans
+    * forbid rank windows; array_sort on (d, cell) structs is the same
+    * (d asc, cell asc) order [[graft.similarity.Similarity.probeCells]]
+    * uses), candidates come from the stream-static equi-join against the
+    * hive-partitioned inverted lists, sims are the SAME codegen'd
+    * cosine projection as the batch rank tail, and the per-query top-k is
+    * bounded [[bestOfNStream]]-shape state (so a query's list is also
+    * maintained correctly if its candidates ever span micro-batches).
+    * Emits (query_id, vec_id, sim, rank) in Update mode — row-for-row the
+    * batch [[graft.similarity.AnnIndex.servedTopK]] over the same query
+    * prefix (StreamsSpec parity).
+    */
+  def annServeStream(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, queries: DataFrame, queryId: String,
+                     queryVec: String, k: Int, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorOps.{vec_dot, vec_norm, vec_sqdist}
+    require(k >= 1 && nProbe >= 1, s"annServeStream: k=$k nProbe=$nProbe")
+    val centers = graft.similarity.AnnIndex.loadCentroids(spark, indexPath)
+    val lists = spark.read.option("basePath", s"$indexPath/vectors")
+      .parquet(s"$indexPath/vectors")
+      .select(col("vec_id"), col("v").as("cv"), col("n").as("cn"), col("cell"))
+    val q0 = queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).cast("array<double>").as("qv"))
+      .withColumn("qn", vec_norm(col("qv")))
+    val cellStructs = centers.zipWithIndex.map { case (c, i) =>
+      struct(vec_sqdist(col("qv"), lit(c.toArray)).as("d"),
+        lit(i).as("cell"))
+    }
+    val probes = q0.select(col("query_id"), col("qv"), col("qn"),
+      explode(transform(slice(array_sort(array(cellStructs: _*)), 1, nProbe),
+        p => p.getField("cell"))).as("cell"))
+    val cands = lists.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        vec_dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .filter(col("sim").isNotNull && !isnan(col("sim")))
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .as[(Long, Long, Double)]
+    cands.groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(Double, Long)], (Long, Long, Double, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (q, it, state: GroupState[Vector[(Double, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Vector.empty) ++
+              it.map(e => (e._3, e._2)))
+            // the batch rank tail's (sim DESC, vec_id ASC) with -0.0
+            // normalized to Spark SQL's -0.0 == 0.0 ordering
+            .sortBy { case (s, id) => (-(s + 0.0), id) }
+            .take(k)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case ((s, id), i) =>
+            // the batch tail's round(sim, 6) — same BigDecimal HALF_UP
+            (q, id, BigDecimal(s).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1)
+          }
+      }
+      .toDF("query_id", "vec_id", "sim", "rank")
+  }
+
   /** Streaming heavy hitters — incremental Misra–Gries per group: state is
     * ≤ k−1 counters per group (bounded forever, no TTL needed), updated
     * per micro-batch; after each batch the group's current candidates

@@ -1193,6 +1193,44 @@ class StreamsSpec extends SparkTestBase {
       "row-local gate must equal the corpus-scale aggregation gate")
   }
 
+  test("annServeStream answers queries from the exported index, batch-parity per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val embs = graft.core.Tables.embeddings(spark, sfDir)
+    val path = graft.io.IoScratch.dir + "/ann_index_stream_spec"
+    graft.similarity.AnnIndex.export(spark, embs, "vec_id", "embedding",
+      path, cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    val qvecs = embs.filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.annServeStream(spark, path,
+        in.toDF.toDF("query_id", "qv"), "query_id", "qv", k = 5, nProbe = 2)
+      .writeStream.format("memory").queryName("ann_s")
+      .outputMode(OutputMode.Update).start()
+    def latest(): Set[(Long, Long, Double, Int)] = {
+      val all = spark.table("ann_s").as[(Long, Long, Double, Int)].collect()
+      all.zipWithIndex.groupBy(r => (r._1._1, r._1._4))
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }.toSet
+    }
+    def batchOn(ids: Seq[Long]): Set[(Long, Long, Double, Int)] =
+      graft.similarity.AnnIndex.servedTopK(spark, path,
+          embs.filter(col("vec_id").isin(ids: _*)), "vec_id", "embedding",
+          k = 5, nProbe = 2)
+        .as[(Long, Long, Int, Double)].collect()
+        .map(r => (r._1, r._2, r._4, r._3)).toSet
+    try {
+      in.addData(qvecs.take(3): _*)
+      q.processAllAvailable()
+      assert(latest() == batchOn(Seq(0L, 1L, 2L)), s"batch 1: ${latest()}")
+      // later-arriving queries get served; earlier results stand
+      in.addData(qvecs.drop(3): _*)
+      q.processAllAvailable()
+      assert(latest() == batchOn(Seq(0L, 1L, 2L, 3L, 4L, 5L)),
+        s"batch 2: ${latest()}")
+    } finally q.stop()
+  }
+
   test("passAtKStream equals the batch passAtK after every micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Boolean)]
