@@ -3061,6 +3061,22 @@ object SparkEntry {
           cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
         .orderBy("component", "cell")),
 
+    // INCREMENTAL index maintenance (round 14): export on the even half,
+    // append the odd half against the FROZEN quantizer (no refit — the
+    // daily-shard absorption path), manifest from read-back counts. The
+    // oracle is the sampled-fit kmeans machinery verbatim: Lloyd on the
+    // even slice, the final assign over everything.
+    "q_ann_append" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val path = graft.io.IoScratch.dir + "/ann_index_append"
+      graft.similarity.AnnIndex.export(s,
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path,
+        cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+      graft.similarity.AnnIndex.append(s,
+          e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", path)
+        .orderBy("component", "cell")
+    }),
+
     // The reader over the exported tables: q_ann_ivf answered FROM DISK —
     // same probe rule (shared code), stored norms reused, results
     // bit-identical to the in-session path (round-trip parity spec'd);
@@ -7593,6 +7609,23 @@ object SparkEntry {
     // the served path answers FROM the exported tables and must be
     // bit-identical to the in-session IVF — one oracle, two queries
     "q_ann_served" -> annIvfOracleSql,
+
+    // frozen-quantizer append: Lloyd trains on the even hash of the
+    // corpus (the export's slice), afinal assigns EVERYTHING — the
+    // sampled-fit CTE machinery expresses the no-refit absorption exactly
+    "q_ann_append" ->
+      s"""WITH ${kmeansCtes(4, fitWhere = "vec_id % 2 = 0")}
+         |SELECT component, cell, rows FROM (
+         |  SELECT 'vectors' AS component, CAST(cluster AS BIGINT) AS cell,
+         |         CAST(count(*) AS BIGINT) AS rows
+         |  FROM afinal GROUP BY cluster
+         |  UNION ALL
+         |  SELECT 'centroids', CAST(-1 AS BIGINT), CAST(4 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'codebooks', CAST(-1 AS BIGINT), CAST(16 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'codes', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT) FROM e)
+         |ORDER BY component, cell""".stripMargin,
 
     // export manifest: the quantizer cell counts replayed (afinal GROUP
     // BY), the PQ component sizes structural — codebooks always hold

@@ -94,6 +94,14 @@ object AnnIndex {
         col("cluster").as("cell")), "vec_id")
       .select("vec_id", "cell", "codes", "recon_err")
       .write.mode("overwrite").parquet(s"$path/codes")
+    writeManifest(spark, path)
+  }
+
+  /** Recompute + persist the manifest from READ-BACK counts (the
+    * source-of-truth rule): per-cell rows for the inverted lists, -1 for
+    * the unpartitioned components.
+    */
+  private def writeManifest(spark: SparkSession, path: String): DataFrame = {
     val perCell = spark.read.option("basePath", s"$path/vectors")
       .parquet(s"$path/vectors")
       .groupBy(col("cell").cast("long").as("cell"))
@@ -108,6 +116,43 @@ object AnnIndex {
       .localCheckpoint()
     manifest.write.mode("overwrite").parquet(s"$path/manifest")
     manifest
+  }
+
+  /** INCREMENTAL index maintenance — the daily-shard path: append new
+    * vectors to an exported index against its FROZEN quantizers (no
+    * refit). Arrivals are assigned with the stored centroids (exact scan,
+    * or [[graft.chain.KMeans.assignRouted]] via `assignNProbe` at large
+    * cell counts), appended to the hive-partitioned inverted lists,
+    * PQ-encoded against the stored codebooks and appended to `codes/`;
+    * the manifest is recomputed from read-back counts. A 100 TB index
+    * absorbs arriving shards in one linear pass each — retraining is an
+    * explicit [[export]] rebuild, triggered by the drift/recall monitors
+    * (q_embed_drift, q_ann_recall), never implicit. Deterministic and
+    * ORDER-INVARIANT: the frozen quantizers make the final lists a pure
+    * function of the vector set, whatever the append batching.
+    *
+    * Returns the refreshed manifest.
+    */
+  def append(spark: SparkSession, newVectors: DataFrame, idCol: String,
+             vecCol: String, path: String,
+             assignNProbe: Int = 0): DataFrame = {
+    val centers = loadCentroids(spark, path)
+    val assigned =
+      if (assignNProbe > 0)
+        graft.chain.KMeans.assignRouted(newVectors, idCol, vecCol, centers,
+          assignNProbe)
+      else graft.chain.KMeans.assign(newVectors, idCol, vecCol, centers)
+    assigned.select(col("id").as("vec_id"), col("v"),
+        vec_norm(col("v")).as("n"), col("cluster").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    val cbs = loadCodebooks(spark, path)
+    Similarity.pqEncode(newVectors, idCol, vecCol, cbs)
+      .withColumnRenamed("id", "vec_id")
+      .join(assigned.select(col("id").as("vec_id"),
+        col("cluster").as("cell")), "vec_id")
+      .select("vec_id", "cell", "codes", "recon_err")
+      .write.mode("append").parquet(s"$path/codes")
+    writeManifest(spark, path)
   }
 
   /** The coarse quantizer from an exported index (cells×dim doubles —

@@ -53,6 +53,51 @@ class AnnIndexSpec extends SparkTestBase {
     assert(fromDisk == fresh)
   }
 
+  test("append: frozen-quantizer shard absorption — order-invariant, planted dup served") {
+    import org.apache.spark.sql.functions.{array, lit}
+    val a = embs.filter(col("vec_id") < 300)
+    val b = embs.filter(col("vec_id") >= 300)
+    val p1 = graft.io.IoScratch.dir + "/ann_append_1"
+    val p2 = graft.io.IoScratch.dir + "/ann_append_2"
+    // same base export, shards appended in opposite batchings
+    AnnIndex.export(spark, a, "vec_id", "embedding", p1,
+      cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    AnnIndex.export(spark, a, "vec_id", "embedding", p2,
+      cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    val b1 = b.filter(col("vec_id") % 2 === 0)
+    val b2 = b.filter(col("vec_id") % 2 =!= 0)
+    AnnIndex.append(spark, b1, "vec_id", "embedding", p1)
+    AnnIndex.append(spark, b2, "vec_id", "embedding", p1)
+    val m2 = AnnIndex.append(spark, b, "vec_id", "embedding", p2)
+      .as[(String, Long, Long)].collect().toSet
+    val n = embs.count()
+    // every vector present exactly once, whatever the batching
+    assert(m2.filter(_._1 == "vectors").map(_._3).sum == n)
+    assert(m2.find(_._1 == "codes").get._3 == n)
+    assert(spark.read.option("basePath", s"$p1/vectors")
+      .parquet(s"$p1/vectors").select("vec_id").distinct().count() == n)
+    val queries = embs.filter(col("vec_id") < 3)
+    def served(p: String) = AnnIndex.servedTopK(spark, p, queries,
+        "vec_id", "embedding", k = 10, nProbe = 2)
+      .orderBy("query_id", "vec_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(served(p1) == served(p2), "append must be order-invariant")
+    // a planted exact duplicate of query 0 lands via append and must be
+    // served at rank 1 with sim 1.0
+    val q0 = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].head()
+    val dup = spark.range(990000, 990001).select(col("id").as("vec_id"),
+      array(q0.map(lit): _*).as("embedding"))
+    AnnIndex.append(spark, dup, "vec_id", "embedding", p1)
+    val top = AnnIndex.servedTopK(spark, p1,
+        embs.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      .filter(col("rank") === 1)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(top == Seq((0L, 990000L, 1, 1.0)), s"got $top")
+  }
+
   test("manifest counts what landed; re-export overwrites cleanly") {
     val m1 = AnnIndex.export(spark, embs, "vec_id", "embedding", path,
         cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
