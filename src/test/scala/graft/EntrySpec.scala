@@ -35,6 +35,11 @@ class EntrySpec extends SparkTestBase {
   test("every query with an oracle is declared, and vice-versa names align") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
+    // and the reverse: a declared query without an oracle silently
+    // downgrades to the driver's weaker rows-only check — every query
+    // must carry its DuckDB twin
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
   }
 
   test("wordcount total equals token count") {
