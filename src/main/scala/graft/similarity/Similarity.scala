@@ -226,10 +226,24 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, cells: Int = 16, nProbe: Int = 2,
-              lloydIters: Int = 3): DataFrame = {
+              lloydIters: Int = 3, fitRate: Double = 1.0,
+              salt: String = "ivffit", assignNProbe: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val (centers, assigned) =
-      graft.chain.KMeans.run(spark, corpus, corpusId, corpusVec, cells, lloydIters)
+    // the scaladoc's 100 TB contract, literal: fitRate < 1 trains the
+    // quantizer on a deterministic hash sample (one extra assign pass
+    // places everything); assignNProbe > 0 routes that assign through
+    // ~√cells coarse cells (KMeans.assignRouted) when cells ∝ n
+    val fit =
+      if (fitRate >= 1.0) corpus
+      else graft.ops.Sampling.hashSample(corpus, col(corpusId), fitRate, salt)
+    val (centers, fitAssigned) =
+      graft.chain.KMeans.run(spark, fit, corpusId, corpusVec, cells, lloydIters)
+    val assigned =
+      if (fitRate >= 1.0) fitAssigned
+      else if (assignNProbe > 0)
+        graft.chain.KMeans.assignRouted(corpus, corpusId, corpusVec, centers,
+          assignNProbe)
+      else graft.chain.KMeans.assign(corpus, corpusId, corpusVec, centers)
     val corpusCells = assigned.select(
       col("id").as("vec_id"), col("v").as("cv"), col("cluster").as("cell"))
       .withColumn("cn", vec_norm(col("cv")))
