@@ -1574,6 +1574,33 @@ object SparkEntry {
         .orderBy("qkey")
     }),
 
+    // HyperLogLog distinct counts (round 14): the fixed-256-register
+    // mergeable dual of KMV — engine-portable registers (md5 hash60
+    // geometry, exact int64 harmonic sum), unlike any library HLL. Three
+    // key spaces in one output exercise BOTH estimator branches:
+    // l_orderkey/l_partkey take the raw harmonic path, l_linestatus
+    // (2 distinct) the linear-counting small-range branch. Registers
+    // merge by MAX (spec-pinned) and per-sketch state is 256 bytes —
+    // the per-group profile a streaming pass holds forever.
+    "q_hll_distinct" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def one(name: String, key: org.apache.spark.sql.Column) =
+        graft.functions.Sketches.hllDistinct(li, key)
+          .select(lit(name).as("key_name"), col("zero_regs"), col("est"))
+      one("l_orderkey", col("l_orderkey"))
+        .unionByName(one("l_partkey", col("l_partkey")))
+        .unionByName(one("l_linestatus", col("l_linestatus")))
+        .orderBy("key_name")
+    }),
+
+    // Per-group HLL: distinct parts per return flag at 256 bytes per
+    // group — both aggregation levels map-side combine, so a skewed
+    // group still only exchanges 256 register rows.
+    "q_hll_groups" -> ((s, dir) =>
+      graft.functions.Sketches.hllDistinctByGroup(
+          Tables.lineitem(s, dir), "l_returnflag", col("l_partkey"))
+        .orderBy("l_returnflag")),
+
     // Per-group KMV: distinct parts per return flag, sketch-bounded state.
     "q_kmv_groups" -> ((s, dir) =>
       graft.functions.Sketches.kmvDistinctByGroup(
@@ -5743,6 +5770,17 @@ object SparkEntry {
     "q_kmv_groups" ->
       graft.functions.Sketches.kmvDistinctByGroupSql(
         "lineitem", "l_returnflag", "l_partkey", k = 256),
+
+    // three independent single-key HLL replays, one per key space
+    "q_hll_distinct" ->
+      (Seq("l_orderkey", "l_partkey", "l_linestatus").map(k =>
+        s"SELECT '$k' AS key_name, zero_regs, est FROM (\n" +
+          graft.functions.Sketches.hllDistinctSql("lineitem", k) + ")")
+        .mkString("\nUNION ALL\n") + "\nORDER BY key_name"),
+
+    "q_hll_groups" ->
+      graft.functions.Sketches.hllDistinctByGroupSql(
+        "lineitem", "l_returnflag", "l_partkey"),
 
     "q_kmv_overlap" ->
       graft.functions.Sketches.kmvSetStatsSql(

@@ -358,6 +358,154 @@ object Sketches {
        |GROUP BY g, q ORDER BY g, q""".stripMargin
   }
 
+  // ---- HyperLogLog ---------------------------------------------------------
+
+  /** HLL geometry over the 60-bit [[hash60]] space: the top `HllBucketBits`
+    * bits pick the register, the remaining [[HllValueBits]] bits feed the
+    * leading-zero rank. Rank ∈ [1, HllMaxRank]; an EMPTY register is rank 0.
+    */
+  private val HllBucketBits = 8
+  private val HllM = 1 << HllBucketBits                  // 256 registers
+  private val HllValueBits = 60 - HllBucketBits          // 52 rank bits
+  private val HllMaxRank = HllValueBits + 1              // 53
+  private val HllValueMask = (1L << HllValueBits) - 1    // 2^52 - 1
+  // Σ 2^(-M_j) is accumulated as the EXACT integer Σ 2^(HllMaxRank - M_j)
+  // (empty register → 2^HllMaxRank): max 256 · 2^53 = 2^61 < 2^63, so the
+  // register sum is order-independent int64 arithmetic in any engine.
+  private val HllZeroWeight = 1L << HllMaxRank           // 2^53
+  /** α_m · m² · 2^HllMaxRank pre-folded to ONE double literal so both
+    * renderings perform the identical single division (E = AlphaNum / S).
+    */
+  private val HllAlphaNum: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * HllZeroWeight.toDouble
+  private val HllSmallRange: Double = 2.5 * HllM
+
+  /** HyperLogLog distinct-count estimate (Flajolet et al. 2007) — the
+    * fixed-256-register dual of [[kmvDistinct]]: registers merge by MAX, so
+    * shard sketches combine into the corpus sketch losslessly (spec-pinned),
+    * and per-key state is 256 bytes no matter the cardinality — the sketch a
+    * streaming leg can hold per group forever.
+    *
+    * Engine-portable by construction, unlike library HLLs (Spark's
+    * `approx_count_distinct` register layout is implementation-private):
+    * register = top 8 bits of the md5-derived [[hash60]], rank = leading
+    * zeros of the remaining 52 bits + 1 (`53 - length(bin(v))` — `bin` has
+    * identical no-leading-zeros semantics in Spark and DuckDB), and the
+    * harmonic sum is EXACT int64 arithmetic (Σ 2^(53−M_j)), so the estimate
+    * replays bit-for-bit in ANSI SQL. Small-range (≤ 2.5m with empty
+    * registers) uses linear counting m·ln(m/V); the 60-bit space makes the
+    * large-range correction unreachable.
+    *
+    * Plan shape: hash projection → partial max per (register) — map-side
+    * combine bounds every exchange at m rows per partition → 256-row final
+    * agg. Raw keys never move. Output: one row (zero_regs, est).
+    */
+  def hllDistinct(df: DataFrame, key: Column, salt: String = "hll"): DataFrame =
+    hllEstimate(hllRegisters(df, key, salt).agg(
+      count(lit(1)).as("filled"),
+      // variable-amount shift needs the SQL form (the Scala shiftleft API
+      // takes a static Int); coalesce covers the empty-input aggregate,
+      // where linear counting correctly reads est = m·ln(m/m) = 0
+      coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllMaxRank - reg)")),
+        lit(0L)).as("wsum")))
+
+  /** The (register, rank) table of [[hllDistinct]] — exposed so merge
+    * contracts can be spec-pinned: registers of a union = per-register MAX
+    * of the parts' registers.
+    */
+  def hllRegisters(df: DataFrame, key: Column, salt: String = "hll"): DataFrame = {
+    val h = hash60(key, salt)
+    df.select(h.as("h")).where(col("h").isNotNull)
+      .select(shiftright(col("h"), HllValueBits).as("bucket"),
+        col("h").bitwiseAND(lit(HllValueMask)).as("v"))
+      .select(col("bucket"),
+        when(col("v") === 0L, lit(HllMaxRank))
+          .otherwise(lit(HllMaxRank) - length(bin(col("v")))).as("rank"))
+      .groupBy("bucket").agg(max("rank").as("reg"))
+  }
+
+  /** Estimate from a 1-row (filled, wsum) register summary: raw harmonic
+    * estimate with the linear-counting small-range branch.
+    */
+  private def hllEstimate(summary: DataFrame): DataFrame =
+    summary.select(
+        (lit(HllM.toLong) - col("filled")).as("zero_regs"),
+        (lit(HllAlphaNum) /
+          (col("wsum") + (lit(HllM.toLong) - col("filled")) * lit(HllZeroWeight))
+            .cast("double")).as("raw"))
+      .select(col("zero_regs"),
+        round(when(col("raw") <= HllSmallRange && col("zero_regs") > 0,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zero_regs").cast("double")))
+          .otherwise(col("raw")), 6).as("est"))
+
+  /** Per-group [[hllDistinct]] — one 256-register sketch per group, the
+    * distinct-users-per-source profile at fixed memory. Both aggregation
+    * levels map-side combine (per-(group, register) max, then a ≤256-row
+    * integer sum per group); a skewed group still only ever exchanges 256
+    * rows. Output: (group, zero_regs, est).
+    */
+  def hllDistinctByGroup(df: DataFrame, groupCol: String, key: Column,
+                         salt: String = "hll"): DataFrame = {
+    val h = hash60(key, salt)
+    val regs = df.select(col(groupCol), h.as("h")).where(col("h").isNotNull)
+      .select(col(groupCol), shiftright(col("h"), HllValueBits).as("bucket"),
+        col("h").bitwiseAND(lit(HllValueMask)).as("v"))
+      .select(col(groupCol), col("bucket"),
+        when(col("v") === 0L, lit(HllMaxRank))
+          .otherwise(lit(HllMaxRank) - length(bin(col("v")))).as("rank"))
+      .groupBy(groupCol, "bucket").agg(max("rank").as("reg"))
+    regs.groupBy(groupCol).agg(
+        count(lit(1)).as("filled"),
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllMaxRank - reg)")),
+          lit(0L)).as("wsum"))
+      .select(col(groupCol),
+        (lit(HllM.toLong) - col("filled")).as("zero_regs"),
+        (lit(HllAlphaNum) /
+          (col("wsum") + (lit(HllM.toLong) - col("filled")) * lit(HllZeroWeight))
+            .cast("double")).as("raw"))
+      .select(col(groupCol), col("zero_regs"),
+        round(when(col("raw") <= HllSmallRange && col("zero_regs") > 0,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zero_regs").cast("double")))
+          .otherwise(col("raw")), 6).as("est"))
+  }
+
+  /** The shared DuckDB CTE bodies replaying the register build + estimate —
+    * kept beside the Scala so the geometry cannot drift.
+    */
+  private def hllRegSql(table: String, keyExpr: String, salt: String,
+                        groupSel: String, groupBy: String): String =
+    s"""r0 AS (
+       |  SELECT $groupSel CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 15)) AS BIGINT) AS h
+       |  FROM $table WHERE $keyExpr IS NOT NULL),
+       |r1 AS (SELECT $groupSel (h >> $HllValueBits) AS bucket, (h & $HllValueMask) AS v FROM r0),
+       |r AS (SELECT $groupSel bucket,
+       |             max(CASE WHEN v = 0 THEN $HllMaxRank ELSE $HllMaxRank - length(bin(v)) END) AS reg
+       |      FROM r1 GROUP BY ${groupBy}bucket),
+       |s AS (SELECT $groupSel CAST(count(*) AS BIGINT) AS filled,
+       |             CAST(coalesce(sum(1::BIGINT << ($HllMaxRank - reg)), 0) AS BIGINT) AS wsum
+       |      FROM r ${if (groupBy.isEmpty) "" else s"GROUP BY ${groupBy.stripSuffix(", ")}"}),
+       |e AS (SELECT $groupSel CAST($HllM - filled AS BIGINT) AS zero_regs,
+       |             $HllAlphaNum / CAST(wsum + ($HllM - filled) * $HllZeroWeight AS DOUBLE) AS raw
+       |      FROM s)""".stripMargin
+
+  private def hllEstSql: String =
+    s"""round(CASE WHEN raw <= $HllSmallRange AND zero_regs > 0
+       |           THEN ${HllM.toDouble} * ln(${HllM.toDouble} / CAST(zero_regs AS DOUBLE))
+       |           ELSE raw END, 6)""".stripMargin.replace("\n", " ")
+
+  /** The DuckDB SQL replaying [[hllDistinct]] bit-for-bit. */
+  def hllDistinctSql(table: String, keyExpr: String,
+                     salt: String = "hll"): String =
+    s"""WITH ${hllRegSql(table, keyExpr, salt, "", "")}
+       |SELECT zero_regs, $hllEstSql AS est FROM e""".stripMargin
+
+  /** The DuckDB SQL replaying [[hllDistinctByGroup]] bit-for-bit. */
+  def hllDistinctByGroupSql(table: String, groupCol: String, keyExpr: String,
+                            salt: String = "hll"): String =
+    s"""WITH ${hllRegSql(table, keyExpr, salt, s"$groupCol,", s"$groupCol, ")}
+       |SELECT $groupCol, zero_regs, $hllEstSql AS est FROM e
+       |ORDER BY $groupCol""".stripMargin
+
   /** The DuckDB SQL replaying [[cmsBuild]] + [[cmsEstimate]] bit-for-bit
     * over `table`'s `keyExpr` values, estimating for `queryCte` (a CTE
     * body yielding one column `qkey`).

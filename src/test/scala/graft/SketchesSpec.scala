@@ -170,4 +170,65 @@ class SketchesSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject (per-partition heap), got:\n$plan")
   }
+
+  // ---- HyperLogLog ---------------------------------------------------------
+
+  test("hll estimate is within 4 standard errors for a large key space") {
+    val n = 50000L
+    val est = Sketches.hllDistinct(spark.range(0, n).toDF("k"), col("k"))
+      .collect().head.getDouble(1)
+    val se = 1.04 / math.sqrt(256) // ~6.5% relative (Flajolet 2007)
+    assert(math.abs(est - n) / n < 4 * se,
+      s"estimate $est too far from $n (rel err ${math.abs(est - n) / n})")
+  }
+
+  test("hll small-range branch: near-exact at tiny cardinalities") {
+    val df = spark.range(0, 1000).select((col("id") % 3).as("k"))
+    val row = Sketches.hllDistinct(df, col("k")).collect().head
+    assert(row.getLong(0) == 253L) // 3 filled registers of 256
+    assert(math.abs(row.getDouble(1) - 3.0) < 0.05,
+      s"linear-counting estimate ${row.getDouble(1)} should be ~3")
+  }
+
+  test("hll registers merge by MAX: sketch(A union B) = merge of parts") {
+    import spark.implicits._
+    val a = spark.range(0, 8000).toDF("k")
+    val b = spark.range(5000, 12000).toDF("k") // overlapping slices
+    val whole = Sketches.hllRegisters(a.unionByName(b), col("k"))
+      .as[(Long, Int)].collect().toMap
+    val merged = Sketches.hllRegisters(a, col("k"))
+      .unionByName(Sketches.hllRegisters(b, col("k")))
+      .groupBy("bucket").agg(max("reg").as("reg"))
+      .as[(Long, Int)].collect().toMap
+    assert(whole == merged, "per-register max merge must equal whole-corpus sketch")
+    // and the estimate read off either register set is identical
+    val estWhole = Sketches.hllDistinct(a.unionByName(b), col("k"))
+      .collect().head.getDouble(1)
+    val estA = Sketches.hllDistinct(a, col("k")).collect().head.getDouble(1)
+    assert(estWhole != estA) // sanity: the merge actually changed the sketch
+  }
+
+  test("hll: empty input estimates zero; nulls are ignored") {
+    import spark.implicits._
+    val empty = Sketches.hllDistinct(
+      spark.range(0, 10).toDF("k").filter(col("k") < 0), col("k"))
+      .collect().head
+    assert(empty.getLong(0) == 256L && empty.getDouble(1) == 0.0)
+    val withNulls = Seq(Some("x"), None, Some("y"), Some("x")).toDF("k")
+    val est = Sketches.hllDistinct(withNulls, col("k")).collect().head.getDouble(1)
+    assert(math.abs(est - 2.0) < 0.05, s"expected ~2, got $est")
+  }
+
+  test("hll per-group sketches equal the global sketch of each slice") {
+    val df = spark.range(0, 30000).select(
+      when(col("id") % 2 === 0, "A").otherwise("B").as("g"), col("id").as("k"))
+    val grouped = Sketches.hllDistinctByGroup(df, "g", col("k"))
+      .orderBy("g").collect()
+    for ((g, i) <- Seq("A", "B").zipWithIndex) {
+      val solo = Sketches.hllDistinct(df.filter(col("g") === g), col("k"))
+        .collect().head
+      assert(grouped(i).getLong(1) == solo.getLong(0), s"group $g zero_regs")
+      assert(grouped(i).getDouble(2) == solo.getDouble(1), s"group $g est")
+    }
+  }
 }
