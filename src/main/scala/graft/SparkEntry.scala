@@ -3064,6 +3064,21 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
+    // Binary-quantization ANN (round 14, third scale path): 48 sign bits
+    // packed in one int64 per vector, Hamming (XOR+popcount) candidate
+    // scan, top-50 shortlist per query, exact cosine re-rank. The code
+    // table is 16 bytes/row — 16x less scan than brute force — and the
+    // oracle replays the md5 plane signs, integer Hamming ranks, and
+    // re-rank bit-for-bit.
+    "q_ann_bq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bqTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, bits = 48, cands = 50)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     // IVF ANN (the second scale path): coarse k-means quantizer (4 cells,
     // deterministic Lloyd), 2-cell probe, exact cosine re-rank. Recall < 1
     // by construction; the oracle replicates quantizer + probe exactly.
@@ -7630,6 +7645,40 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT b.vec_id, b.v, q.query_id, q.qv
         |         FROM b JOIN q USING (bucket)
         |         WHERE b.vec_id <> q.query_id),
+        |s AS (SELECT query_id, vec_id,
+        |        list_dot_product(v, qv) /
+        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        |      FROM cand)
+        |SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM (
+        |  SELECT query_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM s)
+        |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
+
+    // Binary quantization: the q_ann_lsh plane-sign replay at 48 bits
+    // (table 1), integer Hamming shortlist of 50 per query with vec_id
+    // tie-break, exact cosine re-rank of the shortlist only.
+    "q_ann_bq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |  list_sum(list_transform(range(0, 48), j ->
+        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1),
+        |        d -> v[d] * (CASE WHEN substr(md5('1:' || CAST(j AS VARCHAR) || '_' || CAST(d-1 AS VARCHAR)), 1, 1)
+        |                     IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END))),
+        |      (acc, x) -> acc + x) > 0
+        |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS code
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, code AS qcode FROM b WHERE vec_id < 5),
+        |h AS (SELECT q.query_id, b.vec_id, bit_count(xor(b.code, q.qcode)) AS hd
+        |      FROM b CROSS JOIN q),
+        |sl AS (SELECT query_id, vec_id FROM (
+        |         SELECT query_id, vec_id,
+        |                row_number() OVER (PARTITION BY query_id ORDER BY hd, vec_id) AS rn
+        |         FROM h)
+        |       WHERE rn <= 50),
+        |cand AS (SELECT sl.query_id, sl.vec_id, e.v, q.qv
+        |         FROM sl JOIN e USING (vec_id) JOIN q USING (query_id)
+        |         WHERE sl.vec_id <> sl.query_id),
         |s AS (SELECT query_id, vec_id,
         |        list_dot_product(v, qv) /
         |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim

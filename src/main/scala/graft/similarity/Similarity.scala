@@ -208,6 +208,57 @@ object Similarity {
     rankTopK(cands, k)
   }
 
+  /** Binary-quantization ANN (the modern vector-DB compression path —
+    * signed-random-projection codes in the Charikar 2002 SimHash family):
+    * each vector compresses to `bits` sign bits packed in ONE int64 (the
+    * [[lshBucket]] packing, a fresh plane table), candidate generation is a
+    * Hamming scan — XOR + popcount per (vector, query), two codegen'd
+    * instructions instead of a `dim`-wide dot product — and only each
+    * query's `cands` Hamming-nearest rows are fetched for the exact cosine
+    * re-rank.
+    *
+    * Scale shape: the corpus code table is 16 bytes/row (id + code) — a
+    * 64-dim float vector compresses 16×, so the candidate scan reads 1/16th
+    * the bytes of brute force and never shuffles a fat array; the shortlist
+    * is the two-level [[graft.ops.ScaleOps.smallestKPerGroup]] heap
+    * (per-partition k, no global sort); the vector fetch joins the
+    * |Q|·cands-row shortlist (broadcast) back to the corpus, so full
+    * vectors are read only for candidates. At 100 TB the code table is the
+    * thing you materialize beside the corpus ([[AnnIndex]] pattern) and the
+    * Hamming scan composes with IVF cells. Recall < 1 by construction —
+    * `bits`/`cands` trade recall for scan cost (recall measured in
+    * DedupSimilaritySpec); determinism = exact: integer Hamming with
+    * vec_id tie-break, same plane-sign md5 rule as [[lshBucket]] so the
+    * oracle replays codes bit-for-bit.
+    */
+  def bqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+             queries: DataFrame, queryId: String, queryVec: String,
+             k: Int, bits: Int = 48, cands: Int = 50, table: Int = 1,
+             maxDim: Int = 1024): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bqTopK: bits in [1,62] (got $bits)")
+    require(cands >= k, s"bqTopK: cands ($cands) must be >= k ($k)")
+    val codes = corpus
+      .select(col(corpusId).as("vec_id"), asDouble(col(corpusVec)).as("cv0"))
+      .select(col("vec_id"), lshBucket(col("cv0"), bits, table, maxDim).as("code"))
+    val q0 = queries
+      .select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qv"))
+      .withColumn("qn", vec_norm(col("qv")))
+      .withColumn("qcode", lshBucket(col("qv"), bits, table, maxDim))
+    val ham = codes
+      .crossJoin(broadcast(q0.select(col("query_id"), col("qcode"))))
+      .select(col("query_id"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).as("hd"), col("vec_id"))
+    val shortlist = graft.ops.ScaleOps
+      .smallestKPerGroup(ham, "query_id", Seq("hd", "vec_id"), cands)
+      .select("query_id", "vec_id")
+    val fetched = corpus
+      .select(col(corpusId).as("vec_id"), asDouble(col(corpusVec)).as("cv"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .withColumn("cn", vec_norm(col("cv")))
+    rankTopK(fetched.join(broadcast(
+      q0.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id")), k)
+  }
+
   /** IVF ANN — the inverted-file scale path: a coarse k-means quantizer
     * ([[graft.chain.KMeans]], deterministic init + decimal-exact centers)
     * partitions the corpus into `cells`; each query probes its `nProbe`

@@ -202,6 +202,36 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= recall1)  // more tables never hurt recall
   }
 
+  test("BQ ANN: full shortlist equals brute force exactly; recall sane at 48 bits") {
+    import spark.implicits._
+    val queries = embs.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // cands = corpus size -> every vector survives the Hamming shortlist,
+    // so the exact re-rank must reproduce brute force bit-for-bit
+    val n = embs.count().toInt
+    val full = Similarity.bqTopK(embs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10, bits = 48, cands = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(full == exact, "cands=n BQ must equal brute force exactly")
+    // default shortlist: recall bounded below, and a wider shortlist never
+    // hurts (candidate sets are nested in cands)
+    def recallAt(c: Int) = {
+      val got = Similarity.bqTopK(embs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 10, bits = 48, cands = c)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      val ex = exact.map { case (q, v, _, _) => (q, v) }
+      (ex intersect got).size.toDouble / ex.size
+    }
+    val r50 = recallAt(50)
+    val r200 = recallAt(200)
+    info(f"BQ recall@10 (48 bits): cands=50 $r50%.2f, cands=200 $r200%.2f")
+    assert(r50 > 0.35, f"48-bit Hamming shortlist of 50: $r50%.2f") // measured 0.44
+    assert(r200 > 0.7, f"wider shortlist should recover most neighbors: $r200%.2f")
+    assert(r200 >= r50)
+  }
+
   test("IVF ANN achieves reasonable recall vs brute force; more probes never hurt") {
     import spark.implicits._
     val queries = embs.filter(col("vec_id") < 20)
