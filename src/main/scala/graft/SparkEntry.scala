@@ -417,6 +417,17 @@ object SparkEntry {
           "doc_id", "text"), maxN = 2)
         .orderBy("n")),
 
+    // Edit-distance error rates (round 14): corpus micro-averaged CER
+    // (char edits / ref chars) and windowed WER (token edits / ref
+    // tokens over the first 40 tokens per side, via the ASCII symbol
+    // remap) — the ASR/OCR-style error metrics beside the n-gram family.
+    // Both engines run their native codegen'd levenshtein kernel; every
+    // aggregate is an order-free integer sum.
+    "q_edit_eval" -> ((s, dir) =>
+      graft.ops.OverlapEval.editEval(
+        graft.ops.OverlapEval.slicePair(Tables.documents(s, dir),
+          "doc_id", "text"))),
+
     // chrF (Popović 2015): character n-gram F-2 over n=1..6 on the same
     // pair construction — the third standard generation metric beside
     // BLEU/ROUGE, robust to tokenization because it never tokenizes.
@@ -7122,6 +7133,9 @@ object SparkEntry {
 
     "q_chrf" ->
       graft.ops.OverlapEval.chrfSql("documents", "doc_id", "text"),
+
+    "q_edit_eval" ->
+      graft.ops.OverlapEval.editEvalSql("documents", "doc_id", "text"),
 
     "q_distinct_n" ->
       """WITH toks AS (SELECT source AS grp,

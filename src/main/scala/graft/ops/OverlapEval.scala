@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -325,4 +326,102 @@ object OverlapEval {
        |  round(CASE WHEN $allPos THEN ($bpRaw) * $geo ELSE 0.0 END, 6) AS bleu
        |FROM w""".stripMargin
   }
+
+  // ---- edit-distance metrics (CER / WER) -----------------------------------
+
+  /** WER symbol alphabet: the 94 printable ASCII chars. ASCII-only keeps
+    * Spark (code-point) and DuckDB (byte) levenshtein in agreement; 94
+    * symbols bound [[editEval]]'s `werCap` at 47 tokens per side.
+    */
+  private val WerAlphabet: Seq[String] = (33 until 127).map(_.toChar.toString)
+
+  /** Corpus micro-averaged edit-distance metrics (the ASR/OCR error-rate
+    * family — Levenshtein 1966; WER as in NIST SCLITE scoring) over
+    * (cand, ref) pairs from [[slicePair]]:
+    *
+    *  - CER: character edits / reference chars, over the space-joined
+    *    token strings — both engines' codegen'd `levenshtein`.
+    *  - WER: token-sequence edits / reference tokens. Token-level
+    *    levenshtein rides the SAME native string kernel by remapping each
+    *    pair's distinct tokens to single printable-ASCII symbols (rank by
+    *    token within the pair). The symbol space bounds the window:
+    *    `werCap` tokens per side (default 40, max 47 → ≤ 94 distinct) —
+    *    the capped-exactness convention (`q_dedup_jaccard_capped`): exact
+    *    on the window, windowed by construction, loud on violation
+    *    (ANSI element_at throws past the alphabet).
+    *
+    * Micro-averaging (Σ edits / Σ ref lengths — the standard corpus WER
+    * definition) keeps every aggregate an order-free INTEGER sum; the two
+    * divisions happen once, so the result replays bit-for-bit in the
+    * DuckDB twin ([[editEvalSql]]).
+    *
+    * Scale shape: row-local DP (levenshtein is per-pair work at the scan),
+    * one bounded per-pair window for the symbol ranks, map-side-combined
+    * integer sums — the wordcount profile, no fat shuffle. Output: one row
+    * (pairs, char_edits, ref_chars, cer, word_edits, ref_words, wer).
+    */
+  def editEval(pairDf: DataFrame, werCap: Int = 40): DataFrame = {
+    require(werCap >= 1 && werCap <= WerAlphabet.size / 2,
+      s"editEval: werCap in [1, ${WerAlphabet.size / 2}] (got $werCap)")
+    // two consumer legs (CER strings, WER window) — cut the tokenize once
+    val pair = pairDf.localCheckpoint()
+    val cer = pair.select(
+      levenshtein(array_join(col("cand"), " "), array_join(col("ref"), " "))
+        .as("cd"),
+      length(array_join(col("ref"), " ")).as("rc"))
+    val capped = pair.select(col("id"),
+      slice(col("cand"), 1, werCap).as("cw"),
+      slice(col("ref"), 1, werCap).as("rw"))
+    val ranked = capped
+      .select(col("id"),
+        explode(array_distinct(concat(col("cw"), col("rw")))).as("tok"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id").orderBy("tok")))
+    val dict = ranked.groupBy("id").agg(map_from_entries(collect_list(
+      struct(col("tok"),
+        element_at(lit(WerAlphabet.toArray), col("rank"))))).as("m"))
+    def sym(arr: Column) =
+      array_join(transform(arr, t => element_at(col("m"), t)), "")
+    val wer = capped.join(dict, Seq("id"), "left")
+      .withColumn("m", coalesce(col("m"), map()))
+      .select(levenshtein(sym(col("cw")), sym(col("rw"))).as("wd"),
+        size(col("rw")).as("rwc"))
+    cer.agg(count(lit(1)).as("pairs"), sum("cd").as("char_edits"),
+        sum("rc").as("ref_chars"))
+      .crossJoin(wer.agg(sum("wd").cast("long").as("word_edits"),
+        sum("rwc").cast("long").as("ref_words")))
+      .select(col("pairs"), col("char_edits"), col("ref_chars"),
+        round(col("char_edits").cast("double") /
+          col("ref_chars").cast("double"), 6).as("cer"),
+        col("word_edits"), col("ref_words"),
+        round(col("word_edits").cast("double") /
+          col("ref_words").cast("double"), 6).as("wer"))
+  }
+
+  /** Full DuckDB statement: the twin of
+    * `editEval(slicePair(table, id, text), werCap)`.
+    */
+  def editEvalSql(table: String, idCol: String, textCol: String,
+                  werCap: Int = 40): String =
+    s"""WITH ${slicePairSql(table, idCol, textCol)},
+       |cer AS (SELECT levenshtein(array_to_string(cand, ' '), array_to_string(ref, ' ')) AS cd,
+       |               length(array_to_string(ref, ' ')) AS rc FROM pair),
+       |cap AS (SELECT id, cand[1:$werCap] AS cw, ref[1:$werCap] AS rw FROM pair),
+       |tk AS (SELECT id, unnest(list_distinct(list_concat(cw, rw))) AS tok FROM cap),
+       |rk AS (SELECT id, tok,
+       |              chr(32 + CAST(row_number() OVER (PARTITION BY id ORDER BY tok) AS INT)) AS ch
+       |       FROM tk),
+       |d AS (SELECT id, map(list(tok ORDER BY tok), list(ch ORDER BY tok)) AS m FROM rk GROUP BY id),
+       |w AS (SELECT levenshtein(array_to_string(list_transform(cw, t -> m[t][1]), ''),
+       |                         array_to_string(list_transform(rw, t -> m[t][1]), '')) AS wd,
+       |             len(rw) AS rwc
+       |      FROM cap LEFT JOIN d USING (id)),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS pairs, CAST(sum(cd) AS BIGINT) AS char_edits,
+       |             CAST(sum(rc) AS BIGINT) AS ref_chars FROM cer),
+       |b AS (SELECT CAST(sum(wd) AS BIGINT) AS word_edits, CAST(sum(rwc) AS BIGINT) AS ref_words FROM w)
+       |SELECT pairs, char_edits, ref_chars,
+       |       round(CAST(char_edits AS DOUBLE) / CAST(ref_chars AS DOUBLE), 6) AS cer,
+       |       word_edits, ref_words,
+       |       round(CAST(word_edits AS DOUBLE) / CAST(ref_words AS DOUBLE), 6) AS wer
+       |FROM a CROSS JOIN b""".stripMargin
 }

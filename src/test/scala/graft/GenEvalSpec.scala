@@ -177,4 +177,51 @@ class GenEvalSpec extends SparkTestBase {
     assert(!r.isNullAt(3) && r.getDouble(3) == r.getDouble(1),
       s"kappa must equal po: $r")
   }
+
+  // ---- editEval (CER / WER) -------------------------------------------------
+
+  test("editEval: hand-computed CER and WER, micro-averaged") {
+    import spark.implicits._
+    // pair 1: cand 'a b c' vs ref 'a x c' — 1 word substitution of 3 ref
+    // words; char strings differ by 1 edit of 5 ref chars.
+    // pair 2: identical — 0 edits, 3 ref words, 5 ref chars.
+    val pairs = Seq(
+      (1, Seq("a", "b", "c"), Seq("a", "x", "c")),
+      (2, Seq("a", "b", "c"), Seq("a", "b", "c")))
+      .toDF("id", "cand", "ref")
+    val r = OverlapEval.editEval(pairs).collect()(0)
+    assert(r.getLong(0) == 2L)                       // pairs
+    assert(r.getLong(1) == 1L && r.getLong(2) == 10L) // char edits / chars
+    assert(r.getDouble(3) == 0.1)                     // cer
+    assert(r.getLong(4) == 1L && r.getLong(5) == 6L)  // word edits / words
+    assert(r.getDouble(6) == 0.166667)                // wer (round 6)
+  }
+
+  test("editEval: WER counts insertions/deletions; window caps the tokens") {
+    import spark.implicits._
+    // cand drops one token and appends one: levenshtein = 2 over 3 ref
+    // words (multi-char tokens map to single symbols, so WER is truly
+    // token-level, not char-level)
+    val p = Seq((1, Seq("alpha", "gamma", "zeta"),
+      Seq("alpha", "beta", "gamma"))).toDF("id", "cand", "ref")
+    val r = OverlapEval.editEval(p).collect()(0)
+    assert(r.getLong(4) == 2L && r.getLong(5) == 3L, s"got $r")
+    // tokens past werCap are invisible to WER: these pairs agree on the
+    // first 2 tokens and differ only at position 3
+    val capped = Seq((1, Seq("a", "b", "X"), Seq("a", "b", "Y")))
+      .toDF("id", "cand", "ref")
+    val rc = OverlapEval.editEval(capped, werCap = 2).collect()(0)
+    assert(rc.getLong(4) == 0L && rc.getLong(5) == 2L, s"got $rc")
+  }
+
+  test("editEval: empty sides degrade sanely") {
+    import spark.implicits._
+    val p = Seq(
+      (1, Seq.empty[String], Seq("a", "b")), // all-insert: 2 word edits
+      (2, Seq.empty[String], Seq.empty[String]))
+      .toDF("id", "cand", "ref")
+    val r = OverlapEval.editEval(p).collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(4) == 2L && r.getLong(5) == 2L, s"got $r")
+  }
 }
