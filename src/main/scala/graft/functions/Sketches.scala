@@ -364,21 +364,21 @@ object Sketches {
     * bits pick the register, the remaining [[HllValueBits]] bits feed the
     * leading-zero rank. Rank ∈ [1, HllMaxRank]; an EMPTY register is rank 0.
     */
-  private val HllBucketBits = 8
-  private val HllM = 1 << HllBucketBits                  // 256 registers
-  private val HllValueBits = 60 - HllBucketBits          // 52 rank bits
-  private val HllMaxRank = HllValueBits + 1              // 53
-  private val HllValueMask = (1L << HllValueBits) - 1    // 2^52 - 1
+  private[graft] val HllBucketBits = 8
+  private[graft] val HllM = 1 << HllBucketBits                  // 256 registers
+  private[graft] val HllValueBits = 60 - HllBucketBits          // 52 rank bits
+  private[graft] val HllMaxRank = HllValueBits + 1              // 53
+  private[graft] val HllValueMask = (1L << HllValueBits) - 1    // 2^52 - 1
   // Σ 2^(-M_j) is accumulated as the EXACT integer Σ 2^(HllMaxRank - M_j)
   // (empty register → 2^HllMaxRank): max 256 · 2^53 = 2^61 < 2^63, so the
   // register sum is order-independent int64 arithmetic in any engine.
-  private val HllZeroWeight = 1L << HllMaxRank           // 2^53
+  private[graft] val HllZeroWeight = 1L << HllMaxRank           // 2^53
   /** α_m · m² · 2^HllMaxRank pre-folded to ONE double literal so both
     * renderings perform the identical single division (E = AlphaNum / S).
     */
-  private val HllAlphaNum: Double =
+  private[graft] val HllAlphaNum: Double =
     0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * HllZeroWeight.toDouble
-  private val HllSmallRange: Double = 2.5 * HllM
+  private[graft] val HllSmallRange: Double = 2.5 * HllM
 
   /** HyperLogLog distinct-count estimate (Flajolet et al. 2007) — the
     * fixed-256-register dual of [[kmvDistinct]]: registers merge by MAX, so

@@ -84,6 +84,52 @@ object Udafs {
     }
   }
 
+  /** The HyperLogLog sketch ([[Sketches.hllDistinct]]'s 256-register
+    * geometry) as a typed Aggregator over PRE-HASHED 60-bit values:
+    * buffer = the 256 register ranks — 256 ints of TRULY FIXED state per
+    * group/window, where KMV's bottom-k buffer still grows to k entries.
+    * `merge` is the per-register MAX (the lossless shard-combine the
+    * batch spec pins), and `finish` replays [[Sketches.hllDistinct]]'s
+    * estimate bit-for-bit: the same exact-int64 harmonic sum, the same
+    * single `HllAlphaNum / S` division (Spark `log` and `round` are
+    * `math.log` / BigDecimal HALF_UP — reproduced literally), so the
+    * streaming window estimate equals the batch sketch of the same slice
+    * ([[graft.streaming.Streams.hllDistinctStream]], parity spec'd).
+    */
+  val hllSketch: Aggregator[Long, Seq[Int], Double] =
+    new Aggregator[Long, Seq[Int], Double] {
+      import Sketches.{HllM, HllValueBits, HllMaxRank, HllValueMask,
+        HllAlphaNum, HllSmallRange}
+      def zero: Seq[Int] = Vector.fill(HllM)(0)
+      def reduce(b: Seq[Int], h: Long): Seq[Int] = {
+        val bucket = (h >>> HllValueBits).toInt
+        val v = h & HllValueMask
+        val rank =
+          if (v == 0L) HllMaxRank
+          else HllMaxRank - (64 - java.lang.Long.numberOfLeadingZeros(v))
+        if (rank > b(bucket)) b.updated(bucket, rank) else b
+      }
+      def merge(b1: Seq[Int], b2: Seq[Int]): Seq[Int] =
+        b1.lazyZip(b2).map(math.max)
+      def finish(b: Seq[Int]): Double = {
+        var s = 0L
+        var zeros = 0L
+        b.foreach { reg =>
+          s += 1L << (HllMaxRank - reg)
+          if (reg == 0) zeros += 1
+        }
+        val raw = HllAlphaNum / s.toDouble
+        val est =
+          if (raw <= HllSmallRange && zeros > 0)
+            HllM.toDouble * math.log(HllM.toDouble / zeros.toDouble)
+          else raw
+        BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      def bufferEncoder: Encoder[Seq[Int]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
   /** The quantile sketch ([[Sketches.quantileSketch]]'s bottom-k hash
     * sample) as a typed Aggregator over (hash60, value) pairs: buffer =
     * the k rows with smallest (h, v), kept as a MULTISET (the batch op

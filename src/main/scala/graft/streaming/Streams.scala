@@ -625,6 +625,26 @@ object Streams {
       .agg(sk(col("h")).as("est_distinct"), count(lit(1)).as("n_rows"))
   }
 
+  /** Streaming distinct-count per window on the HyperLogLog register
+    * sketch ([[graft.functions.Udafs.hllSketch]]) — the TRULY-fixed-state
+    * alternative to [[distinctCountStream]]'s KMV bottom-k: per-window
+    * state is exactly 256 register ranks no matter the cardinality, and
+    * registers merge by MAX across micro-batch partials. Each window's
+    * estimate equals the batch sketch
+    * ([[graft.functions.Sketches.hllDistinct]]) of the same slice
+    * bit-for-bit (shared geometry + finish formula; StreamsSpec pins
+    * parity). Output per window: (window, est_distinct, n_rows).
+    */
+  def hllDistinctStream(events: DataFrame, tsCol: String, keyCol: String,
+                        windowLen: String, watermarkDelay: String): DataFrame = {
+    val sk = udaf(graft.functions.Udafs.hllSketch)
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        graft.functions.Sketches.hash60(col(keyCol), "hll").as("h"))
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(sk(col("h")).as("est_distinct"), count(lit(1)).as("n_rows"))
+  }
+
   /** Streaming per-window quantiles — "p50/p95 per hour" from the
     * mergeable bottom-k-hash quantile sketch
     * ([[graft.functions.Udafs.quantileSketchAgg]]): per-window state is

@@ -799,6 +799,34 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("hllDistinctStream: windowed HLL estimate equals the batch sketch per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = Streams.hllDistinctStream(in.toDF.toDF("ts", "user_id"),
+      "ts", "user_id", windowLen = "10 seconds", watermarkDelay = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("hlldc")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // window [0,10): 200 distinct users over 400 rows (registers fill
+      // across micro-batch partial merges); window [10,20): 3 distinct
+      val w1 = (1 to 400).map(u => (ts(u % 9 + 1), (u % 200).toLong))
+      val w2 = Seq((ts(12), 900L), (ts(13), 901L), (ts(14), 900L), (ts(15), 902L))
+      in.addData(w1: _*)
+      q.processAllAvailable()
+      in.addData(w2: _*) // second micro-batch exercises the state merge
+      q.processAllAvailable()
+      val rows = spark.table("hlldc").select("n_rows", "est_distinct")
+        .as[(Long, Double)].collect().toMap
+      def batchEst(users: Seq[Long]): Double =
+        graft.functions.Sketches.hllDistinct(users.toDF("u"),
+            org.apache.spark.sql.functions.col("u"))
+          .select("est").head().getDouble(0)
+      assert(rows(400L) == batchEst(w1.map(_._2)))
+      assert(rows(4L) == batchEst(w2.map(_._2)))
+    } finally q.stop()
+  }
+
   test("driftMonitorStream: per-window PSI matches the batch formula; drift ranks above calm") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
