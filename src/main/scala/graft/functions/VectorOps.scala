@@ -117,6 +117,104 @@ case class DotPrefix(left: Expression, right: Expression) extends VectorFold {
     copy(left = l, right = r)
 }
 
+/** All `bits` signed-projection sign bits packed into ONE int64 in ONE
+  * loop: `right` is a flattened plane-major sign table (bits × stride
+  * doubles, stride = capacity), and bit j of the result is set iff
+  * Σ_d left[d] · right[j·stride + d] > 0 — per plane the identical fixed
+  * left-to-right IEEE fold as [[DotPrefix]], so buckets are bit-for-bit
+  * what the per-plane `when(vec_dot_prefix(...) > 0, 1<<j)` sum produced
+  * (and the DuckDB oracles keep matching unchanged).
+  *
+  * Why one expression: `bits` separate DotPrefix folds each drag their own
+  * capacity-sized literal into the generated projection — at 48 planes the
+  * method outgrows what the JIT will compile and the stage runs
+  * interpreted (measured 7× the 6-bit cost at 8× the planes). This form is
+  * two small loops and ONE shared literal: cost bits·dim multiplies,
+  * codegen stays compilable at any plane count.
+  *
+  * Null contract (matches the when-sum form): null vector → null; a null
+  * ELEMENT made every plane's dot null, which the when-sum read as bit 0 —
+  * so here the code is 0. Vector longer than the table's stride → null
+  * (callers guard loudly first — [[graft.similarity.Similarity.lshBucket]]
+  * raises before this evaluates).
+  */
+case class SignPack(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _))
+        if bits >= 1 && bits <= 62 => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_sign_pack needs (array<double>, array<double>) and bits in [1,62], got ($l, $r, bits=$bits)")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val signs = r.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val stride = signs.numElements() / bits
+    if (n > stride) null
+    else {
+      var code = 0L
+      var nullElem = false
+      var d = 0
+      while (d < n && !nullElem) { nullElem = v.isNullAt(d); d += 1 }
+      if (!nullElem) {
+        var j = 0
+        while (j < bits) {
+          var s = 0.0
+          val off = j * stride
+          var i = 0
+          while (i < n) { s += v.getDouble(i) * signs.getDouble(off + i); i += 1 }
+          if (s > 0) code |= 1L << j
+          j += 1
+        }
+      }
+      code
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("n")
+      val stride = ctx.freshName("stride")
+      val code = ctx.freshName("code")
+      val nullElem = ctx.freshName("nullElem")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = $l.numElements();
+         |int $stride = $r.numElements() / $bits;
+         |if ($n > $stride) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $code = 0L;
+         |  boolean $nullElem = false;
+         |  for (int $d = 0; $d < $n && !$nullElem; $d++) $nullElem = $l.isNullAt($d);
+         |  if (!$nullElem) {
+         |    for (int $j = 0; $j < $bits; $j++) {
+         |      double $s = 0.0;
+         |      int $off = $j * $stride;
+         |      for (int $d = 0; $d < $n; $d++) {
+         |        $s += $l.getDouble($d) * $r.getDouble($off + $d);
+         |      }
+         |      if ($s > 0) $code |= 1L << $j;
+         |    }
+         |  }
+         |  ${ev.value} = $code;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorOps {
   def vec_dot(a: Column, b: Column): Column =
     toColumn(DotProduct(toExpression(a), toExpression(b)))
@@ -148,4 +246,18 @@ object VectorOps {
   /** Literal sign table for plane (t, j): capacity `maxDim` doubles. */
   def planeSigns(t: Int, j: Int, maxDim: Int): Column =
     lit((0 until maxDim).map(planeSign(t, j, _)).toArray)
+
+  /** Flattened plane-major sign table for table `t`: `bits` × `maxDim`
+    * doubles, plane j at offset j·maxDim — the one-literal layout
+    * [[vec_sign_pack]] walks.
+    */
+  def planeSignsFlat(t: Int, bits: Int, maxDim: Int): Column =
+    lit((0 until bits).flatMap(j =>
+      (0 until maxDim).map(d => planeSign(t, j, d))).toArray)
+
+  /** All `bits` sign bits of `a` against the flattened table `signs` in
+    * one codegen'd loop — see [[SignPack]].
+    */
+  def vec_sign_pack(a: Column, signs: Column, bits: Int): Column =
+    toColumn(SignPack(toExpression(a), toExpression(signs), bits))
 }

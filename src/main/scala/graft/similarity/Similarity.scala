@@ -174,12 +174,15 @@ object Similarity {
     */
   def lshBucket(vec: Column, bits: Int, table: Int = 0,
                 maxDim: Int = 1024): Column = {
-    val sum = (0 until bits).map { j =>
-      val signedSum = vec_dot_prefix(vec, planeSigns(table, j, maxDim))
-      when(signedSum > 0, 1L << j).otherwise(0L)
-    }.reduce(_ + _)
+    // one SignPack expression instead of `bits` separate prefix-dot folds:
+    // per plane the identical IEEE fold and > 0 rule (buckets bit-for-bit
+    // unchanged, oracles untouched), but the generated projection is two
+    // small loops over ONE flattened literal — at 48 planes the unrolled
+    // form outgrew the JIT and ran interpreted (7-10x, round-14 probe)
+    val packed = graft.functions.VectorOps.vec_sign_pack(vec,
+      graft.functions.VectorOps.planeSignsFlat(table, bits, maxDim), bits)
     when(vec.isNull, lit(null).cast("long"))
-      .when(size(vec) <= maxDim, sum)
+      .when(size(vec) <= maxDim, packed)
       .otherwise(raise_error(concat(
         lit("lshBucket: vector dim "), size(vec).cast("string"),
         lit(s" exceeds sign-table capacity $maxDim"))).cast("long"))
@@ -237,9 +240,14 @@ object Similarity {
              maxDim: Int = 1024): DataFrame = {
     require(bits >= 1 && bits <= 62, s"bqTopK: bits in [1,62] (got $bits)")
     require(cands >= k, s"bqTopK: cands ($cands) must be >= k ($k)")
+    // materialize the code table (the thing you'd persist beside the
+    // corpus at 100 TB): without the cut, projection collapse inlines the
+    // bits-plane packing into the per-(vector, query) join output and the
+    // codes recompute |Q| times (measured 10x at 16 queries, round 14)
     val codes = corpus
       .select(col(corpusId).as("vec_id"), asDouble(col(corpusVec)).as("cv0"))
       .select(col("vec_id"), lshBucket(col("cv0"), bits, table, maxDim).as("code"))
+      .localCheckpoint()
     val q0 = queries
       .select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qv"))
       .withColumn("qn", vec_norm(col("qv")))

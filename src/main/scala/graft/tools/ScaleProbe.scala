@@ -319,6 +319,29 @@ object ScaleProbe {
     timed("split_by_hash") {
       graft.ops.Sampling.splitByHash(docs, col("doc_id"), Seq(0.8, 0.1, 0.1)) }
 
+    timed("hll_tokens") {
+      // corpus-token distinct count: the explode is the cost (rows =
+      // tokens); registers bound every exchange at 256 rows/partition
+      graft.functions.Sketches.hllDistinct(
+        docs.select(explode(graft.functions.TextAnalysis
+          .tokensArr(col("text"))).as("tok")), col("tok")) }
+    timed("hll_groups") {
+      // 16 groups × 256 registers of state, keys = raw doc ids
+      graft.functions.Sketches.hllDistinctByGroup(
+        docs.select(pmod(col("doc_id"), lit(16)).as("g"), col("doc_id")),
+        "g", col("doc_id")) }
+    timed("ann_bq") {
+      // code pass + Hamming scan + shortlist fetch; queries fixed at 16
+      // so the probe isolates corpus growth (the serving shape)
+      Similarity.bqTopK(embs, "vec_id", "embedding",
+        embs.filter(col("vec_id") < 16), "vec_id", "embedding",
+        k = 10, bits = 48, cands = 64, maxDim = 64) }
+    timed("edit_eval") {
+      // row-local levenshtein DP at the scan + integer sums: must track
+      // corpus chars (the wordcount profile)
+      graft.ops.OverlapEval.editEval(
+        graft.ops.OverlapEval.slicePair(docs, "doc_id", "text")) }
+
     timed("entropy") {
       graft.ops.TextOps.tokenEntropy(docs, "doc_id", "text") }
     timed("feature_hash") {

@@ -165,4 +165,32 @@ class VectorOpsSpec extends SparkTestBase {
     }
     assert(e.getMessage != null)
   }
+
+  test("vec_sign_pack equals the per-plane prefix-dot formulation bit-for-bit") {
+    import graft.functions.VectorOps._
+    // random-ish vectors including negatives and a zero-sum plane candidate
+    val vecs = (0 until 50).map(i =>
+      Tuple1((0 until 24).map(d => ((i * 31 + d * 7) % 13 - 6).toDouble).toArray))
+    val df = vecs.toDF("v")
+    for (bits <- Seq(4, 16, 48); t <- Seq(0, 1)) {
+      val packed = df.select(
+        vec_sign_pack(col("v"), planeSignsFlat(t, bits, 64), bits).as("c"))
+        .collect().map(_.getLong(0))
+      val perPlane = df.select((0 until bits).map { j =>
+          when(vec_dot_prefix(col("v"), planeSigns(t, j, 64)) > 0, 1L << j)
+            .otherwise(0L)
+        }.reduce(_ + _).as("c")).collect().map(_.getLong(0))
+      assert(packed.toSeq == perPlane.toSeq, s"bits=$bits table=$t")
+    }
+    // null element -> code 0 (every plane's dot was null -> bit 0)
+    val withNull = Seq(Tuple1(Array[java.lang.Double](1.0, null, 2.0))).toDF("v")
+    val c = withNull.select(vec_sign_pack(col("v").cast("array<double>"),
+      planeSignsFlat(0, 8, 16), 8)).collect()(0)
+    assert(!c.isNullAt(0) && c.getLong(0) == 0L)
+    // over-capacity -> null (callers raise first via the size guard)
+    val over = Seq(Tuple1(Array.fill(20)(1.0))).toDF("v")
+    val o = over.select(vec_sign_pack(col("v"), planeSignsFlat(0, 4, 16), 4))
+      .collect()(0)
+    assert(o.isNullAt(0))
+  }
 }
