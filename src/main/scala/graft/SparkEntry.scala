@@ -3075,6 +3075,26 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
+    // Hybrid retrieval (round 14): reciprocal-rank fusion of a lexical
+    // BM25 top-20 and a vector BQ-ANN top-20 per query — the standard
+    // production hybrid-search combiner (Cormack 2009), rank-based so no
+    // cross-modality score calibration is needed. Fusion is a fixed
+    // left-to-right coalesce sum over left joins (list-order
+    // deterministic), so the oracle replays it bit-for-bit.
+    "q_hybrid_search" -> ((s, dir) => {
+      val lex = TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          Seq(1 -> Seq("scan", "column"), 2 -> Seq("window", "sort"),
+            3 -> Seq("stream", "batch")), k = 20)
+        .select(col("qid").as("query_id"), col("doc_id"), col("rank"))
+      val e = Tables.embeddings(s, dir)
+      val vec = Similarity.bqTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id").isin(1, 2, 3)), "vec_id", "embedding",
+          k = 20, bits = 48, cands = 100)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, vec), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Binary-quantization ANN (round 14, third scale path): 48 sign bits
     // packed in one int64 per vector, Hamming (XOR+popcount) candidate
     // scan, top-50 shortlist per query, exact cosine re-rank. The code
@@ -7668,6 +7688,77 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
         |  FROM s)
         |WHERE rank <= 10 ORDER BY query_id, vec_id""".stripMargin,
+
+    // Hybrid RRF: the q_bm25_topk scoring CTEs at k=20 + the q_ann_bq
+    // code/Hamming/re-rank CTEs at k=20, fused by the fixed-order
+    // coalesce sum 1/(60+r_lex) + 1/(60+r_vec), top-10 per query.
+    "q_hybrid_search" ->
+      """WITH q(qid, term) AS (VALUES (1, 'scan'), (1, 'column'),
+        |    (2, 'window'), (2, 'sort'), (3, 'stream'), (3, 'batch')),
+        |tok AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |                 (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM lens) AS avgdl),
+        |terms AS (SELECT DISTINCT term AS tok FROM q),
+        |hits AS (SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+        |         FROM tok t JOIN terms USING (tok) GROUP BY t.doc_id, t.tok),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY tok),
+        |parts AS (SELECT q.qid, h.doc_id,
+        |            round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |              * (tf * (1.2 + 1.0))
+        |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / avgdl)), 6) AS part
+        |          FROM hits h JOIN lens USING (doc_id) JOIN dfreq USING (tok)
+        |               JOIN q ON q.term = h.tok CROSS JOIN stats),
+        |sc AS (SELECT qid, doc_id,
+        |         round(CAST(sum(CAST(part AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+        |       FROM parts GROUP BY qid, doc_id),
+        |lex AS (SELECT CAST(qid AS BIGINT) AS query_id, doc_id, rank FROM (
+        |          SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+        |            ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc)
+        |        WHERE rank <= 20),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bcode AS (SELECT vec_id, v,
+        |  list_sum(list_transform(range(0, 48), j ->
+        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1),
+        |        d -> v[d] * (CASE WHEN substr(md5('1:' || CAST(j AS VARCHAR) || '_' || CAST(d-1 AS VARCHAR)), 1, 1)
+        |                     IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END))),
+        |      (acc, x) -> acc + x) > 0
+        |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS code
+        |  FROM e),
+        |qv AS (SELECT vec_id AS query_id, v AS qvec, code AS qcode
+        |       FROM bcode WHERE vec_id IN (1, 2, 3)),
+        |hd AS (SELECT qv.query_id, bcode.vec_id, bit_count(xor(bcode.code, qv.qcode)) AS hd
+        |       FROM bcode CROSS JOIN qv),
+        |sl AS (SELECT query_id, vec_id FROM (
+        |         SELECT query_id, vec_id,
+        |                row_number() OVER (PARTITION BY query_id ORDER BY hd, vec_id) AS rn
+        |         FROM hd)
+        |       WHERE rn <= 100),
+        |cand AS (SELECT sl.query_id, sl.vec_id, e.v, qv.qvec
+        |         FROM sl JOIN e USING (vec_id) JOIN qv USING (query_id)
+        |         WHERE sl.vec_id <> sl.query_id),
+        |sim AS (SELECT query_id, vec_id,
+        |          list_dot_product(v, qvec) /
+        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))) AS s
+        |        FROM cand),
+        |vec AS (SELECT query_id, vec_id AS doc_id, rank FROM (
+        |          SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY s DESC, vec_id ASC) AS BIGINT) AS rank FROM sim)
+        |        WHERE rank <= 20),
+        |u AS (SELECT query_id, doc_id FROM lex UNION SELECT query_id, doc_id FROM vec),
+        |f AS (SELECT u.query_id, u.doc_id,
+        |        coalesce(1.0 / (60.0 + CAST(l.rank AS DOUBLE)), 0.0)
+        |          + coalesce(1.0 / (60.0 + CAST(v.rank AS DOUBLE)), 0.0) AS rrf
+        |      FROM u LEFT JOIN lex l USING (query_id, doc_id)
+        |             LEFT JOIN vec v USING (query_id, doc_id))
+        |SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf FROM (
+        |  SELECT query_id, doc_id, rrf,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM f)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // Binary quantization: the q_ann_lsh plane-sign replay at 48 bits
     // (table 1), integer Hamming shortlist of 50 per query with vec_id

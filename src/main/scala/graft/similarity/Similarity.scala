@@ -333,6 +333,51 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"), col("cent.cell").as("cell"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-search combiner: given N ranked lists per query
+    * (lexical BM25, vector ANN, …), score every (query, doc) by
+    * Σ_lists 1/(k0 + rank) and re-rank. Rank-based fusion needs no score
+    * calibration between modalities, which is why production hybrid
+    * retrieval defaults to it.
+    *
+    * Inputs: each list as (query_id, doc_id, rank). The fused score is a
+    * FIXED left-to-right sum of per-list `coalesce(1/(k0+rank), 0)` terms
+    * via left joins from the candidate universe — not a groupBy-sum, so
+    * the double addition order is list-order-deterministic for any number
+    * of legs and the DuckDB twin replays it bit-for-bit.
+    *
+    * Scale shape: the legs are top-k lists — |Q|·k rows each — so fusion
+    * is broadcast-sized relational work no matter the corpus; all the
+    * heavy lifting stays in the leg operators ([[graft.ops.TextOps
+    * .bm25TopK]], [[bqTopK]], [[ivfTopK]]), each already scan-bounded.
+    * Output: (query_id, doc_id, rank, rrf), top `k` per query, ties
+    * broken by doc_id.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(lists.size >= 2, s"rrfFuse: need >= 2 lists (got ${lists.size})")
+    require(k >= 1 && k0 >= 1, s"rrfFuse: k/k0 must be >= 1 ($k/$k0)")
+    val keyed = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as(s"_r$i"))
+    }
+    val universe = keyed.map(_.select("query_id", "doc_id"))
+      .reduce(_ unionByName _).distinct()
+    val joined = keyed.foldLeft(universe)(
+      (acc, l) => acc.join(l, Seq("query_id", "doc_id"), "left"))
+    val score = keyed.indices.map(i =>
+        coalesce(lit(1.0) / (lit(k0.toDouble) + col(s"_r$i").cast("double")),
+          lit(0.0)))
+      .reduce(_ + _)
+    joined.withColumn("rrf", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     * semantic deduplication by clustering. Cluster the corpus embeddings
     * with deterministic k-means ([[graft.chain.KMeans]]), then WITHIN each

@@ -232,6 +232,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(r200 >= r50)
   }
 
+  test("rrfFuse: both-list docs outrank single-list docs; ranks contiguous") {
+    import spark.implicits._
+    // query 1: doc 10 is rank 1 in BOTH lists; doc 20 rank 2 lexical only;
+    // doc 30 rank 1 vector only (so 30 beats 20 on the shared-rank term,
+    // and 10 beats both by summing two legs)
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 10L, 1L), (1L, 30L, 1L)).toDF("query_id", "doc_id", "rank")
+    val got = graft.similarity.Similarity.rrfFuse(Seq(lex, vec), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq((10L, 1L), (30L, 2L), (20L, 3L)))
+    // the scores are the literal reciprocal sums, rounded 6 (HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0)._3 == r6(1.0 / 61.0 + 1.0 / 61.0))
+    assert(got(1)._3 == r6(1.0 / 61.0))
+  }
+
   test("IVF ANN achieves reasonable recall vs brute force; more probes never hurt") {
     import spark.implicits._
     val queries = embs.filter(col("vec_id") < 20)
