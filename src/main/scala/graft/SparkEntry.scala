@@ -417,6 +417,16 @@ object SparkEntry {
           "doc_id", "text"), maxN = 2)
         .orderBy("n")),
 
+    // ROUGE-L (round 14): LCS-based precision/recall/F over the same
+    // pair construction, micro-averaged — the subsequence-order metric
+    // n-gram ROUGE misses. LCS is the codegen'd LcsLen DP windowed at 40
+    // tokens per side; the oracle replays the DP as a recursive CTE in
+    // the prefix-max form (integer DP, exact cross-engine equality).
+    "q_rouge_l" -> ((s, dir) =>
+      graft.ops.OverlapEval.rougeL(
+        graft.ops.OverlapEval.slicePair(Tables.documents(s, dir),
+          "doc_id", "text"))),
+
     // Edit-distance error rates (round 14): corpus micro-averaged CER
     // (char edits / ref chars) and windowed WER (token edits / ref
     // tokens over the first 40 tokens per side, via the ASCII symbol
@@ -7156,6 +7166,9 @@ object SparkEntry {
 
     "q_edit_eval" ->
       graft.ops.OverlapEval.editEvalSql("documents", "doc_id", "text"),
+
+    "q_rouge_l" ->
+      graft.ops.OverlapEval.rougeLSql("documents", "doc_id", "text"),
 
     "q_distinct_n" ->
       """WITH toks AS (SELECT source AS grp,

@@ -398,6 +398,78 @@ object OverlapEval {
           col("ref_words").cast("double"), 6).as("wer"))
   }
 
+  // ---- ROUGE-L --------------------------------------------------------------
+
+  /** Corpus ROUGE-L (Lin 2004 §3: LCS-based precision/recall/F) over
+    * (cand, ref) pairs, micro-averaged: P = ΣLCS/Σ|cand|,
+    * R = ΣLCS/Σ|ref|, F = 2PR/(P+R). The LCS kernel is the codegen'd
+    * [[graft.functions.LcsLen]] DP; `cap` tokens per side bound the DP
+    * at cap² cells/pair (the [[editEval]] windowing convention — exact
+    * on the window, windowed by construction), which also bounds the
+    * oracle's recursive-CTE replay at `cap` recursion steps.
+    *
+    * Micro-averaging keeps every aggregate an order-free INTEGER sum;
+    * P/R/F are three end divisions in fixed order, so the DuckDB twin
+    * ([[rougeLSql]]) replays bit-for-bit. Output: one row
+    * (pairs, lcs_tokens, cand_tokens, ref_tokens, p, r, f).
+    */
+  def rougeL(pairDf: DataFrame, cap: Int = 40): DataFrame = {
+    require(cap >= 1 && cap <= 200, s"rougeL: cap in [1,200] (got $cap)")
+    val capped = pairDf.select(
+      slice(col("cand"), 1, cap).as("cw"), slice(col("ref"), 1, cap).as("rw"))
+    val per = capped.select(
+      graft.functions.LcsLen.lcs_len(col("cw"), col("rw")).cast("long").as("lcs"),
+      size(col("cw")).cast("long").as("cl"),
+      size(col("rw")).cast("long").as("rl"))
+    val agg = per.agg(count(lit(1)).as("pairs"), sum("lcs").as("lcs_tokens"),
+      sum("cl").as("cand_tokens"), sum("rl").as("ref_tokens"))
+    val p = col("lcs_tokens").cast("double") / col("cand_tokens").cast("double")
+    val r = col("lcs_tokens").cast("double") / col("ref_tokens").cast("double")
+    agg.select(col("pairs"), col("lcs_tokens"), col("cand_tokens"),
+      col("ref_tokens"),
+      round(p, 6).as("p"), round(r, 6).as("r"),
+      round(when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(0.0), 6)
+        .as("f"))
+  }
+
+  /** Full DuckDB statement: the twin of
+    * `rougeL(slicePair(table, id, text), cap)` — the LCS DP replayed as a
+    * recursive CTE in the prefix-max form (see [[graft.functions.LcsLen]]).
+    */
+  def rougeLSql(table: String, idCol: String, textCol: String,
+                cap: Int = 40): String =
+    s"""WITH RECURSIVE ${slicePairSql(table, idCol, textCol)},
+       |cap AS (SELECT id, cand[1:$cap] AS cw, ref[1:$cap] AS rw FROM pair),
+       |step AS (
+       |  SELECT id, cw, rw, 0 AS i, list_transform(range(1, len(rw)+1), x -> 0) AS row FROM cap
+       |  UNION ALL
+       |  SELECT id, cw, rw, i+1,
+       |    list_transform(range(1, len(rw)+1), j ->
+       |      greatest(row[j],
+       |        list_max(list_prepend(0, list_transform(range(1, j+1), l ->
+       |          (CASE WHEN l = 1 THEN 0 ELSE row[l-1] END)
+       |          + (CASE WHEN rw[l] = cw[i+1] THEN 1 ELSE 0 END))))))
+       |  FROM step WHERE i < len(cw)),
+       |per AS (SELECT id,
+       |          CASE WHEN len(rw) = 0 OR len(cw) = 0 THEN 0 ELSE row[len(rw)] END AS lcs,
+       |          len(cw) AS cl, len(rw) AS rl
+       |        FROM step WHERE i = len(cw)),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS pairs,
+       |             CAST(sum(lcs) AS BIGINT) AS lcs_tokens,
+       |             CAST(sum(cl) AS BIGINT) AS cand_tokens,
+       |             CAST(sum(rl) AS BIGINT) AS ref_tokens FROM per)
+       |SELECT pairs, lcs_tokens, cand_tokens, ref_tokens,
+       |       round(CAST(lcs_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE), 6) AS p,
+       |       round(CAST(lcs_tokens AS DOUBLE) / CAST(ref_tokens AS DOUBLE), 6) AS r,
+       |       round(CASE WHEN CAST(lcs_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE)
+       |                       + CAST(lcs_tokens AS DOUBLE) / CAST(ref_tokens AS DOUBLE) > 0.0
+       |                  THEN 2.0 * (CAST(lcs_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE))
+       |                           * (CAST(lcs_tokens AS DOUBLE) / CAST(ref_tokens AS DOUBLE))
+       |                       / (CAST(lcs_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE)
+       |                          + CAST(lcs_tokens AS DOUBLE) / CAST(ref_tokens AS DOUBLE))
+       |                  ELSE 0.0 END, 6) AS f
+       |FROM a""".stripMargin
+
   /** Full DuckDB statement: the twin of
     * `editEval(slicePair(table, id, text), werCap)`.
     */

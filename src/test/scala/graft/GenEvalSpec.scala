@@ -214,6 +214,64 @@ class GenEvalSpec extends SparkTestBase {
     assert(rc.getLong(4) == 0L && rc.getLong(5) == 2L, s"got $rc")
   }
 
+  test("rougeL: hand-computed LCS cases, micro-averaged P/R/F") {
+    import spark.implicits._
+    // LCS('a b c d', 'b a c x d') = 3; LCS('a a b', 'a b a') = 2
+    val pairs = Seq(
+      (1, Seq("a", "b", "c", "d"), Seq("b", "a", "c", "x", "d")),
+      (2, Seq("a", "a", "b"), Seq("a", "b", "a")))
+      .toDF("id", "cand", "ref")
+    val r = OverlapEval.rougeL(pairs).collect()(0)
+    assert(r.getLong(0) == 2L)                        // pairs
+    assert(r.getLong(1) == 5L)                        // lcs 3 + 2
+    assert(r.getLong(2) == 7L && r.getLong(3) == 8L)  // cand/ref tokens
+    assert(r.getDouble(4) == 0.714286)                // p = 5/7
+    assert(r.getDouble(5) == 0.625)                   // r = 5/8
+    // f = 2pr/(p+r) from the unrounded p, r
+    val (p, rr) = (5.0 / 7.0, 5.0 / 8.0)
+    val f = BigDecimal(2.0 * p * rr / (p + rr))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(6) == f)
+  }
+
+  test("rougeL: identical pair scores 1; disjoint scores 0; cap windows the DP") {
+    import spark.implicits._
+    val same = Seq((1, Seq("x", "y", "z"), Seq("x", "y", "z")))
+      .toDF("id", "cand", "ref")
+    val s = OverlapEval.rougeL(same).collect()(0)
+    assert(s.getDouble(4) == 1.0 && s.getDouble(5) == 1.0 && s.getDouble(6) == 1.0)
+    val disj = Seq((1, Seq("x", "y"), Seq("a", "b"))).toDF("id", "cand", "ref")
+    val d = OverlapEval.rougeL(disj).collect()(0)
+    assert(d.getLong(1) == 0L && d.getDouble(6) == 0.0)
+    // tokens past the cap are invisible: these agree only at position 3
+    val capped = Seq((1, Seq("a", "b", "Q"), Seq("c", "d", "Q")))
+      .toDF("id", "cand", "ref")
+    val c = OverlapEval.rougeL(capped, cap = 2).collect()(0)
+    assert(c.getLong(1) == 0L && c.getLong(2) == 2L)
+  }
+
+  test("lcs_len matches a reference implementation on random token arrays") {
+    import spark.implicits._
+    def ref(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+                   else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val rng = new scala.util.Random(7)
+    val cases = (0 until 40).map { _ =>
+      val a = Seq.fill(rng.nextInt(12))(s"t${rng.nextInt(5)}")
+      val b = Seq.fill(rng.nextInt(12))(s"t${rng.nextInt(5)}")
+      (a, b)
+    }
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.LcsLen.lcs_len(col("a"), col("b")))
+      .collect().map(_.getInt(0))
+    val want = cases.map { case (a, b) => ref(a, b) }
+    assert(got.toSeq == want, "codegen'd LCS must match the 2-D reference DP")
+  }
+
   test("editEval: empty sides degrade sanely") {
     import spark.implicits._
     val p = Seq(
