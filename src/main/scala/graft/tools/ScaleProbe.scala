@@ -341,6 +341,10 @@ object ScaleProbe {
       // corpus chars (the wordcount profile)
       graft.ops.OverlapEval.editEval(
         graft.ops.OverlapEval.slicePair(docs, "doc_id", "text")) }
+    timed("rouge_l") {
+      // row-local LCS DP (cap^2 cells/pair) + integer sums
+      graft.ops.OverlapEval.rougeL(
+        graft.ops.OverlapEval.slicePair(docs, "doc_id", "text")) }
 
     timed("entropy") {
       graft.ops.TextOps.tokenEntropy(docs, "doc_id", "text") }
