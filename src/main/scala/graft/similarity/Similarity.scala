@@ -356,10 +356,15 @@ object Similarity {
   def rrfFuse(lists: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
     require(lists.size >= 2, s"rrfFuse: need >= 2 lists (got ${lists.size})")
     require(k >= 1 && k0 >= 1, s"rrfFuse: k/k0 must be >= 1 ($k/$k0)")
+    // each leg feeds TWO consumers (the candidate universe + its rank
+    // join) — cut the |Q|·k-row lists once so the leg pipelines (BM25
+    // scoring, ANN scans) run once, not twice (plan-guarded: the fused
+    // plan contains no leg re-evaluation)
     val keyed = lists.zipWithIndex.map { case (l, i) =>
       l.select(col("query_id").cast("long").as("query_id"),
         col("doc_id").cast("long").as("doc_id"),
         col("rank").cast("long").as(s"_r$i"))
+        .localCheckpoint()
     }
     val universe = keyed.map(_.select("query_id", "doc_id"))
       .reduce(_ unionByName _).distinct()

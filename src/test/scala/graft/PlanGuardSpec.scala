@@ -108,6 +108,32 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_ann_bq: the one NLJ is the bounded query-code broadcast; fetch and re-rank joins hash") {
+    // the Hamming scan is DOCUMENTED as code-scan × broadcast of |Q|
+    // 16-byte code rows — one BNLJ by design. The shortlist fetch and the
+    // query-vector re-rank join are key-equi and must plan as broadcast
+    // HASH joins, and nothing may plan a cartesian.
+    val plan = SparkEntry.queries("q_ann_bq")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj == 1, s"expected exactly the sanctioned Hamming-scan NLJ, got $nlj:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"fetch + re-rank joins must broadcast-hash:\n$plan")
+  }
+
+  test("q_hybrid_search: legs are cut once; the fused plan is pure key-equi joins") {
+    // the legs are localCheckpointed |Q|·k-row lists (each feeds the
+    // candidate universe AND its rank join — without the cut the whole
+    // BM25/ANN pipelines re-evaluated, 6 NLJs in the fused plan), so the
+    // fusion plan itself must contain NO nested-loop join at all
+    val plan = SparkEntry.queries("q_hybrid_search")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"fused plan must not re-evaluate the legs:\n$plan")
+  }
+
   test("q_tpch_q2: dims broadcast, min decorrelated into ONE aggregation, top-100 never global-sorts") {
     val plan = SparkEntry.queries("q_tpch_q2")(spark, sfDir)
       .queryExecution.executedPlan.toString
