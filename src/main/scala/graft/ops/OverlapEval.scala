@@ -360,43 +360,41 @@ object OverlapEval {
     * integer sums — the wordcount profile, no fat shuffle. Output: one row
     * (pairs, char_edits, ref_chars, cer, word_edits, ref_words, wer).
     */
-  def editEval(pairDf: DataFrame, werCap: Int = 40): DataFrame = {
+  /** The per-pair metric projection shared by [[editEval]] and the
+    * streaming leg ([[graft.streaming.Streams.editEvalStream]]) — one
+    * scan, FOUR row-local columns (cd, rc, wd, rwc), no shuffle: the WER
+    * symbol remap is a pure expression (rank = 1-based position in the
+    * sorted distinct token window, so `array_position` replaces the old
+    * explode → window → map-join machinery with identical symbols).
+    */
+  def editEvalCols(cand: Column, ref: Column, werCap: Int): Seq[Column] = {
     require(werCap >= 1 && werCap <= WerAlphabet.size / 2,
       s"editEval: werCap in [1, ${WerAlphabet.size / 2}] (got $werCap)")
-    // two consumer legs (CER strings, WER window) — cut the tokenize once
-    val pair = pairDf.localCheckpoint()
-    val cer = pair.select(
-      levenshtein(array_join(col("cand"), " "), array_join(col("ref"), " "))
-        .as("cd"),
-      length(array_join(col("ref"), " ")).as("rc"))
-    val capped = pair.select(col("id"),
-      slice(col("cand"), 1, werCap).as("cw"),
-      slice(col("ref"), 1, werCap).as("rw"))
-    val ranked = capped
-      .select(col("id"),
-        explode(array_distinct(concat(col("cw"), col("rw")))).as("tok"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("id").orderBy("tok")))
-    val dict = ranked.groupBy("id").agg(map_from_entries(collect_list(
-      struct(col("tok"),
-        element_at(lit(WerAlphabet.toArray), col("rank"))))).as("m"))
-    def sym(arr: Column) =
-      array_join(transform(arr, t => element_at(col("m"), t)), "")
-    val wer = capped.join(dict, Seq("id"), "left")
-      .withColumn("m", coalesce(col("m"), map()))
-      .select(levenshtein(sym(col("cw")), sym(col("rw"))).as("wd"),
-        size(col("rw")).as("rwc"))
-    cer.agg(count(lit(1)).as("pairs"), sum("cd").as("char_edits"),
-        sum("rc").as("ref_chars"))
-      .crossJoin(wer.agg(sum("wd").cast("long").as("word_edits"),
-        sum("rwc").cast("long").as("ref_words")))
+    val cw = slice(cand, 1, werCap)
+    val rw = slice(ref, 1, werCap)
+    val u = array_sort(array_distinct(concat(cw, rw)))
+    def sym(arr: Column) = array_join(transform(arr, t =>
+      element_at(lit(WerAlphabet.toArray),
+        array_position(u, t).cast("int"))), "")
+    Seq(
+      levenshtein(array_join(cand, " "), array_join(ref, " ")).as("cd"),
+      length(array_join(ref, " ")).as("rc"),
+      levenshtein(sym(cw), sym(rw)).cast("long").as("wd"),
+      size(rw).cast("long").as("rwc"))
+  }
+
+  def editEval(pairDf: DataFrame, werCap: Int = 40): DataFrame =
+    pairDf
+      .select(editEvalCols(col("cand"), col("ref"), werCap): _*)
+      .agg(count(lit(1)).as("pairs"), sum("cd").as("char_edits"),
+        sum("rc").as("ref_chars"), sum("wd").as("word_edits"),
+        sum("rwc").as("ref_words"))
       .select(col("pairs"), col("char_edits"), col("ref_chars"),
         round(col("char_edits").cast("double") /
           col("ref_chars").cast("double"), 6).as("cer"),
         col("word_edits"), col("ref_words"),
         round(col("word_edits").cast("double") /
           col("ref_words").cast("double"), 6).as("wer"))
-  }
 
   // ---- ROUGE-L --------------------------------------------------------------
 
@@ -476,24 +474,23 @@ object OverlapEval {
   def editEvalSql(table: String, idCol: String, textCol: String,
                   werCap: Int = 40): String =
     s"""WITH ${slicePairSql(table, idCol, textCol)},
-       |cer AS (SELECT levenshtein(array_to_string(cand, ' '), array_to_string(ref, ' ')) AS cd,
-       |               length(array_to_string(ref, ' ')) AS rc FROM pair),
-       |cap AS (SELECT id, cand[1:$werCap] AS cw, ref[1:$werCap] AS rw FROM pair),
-       |tk AS (SELECT id, unnest(list_distinct(list_concat(cw, rw))) AS tok FROM cap),
-       |rk AS (SELECT id, tok,
-       |              chr(32 + CAST(row_number() OVER (PARTITION BY id ORDER BY tok) AS INT)) AS ch
-       |       FROM tk),
-       |d AS (SELECT id, map(list(tok ORDER BY tok), list(ch ORDER BY tok)) AS m FROM rk GROUP BY id),
-       |w AS (SELECT levenshtein(array_to_string(list_transform(cw, t -> m[t][1]), ''),
-       |                         array_to_string(list_transform(rw, t -> m[t][1]), '')) AS wd,
-       |             len(rw) AS rwc
-       |      FROM cap LEFT JOIN d USING (id)),
+       |capd AS (SELECT cand, ref, cand[1:$werCap] AS cw, ref[1:$werCap] AS rw,
+       |                list_sort(list_distinct(cand[1:$werCap] || ref[1:$werCap])) AS u
+       |         FROM pair),
+       |per AS (SELECT
+       |    levenshtein(array_to_string(cand, ' '), array_to_string(ref, ' ')) AS cd,
+       |    length(array_to_string(ref, ' ')) AS rc,
+       |    levenshtein(array_to_string(list_transform(cw, t -> chr(32 + list_position(u, t))), ''),
+       |                array_to_string(list_transform(rw, t -> chr(32 + list_position(u, t))), '')) AS wd,
+       |    len(rw) AS rwc
+       |  FROM capd),
        |a AS (SELECT CAST(count(*) AS BIGINT) AS pairs, CAST(sum(cd) AS BIGINT) AS char_edits,
-       |             CAST(sum(rc) AS BIGINT) AS ref_chars FROM cer),
-       |b AS (SELECT CAST(sum(wd) AS BIGINT) AS word_edits, CAST(sum(rwc) AS BIGINT) AS ref_words FROM w)
+       |             CAST(sum(rc) AS BIGINT) AS ref_chars,
+       |             CAST(sum(wd) AS BIGINT) AS word_edits,
+       |             CAST(sum(rwc) AS BIGINT) AS ref_words FROM per)
        |SELECT pairs, char_edits, ref_chars,
        |       round(CAST(char_edits AS DOUBLE) / CAST(ref_chars AS DOUBLE), 6) AS cer,
        |       word_edits, ref_words,
        |       round(CAST(word_edits AS DOUBLE) / CAST(ref_words AS DOUBLE), 6) AS wer
-       |FROM a CROSS JOIN b""".stripMargin
+       |FROM a""".stripMargin
 }

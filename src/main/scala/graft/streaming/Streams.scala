@@ -645,6 +645,38 @@ object Streams {
       .agg(sk(col("h")).as("est_distinct"), count(lit(1)).as("n_rows"))
   }
 
+  /** Streaming edit-distance error rates — per-window corpus CER/WER
+    * over an arriving (candidate, reference) generation stream. The
+    * per-pair metrics are [[graft.ops.OverlapEval.editEvalCols]] — the
+    * BATCH op's own row-local projection (shared builder, so the two
+    * legs cannot drift) — and the window aggregate is four order-free
+    * integer sums + two end divisions, so each window equals
+    * [[graft.ops.OverlapEval.editEval]] run batch-side on the same
+    * slice (StreamsSpec pins parity). State per window is five longs.
+    * Output: (window, pairs, char_edits, ref_chars, cer, word_edits,
+    * ref_words, wer).
+    */
+  def editEvalStream(pairs: DataFrame, tsCol: String, candCol: String,
+                     refCol: String, windowLen: String,
+                     watermarkDelay: String, werCap: Int = 40): DataFrame = {
+    import graft.functions.TextAnalysis.tokensArr
+    val cols = graft.ops.OverlapEval.editEvalCols(
+      tokensArr(col(candCol)), tokensArr(col(refCol)), werCap)
+    pairs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol) +: cols: _*)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("pairs"), sum("cd").as("char_edits"),
+        sum("rc").as("ref_chars"), sum("wd").as("word_edits"),
+        sum("rwc").as("ref_words"))
+      .select(col("window"), col("pairs"), col("char_edits"),
+        col("ref_chars"),
+        round(col("char_edits").cast("double") /
+          col("ref_chars").cast("double"), 6).as("cer"),
+        col("word_edits"), col("ref_words"),
+        round(col("word_edits").cast("double") /
+          col("ref_words").cast("double"), 6).as("wer"))
+  }
+
   /** Streaming per-window quantiles — "p50/p95 per hour" from the
     * mergeable bottom-k-hash quantile sketch
     * ([[graft.functions.Udafs.quantileSketchAgg]]): per-window state is

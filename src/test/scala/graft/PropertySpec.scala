@@ -1081,4 +1081,46 @@ class PropertySpec extends SparkTestBase {
       assert(got == ref(es, 2), s"case $i: edges=$es")
     }
   }
+
+  test("lcs_len properties: bounds, identity, symmetry, concat superadditivity") {
+    import spark.implicits._
+    val tokGen = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d")).map(_.toSeq)
+    val pairs = samples(Gen.zip(tokGen, tokGen), 60)
+      .map { case (a, b) => (a.take(3 + a.hashCode.abs % 8),
+        b.take(3 + b.hashCode.abs % 8)) }
+    // one job: every case batched into one DataFrame (house convention)
+    val df = pairs.toDF("a", "b").select(
+      graft.functions.LcsLen.lcs_len(col("a"), col("b")).as("ab"),
+      graft.functions.LcsLen.lcs_len(col("b"), col("a")).as("ba"),
+      graft.functions.LcsLen.lcs_len(col("a"), col("a")).as("aa"),
+      graft.functions.LcsLen.lcs_len(
+        concat(col("a"), col("b")), concat(col("b"), col("a"))).as("cat"),
+      size(col("a")).as("la"), size(col("b")).as("lb"))
+    df.collect().foreach { r =>
+      val (ab, ba, aa, cat, la, lb) = (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(ab == ba, "LCS is symmetric")
+      assert(ab <= math.min(la, lb), "LCS bounded by the shorter side")
+      assert(aa == la, "LCS(a, a) = |a|")
+      // LCS(a++b, b++a) >= max(|a|, |b|): b++? contains b, a++? contains a
+      assert(cat >= math.max(la, lb), s"concat superadditivity: $cat < max($la,$lb)")
+    }
+  }
+
+  test("hll estimate tracks true cardinality across random set sizes") {
+    // batched: one register build per cardinality via a union of tagged
+    // slices, then per-group estimates — the relative error must stay
+    // within 5 standard errors (1.04/sqrt(256)) at every size
+    val sizes = Seq(100L, 700L, 3000L, 9000L, 25000L)
+    val df = sizes.map(n => spark.range(0, n)
+        .select(lit(n).as("g"), col("id").as("k")))
+      .reduce(_ unionByName _)
+    val got = graft.functions.Sketches.hllDistinctByGroup(df, "g", col("k"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val se = 1.04 / math.sqrt(256)
+    sizes.foreach { n =>
+      val rel = math.abs(got(n) - n) / n
+      assert(rel < 5 * se, s"n=$n est=${got(n)} rel=$rel")
+    }
+  }
 }

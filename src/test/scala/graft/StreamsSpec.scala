@@ -827,6 +827,40 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("editEvalStream: per-window CER/WER equals the batch op on each slice") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String, String)]
+    val out = Streams.editEvalStream(in.toDF.toDF("ts", "cand", "ref"),
+      "ts", "cand", "ref", windowLen = "10 seconds",
+      watermarkDelay = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("ee")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val w1 = Seq(
+        (ts(1), "the quick brown fox", "the quick red fox"),
+        (ts(3), "alpha beta gamma", "alpha beta gamma"),
+        (ts(5), "one two", "one two three"))
+      val w2 = Seq((ts(12), "x y z", "p q"))
+      in.addData(w1: _*)
+      q.processAllAvailable()
+      in.addData(w2: _*)
+      q.processAllAvailable()
+      def batch(slice: Seq[(Timestamp, String, String)]) = {
+        import graft.functions.TextAnalysis.tokensArr
+        import org.apache.spark.sql.functions.col
+        val pair = slice.toDF("ts", "c", "r").select(
+          tokensArr(col("c")).as("cand"), tokensArr(col("r")).as("ref"))
+        val r = graft.ops.OverlapEval.editEval(pair).collect()(0)
+        (r.getDouble(3), r.getDouble(6))
+      }
+      val full = spark.table("ee").select("pairs", "cer", "wer")
+        .as[(Long, Double, Double)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      assert(full(3L) == batch(w1) && full(1L) == batch(w2))
+    } finally q.stop()
+  }
+
   test("driftMonitorStream: per-window PSI matches the batch formula; drift ranks above calm") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
