@@ -3085,6 +3085,39 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
+    // CAPSTONE v6 (round 14): the RETRIEVAL pipeline — quality gate →
+    // exact dedup (min-id representative per content fingerprint) →
+    // hybrid serving over the CLEANED corpus: BM25 lexical and BQ-ANN
+    // vector top-20 legs, RRF-fused top-10 per query. The corpus a
+    // production retrieval stack actually indexes is gated and deduped
+    // first; this pins the whole chain in ONE plan with the oracle
+    // re-rooting both legs (bm25 stats included) on the cleaned set.
+    // The gated+deduped corpus is cut once (localCheckpoint): the BM25
+    // leg references it twice and the BQ leg's code/fetch passes twice
+    // more — without the cut the gate's text-analysis agg re-runs 4x.
+    "q_retrieval_pipeline" -> ((s, dir) => {
+      val docs0 = Tables.documents(s, dir)
+      val keep = TextOps.qualityRules(docs0, "doc_id", "text")
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val gated = docs0.join(keep, "doc_id")
+      val reps = Dedup.exact(gated, "doc_id", "text")
+        .select(col("rep_id").as("doc_id"))
+      val corpus = gated.join(reps, "doc_id").localCheckpoint()
+      val embs = Tables.embeddings(s, dir)
+      val corpusVecs = embs
+        .join(corpus.select(col("doc_id").as("vec_id")), "vec_id")
+      val queries = embs.filter(col("vec_id").isin(1, 2, 3))
+      val lex = TextOps.bm25TopK(corpus, "doc_id", "text",
+          Seq(1 -> Seq("scan", "column"), 2 -> Seq("window", "sort"),
+            3 -> Seq("stream", "batch")), k = 20)
+        .select(col("qid").as("query_id"), col("doc_id"), col("rank"))
+      val vec = Similarity.bqTopK(corpusVecs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 20, bits = 48, cands = 100)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, vec), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Hybrid retrieval (round 14): reciprocal-rank fusion of a lexical
     // BM25 top-20 and a vector BQ-ANN top-20 per query — the standard
     // production hybrid-search combiner (Cormack 2009), rank-based so no
@@ -4615,6 +4648,90 @@ object SparkEntry {
 
   private def CorpusGateAndPackSql(root: String): String =
     CorpusQualityGateSql(root) + "\n" + CorpusDedupAndPackSql("qdocs")
+
+  /** The 48-bit BQ code projection (the q_ann_lsh plane-sign replay at
+    * table 1) over `src` rows (vec_id, v) — shared by the corpus and
+    * query legs of [[HybridRrfSql]].
+    */
+  private def BqCodeSelect(src: String): String =
+    s"""SELECT vec_id, v,
+       |  list_sum(list_transform(range(0, 48), j ->
+       |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1),
+       |        d -> v[d] * (CASE WHEN substr(md5('1:' || CAST(j AS VARCHAR) || '_' || CAST(d-1 AS VARCHAR)), 1, 1)
+       |                     IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END))),
+       |      (acc, x) -> acc + x) > 0
+       |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS code
+       |  FROM $src""".stripMargin
+
+  /** The whole hybrid-RRF oracle machinery, parameterized by its corpus
+    * roots so q_hybrid_search and the retrieval capstone cannot drift:
+    * `docsRoot` feeds the BM25 leg (stats included), `ceBody` defines the
+    * vector-corpus CTE the BQ codes/candidates come from. Query vectors
+    * always come from the RAW embeddings (a query is a query — it is not
+    * subject to corpus cleaning), exactly as the Spark side's `queries`
+    * frame does.
+    */
+  private def HybridRrfSql(docsRoot: String, ceBody: String): String =
+    s"""q(qid, term) AS (VALUES (1, 'scan'), (1, 'column'),
+       |    (2, 'window'), (2, 'sort'), (3, 'stream'), (3, 'batch')),
+       |tok AS (SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+       |  FROM $docsRoot),
+       |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM $docsRoot) AS n_docs,
+       |                 (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM lens) AS avgdl),
+       |terms AS (SELECT DISTINCT term AS tok FROM q),
+       |hits AS (SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+       |         FROM tok t JOIN terms USING (tok) GROUP BY t.doc_id, t.tok),
+       |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY tok),
+       |parts AS (SELECT q.qid, h.doc_id,
+       |            round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |              * (tf * (1.2 + 1.0))
+       |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / avgdl)), 6) AS part
+       |          FROM hits h JOIN lens USING (doc_id) JOIN dfreq USING (tok)
+       |               JOIN q ON q.term = h.tok CROSS JOIN stats),
+       |sc AS (SELECT qid, doc_id,
+       |         round(CAST(sum(CAST(part AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+       |       FROM parts GROUP BY qid, doc_id),
+       |lex AS (SELECT CAST(qid AS BIGINT) AS query_id, doc_id, rank FROM (
+       |          SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+       |            ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc)
+       |        WHERE rank <= 20),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ce AS ($ceBody),
+       |bcode AS (${BqCodeSelect("ce")}),
+       |qv AS (SELECT vec_id AS query_id, v AS qvec, code AS qcode FROM (
+       |         ${BqCodeSelect("e")}) WHERE vec_id IN (1, 2, 3)),
+       |hd AS (SELECT qv.query_id, bcode.vec_id, bit_count(xor(bcode.code, qv.qcode)) AS hd
+       |       FROM bcode CROSS JOIN qv),
+       |sl AS (SELECT query_id, vec_id FROM (
+       |         SELECT query_id, vec_id,
+       |                row_number() OVER (PARTITION BY query_id ORDER BY hd, vec_id) AS rn
+       |         FROM hd)
+       |       WHERE rn <= 100),
+       |cand AS (SELECT sl.query_id, sl.vec_id, e.v, qv.qvec
+       |         FROM sl JOIN e USING (vec_id) JOIN qv USING (query_id)
+       |         WHERE sl.vec_id <> sl.query_id),
+       |sim AS (SELECT query_id, vec_id,
+       |          list_dot_product(v, qvec) /
+       |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))) AS s
+       |        FROM cand),
+       |vec AS (SELECT query_id, vec_id AS doc_id, rank FROM (
+       |          SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY s DESC, vec_id ASC) AS BIGINT) AS rank FROM sim)
+       |        WHERE rank <= 20),
+       |u AS (SELECT query_id, doc_id FROM lex UNION SELECT query_id, doc_id FROM vec),
+       |f AS (SELECT u.query_id, u.doc_id,
+       |        coalesce(1.0 / (60.0 + CAST(l.rank AS DOUBLE)), 0.0)
+       |          + coalesce(1.0 / (60.0 + CAST(v.rank AS DOUBLE)), 0.0) AS rrf
+       |      FROM u LEFT JOIN lex l USING (query_id, doc_id)
+       |             LEFT JOIN vec v USING (query_id, doc_id))
+       |SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf FROM (
+       |  SELECT query_id, doc_id, rrf,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM f)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** TextOps.Stopwords as a SQL IN-list — the oracle twin of the single
     * Scala source.
@@ -7706,72 +7823,20 @@ object SparkEntry {
     // code/Hamming/re-rank CTEs at k=20, fused by the fixed-order
     // coalesce sum 1/(60+r_lex) + 1/(60+r_vec), top-10 per query.
     "q_hybrid_search" ->
-      """WITH q(qid, term) AS (VALUES (1, 'scan'), (1, 'column'),
-        |    (2, 'window'), (2, 'sort'), (3, 'stream'), (3, 'batch')),
-        |tok AS (SELECT doc_id, unnest(list_filter(
-        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
-        |  FROM documents),
-        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
-        |stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
-        |                 (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM lens) AS avgdl),
-        |terms AS (SELECT DISTINCT term AS tok FROM q),
-        |hits AS (SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
-        |         FROM tok t JOIN terms USING (tok) GROUP BY t.doc_id, t.tok),
-        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY tok),
-        |parts AS (SELECT q.qid, h.doc_id,
-        |            round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        |              * (tf * (1.2 + 1.0))
-        |              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * lens.dl / avgdl)), 6) AS part
-        |          FROM hits h JOIN lens USING (doc_id) JOIN dfreq USING (tok)
-        |               JOIN q ON q.term = h.tok CROSS JOIN stats),
-        |sc AS (SELECT qid, doc_id,
-        |         round(CAST(sum(CAST(part AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
-        |       FROM parts GROUP BY qid, doc_id),
-        |lex AS (SELECT CAST(qid AS BIGINT) AS query_id, doc_id, rank FROM (
-        |          SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
-        |            ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc)
-        |        WHERE rank <= 20),
-        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |bcode AS (SELECT vec_id, v,
-        |  list_sum(list_transform(range(0, 48), j ->
-        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1),
-        |        d -> v[d] * (CASE WHEN substr(md5('1:' || CAST(j AS VARCHAR) || '_' || CAST(d-1 AS VARCHAR)), 1, 1)
-        |                     IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END))),
-        |      (acc, x) -> acc + x) > 0
-        |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS code
-        |  FROM e),
-        |qv AS (SELECT vec_id AS query_id, v AS qvec, code AS qcode
-        |       FROM bcode WHERE vec_id IN (1, 2, 3)),
-        |hd AS (SELECT qv.query_id, bcode.vec_id, bit_count(xor(bcode.code, qv.qcode)) AS hd
-        |       FROM bcode CROSS JOIN qv),
-        |sl AS (SELECT query_id, vec_id FROM (
-        |         SELECT query_id, vec_id,
-        |                row_number() OVER (PARTITION BY query_id ORDER BY hd, vec_id) AS rn
-        |         FROM hd)
-        |       WHERE rn <= 100),
-        |cand AS (SELECT sl.query_id, sl.vec_id, e.v, qv.qvec
-        |         FROM sl JOIN e USING (vec_id) JOIN qv USING (query_id)
-        |         WHERE sl.vec_id <> sl.query_id),
-        |sim AS (SELECT query_id, vec_id,
-        |          list_dot_product(v, qvec) /
-        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))) AS s
-        |        FROM cand),
-        |vec AS (SELECT query_id, vec_id AS doc_id, rank FROM (
-        |          SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id
-        |            ORDER BY s DESC, vec_id ASC) AS BIGINT) AS rank FROM sim)
-        |        WHERE rank <= 20),
-        |u AS (SELECT query_id, doc_id FROM lex UNION SELECT query_id, doc_id FROM vec),
-        |f AS (SELECT u.query_id, u.doc_id,
-        |        coalesce(1.0 / (60.0 + CAST(l.rank AS DOUBLE)), 0.0)
-        |          + coalesce(1.0 / (60.0 + CAST(v.rank AS DOUBLE)), 0.0) AS rrf
-        |      FROM u LEFT JOIN lex l USING (query_id, doc_id)
-        |             LEFT JOIN vec v USING (query_id, doc_id))
-        |SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf FROM (
-        |  SELECT query_id, doc_id, rrf,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |           ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
-        |  FROM f)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      ("WITH " + HybridRrfSql("documents", "SELECT * FROM e")),
+
+    // Capstone v6: gate -> exact-dedup reps -> the SAME hybrid machinery
+    // re-rooted on the cleaned corpus (bm25 stats, codes and candidates
+    // all come from `corpus`; query vectors stay raw) — one shared
+    // builder, so the capstone cannot drift from q_hybrid_search
+    "q_retrieval_pipeline" ->
+      ("WITH " + CorpusQualityGateSql("documents") + "\n" +
+        """reps AS (SELECT min(doc_id) AS doc_id
+          |         FROM (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FROM qdocs)
+          |         GROUP BY fp),
+          |corpus AS (SELECT d.* FROM qdocs d JOIN reps USING (doc_id)),""".stripMargin + "\n" +
+        HybridRrfSql("corpus",
+          "SELECT e.* FROM e JOIN corpus ON corpus.doc_id = e.vec_id")),
 
     // Binary quantization: the q_ann_lsh plane-sign replay at 48 bits
     // (table 1), integer Hamming shortlist of 50 per query with vec_id
