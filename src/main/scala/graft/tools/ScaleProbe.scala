@@ -345,6 +345,30 @@ object ScaleProbe {
       // row-local LCS DP (cap^2 cells/pair) + integer sums
       graft.ops.OverlapEval.rougeL(
         graft.ops.OverlapEval.slicePair(docs, "doc_id", "text")) }
+    timed("hybrid_retrieval") {
+      // the capstone-v6 chain: gate -> exact-dedup reps -> BM25 + BQ
+      // legs over the cleaned corpus -> RRF fuse. Growth must track the
+      // legs (gate/dedup linear, BQ scan linear, bm25 posting-bounded)
+      // the synthetic vocabulary has no English stopwords — give the
+      // gate a 200-token "stopword" slice of it so ~99% of docs carry
+      // one and the gate passes a realistic fraction
+      val keep = graft.ops.TextOps.qualityRules(docs, "doc_id", "text",
+          stopwords = (0 until 200).map(i => s"w$i"))
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val gated = docs.join(keep, "doc_id")
+      val reps = Dedup.exact(gated, "doc_id", "text")
+        .select(col("rep_id").as("doc_id"))
+      val corpus = gated.join(reps, "doc_id").localCheckpoint()
+      val cv = embs.join(corpus.select(col("doc_id").as("vec_id")), "vec_id")
+      val lex = graft.ops.TextOps.bm25TopK(corpus, "doc_id", "text",
+          Seq(1 -> Seq("w10", "w20"), 2 -> Seq("w30", "w40"),
+            3 -> Seq("w50", "w60")), k = 20)
+        .select(col("qid").as("query_id"), col("doc_id"), col("rank"))
+      val vq = Similarity.bqTopK(cv, "vec_id", "embedding",
+          embs.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 20, bits = 48, cands = 100, maxDim = 64)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, vq), k = 10) }
 
     timed("entropy") {
       graft.ops.TextOps.tokenEntropy(docs, "doc_id", "text") }
