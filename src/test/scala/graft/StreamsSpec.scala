@@ -339,6 +339,44 @@ class StreamsSpec extends SparkTestBase {
     assert(got == Set(("p1", 2L, 9.0, 1), ("p1", 4L, 8.0, 2)), s"got $got")
   }
 
+  test("hllDistinctStream: window registers survive a restart from checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_in")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hll_ckpt")
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user_id", LongType)))
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Double, Long)]()
+    def start() = Streams.hllDistinctStream(
+        spark.readStream.schema(schema).csv(dir.toString),
+        "ts", "user_id", windowLen = "10 seconds", watermarkDelay = "5 seconds")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.select("est_distinct", "n_rows")
+          .as[(Double, Long)].collect().foreach(sink.add)
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Update).start()
+    def csv(users: Range): String =
+      users.map(u => s"1970-01-01 00:00:0${u % 9 + 1},$u").mkString("\n")
+    java.nio.file.Files.write(dir.resolve("a.csv"), csv(0 until 100).getBytes)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    sink.clear()
+    // 100 NEW users land in the SAME window while the query is DOWN; the
+    // restarted query must merge them into the CHECKPOINTED registers —
+    // the window's estimate must equal the batch sketch of all 200.
+    // Losing state would re-estimate from the second slice alone (~100).
+    java.nio.file.Files.write(dir.resolve("b.csv"), csv(100 until 200).getBytes)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val last = sink.toArray(Array.empty[(Double, Long)]).last
+    val batchAll = graft.functions.Sketches.hllDistinct(
+      (0L until 200L).toDF("u"), org.apache.spark.sql.functions.col("u"))
+      .collect().head.getDouble(1)
+    assert(last == ((batchAll, 200L)), s"got $last, want ($batchAll, 200)")
+  }
+
   test("streaming minhash near-dup: later near-copies are dropped against the index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = graft.io.IoScratch.dir + "/stream_neardup"
