@@ -133,10 +133,14 @@ case class DotPrefix(left: Expression, right: Expression) extends VectorFold {
   * codegen stays compilable at any plane count.
   *
   * Null contract (matches the when-sum form): null vector → null; a null
-  * ELEMENT made every plane's dot null, which the when-sum read as bit 0 —
-  * so here the code is 0. Vector longer than the table's stride → null
-  * (callers guard loudly first — [[graft.similarity.Similarity.lshBucket]]
-  * raises before this evaluates).
+  * VECTOR element made every plane's dot null, which the when-sum read as
+  * bit 0 — so here the code is 0. A null SIGN element nulls only that
+  * plane's dot → that plane's bit is 0; the scan for it is emitted only
+  * when the table's static type admits nulls (internal tables are typed
+  * containsNull=false, so their loop carries no checks). Vector longer
+  * than the table's stride → null (callers guard loudly first —
+  * [[graft.similarity.Similarity.lshBucket]] raises before this
+  * evaluates).
   */
 case class SignPack(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {
@@ -149,6 +153,19 @@ case class SignPack(left: Expression, right: Expression, bits: Int)
         if bits >= 1 && bits <= 62 => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"vec_sign_pack needs (array<double>, array<double>) and bits in [1,62], got ($l, $r, bits=$bits)")
+    }
+
+  /** Null signs only need scanning when the STATIC type admits them —
+    * the internal tables ([[VectorOps.planeSignsFlat]]) are typed
+    * containsNull=false, so their hot loop carries zero null checks;
+    * a user-supplied nullable table gets the per-plane scan below
+    * (a null sign element nulls that plane's dot → bit 0, exactly what
+    * the per-plane `when(vec_dot_prefix > 0, …)` form produced).
+    */
+  private val signsNullable: Boolean =
+    right.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
     }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -166,10 +183,14 @@ case class SignPack(left: Expression, right: Expression, bits: Int)
         var j = 0
         while (j < bits) {
           var s = 0.0
+          var planeNull = false
           val off = j * stride
           var i = 0
-          while (i < n) { s += v.getDouble(i) * signs.getDouble(off + i); i += 1 }
-          if (s > 0) code |= 1L << j
+          while (i < n && !planeNull) {
+            if (signsNullable && signs.isNullAt(off + i)) planeNull = true
+            else { s += v.getDouble(i) * signs.getDouble(off + i); i += 1 }
+          }
+          if (!planeNull && s > 0) code |= 1L << j
           j += 1
         }
       }
@@ -197,15 +218,28 @@ case class SignPack(left: Expression, right: Expression, bits: Int)
          |  boolean $nullElem = false;
          |  for (int $d = 0; $d < $n && !$nullElem; $d++) $nullElem = $l.isNullAt($d);
          |  if (!$nullElem) {
-         |    for (int $j = 0; $j < $bits; $j++) {
+         |    ${if (signsNullable) {
+                val pn = ctx.freshName("planeNull")
+                s"""for (int $j = 0; $j < $bits; $j++) {
+         |      double $s = 0.0;
+         |      boolean $pn = false;
+         |      int $off = $j * $stride;
+         |      for (int $d = 0; $d < $n && !$pn; $d++) {
+         |        if ($r.isNullAt($off + $d)) $pn = true;
+         |        else $s += $l.getDouble($d) * $r.getDouble($off + $d);
+         |      }
+         |      if (!$pn && $s > 0) $code |= 1L << $j;
+         |    }"""
+              } else {
+                s"""for (int $j = 0; $j < $bits; $j++) {
          |      double $s = 0.0;
          |      int $off = $j * $stride;
          |      for (int $d = 0; $d < $n; $d++) {
          |        $s += $l.getDouble($d) * $r.getDouble($off + $d);
          |      }
          |      if ($s > 0) $code |= 1L << $j;
-         |    }
-         |  }
+         |    }"""
+              }}
          |  ${ev.value} = $code;
          |}
        """.stripMargin
@@ -243,16 +277,26 @@ object VectorOps {
     if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
   }
 
+  /** A null-free-TYPED array<double> literal (containsNull = false):
+    * `lit(Array[Double])` types its array nullable, which would force
+    * [[SignPack]]'s per-plane null-scan codegen onto a table that can
+    * never hold a null — stating the truth statically keeps the hot
+    * loop check-free.
+    */
+  private def nullFreeLit(a: Array[Double]): Column =
+    toColumn(org.apache.spark.sql.catalyst.expressions.Literal.create(
+      a, ArrayType(DoubleType, containsNull = false)))
+
   /** Literal sign table for plane (t, j): capacity `maxDim` doubles. */
   def planeSigns(t: Int, j: Int, maxDim: Int): Column =
-    lit((0 until maxDim).map(planeSign(t, j, _)).toArray)
+    nullFreeLit((0 until maxDim).map(planeSign(t, j, _)).toArray)
 
   /** Flattened plane-major sign table for table `t`: `bits` × `maxDim`
     * doubles, plane j at offset j·maxDim — the one-literal layout
     * [[vec_sign_pack]] walks.
     */
   def planeSignsFlat(t: Int, bits: Int, maxDim: Int): Column =
-    lit((0 until bits).flatMap(j =>
+    nullFreeLit((0 until bits).flatMap(j =>
       (0 until maxDim).map(d => planeSign(t, j, d))).toArray)
 
   /** All `bits` sign bits of `a` against the flattened table `signs` in

@@ -334,6 +334,11 @@ object OverlapEval {
     * symbols bound [[editEval]]'s `werCap` at 47 tokens per side.
     */
   private val WerAlphabet: Seq[String] = (33 until 127).map(_.toChar.toString)
+  /** The DuckDB twin indexes the same alphabet as `chr(offset + rank)`
+    * with 1-based ranks — derive the offset from [[WerAlphabet]] itself so
+    * the two renderings cannot drift if the alphabet ever moves.
+    */
+  private val WerSqlOffset: Int = WerAlphabet.head.head.toInt - 1
 
   /** Corpus micro-averaged edit-distance metrics (the ASR/OCR error-rate
     * family — Levenshtein 1966; WER as in NIST SCLITE scoring) over
@@ -390,11 +395,11 @@ object OverlapEval {
         sum("rc").as("ref_chars"), sum("wd").as("word_edits"),
         sum("rwc").as("ref_words"))
       .select(col("pairs"), col("char_edits"), col("ref_chars"),
-        round(col("char_edits").cast("double") /
-          col("ref_chars").cast("double"), 6).as("cer"),
+        round(when(col("ref_chars") > 0, col("char_edits").cast("double") /
+          col("ref_chars").cast("double")).otherwise(0.0), 6).as("cer"),
         col("word_edits"), col("ref_words"),
-        round(col("word_edits").cast("double") /
-          col("ref_words").cast("double"), 6).as("wer"))
+        round(when(col("ref_words") > 0, col("word_edits").cast("double") /
+          col("ref_words").cast("double")).otherwise(0.0), 6).as("wer"))
 
   // ---- ROUGE-L --------------------------------------------------------------
 
@@ -421,8 +426,12 @@ object OverlapEval {
       size(col("rw")).cast("long").as("rl"))
     val agg = per.agg(count(lit(1)).as("pairs"), sum("lcs").as("lcs_tokens"),
       sum("cl").as("cand_tokens"), sum("rl").as("ref_tokens"))
-    val p = col("lcs_tokens").cast("double") / col("cand_tokens").cast("double")
-    val r = col("lcs_tokens").cast("double") / col("ref_tokens").cast("double")
+    // empty-corpus guards (all-empty token arrays): 0-denominator yields
+    // 0.0 in both engines instead of engine-specific NaN/Inf behavior
+    val p = when(col("cand_tokens") > 0, col("lcs_tokens").cast("double") /
+      col("cand_tokens").cast("double")).otherwise(0.0)
+    val r = when(col("ref_tokens") > 0, col("lcs_tokens").cast("double") /
+      col("ref_tokens").cast("double")).otherwise(0.0)
     agg.select(col("pairs"), col("lcs_tokens"), col("cand_tokens"),
       col("ref_tokens"),
       round(p, 6).as("p"), round(r, 6).as("r"),
@@ -455,18 +464,20 @@ object OverlapEval {
        |a AS (SELECT CAST(count(*) AS BIGINT) AS pairs,
        |             CAST(sum(lcs) AS BIGINT) AS lcs_tokens,
        |             CAST(sum(cl) AS BIGINT) AS cand_tokens,
-       |             CAST(sum(rl) AS BIGINT) AS ref_tokens FROM per)
+       |             CAST(sum(rl) AS BIGINT) AS ref_tokens FROM per),
+       |pr AS (SELECT pairs, lcs_tokens, cand_tokens, ref_tokens,
+       |         CASE WHEN cand_tokens > 0
+       |              THEN CAST(lcs_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE)
+       |              ELSE 0.0 END AS pv,
+       |         CASE WHEN ref_tokens > 0
+       |              THEN CAST(lcs_tokens AS DOUBLE) / CAST(ref_tokens AS DOUBLE)
+       |              ELSE 0.0 END AS rv
+       |       FROM a)
        |SELECT pairs, lcs_tokens, cand_tokens, ref_tokens,
-       |       round(CAST(lcs_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE), 6) AS p,
-       |       round(CAST(lcs_tokens AS DOUBLE) / CAST(ref_tokens AS DOUBLE), 6) AS r,
-       |       round(CASE WHEN CAST(lcs_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE)
-       |                       + CAST(lcs_tokens AS DOUBLE) / CAST(ref_tokens AS DOUBLE) > 0.0
-       |                  THEN 2.0 * (CAST(lcs_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE))
-       |                           * (CAST(lcs_tokens AS DOUBLE) / CAST(ref_tokens AS DOUBLE))
-       |                       / (CAST(lcs_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE)
-       |                          + CAST(lcs_tokens AS DOUBLE) / CAST(ref_tokens AS DOUBLE))
-       |                  ELSE 0.0 END, 6) AS f
-       |FROM a""".stripMargin
+       |       round(pv, 6) AS p, round(rv, 6) AS r,
+       |       round(CASE WHEN pv + rv > 0.0
+       |                  THEN 2.0 * pv * rv / (pv + rv) ELSE 0.0 END, 6) AS f
+       |FROM pr""".stripMargin
 
   /** Full DuckDB statement: the twin of
     * `editEval(slicePair(table, id, text), werCap)`.
@@ -480,8 +491,8 @@ object OverlapEval {
        |per AS (SELECT
        |    levenshtein(array_to_string(cand, ' '), array_to_string(ref, ' ')) AS cd,
        |    length(array_to_string(ref, ' ')) AS rc,
-       |    levenshtein(array_to_string(list_transform(cw, t -> chr(32 + list_position(u, t))), ''),
-       |                array_to_string(list_transform(rw, t -> chr(32 + list_position(u, t))), '')) AS wd,
+       |    levenshtein(array_to_string(list_transform(cw, t -> chr($WerSqlOffset + list_position(u, t))), ''),
+       |                array_to_string(list_transform(rw, t -> chr($WerSqlOffset + list_position(u, t))), '')) AS wd,
        |    len(rw) AS rwc
        |  FROM capd),
        |a AS (SELECT CAST(count(*) AS BIGINT) AS pairs, CAST(sum(cd) AS BIGINT) AS char_edits,
@@ -489,8 +500,12 @@ object OverlapEval {
        |             CAST(sum(wd) AS BIGINT) AS word_edits,
        |             CAST(sum(rwc) AS BIGINT) AS ref_words FROM per)
        |SELECT pairs, char_edits, ref_chars,
-       |       round(CAST(char_edits AS DOUBLE) / CAST(ref_chars AS DOUBLE), 6) AS cer,
+       |       round(CASE WHEN ref_chars > 0
+       |                  THEN CAST(char_edits AS DOUBLE) / CAST(ref_chars AS DOUBLE)
+       |                  ELSE 0.0 END, 6) AS cer,
        |       word_edits, ref_words,
-       |       round(CAST(word_edits AS DOUBLE) / CAST(ref_words AS DOUBLE), 6) AS wer
+       |       round(CASE WHEN ref_words > 0
+       |                  THEN CAST(word_edits AS DOUBLE) / CAST(ref_words AS DOUBLE)
+       |                  ELSE 0.0 END, 6) AS wer
        |FROM a""".stripMargin
 }

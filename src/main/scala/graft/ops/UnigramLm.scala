@@ -43,6 +43,14 @@ object UnigramLm {
     lazy val total: Double = counts.map(_._2).sum.toDouble
     lazy val costs: Map[String, Double] =
       counts.map { case (p, c) => p -> -math.log(c.toDouble / total) }.toMap
+    /** Implicit-UNK cost for characters the training corpus never saw:
+      * the cost of a hypothetical half-count piece — strictly worse than
+      * any real piece (all counts are >= 1), so it can never displace a
+      * vocabulary path, only rescue positions that have none. The
+      * [[Bpe.wordpieceStats]] convention (emit the raw char as its own
+      * UNK-like piece) applied to the Viterbi DP.
+      */
+    lazy val unkCost: Double = -math.log(0.5 / total)
   }
 
   private def dictionary(df: DataFrame, textCol: String,
@@ -55,11 +63,15 @@ object UnigramLm {
   /** Viterbi-best segmentation of one word under piece costs (-ln p).
     * DP over end positions; at each position the candidate ending pieces
     * are the ≤ maxPieceLen suffixes present in the vocab; ties on exact
-    * cost equality prefer the LONGER piece. Single-char coverage makes
-    * every position reachable.
+    * cost equality prefer the LONGER piece. Positions no vocabulary piece
+    * can reach — characters the training corpus never saw, the
+    * frozen-model apply path on a NEW corpus — fall back to the raw
+    * single char at `unkCost` ([[Model.unkCost]]: strictly worse than any
+    * vocab piece, so the fallback never displaces a covered path and a
+    * fully covered word segments exactly as before).
     */
   private[graft] def viterbi(word: String, cost: Map[String, Double],
-                             maxPieceLen: Int): Seq[String] = {
+                             maxPieceLen: Int, unkCost: Double): Seq[String] = {
     val n = word.length
     val best = Array.fill(n + 1)(Double.MaxValue)
     val back = Array.fill(n + 1)(0)
@@ -81,13 +93,15 @@ object UnigramLm {
         }
         l += 1
       }
+      if (best(j) == Double.MaxValue) { // uncovered position: implicit UNK
+        best(j) = best(j - 1) + unkCost; back(j) = 1
+      }
       j += 1
     }
     var p = n
     var acc: List[String] = Nil
     while (p > 0) {
       val l = back(p)
-      require(l > 0, s"unigram viterbi: position $p of '$word' unreachable")
       acc = word.substring(p - l, p) :: acc
       p -= l
     }
@@ -126,8 +140,9 @@ object UnigramLm {
     var model = Model(seed ++ chars, maxPieceLen)
     for (_ <- 1 to rounds) {
       val costs = model.costs
+      val unk = model.unkCost
       val used = dict
-        .flatMap { case (w, c) => viterbi(w, costs, maxPieceLen).map(p => (p, c)) }
+        .flatMap { case (w, c) => viterbi(w, costs, maxPieceLen, unk).map(p => (p, c)) }
         .toDF("piece", "c").groupBy("piece").agg(sum("c").as("cnt"))
         .as[(String, Long)].collect().toMap
       // M-step: unused multi-char pieces pruned, chars floored at 1
@@ -157,11 +172,12 @@ object UnigramLm {
   def segmentStats(spark: SparkSession, df: DataFrame, textCol: String,
                    model: Model, maxWordLen: Int = 12): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast((model.costs, model.maxPieceLen))
+    val bc = spark.sparkContext.broadcast(
+      (model.costs, model.maxPieceLen, model.unkCost))
     dictionary(df, textCol, maxWordLen).as[(String, Long)]
       .map { case (w, c) =>
-        val (costs, mpl) = bc.value
-        val seg = viterbi(w, costs, mpl)
+        val (costs, mpl, unk) = bc.value
+        val seg = viterbi(w, costs, mpl, unk)
         (w, c, seg.length.toLong, seg.mkString(" "))
       }
       .toDF("word", "wc", "n_pieces", "seg")

@@ -621,6 +621,7 @@ object Streams {
     events.withWatermark(tsCol, watermarkDelay)
       .select(col(tsCol),
         graft.functions.Sketches.hash60(col(keyCol)).as("h"))
+      .where(col("h").isNotNull) // null keys excluded, as in the batch op
       .groupBy(window(col(tsCol), windowLen))
       .agg(sk(col("h")).as("est_distinct"), count(lit(1)).as("n_rows"))
   }
@@ -641,6 +642,7 @@ object Streams {
     events.withWatermark(tsCol, watermarkDelay)
       .select(col(tsCol),
         graft.functions.Sketches.hash60(col(keyCol), "hll").as("h"))
+      .where(col("h").isNotNull) // null keys excluded, as in the batch op
       .groupBy(window(col(tsCol), windowLen))
       .agg(sk(col("h")).as("est_distinct"), count(lit(1)).as("n_rows"))
   }
@@ -670,11 +672,11 @@ object Streams {
         sum("rwc").as("ref_words"))
       .select(col("window"), col("pairs"), col("char_edits"),
         col("ref_chars"),
-        round(col("char_edits").cast("double") /
-          col("ref_chars").cast("double"), 6).as("cer"),
+        round(when(col("ref_chars") > 0, col("char_edits").cast("double") /
+          col("ref_chars").cast("double")).otherwise(0.0), 6).as("cer"),
         col("word_edits"), col("ref_words"),
-        round(col("word_edits").cast("double") /
-          col("ref_words").cast("double"), 6).as("wer"))
+        round(when(col("ref_words") > 0, col("word_edits").cast("double") /
+          col("ref_words").cast("double")).otherwise(0.0), 6).as("wer"))
   }
 
   /** Streaming per-window quantiles — "p50/p95 per hour" from the

@@ -44,15 +44,59 @@ class UnigramLmSpec extends SparkTestBase {
   }
 
   test("viterbi: exact-cost ties prefer the longer piece; min cost wins otherwise") {
+    val noUnk = Double.MaxValue / 4 // coverage tests: fallback must not fire
     // "a a" and "aa" both cost exactly 2.0 -> the longer piece wins
-    assert(UnigramLm.viterbi("aa", Map("a" -> 1.0, "aa" -> 2.0), 2)
+    assert(UnigramLm.viterbi("aa", Map("a" -> 1.0, "aa" -> 2.0), 2, noUnk)
       == Seq("aa"))
     // strictly cheaper split beats the longer piece
-    assert(UnigramLm.viterbi("aa", Map("a" -> 0.5, "aa" -> 2.0), 2)
+    assert(UnigramLm.viterbi("aa", Map("a" -> 0.5, "aa" -> 2.0), 2, noUnk)
       == Seq("a", "a"))
     // unreachable multi-char route falls back to chars
     assert(UnigramLm.viterbi("abc", Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0,
-      "zz" -> 0.1), 2) == Seq("a", "b", "c"))
+      "zz" -> 0.1), 2, noUnk) == Seq("a", "b", "c"))
+  }
+
+  test("viterbi: positions no vocab piece covers fall back to single-char UNK") {
+    // 'x' is not in the vocab: the uncovered position becomes its own
+    // piece at unkCost; covered neighbours still use the vocab
+    assert(UnigramLm.viterbi("axb", Map("a" -> 1.0, "b" -> 1.0), 2, 50.0)
+      == Seq("a", "x", "b"))
+    // unkCost is strictly worse than any vocab piece: it never displaces
+    // a covered path ("ab" stays one piece even with a tiny unkCost bias)
+    assert(UnigramLm.viterbi("ab", Map("a" -> 1.0, "b" -> 1.0, "ab" -> 1.5), 2,
+      50.0) == Seq("ab"))
+  }
+
+  test("segmentStats with a frozen model survives characters unseen at training") {
+    // model trained WITHOUT digits or the letters x/q/z — applying it to
+    // a NEW corpus containing them is the production frozen-model path
+    // (pre-fix this threw "position unreachable" on the first such word)
+    val m = fixtureModel // vocab over {a,b,c,d,ab}
+    val applyCorpus = Seq(
+      (1L, "ab x9z quab"),
+      (2L, "abq7 cd")
+    ).toDF("doc_id", "text")
+    val got = UnigramLm.segmentStats(spark, applyCorpus, "text", m)
+      .orderBy("word").as[(String, Long, Long, String)].collect().toSeq
+    // every word segments, pieces rebuild the word, unseen chars come out
+    // as their own single-char (implicit-UNK) pieces
+    got.foreach { case (w, _, n, seg) =>
+      assert(seg.replace(" ", "") == w, s"$seg does not rebuild $w")
+      assert(n == seg.split(" ").length.toLong)
+    }
+    val byWord = got.map(g => g._1 -> g._4).toMap
+    assert(byWord("ab") == "ab")       // covered words segment exactly as before
+    assert(byWord("x9z") == "x 9 z")   // fully-unseen word: one UNK per char
+    assert(byWord("quab") == "q u ab") // unseen prefix, covered suffix
+    assert(byWord("abq7") == "ab q 7")
+  }
+
+  test("viterbi survives arbitrary unicode incl. surrogate pairs at the UNK floor") {
+    // emoji = 2 UTF-16 units: the char-grain fallback still terminates
+    // and the pieces concatenate back to the input
+    val seg = UnigramLm.viterbi("a😀b", Map("a" -> 1.0, "b" -> 1.0),
+      2, 50.0)
+    assert(seg.mkString == "a😀b" && seg.length == 4, seg.toString)
   }
 
   test("train is invariant under repartitioning") {

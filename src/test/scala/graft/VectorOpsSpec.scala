@@ -193,4 +193,20 @@ class VectorOpsSpec extends SparkTestBase {
       .collect()(0)
     assert(o.isNullAt(0))
   }
+
+  test("vec_sign_pack: a null SIGN element zeroes that plane's bit only") {
+    import graft.functions.VectorOps._
+    // user-supplied nullable table (2 planes × stride 2): plane 0 has a
+    // null sign -> its dot is null -> bit 0 = 0 (the when-sum contract);
+    // plane 1 is intact -> its bit still computes
+    val df = Seq(Tuple1(Array(1.0, 2.0))).toDF("v")
+    val signs = lit(Array[java.lang.Double](1.0, null, 1.0, 1.0))
+      .cast("array<double>")
+    val got = df.select(vec_sign_pack(col("v"), signs, 2)).collect()(0)
+    assert(!got.isNullAt(0) && got.getLong(0) == 2L, got.toString)
+    // internal tables are TYPED null-free so the hot loop stays check-free
+    import org.apache.spark.sql.types.ArrayType
+    assert(!df.select(planeSignsFlat(0, 4, 16).as("s"))
+      .schema("s").dataType.asInstanceOf[ArrayType].containsNull)
+  }
 }
