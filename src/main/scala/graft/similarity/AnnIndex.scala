@@ -13,7 +13,20 @@ import org.apache.spark.sql.functions._
   * from the exported tables with results bit-identical to the in-session
   * [[Similarity.ivfTopK]] (spec-pinned round-trip parity).
   *
-  * Layout under `path`:
+  * PUBLISH PROTOCOL — no destroy-then-build window: each [[export]]
+  * builds a fresh VERSIONED root `path/v{N}/` while readers keep serving
+  * the previous version, then publishes it by creating the `_PUBLISHED`
+  * marker file inside it as the LAST write — a single atomic file
+  * create, so a reader either resolves the old version or the complete
+  * new one, never a partial index (the
+  * [[graft.streaming.Streams.maintainedViewStream]] snapshot-swap rule).
+  * Readers ([[servedTopK]], [[loadCentroids]], [[append]]) resolve the
+  * highest published version via [[resolve]]; after a publish the
+  * previous version is RETAINED (in-flight readers finish against it)
+  * and everything older — including junk from crashed exports — is
+  * garbage-collected.
+  *
+  * Layout under each published version root `path/v{N}`:
   *  - `centroids/`  (cell INT, v ARRAY<DOUBLE>) — the coarse quantizer,
   *    `cells` rows; tiny, the serving process loads it once.
   *  - `vectors/`    hive-partitioned by `cell`: (vec_id, v, n) — the
@@ -43,14 +56,45 @@ object AnnIndex {
 
   import graft.functions.VectorOps.vec_norm
 
+  private val Published = "_PUBLISHED"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def del(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // overwrite semantics for the whole index root: a previous export's
-    // components at a different layout must not survive beside the new
-    // ones and duplicate reads (the q_chunk_format lesson)
+    val fs = fsOf(spark, path)
+    // overwrite semantics for a version root: a crashed export's partial
+    // components at the same number must not survive beside the new ones
+    // and duplicate reads (the q_chunk_format lesson)
     if (fs.exists(p)) fs.delete(p, true)
   }
+
+  /** Version numbers under `path` that carry the `_PUBLISHED` marker —
+    * i.e. exports that completed. Unmarked `v{N}` directories are
+    * crashed/in-flight builds and are never served.
+    */
+  private def publishedVersions(spark: SparkSession, path: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toInt)
+      .filter(v => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/v$v/$Published")))
+  }
+
+  /** The serving root for `path`: the highest PUBLISHED version
+    * (`path/v{N}`), or `path` itself when no versioned export exists
+    * (a legacy unversioned layout keeps reading).
+    */
+  def resolve(spark: SparkSession, path: String): String =
+    publishedVersions(spark, path) match {
+      case vs if vs.isEmpty => path
+      case vs => s"$path/v${vs.max}"
+    }
 
   /** Build + persist the IVF(+PQ) index; returns the manifest
     * (component, cell, rows) from read-back counts.
@@ -67,7 +111,10 @@ object AnnIndex {
              pqIters: Int = 3, fitRate: Double = 1.0,
              salt: String = "annfit", assignNProbe: Int = 0): DataFrame = {
     import spark.implicits._
-    del(spark, path)
+    val prev = publishedVersions(spark, path)
+    val next = (prev :+ 0).max + 1
+    val root = s"$path/v$next"
+    del(spark, root) // only the TARGET version root — live versions untouched
     val fit =
       if (fitRate >= 1.0) corpus
       else graft.ops.Sampling.hashSample(corpus, col(idCol), fitRate, salt)
@@ -79,42 +126,57 @@ object AnnIndex {
         graft.chain.KMeans.assignRouted(corpus, idCol, vecCol, centers, assignNProbe)
       else graft.chain.KMeans.assign(corpus, idCol, vecCol, centers)
     centers.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
     graft.io.Sinks.writePartitioned(
       assigned.select(col("id").as("vec_id"), col("v"),
         vec_norm(col("v")).as("n"), col("cluster").as("cell")),
-      s"$path/vectors", Seq("cell"))
+      s"$root/vectors", Seq("cell"))
     val cbs = Similarity.pqTrain(spark, corpus, idCol, vecCol, m, ks, pqIters)
     (for { (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex }
       yield (s, j, c)).toDF("sub", "cluster", "v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
     Similarity.pqEncode(corpus, idCol, vecCol, cbs)
       .withColumnRenamed("id", "vec_id")
       .join(assigned.select(col("id").as("vec_id"),
         col("cluster").as("cell")), "vec_id")
       .select("vec_id", "cell", "codes", "recon_err")
-      .write.mode("overwrite").parquet(s"$path/codes")
-    writeManifest(spark, path)
+      .write.mode("overwrite").parquet(s"$root/codes")
+    val manifest = writeManifest(spark, root)
+    // PUBLISH: one atomic file create — readers flip from the previous
+    // version to this one only after every component has landed
+    fsOf(spark, path).create(
+      new org.apache.hadoop.fs.Path(s"$root/$Published"), true).close()
+    // GC: keep the new version and its immediate predecessor (in-flight
+    // readers finish against it); drop everything older, plus any
+    // unpublished junk a crashed export left behind
+    val keep = Set(next) ++ prev.reduceOption(_ max _)
+    fsOf(spark, path).listStatus(new org.apache.hadoop.fs.Path(path))
+      .foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.matches("v\\d+") && !keep(n.drop(1).toInt))
+          fsOf(spark, path).delete(st.getPath, true)
+      }
+    manifest
   }
 
   /** Recompute + persist the manifest from READ-BACK counts (the
     * source-of-truth rule): per-cell rows for the inverted lists, -1 for
     * the unpartitioned components.
     */
-  private def writeManifest(spark: SparkSession, path: String): DataFrame = {
-    val perCell = spark.read.option("basePath", s"$path/vectors")
-      .parquet(s"$path/vectors")
+  private def writeManifest(spark: SparkSession, root: String): DataFrame = {
+    val perCell = spark.read.option("basePath", s"$root/vectors")
+      .parquet(s"$root/vectors")
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("rows"))
       .select(lit("vectors").as("component"), col("cell"), col("rows"))
     val flat = Seq("centroids", "codebooks", "codes").map { c =>
-      spark.read.parquet(s"$path/$c")
+      spark.read.parquet(s"$root/$c")
         .agg(count(lit(1)).as("rows"))
         .select(lit(c).as("component"), lit(-1L).as("cell"), col("rows"))
     }.reduce(_ unionByName _)
     val manifest = perCell.unionByName(flat).orderBy("component", "cell")
       .localCheckpoint()
-    manifest.write.mode("overwrite").parquet(s"$path/manifest")
+    manifest.write.mode("overwrite").parquet(s"$root/manifest")
     manifest
   }
 
@@ -136,7 +198,12 @@ object AnnIndex {
   def append(spark: SparkSession, newVectors: DataFrame, idCol: String,
              vecCol: String, path: String,
              assignNProbe: Int = 0): DataFrame = {
-    val centers = loadCentroids(spark, path)
+    // appends are IN-PLACE on the current published version: purely
+    // additive rows (a racing reader sees the index minus some of the
+    // newest shard, never a broken one); structural rebuilds go through
+    // [[export]]'s versioned publish
+    val root = resolve(spark, path)
+    val centers = loadCentroids(spark, root)
     val assigned =
       if (assignNProbe > 0)
         graft.chain.KMeans.assignRouted(newVectors, idCol, vecCol, centers,
@@ -144,27 +211,28 @@ object AnnIndex {
       else graft.chain.KMeans.assign(newVectors, idCol, vecCol, centers)
     assigned.select(col("id").as("vec_id"), col("v"),
         vec_norm(col("v")).as("n"), col("cluster").as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
-    val cbs = loadCodebooks(spark, path)
+      .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
+    val cbs = loadCodebooks(spark, root)
     Similarity.pqEncode(newVectors, idCol, vecCol, cbs)
       .withColumnRenamed("id", "vec_id")
       .join(assigned.select(col("id").as("vec_id"),
         col("cluster").as("cell")), "vec_id")
       .select("vec_id", "cell", "codes", "recon_err")
-      .write.mode("append").parquet(s"$path/codes")
-    writeManifest(spark, path)
+      .write.mode("append").parquet(s"$root/codes")
+    writeManifest(spark, root)
   }
 
   /** The coarse quantizer from an exported index (cells×dim doubles —
     * the bounded serving-process pull).
     */
   def loadCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"$path/centroids").orderBy("cell")
+    spark.read.parquet(s"${resolve(spark, path)}/centroids").orderBy("cell")
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
 
   /** PQ codebooks from an exported index (m×ks×subDim doubles). */
   def loadCodebooks(spark: SparkSession, path: String): Seq[Seq[Seq[Double]]] =
-    spark.read.parquet(s"$path/codebooks").orderBy("sub", "cluster")
+    spark.read.parquet(s"${resolve(spark, path)}/codebooks")
+      .orderBy("sub", "cluster")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](2).toSeq)).toSeq
       .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
 
@@ -179,9 +247,12 @@ object AnnIndex {
   def servedTopK(spark: SparkSession, path: String, queries: DataFrame,
                  queryId: String, queryVec: String, k: Int,
                  nProbe: Int = 2): DataFrame = {
-    val centers = loadCentroids(spark, path)
-    val lists = spark.read.option("basePath", s"$path/vectors")
-      .parquet(s"$path/vectors")
+    // resolve ONCE so centroids and lists come from the same version even
+    // if a rebuild publishes mid-query
+    val root = resolve(spark, path)
+    val centers = loadCentroids(spark, root)
+    val lists = spark.read.option("basePath", s"$root/vectors")
+      .parquet(s"$root/vectors")
       .select(col("vec_id"), col("v").as("cv"), col("n").as("cn"), col("cell"))
     Similarity.rankTopK(lists.join(
       broadcast(Similarity.probeCells(queries, queryId, queryVec, centers,

@@ -290,9 +290,12 @@ object Streams {
     import spark.implicits._
     import graft.functions.VectorOps.{vec_dot, vec_norm, vec_sqdist}
     require(k >= 1 && nProbe >= 1, s"annServeStream: k=$k nProbe=$nProbe")
-    val centers = graft.similarity.AnnIndex.loadCentroids(spark, indexPath)
-    val lists = spark.read.option("basePath", s"$indexPath/vectors")
-      .parquet(s"$indexPath/vectors")
+    // resolve the published version ONCE at stream definition: the whole
+    // run serves a consistent snapshot even if a rebuild publishes later
+    val root = graft.similarity.AnnIndex.resolve(spark, indexPath)
+    val centers = graft.similarity.AnnIndex.loadCentroids(spark, root)
+    val lists = spark.read.option("basePath", s"$root/vectors")
+      .parquet(s"$root/vectors")
       .select(col("vec_id"), col("v").as("cv"), col("n").as("cn"), col("cell"))
     val q0 = queries.select(col(queryId).cast("long").as("query_id"),
         col(queryVec).cast("array<double>").as("qv"))

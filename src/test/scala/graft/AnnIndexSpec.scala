@@ -45,7 +45,7 @@ class AnnIndexSpec extends SparkTestBase {
       .orderBy("query_id", "vec_id")
       .as[(Long, Long, Int, Double)].collect().toSeq
     val fromDisk = Similarity.pqSearchAdc(
-        spark.read.parquet(s"$path/codes")
+        spark.read.parquet(s"${AnnIndex.resolve(spark, path)}/codes")
           .select(col("vec_id").as("id"), col("codes")),
         AnnIndex.loadCodebooks(spark, path), queries, k = 5)
       .orderBy("query_id", "vec_id")
@@ -74,8 +74,9 @@ class AnnIndexSpec extends SparkTestBase {
     // every vector present exactly once, whatever the batching
     assert(m2.filter(_._1 == "vectors").map(_._3).sum == n)
     assert(m2.find(_._1 == "codes").get._3 == n)
-    assert(spark.read.option("basePath", s"$p1/vectors")
-      .parquet(s"$p1/vectors").select("vec_id").distinct().count() == n)
+    val r1 = AnnIndex.resolve(spark, p1)
+    assert(spark.read.option("basePath", s"$r1/vectors")
+      .parquet(s"$r1/vectors").select("vec_id").distinct().count() == n)
     val queries = embs.filter(col("vec_id") < 3)
     def served(p: String) = AnnIndex.servedTopK(spark, p, queries,
         "vec_id", "embedding", k = 10, nProbe = 2)
@@ -114,7 +115,45 @@ class AnnIndexSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().toSeq
     assert(m2.filter(_._1 == "vectors").map(_._3).sum == n)
     assert(m2.count(_._1 == "vectors") == 2)
-    assert(spark.read.option("basePath", s"$path/vectors")
-      .parquet(s"$path/vectors").count() == n)
+    val root = AnnIndex.resolve(spark, path)
+    assert(spark.read.option("basePath", s"$root/vectors")
+      .parquet(s"$root/vectors").count() == n)
   }
+
+  test("publish is atomic: readers serve the old version through a rebuild") {
+    val p = graft.io.IoScratch.dir + "/ann_atomic"
+    AnnIndex.export(spark, embs, "vec_id", "embedding", p,
+      cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    val v1 = AnnIndex.resolve(spark, p)
+    assert(v1.endsWith("/v1"), v1)
+    val queries = embs.filter(col("vec_id") < 5)
+    def serve() = AnnIndex.servedTopK(spark, p, queries,
+        "vec_id", "embedding", k = 10, nProbe = 2)
+      .orderBy("query_id", "vec_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val before = serve()
+    // simulate a rebuild IN FLIGHT: a partial v2 exists but carries no
+    // _PUBLISHED marker — readers must keep resolving (and serving) v1
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p/v2/centroids"))
+    assert(AnnIndex.resolve(spark, p) == v1)
+    assert(serve() == before, "mid-rebuild reads must serve the old version")
+    // the next export claims v2, REPLACES the crashed junk, publishes
+    // atomically, and retains v1 for in-flight readers
+    AnnIndex.export(spark, embs, "vec_id", "embedding", p,
+      cells = 2, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    assert(AnnIndex.resolve(spark, p).endsWith("/v2"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/v1/$anyPublished")),
+      "the immediate predecessor must be retained")
+    // a third export GCs v1 (older than the new predecessor v2)
+    AnnIndex.export(spark, embs, "vec_id", "embedding", p,
+      cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    assert(AnnIndex.resolve(spark, p).endsWith("/v3"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/v1")),
+      "versions older than the predecessor must be GCed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/v2")))
+  }
+
+  private val anyPublished = "_PUBLISHED"
 }
