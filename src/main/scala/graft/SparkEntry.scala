@@ -3138,6 +3138,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Hybrid retrieval SERVED FROM DISK (round 15): q_hybrid_search
+    // answered from an exported index — BM25 statistics (full postings +
+    // df/avgdl tables) and the BQ code table + norm-bearing vectors
+    // materialized once (HybridIndex.export, atomic versioned publish),
+    // then scored by the batch ops' OWN builders (bm25Rank/bqRank/rrfFuse
+    // shared code). Results are bit-identical to the in-session
+    // composition, so the oracle IS q_hybrid_search's oracle.
+    "q_hybrid_served" -> ((s, dir) => {
+      val path = graft.io.IoScratch.dir + "/hybrid_index_served"
+      val e = Tables.embeddings(s, dir)
+      graft.similarity.HybridIndex.export(s, Tables.documents(s, dir),
+        "doc_id", "text", e, "vec_id", "embedding", path)
+      graft.similarity.HybridIndex.servedTopK(s, path,
+          Seq(1 -> Seq("scan", "column"), 2 -> Seq("window", "sort"),
+            3 -> Seq("stream", "batch")),
+          e.filter(col("vec_id").isin(1, 2, 3)), "vec_id", "embedding",
+          k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Binary-quantization ANN (round 14, third scale path): 48 sign bits
     // packed in one int64 per vector, Hamming (XOR+popcount) candidate
     // scan, top-50 shortlist per query, exact cosine re-rank. The code
@@ -7823,6 +7843,12 @@ object SparkEntry {
     // code/Hamming/re-rank CTEs at k=20, fused by the fixed-order
     // coalesce sum 1/(60+r_lex) + 1/(60+r_vec), top-10 per query.
     "q_hybrid_search" ->
+      ("WITH " + HybridRrfSql("documents", "SELECT * FROM e")),
+
+    // The disk-served hybrid binds the in-session hybrid's oracle
+    // VERBATIM (the q_ann_served discipline): the exported tables replay
+    // the same statistics and the scoring tails are shared builders.
+    "q_hybrid_served" ->
       ("WITH " + HybridRrfSql("documents", "SELECT * FROM e")),
 
     // Capstone v6: gate -> exact-dedup reps -> the SAME hybrid machinery

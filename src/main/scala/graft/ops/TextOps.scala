@@ -170,6 +170,19 @@ object TextOps {
       .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint() // 2 consumers: doc-frequencies + scoring
     val dfreq = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    bm25Rank(hits, dfreq, stats, qt, k, k1, b)
+  }
+
+  /** The BM25 scoring + per-query top-k tail shared by [[bm25TopK]] and
+    * the exported-index reader
+    * ([[graft.similarity.HybridIndex.servedTopK]]) — ONE builder, so the
+    * in-session and served renderings cannot drift. Inputs:
+    * `hits(doc_id, dl, tok, tf)` restricted to the query terms,
+    * `dfreq(tok, df)`, one-row `stats(n_docs, avgdl)`, `qt(qid, tok)`.
+    */
+  private[graft] def bm25Rank(hits: DataFrame, dfreq: DataFrame,
+                              stats: DataFrame, qt: DataFrame, k: Int,
+                              k1: Double, b: Double): DataFrame = {
     val parts = hits.join(broadcast(dfreq), "tok")
       .join(broadcast(qt), "tok")
       .crossJoin(broadcast(stats))

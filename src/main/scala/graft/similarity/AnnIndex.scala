@@ -52,17 +52,21 @@ import org.apache.spark.sql.functions._
   * both quantizers on a [[graft.ops.Sampling.hashSample]] and raise
   * `cells` — the layout is unchanged.
   */
-object AnnIndex {
+/** The atomic versioned-publish protocol shared by every persisted index
+  * ([[AnnIndex]], [[HybridIndex]]): build under `path/v{N}`, create the
+  * `_PUBLISHED` marker file as the LAST write (single atomic create),
+  * readers resolve the highest published version, GC keeps the new
+  * version plus its immediate predecessor.
+  */
+private[similarity] object IndexPublish {
 
-  import graft.functions.VectorOps.vec_norm
+  val Published = "_PUBLISHED"
 
-  private val Published = "_PUBLISHED"
-
-  private def fsOf(spark: SparkSession, path: String) =
+  def fsOf(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def del(spark: SparkSession, path: String): Unit = {
+  def del(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, path)
     // overwrite semantics for a version root: a crashed export's partial
@@ -75,7 +79,7 @@ object AnnIndex {
     * i.e. exports that completed. Unmarked `v{N}` directories are
     * crashed/in-flight builds and are never served.
     */
-  private def publishedVersions(spark: SparkSession, path: String): Seq[Int] = {
+  def publishedVersions(spark: SparkSession, path: String): Seq[Int] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, path)
     if (!fs.exists(p)) Seq.empty
@@ -96,6 +100,45 @@ object AnnIndex {
       case vs => s"$path/v${vs.max}"
     }
 
+  /** Claim the next version root: returns (root, next, previously
+    * published versions) with any crashed junk at `next` deleted.
+    */
+  def begin(spark: SparkSession, path: String): (String, Int, Seq[Int]) = {
+    val prev = publishedVersions(spark, path)
+    val next = (prev :+ 0).max + 1
+    val root = s"$path/v$next"
+    del(spark, root) // only the TARGET version root — live versions untouched
+    (root, next, prev)
+  }
+
+  /** PUBLISH `next` (one atomic marker create — readers flip from the
+    * previous version only after every component has landed), then GC:
+    * keep the new version and its immediate predecessor (in-flight
+    * readers finish against it); drop everything older, plus any
+    * unpublished junk a crashed export left behind.
+    */
+  def publish(spark: SparkSession, path: String, next: Int,
+              prev: Seq[Int]): Unit = {
+    val fs = fsOf(spark, path)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/v$next/$Published"), true).close()
+    val keep = Set(next) ++ prev.reduceOption(_ max _)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.matches("v\\d+") && !keep(n.drop(1).toInt))
+        fs.delete(st.getPath, true)
+    }
+  }
+}
+
+object AnnIndex {
+
+  import graft.functions.VectorOps.vec_norm
+
+  /** See [[IndexPublish.resolve]]. */
+  def resolve(spark: SparkSession, path: String): String =
+    IndexPublish.resolve(spark, path)
+
   /** Build + persist the IVF(+PQ) index; returns the manifest
     * (component, cell, rows) from read-back counts.
     *
@@ -111,10 +154,7 @@ object AnnIndex {
              pqIters: Int = 3, fitRate: Double = 1.0,
              salt: String = "annfit", assignNProbe: Int = 0): DataFrame = {
     import spark.implicits._
-    val prev = publishedVersions(spark, path)
-    val next = (prev :+ 0).max + 1
-    val root = s"$path/v$next"
-    del(spark, root) // only the TARGET version root — live versions untouched
+    val (root, next, prev) = IndexPublish.begin(spark, path)
     val fit =
       if (fitRate >= 1.0) corpus
       else graft.ops.Sampling.hashSample(corpus, col(idCol), fitRate, salt)
@@ -142,20 +182,7 @@ object AnnIndex {
       .select("vec_id", "cell", "codes", "recon_err")
       .write.mode("overwrite").parquet(s"$root/codes")
     val manifest = writeManifest(spark, root)
-    // PUBLISH: one atomic file create — readers flip from the previous
-    // version to this one only after every component has landed
-    fsOf(spark, path).create(
-      new org.apache.hadoop.fs.Path(s"$root/$Published"), true).close()
-    // GC: keep the new version and its immediate predecessor (in-flight
-    // readers finish against it); drop everything older, plus any
-    // unpublished junk a crashed export left behind
-    val keep = Set(next) ++ prev.reduceOption(_ max _)
-    fsOf(spark, path).listStatus(new org.apache.hadoop.fs.Path(path))
-      .foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && n.matches("v\\d+") && !keep(n.drop(1).toInt))
-          fsOf(spark, path).delete(st.getPath, true)
-      }
+    IndexPublish.publish(spark, path, next, prev)
     manifest
   }
 

@@ -39,7 +39,7 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
-  private def asDouble(c: Column): Column = c.cast("array<double>")
+  private[similarity] def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Shared re-rank tail of every top-k path: exact cosine from the
     * precomputed side norms (`cn`, `qn` — one dot per pair instead of
@@ -252,6 +252,21 @@ object Similarity {
       .select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qv"))
       .withColumn("qn", vec_norm(col("qv")))
       .withColumn("qcode", lshBucket(col("qv"), bits, table, maxDim))
+    bqRank(codes,
+      corpus.select(col(corpusId).as("vec_id"), asDouble(col(corpusVec)).as("cv")),
+      q0, k, cands)
+  }
+
+  /** The Hamming-shortlist + exact-cosine re-rank tail shared by
+    * [[bqTopK]] and the exported-index reader
+    * ([[HybridIndex.servedTopK]]) — ONE builder, so the in-session and
+    * served renderings cannot drift. Inputs: `codes(vec_id, code)`,
+    * `vectors(vec_id, cv[, cn])` (the norm is computed post-shortlist
+    * when absent; a stored norm is reused — parquet round-trips doubles
+    * exactly), `q0(query_id, qv, qn, qcode)`.
+    */
+  private[graft] def bqRank(codes: DataFrame, vectors: DataFrame,
+                            q0: DataFrame, k: Int, cands: Int): DataFrame = {
     val ham = codes
       .crossJoin(broadcast(q0.select(col("query_id"), col("qcode"))))
       .select(col("query_id"),
@@ -259,10 +274,9 @@ object Similarity {
     val shortlist = graft.ops.ScaleOps
       .smallestKPerGroup(ham, "query_id", Seq("hd", "vec_id"), cands)
       .select("query_id", "vec_id")
-    val fetched = corpus
-      .select(col(corpusId).as("vec_id"), asDouble(col(corpusVec)).as("cv"))
-      .join(broadcast(shortlist), Seq("vec_id"))
-      .withColumn("cn", vec_norm(col("cv")))
+    val fetched0 = vectors.join(broadcast(shortlist), Seq("vec_id"))
+    val fetched = if (vectors.columns.contains("cn")) fetched0
+      else fetched0.withColumn("cn", vec_norm(col("cv")))
     rankTopK(fetched.join(broadcast(
       q0.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id")), k)
   }

@@ -122,6 +122,9 @@ class AnnIndexSpec extends SparkTestBase {
 
   test("publish is atomic: readers serve the old version through a rebuild") {
     val p = graft.io.IoScratch.dir + "/ann_atomic"
+    val hconf0 = spark.sparkContext.hadoopConfiguration
+    new org.apache.hadoop.fs.Path(p).getFileSystem(hconf0)
+      .delete(new org.apache.hadoop.fs.Path(p), true) // clean slate: v1 next
     AnnIndex.export(spark, embs, "vec_id", "embedding", p,
       cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
     val v1 = AnnIndex.resolve(spark, p)
