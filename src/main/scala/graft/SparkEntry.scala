@@ -3816,6 +3816,79 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PDF front door (round 15): every document rendered into a REAL
+    // single-xref PDF 1.4 (page tree, FlateDecode content streams, all
+    // four text-show forms) and recovered by the Pdf extractor — xref
+    // walk, object grammar, inflate, Tj/TJ/'/" — pure row-local byte
+    // work inside one Dataset map: no shuffle, no driver bytes. The
+    // oracle never touches a byte: the builder's layout geometry is
+    // fixed (LineWidth-char lines, LinesPerPage lines per page), so the
+    // page count is pure arithmetic over strlen and the text must
+    // round-trip exactly (the q_warc_roundtrip "format is invisible"
+    // contract).
+    "q_pdf_extract" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val got = graft.io.Pdf.extract(graft.io.Pdf.build(text))
+            .getOrElse(sys.error(s"pdf extract failed for doc $id"))
+          (id, got.nPages.toLong, got.text.replace("\n", ""))
+        }
+        .toDF("doc_id", "n_pages", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Mixed-media WARC front door (round 15): the real Common-Crawl
+    // shape — one archive, text/html AND application/pdf response
+    // payloads — dispatched on the parsed HTTP Content-Type header
+    // (Warc.httpHeader), each kind through its own extractor: the
+    // planted-dirt page through HtmlOps.htmlExtract, the PDF through
+    // the Pdf text walk. Task-per-file read, row-local extraction,
+    // zero shuffle before the final sort. The oracle replays the HTML
+    // leg through the shared dirt+extract SQL renderers and expects
+    // the PDF leg verbatim (format invisible).
+    "q_warc_mixed" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val (body, ctype) =
+            if (id % 2 == 0)
+              (htmlDirtScala(id, text).getBytes("UTF-8"), "text/html; charset=utf-8")
+            else (graft.io.Pdf.build(text), "application/pdf")
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+          graft.io.Warc.WarcRecord("response", s"<urn:graft:doc:$id>",
+            "2026-01-01T00:00:00Z", Some(s"http://corpus.test/doc/$id"), http)
+        }
+      val path = graft.io.IoScratch.dir + "/documents_warc_mixed"
+      graft.io.Warc.write(recs, path)
+      graft.io.Warc.read(s, path + "/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, content) =>
+          val ctype = graft.io.Warc.httpHeader(content, "Content-Type")
+            .getOrElse("").takeWhile(_ != ';').trim
+          val body = graft.io.Warc.httpBody(content).getOrElse(Array.emptyByteArray)
+          if (ctype == "application/pdf")
+            (id, "pdf", graft.io.Pdf.extractText(body)
+              .getOrElse(sys.error(s"pdf extract failed for doc $id"))
+              .replace("\n", ""))
+          else (id, "html", new String(body, "UTF-8"))
+        }
+        .toDF("doc_id", "kind", "payload")
+        .select(col("doc_id"), col("kind"),
+          when(col("kind") === "html",
+            graft.ops.HtmlOps.htmlExtract(col("payload")))
+            .otherwise(col("payload")).as("text"))
+        .orderBy("doc_id")
+    }),
+
     "q_chunk_format" -> ((s, dir) => {
       import s.implicits._
       val kv = Tables.documents(s, dir)
@@ -8029,6 +8102,29 @@ object SparkEntry {
       """SELECT doc_id, 'response' AS warc_type,
         |       CAST(strlen(text) AS BIGINT) AS n_bytes, text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // PDF round-trip: the container must be invisible; page count is
+    // pure arithmetic over the builder's FIXED layout geometry (the
+    // constants interpolate from Pdf itself, so oracle and builder
+    // cannot drift)
+    "q_pdf_extract" ->
+      s"""SELECT doc_id,
+        |  CAST(ceil(greatest(ceil(strlen(text) / ${graft.io.Pdf.LineWidth}.0), 1)
+        |       / ${graft.io.Pdf.LinesPerPage}.0) AS BIGINT) AS n_pages,
+        |  text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mixed-media WARC: the HTML leg replays the shared dirt+extract SQL
+    // renderers; the PDF leg is verbatim (format invisible)
+    "q_warc_mixed" ->
+      s"""WITH h AS (SELECT doc_id, ${htmlDirtSql("CAST(doc_id AS VARCHAR)", "text")} AS html
+        |  FROM documents),
+        |e AS (SELECT doc_id, ${graft.ops.HtmlOps.htmlExtractSql("html")} AS txt FROM h)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'html' ELSE 'pdf' END AS kind,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN e.txt ELSE d.text END AS text
+        |FROM documents d JOIN e ON e.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // pipe round-trip: tr A-Z then lower() must be identity on this corpus
     // (tokens are already lowercase alphanumerics) — same spec as wordcount.

@@ -125,6 +125,21 @@ object Warc {
     else Some(java.util.Arrays.copyOfRange(content, i + 4, content.length))
   }
 
+  /** One HTTP header value from a message payload (case-insensitive
+    * name, first occurrence, value trimmed; parameters like `; charset=`
+    * are the caller's to split). None when the header block has no such
+    * line — the dispatch key a mixed-media WARC read routes on.
+    */
+  def httpHeader(content: Array[Byte], name: String): Option[String] = {
+    val end = indexOfCrlfCrlf(content, 0)
+    if (end < 0) return None
+    val head = new String(content, 0, end, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val want = name.toLowerCase + ":"
+    head.split("\r\n").iterator.drop(1) // drop the status line
+      .find(_.toLowerCase.startsWith(want))
+      .map(_.substring(want.length).trim)
+  }
+
   /** Decompress concatenated gzip members. A truncated/corrupt member
     * throws in strict mode; lenient mode keeps everything decompressed
     * before the fault (parseAll's lenient pass then drops any trailing

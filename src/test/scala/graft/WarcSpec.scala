@@ -96,6 +96,18 @@ class WarcSpec extends SparkTestBase {
       .contains("part1\r\n\r\npart2"))
   }
 
+  test("httpHeader: case-insensitive lookup, status line never matches, params kept") {
+    val http = ("HTTP/1.1 200 OK\r\ncontent-type: text/html; charset=utf-8\r\n" +
+      "X-Thing: a:b \r\n\r\nbody").getBytes("US-ASCII")
+    assert(Warc.httpHeader(http, "Content-Type").contains("text/html; charset=utf-8"))
+    assert(Warc.httpHeader(http, "x-thing").contains("a:b")) // value trimmed
+    assert(Warc.httpHeader(http, "Missing").isEmpty)
+    assert(Warc.httpHeader("no split".getBytes, "Content-Type").isEmpty)
+    // "HTTP/1.1 200 OK" must not answer a lookup for a header named HTTP/1.1
+    val weird = "A: 1\r\nHTTP/1.1: fake\r\n\r\nx".getBytes("US-ASCII")
+    assert(Warc.httpHeader(weird, "HTTP/1.1").contains("fake"))
+  }
+
   test("distributed write/read: gzip members, warcinfo leaders, task-per-file") {
     import spark.implicits._
     val path = graft.io.IoScratch.dir + "/warc_spec"
