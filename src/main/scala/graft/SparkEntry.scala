@@ -288,6 +288,24 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // Soft-EM unigram-LM training (round 15) — Kudo's actual algorithm
+    // next to the hard-EM variant: the E-step is forward-backward
+    // EXPECTED counts (each occurrence site's posterior mass quantized
+    // to integral micro-counts before the cross-word sum, so the round
+    // replays bit-for-bit in ANSI SQL regardless of aggregation order),
+    // and the final vocabulary is LOSS-PRUNED: each multi-char piece
+    // scored by how much the likelihood worsens if removed (best
+    // segmentation of its own string without itself), lowest losses
+    // dropped. Same dictionary grain and bounded driver pulls as
+    // q_unigram_lm; the oracle unrolls alphas/betas as position CTEs
+    // with literally the same addition order.
+    "q_unigram_em" -> ((s, dir) => {
+      val m = graft.ops.UnigramLm.trainSoft(s, Tables.documents(s, dir),
+        "text", seedSize = 40, maxPieceLen = 4, rounds = 2,
+        maxWordLen = 12, pruneTo = 24)
+      graft.ops.UnigramLm.vocabTable(s, m).orderBy("piece")
+    }),
+
     // Tokenizer FERTILITY per language (round 10): tokens-per-word under
     // the frozen merge table, by lang — the standard multilingual-
     // tokenizer eval (a high-fertility language pays more sequence
@@ -7214,6 +7232,15 @@ object SparkEntry {
     "q_unigram_segment" ->
       graft.ops.UnigramLm.segmentSql("documents", "text",
         seedSize = 40, maxPieceLen = 4, rounds = 2, maxWordLen = 12),
+
+    // the soft-EM chain: same seed CTEs, then per round the unrolled
+    // alpha/beta position CTEs + site-quantized expected counts, then
+    // the self-excluded alt-Viterbi loss pruning — all generated by
+    // UnigramLm.trainSoftSql from the SAME parameters as the op
+    "q_unigram_em" ->
+      graft.ops.UnigramLm.trainSoftSql("documents", "text",
+        seedSize = 40, maxPieceLen = 4, rounds = 2, maxWordLen = 12,
+        pruneTo = 24),
 
     // same frozen-merge segmentation chain, aggregated per language
     "q_bpe_fertility" ->

@@ -43,6 +43,8 @@ object UnigramLm {
     lazy val total: Double = counts.map(_._2).sum.toDouble
     lazy val costs: Map[String, Double] =
       counts.map { case (p, c) => p -> -math.log(c.toDouble / total) }.toMap
+    lazy val probs: Map[String, Double] =
+      counts.map { case (p, c) => p -> c / total }.toMap
     /** Implicit-UNK cost for characters the training corpus never saw:
       * the cost of a hypothetical half-count piece — strictly worse than
       * any real piece (all counts are >= 1), so it can never displace a
@@ -190,14 +192,12 @@ object UnigramLm {
   // counts, identical (cost asc, length desc) tie-break via row_number.
   // ---------------------------------------------------------------------
 
-  /** CTE bodies `dict, cand, seed, chars, v0 … v{rounds}` ending in the
-    * final vocab `v{rounds}(piece, cnt)`.
+  /** The shared seed prefix: CTEs `uwords, dict, cand, seed, chars, v0`
+    * — identical for the hard-EM and soft-EM chains.
     */
-  def trainCtesSql(table: String, textCol: String, seedSize: Int,
-                   maxPieceLen: Int = 4, rounds: Int = 2,
-                   maxWordLen: Int = 12): String = {
-    val base =
-      s"""uwords AS (SELECT unnest(list_filter(
+  private def seedCtesSql(table: String, textCol: String, seedSize: Int,
+                          maxPieceLen: Int, maxWordLen: Int): String =
+    s"""uwords AS (SELECT unnest(list_filter(
          |    regexp_split_to_array(lower($textCol), '[^a-z0-9]+'), x -> x <> '')) AS word
          |  FROM $table),
          |dict AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS wc
@@ -217,6 +217,14 @@ object UnigramLm {
          |chars AS MATERIALIZED (SELECT piece, cnt FROM cand WHERE length(piece) = 1),
          |v0 AS MATERIALIZED (SELECT piece, cnt FROM seed
          |  UNION ALL SELECT piece, cnt FROM chars)""".stripMargin
+
+  /** CTE bodies `dict, cand, seed, chars, v0 … v{rounds}` ending in the
+    * final vocab `v{rounds}(piece, cnt)`.
+    */
+  def trainCtesSql(table: String, textCol: String, seedSize: Int,
+                   maxPieceLen: Int = 4, rounds: Int = 2,
+                   maxWordLen: Int = 12): String = {
+    val base = seedCtesSql(table, textCol, seedSize, maxPieceLen, maxWordLen)
     val roundCtes = (1 to rounds).map { r =>
       s"""${viterbiCtesSql(s"r$r", s"v${r - 1}", maxPieceLen, maxWordLen)},
          |u$r AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt
@@ -291,4 +299,323 @@ object UnigramLm {
        |SELECT word, wc, CAST(len(string_split(path, ' ')) AS BIGINT) AS n_pieces,
        |       path AS seg
        |FROM finseg ORDER BY word""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Soft-EM (full Kudo 2018): forward-backward EXPECTATIONS instead of
+  // Viterbi-path counts, then loss-based vocabulary pruning — the
+  // production SentencePiece trainer next to the hard-EM variant above.
+  // ---------------------------------------------------------------------
+
+  /** Forward-backward expected piece counts for one word, quantized to
+    * integral MICRO-counts: each occurrence site's posterior mass is
+    * rounded to round(contrib · 1e6) BEFORE the cross-word sum, so the
+    * E-step result is a sum of longs — independent of aggregation order,
+    * partitioning, and engine (the HLL exact-integer discipline applied
+    * to EM; the quantization is the documented algorithm, not an
+    * approximation of some other one). Arithmetic order matches the SQL
+    * twin literally: alpha/beta accumulate piece lengths ascending, a
+    * site contributes ((((wc · alpha) · p) · beta) / Z) · 1e6.
+    */
+  private[graft] def expectedMicro(word: String, wc: Long,
+                                   prob: Map[String, Double],
+                                   maxPieceLen: Int): Seq[(String, Long)] = {
+    val n = word.length
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var s = 0.0
+      var l = 1
+      val lMax = math.min(maxPieceLen, j)
+      while (l <= lMax) {
+        prob.get(word.substring(j - l, j)) match {
+          case Some(p) => s += alpha(j - l) * p
+          case None    =>
+        }
+        l += 1
+      }
+      alpha(j) = s
+      j += 1
+    }
+    val beta = new Array[Double](n + 1)
+    beta(n) = 1.0
+    j = n - 1
+    while (j >= 0) {
+      var s = 0.0
+      var l = 1
+      val lMax = math.min(maxPieceLen, n - j)
+      while (l <= lMax) {
+        prob.get(word.substring(j, j + l)) match {
+          case Some(p) => s += p * beta(j + l)
+          case None    =>
+        }
+        l += 1
+      }
+      beta(j) = s
+      j -= 1
+    }
+    val z = alpha(n)
+    if (z <= 0.0) return Seq.empty // unreachable in training: chars cover
+    val out = Seq.newBuilder[(String, Long)]
+    var i = 0
+    while (i < n) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, n - i)
+      while (l <= lMax) {
+        prob.get(word.substring(i, i + l)) match {
+          case Some(p) =>
+            val m = math.round(wc * alpha(i) * p * beta(i + l) / z * 1e6)
+            if (m != 0L) out += word.substring(i, i + l) -> m
+          case None =>
+        }
+        l += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Marginal NLL of one word under piece probabilities: -ln of the
+    * total path mass Σ_paths Π p(piece), via the forward pass. Positions
+    * no piece covers contribute `unkP` (the implicit-UNK convention at
+    * probability grain). The held-out model-comparison metric — what
+    * soft-EM optimizes and hard-EM only approximates.
+    */
+  private[graft] def marginalNll(word: String, prob: Map[String, Double],
+                                 maxPieceLen: Int, unkP: Double): Double = {
+    val n = word.length
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var s = 0.0
+      var l = 1
+      val lMax = math.min(maxPieceLen, j)
+      while (l <= lMax) {
+        prob.get(word.substring(j - l, j)).foreach(p => s += alpha(j - l) * p)
+        l += 1
+      }
+      if (s == 0.0) s = alpha(j - 1) * unkP
+      alpha(j) = s
+      j += 1
+    }
+    -math.log(alpha(n))
+  }
+
+  /** Kudo's loss-based vocabulary pruning: a multi-char piece's loss is
+    * its (expected) count times how much the likelihood worsens when it
+    * is removed — the cost of the best segmentation of the piece's OWN
+    * string without itself, minus its own cost. Keep the `pruneTo`
+    * highest-loss multi-char pieces (ties by piece asc); chars are never
+    * pruned (coverage, as in [[train]]'s M-step).
+    */
+  private[graft] def lossPrune(model: Model, pruneTo: Int): Model = {
+    val costs = model.costs
+    val (multi, chars) = model.counts.partition(_._1.length >= 2)
+    val scored = multi.map { case (piece, cnt) =>
+      val alt = viterbi(piece, costs - piece, model.maxPieceLen, model.unkCost)
+        .foldLeft(0.0)((a, pc) => a + costs.getOrElse(pc, model.unkCost))
+      (piece, cnt, cnt * (alt - costs(piece)))
+    }
+    val kept = scored.sortBy { case (p, _, loss) => (-loss, p) }
+      .take(pruneTo).map { case (p, c, _) => (p, c) }
+    Model(kept ++ chars, model.maxPieceLen)
+  }
+
+  /** Soft-EM training: [[train]]'s seeding and grain (dictionary passes,
+    * vocab-grain driver pulls), but the E-step is forward-backward
+    * expected counts ([[expectedMicro]]) and the final vocabulary is
+    * loss-pruned to `pruneTo` multi-char pieces ([[lossPrune]]).
+    */
+  def trainSoft(spark: SparkSession, df: DataFrame, textCol: String,
+                seedSize: Int, maxPieceLen: Int = 4, rounds: Int = 2,
+                maxWordLen: Int = 12, pruneTo: Int = Int.MaxValue): Model = {
+    import spark.implicits._
+    require(rounds >= 1 && seedSize >= 1 && maxPieceLen >= 2 && pruneTo >= 1)
+    val dict = dictionary(df, textCol, maxWordLen)
+      .as[(String, Long)].localCheckpoint()
+    val cand = dict.flatMap { case (w, c) =>
+        for {
+          l <- 1 to math.min(maxPieceLen, w.length)
+          i <- 0 to w.length - l
+        } yield (w.substring(i, i + l), c)
+      }
+      .toDF("piece", "c").groupBy("piece").agg(sum("c").as("cnt"))
+      .localCheckpoint()
+    val seed = cand.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+      .as[(String, Long)].collect().toSeq
+    val chars = cand.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect().toSeq
+    var model = Model(seed ++ chars, maxPieceLen)
+    for (_ <- 1 to rounds) {
+      val prob = model.probs
+      val mpl = maxPieceLen
+      val used = dict
+        .flatMap { case (w, c) => expectedMicro(w, c, prob, mpl) }
+        .toDF("piece", "m").groupBy("piece").agg(sum("m").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      val next = model.counts.flatMap { case (p, _) =>
+        val u = used.getOrElse(p, 0L)
+        if (p.length >= 2) { if (u > 0) Some(p -> u) else None }
+        else Some(p -> math.max(u, 1L))
+      }
+      model = Model(next, maxPieceLen)
+    }
+    lossPrune(model, pruneTo)
+  }
+
+  // ------------------------------------------------------------------ SQL
+
+  /** One soft-EM round as CTEs: probs `s{r}p`, alphas `s{r}a0..aW`
+    * (left-joined coalesce chains, term order = piece length ascending),
+    * betas `s{r}b{W}..b0` (start-indexed so every CTE is position-static),
+    * `s{r}z` (alpha at each word's length), the site-quantized
+    * expected-count flatten `s{r}e`, the sum `u{r}`, and the M-step
+    * `v{r}`.
+    */
+  private def softRoundCtesSql(r: Int, vocab: String, maxPieceLen: Int,
+                               maxWordLen: Int): String = {
+    val W = maxWordLen
+    val prb =
+      s"""s${r}t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM $vocab),
+         |s${r}p AS MATERIALIZED (SELECT piece, CAST(cnt AS DOUBLE) / total AS p
+         |  FROM $vocab CROSS JOIN s${r}t)""".stripMargin
+    val a0 = s"s${r}a0 AS MATERIALIZED (SELECT word, wc, CAST(1.0 AS DOUBLE) AS alpha FROM dict)"
+    val alphas = (1 to W).map { j =>
+      val ls = 1 to math.min(maxPieceLen, j)
+      val joins = ls.map { l =>
+        s"""  LEFT JOIN s${r}a${j - l} a$l ON a$l.word = d.word
+           |  LEFT JOIN s${r}p c$l ON c$l.piece = substring(d.word, ${j - l + 1}, $l)""".stripMargin
+      }.mkString("\n")
+      val terms = ls.map(l => s"coalesce(a$l.alpha * c$l.p, 0)").mkString(" + ")
+      s"""s${r}a$j AS MATERIALIZED (
+         |  SELECT d.word, d.wc, $terms AS alpha
+         |  FROM dict d
+         |$joins
+         |  WHERE length(d.word) >= $j)""".stripMargin
+    }.mkString(",\n")
+    // betas descend from W so each CTE only references already-defined ones
+    val betas = (W to 0 by -1).map { j =>
+      val ls = (1 to maxPieceLen).filter(j + _ <= W)
+      if (ls.isEmpty)
+        s"""s${r}b$j AS MATERIALIZED (
+           |  SELECT word, CAST(1.0 AS DOUBLE) AS beta FROM dict
+           |  WHERE length(word) >= $j)""".stripMargin
+      else {
+        val joins = ls.map { l =>
+          s"""  LEFT JOIN s${r}b${j + l} b$l ON b$l.word = d.word AND length(d.word) > $j
+             |  LEFT JOIN s${r}p c$l ON c$l.piece = substring(d.word, ${j + 1}, $l)
+             |    AND length(d.word) >= ${j + l}""".stripMargin
+        }.mkString("\n")
+        val terms = ls.map(l => s"coalesce(c$l.p * b$l.beta, 0)").mkString(" + ")
+        s"""s${r}b$j AS MATERIALIZED (
+           |  SELECT d.word,
+           |    CASE WHEN length(d.word) = $j THEN CAST(1.0 AS DOUBLE)
+           |         ELSE $terms END AS beta
+           |  FROM dict d
+           |$joins
+           |  WHERE length(d.word) >= $j)""".stripMargin
+      }
+    }.mkString(",\n")
+    val z = (1 to W).map { j =>
+      s"  SELECT word, alpha AS z FROM s${r}a$j WHERE length(word) = $j"
+    }.mkString("\n  UNION ALL\n")
+    val zCte = s"s${r}z AS MATERIALIZED (\n$z)"
+    val exBranches = (for {
+      i <- 0 until W
+      l <- 1 to math.min(maxPieceLen, W - i)
+    } yield
+      s"""  SELECT a.word, c.piece,
+         |    CAST(round(a.wc * a.alpha * c.p * b.beta / z.z * 1000000) AS BIGINT) AS m
+         |  FROM s${r}a$i a
+         |  JOIN s${r}p c ON c.piece = substring(a.word, ${i + 1}, $l)
+         |  JOIN s${r}b${i + l} b ON b.word = a.word
+         |  JOIN s${r}z z ON z.word = a.word
+         |  WHERE length(a.word) >= ${i + l}""".stripMargin
+      ).mkString("\n  UNION ALL\n")
+    val ex = s"s${r}e AS MATERIALIZED (\n$exBranches)"
+    s"""$prb,
+       |$a0,
+       |$alphas,
+       |$betas,
+       |$zCte,
+       |$ex,
+       |u$r AS MATERIALIZED (SELECT piece, CAST(sum(m) AS BIGINT) AS cnt
+       |  FROM s${r}e GROUP BY piece),
+       |v$r AS MATERIALIZED (
+       |  SELECT piece, cnt FROM u$r WHERE length(piece) >= 2 AND cnt > 0
+       |  UNION ALL
+       |  SELECT ch.piece, greatest(coalesce(u.cnt, 0), 1) AS cnt
+       |  FROM chars ch LEFT JOIN u$r u USING (piece))""".stripMargin
+  }
+
+  /** The loss-pruning CTEs over final vocab `$vocab`, ending in
+    * `pk(piece, cnt)`: per multi-char piece, the best segmentation of
+    * its own string WITHOUT itself (position-unrolled Viterbi over at
+    * most maxPieceLen positions, self-match excluded in the join), loss
+    * = cnt · (alt − own), keep the `pruneTo` highest.
+    */
+  private def pruneCtesSql(vocab: String, maxPieceLen: Int,
+                           pruneTo: Int): String = {
+    val cost =
+      s"""pt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM $vocab),
+         |pc AS MATERIALIZED (SELECT piece, cnt,
+         |    -ln(CAST(cnt AS DOUBLE) / total) AS cost
+         |  FROM $vocab CROSS JOIN pt),
+         |pw AS MATERIALIZED (SELECT piece AS word, cnt, cost FROM pc
+         |  WHERE length(piece) >= 2)""".stripMargin
+    val b0 = "pb0 AS (SELECT word, CAST(0.0 AS DOUBLE) AS cost FROM pw)"
+    val bs = (1 to maxPieceLen).map { j =>
+      val branches = (1 to math.min(maxPieceLen, j)).map { l =>
+        s"""    SELECT b.word, b.cost + c.cost AS cost, $l AS l
+           |    FROM pb${j - l} b JOIN pc c
+           |      ON c.piece = substring(b.word, ${j - l + 1}, $l)
+           |     AND c.piece <> b.word
+           |    WHERE length(b.word) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""pb$j AS MATERIALIZED (
+         |  SELECT word, cost FROM (
+         |    SELECT word, cost,
+         |      row_number() OVER (PARTITION BY word ORDER BY cost ASC, l DESC) AS rn
+         |    FROM (
+         |$branches))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val alt = (2 to maxPieceLen).map { j =>
+      s"  SELECT word, cost FROM pb$j WHERE length(word) = $j"
+    }.mkString("\n  UNION ALL\n")
+    s"""$cost,
+       |$b0,
+       |$bs,
+       |palt AS MATERIALIZED (
+       |$alt),
+       |ploss AS MATERIALIZED (
+       |  SELECT w.word AS piece, w.cnt,
+       |    CAST(w.cnt AS DOUBLE) * (a.cost - w.cost) AS loss
+       |  FROM pw w JOIN palt a ON a.word = w.word),
+       |pk AS MATERIALIZED (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY loss DESC, piece ASC) AS rn
+       |    FROM ploss) WHERE rn <= $pruneTo
+       |  UNION ALL
+       |  SELECT piece, cnt FROM $vocab WHERE length(piece) = 1)""".stripMargin
+  }
+
+  /** Full DuckDB statement: the twin of [[trainSoft]] + [[vocabTable]]. */
+  def trainSoftSql(table: String, textCol: String, seedSize: Int,
+                   maxPieceLen: Int = 4, rounds: Int = 2,
+                   maxWordLen: Int = 12, pruneTo: Int): String = {
+    val base = seedCtesSql(table, textCol, seedSize, maxPieceLen, maxWordLen)
+    val roundCtes = (1 to rounds)
+      .map(r => softRoundCtesSql(r, s"v${r - 1}", maxPieceLen, maxWordLen))
+      .mkString(",\n")
+    s"""WITH $base,
+       |$roundCtes,
+       |${pruneCtesSql(s"v$rounds", maxPieceLen, pruneTo)},
+       |ft AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM pk)
+       |SELECT piece, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS prob
+       |FROM pk CROSS JOIN ft ORDER BY piece""".stripMargin
+  }
 }

@@ -106,6 +106,68 @@ class UnigramLmSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("expectedMicro: hand-computed forward-backward posteriors") {
+    // word "aa" under p(a)=0.5, p(aa)=0.25: paths [a,a] mass 0.25 and
+    // [aa] mass 0.25, Z=0.5 — each path posterior 0.5, so E[a]=1.0
+    // (two sites x 0.5) and E[aa]=0.5, in micro-units 1e6 and 5e5.
+    val got = UnigramLm.expectedMicro("aa", 1L,
+      Map("a" -> 0.5, "aa" -> 0.25), 2)
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    assert(got == Map("a" -> 1000000L, "aa" -> 500000L), got.toString)
+    // wc scales linearly
+    val scaled = UnigramLm.expectedMicro("aa", 3L,
+      Map("a" -> 0.5, "aa" -> 0.25), 2)
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    assert(scaled == Map("a" -> 3000000L, "aa" -> 1500000L), scaled.toString)
+  }
+
+  test("lossPrune: the piece whose removal hurts most survives; chars always kept") {
+    // cost(ab)=-ln(4/15); removing it forces [a,b] at 2x that cost
+    // -> loss(ab) = 4 * (-ln(4/15)) ≈ 5.29. cd is rare AND its chars
+    // are rare: loss(cd) = 1 * ln(15) ≈ 2.71. pruneTo=1 keeps ab.
+    val m = UnigramLm.Model(Seq("ab" -> 4L, "cd" -> 1L,
+      "a" -> 4L, "b" -> 4L, "c" -> 1L, "d" -> 1L), 2)
+    val pruned = UnigramLm.lossPrune(m, pruneTo = 1)
+    assert(pruned.counts.toMap == Map(
+      "ab" -> 4L, "a" -> 4L, "b" -> 4L, "c" -> 1L, "d" -> 1L),
+      pruned.counts.toString)
+    // pruneTo >= #multi keeps everything
+    assert(UnigramLm.lossPrune(m, 10).counts.toMap == m.counts.toMap)
+  }
+
+  test("soft-EM beats hard-EM on held-out marginal perplexity (ambiguous fixture)") {
+    // a genuinely ambiguous corpus: every word segments several ways
+    // under {a, b, ab, ba, aa, bb} pieces. Hard-EM commits each word's
+    // whole count to its single Viterbi path (winner-take-all); soft-EM
+    // spreads mass by posterior, which is what marginal likelihood
+    // rewards. Held-out slice drawn from the same word distribution.
+    def slice(k: Int) =
+      (Seq.fill(6 * k)("abab") ++ Seq.fill(4 * k)("aba") ++
+        Seq.fill(4 * k)("bab") ++ Seq.fill(2 * k)("ab") ++
+        Seq.fill(2 * k)("ba") ++ Seq.fill(k)("aabb"))
+    val train = slice(5).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val heldOut = slice(1)
+    val hard = UnigramLm.train(spark, train, "text",
+      seedSize = 4, maxPieceLen = 2, rounds = 3)
+    val soft = UnigramLm.trainSoft(spark, train, "text",
+      seedSize = 4, maxPieceLen = 2, rounds = 3)
+    def nll(m: UnigramLm.Model): Double = {
+      val unkP = 0.5 / m.total
+      heldOut.map(w => UnigramLm.marginalNll(w, m.probs, 2, unkP)).sum
+    }
+    val (hn, sn) = (nll(hard), nll(soft))
+    assert(sn < hn, s"soft-EM held-out NLL $sn should beat hard-EM $hn")
+  }
+
+  test("trainSoft is invariant under repartitioning") {
+    val a = UnigramLm.trainSoft(spark, corpus, "text",
+      seedSize = 2, maxPieceLen = 2, rounds = 2, pruneTo = 1).counts.toMap
+    val b = UnigramLm.trainSoft(spark, corpus.repartition(13), "text",
+      seedSize = 2, maxPieceLen = 2, rounds = 2, pruneTo = 1).counts.toMap
+    assert(a == b && a.nonEmpty, a.toString)
+  }
+
   test("words beyond maxWordLen are excluded from training and segmentation") {
     val docs = Seq((1L, "short averyveryverylongword short")).toDF("doc_id", "text")
     val m = UnigramLm.train(spark, docs, "text", seedSize = 4,
