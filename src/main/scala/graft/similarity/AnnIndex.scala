@@ -249,6 +249,116 @@ object AnnIndex {
     writeManifest(spark, root)
   }
 
+  // ------------------------------------------------------- delta absorb
+
+  /** The committed-delta manifest file: one delta name per line, swapped
+    * atomically on every commit ([[commitDelta]]) — the crash-safe
+    * manifest of the streaming absorb path.
+    */
+  private val DeltasFile = "_DELTAS"
+
+  /** Delta names committed into the index at `root` (crash-recovering:
+    * a swap interrupted between renames restores from the `.old`
+    * backup, the [[graft.streaming.Streams.applyChangelogStream]]
+    * recovery rule). Uncommitted `deltas/` directories are invisible.
+    */
+  def committedDeltas(spark: SparkSession, root: String): Seq[String] = {
+    val fs = IndexPublish.fsOf(spark, root)
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile")
+    val old = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile.old")
+    if (!fs.exists(cur) && fs.exists(old))
+      require(fs.rename(old, cur), s"delta-manifest recovery failed for $cur")
+    if (!fs.exists(cur)) Seq.empty
+    else {
+      val in = fs.open(cur)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      } finally in.close()
+    }
+  }
+
+  /** Append `name` to the committed-delta manifest by atomic swap
+    * (write `.new`, move current aside, rename into place, roll back on
+    * failure). Idempotent: an already-committed name is a no-op.
+    */
+  private def commitDelta(spark: SparkSession, root: String,
+                          name: String): Unit = {
+    val names = committedDeltas(spark, root) // also runs crash recovery
+    if (names.contains(name)) return
+    val fs = IndexPublish.fsOf(spark, root)
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile")
+    val old = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile.old")
+    val neu = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile.new")
+    val out = fs.create(neu, true)
+    try out.write(((names :+ name).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(old, true)
+    if (fs.exists(cur))
+      require(fs.rename(cur, old), s"delta-manifest swap: could not move $cur aside")
+    if (!fs.rename(neu, cur)) {
+      fs.rename(old, cur)
+      throw new IllegalStateException(s"delta-manifest swap failed for $cur — rolled back")
+    }
+    fs.delete(old, true)
+  }
+
+  /** EXACTLY-ONCE shard absorb — [[append]]'s replay-safe sibling, the
+    * unit the streaming landing-directory ingest folds batches through
+    * ([[graft.streaming.Streams.annAbsorbStream]]). The shard's
+    * frozen-quantizer assignment and PQ codes are staged under
+    * `root/deltas/{name}/` with OVERWRITE semantics (a replay rebuilds
+    * the same bytes over its own half-written junk), then the name is
+    * committed into the `_DELTAS` manifest by one atomic swap. Readers
+    * union the base lists with COMMITTED deltas only, so a crashed
+    * half-written delta is invisible and a replayed batch is a no-op —
+    * and because the quantizers are frozen, the served results are a
+    * pure function of the absorbed vector SET, whatever the absorb
+    * order or batching. Returns true when the delta was newly
+    * committed, false on a replay of an already-committed name.
+    */
+  def appendDelta(spark: SparkSession, newVectors: DataFrame, idCol: String,
+                  vecCol: String, path: String, name: String,
+                  assignNProbe: Int = 0): Boolean = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad delta name '$name'")
+    val root = resolve(spark, path)
+    if (committedDeltas(spark, root).contains(name)) return false
+    val centers = loadCentroids(spark, root)
+    val assigned =
+      if (assignNProbe > 0)
+        graft.chain.KMeans.assignRouted(newVectors, idCol, vecCol, centers,
+          assignNProbe)
+      else graft.chain.KMeans.assign(newVectors, idCol, vecCol, centers)
+    assigned.select(col("id").as("vec_id"), col("v"),
+        vec_norm(col("v")).as("n"), col("cluster").as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/deltas/$name/vectors")
+    val cbs = loadCodebooks(spark, root)
+    Similarity.pqEncode(newVectors, idCol, vecCol, cbs)
+      .withColumnRenamed("id", "vec_id")
+      .join(assigned.select(col("id").as("vec_id"),
+        col("cluster").as("cell")), "vec_id")
+      .select("vec_id", "cell", "codes", "recon_err")
+      .write.mode("overwrite").parquet(s"$root/deltas/$name/codes")
+    commitDelta(spark, root, name)
+    true
+  }
+
+  /** The full inverted lists at `root`: base `vectors/` plus every
+    * COMMITTED delta's — the one reading rule of the serving paths.
+    */
+  private[graft] def vectorLists(spark: SparkSession, root: String): DataFrame = {
+    val base = spark.read.option("basePath", s"$root/vectors")
+      .parquet(s"$root/vectors")
+      .select("vec_id", "v", "n", "cell")
+    committedDeltas(spark, root).foldLeft(base) { (acc, d) =>
+      acc.unionByName(
+        spark.read.option("basePath", s"$root/deltas/$d/vectors")
+          .parquet(s"$root/deltas/$d/vectors")
+          .select("vec_id", "v", "n", "cell"))
+    }
+  }
+
   /** The coarse quantizer from an exported index (cells×dim doubles —
     * the bounded serving-process pull).
     */
@@ -278,8 +388,7 @@ object AnnIndex {
     // if a rebuild publishes mid-query
     val root = resolve(spark, path)
     val centers = loadCentroids(spark, root)
-    val lists = spark.read.option("basePath", s"$root/vectors")
-      .parquet(s"$root/vectors")
+    val lists = vectorLists(spark, root)
       .select(col("vec_id"), col("v").as("cv"), col("n").as("cn"), col("cell"))
     Similarity.rankTopK(lists.join(
       broadcast(Similarity.probeCells(queries, queryId, queryVec, centers,

@@ -294,8 +294,7 @@ object Streams {
     // run serves a consistent snapshot even if a rebuild publishes later
     val root = graft.similarity.AnnIndex.resolve(spark, indexPath)
     val centers = graft.similarity.AnnIndex.loadCentroids(spark, root)
-    val lists = spark.read.option("basePath", s"$root/vectors")
-      .parquet(s"$root/vectors")
+    val lists = graft.similarity.AnnIndex.vectorLists(spark, root)
       .select(col("vec_id"), col("v").as("cv"), col("n").as("cn"), col("cell"))
     val q0 = queries.select(col(queryId).cast("long").as("query_id"),
         col(queryVec).cast("array<double>").as("qv"))
@@ -893,6 +892,44 @@ object Streams {
         ()
       }
       .start()
+
+  /** Streaming INDEX ABSORB — the landing-directory ingest (the
+    * [[warcIngest]] shape) for vector shards: parquet files of
+    * (vec_id, v) appearing in `dir` fold through the frozen-quantizer
+    * delta append ([[graft.similarity.AnnIndex.appendDelta]]), one
+    * delta per micro-batch named by the batch id, committed by the
+    * crash-safe `_DELTAS` manifest swap.
+    *
+    * Exactly-once end to end: the file-source checkpoint makes each
+    * shard feed exactly one batch id; the deterministic delta name +
+    * overwrite staging + read-only-committed-deltas rule make a
+    * post-crash REPLAY of that batch a no-op, whichever side of the
+    * crash the data landed on. And because the quantizers are frozen,
+    * served results are a pure function of the absorbed vector set —
+    * absorb ORDER and batching cannot change them (spec-pinned).
+    * Structural rebuilds remain an explicit [[graft.similarity.AnnIndex.export]],
+    * which supersedes all deltas under a new published version.
+    */
+  def annAbsorbStream(spark: SparkSession, dir: String, indexPath: String,
+                      checkpointDir: String, assignNProbe: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.similarity.AnnIndex.appendDelta(batch.sparkSession, batch,
+            "vec_id", "v", indexPath, f"d$id%06d", assignNProbe)
+        ()
+      }
+      .start()
+  }
 
   /** Streaming WARC landing-directory ingestion — the `add_inputs`
     * incremental-job analog at the crawl's front door: `.warc.gz`

@@ -99,6 +99,58 @@ class AnnIndexSpec extends SparkTestBase {
     assert(top == Seq((0L, 990000L, 1, 1.0)), s"got $top")
   }
 
+  test("appendDelta: exactly-once absorb — replay no-op, uncommitted delta invisible, order-invariant") {
+    val a = embs.filter(col("vec_id") < 300)
+    val b = embs.filter(col("vec_id") >= 300)
+    val b1 = b.filter(col("vec_id") % 2 === 0)
+    val b2 = b.filter(col("vec_id") % 2 =!= 0)
+    val Seq(p1, p2, p3) = Seq(1, 2, 3).map(i => graft.io.IoScratch.dir + s"/ann_delta_$i")
+    Seq(p1, p2, p3).foreach(p => AnnIndex.export(spark, a, "vec_id", "embedding",
+      p, cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3))
+    def served(p: String) = AnnIndex.servedTopK(spark, p,
+        embs.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10, nProbe = 2)
+      .orderBy("query_id", "vec_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    // order-invariance: same shard SET absorbed in opposite order
+    assert(AnnIndex.appendDelta(spark, b1, "vec_id", "embedding", p1, "d1"))
+    assert(AnnIndex.appendDelta(spark, b2, "vec_id", "embedding", p1, "d2"))
+    assert(AnnIndex.appendDelta(spark, b2, "vec_id", "embedding", p2, "d1"))
+    assert(AnnIndex.appendDelta(spark, b1, "vec_id", "embedding", p2, "d2"))
+    assert(served(p1) == served(p2), "absorb order must not change served results")
+    // parity with the in-place batch append of the same shards
+    AnnIndex.append(spark, b, "vec_id", "embedding", p3)
+    assert(served(p1) == served(p3), "delta absorb must serve what batch append serves")
+    // replay of a committed delta name is a no-op
+    val before = served(p1)
+    assert(!AnnIndex.appendDelta(spark, b1, "vec_id", "embedding", p1, "d1"))
+    assert(served(p1) == before)
+    assert(AnnIndex.committedDeltas(spark, AnnIndex.resolve(spark, p1))
+      == Seq("d1", "d2"))
+    // a half-written UNCOMMITTED delta (crash mid-write) is invisible …
+    val r1 = AnnIndex.resolve(spark, p1)
+    b1.limit(3).select(col("vec_id"), col("embedding").as("v"))
+      .write.mode("overwrite").parquet(s"$r1/deltas/d9/vectors")
+    assert(served(p1) == before, "an uncommitted delta must never serve")
+    // … and the post-crash replay of that delta overwrites the junk and
+    // absorbs exactly once: a planted duplicate of query 0 serves at rank 1
+    val q0 = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].head()
+    val dup = spark.range(990000, 990001).select(col("id").as("vec_id"),
+      array(q0.map(lit): _*).as("embedding"))
+    assert(AnnIndex.appendDelta(spark, dup, "vec_id", "embedding", p1, "d9"))
+    val top = AnnIndex.servedTopK(spark, p1,
+        embs.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      .filter(col("rank") === 1)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(top == Seq((0L, 990000L, 1, 1.0)), s"got $top")
+    // a fresh export supersedes every delta under a new published version
+    AnnIndex.export(spark, a, "vec_id", "embedding", p1,
+      cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    assert(AnnIndex.committedDeltas(spark, AnnIndex.resolve(spark, p1)).isEmpty)
+  }
+
   test("manifest counts what landed; re-export overwrites cleanly") {
     val m1 = AnnIndex.export(spark, embs, "vec_id", "embedding", path,
         cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)

@@ -450,6 +450,62 @@ class StreamsSpec extends SparkTestBase {
     assert(indexed == Set(1L, 2L), s"index delta corrupted by replay: $indexed")
   }
 
+  test("annAbsorbStream: landing-directory shards absorb exactly once across restarts") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.io.IoScratch.dir + "/ann_absorb"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    val embs = graft.core.Tables.embeddings(spark, sfDir)
+    val base = embs.filter(col("vec_id") < 300)
+    val shard1 = embs.filter(col("vec_id") >= 300 && col("vec_id") % 2 === 0)
+    val shard2 = embs.filter(col("vec_id") >= 300 && col("vec_id") % 2 =!= 0)
+    graft.similarity.AnnIndex.export(spark, base, "vec_id", "embedding",
+      s"$dir/index", cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    // twin index maintained by the BATCH append path — the parity oracle
+    graft.similarity.AnnIndex.export(spark, base, "vec_id", "embedding",
+      s"$dir/twin", cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    graft.similarity.AnnIndex.append(spark,
+      embs.filter(col("vec_id") >= 300), "vec_id", "embedding", s"$dir/twin")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/tmp_$name"
+      df.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/landing"))
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      require(fs.rename(part,
+        new org.apache.hadoop.fs.Path(s"$dir/landing/$name.parquet")))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    def absorbAll(): Unit = {
+      val q = Streams.annAbsorbStream(spark, s"$dir/landing", s"$dir/index",
+        checkpointDir = s"$dir/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    land(shard1, "s1")
+    absorbAll() // run 1: absorbs shard 1, then STOPS (simulated downtime)
+    land(shard2, "s2")
+    absorbAll() // run 2: fresh query, same checkpoint — only shard 2 is new
+    absorbAll() // run 3: nothing new — must be a no-op
+    val root = graft.similarity.AnnIndex.resolve(spark, s"$dir/index")
+    assert(graft.similarity.AnnIndex.committedDeltas(spark, root).size == 2,
+      "each shard batch must commit exactly one delta")
+    // exactly-once: every vector present exactly once
+    val n = embs.count()
+    val ids = graft.similarity.AnnIndex.vectorLists(spark, root)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ids.length == n && ids.distinct.length == n,
+      s"expected $n unique vectors, got ${ids.length} (${ids.distinct.length} unique)")
+    // parity: the absorbed index serves exactly what the batch-append twin serves
+    def served(p: String) = graft.similarity.AnnIndex.servedTopK(spark, p,
+        embs.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10, nProbe = 2)
+      .orderBy("query_id", "vec_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(served(s"$dir/index") == served(s"$dir/twin"))
+  }
+
   test("streaming dedup keeps first occurrence") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
