@@ -306,6 +306,23 @@ object SparkEntry {
       graft.ops.UnigramLm.vocabTable(s, m).orderBy("piece")
     }),
 
+    // Sampled segmentation (round 15) — Kudo's subword regularization:
+    // one path per distinct word drawn from the EXACT posterior over
+    // segmentations (forward-filtering backward-sampling at temperature
+    // 1), the uniform draws being the house md5 hash draw keyed on
+    // (word, position) — deterministic AND engine-replayable. The
+    // candidate cumsum re-runs alpha's own addition sequence, so the
+    // threshold comparison is bit-identical in both engines; the oracle
+    // unrolls the forward pass (the q_unigram_em alpha CTE builder) and
+    // the backward steps with the same tail rule.
+    "q_unigram_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val m = graft.ops.UnigramLm.train(s, d, "text",
+        seedSize = 40, maxPieceLen = 4, rounds = 2, maxWordLen = 12)
+      graft.ops.UnigramLm.sampleStats(s, d, "text", m, salt = "useg",
+        maxWordLen = 12).orderBy("word")
+    }),
+
     // Tokenizer FERTILITY per language (round 10): tokens-per-word under
     // the frozen merge table, by lang — the standard multilingual-
     // tokenizer eval (a high-fertility language pays more sequence
@@ -7241,6 +7258,12 @@ object SparkEntry {
       graft.ops.UnigramLm.trainSoftSql("documents", "text",
         seedSize = 40, maxPieceLen = 4, rounds = 2, maxWordLen = 12,
         pruneTo = 24),
+
+    // the hard-EM chain + one forward pass + md5-drawn backward sampling
+    "q_unigram_sample" ->
+      graft.ops.UnigramLm.sampleSql("documents", "text",
+        seedSize = 40, maxPieceLen = 4, rounds = 2, maxWordLen = 12,
+        salt = "useg"),
 
     // same frozen-merge segmentation chain, aggregated per language
     "q_bpe_fertility" ->

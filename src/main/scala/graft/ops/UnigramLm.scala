@@ -422,6 +422,96 @@ object UnigramLm {
     Model(kept ++ chars, model.maxPieceLen)
   }
 
+  /** The engine-portable uniform draw of the sampler: the house
+    * [[graft.ops.Sampling.hashDraw]] convention (first 8 hex digits of
+    * md5(key ':' salt) as a 32-bit integer) over 2³², computed JVM-side
+    * so the per-word sampling loop never leaves the row. Key is
+    * `word|pos` — one independent draw per backward step.
+    */
+  private[graft] def drawUnit(word: String, pos: Int, salt: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$word|$pos:$salt".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) / 4294967296.0
+  }
+
+  /** Sample ONE segmentation from the exact posterior over segmentations
+    * (forward-filtering backward-sampling): at position j the ending
+    * piece of length l is chosen with probability alpha(j−l)·p / alpha(j),
+    * the uniform draw being [[drawUnit]](word, j) — Kudo 2018's subword-
+    * regularization sampler at temperature 1, fully deterministic given
+    * the salt and engine-replayable. Numeric tail rule: the candidate
+    * cumsum re-runs alpha(j)'s own additions, so it lands on alpha(j)
+    * bit-for-bit; if u·alpha(j) still rounds up to the full mass, the
+    * LAST candidate is taken (both renderings). Positions no vocab piece
+    * covers fall back to the raw single char (the [[viterbi]] implicit-
+    * UNK convention) with forward mass alpha(j−1)·unkP.
+    */
+  private[graft] def sampleSegment(word: String, prob: Map[String, Double],
+                                   maxPieceLen: Int, salt: String,
+                                   unkP: Double): Seq[String] = {
+    val n = word.length
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var s = 0.0
+      var l = 1
+      val lMax = math.min(maxPieceLen, j)
+      while (l <= lMax) {
+        prob.get(word.substring(j - l, j)).foreach(p => s += alpha(j - l) * p)
+        l += 1
+      }
+      alpha(j) = if (s == 0.0) alpha(j - 1) * unkP else s
+      j += 1
+    }
+    var pos = n
+    var acc: List[String] = Nil
+    while (pos > 0) {
+      val thr = drawUnit(word, pos, salt) * alpha(pos)
+      var cum = 0.0
+      var l = 1
+      var chosen = 0
+      var lastValid = 0
+      val lMax = math.min(maxPieceLen, pos)
+      while (l <= lMax && chosen == 0) {
+        prob.get(word.substring(pos - l, pos)) match {
+          case Some(p) =>
+            cum += alpha(pos - l) * p
+            lastValid = l
+            if (cum > thr) chosen = l
+          case None =>
+        }
+        l += 1
+      }
+      val take = if (chosen > 0) chosen
+        else if (lastValid > 0) lastValid
+        else 1 // uncovered position: single-char implicit UNK
+      acc = word.substring(pos - take, pos) :: acc
+      pos -= take
+    }
+    acc
+  }
+
+  /** Sampled segmentation of the corpus dictionary under a trained
+    * model — [[segmentStats]]'s subword-regularization twin: one sampled
+    * path per distinct word instead of the Viterbi-best one.
+    */
+  def sampleStats(spark: SparkSession, df: DataFrame, textCol: String,
+                  model: Model, salt: String = "useg",
+                  maxWordLen: Int = 12): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      (model.probs, model.maxPieceLen, 0.5 / model.total))
+    dictionary(df, textCol, maxWordLen).as[(String, Long)]
+      .map { case (w, c) =>
+        val (probs, mpl, unkP) = bc.value
+        val seg = sampleSegment(w, probs, mpl, salt, unkP)
+        (w, c, seg.length.toLong, seg.mkString(" "))
+      }
+      .toDF("word", "wc", "n_pieces", "seg")
+  }
+
   /** Soft-EM training: [[train]]'s seeding and grain (dictionary passes,
     * vocab-grain driver pulls), but the E-step is forward-backward
     * expected counts ([[expectedMicro]]) and the final vocabulary is
@@ -474,27 +564,40 @@ object UnigramLm {
     * expected-count flatten `s{r}e`, the sum `u{r}`, and the M-step
     * `v{r}`.
     */
-  private def softRoundCtesSql(r: Int, vocab: String, maxPieceLen: Int,
-                               maxWordLen: Int): String = {
-    val W = maxWordLen
-    val prb =
-      s"""s${r}t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM $vocab),
-         |s${r}p AS MATERIALIZED (SELECT piece, CAST(cnt AS DOUBLE) / total AS p
-         |  FROM $vocab CROSS JOIN s${r}t)""".stripMargin
-    val a0 = s"s${r}a0 AS MATERIALIZED (SELECT word, wc, CAST(1.0 AS DOUBLE) AS alpha FROM dict)"
-    val alphas = (1 to W).map { j =>
+  /** Piece probabilities of `$vocab` as CTEs `${p}t, ${p}p`. */
+  private def probCtesSql(p: String, vocab: String): String =
+    s"""${p}t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM $vocab),
+       |${p}p AS MATERIALIZED (SELECT piece, CAST(cnt AS DOUBLE) / total AS p
+       |  FROM $vocab CROSS JOIN ${p}t)""".stripMargin
+
+  /** The unrolled forward pass under probs `${p}p`: CTEs `${p}a0..aW`,
+    * each a left-joined coalesce chain with term order = piece length
+    * ascending (the literal addition order of the Scala loop).
+    */
+  private def alphaCtesSql(p: String, maxPieceLen: Int,
+                           maxWordLen: Int): String = {
+    val a0 = s"${p}a0 AS MATERIALIZED (SELECT word, wc, CAST(1.0 AS DOUBLE) AS alpha FROM dict)"
+    val alphas = (1 to maxWordLen).map { j =>
       val ls = 1 to math.min(maxPieceLen, j)
       val joins = ls.map { l =>
-        s"""  LEFT JOIN s${r}a${j - l} a$l ON a$l.word = d.word
-           |  LEFT JOIN s${r}p c$l ON c$l.piece = substring(d.word, ${j - l + 1}, $l)""".stripMargin
+        s"""  LEFT JOIN ${p}a${j - l} a$l ON a$l.word = d.word
+           |  LEFT JOIN ${p}p c$l ON c$l.piece = substring(d.word, ${j - l + 1}, $l)""".stripMargin
       }.mkString("\n")
       val terms = ls.map(l => s"coalesce(a$l.alpha * c$l.p, 0)").mkString(" + ")
-      s"""s${r}a$j AS MATERIALIZED (
+      s"""${p}a$j AS MATERIALIZED (
          |  SELECT d.word, d.wc, $terms AS alpha
          |  FROM dict d
          |$joins
          |  WHERE length(d.word) >= $j)""".stripMargin
     }.mkString(",\n")
+    s"$a0,\n$alphas"
+  }
+
+  private def softRoundCtesSql(r: Int, vocab: String, maxPieceLen: Int,
+                               maxWordLen: Int): String = {
+    val W = maxWordLen
+    val prb = probCtesSql(s"s$r", vocab)
+    val alphaChain = alphaCtesSql(s"s$r", maxPieceLen, W)
     // betas descend from W so each CTE only references already-defined ones
     val betas = (W to 0 by -1).map { j =>
       val ls = (1 to maxPieceLen).filter(j + _ <= W)
@@ -536,8 +639,7 @@ object UnigramLm {
       ).mkString("\n  UNION ALL\n")
     val ex = s"s${r}e AS MATERIALIZED (\n$exBranches)"
     s"""$prb,
-       |$a0,
-       |$alphas,
+       |$alphaChain,
        |$betas,
        |$zCte,
        |$ex,
@@ -618,4 +720,72 @@ object UnigramLm {
        |SELECT piece, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS prob
        |FROM pk CROSS JOIN ft ORDER BY piece""".stripMargin
   }
+
+  /** The backward-sampling CTEs under vocab probs `${p}p` and alphas
+    * `${p}a0..aW` ([[alphaCtesSql]]): a tall (word, j, alpha) table,
+    * then maxWordLen sampling steps — each step's candidate cumsum is a
+    * running window sum in piece-length order (alpha(j)'s own addition
+    * sequence), the threshold is the md5 unit draw at (word, pos) times
+    * alpha(pos), first candidate past the threshold wins, the LAST
+    * candidate on the rounding tail — ending in `${p}seg(word, wc, path)`.
+    */
+  private def sampleCtesSql(p: String, maxPieceLen: Int, maxWordLen: Int,
+                            salt: String): String = {
+    val W = maxWordLen
+    val tall = (s"SELECT word, 0 AS j, CAST(1.0 AS DOUBLE) AS alpha FROM dict" +:
+      (1 to W).map(j => s"SELECT word, $j AS j, alpha FROM ${p}a$j"))
+      .mkString("\n  UNION ALL\n  ")
+    val st0 = s"${p}st0 AS (SELECT word, wc, length(word) AS pos, '' AS path FROM dict)"
+    val steps = (1 to W).map { k =>
+      s"""${p}st$k AS MATERIALIZED (
+         |  SELECT word, wc, pos, path FROM ${p}st${k - 1} WHERE pos = 0
+         |  UNION ALL
+         |  SELECT word, wc, CAST(pos - l AS INT) AS pos,
+         |    CASE WHEN path = '' THEN piece ELSE piece || ' ' || path END AS path
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word ORDER BY
+         |        CASE WHEN cum > thr THEN 0 ELSE 1 END,
+         |        CASE WHEN cum > thr THEN l ELSE -l END) AS rn
+         |    FROM (
+         |      SELECT *, sum(w) OVER (PARTITION BY word ORDER BY l
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM (
+         |        SELECT s.word, s.wc, s.pos, s.path, c.piece, s.l,
+         |          a.alpha * c.p AS w,
+         |          (CAST(('0x' || substr(md5(s.word || '|' ||
+         |              CAST(s.pos AS VARCHAR) || ':$salt'), 1, 8)) AS BIGINT)
+         |            / 4294967296.0) * z.alpha AS thr
+         |        FROM (
+         |          SELECT word, wc, pos, path, CAST(l AS INT) AS l
+         |          FROM ${p}st${k - 1}
+         |          CROSS JOIN unnest(range(1, $maxPieceLen + 1)) AS ll(l)
+         |          WHERE pos > 0 AND l <= pos) s
+         |        JOIN ${p}p c
+         |          ON c.piece = substring(s.word, s.pos - s.l + 1, s.l)
+         |        JOIN ${p}aT a ON a.word = s.word AND a.j = s.pos - s.l
+         |        JOIN ${p}aT z ON z.word = s.word AND z.j = s.pos)))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}aT AS MATERIALIZED (
+       |  $tall),
+       |$st0,
+       |$steps,
+       |${p}seg AS MATERIALIZED (
+       |  SELECT word, wc, path FROM ${p}st$W WHERE pos = 0)""".stripMargin
+  }
+
+  /** Full DuckDB statement: the twin of [[train]] + [[sampleStats]] —
+    * the hard-EM chain, then one forward pass + backward sampling under
+    * the final vocab.
+    */
+  def sampleSql(table: String, textCol: String, seedSize: Int,
+                maxPieceLen: Int = 4, rounds: Int = 2,
+                maxWordLen: Int = 12, salt: String = "useg"): String =
+    s"""WITH ${trainCtesSql(table, textCol, seedSize, maxPieceLen, rounds, maxWordLen)},
+       |${probCtesSql("smp", s"v$rounds")},
+       |${alphaCtesSql("smp", maxPieceLen, maxWordLen)},
+       |${sampleCtesSql("smp", maxPieceLen, maxWordLen, salt)}
+       |SELECT word, wc, CAST(len(string_split(path, ' ')) AS BIGINT) AS n_pieces,
+       |       path AS seg
+       |FROM smpseg ORDER BY word""".stripMargin
 }

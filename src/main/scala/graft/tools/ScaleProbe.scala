@@ -214,6 +214,38 @@ object ScaleProbe {
       graft.ops.UnigramLm.vocabTable(spark,
         graft.ops.UnigramLm.train(spark, docs, "text",
           seedSize = 200, maxPieceLen = 4, rounds = 2)) }
+    // round-15 soft-EM: the hard-EM grain (one corpus pass + dictionary
+    // EM + vocab-grain driver pulls) with forward-backward per DISTINCT
+    // word and a vocab-grain loss prune — must track unigram_lm's shape
+    timed("unigram_em") {
+      graft.ops.UnigramLm.vocabTable(spark,
+        graft.ops.UnigramLm.trainSoft(spark, docs, "text",
+          seedSize = 200, maxPieceLen = 4, rounds = 2, pruneTo = 120)) }
+    // round-15 PDF front door: build + full extract per row (xref walk,
+    // FlateDecode, text operators) — pure row-local byte work, must stay
+    // linear at scan speed (the html_extract class, bigger constant)
+    timed("pdf_extract") {
+      import spark.implicits._
+      docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (_, t) =>
+          graft.io.Pdf.extractText(graft.io.Pdf.build(t))
+            .map(_.length).getOrElse(-1) }
+        .agg(max(col("value"))) }
+    // round-15 streaming-absorb unit: one shard (2% of n) delta-appended
+    // against the probe export's frozen quantizers (routed assign) —
+    // must track the SHARD, not the index (the daily-shard contract).
+    // The delta name is fresh per invocation: a repeated name would be
+    // the exactly-once REPLAY no-op and time nothing.
+    var absorbTake = 0
+    timed("ann_absorb") {
+      absorbTake += 1
+      graft.similarity.AnnIndex.appendDelta(spark,
+        embeddings(spark, math.max(64L, n / 50))
+          .withColumn("vec_id", col("vec_id") + lit(10 * n)),
+        "vec_id", "embedding",
+        graft.io.IoScratch.dir + "/ann_index_probe",
+        s"probe_n${n}_t$absorbTake", assignNProbe = 2)
+      spark.range(1).toDF("ok") }
     // round-13 generation eval: clipped-count machinery is the wordcount
     // shape on (pair, n, gram) keys — must stay token-linear
     timed("bleu_rouge") {

@@ -160,6 +160,41 @@ class UnigramLmSpec extends SparkTestBase {
     assert(sn < hn, s"soft-EM held-out NLL $sn should beat hard-EM $hn")
   }
 
+  test("sampleSegment: posterior sampling follows the threshold rule exactly") {
+    // "aa" under p(a)=0.5, p(aa)=0.25: alpha = [1, .5, .5]; at pos 2 the
+    // candidates are l=1 (w = alpha(1)·p(a) = .25) then l=2 (w = .25);
+    // the draw picks l=1 iff u·alpha(2) < .25 ⇔ u < .5
+    val prob = Map("a" -> 0.5, "aa" -> 0.25)
+    for (salt <- (0 until 50).map(i => s"s$i")) {
+      val u = UnigramLm.drawUnit("aa", 2, salt)
+      val got = UnigramLm.sampleSegment("aa", prob, 2, salt, unkP = 1e-9)
+      val want = if (0.25 > u * 0.5) Seq("a", "a") else Seq("aa")
+      assert(got == want, s"salt=$salt u=$u got=$got")
+    }
+    // both outcomes actually occur (the posterior is 50/50) — the
+    // sampler is not argmax in disguise
+    val outcomes = (0 until 100).map(i =>
+      UnigramLm.sampleSegment("aa", prob, 2, s"t$i", unkP = 1e-9)).toSet
+    assert(outcomes == Set(Seq("a", "a"), Seq("aa")), outcomes.toString)
+  }
+
+  test("sampleStats: pieces rebuild every word; unseen chars fall back to UNK") {
+    val m = fixtureModel // vocab over {a,b,c,d,ab}
+    val applyCorpus = Seq((1L, "abab x9z ab"), (2L, "cd abq")).toDF("doc_id", "text")
+    val got = UnigramLm.sampleStats(spark, applyCorpus, "text", m)
+      .as[(String, Long, Long, String)].collect().toSeq
+    got.foreach { case (w, _, n, seg) =>
+      assert(seg.replace(" ", "") == w, s"$seg does not rebuild $w")
+      assert(n == seg.split(" ").length.toLong)
+    }
+    // fully-unseen word: every position rescued by the single-char UNK
+    assert(got.find(_._1 == "x9z").get._4 == "x 9 z")
+    // sampling is deterministic given the salt: same call, same paths
+    val again = UnigramLm.sampleStats(spark, applyCorpus, "text", m)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got.sortBy(_._1) == again.sortBy(_._1))
+  }
+
   test("trainSoft is invariant under repartitioning") {
     val a = UnigramLm.trainSoft(spark, corpus, "text",
       seedSize = 2, maxPieceLen = 2, rounds = 2, pruneTo = 1).counts.toMap
