@@ -831,6 +831,95 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CAPSTONE v7 (round 15): the MIXED-MEDIA crawl — one WARC archive
+    // set carrying text/html AND application/pdf response payloads (the
+    // real Common-Crawl shape), dispatched on the parsed Content-Type
+    // header into the matching front door (HtmlOps step chain / Pdf text
+    // walk), then run4's chain unchanged: normalize → Gopher gate →
+    // near-dedup keep-canonical → split → per-source budget → shard
+    // pack. Dirt is planted per-leg within format scope: control chars
+    // and whitespace everywhere, the NFD dirt only on HTML legs (a
+    // combining mark is outside the PDF builder's simple-font Latin-1
+    // scope — documented, and the oracle gates the same clause). The
+    // oracle replays the dispatch as a CTE union: HTML legs through the
+    // shared dirt+extract SQL renderers, PDF legs verbatim (format
+    // invisible, q_pdf_extract's contract), then the SAME clean + gate +
+    // closure + pack builders as run3/4.
+    "q_corpus_run6" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, src, text) =>
+          val dirt = new StringBuilder(text)
+          if (id % 3 == 0 && id % 2 == 0) {
+            dirt.append(" caf")
+            var i = 0L; while (i < 1 + id % 4) { dirt.append("e\u0301"); i += 1 }
+          }
+          if (id % 4 == 0) dirt.append('\u0007').append('\u001f')
+          if (id % 5 == 0) dirt.append("  \t ")
+          val (body, ctype) =
+            if (id % 2 == 0)
+              (htmlDirtScala(id, dirt.toString).getBytes("UTF-8"),
+                "text/html; charset=utf-8")
+            else (graft.io.Pdf.build(dirt.toString), "application/pdf")
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+          graft.io.Warc.WarcRecord("response", s"<urn:graft:doc:$id>",
+            "2026-01-01T00:00:00Z", Some(s"http://$src.test/doc/$id"), http)
+        }
+      val path = graft.io.IoScratch.dir + "/corpus_warc_mixed"
+      graft.io.Warc.write(recs, path)
+      val parsed = graft.io.Warc.read(s, path + "/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("target_uri"), "^http://([^./]+)\\.test/", 1)
+            .as("source"),
+          col("content"))
+        .as[(Long, String, Array[Byte])]
+        .map { case (id, src, content) =>
+          val ctype = graft.io.Warc.httpHeader(content, "Content-Type")
+            .getOrElse("").takeWhile(_ != ';').trim
+          val body = graft.io.Warc.httpBody(content).getOrElse(Array.emptyByteArray)
+          if (ctype == "application/pdf")
+            (id, src, "pdf", graft.io.Pdf.extractText(body)
+              .getOrElse(sys.error(s"pdf extract failed for doc $id"))
+              .replace("\n", ""))
+          else (id, src, "html", new String(body, "UTF-8"))
+        }
+        .toDF("doc_id", "source", "kind", "payload")
+        .select(col("doc_id"), col("source"),
+          when(col("kind") === "html",
+            graft.ops.HtmlOps.htmlExtract(col("payload")))
+            .otherwise(col("payload")).as("text_raw"))
+        .localCheckpoint()
+      val docs0 = parsed.select("doc_id", "source")
+        .join(TextOps.normalizeText(parsed, "doc_id", "text_raw")
+          .select(col("id").as("doc_id"), col("text_clean").as("text"),
+            col("n_clean").as("n_chars")), "doc_id")
+      val keep = TextOps.qualityRules(docs0, "doc_id", "text")
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val docs = docs0.join(keep, "doc_id").localCheckpoint()
+      val edges = Dedup.minhashLshEdges(docs, "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+      val kept = docs.join(Dedup.canonicalize(docs, "doc_id", edges), "doc_id")
+        .filter(col("doc_id") === col("canon_id"))
+        .select("doc_id", "source", "n_chars")
+      val train = Sampling.splitByHash(kept, col("doc_id"),
+          Seq(0.8, 0.1, 0.1), salt = "run")
+        .filter(col("split") === 0)
+        .withColumn("pri", Sampling.hashDraw(col("doc_id"), "runpri"))
+      val capped = graft.ops.PrefixSum.budgetCapPerGroup(
+          train.select("doc_id", "source", "n_chars", "pri"),
+          "source", Seq("pri", "doc_id"), "n_chars", budget = 3000L)
+        .select("doc_id", "n_chars")
+      graft.ops.PrefixSum.packShards(capped, "doc_id", "n_chars", budget = 8000L)
+        .select("doc_id", "cum", "shard")
+        .orderBy("doc_id")
+    }),
+
     // Sequential funnel: users completing view -> click -> purchase in
     // strict time order; per-step frontier joins, no whole-user windows.
     "q_funnel" -> ((s, dir) =>
@@ -4673,6 +4762,20 @@ object SparkEntry {
       |    CASE WHEN doc_id % 5 = 0 THEN '  ' || chr(9) || ' ' ELSE '' END AS t
       |  FROM documents),""".stripMargin
 
+  /** [[WarcDirtyCte]]'s mixed-media twin (q_corpus_run6): the NFD dirt
+    * is additionally gated on EVEN ids — the PDF legs (odd ids) stay
+    * within the builder's simple-font Latin-1 scope; control/whitespace
+    * dirt lands on every leg, exactly as the Scala record builder does.
+    */
+  private def WarcMixedDirtyCte: String =
+    """WITH RECURSIVE wdirty AS (SELECT doc_id, source, text ||
+      |    CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+      |         THEN ' caf' || repeat('e' || chr(769), CAST(1 + doc_id % 4 AS INT))
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN chr(7) || chr(31) ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '  ' || chr(9) || ' ' ELSE '' END AS t
+      |  FROM documents),""".stripMargin
+
   /** The normalize pass replayed (DuckDB's own UAX #15 NFC + the same
     * explicit-range control strip + whitespace collapse as
     * TextOps.normalizeText) over `$from.$expr`, ending in
@@ -7072,6 +7175,21 @@ object SparkEntry {
            |  FROM wdirty),
            |wx AS (SELECT doc_id, source, ${graft.ops.HtmlOps.htmlExtractSql("html")} AS t
            |  FROM wh),""".stripMargin + "\n" +
+        WarcCleanCtes("wx", "t") + "\n" +
+        CorpusGateAndPackSql("wdocs")),
+
+    // Capstone v7: the mixed-media dispatch as a CTE union — HTML legs
+    // (even ids) through the shared dirt+extract renderers, PDF legs
+    // verbatim (format invisible, q_pdf_extract's contract) — then the
+    // SAME clean + gate + closure + pack chain as run3/4.
+    "q_corpus_run6" ->
+      (WarcMixedDirtyCte + "\n" +
+        s"""wh AS (SELECT doc_id, source, ${htmlDirtSql("CAST(doc_id AS VARCHAR)", "t")} AS html
+           |  FROM wdirty WHERE doc_id % 2 = 0),
+           |wx AS (SELECT doc_id, source, ${graft.ops.HtmlOps.htmlExtractSql("html")} AS t
+           |  FROM wh
+           |  UNION ALL
+           |  SELECT doc_id, source, t FROM wdirty WHERE doc_id % 2 = 1),""".stripMargin + "\n" +
         WarcCleanCtes("wx", "t") + "\n" +
         CorpusGateAndPackSql("wdocs")),
 

@@ -901,12 +901,19 @@ object TextOps {
   def qualityKeepExpr(q: Column,
                       minWords: Int = 30, maxWords: Int = 100000,
                       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-                      maxTopShare: Double = 0.15): Column =
+                      maxTopShare: Double = 0.15): Column = {
+    // ANSI divide-by-zero-proof divisor: Spark's And gives no row-wise
+    // short-circuit guarantee under codegen, so `n >= minWords` cannot
+    // protect the ratios on an EMPTY text (the mixed-media ingest's
+    // corrupt-payload rows). n=0 rows already fail the min-words clause;
+    // for n >= 1 the divisor is untouched.
+    val nd = greatest(q("n"), lit(1L)).cast("double")
     q("n") >= minWords && q("n") <= maxWords &&
-      q("chars").cast("double") / q("n").cast("double") >= minMeanLen &&
-      q("chars").cast("double") / q("n").cast("double") <= maxMeanLen &&
+      q("chars").cast("double") / nd >= minMeanLen &&
+      q("chars").cast("double") / nd <= maxMeanLen &&
       q("stops") > 0 &&
-      q("maxc").cast("double") / q("n").cast("double") <= maxTopShare
+      q("maxc").cast("double") / nd <= maxTopShare
+  }
 
   def qualityRulesLocal(df: DataFrame, idCol: String, textCol: String,
                         minWords: Int = 30, maxWords: Int = 100000,

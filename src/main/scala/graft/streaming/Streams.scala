@@ -950,9 +950,19 @@ object Streams {
     * front door: real response bodies are markup, and the extraction is
     * a row-local Column chain, so the whole pipeline stays one stateless
     * append-mode projection.
+    *
+    * `mixedMedia = true` is the round-15 mixed-media front door
+    * (q_corpus_run6's streaming twin): each response is dispatched on
+    * its parsed HTTP Content-Type — `application/pdf` through the
+    * [[graft.io.Pdf]] text walk (row-local byte work inside the same
+    * flatMap, layout line breaks removed per the fixed-geometry
+    * contract; a malformed PDF yields empty text and is the quality
+    * gate's to drop, never a stream-killing throw), everything else
+    * through [[graft.ops.HtmlOps.htmlExtract]].
     */
   def warcIngest(spark: SparkSession, dir: String,
-                 extractHtml: Boolean = false): DataFrame = {
+                 extractHtml: Boolean = false,
+                 mixedMedia: Boolean = false): DataFrame = {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
@@ -963,6 +973,7 @@ object Streams {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("content",
         org.apache.spark.sql.types.BinaryType)))
+    val dispatchPdf = mixedMedia
     val parsed = spark.readStream.format("binaryFile").schema(schema)
       .load(dir)
       .select(col("path"), col("content"))
@@ -975,14 +986,25 @@ object Streams {
               uri <- r.targetUri
               m <- "^https?://([^./]+)[^/]*/doc/(\\d+)$".r.findFirstMatchIn(uri)
               body <- graft.io.Warc.httpBody(r.content)
-            } yield (m.group(2).toLong, m.group(1),
-              new String(body, "UTF-8"))
+            } yield {
+              val ctype = graft.io.Warc.httpHeader(r.content, "Content-Type")
+                .getOrElse("").takeWhile(_ != ';').trim
+              if (dispatchPdf && ctype == "application/pdf")
+                (m.group(2).toLong, m.group(1), "pdf",
+                  graft.io.Pdf.extractText(body)
+                    .map(_.replace("\n", "")).getOrElse(""))
+              else (m.group(2).toLong, m.group(1), "html",
+                new String(body, "UTF-8"))
+            }
           }
       }
-      .toDF("doc_id", "source", "text_raw")
-      .pipe(df => if (extractHtml) df.select(col("doc_id"), col("source"),
-        graft.ops.HtmlOps.htmlExtract(col("text_raw")).as("text_raw"))
-      else df)
+      .toDF("doc_id", "source", "kind", "text_raw")
+      .pipe(df => if (extractHtml || mixedMedia) df.select(
+        col("doc_id"), col("source"),
+        when(col("kind") === "html",
+          graft.ops.HtmlOps.htmlExtract(col("text_raw")))
+          .otherwise(col("text_raw")).as("text_raw"))
+      else df.select(col("doc_id"), col("source"), col("text_raw")))
     // one stateless projection end to end: normalize keeps the text, the
     // verdict is the shared row-local signal struct + keep expression —
     // no second leg, no stream-stream join, no state

@@ -1252,6 +1252,50 @@ class StreamsSpec extends SparkTestBase {
     assert(got == truth)
   }
 
+  test("warcIngest mixedMedia: HTML and PDF payloads dispatch by Content-Type") {
+    import graft.io.{Pdf, Warc}
+    val land = java.nio.file.Files.createTempDirectory("graft_mixed_land")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mixed_ck")
+    val outD = java.nio.file.Files.createTempDirectory("graft_mixed_out")
+    val fluent = (1 to 28).map(i => s"word$i").mkString(" ") +
+      " the scan of and in"
+    def page(text: String) =
+      "<html><head><style>b{}</style><script>var s=1;</script></head>" +
+      "<body><h1>Hdr</h1><p>" + text + "</p></body></html>"
+    def rec(id: Long, body: Array[Byte], ctype: String): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+      Warc.gzipMember(Warc.recordBytes(Warc.WarcRecord("response",
+        s"<urn:t:$id>", "2026-01-01T00:00:00Z",
+        Some(s"http://src${id % 3}.test/doc/$id"), http)))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(rec(1L, page(fluent).getBytes("UTF-8"), "text/html; charset=utf-8"))
+    bos.write(rec(2L, Pdf.build(fluent), "application/pdf"))
+    bos.write(rec(3L, Pdf.build("too short to keep"), "application/pdf"))
+    // a CORRUPT pdf must yield empty text for the gate to drop — never a
+    // stream-killing throw
+    bos.write(rec(4L, "not a pdf at all".getBytes("US-ASCII"), "application/pdf"))
+    java.nio.file.Files.write(land.resolve("a.warc.gz"), bos.toByteArray)
+    val q = Streams.warcIngest(spark, land.toString + "/*.warc.gz",
+        mixedMedia = true)
+      .writeStream.format("parquet")
+      .option("path", outD.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(outD.toString)
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 4)
+    // the HTML leg extracted (markup gone), the PDF leg recovered
+    // verbatim — both pass the gate with the same fluent text
+    assert(got(1L)._2 == s"Hdr $fluent" && got(1L)._4, got(1L).toString)
+    assert(got(2L)._2 == fluent && got(2L)._4, got(2L).toString)
+    assert(!got(3L)._4, "short pdf must be gated out")
+    assert(got(4L)._2 == "" && !got(4L)._4, "corrupt pdf yields empty text")
+  }
+
   test("streaming per-DOMAIN quota: raw URLs collapse to registrable domains, state spans batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, lit}
