@@ -8277,7 +8277,7 @@ object SparkEntry {
     // cannot drift)
     "q_pdf_extract" ->
       s"""SELECT doc_id,
-        |  CAST(ceil(greatest(ceil(strlen(text) / ${graft.io.Pdf.LineWidth}.0), 1)
+        |  CAST(ceil(greatest(ceil(length(text) / ${graft.io.Pdf.LineWidth}.0), 1)
         |       / ${graft.io.Pdf.LinesPerPage}.0) AS BIGINT) AS n_pages,
         |  text
         |FROM documents ORDER BY doc_id""".stripMargin,

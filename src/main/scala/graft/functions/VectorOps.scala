@@ -162,7 +162,9 @@ case class SignPack(left: Expression, right: Expression, bits: Int)
     * (a null sign element nulls that plane's dot → bit 0, exactly what
     * the per-plane `when(vec_dot_prefix > 0, …)` form produced).
     */
-  private val signsNullable: Boolean =
+  // lazy: right.dataType on an UNRESOLVED child (the public Column API
+  // over a user table column) must not throw at construction time
+  private lazy val signsNullable: Boolean =
     right.dataType match {
       case ArrayType(_, cn) => cn
       case _ => true
@@ -240,6 +242,7 @@ case class SignPack(left: Expression, right: Expression, bits: Int)
          |      if ($s > 0) $code |= 1L << $j;
          |    }"""
               }}
+         |  }
          |  ${ev.value} = $code;
          |}
        """.stripMargin

@@ -119,10 +119,14 @@ object Pdf {
 
     // -- object grammar (§7.3); `refs` enables `n g R` lookahead ---------
 
+    private var nest = 0 // hostile-input guard: `[[[[…` must fail, not blow the stack
+
     def obj(refs: Boolean): PObj = {
       ws()
       if (eof) fail("unexpected EOF")
-      (b(p).toChar: @annotation.switch) match {
+      nest += 1
+      if (nest > 200) fail("object nesting too deep")
+      val out = (b(p).toChar: @annotation.switch) match {
         case '/' => name()
         case '(' => literalString()
         case '[' => p += 1; array(refs)
@@ -138,6 +142,8 @@ object Pdf {
             case _       => number(t, refs)
           }
       }
+      nest -= 1
+      out
     }
 
     private def number(t: String, refs: Boolean): PObj = {
@@ -149,7 +155,7 @@ object Pdf {
         val s2 = p
         while (!eof && isRegular(b(p))) p += 1
         val t2 = if (p > s2) new String(b, s2, p - s2, ISO_8859_1) else ""
-        if (t2.nonEmpty && t2.forall(_.isDigit)) {
+        if (t2.nonEmpty && t2.forall(_.isDigit) && t2.toIntOption.isDefined) {
           val save2 = p
           ws()
           val s3 = p
@@ -337,12 +343,13 @@ object Pdf {
         val d = v match { case d: PDict => d; case _ => fail("stream without dict") }
         lx.streamEol()
         val len = resolve(d.m.getOrElse("Length", fail("stream without /Length"))) match {
-          case PNum(x) => x.toInt
+          case PNum(x) => x.toLong // Long: a hostile huge /Length must not clamp/overflow
           case _       => fail("/Length is not a number")
         }
-        if (len < 0 || lx.p + len > bytes.length) fail(s"stream length $len out of range")
-        val raw = java.util.Arrays.copyOfRange(bytes, lx.p, lx.p + len)
-        lx.p += len
+        if (len < 0 || lx.p.toLong + len > bytes.length)
+          fail(s"stream length $len out of range")
+        val raw = java.util.Arrays.copyOfRange(bytes, lx.p, lx.p + len.toInt)
+        lx.p += len.toInt
         lx.expect("endstream")
         PStream(d, decode(d, raw))
       } else v
@@ -365,7 +372,13 @@ object Pdf {
     try {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) fail("truncated Flate stream")
+        // n == 0 with more input wanted = truncated; with a preset-
+        // dictionary request (or any other stall) = out-of-scope hostile
+        // stream — both must FAIL, never spin (needsDictionary() leaves
+        // finished()/needsInput() false forever)
+        if (n == 0 && !inf.finished()) fail(
+          if (inf.needsDictionary()) "FDICT preset-dictionary Flate stream (out of scope)"
+          else "truncated Flate stream")
         out.write(buf, 0, n)
       }
     } catch {
@@ -388,7 +401,13 @@ object Pdf {
       val pages = Vector.newBuilder[String]
       collectPages(doc, pagesRoot, pages, seen = scala.collection.mutable.Set.empty, depth = 0)
       Some(PdfText(pages.result()))
-    } catch { case _: PdfError | _: scala.MatchError => None }
+    } catch {
+      // the all-or-nothing contract: ANY malformed/hostile construct is a
+      // None, never an escaping exception that kills a streaming ingest
+      // task (NonFatal keeps OOM/StackOverflow loud — the depth/nesting
+      // guards above make those unreachable from input alone)
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Convenience: full text (pages joined by \n), None on failure. */
   def extractText(bytes: Array[Byte]): Option[String] = extract(bytes).map(_.text)

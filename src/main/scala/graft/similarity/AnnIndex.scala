@@ -188,19 +188,24 @@ object AnnIndex {
 
   /** Recompute + persist the manifest from READ-BACK counts (the
     * source-of-truth rule): per-cell rows for the inverted lists, -1 for
-    * the unpartitioned components.
+    * the unpartitioned components. Counts the SERVED index — base plus
+    * committed deltas — through the same reading rule the serving paths
+    * use ([[vectorLists]] / [[pqCodes]]), so the manifest can never
+    * under-count absorbed shards.
     */
   private def writeManifest(spark: SparkSession, root: String): DataFrame = {
-    val perCell = spark.read.option("basePath", s"$root/vectors")
-      .parquet(s"$root/vectors")
+    val perCell = vectorLists(spark, root)
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("rows"))
       .select(lit("vectors").as("component"), col("cell"), col("rows"))
-    val flat = Seq("centroids", "codebooks", "codes").map { c =>
+    val flat = Seq("centroids", "codebooks").map { c =>
       spark.read.parquet(s"$root/$c")
         .agg(count(lit(1)).as("rows"))
         .select(lit(c).as("component"), lit(-1L).as("cell"), col("rows"))
     }.reduce(_ unionByName _)
+      .unionByName(pqCodes(spark, root)
+        .agg(count(lit(1)).as("rows"))
+        .select(lit("codes").as("component"), lit(-1L).as("cell"), col("rows")))
     val manifest = perCell.unionByName(flat).orderBy("component", "cell")
       .localCheckpoint()
     manifest.write.mode("overwrite").parquet(s"$root/manifest")
@@ -257,39 +262,48 @@ object AnnIndex {
     */
   private val DeltasFile = "_DELTAS"
 
-  /** Delta names committed into the index at `root` (crash-recovering:
-    * a swap interrupted between renames restores from the `.old`
-    * backup, the [[graft.streaming.Streams.applyChangelogStream]]
-    * recovery rule). Uncommitted `deltas/` directories are invisible.
+  /** Delta names committed into the index at `root`. PASSIVE read:
+    * during a commit's swap window `_DELTAS` is briefly absent with the
+    * last consistent list in the `.old` backup — fall back to READING
+    * the backup, never rename on the read path (a read-side repair
+    * would race the writer's own swap: the writer parks the current
+    * manifest at `.old` mid-commit, and a concurrent "repair" renaming
+    * it back makes the writer's final rename fail). Uncommitted
+    * `deltas/` directories are invisible.
     */
   def committedDeltas(spark: SparkSession, root: String): Seq[String] = {
     val fs = IndexPublish.fsOf(spark, root)
-    val cur = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile")
-    val old = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile.old")
-    if (!fs.exists(cur) && fs.exists(old))
-      require(fs.rename(old, cur), s"delta-manifest recovery failed for $cur")
-    if (!fs.exists(cur)) Seq.empty
-    else {
-      val in = fs.open(cur)
+    def readList(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val in = fs.open(p)
       try {
         val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
         s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
       } finally in.close()
     }
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile")
+    val old = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile.old")
+    if (fs.exists(cur)) readList(cur)
+    else if (fs.exists(old)) readList(old)
+    else Seq.empty
   }
 
   /** Append `name` to the committed-delta manifest by atomic swap
     * (write `.new`, move current aside, rename into place, roll back on
     * failure). Idempotent: an already-committed name is a no-op.
+    * Crash recovery (restore `_DELTAS` from the `.old` backup) happens
+    * HERE, on the single-writer path — one absorb stream per index, and
+    * the streaming foreachBatch serializes its batches.
     */
   private def commitDelta(spark: SparkSession, root: String,
                           name: String): Unit = {
-    val names = committedDeltas(spark, root) // also runs crash recovery
-    if (names.contains(name)) return
     val fs = IndexPublish.fsOf(spark, root)
     val cur = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile")
     val old = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile.old")
     val neu = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile.new")
+    if (!fs.exists(cur) && fs.exists(old))
+      require(fs.rename(old, cur), s"delta-manifest recovery failed for $cur")
+    val names = committedDeltas(spark, root)
+    if (names.contains(name)) return
     val out = fs.create(neu, true)
     try out.write(((names :+ name).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -320,7 +334,10 @@ object AnnIndex {
   def appendDelta(spark: SparkSession, newVectors: DataFrame, idCol: String,
                   vecCol: String, path: String, name: String,
                   assignNProbe: Int = 0): Boolean = {
-    require(name.matches("[A-Za-z0-9._-]+"), s"bad delta name '$name'")
+    // no dot-segments: "." / ".." would escape the deltas directory and
+    // an overwrite-staged write could replace the BASE inverted lists
+    require(name.matches("[A-Za-z0-9_-][A-Za-z0-9._-]*") && !name.contains(".."),
+      s"bad delta name '$name'")
     val root = resolve(spark, path)
     if (committedDeltas(spark, root).contains(name)) return false
     val centers = loadCentroids(spark, root)
@@ -341,6 +358,11 @@ object AnnIndex {
       .select("vec_id", "cell", "codes", "recon_err")
       .write.mode("overwrite").parquet(s"$root/deltas/$name/codes")
     commitDelta(spark, root, name)
+    // refresh the diagnostic read-back manifest (counts base + committed
+    // deltas). A crash between the commit above and this write leaves the
+    // manifest stale until the next absorb — acceptable: `_DELTAS` is the
+    // correctness-bearing manifest, this one is counts.
+    writeManifest(spark, root)
     true
   }
 
@@ -356,6 +378,20 @@ object AnnIndex {
         spark.read.option("basePath", s"$root/deltas/$d/vectors")
           .parquet(s"$root/deltas/$d/vectors")
           .select("vec_id", "v", "n", "cell"))
+    }
+  }
+
+  /** The full PQ code table at `root`: base `codes/` plus every
+    * COMMITTED delta's — the [[vectorLists]] rule for the memory-
+    * resident serving tier, so ADC search over an absorbed index sees
+    * every shard.
+    */
+  def pqCodes(spark: SparkSession, root: String): DataFrame = {
+    val base = spark.read.parquet(s"$root/codes")
+      .select("vec_id", "cell", "codes", "recon_err")
+    committedDeltas(spark, root).foldLeft(base) { (acc, d) =>
+      acc.unionByName(spark.read.parquet(s"$root/deltas/$d/codes")
+        .select("vec_id", "cell", "codes", "recon_err"))
     }
   }
 

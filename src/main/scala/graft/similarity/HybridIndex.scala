@@ -63,10 +63,11 @@ object HybridIndex {
     postings.groupBy("tok").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$root/termstats")
     // n_docs over ALL documents (zero-token docs included); avgdl over
-    // documents with >= 1 token — the bm25TopK/oracle convention
+    // documents with >= 1 token — the bm25TopK/oracle convention. dl
+    // comes from the CHECKPOINTED postings (exactly the >= 1-token docs,
+    // one row per (tok, doc)) — never a second tokenization scan.
     docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(base.select(size(col("toks")).cast("long").as("dl"))
-        .filter(col("dl") > 0)
+      .crossJoin(postings.select("doc_id", "dl").distinct()
         .agg((sum("dl").cast("double") / count(lit(1)).cast("double"))
           .as("avgdl")))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/corpusstats")

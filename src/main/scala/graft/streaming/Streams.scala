@@ -955,8 +955,11 @@ object Streams {
     * (q_corpus_run6's streaming twin): each response is dispatched on
     * its parsed HTTP Content-Type — `application/pdf` through the
     * [[graft.io.Pdf]] text walk (row-local byte work inside the same
-    * flatMap, layout line breaks removed per the fixed-geometry
-    * contract; a malformed PDF yields empty text and is the quality
+    * flatMap; line breaks are KEPT and the downstream normalize
+    * collapses them to spaces — the pdftotext convention, correct for
+    * real PDFs, which break lines BETWEEN words; the fixture builder's
+    * mid-word chunking is a batch-query oracle contract, not this
+    * ingest's. A malformed PDF yields empty text and is the quality
     * gate's to drop, never a stream-killing throw), everything else
     * through [[graft.ops.HtmlOps.htmlExtract]].
     */
@@ -991,8 +994,7 @@ object Streams {
                 .getOrElse("").takeWhile(_ != ';').trim
               if (dispatchPdf && ctype == "application/pdf")
                 (m.group(2).toLong, m.group(1), "pdf",
-                  graft.io.Pdf.extractText(body)
-                    .map(_.replace("\n", "")).getOrElse(""))
+                  graft.io.Pdf.extractText(body).getOrElse(""))
               else (m.group(2).toLong, m.group(1), "html",
                 new String(body, "UTF-8"))
             }

@@ -126,6 +126,20 @@ class AnnIndexSpec extends SparkTestBase {
     assert(served(p1) == before)
     assert(AnnIndex.committedDeltas(spark, AnnIndex.resolve(spark, p1))
       == Seq("d1", "d2"))
+    // the PQ serving tier and the read-back manifest both count the
+    // absorbed shards (base + committed deltas), not just the base
+    val n = embs.count()
+    assert(AnnIndex.pqCodes(spark, AnnIndex.resolve(spark, p1)).count() == n)
+    val man = spark.read.parquet(s"${AnnIndex.resolve(spark, p1)}/manifest")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(man.filter(_._1 == "vectors").map(_._3).sum == n)
+    assert(man.find(_._1 == "codes").get._3 == n)
+    // dot-segment delta names must be rejected (path traversal into the
+    // base layout)
+    intercept[IllegalArgumentException](
+      AnnIndex.appendDelta(spark, b1, "vec_id", "embedding", p1, ".."))
+    intercept[IllegalArgumentException](
+      AnnIndex.appendDelta(spark, b1, "vec_id", "embedding", p1, ".hidden"))
     // a half-written UNCOMMITTED delta (crash mid-write) is invisible …
     val r1 = AnnIndex.resolve(spark, p1)
     b1.limit(3).select(col("vec_id"), col("embedding").as("v"))

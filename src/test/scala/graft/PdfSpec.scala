@@ -173,6 +173,34 @@ class PdfSpec extends SparkTestBase {
     assert(Pdf.extract(unknown).isEmpty)
   }
 
+  test("hostile inputs fail to None, never an escaping throw or a hang") {
+    // a huge /Length must not clamp/overflow into a crash
+    val huge = pdf(Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n",
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n",
+      "4 0 obj\n<< /Length 3000000000 >>\nstream\nBT (x) Tj\nendstream\nendobj\n"))
+    assert(Pdf.extract(huge).isEmpty)
+    // an 11+-digit generation number must not throw NumberFormatException
+    val bigGen = onePage("BT 72 720 Td (x) Tj").map(_.toChar).mkString
+    val bg = pdf(Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 99999999999 99999999999 R >>\nendobj\n"))
+    assert(Pdf.extract(bg).isEmpty)
+    val _ = bigGen
+    // pathological nesting must fail the depth guard, not the JVM stack
+    val deep = onePage("BT " + "[" * 5000)
+    assert(Pdf.extract(deep).isEmpty)
+    // an FDICT (preset-dictionary) zlib stream must fail, not spin forever
+    val dictStream = Array[Byte](0x78, 0xf9.toByte, 1, 2, 3, 4, 5, 6, 7, 8)
+    val c = new String(dictStream.map(b => (b & 0xff).toChar))
+    val fdict = pdf(Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n",
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n",
+      s"4 0 obj\n<< /Filter /FlateDecode /Length ${c.length} >>\nstream\n$c\nendstream\nendobj\n"))
+    assert(Pdf.extract(fdict).isEmpty)
+  }
+
   test("page-tree cycle is rejected, not an infinite loop") {
     val bytes = pdf(Seq(
       "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",

@@ -209,4 +209,33 @@ class VectorOpsSpec extends SparkTestBase {
     assert(!df.select(planeSignsFlat(0, 4, 16).as("s"))
       .schema("s").dataType.asInstanceOf[ArrayType].containsNull)
   }
+
+  test("SignPack doGenCode COMPILES for both null-scan branches (no silent fallback)") {
+    // Generate*.generate compiles the template directly — a Janino error
+    // THROWS here, whereas the query path silently falls back to the
+    // interpreted eval and hides an unbalanced-brace template (the r15
+    // regression this pins)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val vec = Literal.create(Seq(1.0, -2.0), ArrayType(DoubleType, false))
+    for (containsNull <- Seq(false, true)) {
+      // plane 0: 1·1 + (−2)·(−1) = 3 > 0 → bit 0; plane 1: 1 − 2 < 0
+      val signs = Literal.create(Seq(1.0, -1.0, 1.0, 1.0),
+        ArrayType(DoubleType, containsNull))
+      val e = graft.functions.SignPack(vec, signs, 2)
+      val proj = GenerateMutableProjection.generate(Seq(e))
+      val row = proj(InternalRow.apply())
+      assert(!row.isNullAt(0) && row.getLong(0) == 1L &&
+        row.getLong(0) == e.eval(InternalRow.apply()).asInstanceOf[Long],
+        s"containsNull=$containsNull")
+    }
+    // the null-vector guard path: numElements > stride -> null, both modes
+    val over = Literal.create(Seq(1.0, 2.0, 3.0), ArrayType(DoubleType, false))
+    val signs1 = Literal.create(Seq(1.0, 1.0), ArrayType(DoubleType, false))
+    val e2 = graft.functions.SignPack(over, signs1, 2)
+    val p2 = GenerateMutableProjection.generate(Seq(e2))
+    assert(p2(InternalRow.apply()).isNullAt(0))
+  }
 }
