@@ -831,11 +831,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // CAPSTONE v7 (round 15): the MIXED-MEDIA crawl — one WARC archive
+    // CAPSTONE v7 (round 15; round 16: production extract-or-empty +
+    // both PDF file layouts): the MIXED-MEDIA crawl — one WARC archive
     // set carrying text/html AND application/pdf response payloads (the
-    // real Common-Crawl shape), dispatched on the parsed Content-Type
-    // header into the matching front door (HtmlOps step chain / Pdf text
-    // walk), then run4's chain unchanged: normalize → Gopher gate →
+    // real Common-Crawl shape; PDF legs alternate classic-xref and
+    // xref-stream layouts), dispatched through Warc.mediaText (the
+    // production path: a malformed PDF is empty text the gate drops,
+    // never a task-killing throw) into the matching front door (HtmlOps
+    // step chain / Pdf text walk), then run4's chain unchanged:
+    // normalize → Gopher gate →
     // near-dedup keep-canonical → split → per-source budget → shard
     // pack. Dirt is planted per-leg within format scope: control chars
     // and whitespace everywhere, the NFD dirt only on HTML legs (a
@@ -862,7 +866,9 @@ object SparkEntry {
             if (id % 2 == 0)
               (htmlDirtScala(id, dirt.toString).getBytes("UTF-8"),
                 "text/html; charset=utf-8")
-            else (graft.io.Pdf.build(dirt.toString), "application/pdf")
+            else // both real PDF layouts, as in q_warc_mixed
+              (graft.io.Pdf.build(dirt.toString, xrefStream = id % 4 == 3),
+                "application/pdf")
           val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
             s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
           graft.io.Warc.WarcRecord("response", s"<urn:graft:doc:$id>",
@@ -880,14 +886,12 @@ object SparkEntry {
           col("content"))
         .as[(Long, String, Array[Byte])]
         .map { case (id, src, content) =>
-          val ctype = graft.io.Warc.httpHeader(content, "Content-Type")
-            .getOrElse("").takeWhile(_ != ';').trim
-          val body = graft.io.Warc.httpBody(content).getOrElse(Array.emptyByteArray)
-          if (ctype == "application/pdf")
-            (id, src, "pdf", graft.io.Pdf.extractText(body)
-              .getOrElse(sys.error(s"pdf extract failed for doc $id"))
-              .replace("\n", ""))
-          else (id, src, "html", new String(body, "UTF-8"))
+          // the PRODUCTION dispatch (Warc.mediaText): a malformed PDF is
+          // EMPTY text and the quality gate's to drop — one bad document
+          // in a real archive must never kill the run (fixture queries
+          // pin extraction success; this capstone pins survival)
+          val (kind, text) = graft.io.Warc.mediaText(content, pdfLineSep = "")
+          (id, src, kind, text)
         }
         .toDF("doc_id", "source", "kind", "payload")
         .select(col("doc_id"), col("source"),
@@ -3940,24 +3944,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // PDF front door (round 15): every document rendered into a REAL
-    // single-xref PDF 1.4 (page tree, FlateDecode content streams, all
-    // four text-show forms) and recovered by the Pdf extractor — xref
-    // walk, object grammar, inflate, Tj/TJ/'/" — pure row-local byte
-    // work inside one Dataset map: no shuffle, no driver bytes. The
-    // oracle never touches a byte: the builder's layout geometry is
-    // fixed (LineWidth-char lines, LinesPerPage lines per page), so the
-    // page count is pure arithmetic over strlen and the text must
-    // round-trip exactly (the q_warc_roundtrip "format is invisible"
-    // contract).
+    // PDF front door (round 15; round 16 widened to BOTH file layouts):
+    // every document rendered into a REAL PDF twice — the classic
+    // single-xref-table PDF 1.4 AND the PDF 1.5 layout post-2005 writers
+    // emit (dictionaries packed in an object stream, PNG-Up-predicted
+    // FlateDecode'd cross-reference STREAM) — and recovered by the Pdf
+    // extractor: xref walk (table and stream), object grammar, object-
+    // stream fetch, predictor reversal, inflate, Tj/TJ/'/". The two
+    // extractions must agree exactly, so the oracle hash covers both
+    // layouts; pure row-local byte work inside one Dataset map — no
+    // shuffle, no driver bytes. The oracle never touches a byte: the
+    // builder's layout geometry is fixed (LineWidth-char lines,
+    // LinesPerPage lines per page), so the page count is pure arithmetic
+    // over strlen and the text must round-trip exactly (the
+    // q_warc_roundtrip "format is invisible" contract). The sys.error
+    // throw is the FIXTURE contract (builder output must parse);
+    // production archives go through Warc.mediaText's extract-or-empty.
     "q_pdf_extract" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
-          val got = graft.io.Pdf.extract(graft.io.Pdf.build(text))
+          val classic = graft.io.Pdf.extract(graft.io.Pdf.build(text))
             .getOrElse(sys.error(s"pdf extract failed for doc $id"))
-          (id, got.nPages.toLong, got.text.replace("\n", ""))
+          val modern = graft.io.Pdf.extract(
+              graft.io.Pdf.build(text, xrefStream = true))
+            .getOrElse(sys.error(s"pdf 1.5 extract failed for doc $id"))
+          if (modern != classic) sys.error(s"pdf layout mismatch for doc $id")
+          (id, classic.nPages.toLong, classic.text.replace("\n", ""))
         }
         .toDF("doc_id", "n_pages", "text")
         .orderBy("doc_id")
@@ -3980,7 +3994,11 @@ object SparkEntry {
           val (body, ctype) =
             if (id % 2 == 0)
               (htmlDirtScala(id, text).getBytes("UTF-8"), "text/html; charset=utf-8")
-            else (graft.io.Pdf.build(text), "application/pdf")
+            else // PDF legs alternate the two real file layouts (classic
+                 // xref table / PDF 1.5 xref+object streams) — the archive
+                 // shape a real crawl mixes, same extracted text either way
+              (graft.io.Pdf.build(text, xrefStream = id % 4 == 3),
+                "application/pdf")
           val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
             s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
           graft.io.Warc.WarcRecord("response", s"<urn:graft:doc:$id>",

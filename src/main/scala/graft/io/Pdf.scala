@@ -11,28 +11,35 @@ import scala.util.Try
   * downstream text op wants the shown text, not the container.
   *
   * Everything here is implemented from the PUBLIC ISO 32000-1 (PDF 1.7)
-  * spec — the classic cross-reference-table file layout (§7.5), the
-  * object grammar (§7.3), FlateDecode (§7.4.4, RFC 1951 via the JVM
-  * zlib the WARC/PNG code already uses), the page tree (§7.7.3), and the
-  * text-showing operators (§9.4.3: Tj, ', ", TJ). No reference-repo
-  * lineage: discoproject/disco has no PDF surface; this is extension
-  * surface for the LLM-data pipeline.
+  * spec — the classic cross-reference-table file layout (§7.5.4), the
+  * PDF 1.5 cross-reference STREAM layout (§7.5.8) with object streams
+  * (§7.5.7) and PNG predictors (§7.4.4.4, filters per the PNG spec §6 —
+  * the same five filters `multimodal/PixelCodec.scala` reverses for
+  * images), incremental-update chains (`/Prev`, §7.5.6) and hybrid-
+  * reference files (`/XRefStm`, §7.5.8.4), the object grammar (§7.3),
+  * FlateDecode (§7.4.4, RFC 1951 via the JVM zlib the WARC/PNG code
+  * already uses), the page tree (§7.7.3), and the text-showing
+  * operators (§9.4.3: Tj, ', ", TJ). No reference-repo lineage:
+  * discoproject/disco has no PDF surface; this is extension surface for
+  * the LLM-data pipeline.
   *
   * Documented scope (deterministic on every input, never silently
-  * wrong): classic xref TABLES only (single section, no incremental
-  * updates — xref STREAMS and object streams are PDF 1.5 additions out
-  * of scope and fail cleanly); stream filters none or FlateDecode
-  * (single name or 1-element array); simple 8-bit fonts read as
-  * Latin-1 (PDFDocEncoding and WinAnsi agree with Latin-1 on the range
-  * our builder emits — CID/Type0 fonts with multi-byte encodings are
-  * out of scope); TJ kern numbers are IGNORED (no heuristic space
-  * insertion — heuristics are nondeterministic across extractors, and
-  * the builder splits inside words precisely so concatenation is the
-  * one right answer); every text-POSITIONING operator (Td TD T* Tm, and
-  * the ' / " next-line shows) is a line break. Failure is a None, never
-  * a partial answer: truncated tail, dangling xref offset, corrupt
-  * Flate data, or an out-of-scope construct all reject the document —
-  * the corruption-spec contract WarcSpec set.
+  * wrong): classic xref tables AND xref streams, chained through
+  * `/Prev`/`/XRefStm` with latest-section-wins merging; object streams
+  * for compressed objects; stream filters none or FlateDecode (single
+  * name or 1-element array) with optional PNG predictors (2-component
+  * `/DecodeParms`, 8-bit, TIFF predictor 2 out of scope); simple 8-bit
+  * fonts read as Latin-1 (PDFDocEncoding and WinAnsi agree with Latin-1
+  * on the range our builder emits — CID/Type0 fonts with multi-byte
+  * encodings are out of scope); TJ kern numbers are IGNORED (no
+  * heuristic space insertion — heuristics are nondeterministic across
+  * extractors, and the builder splits inside words precisely so
+  * concatenation is the one right answer); every text-POSITIONING
+  * operator (Td TD T* Tm, and the ' / " next-line shows) is a line
+  * break. Failure is a None, never a partial answer: truncated tail,
+  * dangling xref offset, corrupt Flate data, an object-reference cycle,
+  * a decompression bomb, or an out-of-scope construct all reject the
+  * document — the corruption-spec contract WarcSpec set.
   *
   * 100 TB shape: a PDF is one row-local binary blob; build/extract are
   * pure byte work at scan grain inside a Dataset map — no shuffle, no
@@ -270,51 +277,310 @@ object Pdf {
     }
   }
 
+  // ----------------------------------------------------------- stream codec
+
+  /** Decompression-bomb guard: zlib's maximum expansion is ~1032:1, so
+    * `raw·1100 + 4096` can never reject a stream a real deflater produced
+    * from input this size — the per-stream cap is purely a memory bound.
+    * The absolute lid caps what a LARGE raw stream may legitimately
+    * inflate to; no text-bearing construct in scope approaches it.
+    */
+  private val InflateAbsCap: Long = 64L << 20
+
+  private def inflate(raw: Array[Byte]): Array[Byte] = {
+    val cap = math.min(raw.length.toLong * 1100 + 4096, InflateAbsCap)
+    val inf = new Inflater()
+    inf.setInput(raw)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(raw.length * 4, 64), 1 << 20))
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        // n == 0 with more input wanted = truncated; with a preset-
+        // dictionary request (or any other stall) = out-of-scope hostile
+        // stream — both must FAIL, never spin (needsDictionary() leaves
+        // finished()/needsInput() false forever)
+        if (n == 0 && !inf.finished()) fail(
+          if (inf.needsDictionary()) "FDICT preset-dictionary Flate stream (out of scope)"
+          else "truncated Flate stream")
+        out.write(buf, 0, n)
+        if (out.size().toLong > cap) fail("Flate output too large (decompression bomb)")
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException => fail(s"corrupt Flate stream: ${e.getMessage}")
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  /** Decode a stream's raw bytes per its dict: the filter chain (none or
+    * FlateDecode), then the PNG predictor named by `/DecodeParms`
+    * (§7.4.4.4 — `/Predictor ≥ 10` means each decoded row is a PNG
+    * filter-tag byte plus `/Columns·/Colors` bytes, reversed per the PNG
+    * spec; the xref-stream layout most writers emit uses the Up filter,
+    * tag 2). TIFF predictor 2 and sub-8-bit components are out of scope.
+    */
+  private def decodeStream(d: PDict, raw: Array[Byte]): Array[Byte] = {
+    val decoded = d.m.get("Filter") match {
+      case None => raw
+      case Some(PName("FlateDecode")) => inflate(raw)
+      case Some(PArr(Vector(PName("FlateDecode")))) => inflate(raw)
+      case Some(f) => fail(s"unsupported stream filter $f")
+    }
+    val parms = d.m.get("DecodeParms").orElse(d.m.get("DP")) match {
+      case None | Some(PNull) => None
+      case Some(pd: PDict) => Some(pd)
+      case Some(PArr(Vector(pd: PDict))) => Some(pd)
+      case Some(_) => fail("unsupported /DecodeParms shape")
+    }
+    parms match {
+      case None => decoded
+      case Some(pd) =>
+        def iv(k: String, dflt: Int): Int = pd.m.get(k) match {
+          case None => dflt
+          case Some(PNum(x)) if x == x.floor && x >= 0 && x <= (1 << 20) => x.toInt
+          case Some(o) => fail(s"bad /DecodeParms /$k $o")
+        }
+        val pred = iv("Predictor", 1)
+        if (pred == 1) decoded
+        else if (pred >= 10) {
+          if (iv("BitsPerComponent", 8) != 8)
+            fail("predictor BitsPerComponent != 8 (out of scope)")
+          val colors = iv("Colors", 1)
+          val cols = iv("Columns", 1)
+          val rowLen = cols.toLong * colors
+          if (colors < 1 || cols < 1 || rowLen > (1 << 22))
+            fail("bad predictor geometry")
+          pngUnpredict(decoded, rowLen.toInt, colors)
+        } else fail(s"predictor $pred (out of scope)") // TIFF predictor 2
+    }
+  }
+
+  /** Reverse the five PNG row filters (PNG spec §6; the
+    * [[graft.multimodal.PixelCodec]] unfilter specialized to `bpp`
+    * bytes/pixel): each encoded row is one filter-tag byte plus `rowLen`
+    * bytes; predictors read the reconstructed left (a), up (b), and
+    * up-left (c) bytes, with the row above all-zero for the first row.
+    */
+  private def pngUnpredict(data: Array[Byte], rowLen: Int, bpp: Int): Array[Byte] = {
+    val stride = rowLen + 1
+    if (data.length == 0 || data.length % stride != 0)
+      fail("predictor data is not a whole number of rows")
+    val rows = data.length / stride
+    val out = new Array[Byte](rows * rowLen)
+    var prev = -1 // offset of the reconstructed row above, -1 before row 0
+    var y = 0
+    while (y < rows) {
+      val tag = data(y * stride) & 0xff
+      val src = y * stride + 1
+      val dst = y * rowLen
+      var x = 0
+      while (x < rowLen) {
+        val rawB = data(src + x) & 0xff
+        val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+        val b = if (prev >= 0) out(prev + x) & 0xff else 0
+        val c = if (x >= bpp && prev >= 0) out(prev + x - bpp) & 0xff else 0
+        val v = tag match {
+          case 0 => rawB
+          case 1 => rawB + a
+          case 2 => rawB + b
+          case 3 => rawB + (a + b) / 2
+          case 4 => // Paeth (PNG spec §6.6), exact integer form
+            val p0 = a + b - c
+            val pa = math.abs(p0 - a); val pb = math.abs(p0 - b); val pc = math.abs(p0 - c)
+            rawB + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => fail(s"bad PNG filter tag $tag")
+        }
+        out(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      prev = dst
+      y += 1
+    }
+    out
+  }
+
   // ------------------------------------------------------------- document
 
-  /** One parsed document: xref offsets + lazy object fetch. */
+  /** Where an object lives, per the merged cross-reference sections. */
+  private sealed trait XEntry
+  private final case class InFile(off: Long) extends XEntry
+  private final case class InObjStm(stm: Int, idx: Int) extends XEntry
+  private case object Freed extends XEntry
+
+  /** One parsed document: merged xref entries + lazy object fetch. */
   private final class Doc(bytes: Array[Byte]) {
     private val (offsets, trailer) = readXref()
     private val cache = scala.collection.mutable.Map.empty[Int, PObj]
+    // object numbers currently being fetched: a self-referential /Length
+    // (`4 0 obj << /Length 4 0 R >> stream`) re-enters fetch through
+    // resolve and would recurse unboundedly — re-entry is a cycle and
+    // fails as a catchable PdfError, never a StackOverflowError
+    private val inFlight = scala.collection.mutable.Set.empty[Int]
+    private val objStmCache =
+      scala.collection.mutable.Map.empty[Int, (Vector[(Int, Int)], Int, Array[Byte])]
 
-    private def readXref(): (Map[Int, Long], PDict) = {
-      // locate `startxref` by scanning the fixed-size tail (§7.5.5)
+    /** Walk the cross-reference chain from `startxref` (§7.5.5): each
+      * section is a classic table or an xref stream; classic sections may
+      * name a parallel xref stream (`/XRefStm`, hybrid-reference files)
+      * and either kind chains to its predecessor through `/Prev`. The
+      * LATEST section wins per object (first-seen during the walk), so
+      * incremental updates shadow — and `f` entries free — older bodies.
+      */
+    private def readXref(): (Map[Int, XEntry], PDict) = {
       val tailLen = math.min(bytes.length, 256)
       val tail = new String(bytes, bytes.length - tailLen, tailLen, ISO_8859_1)
       val at = tail.lastIndexOf("startxref")
       if (at < 0) fail("no startxref in file tail")
       val lx = new Lex(bytes, bytes.length - tailLen + at)
       lx.expect("startxref")
-      val off = lx.token().toLongOption.getOrElse(fail("bad startxref offset"))
-      if (off < 0 || off >= bytes.length) fail(s"startxref offset $off out of range")
-      val xr = new Lex(bytes, off.toInt)
-      xr.ws()
-      if (!xr.eof && xr.peek != 'x') // an int here would be an xref STREAM object
-        fail("cross-reference streams (PDF 1.5) are out of scope")
-      xr.expect("xref")
-      val offs = Map.newBuilder[Int, Long]
-      var t = xr.token()
+      var off = lx.token().toLongOption.getOrElse(fail("bad startxref offset"))
+      val entries = scala.collection.mutable.Map.empty[Int, XEntry]
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var trailer: PDict = null
+      var hops = 0
+      def merge(sec: Seq[(Int, XEntry)]): Unit =
+        sec.foreach { case (k, v) => if (!entries.contains(k)) entries(k) = v }
+      while (off >= 0) {
+        hops += 1
+        if (hops > 64) fail("xref chain too long")
+        if (!seen.add(off)) fail("xref chain cycle")
+        if (off >= bytes.length) fail(s"xref offset $off out of range")
+        val (sec, tr) = readSection(off.toInt)
+        merge(sec)
+        if (trailer == null) trailer = tr
+        tr.m.get("XRefStm").foreach { // hybrid file: classic entries win
+          case PNum(x) if x >= 0 && x == x.floor && x < bytes.length =>
+            if (seen.add(x.toLong)) merge(readSection(x.toInt)._1)
+          case o => fail(s"bad /XRefStm offset $o")
+        }
+        off = tr.m.get("Prev") match {
+          case None => -1L
+          case Some(PNum(x)) if x >= 0 && x == x.floor => x.toLong
+          case Some(o) => fail(s"bad /Prev offset $o")
+        }
+      }
+      (entries.toMap, trailer)
+    }
+
+    /** One cross-reference section at `off`: a classic `xref` table
+      * (§7.5.4) or an xref STREAM object (§7.5.8). Returns the section's
+      * entries plus its trailer dict (for an xref stream, the stream's
+      * own dict IS the trailer, §7.5.8.2).
+      */
+    private def readSection(off: Int): (Seq[(Int, XEntry)], PDict) = {
+      val lx = new Lex(bytes, off)
+      lx.ws()
+      if (!lx.eof && lx.peek == 'x') readClassic(lx) else readXrefStream(lx)
+    }
+
+    private def readClassic(lx: Lex): (Seq[(Int, XEntry)], PDict) = {
+      lx.expect("xref")
+      val out = Seq.newBuilder[(Int, XEntry)]
+      var t = lx.token()
       while (t != "trailer") { // subsections: `start count` then fixed entries
         val start = t.toIntOption.getOrElse(fail(s"bad xref subsection '$t'"))
-        val count = xr.token().toIntOption.getOrElse(fail("bad xref count"))
+        val count = lx.token().toIntOption.getOrElse(fail("bad xref count"))
+        if (start < 0 || count < 0 || start.toLong + count > 10000000)
+          fail("xref subsection out of range")
         var i = 0
         while (i < count) {
-          val o = xr.token(); val g = xr.token(); val kind = xr.token()
+          val o = lx.token(); val g = lx.token(); val kind = lx.token()
           if (kind == "n")
-            offs += (start + i) -> o.toLongOption.getOrElse(fail("bad xref offset"))
-          else if (kind != "f") fail(s"bad xref entry kind '$kind'")
+            out += (start + i) ->
+              InFile(o.toLongOption.getOrElse(fail("bad xref offset")))
+          else if (kind == "f") out += (start + i) -> Freed
+          else fail(s"bad xref entry kind '$kind'")
           val _ = g
           i += 1
         }
-        t = xr.token()
+        t = lx.token()
       }
-      val tr = xr.obj(refs = true) match {
+      val tr = lx.obj(refs = true) match {
         case d: PDict => d
         case _        => fail("trailer is not a dict")
       }
-      if (tr.m.contains("Prev") || tr.m.contains("XRefStm"))
-        fail("incremental-update xref chains are out of scope")
-      (offs.result(), tr)
+      (out.result(), tr)
+    }
+
+    /** An xref STREAM (§7.5.8): `n g obj` wrapping a `/Type /XRef`
+      * stream whose decoded rows are `/W`-wide big-endian fields over the
+      * `/Index` subsections — type 0 free, type 1 in-file offset, type 2
+      * (object stream, index). `/Length` (and every other key read here)
+      * must be direct: no object can be resolved before the xref exists.
+      */
+    private def readXrefStream(lx: Lex): (Seq[(Int, XEntry)], PDict) = {
+      lx.token().toLongOption.getOrElse(fail("bad xref object number"))
+      lx.token().toLongOption.getOrElse(fail("bad xref object generation"))
+      lx.expect("obj")
+      val d = lx.obj(refs = true) match {
+        case d: PDict => d
+        case _        => fail("xref object is not a stream dict")
+      }
+      if (!d.m.get("Type").contains(PName("XRef")))
+        fail("startxref object is not /Type /XRef")
+      lx.ws(); lx.expect("stream"); lx.streamEol()
+      val len = d.m.get("Length") match {
+        case Some(PNum(x)) if x == x.floor => x.toLong
+        case Some(_) => fail("xref stream /Length must be a direct integer")
+        case None    => fail("xref stream without /Length")
+      }
+      if (len < 0 || lx.p.toLong + len > bytes.length)
+        fail(s"xref stream length $len out of range")
+      val raw = java.util.Arrays.copyOfRange(bytes, lx.p, lx.p + len.toInt)
+      val data = decodeStream(d, raw)
+      val w = d.m.get("W") match {
+        case Some(PArr(items)) if items.length == 3 => items.map {
+          case PNum(x) if x == x.floor && x >= 0 && x <= 8 => x.toInt
+          case o => fail(s"bad /W field width $o")
+        }
+        case _ => fail("xref stream missing 3-element /W")
+      }
+      val rowW = w.sum
+      if (rowW == 0) fail("zero-width xref rows")
+      val size = d.m.get("Size") match {
+        case Some(PNum(x)) if x == x.floor && x >= 0 => x.toInt
+        case _ => fail("xref stream missing direct /Size")
+      }
+      val index: Seq[(Int, Int)] = d.m.get("Index") match {
+        case None => Seq((0, size))
+        case Some(PArr(items)) if items.length % 2 == 0 && items.nonEmpty =>
+          items.grouped(2).map {
+            case Vector(PNum(a), PNum(b))
+              if a == a.floor && b == b.floor && a >= 0 && b >= 0 =>
+              (a.toInt, b.toInt)
+            case o => fail(s"bad /Index pair $o")
+          }.toSeq
+        case Some(_) => fail("bad /Index")
+      }
+      val total = index.map(_._2.toLong).sum
+      if (total > 10000000) fail(s"xref row count $total out of range")
+      if (total * rowW > data.length)
+        fail("xref stream data shorter than /Index claims")
+      val out = Seq.newBuilder[(Int, XEntry)]
+      var pos = 0
+      def field(wd: Int): Long = {
+        var v = 0L; var k = 0
+        while (k < wd) { v = (v << 8) | (data(pos) & 0xff); pos += 1; k += 1 }
+        v
+      }
+      index.foreach { case (start, count) =>
+        var i = 0
+        while (i < count) {
+          val t = if (w(0) == 0) 1L else field(w(0)) // absent type defaults to 1
+          val f2 = field(w(1)); val f3 = field(w(2))
+          val num = start + i
+          t match {
+            case 0 => out += num -> Freed
+            case 1 => out += num -> InFile(f2)
+            case 2 => out += num -> InObjStm(f2.toInt, f3.toInt)
+            case other => fail(s"bad xref entry type $other")
+          }
+          val _ = f3
+          i += 1
+        }
+      }
+      (out.result(), d)
     }
 
     def root: PDict = resolve(trailer.m.getOrElse("Root", fail("trailer has no /Root"))) match {
@@ -328,8 +594,22 @@ object Pdf {
       case other      => other
     }
 
-    private def fetch(num: Int): PObj = cache.getOrElseUpdate(num, {
-      val off = offsets.getOrElse(num, fail(s"object $num not in xref"))
+    private def fetch(num: Int): PObj = cache.get(num) match {
+      case Some(v) => v
+      case None =>
+        if (!inFlight.add(num)) fail(s"object reference cycle at $num")
+        val v = try {
+          offsets.getOrElse(num, fail(s"object $num not in xref")) match {
+            case Freed             => fail(s"object $num is free")
+            case InObjStm(stm, i)  => fetchFromObjStm(num, stm, i)
+            case InFile(off)       => fetchAt(num, off)
+          }
+        } finally inFlight.remove(num)
+        cache(num) = v
+        v
+    }
+
+    private def fetchAt(num: Int, off: Long): PObj = {
       if (off < 0 || off >= bytes.length) fail(s"object $num offset $off out of range")
       val lx = new Lex(bytes, off.toInt)
       val n = lx.token().toIntOption.getOrElse(fail(s"bad object header at $off"))
@@ -351,40 +631,54 @@ object Pdf {
         val raw = java.util.Arrays.copyOfRange(bytes, lx.p, lx.p + len.toInt)
         lx.p += len.toInt
         lx.expect("endstream")
-        PStream(d, decode(d, raw))
+        PStream(d, decodeStream(d, raw))
       } else v
-    })
+    }
 
-    private def decode(d: PDict, raw: Array[Byte]): Array[Byte] =
-      d.m.get("Filter") match {
-        case None => raw
-        case Some(PName("FlateDecode")) => inflate(raw)
-        case Some(PArr(Vector(PName("FlateDecode")))) => inflate(raw)
-        case Some(f) => fail(s"unsupported stream filter $f")
+    /** Fetch a compressed object out of its object stream (§7.5.7): the
+      * container's decoded data opens with `/N` (number, offset) integer
+      * pairs; object bodies start at `/First` + offset and are DIRECT
+      * objects (no `obj`/`endobj` wrappers, no nested streams). The
+      * header pair at the xref entry's index must name the expected
+      * object number — a mismatch is corruption, not a fallback search.
+      */
+    private def fetchFromObjStm(num: Int, stm: Int, idx: Int): PObj = {
+      val (pairs, first, data) = objStmCache.get(stm) match {
+        case Some(h) => h
+        case None =>
+          val container = fetch(stm) match {
+            case s: PStream => s
+            case _          => fail(s"type-2 xref entry points at non-stream object $stm")
+          }
+          if (!container.dict.m.get("Type").contains(PName("ObjStm")))
+            fail(s"type-2 xref entry points at non-/ObjStm object $stm")
+          def direct(k: String): Int =
+            resolve(container.dict.m.getOrElse(k, fail(s"/ObjStm without /$k"))) match {
+              case PNum(x) if x == x.floor && x >= 0 => x.toInt
+              case o => fail(s"bad /ObjStm /$k $o")
+            }
+          val n = direct("N")
+          val first = direct("First")
+          if (n > 100000 || first > container.data.length)
+            fail("/ObjStm header bounds out of range")
+          val hx = new Lex(container.data, 0)
+          val pairs = Vector.tabulate(n) { _ =>
+            val o = hx.token().toIntOption.getOrElse(fail("bad ObjStm header number"))
+            val f = hx.token().toIntOption.getOrElse(fail("bad ObjStm header offset"))
+            if (hx.p > first) fail("ObjStm header overruns /First")
+            (o, f)
+          }
+          val h = (pairs, first, container.data)
+          objStmCache(stm) = h
+          h
       }
-  }
-
-  private def inflate(raw: Array[Byte]): Array[Byte] = {
-    val inf = new Inflater()
-    inf.setInput(raw)
-    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
-    val buf = new Array[Byte](8192)
-    try {
-      while (!inf.finished()) {
-        val n = inf.inflate(buf)
-        // n == 0 with more input wanted = truncated; with a preset-
-        // dictionary request (or any other stall) = out-of-scope hostile
-        // stream — both must FAIL, never spin (needsDictionary() leaves
-        // finished()/needsInput() false forever)
-        if (n == 0 && !inf.finished()) fail(
-          if (inf.needsDictionary()) "FDICT preset-dictionary Flate stream (out of scope)"
-          else "truncated Flate stream")
-        out.write(buf, 0, n)
-      }
-    } catch {
-      case e: java.util.zip.DataFormatException => fail(s"corrupt Flate stream: ${e.getMessage}")
-    } finally inf.end()
-    out.toByteArray
+      if (idx < 0 || idx >= pairs.length) fail(s"ObjStm index $idx out of range")
+      val (onum, ooff) = pairs(idx)
+      if (onum != num) fail(s"ObjStm header names object $onum at index $idx, xref says $num")
+      if (first.toLong + ooff > data.length) fail("ObjStm object offset out of range")
+      val ox = new Lex(data, first + ooff)
+      ox.obj(refs = true)
+    }
   }
 
   // ----------------------------------------------------------- extraction
@@ -404,8 +698,9 @@ object Pdf {
     } catch {
       // the all-or-nothing contract: ANY malformed/hostile construct is a
       // None, never an escaping exception that kills a streaming ingest
-      // task (NonFatal keeps OOM/StackOverflow loud — the depth/nesting
-      // guards above make those unreachable from input alone)
+      // task (NonFatal keeps OOM/StackOverflow loud — the nesting/depth/
+      // ref-cycle guards and the inflate cap make those unreachable from
+      // input alone)
       case scala.util.control.NonFatal(_) => None
     }
 
@@ -512,16 +807,32 @@ object Pdf {
   val LineWidth = 60
   val LinesPerPage = 30
 
-  /** Build a real single-xref PDF 1.4 showing `text` (Latin-1 scope;
-    * the builder is the test-fixture generator, so out-of-range chars
-    * reject loudly rather than lossily). Line grain exercises all four
-    * show forms: plain Tj, TJ with a mid-word kern split, and the '
-    * next-line show; content streams FlateDecode'd unless `compress`
-    * is false (both filter paths are real).
+  /** Build a real PDF showing `text` (Latin-1, newline-free scope: a
+    * source '\n' would round-trip as a char INSIDE a shown line and be
+    * indistinguishable from a layout line break downstream, so the
+    * builder rejects it loudly rather than let a consumer's line-break
+    * strip silently diverge — the fixture generator's reject-don't-lose
+    * rule, same as non-Latin-1). Line grain exercises all four show
+    * forms: plain Tj, TJ with a mid-word kern split, and the ' next-line
+    * show; content streams FlateDecode'd unless `compress` is false
+    * (both filter paths are real).
+    *
+    * `xrefStream = false` emits the classic PDF 1.4 single-xref-table
+    * layout. `xrefStream = true` emits the PDF 1.5 layout most post-2005
+    * writers produce: the document dictionaries packed into an object
+    * stream (`/Type /ObjStm`), content streams as top-level objects, and
+    * a cross-reference STREAM (`/Type /XRef`, `/W [1 4 2]`) — PNG
+    * Up-predicted and FlateDecode'd when `compress`, raw when not (both
+    * xref-stream decode paths are real). Both layouts show identical
+    * text.
     */
-  def build(text: String, compress: Boolean = true): Array[Byte] = {
+  def build(text: String, compress: Boolean = true,
+            xrefStream: Boolean = false): Array[Byte] = {
     require(text.forall(_ < 0x100),
       "builder scope is Latin-1 text (simple 8-bit fonts)")
+    require(!text.exists(c => c == '\n' || c == '\r'),
+      "builder scope is newline-free text (a source newline is " +
+        "indistinguishable from a layout line break after extraction)")
     val lines: Vector[String] =
       if (text.isEmpty) Vector("")
       else text.grouped(LineWidth).toVector
@@ -533,8 +844,6 @@ object Pdf {
         case '('  => sb.append("\\(")
         case ')'  => sb.append("\\)")
         case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
         case '\t' => sb.append("\\t")
         case c if c >= 0x20 && c < 0x7f => sb.append(c)
         case c => sb.append(f"\\${c.toInt}%03o")
@@ -562,34 +871,44 @@ object Pdf {
 
     // object table: 1 catalog, 2 pages, 3 font, then (page, content) pairs
     val nObjs = 3 + 2 * pages.length
-    val bodies = new Array[Array[Byte]](nObjs + 1)
     val kids = pages.indices.map(i => s"${4 + 2 * i} 0 R").mkString(" ")
-    bodies(1) = s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n".getBytes(ISO_8859_1)
-    bodies(2) = (s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] " +
-      s"/Count ${pages.length} >>\nendobj\n").getBytes(ISO_8859_1)
-    bodies(3) = ("3 0 obj\n<< /Type /Font /Subtype /Type1 " +
-      "/BaseFont /Helvetica >>\nendobj\n").getBytes(ISO_8859_1)
+    val dictBody = new Array[String](nObjs + 1) // non-stream object bodies
+    dictBody(1) = "<< /Type /Catalog /Pages 2 0 R >>"
+    dictBody(2) = s"<< /Type /Pages /Kids [ $kids ] /Count ${pages.length} >>"
+    dictBody(3) = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val contentData = new Array[(Array[Byte], String)](nObjs + 1)
     pages.zipWithIndex.foreach { case (pl, i) =>
       val pageNum = 4 + 2 * i
       val contNum = pageNum + 1
-      bodies(pageNum) = (s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R " +
+      dictBody(pageNum) = "<< /Type /Page /Parent 2 0 R " +
         "/MediaBox [ 0 0 612 792 ] " +
         "/Resources << /Font << /F1 3 0 R >> >> " +
-        s"/Contents $contNum 0 R >>\nendobj\n").getBytes(ISO_8859_1)
+        s"/Contents $contNum 0 R >>"
       val plain = contentStream(pl)
-      val (data, filter) =
+      contentData(contNum) =
         if (compress) (deflate(plain), "/Filter /FlateDecode ") else (plain, "")
-      bodies(contNum) =
-        (s"$contNum 0 obj\n<< $filter/Length ${data.length} >>\nstream\n".getBytes(ISO_8859_1)
-          ++ data ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1))
     }
 
+    if (!xrefStream) buildClassic(nObjs, dictBody, contentData)
+    else buildXrefStreamLayout(nObjs, pages.length, dictBody, contentData, compress)
+  }
+
+  private def buildClassic(nObjs: Int, dictBody: Array[String],
+                           contentData: Array[(Array[Byte], String)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("%PDF-1.4\n%âãÏÓ\n".getBytes(ISO_8859_1))
     val offsets = new Array[Long](nObjs + 1)
     (1 to nObjs).foreach { i =>
       offsets(i) = out.size().toLong
-      out.write(bodies(i))
+      if (dictBody(i) != null)
+        out.write(s"$i 0 obj\n${dictBody(i)}\nendobj\n".getBytes(ISO_8859_1))
+      else {
+        val (data, filter) = contentData(i)
+        out.write(s"$i 0 obj\n<< $filter/Length ${data.length} >>\nstream\n"
+          .getBytes(ISO_8859_1))
+        out.write(data)
+        out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+      }
     }
     val xrefOff = out.size()
     val xref = new StringBuilder(s"xref\n0 ${nObjs + 1}\n0000000000 65535 f \n")
@@ -597,6 +916,100 @@ object Pdf {
     xref.append(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\n")
     xref.append(s"startxref\n$xrefOff\n%%EOF\n")
     out.write(xref.toString.getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** The PDF 1.5 layout: dictionaries in an `/ObjStm` (object `nObjs+1`),
+    * content streams top-level, one `/Type /XRef` stream (object
+    * `nObjs+2`) closing the file. When `compress`, the xref rows are PNG
+    * Up-predicted (`/Predictor 12`, tag-2 rows) then FlateDecode'd — the
+    * layout mainstream writers emit; when not, the xref stream is raw
+    * (no filter, no predictor), which is equally legal and pins the
+    * unfiltered decode path.
+    */
+  private def buildXrefStreamLayout(nObjs: Int, nPages: Int,
+                                    dictBody: Array[String],
+                                    contentData: Array[(Array[Byte], String)],
+                                    compress: Boolean): Array[Byte] = {
+    val objStmNum = nObjs + 1
+    val xrefNum = nObjs + 2
+    // object stream: header pairs `num off`, bodies at /First + off
+    val inStm: Seq[Int] = (1 to nObjs).filter(dictBody(_) != null)
+    val stmIdx: Map[Int, Int] = inStm.zipWithIndex.toMap
+    val bodyOffs = inStm.scanLeft(0)((acc, i) => acc + dictBody(i).length + 1)
+    val header = inStm.zip(bodyOffs).map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val stmPlain = (header + inStm.map(dictBody(_)).mkString("\n") + "\n")
+      .getBytes(ISO_8859_1)
+    val (stmData, stmFilter) =
+      if (compress) (deflate(stmPlain), "/Filter /FlateDecode ") else (stmPlain, "")
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.5\n%âãÏÓ\n".getBytes(ISO_8859_1))
+    val offsets = new Array[Long](xrefNum + 1)
+    (1 to nObjs).foreach { i =>
+      if (contentData(i) != null) {
+        offsets(i) = out.size().toLong
+        val (data, filter) = contentData(i)
+        out.write(s"$i 0 obj\n<< $filter/Length ${data.length} >>\nstream\n"
+          .getBytes(ISO_8859_1))
+        out.write(data)
+        out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+      }
+    }
+    offsets(objStmNum) = out.size().toLong
+    out.write((s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${inStm.length} " +
+      s"/First ${header.length} $stmFilter/Length ${stmData.length} >>\nstream\n")
+      .getBytes(ISO_8859_1))
+    out.write(stmData)
+    out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+
+    // xref rows: /W [1 4 2] — type byte, 4-byte field 2, 2-byte field 3
+    offsets(xrefNum) = out.size().toLong
+    val size = xrefNum + 1
+    val rowW = 7
+    val rows = new Array[Byte](size * rowW)
+    def putRow(num: Int, t: Int, f2: Long, f3: Int): Unit = {
+      val o = num * rowW
+      rows(o) = t.toByte
+      rows(o + 1) = ((f2 >> 24) & 0xff).toByte
+      rows(o + 2) = ((f2 >> 16) & 0xff).toByte
+      rows(o + 3) = ((f2 >> 8) & 0xff).toByte
+      rows(o + 4) = (f2 & 0xff).toByte
+      rows(o + 5) = ((f3 >> 8) & 0xff).toByte
+      rows(o + 6) = (f3 & 0xff).toByte
+    }
+    putRow(0, 0, 0L, 0xffff)
+    (1 to nObjs).foreach { i =>
+      if (dictBody(i) != null) putRow(i, 2, objStmNum.toLong, stmIdx(i))
+      else putRow(i, 1, offsets(i), 0)
+    }
+    putRow(objStmNum, 1, offsets(objStmNum), 0)
+    putRow(xrefNum, 1, offsets(xrefNum), 0)
+    val (xrefData, xrefKeys) =
+      if (compress) {
+        val filtered = new Array[Byte](size * (rowW + 1)) // Up-predicted rows
+        var y = 0
+        while (y < size) {
+          filtered(y * (rowW + 1)) = 2 // PNG Up filter tag
+          var x = 0
+          while (x < rowW) {
+            val above = if (y == 0) 0 else rows((y - 1) * rowW + x) & 0xff
+            filtered(y * (rowW + 1) + 1 + x) =
+              (((rows(y * rowW + x) & 0xff) - above) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (deflate(filtered),
+          s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowW >> ")
+      } else (rows, "")
+    out.write((s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [ 1 4 2 ] " +
+      s"/Index [ 0 $size ] /Root 1 0 R $xrefKeys/Length ${xrefData.length} " +
+      ">>\nstream\n").getBytes(ISO_8859_1))
+    out.write(xrefData)
+    out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    out.write(s"startxref\n${offsets(xrefNum)}\n%%EOF\n".getBytes(ISO_8859_1))
+    val _ = nPages
     out.toByteArray
   }
 

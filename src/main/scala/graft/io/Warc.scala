@@ -140,6 +140,30 @@ object Warc {
       .map(_.substring(want.length).trim)
   }
 
+  /** PRODUCTION mixed-media dispatch for one HTTP response payload — the
+    * reusable batch half of the streaming
+    * [[graft.streaming.Streams.warcIngest]] convention: route on the
+    * parsed Content-Type, `application/pdf` through the [[Pdf]] text
+    * walk, everything else read as UTF-8 markup/plain text. A malformed
+    * or out-of-scope PDF yields EMPTY text for the quality gate to drop —
+    * extraction failure on a real crawl is a data condition, never a
+    * task-killing throw (fixture queries that GUARANTEE parseability pin
+    * extraction success themselves). `pdfLineSep` joins the extracted
+    * PDF lines: "" for the fixture-builder contract (mid-word line
+    * chunking concatenates back), "\n" for real documents (pdftotext
+    * keeps line structure and normalize collapses it downstream).
+    * Returns (kind, text).
+    */
+  def mediaText(content: Array[Byte], pdfLineSep: String = "\n"): (String, String) = {
+    val ctype = httpHeader(content, "Content-Type")
+      .getOrElse("").takeWhile(_ != ';').trim
+    val body = httpBody(content).getOrElse(Array.emptyByteArray)
+    if (ctype == "application/pdf")
+      ("pdf", Pdf.extractText(body)
+        .map(_.replace("\n", pdfLineSep)).getOrElse(""))
+    else ("html", new String(body, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Decompress concatenated gzip members. A truncated/corrupt member
     * throws in strict mode; lenient mode keeps everything decompressed
     * before the fault (parseAll's lenient pass then drops any trailing

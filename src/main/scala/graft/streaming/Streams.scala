@@ -990,12 +990,12 @@ object Streams {
               m <- "^https?://([^./]+)[^/]*/doc/(\\d+)$".r.findFirstMatchIn(uri)
               body <- graft.io.Warc.httpBody(r.content)
             } yield {
-              val ctype = graft.io.Warc.httpHeader(r.content, "Content-Type")
-                .getOrElse("").takeWhile(_ != ';').trim
-              if (dispatchPdf && ctype == "application/pdf")
-                (m.group(2).toLong, m.group(1), "pdf",
-                  graft.io.Pdf.extractText(body).getOrElse(""))
-              else (m.group(2).toLong, m.group(1), "html",
+              if (dispatchPdf) {
+                // the shared production dispatch (Warc.mediaText):
+                // extract-or-empty, line structure kept for normalize
+                val (kind, text) = graft.io.Warc.mediaText(r.content)
+                (m.group(2).toLong, m.group(1), kind, text)
+              } else (m.group(2).toLong, m.group(1), "html",
                 new String(body, "UTF-8"))
             }
           }

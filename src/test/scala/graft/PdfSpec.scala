@@ -33,6 +33,92 @@ class PdfSpec extends SparkTestBase {
     "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n",
     s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n"))
 
+  private def specDeflate(plain: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(plain); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Assemble an xref-STREAM-layout PDF (PDF 1.5) by hand: `fileObjs`
+    * are (number, full `n 0 obj…endobj` text) laid out at file offsets
+    * with type-1 rows; `extra` overrides/adds rows as (type, field2,
+    * field3) — e.g. type-2 object-stream residents. The closing object
+    * is the `/Type /XRef` stream itself, W [1 4 2], `/Index` defaulted;
+    * `predict` wraps the rows in PNG-filtered FlateDecode with
+    * `filterFor(row)` picking each row's filter tag (0–4), so every
+    * predictor path is genuinely exercised. Independent of Pdf.build —
+    * the mini-writer discipline of [[pdf]].
+    */
+  private def xpdf(fileObjs: Seq[(Int, String)],
+                   extra: Map[Int, (Int, Long, Int)] = Map.empty,
+                   predict: Boolean = false,
+                   filterFor: Int => Int = _ => 2): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.5\n".getBytes(ISO_8859_1))
+    val offs = fileObjs.map { case (n, o) =>
+      val at = out.size().toLong; out.write(o.getBytes(ISO_8859_1)); (n, at)
+    }.toMap
+    val xnum = (fileObjs.map(_._1) ++ extra.keys ++ Seq(0)).max + 1
+    val size = xnum + 1
+    val rows = new Array[Byte](size * 7)
+    def put(num: Int, t: Int, f2: Long, f3: Int): Unit = {
+      val o = num * 7
+      rows(o) = t.toByte
+      rows(o + 1) = ((f2 >> 24) & 0xff).toByte; rows(o + 2) = ((f2 >> 16) & 0xff).toByte
+      rows(o + 3) = ((f2 >> 8) & 0xff).toByte; rows(o + 4) = (f2 & 0xff).toByte
+      rows(o + 5) = ((f3 >> 8) & 0xff).toByte; rows(o + 6) = (f3 & 0xff).toByte
+    }
+    put(0, 0, 0, 0xffff)
+    offs.foreach { case (n, at) => put(n, 1, at, 0) }
+    extra.foreach { case (n, (t, f2, f3)) => put(n, t, f2, f3) }
+    val xoff = out.size().toLong
+    put(xnum, 1, xoff, 0)
+    val (data, keys) =
+      if (!predict) (rows, "")
+      else {
+        val filt = new Array[Byte](size * 8)
+        for (y <- 0 until size) {
+          val ft = filterFor(y)
+          filt(y * 8) = ft.toByte
+          for (x <- 0 until 7) {
+            val r = rows(y * 7 + x) & 0xff
+            val a = if (x >= 1) rows(y * 7 + x - 1) & 0xff else 0
+            val b = if (y >= 1) rows((y - 1) * 7 + x) & 0xff else 0
+            val c = if (x >= 1 && y >= 1) rows((y - 1) * 7 + x - 1) & 0xff else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) / 2
+              case _ =>
+                val p = a + b - c
+                val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            }
+            filt(y * 8 + 1 + x) = ((r - pred) & 0xff).toByte
+          }
+        }
+        (specDeflate(filt),
+          "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> ")
+      }
+    out.write((s"$xnum 0 obj\n<< /Type /XRef /Size $size /W [ 1 4 2 ] " +
+      s"/Root 1 0 R $keys/Length ${data.length} >>\nstream\n").getBytes(ISO_8859_1))
+    out.write(data)
+    out.write(s"\nendstream\nendobj\nstartxref\n$xoff\n%%EOF\n".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** The four-object single-page body as (number, text) pairs for xpdf. */
+  private def onePageObjs(content: String): Seq[(Int, String)] = Seq(
+    1 -> "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+    2 -> "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n",
+    3 -> "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n",
+    4 -> s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+
   test("golden: hand-laid-out page with Tj/TJ/'/\" and all escape forms") {
     val content =
       "BT /F1 12 Tf 72 720 Td\n" +
@@ -97,12 +183,19 @@ class PdfSpec extends SparkTestBase {
   }
 
   test("builder round-trip: parens, backslashes, control and Latin-1 chars") {
-    val text = "a(b)c\\d \t tab\nnewline éÿ high"
+    val text = "a(b)c\\d \t tab  bell éÿ high"
     val got = Pdf.extractText(Pdf.build(text))
     assert(got.isDefined)
-    // \n in SOURCE text round-trips as a char inside the shown line, so
-    // strip the LAYOUT line breaks only after mapping source \n away
-    assert(got.get.replace("\n", "") == text.replace("\n", ""))
+    // source text is newline-free by the builder's contract, so every \n
+    // in the extraction is a layout line break and stripping is exact
+    assert(got.get.replace("\n", "") == text)
+  }
+
+  test("builder: source newlines are rejected loudly, not silently merged") {
+    // a source '\n' would be indistinguishable from a layout line break
+    // after extraction — the builder rejects it like non-Latin-1 text
+    intercept[IllegalArgumentException](Pdf.build("line one\nline two"))
+    intercept[IllegalArgumentException](Pdf.build("cr\rtoo"))
   }
 
   test("builder round-trip: empty text is one page of empty text") {
@@ -156,12 +249,12 @@ class PdfSpec extends SparkTestBase {
     assert(Pdf.extract(bad).isEmpty)
   }
 
-  test("out of scope constructs fail cleanly: xref stream, unknown filter, not a PDF") {
+  test("out of scope constructs fail cleanly: unknown filter, bad xref object, not a PDF") {
     assert(Pdf.extract("not a pdf at all".getBytes(ISO_8859_1)).isEmpty)
     assert(Pdf.extract(Array.emptyByteArray).isEmpty)
-    // startxref pointing at an object (an xref STREAM layout) is rejected
-    val xrefStream = pdf(Seq("1 0 obj\n<< /Type /Catalog >>\nendobj\n"))
-    val s = new String(xrefStream, ISO_8859_1)
+    // startxref pointing at an object that is NOT /Type /XRef is rejected
+    val notXref = pdf(Seq("1 0 obj\n<< /Type /Catalog >>\nendobj\n"))
+    val s = new String(notXref, ISO_8859_1)
     val redirected = s.replaceAll("startxref\n\\d+", "startxref\n9").getBytes(ISO_8859_1)
     assert(Pdf.extract(redirected).isEmpty)
     val content = "BT 72 720 Td (x) Tj"
@@ -212,5 +305,176 @@ class PdfSpec extends SparkTestBase {
   test("name #xx escapes and dict/array operands in content are tolerated") {
     val content = "/Sp#61n << /K 1 >> BDC BT 72 720 Td (tagged) Tj ET EMC"
     assert(Pdf.extractText(onePage(content)).contains("tagged"))
+  }
+
+  // ---- PDF 1.5: xref streams, object streams, update chains (round 16)
+
+  test("golden: hand-laid xref-STREAM layout (raw rows, no filter) extracts") {
+    val bytes = xpdf(onePageObjs("BT 72 720 Td (xref stream) Tj"))
+    assert(Pdf.extractText(bytes).contains("xref stream"))
+  }
+
+  test("golden: PNG-predicted Flate xref stream, every filter tag 0-4") {
+    // size 6 -> six rows; filterFor cycles None/Sub/Up/Average/Paeth so
+    // each predictor branch of the decoder reconstructs at least one row
+    val bytes = xpdf(onePageObjs("BT 72 720 Td (predicted) Tj"),
+      predict = true, filterFor = y => y % 5)
+    assert(Pdf.extractText(bytes).contains("predicted"))
+    val up = xpdf(onePageObjs("BT 72 720 Td (up only) Tj"), predict = true)
+    assert(Pdf.extractText(up).contains("up only"))
+  }
+
+  test("golden: object stream holds the document dictionaries") {
+    val content = "BT 72 720 Td (from objstm) Tj"
+    val b1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val b2 = "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>"
+    val b3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val header = s"1 0 2 ${b1.length + 1} 3 ${b1.length + b2.length + 2}\n"
+    val stm = header + b1 + "\n" + b2 + "\n" + b3 + "\n"
+    val bytes = xpdf(
+      Seq(
+        4 -> s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n",
+        5 -> (s"5 0 obj\n<< /Type /ObjStm /N 3 /First ${header.length} " +
+          s"/Length ${stm.length} >>\nstream\n$stm\nendstream\nendobj\n")),
+      extra = Map(1 -> ((2, 5L, 0)), 2 -> ((2, 5L, 1)), 3 -> ((2, 5L, 2))))
+    val got = Pdf.extract(bytes)
+    assert(got.isDefined && got.get.nPages == 1)
+    assert(got.get.text.contains("from objstm"))
+  }
+
+  test("incremental update: /Prev chain, latest section wins") {
+    val base = new String(onePage("BT 72 720 Td (old text) Tj"), ISO_8859_1)
+    val prevOff = "startxref\n(\\d+)".r.findFirstMatchIn(base).get.group(1)
+    val c2 = "BT 72 720 Td (new text) Tj"
+    val sb = new StringBuilder(base)
+    val off4 = sb.length
+    sb.append(s"4 0 obj\n<< /Length ${c2.length} >>\nstream\n$c2\nendstream\nendobj\n")
+    val x2 = sb.length
+    sb.append(s"xref\n4 1\n" + f"$off4%010d" + " 00001 n \n")
+    sb.append(s"trailer\n<< /Size 5 /Root 1 0 R /Prev $prevOff >>\n")
+    sb.append(s"startxref\n$x2\n%%EOF\n")
+    val got = Pdf.extractText(sb.toString.getBytes(ISO_8859_1))
+    assert(got.contains("new text"), s"got $got")
+    assert(!got.get.contains("old text"))
+  }
+
+  test("incremental update: a later `f` entry frees the object for good") {
+    val base = new String(onePage("BT 72 720 Td (soon gone) Tj"), ISO_8859_1)
+    val prevOff = "startxref\n(\\d+)".r.findFirstMatchIn(base).get.group(1)
+    val sb = new StringBuilder(base)
+    val x2 = sb.length
+    // free the CONTENT object in the update: the doc now dangles -> None,
+    // never a resurrect-the-old-body read
+    sb.append("xref\n4 1\n0000000000 00002 f \n")
+    sb.append(s"trailer\n<< /Size 5 /Root 1 0 R /Prev $prevOff >>\n")
+    sb.append(s"startxref\n$x2\n%%EOF\n")
+    assert(Pdf.extract(sb.toString.getBytes(ISO_8859_1)).isEmpty)
+  }
+
+  test("hybrid file: /XRefStm supplies entries the classic table lacks") {
+    val content = "BT 72 720 Td (hybrid) Tj"
+    val sb = new StringBuilder("%PDF-1.5\n")
+    def add(o: String): Int = { val at = sb.length; sb.append(o); at }
+    val o1 = add("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val o2 = add("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    val o3 = add("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    val o4 = add(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    // parallel xref stream (object 5) carrying ONLY object 4's entry
+    val row = Array(1, (o4 >> 24) & 0xff, (o4 >> 16) & 0xff, (o4 >> 8) & 0xff,
+      o4 & 0xff, 0, 0).map(_.toChar).mkString
+    val x5 = add("5 0 obj\n<< /Type /XRef /Size 6 /W [ 1 4 2 ] /Index [ 4 1 ] " +
+      s"/Root 1 0 R /Length 7 >>\nstream\n$row\nendstream\nendobj\n")
+    val xt = sb.length
+    sb.append("xref\n0 4\n0000000000 65535 f \n")
+    Seq(o1, o2, o3).foreach(o => sb.append(f"$o%010d" + " 00000 n \n"))
+    sb.append(s"trailer\n<< /Size 6 /Root 1 0 R /XRefStm $x5 >>\n")
+    sb.append(s"startxref\n$xt\n%%EOF\n")
+    assert(Pdf.extractText(sb.toString.getBytes(ISO_8859_1)).contains("hybrid"))
+  }
+
+  test("builder xref-stream layout round-trips and matches classic exactly") {
+    val text = ("pdf fifteen layout parity check " * 70).trim // multi-page
+    val a = Pdf.extract(Pdf.build(text))
+    val b = Pdf.extract(Pdf.build(text, xrefStream = true))
+    val c = Pdf.extract(Pdf.build(text, compress = false, xrefStream = true))
+    assert(a.isDefined && a == b && b == c)
+    assert(b.get.text.replace("\n", "") == text)
+    assert(new String(Pdf.build(text, xrefStream = true).take(9), ISO_8859_1)
+      == "%PDF-1.5\n")
+    assert(Pdf.extract(Pdf.build("", xrefStream = true))
+      .contains(Pdf.PdfText(Vector(""))))
+  }
+
+  test("xref-stream corruption: short data, bad /W, bad type -> None") {
+    val good = xpdf(onePageObjs("BT 72 720 Td (x) Tj"))
+    assert(Pdf.extract(good).isDefined)
+    val s = new String(good, ISO_8859_1)
+    // /Size inflated: /Index default claims more rows than the data holds
+    assert(Pdf.extract(s.replace("/Size 6", "/Size 60").getBytes(ISO_8859_1)).isEmpty)
+    // a 9-byte field width is outside the spec's 0..8
+    assert(Pdf.extract(s.replace("/W [ 1 4 2 ]", "/W [ 1 4 9 ]").getBytes(ISO_8859_1)).isEmpty)
+    // rows of width zero
+    assert(Pdf.extract(s.replace("/W [ 1 4 2 ]", "/W [ 0 0 0 ]").getBytes(ISO_8859_1)).isEmpty)
+    // an entry type outside 0/1/2: corrupt the first row's type byte
+    val at = s.indexOf("stream\n", s.indexOf("/Type /XRef")) + 7
+    val bad = good.clone(); bad(at) = 9
+    assert(Pdf.extract(bad).isEmpty)
+  }
+
+  test("objstm corruption: type-2 at a non-ObjStm, header mismatch, bad index -> None") {
+    val content = "BT 72 720 Td (x) Tj"
+    val b1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val b2 = "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>"
+    val b3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val header = s"1 0 2 ${b1.length + 1} 3 ${b1.length + b2.length + 2}\n"
+    val stm = header + b1 + "\n" + b2 + "\n" + b3 + "\n"
+    val objs = Seq(
+      4 -> s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n",
+      5 -> (s"5 0 obj\n<< /Type /ObjStm /N 3 /First ${header.length} " +
+        s"/Length ${stm.length} >>\nstream\n$stm\nendstream\nendobj\n"))
+    // type-2 entry pointing at the CONTENT stream (not an /ObjStm)
+    assert(Pdf.extract(xpdf(objs,
+      extra = Map(1 -> ((2, 4L, 0)), 2 -> ((2, 5L, 1)), 3 -> ((2, 5L, 2))))).isEmpty)
+    // header pair at index 1 names object 2, xref claims object 1 lives there
+    assert(Pdf.extract(xpdf(objs,
+      extra = Map(1 -> ((2, 5L, 1)), 2 -> ((2, 5L, 1)), 3 -> ((2, 5L, 2))))).isEmpty)
+    // index out of range
+    assert(Pdf.extract(xpdf(objs,
+      extra = Map(1 -> ((2, 5L, 7)), 2 -> ((2, 5L, 1)), 3 -> ((2, 5L, 2))))).isEmpty)
+    // an ObjStm claiming to contain ITSELF: the ref-cycle guard breaks it
+    assert(Pdf.extract(xpdf(objs,
+      extra = Map(1 -> ((2, 5L, 0)), 2 -> ((2, 5L, 1)), 3 -> ((2, 5L, 2)),
+        5 -> ((2, 5L, 0))))).isEmpty)
+  }
+
+  test("object-reference cycle in /Length fails to None, not a StackOverflowError") {
+    val bytes = pdf(Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n",
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n",
+      "4 0 obj\n<< /Length 4 0 R >>\nstream\nBT (x) Tj\nendstream\nendobj\n"))
+    assert(Pdf.extract(bytes).isEmpty)
+  }
+
+  test("xref chain cycle (/Prev pointing at itself) fails, not an infinite loop") {
+    val base = new String(onePage("BT 72 720 Td (x) Tj"), ISO_8859_1)
+    val prevOff = "startxref\n(\\d+)".r.findFirstMatchIn(base).get.group(1)
+    val looped = base.replace("trailer\n<< /Size 5",
+      s"trailer\n<< /Prev $prevOff /Size 5")
+    assert(Pdf.extract(looped.getBytes(ISO_8859_1)).isEmpty)
+  }
+
+  test("decompression bomb: Flate output beyond the absolute cap fails, no OOM") {
+    // ~80 MiB of zeros deflates to ~80 KiB; inflating must trip the
+    // 64 MiB lid and reject the document instead of allocating it all
+    val raw = specDeflate(new Array[Byte](80 << 20))
+    assert(raw.length < (1 << 20))
+    val c = new String(raw.map(b => (b & 0xff).toChar))
+    val bomb = pdf(Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n",
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n",
+      s"4 0 obj\n<< /Filter /FlateDecode /Length ${c.length} >>\nstream\n$c\nendstream\nendobj\n"))
+    assert(Pdf.extract(bomb).isEmpty)
   }
 }

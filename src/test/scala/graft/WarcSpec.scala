@@ -141,4 +141,41 @@ class WarcSpec extends SparkTestBase {
     assert(lenient.count() < (50L + files.length) &&
       lenient.filter($"warc_type" === "response").count() >= 1)
   }
+
+  test("mediaText: a planted corrupt PDF flows through the batch dispatch as empty text, no throw") {
+    import spark.implicits._
+    def http(ctype: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+    val goodPdf = graft.io.Pdf.build("survives the archive")
+    val modernPdf = graft.io.Pdf.build("xref stream leg", xrefStream = true)
+    val corrupt = java.util.Arrays.copyOf(goodPdf, goodPdf.length - 30) // truncated tail
+    val recs = Seq(
+      1L -> http("text/html; charset=utf-8", "<html><body>page</body></html>".getBytes("UTF-8")),
+      2L -> http("application/pdf", goodPdf),
+      3L -> http("application/pdf", corrupt),
+      4L -> http("application/pdf", modernPdf))
+      .map { case (id, payload) => WarcRecord("response", s"<urn:graft:doc:$id>",
+        "2026-01-01T00:00:00Z", Some(s"http://corpus.test/doc/$id"), payload) }
+    val path = graft.io.IoScratch.dir + "/warc_spec_media"
+    Warc.write(recs.toDS(), path)
+    // the batch capstone's parse leg: one Dataset map through mediaText —
+    // the corrupt document must land as ("pdf", "") for the gate to drop,
+    // never kill the task (the production extract-or-empty convention)
+    val got = Warc.read(spark, path + "/*.warc.gz")
+      .filter($"warc_type" === "response")
+      .select($"record_id", $"content").as[(String, Array[Byte])]
+      .map { case (id, content) =>
+        val (kind, text) = Warc.mediaText(content, pdfLineSep = "")
+        (id, kind, text)
+      }.collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("<urn:graft:doc:1>") == ("html", "<html><body>page</body></html>"))
+    assert(got("<urn:graft:doc:2>") == ("pdf", "survives the archive"))
+    assert(got("<urn:graft:doc:3>") == ("pdf", ""), "corrupt PDF -> empty text")
+    assert(got("<urn:graft:doc:4>") == ("pdf", "xref stream leg"))
+    // default line separator keeps the layout line structure
+    val (_, kept) = Warc.mediaText(http("application/pdf",
+      graft.io.Pdf.build("x" * 70)))
+    assert(kept == "x" * 60 + "\n" + "x" * 10)
+  }
 }
