@@ -3286,6 +3286,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // HybridIndex INCREMENTAL leg (round 16): half the corpus exported,
+    // the other half absorbed as an exactly-once named delta (postings /
+    // termstats / corpusstats partials + vector codes — integer BM25
+    // statistics over disjoint doc sets compose exactly, BQ plane signs
+    // are corpus-independent), then served FROM the union. The oracle is
+    // q_hybrid_served's oracle VERBATIM: the committed-delta union must
+    // be bit-identical to a full export of the whole corpus.
+    "q_hybrid_absorbed" -> ((s, dir) => {
+      val path = graft.io.IoScratch.dir + "/hybrid_index_absorbed"
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      graft.similarity.HybridIndex.export(s,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path)
+      graft.similarity.HybridIndex.appendDelta(s,
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+        e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", path,
+        "shard1")
+      graft.similarity.HybridIndex.servedTopK(s, path,
+          Seq(1 -> Seq("scan", "column"), 2 -> Seq("window", "sort"),
+            3 -> Seq("stream", "batch")),
+          e.filter(col("vec_id").isin(1, 2, 3)), "vec_id", "embedding",
+          k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Binary-quantization ANN (round 14, third scale path): 48 sign bits
     // packed in one int64 per vector, Hamming (XOR+popcount) candidate
     // scan, top-50 shortlist per query, exact cosine re-rank. The code
@@ -3355,6 +3381,40 @@ object SparkEntry {
           k = 10, nProbe = 2)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "vec_id")
+    }),
+
+    // Delta COMPACTION (round 16): the q_ann_append corpus absorbed as
+    // two exactly-once deltas, then folded into a fresh versioned base
+    // (frozen quantizers — a pure rewrite through the serving read
+    // rule). The query pins the operational contract in-line: served
+    // top-k bits before and after the fold must be identical (a tiny
+    // bounded driver pull — 5 queries x k), and the emitted manifest of
+    // the compacted version must equal the append oracle exactly: the
+    // fold changes WHERE rows live, never what serves.
+    "q_ann_compact" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val path = graft.io.IoScratch.dir + "/ann_index_compact"
+      graft.similarity.AnnIndex.export(s,
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path,
+        cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+      graft.similarity.AnnIndex.appendDelta(s,
+        e.filter(col("vec_id") % 4 === 1), "vec_id", "embedding", path, "s1")
+      graft.similarity.AnnIndex.appendDelta(s,
+        e.filter(col("vec_id") % 4 === 3), "vec_id", "embedding", path, "s2")
+      def serve(): Seq[(Long, Long, Int, Double)] =
+        graft.similarity.AnnIndex.servedTopK(s, path,
+            e.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10, nProbe = 2)
+          .orderBy("query_id", "vec_id")
+          .as[(Long, Long, Int, Double)].collect().toSeq
+      val before = serve()
+      val manifest = graft.similarity.AnnIndex.compact(s, path, minDeltas = 2)
+      if (serve() != before) sys.error("compaction moved served bits")
+      if (graft.similarity.AnnIndex.committedDeltas(s,
+          graft.similarity.AnnIndex.resolve(s, path)).nonEmpty)
+        sys.error("compacted version must start with no deltas")
+      manifest.orderBy("component", "cell")
     }),
 
     // SemDeDup (Abbas et al. 2023, public paper): semantic dedup — k-means
@@ -8110,6 +8170,12 @@ object SparkEntry {
     "q_hybrid_served" ->
       ("WITH " + HybridRrfSql("documents", "SELECT * FROM e")),
 
+    // the incremental leg serves the committed-delta UNION, which must
+    // be bit-identical to a full export of the whole corpus — one
+    // oracle, two queries (the q_ann_served discipline)
+    "q_hybrid_absorbed" ->
+      ("WITH " + HybridRrfSql("documents", "SELECT * FROM e")),
+
     // Capstone v6: gate -> exact-dedup reps -> the SAME hybrid machinery
     // re-rooted on the cleaned corpus (bm25 stats, codes and candidates
     // all come from `corpus`; query vectors stay raw) — one shared
@@ -8169,6 +8235,24 @@ object SparkEntry {
     // corpus (the export's slice), afinal assigns EVERYTHING — the
     // sampled-fit CTE machinery expresses the no-refit absorption exactly
     "q_ann_append" ->
+      s"""WITH ${kmeansCtes(4, fitWhere = "vec_id % 2 = 0")}
+         |SELECT component, cell, rows FROM (
+         |  SELECT 'vectors' AS component, CAST(cluster AS BIGINT) AS cell,
+         |         CAST(count(*) AS BIGINT) AS rows
+         |  FROM afinal GROUP BY cluster
+         |  UNION ALL
+         |  SELECT 'centroids', CAST(-1 AS BIGINT), CAST(4 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'codebooks', CAST(-1 AS BIGINT), CAST(16 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'codes', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT) FROM e)
+         |ORDER BY component, cell""".stripMargin,
+
+    // compaction folds the absorbed deltas into a fresh base without
+    // moving a bit: the compacted manifest equals the append oracle
+    // (same even-fit quantizer, same full corpus), and the query itself
+    // pins served-bits equality across the fold
+    "q_ann_compact" ->
       s"""WITH ${kmeansCtes(4, fitWhere = "vec_id % 2 = 0")}
          |SELECT component, cell, rows FROM (
          |  SELECT 'vectors' AS component, CAST(cluster AS BIGINT) AS cell,

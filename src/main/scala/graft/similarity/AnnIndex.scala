@@ -58,7 +58,7 @@ import org.apache.spark.sql.functions._
   * readers resolve the highest published version, GC keeps the new
   * version plus its immediate predecessor.
   */
-private[similarity] object IndexPublish {
+private[graft] object IndexPublish {
 
   val Published = "_PUBLISHED"
 
@@ -111,24 +111,140 @@ private[similarity] object IndexPublish {
     (root, next, prev)
   }
 
+  /** GC grace window: a PUBLISHED version younger than this is never
+    * collected even when superseded twice, so a reader that resolved a
+    * version just before two rapid publishes can still finish scanning
+    * it — the age check makes keep-new-plus-predecessor honest at
+    * serving timescales (the `_PUBLISHED` marker's filesystem
+    * modification time is the version's publish instant).
+    */
+  val GcGraceMs: Long = 15L * 60 * 1000
+
   /** PUBLISH `next` (one atomic marker create — readers flip from the
     * previous version only after every component has landed), then GC:
-    * keep the new version and its immediate predecessor (in-flight
-    * readers finish against it); drop everything older, plus any
-    * unpublished junk a crashed export left behind.
+    * keep the new version, its immediate predecessor (in-flight
+    * readers finish against it), and any published version still
+    * inside its [[GcGraceMs]] grace window; drop everything older,
+    * plus any unpublished junk a crashed export left behind
+    * (junk carries no marker and gets no grace).
     */
   def publish(spark: SparkSession, path: String, next: Int,
-              prev: Seq[Int]): Unit = {
+              prev: Seq[Int], graceMs: Long = GcGraceMs): Unit = {
     val fs = fsOf(spark, path)
     fs.create(new org.apache.hadoop.fs.Path(
       s"$path/v$next/$Published"), true).close()
     val keep = Set(next) ++ prev.reduceOption(_ max _)
+    val now = System.currentTimeMillis()
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.matches("v\\d+") && !keep(n.drop(1).toInt))
-        fs.delete(st.getPath, true)
+      if (st.isDirectory && n.matches("v\\d+") && !keep(n.drop(1).toInt)) {
+        val young = try {
+          now - fs.getFileStatus(new org.apache.hadoop.fs.Path(
+            s"$path/$n/$Published")).getModificationTime < graceMs
+        } catch { case _: java.io.FileNotFoundException => false }
+        if (!young) fs.delete(st.getPath, true)
+      }
     }
   }
+}
+
+/** The exactly-once NAMED-DELTA ledger shared by every index with an
+  * incremental leg ([[AnnIndex.appendDelta]], [[HybridIndex.appendDelta]]):
+  * `_DELTAS` lists the deltas committed (and still living) under
+  * `root/deltas/{name}/`, swapped atomically per commit; `_ABSORBED`
+  * lists names a COMPACTION folded into the base — the name stays
+  * burned so a replayed absorb of an already-folded batch remains a
+  * no-op after its rows moved out of `deltas/`. `_ABSORBED` is written
+  * once into a version root BEFORE its publish, so it is atomic with
+  * the version swap and needs no swap protocol of its own.
+  */
+private[similarity] object DeltaLog {
+
+  val DeltasFile = "_DELTAS"
+  val AbsorbedFile = "_ABSORBED"
+
+  /** No dot-segments: "." / ".." would escape the deltas directory and
+    * an overwrite-staged write could replace the BASE components.
+    */
+  def validName(name: String): Boolean =
+    name.matches("[A-Za-z0-9_-][A-Za-z0-9._-]*") && !name.contains("..")
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Option[Seq[String]] =
+    try {
+      val in = fs.open(p)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        Some(s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Delta names committed into the index at `root`. PASSIVE, OPTIMISTIC
+    * read: OPEN `_DELTAS` first — an existence pre-check can pass and
+    * the open still race the writer's swap (the writer parks the
+    * current manifest at `.old` mid-commit) — fall back to READING the
+    * `.old` backup, then retry the manifest once more (covering the
+    * backup itself vanishing as the writer completes its swap). Never
+    * rename on the read path: a read-side "repair" would race the
+    * writer's own rename. Uncommitted `deltas/` directories are
+    * invisible.
+    */
+  def committed(spark: SparkSession, root: String): Seq[String] = {
+    val fs = IndexPublish.fsOf(spark, root)
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile")
+    val old = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile.old")
+    readLines(fs, cur).orElse(readLines(fs, old)).orElse(readLines(fs, cur))
+      .getOrElse(Seq.empty)
+  }
+
+  /** Names already folded into the base by a compaction. */
+  def absorbed(spark: SparkSession, root: String): Seq[String] =
+    readLines(IndexPublish.fsOf(spark, root),
+      new org.apache.hadoop.fs.Path(s"$root/$AbsorbedFile")).getOrElse(Seq.empty)
+
+  /** Every name that must never be absorbed again at `root`. */
+  def burned(spark: SparkSession, root: String): Set[String] =
+    (committed(spark, root) ++ absorbed(spark, root)).toSet
+
+  /** Write the absorbed-name ledger into a (pre-publish) version root. */
+  def writeAbsorbed(spark: SparkSession, root: String,
+                    names: Seq[String]): Unit = {
+    val fs = IndexPublish.fsOf(spark, root)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/$AbsorbedFile"), true)
+    try {
+      if (names.nonEmpty) out.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  /** Append `name` to the committed-delta manifest by atomic swap
+    * (write `.new`, move current aside, rename into place, roll back on
+    * failure). Idempotent: an already-committed name is a no-op.
+    * Crash recovery (restore `_DELTAS` from the `.old` backup) happens
+    * HERE, on the single-writer path — one absorb stream per index, and
+    * the streaming foreachBatch serializes its batches.
+    */
+  def commit(spark: SparkSession, root: String, name: String): Unit = {
+    val fs = IndexPublish.fsOf(spark, root)
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile")
+    val old = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile.old")
+    val neu = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile.new")
+    if (!fs.exists(cur) && fs.exists(old))
+      require(fs.rename(old, cur), s"delta-manifest recovery failed for $cur")
+    val names = committed(spark, root)
+    if (names.contains(name)) return
+    val out = fs.create(neu, true)
+    try out.write(((names :+ name).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(old, true)
+    if (fs.exists(cur))
+      require(fs.rename(cur, old), s"delta-manifest swap: could not move $cur aside")
+    if (!fs.rename(neu, cur)) {
+      fs.rename(old, cur)
+      throw new IllegalStateException(s"delta-manifest swap failed for $cur — rolled back")
+    }
+    fs.delete(old, true)
+  }
+
 }
 
 object AnnIndex {
@@ -256,66 +372,11 @@ object AnnIndex {
 
   // ------------------------------------------------------- delta absorb
 
-  /** The committed-delta manifest file: one delta name per line, swapped
-    * atomically on every commit ([[commitDelta]]) — the crash-safe
-    * manifest of the streaming absorb path.
+  /** Delta names committed into the index at `root` — see
+    * [[DeltaLog.committed]] (the shared optimistic-read protocol).
     */
-  private val DeltasFile = "_DELTAS"
-
-  /** Delta names committed into the index at `root`. PASSIVE read:
-    * during a commit's swap window `_DELTAS` is briefly absent with the
-    * last consistent list in the `.old` backup — fall back to READING
-    * the backup, never rename on the read path (a read-side repair
-    * would race the writer's own swap: the writer parks the current
-    * manifest at `.old` mid-commit, and a concurrent "repair" renaming
-    * it back makes the writer's final rename fail). Uncommitted
-    * `deltas/` directories are invisible.
-    */
-  def committedDeltas(spark: SparkSession, root: String): Seq[String] = {
-    val fs = IndexPublish.fsOf(spark, root)
-    def readList(p: org.apache.hadoop.fs.Path): Seq[String] = {
-      val in = fs.open(p)
-      try {
-        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      } finally in.close()
-    }
-    val cur = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile")
-    val old = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile.old")
-    if (fs.exists(cur)) readList(cur)
-    else if (fs.exists(old)) readList(old)
-    else Seq.empty
-  }
-
-  /** Append `name` to the committed-delta manifest by atomic swap
-    * (write `.new`, move current aside, rename into place, roll back on
-    * failure). Idempotent: an already-committed name is a no-op.
-    * Crash recovery (restore `_DELTAS` from the `.old` backup) happens
-    * HERE, on the single-writer path — one absorb stream per index, and
-    * the streaming foreachBatch serializes its batches.
-    */
-  private def commitDelta(spark: SparkSession, root: String,
-                          name: String): Unit = {
-    val fs = IndexPublish.fsOf(spark, root)
-    val cur = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile")
-    val old = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile.old")
-    val neu = new org.apache.hadoop.fs.Path(s"$root/$DeltasFile.new")
-    if (!fs.exists(cur) && fs.exists(old))
-      require(fs.rename(old, cur), s"delta-manifest recovery failed for $cur")
-    val names = committedDeltas(spark, root)
-    if (names.contains(name)) return
-    val out = fs.create(neu, true)
-    try out.write(((names :+ name).mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(old, true)
-    if (fs.exists(cur))
-      require(fs.rename(cur, old), s"delta-manifest swap: could not move $cur aside")
-    if (!fs.rename(neu, cur)) {
-      fs.rename(old, cur)
-      throw new IllegalStateException(s"delta-manifest swap failed for $cur — rolled back")
-    }
-    fs.delete(old, true)
-  }
+  def committedDeltas(spark: SparkSession, root: String): Seq[String] =
+    DeltaLog.committed(spark, root)
 
   /** EXACTLY-ONCE shard absorb — [[append]]'s replay-safe sibling, the
     * unit the streaming landing-directory ingest folds batches through
@@ -329,17 +390,16 @@ object AnnIndex {
     * and because the quantizers are frozen, the served results are a
     * pure function of the absorbed vector SET, whatever the absorb
     * order or batching. Returns true when the delta was newly
-    * committed, false on a replay of an already-committed name.
+    * committed, false on a replay of an already-committed name —
+    * including a name a COMPACTION has since folded into the base
+    * (the `_ABSORBED` ledger keeps it burned).
     */
   def appendDelta(spark: SparkSession, newVectors: DataFrame, idCol: String,
                   vecCol: String, path: String, name: String,
                   assignNProbe: Int = 0): Boolean = {
-    // no dot-segments: "." / ".." would escape the deltas directory and
-    // an overwrite-staged write could replace the BASE inverted lists
-    require(name.matches("[A-Za-z0-9_-][A-Za-z0-9._-]*") && !name.contains(".."),
-      s"bad delta name '$name'")
+    require(DeltaLog.validName(name), s"bad delta name '$name'")
     val root = resolve(spark, path)
-    if (committedDeltas(spark, root).contains(name)) return false
+    if (DeltaLog.burned(spark, root).contains(name)) return false
     val centers = loadCentroids(spark, root)
     val assigned =
       if (assignNProbe > 0)
@@ -357,13 +417,54 @@ object AnnIndex {
         col("cluster").as("cell")), "vec_id")
       .select("vec_id", "cell", "codes", "recon_err")
       .write.mode("overwrite").parquet(s"$root/deltas/$name/codes")
-    commitDelta(spark, root, name)
+    DeltaLog.commit(spark, root, name)
     // refresh the diagnostic read-back manifest (counts base + committed
     // deltas). A crash between the commit above and this write leaves the
     // manifest stale until the next absorb — acceptable: `_DELTAS` is the
     // correctness-bearing manifest, this one is counts.
     writeManifest(spark, root)
     true
+  }
+
+  /** COMPACTION for the absorb path ([[appendDelta]] /
+    * [[graft.streaming.Streams.annAbsorbStream]]): fold every committed
+    * delta into a fresh versioned BASE via the [[IndexPublish]]
+    * protocol. The quantizers are FROZEN — this is a pure rewrite of
+    * the inverted lists and PQ codes through the serving read rule
+    * (base ∪ committed deltas), no refit — so served results are
+    * bit-identical before and after (spec-pinned). Without it, months
+    * of absorbing union one small parquet directory per delta into
+    * every serving read and rewrite an ever-growing `_DELTAS` list on
+    * every commit; after it, the new version carries the folded rows in
+    * its hive-partitioned base, an empty delta set, and the folded
+    * names burned into its `_ABSORBED` ledger (union with the old
+    * one), so a replayed absorb of an old batch stays exactly-once
+    * across the compaction. Readers are never blocked: in-flight
+    * queries finish on the previous version (retained by publish + GC
+    * grace); new resolves get the compacted base.
+    *
+    * No-op (returns the CURRENT manifest) below `minDeltas` committed
+    * deltas — the threshold the streaming absorb triggers on.
+    */
+  def compact(spark: SparkSession, path: String,
+              minDeltas: Int = 1): DataFrame = {
+    val root = resolve(spark, path)
+    val deltas = DeltaLog.committed(spark, root)
+    if (deltas.size < math.max(1, minDeltas))
+      return spark.read.parquet(s"$root/manifest")
+    val (newRoot, next, prev) = IndexPublish.begin(spark, path)
+    spark.read.parquet(s"$root/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$newRoot/centroids")
+    spark.read.parquet(s"$root/codebooks").coalesce(1)
+      .write.mode("overwrite").parquet(s"$newRoot/codebooks")
+    graft.io.Sinks.writePartitioned(
+      vectorLists(spark, root), s"$newRoot/vectors", Seq("cell"))
+    pqCodes(spark, root).write.mode("overwrite").parquet(s"$newRoot/codes")
+    DeltaLog.writeAbsorbed(spark, newRoot,
+      DeltaLog.absorbed(spark, root) ++ deltas)
+    val manifest = writeManifest(spark, newRoot)
+    IndexPublish.publish(spark, path, next, prev)
+    manifest
   }
 
   /** The full inverted lists at `root`: base `vectors/` plus every

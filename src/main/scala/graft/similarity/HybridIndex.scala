@@ -24,21 +24,41 @@ import org.apache.spark.sql.functions._
   *    over EVERY token (a serving index answers arbitrary queries, not a
   *    fixed batch); one token-linear corpus pass.
   *  - `termstats/`   (tok, df) — per-term document frequencies.
-  *  - `corpusstats/` one row (n_docs, avgdl): n_docs over ALL documents,
-  *    avgdl over documents with >= 1 token (the bm25TopK convention).
+  *  - `corpusstats/` one row (n_docs, nonempty_docs, sum_dl, avgdl):
+  *    n_docs over ALL documents, the rest over documents with >= 1
+  *    token (the bm25TopK convention). The INTEGER sums are stored so
+  *    incremental legs combine exactly: n_docs/nonempty/sum_dl add
+  *    across disjoint document sets and avgdl re-derives as one
+  *    division — bit-identical to a full re-export, no double-sum
+  *    ordering hazard.
   *  - `bqcodes/`     (vec_id, code) — the 48-bit sign codes
   *    ([[Similarity.bqTopK]]'s Hamming scan tier; 16 bytes/row).
   *  - `vectors/`     (vec_id, v, n) — full vectors + precomputed norms
   *    for the exact-cosine re-rank of the BQ shortlist.
-  *  - `manifest/`    (component, rows) — exact READ-BACK counts (the
-  *    source-of-truth rule: the manifest says what landed).
+  *  - `manifest/`    (component, rows) — exact READ-BACK counts through
+  *    the SERVED reading rule, base plus committed deltas (the
+  *    source-of-truth rule: the manifest says what serves).
+  *
+  * INCREMENTAL leg ([[appendDelta]]): arriving documents append their
+  * postings/termstats/corpusstats partials and their vector codes as a
+  * NAMED DELTA under `deltas/{name}/` with the exactly-once
+  * [[DeltaLog]] protocol [[AnnIndex.appendDelta]] established
+  * (overwrite staging, one atomic `_DELTAS` swap, committed-only
+  * reads, replay no-op). Because BM25's per-term statistics are
+  * integer counts over DISJOINT document sets, the served union is
+  * bit-identical to a full re-export over the union corpus
+  * (parity-spec'd): df sums by token, the corpus sums add, and the BQ
+  * plane signs are corpus-independent. The append contract is NEW
+  * document ids only — revising a document is a rebuild ([[export]]),
+  * as with the ANN index.
   *
   * Scale shape: every export pass is one linear scan + a key-grain
   * aggregation (postings are the wordcount shape); serving reads the
   * postings of the query terms only (broadcast term join — predicate
   * pushdown on `tok`), the 16 B/row code table, and the shortlisted
-  * vectors. At 100 TB the postings would additionally be bucketed by
-  * `tok` for static pruning; the layout is otherwise unchanged.
+  * vectors; a delta append touches only the arriving shard. At 100 TB
+  * the postings would additionally be bucketed by `tok` for static
+  * pruning; the layout is otherwise unchanged.
   */
 object HybridIndex {
 
@@ -52,6 +72,22 @@ object HybridIndex {
              vecCol: String, path: String, bits: Int = 48, table: Int = 1,
              maxDim: Int = 1024): DataFrame = {
     val (root, next, prev) = IndexPublish.begin(spark, path)
+    writeComponents(spark, docs, docId, textCol, vectors, vecId, vecCol,
+      root, bits, table, maxDim)
+    val manifest = writeManifest(spark, root)
+    IndexPublish.publish(spark, path, next, prev)
+    manifest
+  }
+
+  /** One corpus slice's five components under `dir` — shared verbatim by
+    * the base export and the delta staging, so the two legs cannot
+    * drift in tokenization, statistics conventions, or code geometry.
+    */
+  private def writeComponents(spark: SparkSession, docs: DataFrame,
+                              docId: String, textCol: String,
+                              vectors: DataFrame, vecId: String,
+                              vecCol: String, dir: String, bits: Int,
+                              table: Int, maxDim: Int): Unit = {
     val base = docs.select(col(docId).as("doc_id"),
       graft.functions.TextAnalysis.tokensArr(col(textCol)).as("toks"))
     val postings = base
@@ -59,37 +95,106 @@ object HybridIndex {
         explode(col("toks")).as("tok"))
       .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
       .localCheckpoint() // 2 consumers: the sink + termstats
-    postings.write.mode("overwrite").parquet(s"$root/postings")
+    postings.write.mode("overwrite").parquet(s"$dir/postings")
     postings.groupBy("tok").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$root/termstats")
-    // n_docs over ALL documents (zero-token docs included); avgdl over
-    // documents with >= 1 token — the bm25TopK/oracle convention. dl
-    // comes from the CHECKPOINTED postings (exactly the >= 1-token docs,
-    // one row per (tok, doc)) — never a second tokenization scan.
+      .write.mode("overwrite").parquet(s"$dir/termstats")
+    // n_docs over ALL documents (zero-token docs included); the other
+    // stats over documents with >= 1 token — the bm25TopK/oracle
+    // convention. dl comes from the CHECKPOINTED postings (exactly the
+    // >= 1-token docs, one row per (tok, doc)) — never a second
+    // tokenization scan. Integer sums stored; avgdl is one division.
     docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(postings.select("doc_id", "dl").distinct()
-        .agg((sum("dl").cast("double") / count(lit(1)).cast("double"))
-          .as("avgdl")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/corpusstats")
+        .agg(count(lit(1)).as("nonempty_docs"), sum("dl").as("sum_dl")))
+      .select(col("n_docs"), col("nonempty_docs"), col("sum_dl"),
+        (col("sum_dl").cast("double") / col("nonempty_docs").cast("double"))
+          .as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/corpusstats")
     val vecs = vectors.select(col(vecId).as("vec_id"),
       Similarity.asDouble(col(vecCol)).as("v"))
     vecs.select(col("vec_id"),
         Similarity.lshBucket(col("v"), bits, table, maxDim).as("code"))
-      .write.mode("overwrite").parquet(s"$root/bqcodes")
+      .write.mode("overwrite").parquet(s"$dir/bqcodes")
     vecs.withColumn("n", vec_norm(col("v")))
-      .write.mode("overwrite").parquet(s"$root/vectors")
-    val manifest = writeManifest(spark, root)
-    IndexPublish.publish(spark, path, next, prev)
-    manifest
+      .write.mode("overwrite").parquet(s"$dir/vectors")
   }
+
+  /** EXACTLY-ONCE incremental append — the lexical+vector twin of
+    * [[AnnIndex.appendDelta]]: the arriving documents' five components
+    * are staged under `root/deltas/{name}/` with OVERWRITE semantics by
+    * the SAME builder the base export uses, then the name commits into
+    * the `_DELTAS` manifest by one atomic swap. Served results over the
+    * absorbed index are bit-identical to a full re-export of the union
+    * corpus (disjoint-doc integer statistics — see the class doc).
+    * Returns true when newly committed, false on a replay.
+    */
+  def appendDelta(spark: SparkSession, docs: DataFrame, docId: String,
+                  textCol: String, vectors: DataFrame, vecId: String,
+                  vecCol: String, path: String, name: String,
+                  bits: Int = 48, table: Int = 1,
+                  maxDim: Int = 1024): Boolean = {
+    require(DeltaLog.validName(name), s"bad delta name '$name'")
+    val root = IndexPublish.resolve(spark, path)
+    if (DeltaLog.burned(spark, root).contains(name)) return false
+    writeComponents(spark, docs, docId, textCol, vectors, vecId, vecCol,
+      s"$root/deltas/$name", bits, table, maxDim)
+    DeltaLog.commit(spark, root, name)
+    writeManifest(spark, root) // diagnostic counts; _DELTAS bears correctness
+    true
+  }
+
+  // ---------------------------------------------------- served reading rule
+
+  /** Base component plus every COMMITTED delta's — the one reading rule
+    * of the serving paths (the [[AnnIndex.vectorLists]] discipline).
+    */
+  private def unionParts(spark: SparkSession, root: String, component: String,
+                         cols: Seq[String]): DataFrame = {
+    val base = spark.read.parquet(s"$root/$component")
+      .select(cols.map(col): _*)
+    DeltaLog.committed(spark, root).foldLeft(base) { (acc, d) =>
+      acc.unionByName(spark.read.parquet(s"$root/deltas/$d/$component")
+        .select(cols.map(col): _*))
+    }
+  }
+
+  /** Merged per-term document frequencies: integer df partials sum by
+    * token across base + deltas (disjoint document sets — exact).
+    */
+  private def termstatsAll(spark: SparkSession, root: String): DataFrame =
+    unionParts(spark, root, "termstats", Seq("tok", "df"))
+      .groupBy("tok").agg(sum("df").as("df"))
+
+  /** Merged one-row corpus statistics: the stored integer sums add and
+    * avgdl re-derives in one division — bit-identical to a full export
+    * of the union corpus.
+    */
+  private def corpusstatsAll(spark: SparkSession, root: String): DataFrame =
+    unionParts(spark, root, "corpusstats",
+      Seq("n_docs", "nonempty_docs", "sum_dl"))
+      .agg(sum("n_docs").as("n_docs"),
+        sum("nonempty_docs").as("nonempty_docs"), sum("sum_dl").as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("nonempty_docs").cast("double"))
+          .as("avgdl"))
 
   private val Components =
     Seq("postings", "termstats", "corpusstats", "bqcodes", "vectors")
 
+  /** Read-back counts through the SERVED reading rule (base + committed
+    * deltas; termstats/corpusstats counted after their merge).
+    */
   private def writeManifest(spark: SparkSession, root: String): DataFrame = {
     val manifest = Components.map { c =>
-      spark.read.parquet(s"$root/$c")
-        .agg(count(lit(1)).as("rows"))
+      val df = c match {
+        case "termstats"   => termstatsAll(spark, root)
+        case "corpusstats" => corpusstatsAll(spark, root)
+        case "postings"    => unionParts(spark, root, c,
+          Seq("tok", "doc_id", "dl", "tf"))
+        case "bqcodes"     => unionParts(spark, root, c, Seq("vec_id", "code"))
+        case _             => unionParts(spark, root, c, Seq("vec_id", "v", "n"))
+      }
+      df.agg(count(lit(1)).as("rows"))
         .select(lit(c).as("component"), col("rows"))
     }.reduce(_ unionByName _).orderBy("component").localCheckpoint()
     manifest.write.mode("overwrite").parquet(s"$root/manifest")
@@ -101,7 +206,9 @@ object HybridIndex {
     * vector leg Hamming-shortlists the stored code table and re-ranks
     * with [[Similarity.bqRank]] (stored norms reused), and the legs fuse
     * through [[Similarity.rrfFuse]] — bit-identical to the in-session
-    * `rrfFuse(bm25TopK, bqTopK)` composition over the same corpus/params.
+    * `rrfFuse(bm25TopK, bqTopK)` composition over the same corpus/params,
+    * whether the corpus arrived by one [[export]] or through
+    * [[appendDelta]] shards (the committed-delta union IS the corpus).
     */
   def servedTopK(spark: SparkSession, path: String,
                  lexQueries: Seq[(Int, Seq[String])], queryVecs: DataFrame,
@@ -118,12 +225,16 @@ object HybridIndex {
     val qt = lexQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("qid", "tok")
     val terms = qt.select("tok").distinct()
-    val hits = spark.read.parquet(s"$root/postings")
+    val hits = unionParts(spark, root, "postings",
+        Seq("tok", "doc_id", "dl", "tf"))
       .join(broadcast(terms), "tok")
       .select("doc_id", "dl", "tok", "tf")
-    val dfreq = spark.read.parquet(s"$root/termstats")
+    // df partials filtered to the query terms BEFORE the merge sum — the
+    // broadcast join pushes down to every part's parquet scan
+    val dfreq = unionParts(spark, root, "termstats", Seq("tok", "df"))
       .join(broadcast(terms), "tok")
-    val stats = spark.read.parquet(s"$root/corpusstats")
+      .groupBy("tok").agg(sum("df").as("df"))
+    val stats = corpusstatsAll(spark, root)
     val lex = graft.ops.TextOps.bm25Rank(hits, dfreq, stats, qt, legK, k1, b)
       .select(col("qid").as("query_id"), col("doc_id"), col("rank"))
     val q0 = queryVecs
@@ -132,8 +243,8 @@ object HybridIndex {
       .withColumn("qn", vec_norm(col("qv")))
       .withColumn("qcode", Similarity.lshBucket(col("qv"), bits, table, maxDim))
     val vec = Similarity.bqRank(
-        spark.read.parquet(s"$root/bqcodes"),
-        spark.read.parquet(s"$root/vectors")
+        unionParts(spark, root, "bqcodes", Seq("vec_id", "code")),
+        unionParts(spark, root, "vectors", Seq("vec_id", "v", "n"))
           .select(col("vec_id"), col("v").as("cv"), col("n").as("cn")),
         q0, legK, cands)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))

@@ -909,9 +909,19 @@ object Streams {
     * absorb ORDER and batching cannot change them (spec-pinned).
     * Structural rebuilds remain an explicit [[graft.similarity.AnnIndex.export]],
     * which supersedes all deltas under a new published version.
+    *
+    * `compactEvery` > 0 folds the committed deltas into a fresh
+    * versioned base ([[graft.similarity.AnnIndex.compact]] — frozen
+    * quantizers, a pure rewrite) once that many have accumulated, so a
+    * long-lived absorb stream never grows an unbounded per-read union
+    * of small delta directories. The compaction runs inside the same
+    * serialized foreachBatch; a crash between commit and compaction
+    * just defers the fold to the next batch, and the `_ABSORBED`
+    * ledger keeps replayed batch names exactly-once across it.
     */
   def annAbsorbStream(spark: SparkSession, dir: String, indexPath: String,
-                      checkpointDir: String, assignNProbe: Int = 0)
+                      checkpointDir: String, assignNProbe: Int = 0,
+                      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
@@ -923,9 +933,13 @@ object Streams {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.similarity.AnnIndex.appendDelta(batch.sparkSession, batch,
             "vec_id", "v", indexPath, f"d$id%06d", assignNProbe)
+          if (compactEvery > 0)
+            graft.similarity.AnnIndex.compact(batch.sparkSession, indexPath,
+              minDeltas = compactEvery)
+        }
         ()
       }
       .start()

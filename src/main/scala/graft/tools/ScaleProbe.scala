@@ -236,6 +236,17 @@ object ScaleProbe {
     // must track the SHARD, not the index (the daily-shard contract).
     // The delta name is fresh per invocation: a repeated name would be
     // the exactly-once REPLAY no-op and time nothing.
+    // The absorb target normally comes from the ann_export probe above;
+    // with a 2nd-arg op filter selecting absorb WITHOUT export (e.g.
+    // "absorb"), build the index here UNTIMED so appendDelta has
+    // centroids to load instead of failing on a missing probe index.
+    if (only.forall(_.exists("ann_absorb".contains)) &&
+        graft.similarity.IndexPublish.publishedVersions(spark,
+          graft.io.IoScratch.dir + "/ann_index_probe").isEmpty)
+      graft.similarity.AnnIndex.export(spark, embs, "vec_id", "embedding",
+        graft.io.IoScratch.dir + "/ann_index_probe",
+        cells = math.max(8, (n / 500).toInt), lloydIters = 3,
+        m = 4, ks = 16, pqIters = 3, fitRate = 0.1, assignNProbe = 2)
     var absorbTake = 0
     timed("ann_absorb") {
       absorbTake += 1
@@ -245,6 +256,40 @@ object ScaleProbe {
         "vec_id", "embedding",
         graft.io.IoScratch.dir + "/ann_index_probe",
         s"probe_n${n}_t$absorbTake", assignNProbe = 2)
+      spark.range(1).toDF("ok") }
+    // round-16 delta compaction: fold the probe index's committed deltas
+    // into a fresh base — a pure rewrite through the serving read rule,
+    // so it must track the INDEX SIZE linearly (write-bound; amortized
+    // across compactEvery shards in the stream, never per-absorb work)
+    timed("ann_compact") {
+      graft.similarity.AnnIndex.compact(spark,
+        graft.io.IoScratch.dir + "/ann_index_probe", minDeltas = 1) }
+    // round-16 hybrid incremental leg: export must stay the wordcount
+    // shape (token-linear postings pass)…
+    timed("hybrid_export") {
+      graft.similarity.HybridIndex.export(spark, docs, "doc_id", "text",
+        embs, "vec_id", "embedding",
+        graft.io.IoScratch.dir + "/hybrid_index_probe") }
+    // …and a delta append must track the arriving SHARD (2% of n), not
+    // the index: the shard's own postings/termstats/corpusstats partials
+    // plus its vector codes, one atomic name commit
+    var hybridTake = 0
+    if (only.forall(_.exists("hybrid_absorb".contains)) &&
+        graft.similarity.IndexPublish.publishedVersions(spark,
+          graft.io.IoScratch.dir + "/hybrid_index_probe").isEmpty)
+      graft.similarity.HybridIndex.export(spark, docs, "doc_id", "text",
+        embs, "vec_id", "embedding",
+        graft.io.IoScratch.dir + "/hybrid_index_probe")
+    timed("hybrid_absorb") {
+      hybridTake += 1
+      val m = math.max(64L, n / 50)
+      graft.similarity.HybridIndex.appendDelta(spark,
+        documents(spark, m).withColumn("doc_id", col("doc_id") + lit(10 * n)),
+        "doc_id", "text",
+        embeddings(spark, m).withColumn("vec_id", col("vec_id") + lit(10 * n)),
+        "vec_id", "embedding",
+        graft.io.IoScratch.dir + "/hybrid_index_probe",
+        s"probe_n${n}_t$hybridTake")
       spark.range(1).toDF("ok") }
     // round-13 generation eval: clipped-count machinery is the wordcount
     // shape on (pair, n, gram) keys — must stay token-linear

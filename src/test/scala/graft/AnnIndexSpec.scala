@@ -215,13 +215,74 @@ class AnnIndexSpec extends SparkTestBase {
     assert(AnnIndex.resolve(spark, p).endsWith("/v2"))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/v1/$anyPublished")),
       "the immediate predecessor must be retained")
-    // a third export GCs v1 (older than the new predecessor v2)
+    // a third export would GC v1 under keep-new-plus-predecessor, but v1
+    // was published moments ago: the GC GRACE window keeps it, so a
+    // reader that resolved v1 just before two rapid publishes can still
+    // finish scanning it (the r15 Wrong-#3 fix)
     AnnIndex.export(spark, embs, "vec_id", "embedding", p,
       cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
     assert(AnnIndex.resolve(spark, p).endsWith("/v3"))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/v1")),
-      "versions older than the predecessor must be GCed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/v1")),
+      "two rapid publishes must not delete a version inside the grace window")
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/v2")))
+    // age v1's publish instant past the grace window: the next publish
+    // collects it (v2 survives regardless as the immediate predecessor)
+    val aged = System.currentTimeMillis() -
+      graft.similarity.IndexPublish.GcGraceMs - 60000
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$p/v1/$anyPublished"), aged, -1)
+    AnnIndex.export(spark, embs, "vec_id", "embedding", p,
+      cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    assert(AnnIndex.resolve(spark, p).endsWith("/v4"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/v1")),
+      "versions beyond the grace window (and the predecessor) are GCed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/v3")),
+      "the immediate predecessor is always retained")
+  }
+
+  test("compact folds committed deltas into a fresh base: served bits unchanged, replays stay burned") {
+    val p = graft.io.IoScratch.dir + "/ann_compact"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    val a = embs.filter(col("vec_id") < 300)
+    val b1 = embs.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val b2 = embs.filter(col("vec_id") >= 400)
+    AnnIndex.export(spark, a, "vec_id", "embedding", p,
+      cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    assert(AnnIndex.appendDelta(spark, b1, "vec_id", "embedding", p, "d1"))
+    assert(AnnIndex.appendDelta(spark, b2, "vec_id", "embedding", p, "d2"))
+    val queries = embs.filter(col("vec_id") < 5)
+    def serve() = AnnIndex.servedTopK(spark, p, queries,
+        "vec_id", "embedding", k = 10, nProbe = 2)
+      .orderBy("query_id", "vec_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val before = serve()
+    // below the threshold: a no-op that returns the current manifest
+    val v1 = AnnIndex.resolve(spark, p)
+    AnnIndex.compact(spark, p, minDeltas = 3)
+    assert(AnnIndex.resolve(spark, p) == v1, "below minDeltas: no new version")
+    // the fold: fresh base, empty delta set, identical served bits
+    AnnIndex.compact(spark, p, minDeltas = 2)
+    val v2 = AnnIndex.resolve(spark, p)
+    assert(v2 != v1 && v2.endsWith("/v2"))
+    assert(AnnIndex.committedDeltas(spark, v2).isEmpty,
+      "compacted version starts with no deltas")
+    assert(serve() == before, "frozen-quantizer fold must not move a bit")
+    val n = embs.count()
+    assert(AnnIndex.pqCodes(spark, v2).count() == n)
+    // replayed absorb of a FOLDED name: burned in _ABSORBED, still a no-op
+    assert(!AnnIndex.appendDelta(spark, b1, "vec_id", "embedding", p, "d1"),
+      "a compaction must not resurrect an absorbed batch name")
+    assert(serve() == before)
+    // a genuinely new shard still absorbs, and a second compact folds it
+    // while keeping d1/d2 burned (ledger union)
+    val extra = b1.withColumn("vec_id", col("vec_id") + 9000)
+    assert(AnnIndex.appendDelta(spark, extra, "vec_id", "embedding", p, "d3"))
+    AnnIndex.compact(spark, p, minDeltas = 1)
+    val v3 = AnnIndex.resolve(spark, p)
+    assert(AnnIndex.pqCodes(spark, v3).count() == n + b1.count())
+    assert(!AnnIndex.appendDelta(spark, b2, "vec_id", "embedding", p, "d2"))
+    assert(!AnnIndex.appendDelta(spark, extra, "vec_id", "embedding", p, "d3"))
   }
 
   private val anyPublished = "_PUBLISHED"

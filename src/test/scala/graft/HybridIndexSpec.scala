@@ -52,7 +52,7 @@ class HybridIndexSpec extends SparkTestBase {
     assert(r1.endsWith("/v1"), r1)
     // the stored stats match the bm25TopK convention exactly
     val (nd, avgdl) = spark.read.parquet(s"$r1/corpusstats")
-      .as[(Long, Double)].head()
+      .select("n_docs", "avgdl").as[(Long, Double)].head()
     assert(nd == docs.count())
     val base = docs.select(
       graft.functions.TextAnalysis.tokensArr(col("text")).as("toks"))
@@ -68,5 +68,41 @@ class HybridIndexSpec extends SparkTestBase {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/v1/_PUBLISHED")))
+  }
+
+  test("appendDelta: absorbed shards serve bit-identically to a full re-export of the union") {
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 =!= 0)
+    val halfV = embs.filter(col("vec_id") % 2 === 0)
+    val restV = embs.filter(col("vec_id") % 2 =!= 0)
+    val full = graft.io.IoScratch.dir + "/hybrid_full"
+    val inc = graft.io.IoScratch.dir + "/hybrid_inc"
+    HybridIndex.export(spark, docs, "doc_id", "text",
+      embs, "vec_id", "embedding", full)
+    HybridIndex.export(spark, half, "doc_id", "text",
+      halfV, "vec_id", "embedding", inc)
+    assert(HybridIndex.appendDelta(spark, rest, "doc_id", "text",
+      restV, "vec_id", "embedding", inc, "shard1"))
+    val queries = embs.filter(col("vec_id").isin(1, 2, 3))
+    def serve(p: String) = HybridIndex.servedTopK(spark, p, lexQueries,
+        queries, "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(serve(inc) == serve(full),
+      "the committed-delta union IS the corpus: BM25 integer statistics " +
+        "over disjoint doc sets and corpus-independent BQ codes must " +
+        "compose to the full-export bits")
+    // replay is a no-op (the AnnIndex exactly-once contract, same ledger)
+    assert(!HybridIndex.appendDelta(spark, rest, "doc_id", "text",
+      restV, "vec_id", "embedding", inc, "shard1"))
+    assert(serve(inc) == serve(full))
+    // the manifest counts the SERVED state: union rows, merged termstats
+    val mFull = spark.read.parquet(
+        s"${graft.similarity.AnnIndex.resolve(spark, full)}/manifest")
+      .as[(String, Long)].collect().toMap
+    val mInc = spark.read.parquet(
+        s"${graft.similarity.AnnIndex.resolve(spark, inc)}/manifest")
+      .as[(String, Long)].collect().toMap
+    assert(mInc == mFull, s"served-state manifests must agree: $mInc vs $mFull")
   }
 }

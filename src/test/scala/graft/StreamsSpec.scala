@@ -506,6 +506,69 @@ class StreamsSpec extends SparkTestBase {
     assert(served(s"$dir/index") == served(s"$dir/twin"))
   }
 
+  test("annAbsorbStream compactEvery: deltas fold mid-stream, absorb continues on the compacted base") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.io.IoScratch.dir + "/ann_absorb_compact"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    val embs = graft.core.Tables.embeddings(spark, sfDir)
+    val base = embs.filter(col("vec_id") < 300)
+    val rest = embs.filter(col("vec_id") >= 300)
+    val shards = (0 to 2).map(r => rest.filter(col("vec_id") % 3 === r))
+    graft.similarity.AnnIndex.export(spark, base, "vec_id", "embedding",
+      s"$dir/index", cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    graft.similarity.AnnIndex.export(spark, base, "vec_id", "embedding",
+      s"$dir/twin", cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    graft.similarity.AnnIndex.append(spark, rest, "vec_id", "embedding",
+      s"$dir/twin")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/tmp_$name"
+      df.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/landing"))
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      require(fs.rename(part,
+        new org.apache.hadoop.fs.Path(s"$dir/landing/$name.parquet")))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    def absorbAll(): Unit = {
+      val q = Streams.annAbsorbStream(spark, s"$dir/landing", s"$dir/index",
+        checkpointDir = s"$dir/ckpt", compactEvery = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    land(shards(0), "s1")
+    absorbAll()
+    val root1 = graft.similarity.AnnIndex.resolve(spark, s"$dir/index")
+    assert(graft.similarity.AnnIndex.committedDeltas(spark, root1).size == 1,
+      "one delta below the threshold: no fold yet")
+    land(shards(1), "s2")
+    absorbAll() // second delta reaches compactEvery=2 -> fold in-batch
+    val root2 = graft.similarity.AnnIndex.resolve(spark, s"$dir/index")
+    assert(root2 != root1, "the fold publishes a fresh version")
+    assert(graft.similarity.AnnIndex.committedDeltas(spark, root2).isEmpty,
+      "the compacted version starts with an empty delta set")
+    land(shards(2), "s3")
+    absorbAll() // a post-compaction shard absorbs onto the new base
+    val root3 = graft.similarity.AnnIndex.resolve(spark, s"$dir/index")
+    assert(graft.similarity.AnnIndex.committedDeltas(spark, root3).size == 1)
+    // exactly-once through the fold: every vector present exactly once
+    val n = embs.count()
+    import spark.implicits._
+    val ids = graft.similarity.AnnIndex.vectorLists(spark, root3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ids.length == n && ids.distinct.length == n,
+      s"expected $n unique vectors, got ${ids.length}")
+    // serving parity with the batch-append twin, across the fold
+    def served(p: String) = graft.similarity.AnnIndex.servedTopK(spark, p,
+        embs.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10, nProbe = 2)
+      .orderBy("query_id", "vec_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(served(s"$dir/index") == served(s"$dir/twin"))
+  }
+
   test("streaming dedup keeps first occurrence") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
