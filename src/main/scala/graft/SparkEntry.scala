@@ -3290,10 +3290,14 @@ object SparkEntry {
     // the other half absorbed as an exactly-once named delta (postings /
     // termstats / corpusstats partials + vector codes — integer BM25
     // statistics over disjoint doc sets compose exactly, BQ plane signs
-    // are corpus-independent), then served FROM the union. The oracle is
-    // q_hybrid_served's oracle VERBATIM: the committed-delta union must
-    // be bit-identical to a full export of the whole corpus.
+    // are corpus-independent), then served FROM the union; the query
+    // then COMPACTS (pure rewrite of the stored tables, no
+    // re-tokenization) and pins in-line that the fold moved no served
+    // bit (a bounded 30-row driver pull, the q_ann_compact discipline).
+    // The oracle is q_hybrid_served's oracle VERBATIM: absorbed,
+    // compacted, or exported whole, the served corpus is the corpus.
     "q_hybrid_absorbed" -> ((s, dir) => {
+      import s.implicits._
       val path = graft.io.IoScratch.dir + "/hybrid_index_absorbed"
       val docs = Tables.documents(s, dir)
       val e = Tables.embeddings(s, dir)
@@ -3304,12 +3308,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
         e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", path,
         "shard1")
-      graft.similarity.HybridIndex.servedTopK(s, path,
+      def serve() = graft.similarity.HybridIndex.servedTopK(s, path,
           Seq(1 -> Seq("scan", "column"), 2 -> Seq("window", "sort"),
             3 -> Seq("stream", "batch")),
           e.filter(col("vec_id").isin(1, 2, 3)), "vec_id", "embedding",
           k = 10)
         .orderBy("query_id", "rank")
+      val before = serve().as[(Long, Long, Long, Double)].collect().toSeq
+      graft.similarity.HybridIndex.compact(s, path, minDeltas = 1)
+      val after = serve()
+      if (after.as[(Long, Long, Long, Double)].collect().toSeq != before)
+        sys.error("hybrid compaction moved served bits")
+      after
     }),
 
     // Binary-quantization ANN (round 14, third scale path): 48 sign bits

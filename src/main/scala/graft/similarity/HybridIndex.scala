@@ -143,6 +143,47 @@ object HybridIndex {
     true
   }
 
+  /** COMPACTION for the hybrid absorb path — [[AnnIndex.compact]]'s
+    * lexical twin: fold base + committed deltas into a fresh versioned
+    * base by PURE REWRITE of the stored tables (no re-tokenization —
+    * postings/bqcodes/vectors union as rows, termstats merges by
+    * token-sum, corpusstats merges its integer sums and re-derives
+    * avgdl), published atomically with the folded names burned into the
+    * new version's `_ABSORBED` ledger. Served bits are unchanged
+    * (spec-pinned) and a long-lived absorb stream stops unioning one
+    * small directory per delta into every query. No-op below
+    * `minDeltas`.
+    */
+  def compact(spark: SparkSession, path: String,
+              minDeltas: Int = 1): DataFrame = {
+    val root = IndexPublish.resolve(spark, path)
+    val deltas = DeltaLog.committed(spark, root)
+    if (deltas.size < math.max(1, minDeltas))
+      return spark.read.parquet(s"$root/manifest")
+    val (newRoot, next, prev) = IndexPublish.begin(spark, path)
+    unionParts(spark, root, "postings", Seq("tok", "doc_id", "dl", "tf"))
+      .write.mode("overwrite").parquet(s"$newRoot/postings")
+    termstatsAll(spark, root)
+      .write.mode("overwrite").parquet(s"$newRoot/termstats")
+    unionParts(spark, root, "corpusstats",
+        Seq("n_docs", "nonempty_docs", "sum_dl"))
+      .agg(sum("n_docs").as("n_docs"),
+        sum("nonempty_docs").as("nonempty_docs"), sum("sum_dl").as("sum_dl"))
+      .select(col("n_docs"), col("nonempty_docs"), col("sum_dl"),
+        (col("sum_dl").cast("double") / col("nonempty_docs").cast("double"))
+          .as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$newRoot/corpusstats")
+    unionParts(spark, root, "bqcodes", Seq("vec_id", "code"))
+      .write.mode("overwrite").parquet(s"$newRoot/bqcodes")
+    unionParts(spark, root, "vectors", Seq("vec_id", "v", "n"))
+      .write.mode("overwrite").parquet(s"$newRoot/vectors")
+    DeltaLog.writeAbsorbed(spark, newRoot,
+      DeltaLog.absorbed(spark, root) ++ deltas)
+    val manifest = writeManifest(spark, newRoot)
+    IndexPublish.publish(spark, path, next, prev)
+    manifest
+  }
+
   // ---------------------------------------------------- served reading rule
 
   /** Base component plus every COMMITTED delta's — the one reading rule

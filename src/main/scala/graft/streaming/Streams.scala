@@ -945,6 +945,47 @@ object Streams {
       .start()
   }
 
+  /** Streaming HYBRID-index absorb — [[annAbsorbStream]]'s lexical+vector
+    * twin: parquet shards of (doc_id, text, v) landing in `dir` fold
+    * through [[graft.similarity.HybridIndex.appendDelta]] (per-shard
+    * postings/termstats/corpusstats partials + vector codes, one atomic
+    * named commit per micro-batch), with the same exactly-once
+    * replay/crash contract and the same `compactEvery` fold trigger.
+    * The served index after any absorb history equals a full export of
+    * the union corpus bit-for-bit (disjoint-doc integer statistics —
+    * the [[graft.similarity.HybridIndex]] class doc), so an arriving
+    * document becomes searchable one micro-batch after it lands.
+    */
+  def hybridAbsorbStream(spark: SparkSession, dir: String, indexPath: String,
+                         checkpointDir: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // 2 consumers: docs + vectors legs
+          graft.similarity.HybridIndex.appendDelta(b.sparkSession,
+            b.select("doc_id", "text"), "doc_id", "text",
+            b.select(col("doc_id").as("vec_id"), col("v")), "vec_id", "v",
+            indexPath, f"d$id%06d")
+          if (compactEvery > 0)
+            graft.similarity.HybridIndex.compact(b.sparkSession, indexPath,
+              minDeltas = compactEvery)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming WARC landing-directory ingestion — the `add_inputs`
     * incremental-job analog at the crawl's front door: `.warc.gz`
     * archives appearing in `dir` stream through HTTP-body extraction →

@@ -104,5 +104,17 @@ class HybridIndexSpec extends SparkTestBase {
         s"${graft.similarity.AnnIndex.resolve(spark, inc)}/manifest")
       .as[(String, Long)].collect().toMap
     assert(mInc == mFull, s"served-state manifests must agree: $mInc vs $mFull")
+    // COMPACTION: pure rewrite of the stored tables — fresh version,
+    // empty delta set, identical served bits, folded name stays burned
+    val v1 = graft.similarity.AnnIndex.resolve(spark, inc)
+    HybridIndex.compact(spark, inc, minDeltas = 1)
+    val v2 = graft.similarity.AnnIndex.resolve(spark, inc)
+    assert(v2 != v1, "the fold publishes a fresh version")
+    assert(graft.similarity.AnnIndex.committedDeltas(spark, v2).isEmpty)
+    assert(serve(inc) == serve(full), "the fold must not move a served bit")
+    assert(!HybridIndex.appendDelta(spark, rest, "doc_id", "text",
+      restV, "vec_id", "embedding", inc, "shard1"),
+      "a compaction must not resurrect an absorbed batch name")
+    assert(serve(inc) == serve(full))
   }
 }

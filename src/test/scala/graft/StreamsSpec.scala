@@ -569,6 +569,66 @@ class StreamsSpec extends SparkTestBase {
     assert(served(s"$dir/index") == served(s"$dir/twin"))
   }
 
+  test("hybridAbsorbStream: landing doc+vector shards absorb exactly once, fold at compactEvery, full-export parity") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.io.IoScratch.dir + "/hybrid_absorb_stream"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val embs = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val joined = docs.join(embs, "doc_id") // one landing row per document
+    val base = joined.filter(col("doc_id") % 4 === 0)
+    val shards = (1 to 3).map(r => joined.filter(col("doc_id") % 4 === r))
+    graft.similarity.HybridIndex.export(spark,
+      base.select("doc_id", "text"), "doc_id", "text",
+      base.select(col("doc_id").as("vec_id"), col("v")), "vec_id", "v",
+      s"$dir/index")
+    // the parity twin: ONE full export over everything the stream absorbs
+    graft.similarity.HybridIndex.export(spark,
+      joined.select("doc_id", "text"), "doc_id", "text",
+      joined.select(col("doc_id").as("vec_id"), col("v")), "vec_id", "v",
+      s"$dir/twin")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/landing"))
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      require(fs.rename(part,
+        new org.apache.hadoop.fs.Path(s"$dir/landing/$name.parquet")))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    def absorbAll(): Unit = {
+      val q = Streams.hybridAbsorbStream(spark, s"$dir/landing",
+        s"$dir/index", checkpointDir = s"$dir/ckpt", compactEvery = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    land(shards(0).select("doc_id", "text", "v"), "s1")
+    absorbAll()
+    land(shards(1).select("doc_id", "text", "v"), "s2")
+    absorbAll() // second delta trips compactEvery=2 -> fold
+    assert(graft.similarity.AnnIndex.committedDeltas(spark,
+      graft.similarity.AnnIndex.resolve(spark, s"$dir/index")).isEmpty,
+      "the fold leaves an empty delta set")
+    land(shards(2).select("doc_id", "text", "v"), "s3")
+    absorbAll() // restart absorbs only the new shard onto the folded base
+    absorbAll() // nothing new: a no-op
+    import spark.implicits._
+    val lexQueries = Seq(1 -> Seq("scan", "column"), 2 -> Seq("window", "sort"))
+    val queries = embs.filter(col("doc_id").isin(1, 2))
+      .select(col("doc_id").as("vec_id"), col("v"))
+    def served(p: String) = graft.similarity.HybridIndex.servedTopK(spark, p,
+        lexQueries, queries, "vec_id", "v", k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(served(s"$dir/index") == served(s"$dir/twin"),
+      "an absorbed+folded history must serve the full-export bits")
+  }
+
   test("streaming dedup keeps first occurrence") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
