@@ -890,7 +890,7 @@ object Pdf {
     }
 
     if (!xrefStream) buildClassic(nObjs, dictBody, contentData)
-    else buildXrefStreamLayout(nObjs, pages.length, dictBody, contentData, compress)
+    else buildXrefStreamLayout(nObjs, dictBody, contentData, compress)
   }
 
   private def buildClassic(nObjs: Int, dictBody: Array[String],
@@ -927,7 +927,7 @@ object Pdf {
     * (no filter, no predictor), which is equally legal and pins the
     * unfiltered decode path.
     */
-  private def buildXrefStreamLayout(nObjs: Int, nPages: Int,
+  private def buildXrefStreamLayout(nObjs: Int,
                                     dictBody: Array[String],
                                     contentData: Array[(Array[Byte], String)],
                                     compress: Boolean): Array[Byte] = {
@@ -1009,7 +1009,6 @@ object Pdf {
     out.write(xrefData)
     out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
     out.write(s"startxref\n${offsets(xrefNum)}\n%%EOF\n".getBytes(ISO_8859_1))
-    val _ = nPages
     out.toByteArray
   }
 

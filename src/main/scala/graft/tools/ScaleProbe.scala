@@ -234,8 +234,11 @@ object ScaleProbe {
     // round-15 streaming-absorb unit: one shard (2% of n) delta-appended
     // against the probe export's frozen quantizers (routed assign) —
     // must track the SHARD, not the index (the daily-shard contract).
-    // The delta name is fresh per invocation: a repeated name would be
-    // the exactly-once REPLAY no-op and time nothing.
+    // The delta name is fresh per invocation AND per JVM (nanoTime salt):
+    // a repeated name — including one a previous probe run over the same
+    // scratch dir committed or compacted away — would be the
+    // exactly-once REPLAY no-op and time nothing.
+    val probeSalt = java.lang.Long.toHexString(System.nanoTime())
     // The absorb target normally comes from the ann_export probe above;
     // with a 2nd-arg op filter selecting absorb WITHOUT export (e.g.
     // "absorb"), build the index here UNTIMED so appendDelta has
@@ -255,13 +258,24 @@ object ScaleProbe {
           .withColumn("vec_id", col("vec_id") + lit(10 * n)),
         "vec_id", "embedding",
         graft.io.IoScratch.dir + "/ann_index_probe",
-        s"probe_n${n}_t$absorbTake", assignNProbe = 2)
+        s"probe_${probeSalt}_t$absorbTake", assignNProbe = 2)
       spark.range(1).toDF("ok") }
-    // round-16 delta compaction: fold the probe index's committed deltas
-    // into a fresh base — a pure rewrite through the serving read rule,
-    // so it must track the INDEX SIZE linearly (write-bound; amortized
-    // across compactEvery shards in the stream, never per-absorb work)
+    // round-16 delta compaction: absorb one fresh shard then fold ALL
+    // committed deltas into a fresh base — a pure rewrite through the
+    // serving read rule, so it must track the INDEX SIZE linearly
+    // (write-bound; amortized across compactEvery shards in the stream,
+    // never per-absorb work). The in-body absorb keeps the warmed
+    // protocol honest: a bare compact would fold on the warm run and
+    // time a minDeltas no-op on the second.
+    var compactTake = 0
     timed("ann_compact") {
+      compactTake += 1
+      graft.similarity.AnnIndex.appendDelta(spark,
+        embeddings(spark, math.max(64L, n / 50))
+          .withColumn("vec_id", col("vec_id") + lit(20 * n + 1000 * compactTake)),
+        "vec_id", "embedding",
+        graft.io.IoScratch.dir + "/ann_index_probe",
+        s"cprobe_${probeSalt}_t$compactTake", assignNProbe = 2)
       graft.similarity.AnnIndex.compact(spark,
         graft.io.IoScratch.dir + "/ann_index_probe", minDeltas = 1) }
     // round-16 hybrid incremental leg: export must stay the wordcount
@@ -289,7 +303,7 @@ object ScaleProbe {
         embeddings(spark, m).withColumn("vec_id", col("vec_id") + lit(10 * n)),
         "vec_id", "embedding",
         graft.io.IoScratch.dir + "/hybrid_index_probe",
-        s"probe_n${n}_t$hybridTake")
+        s"hprobe_${probeSalt}_t$hybridTake")
       spark.range(1).toDF("ok") }
     // round-13 generation eval: clipped-count machinery is the wordcount
     // shape on (pair, n, gram) keys — must stay token-linear
