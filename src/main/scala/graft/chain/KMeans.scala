@@ -118,6 +118,25 @@ object KMeans {
     // degenerate routing (everything lands in ≤ nProbe cells) prunes
     // nothing — the exact scan is the same work without the probe step
     if (nonEmpty.size <= nProbe) return assign(points, idCol, vecCol, centers)
+    if (k >= JoinedAssignK)
+      assignRoutedJoined(points, idCol, vecCol, centers, nProbe, coarse, nonEmpty)
+    else
+      assignRoutedExpr(points, idCol, vecCol, centers, nProbe, coarse, nonEmpty)
+  }
+
+  /** Past this many centers the O(k)-wide member-argmin expression
+    * outgrows Janino's 64 KB method limit and the whole stage silently
+    * falls back to interpreted execution (observed at k = 1000 in the
+    * 500k ScaleProbe runs, logged as `Code grows beyond 64 KB`) — at
+    * cells ∝ n the production assign MUST NOT lose codegen exactly when
+    * the index gets big, so routing switches to the broadcast-join form.
+    */
+  private[graft] val JoinedAssignK = 512
+
+  private[graft] def assignRoutedExpr(points: DataFrame, idCol: String,
+      vecCol: String, centers: Seq[Seq[Double]], nProbe: Int,
+      coarse: Seq[Seq[Double]],
+      nonEmpty: Seq[(Seq[Int], Int)]): DataFrame = {
     val v = asDouble(col(vecCol))
     // nProbe nearest non-empty coarse cells: struct sort = (d asc, cell asc)
     val probed = slice(array_sort(array(nonEmpty.map { case (_, j) =>
@@ -134,6 +153,47 @@ object KMeans {
     }
     points.select(col(idCol).as("id"), v.as("v"),
       least(bests: _*).getField("id").cast("int").as("cluster"))
+  }
+
+  /** The LARGE-k routed assign: the √k-wide coarse probe stays an
+    * expression (codegen-sized at any realistic cell count), and the
+    * member argmin becomes a broadcast join against the (cell, cid, cv)
+    * member-centroid table + one `min(struct(d, cid))` partial
+    * aggregation. Same probe rule, same [[graft.functions.VectorOps]]
+    * SqEuclidean kernel and double arithmetic, same (distance asc,
+    * center-id asc) tie-break — assignments are BIT-IDENTICAL to the
+    * expression form (spec-pinned at k spanning the threshold), but the
+    * generated code is O(1) in k, so the stage stays inside whole-stage
+    * codegen where the expression form drops to interpreted past
+    * [[JoinedAssignK]]. Per-point work is the same nProbe·k/√k distance
+    * evaluations, row-shaped through the join; the n×nProbe·√k
+    * intermediate never shuffles (the argmin combines map-side).
+    * Contract: vectors non-null (the quantizer-input contract — a null
+    * vector has no cell).
+    */
+  private[graft] def assignRoutedJoined(points: DataFrame, idCol: String,
+      vecCol: String, centers: Seq[Seq[Double]], nProbe: Int,
+      coarse: Seq[Seq[Double]],
+      nonEmpty: Seq[(Seq[Int], Int)]): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val v = asDouble(col(vecCol))
+    val probed = slice(array_sort(array(nonEmpty.map { case (_, j) =>
+      struct(sqDist(v, coarse(j)).as("d"), lit(j).as("cell"))
+    }: _*)), 1, nProbe)
+    val ctab = nonEmpty.flatMap { case (ids, j) =>
+      ids.map(i => (j, i, centers(i)))
+    }.toDF("cell", "cid", "cv")
+    points
+      .select(col(idCol).as("id"), v.as("v"),
+        explode(transform(probed, p => p.getField("cell"))).as("cell"))
+      .join(broadcast(ctab), "cell")
+      .groupBy("id")
+      .agg(first(col("v")).as("v"), // v is functionally dependent on id
+        min(struct(
+          graft.functions.VectorOps.vec_sqdist(col("v"), col("cv")).as("d"),
+          col("cid").as("cid"))).as("m"))
+      .select(col("id"), col("v"), col("m.cid").cast("int").as("cluster"))
   }
 
   /** The routing tables: a deterministic driver-side Lloyd over the k

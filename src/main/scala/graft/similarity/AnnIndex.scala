@@ -251,6 +251,19 @@ object AnnIndex {
 
   import graft.functions.VectorOps.vec_norm
 
+  /** Write the inverted lists hive-partitioned by `cell`, CLUSTERED
+    * first: repartition on the cell id + an in-partition sort so the
+    * dynamic-partition writer holds ONE open file at a time and each
+    * cell lands in at most one file per task — without this, every
+    * task opens a writer per touched cell and a 1000-cell index write
+    * scatters up to tasks×cells tiny files (the measured write-bound
+    * tail of export/absorb at cells ∝ n). Row content is unchanged —
+    * layout only; readers and manifests count rows, not files.
+    */
+  private def writeClustered(df: DataFrame, path: String): Unit =
+    df.repartition(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
   /** See [[IndexPublish.resolve]]. */
   def resolve(spark: SparkSession, path: String): String =
     IndexPublish.resolve(spark, path)
@@ -283,10 +296,10 @@ object AnnIndex {
       else graft.chain.KMeans.assign(corpus, idCol, vecCol, centers)
     centers.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "v")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-    graft.io.Sinks.writePartitioned(
+    writeClustered(
       assigned.select(col("id").as("vec_id"), col("v"),
         vec_norm(col("v")).as("n"), col("cluster").as("cell")),
-      s"$root/vectors", Seq("cell"))
+      s"$root/vectors")
     val cbs = Similarity.pqTrain(spark, corpus, idCol, vecCol, m, ks, pqIters)
     (for { (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex }
       yield (s, j, c)).toDF("sub", "cluster", "v")
@@ -359,6 +372,7 @@ object AnnIndex {
       else graft.chain.KMeans.assign(newVectors, idCol, vecCol, centers)
     assigned.select(col("id").as("vec_id"), col("v"),
         vec_norm(col("v")).as("n"), col("cluster").as("cell"))
+      .repartition(col("cell")).sortWithinPartitions("cell") // writeClustered, append-mode
       .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
     val cbs = loadCodebooks(spark, root)
     Similarity.pqEncode(newVectors, idCol, vecCol, cbs)
@@ -406,10 +420,10 @@ object AnnIndex {
         graft.chain.KMeans.assignRouted(newVectors, idCol, vecCol, centers,
           assignNProbe)
       else graft.chain.KMeans.assign(newVectors, idCol, vecCol, centers)
-    assigned.select(col("id").as("vec_id"), col("v"),
-        vec_norm(col("v")).as("n"), col("cluster").as("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$root/deltas/$name/vectors")
+    writeClustered(
+      assigned.select(col("id").as("vec_id"), col("v"),
+        vec_norm(col("v")).as("n"), col("cluster").as("cell")),
+      s"$root/deltas/$name/vectors")
     val cbs = loadCodebooks(spark, root)
     Similarity.pqEncode(newVectors, idCol, vecCol, cbs)
       .withColumnRenamed("id", "vec_id")
@@ -457,8 +471,7 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$newRoot/centroids")
     spark.read.parquet(s"$root/codebooks").coalesce(1)
       .write.mode("overwrite").parquet(s"$newRoot/codebooks")
-    graft.io.Sinks.writePartitioned(
-      vectorLists(spark, root), s"$newRoot/vectors", Seq("cell"))
+    writeClustered(vectorLists(spark, root), s"$newRoot/vectors")
     pqCodes(spark, root).write.mode("overwrite").parquet(s"$newRoot/codes")
     DeltaLog.writeAbsorbed(spark, newRoot,
       DeltaLog.absorbed(spark, root) ++ deltas)

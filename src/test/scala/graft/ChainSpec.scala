@@ -131,6 +131,40 @@ class ChainSpec extends SparkTestBase {
     assert(full == exact)
   }
 
+  test("assignRouted large-k join form is bit-identical to the expression form") {
+    // k = 600 spans JoinedAssignK: the dispatcher must pick the join
+    // form, and the join form must reproduce the expression form's
+    // assignments EXACTLY — same probe, same kernel, same tie-break
+    // (the expression form past ~1000 cells silently loses codegen to
+    // Janino's 64 KB limit; the join form is how the production path
+    // keeps JIT at cells ∝ n)
+    val pts = spark.range(0, 1500).select(col("id"),
+      array((pmod(hash(col("id")), lit(1000)) / 100.0),
+        (pmod(hash(col("id") * 3), lit(1000)) / 100.0)).as("vec"))
+    val centers = (0 until 600).map(i => Seq((i % 25) * 0.41, (i / 25) * 0.42))
+    assert(centers.length >= KMeans.JoinedAssignK)
+    val c = math.round(math.sqrt(centers.length.toDouble)).toInt
+    val (coarse, members) = KMeans.routeTables(centers, c, iters = 3)
+    val nonEmpty = members.zipWithIndex.filter(_._1.nonEmpty)
+    val expr = KMeans.assignRoutedExpr(pts, "id", "vec", centers, 2,
+        coarse, nonEmpty)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val joined = KMeans.assignRoutedJoined(pts, "id", "vec", centers, 2,
+        coarse, nonEmpty)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(joined == expr, "join-form assignments must be bit-identical")
+    val dispatched = KMeans.assignRouted(pts, "id", "vec", centers, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(dispatched == expr)
+    // the joined form also round-trips the vector column unchanged
+    val vRow = KMeans.assignRoutedJoined(pts, "id", "vec", centers, 2,
+        coarse, nonEmpty)
+      .filter(col("id") === 7L).select("v").collect()(0).getSeq[Double](0)
+    val vIn = pts.filter(col("id") === 7L)
+      .select(col("vec").cast("array<double>")).collect()(0).getSeq[Double](0)
+    assert(vRow == vIn)
+  }
+
   test("NaiveBayes contingency math matches hand counts") {
     // 4 docs: two classes, feature f1 only in class A, f2 in both
     val ev = Seq(
