@@ -106,6 +106,14 @@ object KMeans {
     * prune. Everything is a guarded codegen expression: only the probed
     * cells' member distances are evaluated per row (CaseWhen branches),
     * and the plan stays partitioning-agnostic and deterministic.
+    *
+    * Degenerate-input contract (holds on BOTH sides of the
+    * [[JoinedAssignK]] switch, spec-pinned): a null vector assigns a
+    * null cluster — never a silently dropped row; ids must be UNIQUE —
+    * the large-k join form aggregates by id, so a duplicated id
+    * collapses to one row there while the expression forms emit one row
+    * per input (the quantizer-input contract; every production caller
+    * assigns over a keyed vector table).
     */
   def assignRouted(points: DataFrame, idCol: String, vecCol: String,
                    centers: Seq[Seq[Double]], nProbe: Int = 2): DataFrame = {
@@ -151,8 +159,13 @@ object KMeans {
         array_min(array(ids.map(i =>
           struct(sqDist(v, centers(i)).as("d"), lit(i).as("id"))): _*)))
     }
+    // explicit null-in-null-out (the assign behavior): a null vector's
+    // distances are all null, and the struct argmin must not fall back
+    // to comparing the id field — guard rather than rely on null-field
+    // struct ordering
     points.select(col(idCol).as("id"), v.as("v"),
-      least(bests: _*).getField("id").cast("int").as("cluster"))
+      when(v.isNotNull,
+        least(bests: _*).getField("id")).cast("int").as("cluster"))
   }
 
   /** The LARGE-k routed assign: the √k-wide coarse probe stays an
@@ -168,8 +181,11 @@ object KMeans {
     * [[JoinedAssignK]]. Per-point work is the same nProbe·k/√k distance
     * evaluations, row-shaped through the join; the n×nProbe·√k
     * intermediate never shuffles (the argmin combines map-side).
-    * Contract: vectors non-null (the quantizer-input contract — a null
-    * vector has no cell).
+    * Null vectors route through `explode_outer` + a LEFT broadcast join
+    * (one null-cell row each) and surface as null-cluster rows — the
+    * [[assign]]/[[assignRoutedExpr]] behavior, so crossing
+    * [[JoinedAssignK]] never silently drops rows; for NON-null rows the
+    * probed cells always hit the member table, so left ≡ inner there.
     */
   private[graft] def assignRoutedJoined(points: DataFrame, idCol: String,
       vecCol: String, centers: Seq[Seq[Double]], nProbe: Int,
@@ -186,13 +202,14 @@ object KMeans {
     }.toDF("cell", "cid", "cv")
     points
       .select(col(idCol).as("id"), v.as("v"),
-        explode(transform(probed, p => p.getField("cell"))).as("cell"))
-      .join(broadcast(ctab), "cell")
+        explode_outer(when(v.isNotNull,
+          transform(probed, p => p.getField("cell")))).as("cell"))
+      .join(broadcast(ctab), Seq("cell"), "left")
       .groupBy("id")
       .agg(first(col("v")).as("v"), // v is functionally dependent on id
-        min(struct(
+        min(when(col("cid").isNotNull, struct(
           graft.functions.VectorOps.vec_sqdist(col("v"), col("cv")).as("d"),
-          col("cid").as("cid"))).as("m"))
+          col("cid").as("cid")))).as("m"))
       .select(col("id"), col("v"), col("m.cid").cast("int").as("cluster"))
   }
 

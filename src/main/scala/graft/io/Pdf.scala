@@ -426,6 +426,12 @@ object Pdf {
       * and either kind chains to its predecessor through `/Prev`. The
       * LATEST section wins per object (first-seen during the walk), so
       * incremental updates shadow — and `f` entries free — older bodies.
+      * A hybrid pair (classic table + its `/XRefStm`) is ONE update
+      * level: a classic non-free entry wins, but a classic `f` row for
+      * an object the parallel stream locates resolves to the STREAM
+      * entry — §7.5.8.4 hybrid writers routinely list their
+      * ObjStm-resident objects free in the classic table (so a 1.4
+      * reader skips them) and expect a 1.5 reader to use the stream.
       */
     private def readXref(): (Map[Int, XEntry], PDict) = {
       val tailLen = math.min(bytes.length, 256)
@@ -447,12 +453,24 @@ object Pdf {
         if (!seen.add(off)) fail("xref chain cycle")
         if (off >= bytes.length) fail(s"xref offset $off out of range")
         val (sec, tr) = readSection(off.toInt)
-        merge(sec)
         if (trailer == null) trailer = tr
-        tr.m.get("XRefStm").foreach { // hybrid file: classic entries win
-          case PNum(x) if x >= 0 && x == x.floor && x < bytes.length =>
-            if (seen.add(x.toLong)) merge(readSection(x.toInt)._1)
-          case o => fail(s"bad /XRefStm offset $o")
+        val stmSec: Seq[(Int, XEntry)] = tr.m.get("XRefStm") match {
+          case None => Seq.empty
+          case Some(PNum(x)) if x >= 0 && x == x.floor && x < bytes.length =>
+            if (seen.add(x.toLong)) readSection(x.toInt)._1 else Seq.empty
+          case Some(o) => fail(s"bad /XRefStm offset $o")
+        }
+        if (stmSec.isEmpty) merge(sec)
+        else { // hybrid level: stream entry overrides a same-level Freed
+          val stmFirst = scala.collection.mutable.Map.empty[Int, XEntry]
+          stmSec.foreach { case (k, v) =>
+            if (!stmFirst.contains(k)) stmFirst(k) = v }
+          merge(sec.map {
+            case (k, Freed) => k -> stmFirst.get(k).filter(_ != Freed)
+              .getOrElse(Freed: XEntry)
+            case kv => kv
+          })
+          merge(stmSec)
         }
         off = tr.m.get("Prev") match {
           case None => -1L

@@ -135,6 +135,7 @@ object HybridIndex {
                   maxDim: Int = 1024): Boolean = {
     require(DeltaLog.validName(name), s"bad delta name '$name'")
     val root = IndexPublish.resolve(spark, path)
+    requireIntegerSums(spark, root)
     if (DeltaLog.burned(spark, root).contains(name)) return false
     writeComponents(spark, docs, docId, textCol, vectors, vecId, vecCol,
       s"$root/deltas/$name", bits, table, maxDim)
@@ -157,6 +158,7 @@ object HybridIndex {
   def compact(spark: SparkSession, path: String,
               minDeltas: Int = 1): DataFrame = {
     val root = IndexPublish.resolve(spark, path)
+    requireIntegerSums(spark, root)
     val deltas = DeltaLog.committed(spark, root)
     if (deltas.size < math.max(1, minDeltas))
       return spark.read.parquet(s"$root/manifest")
@@ -208,16 +210,41 @@ object HybridIndex {
 
   /** Merged one-row corpus statistics: the stored integer sums add and
     * avgdl re-derives in one division — bit-identical to a full export
-    * of the union corpus.
+    * of the union corpus. Pre-round-16 exports stored only
+    * (n_docs, avgdl) — such a LEGACY base still serves as-is when it is
+    * the only part (its avgdl is already final), but it cannot combine
+    * with deltas: the integer sums are gone, so the merge is checked by
+    * [[requireIntegerSums]] at the mutation entries and double-checked
+    * here, failing with a re-export message instead of an
+    * AnalysisException over a missing column.
     */
-  private def corpusstatsAll(spark: SparkSession, root: String): DataFrame =
-    unionParts(spark, root, "corpusstats",
+  private def corpusstatsAll(spark: SparkSession, root: String): DataFrame = {
+    val base = spark.read.parquet(s"$root/corpusstats")
+    if (!base.columns.contains("sum_dl")) {
+      if (DeltaLog.committed(spark, root).nonEmpty)
+        throw new IllegalStateException(legacyMsg(root))
+      base.select(col("n_docs"), col("avgdl"))
+    } else unionParts(spark, root, "corpusstats",
       Seq("n_docs", "nonempty_docs", "sum_dl"))
       .agg(sum("n_docs").as("n_docs"),
         sum("nonempty_docs").as("nonempty_docs"), sum("sum_dl").as("sum_dl"))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("nonempty_docs").cast("double"))
           .as("avgdl"))
+  }
+
+  private def legacyMsg(root: String): String =
+    s"hybrid index at $root stores legacy corpusstats (n_docs, avgdl " +
+      "only, pre-integer-sums): incremental merge cannot be exact " +
+      "without the stored sums - re-export the index before appending " +
+      "or compacting"
+
+  /** Loud guard for the mutation entries: a legacy (2-column) base can
+    * serve read-only but must not grow deltas it can never merge.
+    */
+  private def requireIntegerSums(spark: SparkSession, root: String): Unit =
+    if (!spark.read.parquet(s"$root/corpusstats").columns.contains("sum_dl"))
+      throw new IllegalStateException(legacyMsg(root))
 
   private val Components =
     Seq("postings", "termstats", "corpusstats", "bqcodes", "vectors")

@@ -239,11 +239,13 @@ object ScaleProbe {
     // scratch dir committed or compacted away — would be the
     // exactly-once REPLAY no-op and time nothing.
     val probeSalt = java.lang.Long.toHexString(System.nanoTime())
-    // The absorb target normally comes from the ann_export probe above;
-    // with a 2nd-arg op filter selecting absorb WITHOUT export (e.g.
-    // "absorb"), build the index here UNTIMED so appendDelta has
-    // centroids to load instead of failing on a missing probe index.
-    if (only.forall(_.exists("ann_absorb".contains)) &&
+    // The absorb/compact target normally comes from the ann_export probe
+    // above; with a 2nd-arg op filter selecting either WITHOUT export
+    // (e.g. "absorb", "compact"), build the index here UNTIMED so
+    // appendDelta has centroids to load instead of failing on a missing
+    // probe index.
+    if (only.forall(o => o.exists(s =>
+        "ann_absorb".contains(s) || "ann_compact".contains(s))) &&
         graft.similarity.IndexPublish.publishedVersions(spark,
           graft.io.IoScratch.dir + "/ann_index_probe").isEmpty)
       graft.similarity.AnnIndex.export(spark, embs, "vec_id", "embedding",

@@ -165,6 +165,36 @@ class ChainSpec extends SparkTestBase {
     assert(vRow == vIn)
   }
 
+  test("assignRouted null-vector rows get a null cluster on BOTH sides of JoinedAssignK") {
+    // the degenerate-input contract: a null vector must surface as a
+    // null-cluster ROW (never silently dropped, never argmin'd over
+    // null distances) in assign, the expression route, and the large-k
+    // join route alike — behavior cannot change when k crosses the
+    // codegen switch
+    val pts = spark.range(0, 100).select(col("id"),
+      when(col("id") % 10 =!= 0,
+        array((pmod(hash(col("id")), lit(1000)) / 100.0),
+          (pmod(hash(col("id") * 3), lit(1000)) / 100.0))).as("vec"))
+    val nNull = 10
+    val centers = (0 until 64).map(i => Seq((i % 8) * 1.25, (i / 8) * 1.25))
+    val c = math.round(math.sqrt(centers.length.toDouble)).toInt
+    val (coarse, members) = KMeans.routeTables(centers, c, iters = 3)
+    val nonEmpty = members.zipWithIndex.filter(_._1.nonEmpty)
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Int]] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    val exact = pairs(KMeans.assign(pts, "id", "vec", centers))
+    val expr = pairs(KMeans.assignRoutedExpr(pts, "id", "vec", centers, 2,
+      coarse, nonEmpty))
+    val joined = pairs(KMeans.assignRoutedJoined(pts, "id", "vec", centers, 2,
+      coarse, nonEmpty))
+    assert(exact.size == 100 && expr.size == 100 && joined.size == 100,
+      "no form may drop rows")
+    assert(exact.values.count(_.isEmpty) == nNull)
+    assert(expr.values.count(_.isEmpty) == nNull)
+    assert(joined == expr, "join/expression forms must agree with nulls present")
+  }
+
   test("NaiveBayes contingency math matches hand counts") {
     // 4 docs: two classes, feature f1 only in class A, f2 in both
     val ev = Seq(

@@ -117,4 +117,39 @@ class HybridIndexSpec extends SparkTestBase {
       "a compaction must not resurrect an absorbed batch name")
     assert(serve(inc) == serve(full))
   }
+
+  test("legacy 2-column corpusstats: serves read-only, mutations fail loudly") {
+    // pre-round-16 exports stored corpusstats as (n_docs, avgdl) without
+    // the integer sums the incremental merge needs: such an index must
+    // keep SERVING (avgdl is final when the base is the only part) but
+    // appendDelta/compact must reject with the re-export message, never
+    // an AnalysisException over a missing column
+    val path = graft.io.IoScratch.dir + "/hybrid_legacy"
+    HybridIndex.export(spark, docs, "doc_id", "text",
+      embs, "vec_id", "embedding", path)
+    val root = graft.similarity.AnnIndex.resolve(spark, path)
+    val queries = embs.filter(col("vec_id").isin(1, 2, 3))
+    def serve() = HybridIndex.servedTopK(spark, path, lexQueries,
+        queries, "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val before = serve()
+    // rewrite corpusstats in the legacy shape (values preserved)
+    val legacy = spark.read.parquet(s"$root/corpusstats")
+      .select("n_docs", "avgdl").as[(Long, Double)].collect().toSeq
+    legacy.toDF("n_docs", "avgdl").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/corpusstats")
+    assert(serve() == before, "a legacy base must keep serving as-is")
+    val eApp = intercept[IllegalStateException] {
+      HybridIndex.appendDelta(spark,
+        docs.withColumn("doc_id", col("doc_id") + 100000L), "doc_id", "text",
+        embs.withColumn("vec_id", col("vec_id") + 100000L),
+        "vec_id", "embedding", path, "legacy_shard")
+    }
+    assert(eApp.getMessage.contains("re-export"), eApp.getMessage)
+    val eCmp = intercept[IllegalStateException] {
+      HybridIndex.compact(spark, path, minDeltas = 0)
+    }
+    assert(eCmp.getMessage.contains("re-export"), eCmp.getMessage)
+  }
 }

@@ -392,6 +392,47 @@ class PdfSpec extends SparkTestBase {
     assert(Pdf.extractText(sb.toString.getBytes(ISO_8859_1)).contains("hybrid"))
   }
 
+  test("hybrid file: classic `f` rows yield to the /XRefStm's entries") {
+    // the §7.5.8.4 mainstream-writer shape: the document dictionaries
+    // live in an ObjStm, the classic table lists them FREE (so a 1.4
+    // reader skips them) and the parallel xref stream carries their
+    // type-2 entries — a 1.5 reader must use the stream, not hard-fail
+    // on Freed
+    val content = "BT 72 720 Td (hybrid freed) Tj"
+    val b1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val b2 = "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>"
+    val b3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val header = s"1 0 2 ${b1.length + 1} 3 ${b1.length + b2.length + 2}\n"
+    val stm = header + b1 + "\n" + b2 + "\n" + b3 + "\n"
+    val sb = new StringBuilder("%PDF-1.5\n")
+    def add(o: String): Int = { val at = sb.length; sb.append(o); at }
+    val o4 = add(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    val o5 = add(s"5 0 obj\n<< /Type /ObjStm /N 3 /First ${header.length} " +
+      s"/Length ${stm.length} >>\nstream\n$stm\nendstream\nendobj\n")
+    // parallel xref STREAM (object 6): type-2 rows for objects 1..3
+    val rows = (0 until 3).flatMap(i =>
+      Seq(2, 0, 0, 0, 5, 0, i)).map(_.toChar).mkString
+    val x6 = add("6 0 obj\n<< /Type /XRef /Size 7 /W [ 1 4 2 ] /Index [ 1 3 ] " +
+      s"/Root 1 0 R /Length ${rows.length} >>\nstream\n$rows\nendstream\nendobj\n")
+    val xt = sb.length
+    sb.append("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 3).foreach(_ => sb.append("0000000000 00000 f \n")) // freed for 1.4 readers
+    Seq(o4, o5).foreach(o => sb.append(f"$o%010d" + " 00000 n \n"))
+    sb.append(s"trailer\n<< /Size 7 /Root 1 0 R /XRefStm $x6 >>\n")
+    sb.append(s"startxref\n$xt\n%%EOF\n")
+    val got = Pdf.extractText(sb.toString.getBytes(ISO_8859_1))
+    assert(got.contains("hybrid freed"), s"got $got")
+    // a LATER update level's `f` still frees: append a plain update
+    // section freeing object 4 — the hybrid resolution must not leak
+    // across levels and resurrect it
+    val prev = xt
+    val x2 = sb.length
+    sb.append("xref\n4 1\n0000000000 00001 f \n")
+    sb.append(s"trailer\n<< /Size 7 /Root 1 0 R /Prev $prev >>\n")
+    sb.append(s"startxref\n$x2\n%%EOF\n")
+    assert(Pdf.extract(sb.toString.getBytes(ISO_8859_1)).isEmpty)
+  }
+
   test("builder xref-stream layout round-trips and matches classic exactly") {
     val text = ("pdf fifteen layout parity check " * 70).trim // multi-page
     val a = Pdf.extract(Pdf.build(text))
