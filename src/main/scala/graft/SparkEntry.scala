@@ -4047,6 +4047,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Type0/CID font front door (round 17): every document built in the
+    // post-2010 FONT layout — /Type0 composite font, /Encoding
+    // /Identity-H, subsetter-assigned 2-byte codes (first-seen order,
+    // NO relation to Unicode), and a generated /ToUnicode CMap using
+    // all three §9.10.3 entry forms — in BOTH file layouts (classic
+    // xref table and 1.5 xref+object streams), extracted back through
+    // the CMap walk, with cross-layout equality pinned in-query. With
+    // q_pdf_extract green over the same oracle, all four
+    // layout×font combinations are pinned to one hash. Same row-local
+    // byte-work shape; the oracle stays pure page-count arithmetic.
+    "q_pdf_cid" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val cidClassic = graft.io.Pdf.extract(
+              graft.io.Pdf.build(text, cidFont = true))
+            .getOrElse(sys.error(s"pdf cid extract failed for doc $id"))
+          val cidModern = graft.io.Pdf.extract(
+              graft.io.Pdf.build(text, xrefStream = true, cidFont = true))
+            .getOrElse(sys.error(s"pdf cid 1.5 extract failed for doc $id"))
+          if (cidModern != cidClassic)
+            sys.error(s"pdf cid layout mismatch for doc $id")
+          (id, cidClassic.nPages.toLong, cidClassic.text.replace("\n", ""))
+        }
+        .toDF("doc_id", "n_pages", "text")
+        .orderBy("doc_id")
+    }),
+
     // Mixed-media WARC front door (round 15): the real Common-Crawl
     // shape — one archive, text/html AND application/pdf response
     // payloads — dispatched on the parsed HTTP Content-Type header
@@ -8388,6 +8417,15 @@ object SparkEntry {
     // constants interpolate from Pdf itself, so oracle and builder
     // cannot drift)
     "q_pdf_extract" ->
+      s"""SELECT doc_id,
+        |  CAST(ceil(greatest(ceil(length(text) / ${graft.io.Pdf.LineWidth}.0), 1)
+        |       / ${graft.io.Pdf.LinesPerPage}.0) AS BIGINT) AS n_pages,
+        |  text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // CID layout: same fixed geometry, so the same arithmetic — the
+    // subsetted codes and the ToUnicode CMap must be fully invisible
+    "q_pdf_cid" ->
       s"""SELECT doc_id,
         |  CAST(ceil(greatest(ceil(length(text) / ${graft.io.Pdf.LineWidth}.0), 1)
         |       / ${graft.io.Pdf.LinesPerPage}.0) AS BIGINT) AS n_pages,

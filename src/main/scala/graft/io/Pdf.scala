@@ -30,8 +30,13 @@ import scala.util.Try
   * name or 1-element array) with optional PNG predictors (2-component
   * `/DecodeParms`, 8-bit, TIFF predictor 2 out of scope); simple 8-bit
   * fonts read as Latin-1 (PDFDocEncoding and WinAnsi agree with Latin-1
-  * on the range our builder emits — CID/Type0 fonts with multi-byte
-  * encodings are out of scope); TJ kern numbers are IGNORED (no
+  * on the range our builder emits); composite `/Type0` fonts with
+  * `/Encoding /Identity-H` read as 2-byte big-endian codes mapped
+  * through the font's `/ToUnicode` CMap (§9.10.3 — bfchar, both
+  * bfrange forms, UTF-16BE destinations; a code the CMap does not
+  * cover rejects the document rather than guess; Identity-V vertical
+  * writing, other CMap encodings, and fonts WITHOUT a ToUnicode are
+  * out of scope and reject); TJ kern numbers are IGNORED (no
   * heuristic space insertion — heuristics are nondeterministic across
   * extractors, and the builder splits inside words precisely so
   * concatenation is the one right answer); every text-POSITIONING
@@ -697,6 +702,142 @@ object Pdf {
       val ox = new Lex(data, first + ooff)
       ox.obj(refs = true)
     }
+
+    /** The parsed `/ToUnicode` CMap of a font, cached by its indirect
+      * object number (every page sharing the font reuses the parse).
+      */
+    private val cmapCache = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
+    def toUnicodeOf(o: PObj): Map[Int, String] = {
+      def build(s: PObj): Map[Int, String] = s match {
+        case PStream(_, data) => parseToUnicode(data)
+        case _                => fail("/ToUnicode is not a stream")
+      }
+      o match {
+        case PRef(n, _) => cmapCache.getOrElseUpdate(n, build(fetch(n)))
+        case other      => build(other)
+      }
+    }
+  }
+
+  // ------------------------------------------------------- fonts & CMaps
+
+  /** How a font's show-string bytes become text: simple 8-bit fonts read
+    * as Latin-1 (the documented scope); `/Type0` composite fonts with
+    * `/Encoding /Identity-H` read as 2-byte big-endian codes through the
+    * font's `/ToUnicode` mapping (§9.10.3).
+    */
+  private sealed trait Font
+  private case object SimpleFont extends Font
+  private final case class Type0Font(toUnicode: Map[Int, String]) extends Font
+
+  private def fontOf(doc: Doc, o: PObj): Font = o match {
+    case fd: PDict if fd.m.get("Subtype").contains(PName("Type0")) =>
+      doc.resolve(fd.m.getOrElse("Encoding",
+        fail("Type0 font without /Encoding"))) match {
+        case PName("Identity-H") => ()
+        case e => fail(s"Type0 encoding $e (only Identity-H in scope)")
+      }
+      Type0Font(doc.toUnicodeOf(fd.m.getOrElse("ToUnicode",
+        fail("Type0 font without /ToUnicode (glyphs unmappable)"))))
+    case _: PDict => SimpleFont // simple 8-bit font: the Latin-1 read
+    case _ => fail("font resource is not a dict")
+  }
+
+  /** Parse a `/ToUnicode` CMap stream (ISO 32000-1 §9.10.3) into the
+    * code → text mapping. The stream is a PostScript-wrapped CMap: the
+    * wrapper tokens (`findresource`, `begincmap`, `def`, …) carry no
+    * mapping semantics and are scanned over with the SAME object
+    * grammar the content streams use; only `begincodespacerange`,
+    * `beginbfchar`, and `beginbfrange` blocks are interpreted.
+    *
+    * Scope (deterministic, all-or-nothing): source codes are 2-byte —
+    * the Identity-H geometry; destinations are UTF-16BE hex strings
+    * (multi-unit targets like ligatures and surrogate pairs included);
+    * the bfrange string-destination form increments the LAST UTF-16
+    * code unit (the convention every mainstream extractor applies) and
+    * must not overflow it; the array form must list exactly hi−lo+1
+    * destinations. The expanded mapping is capped at 70k entries (a
+    * 2-byte space holds 65 536) — any violation rejects the document.
+    */
+  private[graft] def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
+    val lx = new Lex(data, 0)
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    def put(code: Int, dst: String): Unit = {
+      out(code) = dst
+      if (out.size > 70000) fail("ToUnicode mapping too large")
+    }
+    def code2(o: PObj): Int = o match {
+      case PStr(b) if b.length == 2 => ((b(0) & 0xff) << 8) | (b(1) & 0xff)
+      case _ => fail("ToUnicode source code is not 2-byte (Identity-H scope)")
+    }
+    def utf16(b: Array[Byte]): String = {
+      if (b.length % 2 != 0 || b.isEmpty)
+        fail("ToUnicode destination is not whole UTF-16BE units")
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    // each block reads objects until its end keyword; a stray delimiter
+    // or EOF inside fails loudly through the shared lexer
+    def block(end: String)(entry: () => Unit): Unit = {
+      var done = false
+      while (!done) {
+        lx.ws()
+        if (lx.eof) fail(s"unterminated CMap block (no $end)")
+        if (lx.peek == '<') entry()
+        else if (lx.token() == end) done = true
+        else fail(s"unexpected token in CMap block before $end")
+      }
+    }
+    while ({ lx.ws(); !lx.eof }) {
+      val c = lx.peek.toChar
+      if (c == '<' || c == '(' || c == '[' || c == '/' || c == '-' ||
+          c == '+' || c == '.' || (c >= '0' && c <= '9')) {
+        lx.obj(refs = false); () // wrapper operand — no mapping semantics
+      } else lx.token() match {
+        case "begincodespacerange" => block("endcodespacerange") { () =>
+          (lx.obj(refs = false), lx.obj(refs = false)) match {
+            case (PStr(a), PStr(b)) if a.length == 2 && b.length == 2 => ()
+            case _ => fail("codespace range is not 2-byte (Identity-H scope)")
+          }
+        }
+        case "beginbfchar" => block("endbfchar") { () =>
+          val src = code2(lx.obj(refs = false))
+          lx.obj(refs = false) match {
+            case PStr(b) => put(src, utf16(b))
+            case _       => fail("bfchar destination is not a string")
+          }
+        }
+        case "beginbfrange" => block("endbfrange") { () =>
+          val lo = code2(lx.obj(refs = false))
+          val hi = code2(lx.obj(refs = false))
+          if (hi < lo) fail(s"bfrange <$lo> <$hi> is inverted")
+          lx.ws()
+          if (!lx.eof && lx.peek == '[') lx.obj(refs = false) match {
+            case PArr(items) =>
+              if (items.length != hi - lo + 1)
+                fail("bfrange array arity != range size")
+              items.zipWithIndex.foreach {
+                case (PStr(b), i) => put(lo + i, utf16(b))
+                case _ => fail("bfrange array item is not a string")
+              }
+            case _ => fail("bfrange array destination expected")
+          } else lx.obj(refs = false) match {
+            case PStr(b) =>
+              val s = utf16(b)
+              val last = s.charAt(s.length - 1).toInt
+              if (last + (hi - lo) > 0xffff)
+                fail("bfrange destination overflows its last UTF-16 unit")
+              var i = 0
+              while (i <= hi - lo) {
+                put(lo + i, s.substring(0, s.length - 1) + (last + i).toChar)
+                i += 1
+              }
+            case _ => fail("bfrange destination is not a string")
+          }
+        }
+        case _ => () // PostScript wrapper keyword
+      }
+    }
+    out.toMap
   }
 
   // ----------------------------------------------------------- extraction
@@ -711,7 +852,8 @@ object Pdf {
       val doc = new Doc(bytes)
       val pagesRoot = doc.resolve(doc.root.m.getOrElse("Pages", fail("catalog has no /Pages")))
       val pages = Vector.newBuilder[String]
-      collectPages(doc, pagesRoot, pages, seen = scala.collection.mutable.Set.empty, depth = 0)
+      collectPages(doc, pagesRoot, pages, seen = scala.collection.mutable.Set.empty,
+        depth = 0, inheritedRes = None)
       Some(PdfText(pages.result()))
     } catch {
       // the all-or-nothing contract: ANY malformed/hostile construct is a
@@ -728,9 +870,15 @@ object Pdf {
   private def collectPages(doc: Doc, node: PObj,
                            out: scala.collection.mutable.Builder[String, Vector[String]],
                            seen: scala.collection.mutable.Set[Int],
-                           depth: Int): Unit = {
+                           depth: Int, inheritedRes: Option[PDict]): Unit = {
     if (depth > 64) fail("page tree too deep (cycle?)")
     val d = node match { case d: PDict => d; case _ => fail("page-tree node is not a dict") }
+    // /Resources is inheritable down the page tree (§7.7.3.4)
+    val res: Option[PDict] = d.m.get("Resources").map(doc.resolve) match {
+      case None            => inheritedRes
+      case Some(rd: PDict) => Some(rd)
+      case Some(_)         => fail("/Resources is not a dict")
+    }
     d.m.get("Type") match {
       case Some(PName("Pages")) =>
         val kids = doc.resolve(d.m.getOrElse("Kids", fail("/Pages without /Kids"))) match {
@@ -743,9 +891,16 @@ object Pdf {
               if (!seen.add(n)) fail(s"page-tree cycle at object $n")
             case _ => ()
           }
-          collectPages(doc, doc.resolve(k), out, seen, depth + 1)
+          collectPages(doc, doc.resolve(k), out, seen, depth + 1, res)
         }
       case Some(PName("Page")) =>
+        val fonts: Map[String, Font] = res.flatMap(_.m.get("Font"))
+          .map(doc.resolve) match {
+          case None             => Map.empty
+          case Some(fd: PDict)  =>
+            fd.m.map { case (n, fo) => n -> fontOf(doc, doc.resolve(fo)) }
+          case Some(_)          => fail("/Font is not a dict")
+        }
         val content = d.m.get("Contents") match {
           case None => Array.emptyByteArray
           case Some(c) => doc.resolve(c) match {
@@ -759,7 +914,7 @@ object Pdf {
             case _ => fail("/Contents is not a stream")
           }
         }
-        out += pageText(content)
+        out += pageText(content, fonts)
       case t => fail(s"unexpected page-tree node type $t")
     }
   }
@@ -767,14 +922,35 @@ object Pdf {
   /** Run the text-showing operators of one content stream (§9.4.3).
     * Line model: Td, TD, T*, Tm and BT break lines; ' and " break then
     * show; TJ concatenates its strings (kern numbers ignored — scope).
+    * `Tf` switches the active font: show strings decode per the SELECTED
+    * font — Latin-1 for simple fonts (and when the name is not in the
+    * page's resources, the pre-Type0 behavior), 2-byte Identity-H codes
+    * through the ToUnicode CMap for Type0 fonts. The font is text state
+    * that persists across BT/ET (q/Q graphics-state save/restore of the
+    * font is out of scope — the builder never emits it).
     */
-  private def pageText(content: Array[Byte]): String = {
+  private def pageText(content: Array[Byte], fonts: Map[String, Font]): String = {
     val lx = new Lex(content, 0)
     val lines = Vector.newBuilder[String]
     val cur = new StringBuilder
     var any = false // a line exists once any show op ran on it
+    var font: Font = SimpleFont
     def break(): Unit = { if (any) lines += cur.toString; cur.clear(); any = false }
-    def show(s: Array[Byte]): Unit = { cur.append(new String(s, ISO_8859_1)); any = true }
+    def show(s: Array[Byte]): Unit = {
+      font match {
+        case SimpleFont => cur.append(new String(s, ISO_8859_1))
+        case Type0Font(map) =>
+          if (s.length % 2 != 0) fail("odd-length Identity-H show string")
+          var i = 0
+          while (i < s.length) {
+            val code = ((s(i) & 0xff) << 8) | (s(i + 1) & 0xff)
+            cur.append(map.getOrElse(code,
+              fail(s"ToUnicode CMap does not cover code $code")))
+            i += 2
+          }
+      }
+      any = true
+    }
     val stack = scala.collection.mutable.ArrayBuffer.empty[PObj]
     while ({ lx.ws(); !lx.eof }) {
       val o = lx.peek.toChar match {
@@ -806,6 +982,12 @@ object Pdf {
               case _ => fail("TJ without array operand")
             }
             case "Td" | "TD" | "T*" | "Tm" | "BT" => break()
+            case "Tf" =>
+              if (stack.length < 2) fail("Tf without operands")
+              stack(stack.length - 2) match {
+                case PName(n) => font = fonts.getOrElse(n, SimpleFont)
+                case _        => fail("Tf operand is not a font name")
+              }
             case _ => () // all other operators are not text-bearing
           }
           stack.clear()
@@ -841,11 +1023,24 @@ object Pdf {
     * stream (`/Type /ObjStm`), content streams as top-level objects, and
     * a cross-reference STREAM (`/Type /XRef`, `/W [1 4 2]`) — PNG
     * Up-predicted and FlateDecode'd when `compress`, raw when not (both
-    * xref-stream decode paths are real). Both layouts show identical
+    * xref-stream decode paths are real). All layouts show identical
     * text.
+    *
+    * `cidFont = true` emits the post-2010 FONT layout: a `/Type0`
+    * composite font, `/Encoding /Identity-H`, a `/CIDFontType2`
+    * descendant, and a generated `/ToUnicode` CMap stream — the
+    * subsetted-font shape mainstream producers write. Character codes
+    * are assigned in first-seen order (code 1 up, the subsetter
+    * convention — codes carry NO relation to Unicode), show strings
+    * become 2-byte-per-code hex strings, and the CMap maps codes back
+    * via all three §9.10.3 entry forms (greedy: increment-form bfrange
+    * for runs where codes AND chars advance together, array-form
+    * bfrange for code runs without char runs, bfchar for singletons;
+    * blocks chunked at the spec's 100-entry limit). Orthogonal to
+    * `xrefStream` — all four layout combinations extract identically.
     */
   def build(text: String, compress: Boolean = true,
-            xrefStream: Boolean = false): Array[Byte] = {
+            xrefStream: Boolean = false, cidFont: Boolean = false): Array[Byte] = {
     require(text.forall(_ < 0x100),
       "builder scope is Latin-1 text (simple 8-bit fonts)")
     require(!text.exists(c => c == '\n' || c == '\r'),
@@ -869,46 +1064,119 @@ object Pdf {
       sb.toString
     }
 
+    // subsetter-style code table: first-seen char -> 1-based code
+    val codeOf: Map[Char, Int] =
+      if (!cidFont) Map.empty
+      else text.distinct.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    def hexShow(s: String): String =
+      "<" + s.map(c => f"${codeOf(c)}%04x").mkString + ">"
+    def showStr(s: String): String = if (cidFont) hexShow(s) else s"(${esc(s)})"
+
     def contentStream(pageLines: Vector[String]): Array[Byte] = {
       val sb = new StringBuilder("BT\n/F1 12 Tf\n72 720 Td\n")
       pageLines.zipWithIndex.foreach { case (line, i) =>
-        if (i == 0) sb.append(s"(${esc(line)}) Tj\n")
+        if (i == 0) sb.append(s"${showStr(line)} Tj\n")
         else (i % 3: @annotation.switch) match {
           case 1 => // TJ: split mid-line; kern number carries no space
             val cut = line.length / 2
-            sb.append(s"0 -14 Td\n[(${esc(line.take(cut))}) -250 (${esc(line.drop(cut))})] TJ\n")
+            sb.append(s"0 -14 Td\n[${showStr(line.take(cut))} -250 ${showStr(line.drop(cut))}] TJ\n")
           case 2 => // ': move to next line and show, no explicit Td
-            sb.append(s"(${esc(line)}) '\n")
+            sb.append(s"${showStr(line)} '\n")
           case _ =>
-            sb.append(s"0 -14 Td\n(${esc(line)}) Tj\n")
+            sb.append(s"0 -14 Td\n${showStr(line)} Tj\n")
         }
       }
       sb.append("ET\n")
       sb.toString.getBytes(ISO_8859_1)
     }
 
-    // object table: 1 catalog, 2 pages, 3 font, then (page, content) pairs
-    val nObjs = 3 + 2 * pages.length
-    val kids = pages.indices.map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    // object table: 1 catalog, 2 pages, 3 font, then (page, content)
+    // pairs; the CID layout inserts 4 descendant-font + 5 ToUnicode
+    val firstPage = if (cidFont) 6 else 4
+    val nObjs = firstPage - 1 + 2 * pages.length
+    val kids = pages.indices.map(i => s"${firstPage + 2 * i} 0 R").mkString(" ")
     val dictBody = new Array[String](nObjs + 1) // non-stream object bodies
     dictBody(1) = "<< /Type /Catalog /Pages 2 0 R >>"
     dictBody(2) = s"<< /Type /Pages /Kids [ $kids ] /Count ${pages.length} >>"
-    dictBody(3) = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     val contentData = new Array[(Array[Byte], String)](nObjs + 1)
+    def streamSlot(data: Array[Byte]): (Array[Byte], String) =
+      if (compress) (deflate(data), "/Filter /FlateDecode ") else (data, "")
+    if (!cidFont)
+      dictBody(3) = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    else {
+      dictBody(3) = "<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica " +
+        "/Encoding /Identity-H /DescendantFonts [ 4 0 R ] /ToUnicode 5 0 R >>"
+      dictBody(4) = "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+        "/CIDToGIDMap /Identity /DW 500 >>"
+      contentData(5) = streamSlot(toUnicodeCMap(codeOf))
+    }
     pages.zipWithIndex.foreach { case (pl, i) =>
-      val pageNum = 4 + 2 * i
+      val pageNum = firstPage + 2 * i
       val contNum = pageNum + 1
       dictBody(pageNum) = "<< /Type /Page /Parent 2 0 R " +
         "/MediaBox [ 0 0 612 792 ] " +
         "/Resources << /Font << /F1 3 0 R >> >> " +
         s"/Contents $contNum 0 R >>"
-      val plain = contentStream(pl)
-      contentData(contNum) =
-        if (compress) (deflate(plain), "/Filter /FlateDecode ") else (plain, "")
+      contentData(contNum) = streamSlot(contentStream(pl))
     }
 
     if (!xrefStream) buildClassic(nObjs, dictBody, contentData)
     else buildXrefStreamLayout(nObjs, dictBody, contentData, compress)
+  }
+
+  /** Generate the builder's `/ToUnicode` CMap (the §9.10.3 skeleton):
+    * greedy entry-form assignment over the code-ordered table —
+    * increment-form bfrange where ≥ 3 consecutive codes map to
+    * consecutive chars, array-form bfrange for code runs of ≥ 2 without
+    * the char run (capped at 8 per entry so singles still surface),
+    * bfchar for the rest; all blocks chunked at the spec's 100-entry
+    * limit. Deterministic in the code table alone.
+    */
+  private def toUnicodeCMap(codeOf: Map[Char, Int]): Array[Byte] = {
+    val pairs = codeOf.toVector.map(_.swap).sortBy(_._1)
+    val bfchar = Vector.newBuilder[(Int, Char)]
+    val bfrangeInc = Vector.newBuilder[(Int, Int, Char)]
+    val bfrangeArr = Vector.newBuilder[(Int, Vector[Char])]
+    var i = 0
+    while (i < pairs.length) {
+      var j = i + 1
+      while (j < pairs.length && pairs(j)._1 == pairs(i)._1 + (j - i) &&
+             pairs(j)._2 == pairs(i)._2 + (j - i)) j += 1
+      if (j - i >= 3) { bfrangeInc += ((pairs(i)._1, pairs(j - 1)._1, pairs(i)._2)); i = j }
+      else {
+        var k = i + 1
+        while (k < pairs.length && pairs(k)._1 == pairs(i)._1 + (k - i) &&
+               (k - i) < 8) k += 1
+        if (k - i >= 2) { bfrangeArr += ((pairs(i)._1, pairs.slice(i, k).map(_._2))); i = k }
+        else { bfchar += pairs(i); i += 1 }
+      }
+    }
+    def hex4(v: Int): String = f"<$v%04x>"
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+    sb.append("/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def\n")
+    sb.append("/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n")
+    sb.append("1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n")
+    bfchar.result().grouped(100).foreach { chunk =>
+      sb.append(s"${chunk.length} beginbfchar\n")
+      chunk.foreach { case (c, ch) =>
+        sb.append(s"${hex4(c)} ${hex4(ch.toInt)}\n") }
+      sb.append("endbfchar\n")
+    }
+    val ranges: Vector[String] =
+      bfrangeInc.result().map { case (lo, hi, ch) =>
+        s"${hex4(lo)} ${hex4(hi)} ${hex4(ch.toInt)}" } ++
+      bfrangeArr.result().map { case (lo, chs) =>
+        s"${hex4(lo)} ${hex4(lo + chs.length - 1)} [" +
+          chs.map(c => hex4(c.toInt)).mkString(" ") + "]" }
+    ranges.grouped(100).foreach { chunk =>
+      sb.append(s"${chunk.length} beginbfrange\n")
+      chunk.foreach(r => sb.append(r + "\n"))
+      sb.append("endbfrange\n")
+    }
+    sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+    sb.toString.getBytes(ISO_8859_1)
   }
 
   private def buildClassic(nObjs: Int, dictBody: Array[String],

@@ -433,6 +433,140 @@ class PdfSpec extends SparkTestBase {
     assert(Pdf.extract(sb.toString.getBytes(ISO_8859_1)).isEmpty)
   }
 
+  // ---- Type0/CID fonts + ToUnicode CMaps (round 17)
+
+  /** Hand-laid classic-layout page showing through a Type0 font whose
+    * /ToUnicode stream is `cmapBody` — full control for hostile cases.
+    */
+  private def type0Pdf(content: String, cmapBody: String,
+                       encoding: String = "/Identity-H",
+                       toUnicodeKey: String = "/ToUnicode 6 0 R ",
+                       resourcesOnPages: Boolean = false): Array[Byte] = {
+    val res = "/Resources << /Font << /F1 5 0 R >> >> "
+    pdf(Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      s"2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 " +
+        (if (resourcesOnPages) res else "") + ">>\nendobj\n",
+      s"3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        (if (resourcesOnPages) "" else res) + "/Contents 4 0 R >>\nendobj\n",
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n",
+      s"5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X " +
+        s"/Encoding $encoding /DescendantFonts [ 7 0 R ] $toUnicodeKey>>\nendobj\n",
+      s"6 0 obj\n<< /Length ${cmapBody.length} >>\nstream\n$cmapBody\nendstream\nendobj\n",
+      "7 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X >>\nendobj\n"))
+  }
+
+  private val miniCmap =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def
+      |/CMapName /Adobe-Identity-UCS def
+      |/CMapType 2 def
+      |1 begincodespacerange
+      |<0000> <ffff>
+      |endcodespacerange
+      |2 beginbfchar
+      |<0001> <0048>
+      |<0002> <0069>
+      |endbfchar
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end
+      |end
+      |""".stripMargin
+
+  test("golden: hand-laid Type0/Identity-H page decodes through its ToUnicode CMap") {
+    val got = Pdf.extractText(type0Pdf(
+      "BT /F1 12 Tf 72 720 Td <00010002> Tj ET", miniCmap))
+    assert(got.contains("Hi"), s"got $got")
+    // /Resources inherited from the /Pages node (§7.7.3.4)
+    val inh = Pdf.extractText(type0Pdf(
+      "BT /F1 12 Tf 72 720 Td <00010002> Tj ET", miniCmap,
+      resourcesOnPages = true))
+    assert(inh.contains("Hi"), s"got $inh")
+    // the same codes WITHOUT the Tf select read as a simple font:
+    // raw code BYTES through the Latin-1 read, not CMap output
+    val noTf = Pdf.extractText(type0Pdf(
+      "BT 72 720 Td <00010002> Tj ET", miniCmap))
+    assert(noTf.contains("\u0000\u0001\u0000\u0002"), s"got $noTf")
+  }
+
+  test("golden: hand-written CMap — ligature target, surrogate pair, both bfrange forms") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <ffff>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <006600660069>
+        |<0002> <d83dde00>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <0061>
+        |<0020> <0021> [<0058> <0059>]
+        |endbfrange
+        |endcmap
+        |end
+        |""".stripMargin
+    val m = Pdf.parseToUnicode(cmap.getBytes(ISO_8859_1))
+    assert(m(1) == "ffi") // multi-unit ligature destination
+    assert(m(2) == new String(Character.toChars(0x1f600))) // surrogate pair
+    assert(m(0x10) == "a" && m(0x11) == "b" && m(0x12) == "c") // increment form
+    assert(m(0x20) == "X" && m(0x21) == "Y") // array form
+    assert(m.size == 7)
+  }
+
+  test("Type0 hostile inputs are a None (or a loud CMap parse error), never partial text") {
+    val show = "BT /F1 12 Tf 72 720 Td <00010002> Tj ET"
+    // uncovered code
+    assert(Pdf.extract(type0Pdf(
+      "BT /F1 12 Tf 72 720 Td <00010003> Tj ET", miniCmap)).isEmpty)
+    // odd byte count in an Identity-H show string (3 bytes)
+    assert(Pdf.extract(type0Pdf(
+      "BT /F1 12 Tf 72 720 Td <000100> Tj ET", miniCmap)).isEmpty)
+    // vertical writing / other encodings are out of scope
+    assert(Pdf.extract(type0Pdf(show, miniCmap,
+      encoding = "/Identity-V")).isEmpty)
+    // a Type0 font without /ToUnicode cannot map glyphs -> reject
+    assert(Pdf.extract(type0Pdf(show, miniCmap, toUnicodeKey = "")).isEmpty)
+    def bad(body: String): Unit = {
+      val e = intercept[RuntimeException] {
+        Pdf.parseToUnicode((s"begincmap\n$body\nendcmap\n").getBytes(ISO_8859_1))
+      }
+      assert(Pdf.extract(type0Pdf(show,
+        s"begincmap\n$body\nendcmap\n")).isEmpty)
+      val _ = e
+    }
+    bad("1 beginbfrange\n<0012> <0010> <0061>\nendbfrange") // inverted
+    bad("1 beginbfrange\n<0010> <0012> [<0058> <0059>]\nendbfrange") // arity
+    bad("1 beginbfrange\n<0001> <0003> <ffff>\nendbfrange") // unit overflow
+    bad("1 beginbfchar\n<01> <0048>\nendbfchar") // 1-byte source code
+    bad("1 beginbfchar\n<0001> <004800>\nendbfchar") // ragged UTF-16 dest
+    bad("1 beginbfchar\n<0001> <0048>") // unterminated block
+  }
+
+  test("builder CID layout: all four layout combinations extract identically") {
+    val text = ("abcdef zq cid font layout parity 0123456789 " * 45).trim + "!"
+    val a = Pdf.extract(Pdf.build(text))
+    assert(a.isDefined && a.get.nPages > 1)
+    Seq(
+      Pdf.build(text, cidFont = true),
+      Pdf.build(text, xrefStream = true, cidFont = true),
+      Pdf.build(text, compress = false, cidFont = true),
+      Pdf.build(text, compress = false, xrefStream = true, cidFont = true))
+      .foreach(v => assert(Pdf.extract(v) == a))
+    // codes are subsetter-assigned, so the raw CID file carries no
+    // literal text, and the generated CMap exercises ALL THREE entry
+    // forms ("abcdef" run -> increment bfrange; non-consecutive chars
+    // -> array bfrange; singletons -> bfchar)
+    val raw = new String(Pdf.build(text, compress = false, cidFont = true), ISO_8859_1)
+    assert(!raw.contains("layout parity"))
+    assert(raw.contains("beginbfchar") && raw.contains("beginbfrange"))
+    assert(raw.contains("[<")) // array form present
+  }
+
   test("builder xref-stream layout round-trips and matches classic exactly") {
     val text = ("pdf fifteen layout parity check " * 70).trim // multi-page
     val a = Pdf.extract(Pdf.build(text))
