@@ -4076,6 +4076,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Encrypted front door (round 17): every document built under the
+    // standard security handler with the EMPTY user password — the
+    // restrict-permissions shape a real crawl meets — cycling the three
+    // cipher modes (RC4-40, RC4-128, AES-128/AESV2) by doc id, and for
+    // the AES leg also the 1.5 xref-stream layout (encrypted ObjStm +
+    // never-encrypted xref stream). Decryption must be fully invisible:
+    // the oracle is the same pure page-count arithmetic over the
+    // original text.
+    "q_pdf_encrypted" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val mode = (id % 3) match {
+            case 0 => "rc4-40"; case 1 => "rc4-128"; case _ => "aesv2"
+          }
+          val enc = graft.io.Pdf.build(text, xrefStream = id % 3 == 2,
+            encrypt = mode)
+          val got = graft.io.Pdf.extract(enc)
+            .getOrElse(sys.error(s"pdf $mode extract failed for doc $id"))
+          (id, got.nPages.toLong, got.text.replace("\n", ""))
+        }
+        .toDF("doc_id", "n_pages", "text")
+        .orderBy("doc_id")
+    }),
+
     // Mixed-media WARC front door (round 15): the real Common-Crawl
     // shape — one archive, text/html AND application/pdf response
     // payloads — dispatched on the parsed HTTP Content-Type header
@@ -8426,6 +8452,14 @@ object SparkEntry {
     // CID layout: same fixed geometry, so the same arithmetic — the
     // subsetted codes and the ToUnicode CMap must be fully invisible
     "q_pdf_cid" ->
+      s"""SELECT doc_id,
+        |  CAST(ceil(greatest(ceil(length(text) / ${graft.io.Pdf.LineWidth}.0), 1)
+        |       / ${graft.io.Pdf.LinesPerPage}.0) AS BIGINT) AS n_pages,
+        |  text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // encrypted layouts: decryption must be invisible — same arithmetic
+    "q_pdf_encrypted" ->
       s"""SELECT doc_id,
         |  CAST(ceil(greatest(ceil(length(text) / ${graft.io.Pdf.LineWidth}.0), 1)
         |       / ${graft.io.Pdf.LinesPerPage}.0) AS BIGINT) AS n_pages,

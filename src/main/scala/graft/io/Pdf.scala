@@ -36,7 +36,12 @@ import scala.util.Try
   * bfrange forms, UTF-16BE destinations; a code the CMap does not
   * cover rejects the document rather than guess; Identity-V vertical
   * writing, other CMap encodings, and fonts WITHOUT a ToUnicode are
-  * out of scope and reject); TJ kern numbers are IGNORED (no
+  * out of scope and reject); encrypted documents under the STANDARD
+  * security handler with the EMPTY user password — RC4-40/128 (V1/V2)
+  * and AES-128-CBC (V4 `/CFM /AESV2`), key derivation and `/U`
+  * verification per §7.6.3 in [[PdfCrypt]] (a real password,
+  * AES-256/V5, or any other handler rejects); TJ kern numbers are
+  * IGNORED (no
   * heuristic space insertion — heuristics are nondeterministic across
   * extractors, and the builder splits inside words precisely so
   * concatenation is the one right answer); every text-POSITIONING
@@ -417,6 +422,12 @@ object Pdf {
   private final class Doc(bytes: Array[Byte]) {
     private val (offsets, trailer) = readXref()
     private val cache = scala.collection.mutable.Map.empty[Int, PObj]
+    // Standard-security-handler decryption (§7.6.3), empty user
+    // password only. A `var` set by the init block at the BOTTOM of the
+    // class body (all fields live by then) and after the /Encrypt dict
+    // itself resolves: that dict's strings are stored UNENCRYPTED
+    // (§7.6.2), so its fetch must see no cipher.
+    private var cipher: Option[PdfCrypt.ObjectCipher] = None
     // object numbers currently being fetched: a self-referential /Length
     // (`4 0 obj << /Length 4 0 R >> stream`) re-enters fetch through
     // resolve and would recurse unboundedly — re-entry is a cycle and
@@ -606,6 +617,85 @@ object Pdf {
       (out.result(), d)
     }
 
+    /** Build the standard-handler cipher from the /Encrypt dict: derive
+      * the file key for the EMPTY user password (Algorithm 2) and
+      * verify it against /U — a real password, a non-/Standard
+      * handler, V5/AES-256, or any crypt-filter shape other than
+      * /StdCF-everywhere rejects the document (the None contract).
+      */
+    private def buildCipher(encObj: PObj): PdfCrypt.ObjectCipher = {
+      val ed = encObj match {
+        case d: PDict => d
+        case _        => fail("/Encrypt is not a dict")
+      }
+      if (!ed.m.get("Filter").contains(PName("Standard")))
+        fail("non-/Standard security handler (out of scope)")
+      def int(k: String): Int = ed.m.get(k) match {
+        case Some(PNum(x)) if x == x.floor => x.toLong.toInt
+        case _ => fail(s"/Encrypt /$k missing or not an integer")
+      }
+      def bytes32(k: String): Array[Byte] = ed.m.get(k) match {
+        case Some(PStr(b)) if b.length >= 32 => b
+        case _ => fail(s"/Encrypt /$k missing or too short")
+      }
+      val v = int("V"); val r = int("R")
+      if (r < 2 || r > 4) fail(s"/Encrypt revision $r (out of scope)")
+      val o = bytes32("O"); val u = bytes32("U"); val p = int("P")
+      val id0 = trailer.m.get("ID") match {
+        case Some(PArr(PStr(b) +: _)) => b
+        case _ => fail("encrypted file without a direct trailer /ID")
+      }
+      val encryptMetadata = ed.m.get("EncryptMetadata") match {
+        case Some(PBool(b)) => b
+        case None           => true
+        case Some(_)        => fail("bad /EncryptMetadata")
+      }
+      val (nBytes, aes) = v match {
+        case 1 => (5, false)
+        case 2 =>
+          val len = ed.m.get("Length") match {
+            case None => 40
+            case Some(PNum(x)) if x == x.floor => x.toInt
+            case Some(_) => fail("bad /Encrypt /Length")
+          }
+          if (len < 40 || len > 128 || len % 8 != 0)
+            fail(s"bad /Encrypt key length $len")
+          (len / 8, false)
+        case 4 =>
+          val cf = resolve(ed.m.getOrElse("CF", fail("/Encrypt V4 without /CF"))) match {
+            case d: PDict => d; case _ => fail("/CF is not a dict")
+          }
+          val std = resolve(cf.m.getOrElse("StdCF", fail("/CF without /StdCF"))) match {
+            case d: PDict => d; case _ => fail("/StdCF is not a dict")
+          }
+          if (!ed.m.get("StmF").contains(PName("StdCF")) ||
+              !ed.m.get("StrF").contains(PName("StdCF")))
+            fail("/StmF or /StrF other than /StdCF (out of scope)")
+          std.m.get("CFM") match {
+            case Some(PName("AESV2")) => (16, true)
+            case Some(PName("V2"))    => (16, false)
+            case m => fail(s"crypt filter method $m (out of scope)")
+          }
+        case other => fail(s"/Encrypt V $other (out of scope)")
+      }
+      val key = PdfCrypt.fileKey(o, p, id0, nBytes, r, encryptMetadata)
+      if (!PdfCrypt.userCheck(key, id0, r, u))
+        fail("document is not openable with the empty user password")
+      new PdfCrypt.ObjectCipher(key, aes)
+    }
+
+    /** Strings inside an indirect object decrypt with THAT object's
+      * (num, gen) key (§7.6.2); ObjStm residents are exempt — their
+      * container stream already decrypted (§7.5.7).
+      */
+    private def decryptStrings(o: PObj, num: Int, gen: Int,
+                               c: PdfCrypt.ObjectCipher): PObj = o match {
+      case PStr(b)     => PStr(c.decrypt(num, gen, b))
+      case PArr(items) => PArr(items.map(decryptStrings(_, num, gen, c)))
+      case PDict(m)    => PDict(m.map { case (k, x) => k -> decryptStrings(x, num, gen, c) })
+      case other       => other
+    }
+
     def root: PDict = resolve(trailer.m.getOrElse("Root", fail("trailer has no /Root"))) match {
       case d: PDict => d
       case _        => fail("/Root is not a dict")
@@ -637,9 +727,10 @@ object Pdf {
       val lx = new Lex(bytes, off.toInt)
       val n = lx.token().toIntOption.getOrElse(fail(s"bad object header at $off"))
       if (n != num) fail(s"xref says object $num at $off, found $n")
-      lx.token() // generation
+      val gen = lx.token().toIntOption.getOrElse(fail(s"bad generation at $off"))
       lx.expect("obj")
-      val v = lx.obj(refs = true)
+      val v0 = lx.obj(refs = true)
+      val v = cipher.fold(v0)(decryptStrings(v0, num, gen, _))
       lx.ws()
       if (!lx.eof && lx.peek == 's') {
         lx.expect("stream")
@@ -651,9 +742,13 @@ object Pdf {
         }
         if (len < 0 || lx.p.toLong + len > bytes.length)
           fail(s"stream length $len out of range")
-        val raw = java.util.Arrays.copyOfRange(bytes, lx.p, lx.p + len.toInt)
+        val raw0 = java.util.Arrays.copyOfRange(bytes, lx.p, lx.p + len.toInt)
         lx.p += len.toInt
         lx.expect("endstream")
+        // stored stream bytes are Encrypt(Encoded(plain)) — decrypt,
+        // THEN run the filter chain (§7.6.2; a cipher failure is a
+        // catchable reject through the shared error path)
+        val raw = cipher.fold(raw0)(_.decrypt(num, gen, raw0))
         PStream(d, decodeStream(d, raw))
       } else v
     }
@@ -717,6 +812,10 @@ object Pdf {
         case other      => build(other)
       }
     }
+
+    // encryption setup LAST: every field above must be live before the
+    // /Encrypt dict fetch runs through the normal object machinery
+    trailer.m.get("Encrypt").foreach(e => cipher = Some(buildCipher(resolve(e))))
   }
 
   // ------------------------------------------------------- fonts & CMaps
@@ -866,6 +965,24 @@ object Pdf {
 
   /** Convenience: full text (pages joined by \n), None on failure. */
   def extractText(bytes: Array[Byte]): Option[String] = extract(bytes).map(_.text)
+
+  /** Diagnostic twin of [[extract]]: the failure message instead of
+    * None (tests and triage only — production paths use extract).
+    */
+  private[graft] def extractDebug(bytes: Array[Byte]): Either[String, PdfText] =
+    try {
+      if (bytes.length < 8 || !new String(bytes, 0, 5, ISO_8859_1).equals("%PDF-"))
+        return Left("not a PDF header")
+      val doc = new Doc(bytes)
+      val pagesRoot = doc.resolve(doc.root.m.getOrElse("Pages", fail("catalog has no /Pages")))
+      val pages = Vector.newBuilder[String]
+      collectPages(doc, pagesRoot, pages, seen = scala.collection.mutable.Set.empty,
+        depth = 0, inheritedRes = None)
+      Right(PdfText(pages.result()))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
 
   private def collectPages(doc: Doc, node: PObj,
                            out: scala.collection.mutable.Builder[String, Vector[String]],
@@ -1038,9 +1155,22 @@ object Pdf {
     * bfrange for code runs without char runs, bfchar for singletons;
     * blocks chunked at the spec's 100-entry limit). Orthogonal to
     * `xrefStream` — all four layout combinations extract identically.
+    *
+    * `encrypt` ∈ { "", "rc4-40", "rc4-128", "aesv2" } applies the
+    * standard security handler (§7.6.3) with EMPTY owner and user
+    * passwords — the restrict-permissions-only shape crawls meet:
+    * V1/R2 40-bit RC4, V2/R3 128-bit RC4, or V4/R4 AES-128-CBC via
+    * /CF /StdCF /CFM /AESV2. Streams store Encrypt(Encoded(plain));
+    * top-level literal strings (the classic CID layout's
+    * /CIDSystemInfo) encrypt with their object's key; ObjStm-resident
+    * strings stay plain inside the encrypted container (§7.5.7); the
+    * xref stream itself is never encrypted (§7.5.8.2). /ID derives
+    * from MD5(text) so fixtures are byte-stable. Orthogonal to every
+    * other knob.
     */
   def build(text: String, compress: Boolean = true,
-            xrefStream: Boolean = false, cidFont: Boolean = false): Array[Byte] = {
+            xrefStream: Boolean = false, cidFont: Boolean = false,
+            encrypt: String = ""): Array[Byte] = {
     require(text.forall(_ < 0x100),
       "builder scope is Latin-1 text (simple 8-bit fonts)")
     require(!text.exists(c => c == '\n' || c == '\r'),
@@ -1090,6 +1220,46 @@ object Pdf {
       sb.toString.getBytes(ISO_8859_1)
     }
 
+    // standard security handler setup (empty owner + user passwords)
+    val encMode: Option[(Int, Int, Int, Boolean)] = encrypt match {
+      case ""        => None
+      case "rc4-40"  => Some((1, 2, 5, false))
+      case "rc4-128" => Some((2, 3, 16, false))
+      case "aesv2"   => Some((4, 4, 16, true))
+      case other =>
+        throw new IllegalArgumentException(s"unknown encrypt mode '$other'")
+    }
+    def hexPStr(b: Array[Byte]): String =
+      "<" + b.map(x => f"$x%02x").mkString + ">"
+    val encState: Option[(PdfCrypt.ObjectCipher, String, String)] =
+      encMode.map { case (v, r, n, aes) =>
+        val id0 = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes(ISO_8859_1))
+        val p = -4
+        val o = PdfCrypt.ownerEntry(n, r)
+        val key = PdfCrypt.fileKey(o, p, id0, n, r, encryptMetadata = true)
+        val u = PdfCrypt.userEntry(key, id0, r)
+        val dict = v match {
+          case 1 => s"<< /Filter /Standard /V 1 /R 2 " +
+            s"/O ${hexPStr(o)} /U ${hexPStr(u)} /P $p >>"
+          case 2 => s"<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+            s"/O ${hexPStr(o)} /U ${hexPStr(u)} /P $p >>"
+          case _ => "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+            "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+            "/StmF /StdCF /StrF /StdCF " +
+            s"/O ${hexPStr(o)} /U ${hexPStr(u)} /P $p >>"
+        }
+        val trailerKeys = s"/ID [ ${hexPStr(id0)} ${hexPStr(id0)} ] "
+        (new PdfCrypt.ObjectCipher(key, aes), dict, trailerKeys)
+      }
+    // a literal string at a TOP-LEVEL object: plain in the clear and
+    // ObjStm cases, per-object-key encrypted (hex-emitted) otherwise
+    def litStr(s: String, objNum: Int): String = encState match {
+      case Some((c, _, _)) if !xrefStream =>
+        hexPStr(c.encrypt(objNum, 0, s.getBytes(ISO_8859_1)))
+      case _ => s"($s)"
+    }
+
     // object table: 1 catalog, 2 pages, 3 font, then (page, content)
     // pairs; the CID layout inserts 4 descendant-font + 5 ToUnicode
     val firstPage = if (cidFont) 6 else 4
@@ -1099,17 +1269,22 @@ object Pdf {
     dictBody(1) = "<< /Type /Catalog /Pages 2 0 R >>"
     dictBody(2) = s"<< /Type /Pages /Kids [ $kids ] /Count ${pages.length} >>"
     val contentData = new Array[(Array[Byte], String)](nObjs + 1)
-    def streamSlot(data: Array[Byte]): (Array[Byte], String) =
-      if (compress) (deflate(data), "/Filter /FlateDecode ") else (data, "")
+    def streamSlot(objNum: Int, data: Array[Byte]): (Array[Byte], String) = {
+      val encoded =
+        if (compress) (deflate(data), "/Filter /FlateDecode ") else (data, "")
+      encState.fold(encoded) { case (c, _, _) =>
+        (c.encrypt(objNum, 0, encoded._1), encoded._2) }
+    }
     if (!cidFont)
       dictBody(3) = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     else {
       dictBody(3) = "<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica " +
         "/Encoding /Identity-H /DescendantFonts [ 4 0 R ] /ToUnicode 5 0 R >>"
       dictBody(4) = "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica " +
-        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+        s"/CIDSystemInfo << /Registry ${litStr("Adobe", 4)} " +
+        s"/Ordering ${litStr("Identity", 4)} /Supplement 0 >> " +
         "/CIDToGIDMap /Identity /DW 500 >>"
-      contentData(5) = streamSlot(toUnicodeCMap(codeOf))
+      contentData(5) = streamSlot(5, toUnicodeCMap(codeOf))
     }
     pages.zipWithIndex.foreach { case (pl, i) =>
       val pageNum = firstPage + 2 * i
@@ -1118,11 +1293,11 @@ object Pdf {
         "/MediaBox [ 0 0 612 792 ] " +
         "/Resources << /Font << /F1 3 0 R >> >> " +
         s"/Contents $contNum 0 R >>"
-      contentData(contNum) = streamSlot(contentStream(pl))
+      contentData(contNum) = streamSlot(contNum, contentStream(pl))
     }
 
-    if (!xrefStream) buildClassic(nObjs, dictBody, contentData)
-    else buildXrefStreamLayout(nObjs, dictBody, contentData, compress)
+    if (!xrefStream) buildClassic(nObjs, dictBody, contentData, encState)
+    else buildXrefStreamLayout(nObjs, dictBody, contentData, compress, encState)
   }
 
   /** Generate the builder's `/ToUnicode` CMap (the §9.10.3 skeleton):
@@ -1180,10 +1355,14 @@ object Pdf {
   }
 
   private def buildClassic(nObjs: Int, dictBody: Array[String],
-                           contentData: Array[(Array[Byte], String)]): Array[Byte] = {
+                           contentData: Array[(Array[Byte], String)],
+                           enc: Option[(PdfCrypt.ObjectCipher, String, String)]
+                             = None): Array[Byte] = {
+    val encNum = if (enc.isDefined) nObjs + 1 else 0
+    val lastObj = if (enc.isDefined) encNum else nObjs
     val out = new java.io.ByteArrayOutputStream()
     out.write("%PDF-1.4\n%âãÏÓ\n".getBytes(ISO_8859_1))
-    val offsets = new Array[Long](nObjs + 1)
+    val offsets = new Array[Long](lastObj + 1)
     (1 to nObjs).foreach { i =>
       offsets(i) = out.size().toLong
       if (dictBody(i) != null)
@@ -1196,10 +1375,15 @@ object Pdf {
         out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
       }
     }
+    enc.foreach { case (_, dict, _) => // the /Encrypt dict, never encrypted
+      offsets(encNum) = out.size().toLong
+      out.write(s"$encNum 0 obj\n$dict\nendobj\n".getBytes(ISO_8859_1))
+    }
     val xrefOff = out.size()
-    val xref = new StringBuilder(s"xref\n0 ${nObjs + 1}\n0000000000 65535 f \n")
-    (1 to nObjs).foreach(i => xref.append(f"${offsets(i)}%010d 00000 n \n"))
-    xref.append(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\n")
+    val xref = new StringBuilder(s"xref\n0 ${lastObj + 1}\n0000000000 65535 f \n")
+    (1 to lastObj).foreach(i => xref.append(f"${offsets(i)}%010d 00000 n \n"))
+    val encKeys = enc.fold("") { case (_, _, tk) => s"/Encrypt $encNum 0 R $tk" }
+    xref.append(s"trailer\n<< /Size ${lastObj + 1} /Root 1 0 R $encKeys>>\n")
     xref.append(s"startxref\n$xrefOff\n%%EOF\n")
     out.write(xref.toString.getBytes(ISO_8859_1))
     out.toByteArray
@@ -1216,9 +1400,14 @@ object Pdf {
   private def buildXrefStreamLayout(nObjs: Int,
                                     dictBody: Array[String],
                                     contentData: Array[(Array[Byte], String)],
-                                    compress: Boolean): Array[Byte] = {
-    val objStmNum = nObjs + 1
-    val xrefNum = nObjs + 2
+                                    compress: Boolean,
+                                    enc: Option[(PdfCrypt.ObjectCipher, String, String)]
+                                      = None): Array[Byte] = {
+    // the /Encrypt dict may not live in an object stream (§7.5.7), so
+    // when encrypting it takes nObjs+1 as a top-level dict
+    val encNum = if (enc.isDefined) nObjs + 1 else 0
+    val objStmNum = nObjs + (if (enc.isDefined) 2 else 1)
+    val xrefNum = objStmNum + 1
     // object stream: header pairs `num off`, bodies at /First + off
     val inStm: Seq[Int] = (1 to nObjs).filter(dictBody(_) != null)
     val stmIdx: Map[Int, Int] = inStm.zipWithIndex.toMap
@@ -1226,8 +1415,14 @@ object Pdf {
     val header = inStm.zip(bodyOffs).map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
     val stmPlain = (header + inStm.map(dictBody(_)).mkString("\n") + "\n")
       .getBytes(ISO_8859_1)
-    val (stmData, stmFilter) =
-      if (compress) (deflate(stmPlain), "/Filter /FlateDecode ") else (stmPlain, "")
+    val (stmData, stmFilter) = {
+      val encoded =
+        if (compress) (deflate(stmPlain), "/Filter /FlateDecode ") else (stmPlain, "")
+      // the ObjStm container IS an encrypted stream; resident strings
+      // stay plain inside it (§7.5.7)
+      enc.fold(encoded) { case (c, _, _) =>
+        (c.encrypt(objStmNum, 0, encoded._1), encoded._2) }
+    }
 
     val out = new java.io.ByteArrayOutputStream()
     out.write("%PDF-1.5\n%âãÏÓ\n".getBytes(ISO_8859_1))
@@ -1241,6 +1436,10 @@ object Pdf {
         out.write(data)
         out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
       }
+    }
+    enc.foreach { case (_, dict, _) => // the /Encrypt dict, never encrypted
+      offsets(encNum) = out.size().toLong
+      out.write(s"$encNum 0 obj\n$dict\nendobj\n".getBytes(ISO_8859_1))
     }
     offsets(objStmNum) = out.size().toLong
     out.write((s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${inStm.length} " +
@@ -1269,6 +1468,7 @@ object Pdf {
       if (dictBody(i) != null) putRow(i, 2, objStmNum.toLong, stmIdx(i))
       else putRow(i, 1, offsets(i), 0)
     }
+    if (enc.isDefined) putRow(encNum, 1, offsets(encNum), 0)
     putRow(objStmNum, 1, offsets(objStmNum), 0)
     putRow(xrefNum, 1, offsets(xrefNum), 0)
     val (xrefData, xrefKeys) =
@@ -1289,8 +1489,11 @@ object Pdf {
         (deflate(filtered),
           s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowW >> ")
       } else (rows, "")
+    // the xref stream is NEVER encrypted (§7.5.8.2); when encrypting,
+    // its dict doubles as the trailer and carries /Encrypt + /ID
+    val encKeys = enc.fold("") { case (_, _, tk) => s"/Encrypt $encNum 0 R $tk" }
     out.write((s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [ 1 4 2 ] " +
-      s"/Index [ 0 $size ] /Root 1 0 R $xrefKeys/Length ${xrefData.length} " +
+      s"/Index [ 0 $size ] /Root 1 0 R $encKeys$xrefKeys/Length ${xrefData.length} " +
       ">>\nstream\n").getBytes(ISO_8859_1))
     out.write(xrefData)
     out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))

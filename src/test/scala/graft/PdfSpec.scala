@@ -567,6 +567,74 @@ class PdfSpec extends SparkTestBase {
     assert(raw.contains("[<")) // array form present
   }
 
+  // ---- /Encrypt: standard security handler, empty password (round 17)
+
+  test("RC4 matches the public test vector") {
+    // the classic "Key"/"Plaintext" vector (same family as RFC 6229)
+    val c = graft.io.PdfCrypt.rc4("Key".getBytes(ISO_8859_1),
+      "Plaintext".getBytes(ISO_8859_1))
+    assert(c.map(b => f"$b%02x").mkString == "bbf316e8d940af0ad3")
+  }
+
+  test("encrypted builds round-trip across all modes, layouts, and fonts") {
+    val text = ("encrypted corpus payload 0123456789 abcdef " * 50).trim
+    val plain = Pdf.extract(Pdf.build(text))
+    assert(plain.isDefined && plain.get.nPages > 1)
+    for (mode <- Seq("rc4-40", "rc4-128", "aesv2");
+         xs <- Seq(false, true); cid <- Seq(false, true)) {
+      val enc = Pdf.build(text, xrefStream = xs, cidFont = cid, encrypt = mode)
+      assert(Pdf.extract(enc) == plain, s"mode=$mode xref=$xs cid=$cid")
+    }
+    // uncompressed path too (stored stream = Encrypt(plain), no filter)
+    assert(Pdf.extract(Pdf.build(text, compress = false, encrypt = "aesv2")) == plain)
+    // ciphertext really is ciphertext: the uncompressed-encrypted file
+    // must show neither the content operators nor the text
+    val raw = new String(Pdf.build(text, compress = false, encrypt = "rc4-128"), ISO_8859_1)
+    assert(!raw.contains("BT\n/F1 12 Tf"))
+    assert(!raw.contains(text.take(30)))
+  }
+
+  test("encryption hostile cases: wrong password proof, corrupt bytes, out-of-scope modes") {
+    val text = "guarded secret payload"
+    def mutate(b: Array[Byte], find: String, repl: String): Array[Byte] = {
+      val s = new String(b, ISO_8859_1)
+      val at = s.indexOf(find)
+      assert(at >= 0, s"fixture lacks '$find'")
+      assert(find.length == repl.length) // same length: offsets survive
+      (s.substring(0, at) + repl + s.substring(at + find.length))
+        .getBytes(ISO_8859_1)
+    }
+    val rc4 = Pdf.build(text, encrypt = "rc4-128")
+    assert(Pdf.extractText(rc4).contains(text))
+    // flip a hex digit of /U: the empty-password proof fails -> None
+    // (the "a real user password exists" shape)
+    val s = new String(rc4, ISO_8859_1)
+    val uAt = s.indexOf("/U <")
+    assert(uAt >= 0)
+    val c = s.charAt(uAt + 4)
+    val flipped = s.substring(0, uAt + 4) +
+      (if (c == '0') '1' else '0') + s.substring(uAt + 5)
+    assert(Pdf.extract(flipped.getBytes(ISO_8859_1)).isEmpty)
+    // and for the REASON the contract promises: the password proof
+    assert(Pdf.extractDebug(flipped.getBytes(ISO_8859_1))
+      .swap.exists(_.contains("empty user password")))
+    // out-of-scope revisions / foreign handlers / missing ID reject
+    assert(Pdf.extract(mutate(rc4, "/V 2 /R 3", "/V 5 /R 5")).isEmpty)
+    assert(Pdf.extract(mutate(rc4, "/Standard", "/Standarf")).isEmpty)
+    assert(Pdf.extract(mutate(rc4, "/ID [", "/IE [")).isEmpty)
+    // corrupt stream ciphertext decrypts to garbage: the Flate checksum
+    // (RC4) or the CBC padding (AES) rejects -> None, never partial text
+    def corruptStream(b: Array[Byte]): Array[Byte] = {
+      val at = new String(b, ISO_8859_1).indexOf("stream\n")
+      assert(at >= 0)
+      val out = b.clone()
+      out(at + 10) = (out(at + 10) ^ 0x55).toByte
+      out
+    }
+    assert(Pdf.extract(corruptStream(rc4)).isEmpty)
+    assert(Pdf.extract(corruptStream(Pdf.build(text, encrypt = "aesv2"))).isEmpty)
+  }
+
   test("builder xref-stream layout round-trips and matches classic exactly") {
     val text = ("pdf fifteen layout parity check " * 70).trim // multi-page
     val a = Pdf.extract(Pdf.build(text))
