@@ -216,6 +216,34 @@ private[similarity] object DeltaLog {
     } finally out.close()
   }
 
+  /** MIGRATE deltas that committed into `oldRoot` after a compaction's
+    * `_DELTAS` snapshot: copy each late delta directory into `newRoot`
+    * and commit its name there. One half of the two-sided recheck that
+    * makes an OUT-OF-BAND fold safe against a concurrent absorber —
+    * the compactor calls this right after publishing (covering commits
+    * that landed before its recheck), and the absorber re-resolves
+    * after every commit and re-appends if a new version won meanwhile
+    * (covering commits that landed after). Both sides are idempotent:
+    * directory copy is staged-overwrite, name commit is a no-op on
+    * replay — so the delta arrives in the new version EXACTLY ONCE no
+    * matter which side gets there first.
+    */
+  def migrateLate(spark: SparkSession, oldRoot: String, newRoot: String,
+                  folded: Set[String]): Unit = {
+    val fs = IndexPublish.fsOf(spark, oldRoot)
+    val conf = spark.sparkContext.hadoopConfiguration
+    committed(spark, oldRoot).filterNot(folded).foreach { n =>
+      val src = new org.apache.hadoop.fs.Path(s"$oldRoot/deltas/$n")
+      val dst = new org.apache.hadoop.fs.Path(s"$newRoot/deltas/$n")
+      if (fs.exists(src) && !committed(spark, newRoot).contains(n)) {
+        fs.delete(dst, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+          /* deleteSource = */ false, conf)
+        commit(spark, newRoot, n)
+      }
+    }
+  }
+
   /** Append `name` to the committed-delta manifest by atomic swap
     * (write `.new`, move current aside, rename into place, roll back on
     * failure). Idempotent: an already-committed name is a no-op.
@@ -419,31 +447,65 @@ object AnnIndex {
     * committed, false on a replay of an already-committed name —
     * including a name a COMPACTION has since folded into the base
     * (the `_ABSORBED` ledger keeps it burned).
+    *
+    * Safe against a CONCURRENT out-of-band [[compact]] (the absorber
+    * half of [[DeltaLog.migrateLate]]'s two-sided recheck): after the
+    * commit, the serving root re-resolves — if a fold published a new
+    * version meanwhile and that version carries neither the name
+    * (folded or migrated) nor a burn record for it, the append re-runs
+    * against the new root (identical bytes: the fold copies the frozen
+    * quantizers verbatim). Without this, a delta committed into the
+    * old version after the fold's `_DELTAS` snapshot AND after its
+    * post-publish migration sweep would vanish when readers move over.
     */
   def appendDelta(spark: SparkSession, newVectors: DataFrame, idCol: String,
                   vecCol: String, path: String, name: String,
-                  assignNProbe: Int = 0): Boolean = {
+                  assignNProbe: Int = 0): Boolean =
+    appendDeltaHooked(spark, newVectors, idCol, vecCol, path, name,
+      assignNProbe, () => ())
+
+  /** [[appendDelta]] with a test seam: `beforeCommit` runs after the
+    * staging writes and before the `_DELTAS` commit — the window a
+    * concurrent fold can win the race in (specs inject a full compact
+    * there to pin the re-append behavior deterministically).
+    */
+  private[graft] def appendDeltaHooked(spark: SparkSession,
+      newVectors: DataFrame, idCol: String, vecCol: String, path: String,
+      name: String, assignNProbe: Int,
+      beforeCommit: () => Unit): Boolean = {
     require(DeltaLog.validName(name), s"bad delta name '$name'")
-    val root = resolve(spark, path)
+    var root = resolve(spark, path)
     if (DeltaLog.burned(spark, root).contains(name)) return false
-    val centers = loadCentroids(spark, root)
-    val assigned =
-      if (assignNProbe > 0)
-        graft.chain.KMeans.assignRouted(newVectors, idCol, vecCol, centers,
-          assignNProbe)
-      else graft.chain.KMeans.assign(newVectors, idCol, vecCol, centers)
-    writeClustered(
-      assigned.select(col("id").as("vec_id"), col("v"),
-        vec_norm(col("v")).as("n"), col("cluster").as("cell")),
-      s"$root/deltas/$name/vectors", centers.length)
-    val cbs = loadCodebooks(spark, root)
-    Similarity.pqEncode(newVectors, idCol, vecCol, cbs)
-      .withColumnRenamed("id", "vec_id")
-      .join(assigned.select(col("id").as("vec_id"),
-        col("cluster").as("cell")), "vec_id")
-      .select("vec_id", "cell", "codes", "recon_err")
-      .write.mode("overwrite").parquet(s"$root/deltas/$name/codes")
-    DeltaLog.commit(spark, root, name)
+    var hook = beforeCommit
+    var rounds = 0
+    var done = false
+    while (!done) {
+      rounds += 1
+      if (rounds > 10) throw new IllegalStateException(
+        s"appendDelta($name): no stable version after $rounds rounds")
+      val centers = loadCentroids(spark, root)
+      val assigned =
+        if (assignNProbe > 0)
+          graft.chain.KMeans.assignRouted(newVectors, idCol, vecCol, centers,
+            assignNProbe)
+        else graft.chain.KMeans.assign(newVectors, idCol, vecCol, centers)
+      writeClustered(
+        assigned.select(col("id").as("vec_id"), col("v"),
+          vec_norm(col("v")).as("n"), col("cluster").as("cell")),
+        s"$root/deltas/$name/vectors", centers.length)
+      val cbs = loadCodebooks(spark, root)
+      Similarity.pqEncode(newVectors, idCol, vecCol, cbs)
+        .withColumnRenamed("id", "vec_id")
+        .join(assigned.select(col("id").as("vec_id"),
+          col("cluster").as("cell")), "vec_id")
+        .select("vec_id", "cell", "codes", "recon_err")
+        .write.mode("overwrite").parquet(s"$root/deltas/$name/codes")
+      hook(); hook = () => () // the injected race fires once
+      DeltaLog.commit(spark, root, name)
+      val now = resolve(spark, path)
+      if (now == root || DeltaLog.burned(spark, now).contains(name)) done = true
+      else root = now // a fold won the race: re-append against its root
+    }
     // refresh the diagnostic read-back manifest (counts base + committed
     // deltas). A crash between the commit above and this write leaves the
     // manifest stale until the next absorb — acceptable: `_DELTAS` is the
@@ -471,9 +533,27 @@ object AnnIndex {
     *
     * No-op (returns the CURRENT manifest) below `minDeltas` committed
     * deltas — the threshold the streaming absorb triggers on.
+    *
+    * Safe to run OUT-OF-BAND while an absorb stream keeps committing
+    * (the [[maintain]] entry / [[graft.streaming.Streams.indexMaintainer]]):
+    * the fold works from one `_DELTAS` snapshot, and any delta that
+    * commits into the old version after that snapshot is swept into
+    * the new version by [[DeltaLog.migrateLate]] right after the
+    * publish — with [[appendDelta]]'s own post-commit recheck covering
+    * commits that land even later. The old version (and its in-flight
+    * readers) is protected by the publish GC's predecessor + grace
+    * rules.
     */
   def compact(spark: SparkSession, path: String,
-              minDeltas: Int = 1): DataFrame = {
+              minDeltas: Int = 1): DataFrame =
+    compactHooked(spark, path, minDeltas, () => ())
+
+  /** [[compact]] with a test seam: `beforePublish` runs after the fold
+    * writes and before the atomic publish — specs inject a concurrent
+    * absorb there to pin the late-delta migration deterministically.
+    */
+  private[graft] def compactHooked(spark: SparkSession, path: String,
+      minDeltas: Int, beforePublish: () => Unit): DataFrame = {
     val root = resolve(spark, path)
     val deltas = DeltaLog.committed(spark, root)
     if (deltas.size < math.max(1, minDeltas))
@@ -483,24 +563,51 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$newRoot/centroids")
     spark.read.parquet(s"$root/codebooks").coalesce(1)
       .write.mode("overwrite").parquet(s"$newRoot/codebooks")
-    writeClustered(vectorLists(spark, root), s"$newRoot/vectors",
+    writeClustered(vectorListsOf(spark, root, deltas), s"$newRoot/vectors",
       spark.read.parquet(s"$root/centroids").count().toInt)
-    pqCodes(spark, root).write.mode("overwrite").parquet(s"$newRoot/codes")
+    pqCodesOf(spark, root, deltas)
+      .write.mode("overwrite").parquet(s"$newRoot/codes")
     DeltaLog.writeAbsorbed(spark, newRoot,
       DeltaLog.absorbed(spark, root) ++ deltas)
-    val manifest = writeManifest(spark, newRoot)
+    beforePublish()
     IndexPublish.publish(spark, path, next, prev)
-    manifest
+    // sweep deltas that committed into the old root after our snapshot
+    DeltaLog.migrateLate(spark, root, newRoot, deltas.toSet)
+    writeManifest(spark, newRoot)
+  }
+
+  /** Run a compaction when due — the OUT-OF-BAND maintenance entry, to
+    * be called from a driver-side scheduler or
+    * [[graft.streaming.Streams.indexMaintainer]] rather than from
+    * inside a streaming micro-batch: the fold is index-body-linear, so
+    * running it under `foreachBatch` stalls every `compactEvery`-th
+    * batch by the full index rewrite while shards queue. Returns true
+    * when a fold ran.
+    */
+  def maintain(spark: SparkSession, path: String, minDeltas: Int = 8): Boolean = {
+    val due = DeltaLog.committed(spark, resolve(spark, path)).size >=
+      math.max(1, minDeltas)
+    if (due) compact(spark, path, minDeltas)
+    due
   }
 
   /** The full inverted lists at `root`: base `vectors/` plus every
     * COMMITTED delta's — the one reading rule of the serving paths.
     */
-  private[graft] def vectorLists(spark: SparkSession, root: String): DataFrame = {
+  private[graft] def vectorLists(spark: SparkSession, root: String): DataFrame =
+    vectorListsOf(spark, root, committedDeltas(spark, root))
+
+  /** [[vectorLists]] over an EXPLICIT delta snapshot: the compaction
+    * fold pins ONE `_DELTAS` read through all its component writes, so
+    * a delta committed mid-fold can never land in `vectors/` but miss
+    * `codes/` (or double-count after the late-delta migration).
+    */
+  private def vectorListsOf(spark: SparkSession, root: String,
+                            deltas: Seq[String]): DataFrame = {
     val base = spark.read.option("basePath", s"$root/vectors")
       .parquet(s"$root/vectors")
       .select("vec_id", "v", "n", "cell")
-    committedDeltas(spark, root).foldLeft(base) { (acc, d) =>
+    deltas.foldLeft(base) { (acc, d) =>
       acc.unionByName(
         spark.read.option("basePath", s"$root/deltas/$d/vectors")
           .parquet(s"$root/deltas/$d/vectors")
@@ -513,10 +620,14 @@ object AnnIndex {
     * resident serving tier, so ADC search over an absorbed index sees
     * every shard.
     */
-  def pqCodes(spark: SparkSession, root: String): DataFrame = {
+  def pqCodes(spark: SparkSession, root: String): DataFrame =
+    pqCodesOf(spark, root, committedDeltas(spark, root))
+
+  private def pqCodesOf(spark: SparkSession, root: String,
+                        deltas: Seq[String]): DataFrame = {
     val base = spark.read.parquet(s"$root/codes")
       .select("vec_id", "cell", "codes", "recon_err")
-    committedDeltas(spark, root).foldLeft(base) { (acc, d) =>
+    deltas.foldLeft(base) { (acc, d) =>
       acc.unionByName(spark.read.parquet(s"$root/deltas/$d/codes")
         .select("vec_id", "cell", "codes", "recon_err"))
     }

@@ -132,14 +132,41 @@ object HybridIndex {
                   textCol: String, vectors: DataFrame, vecId: String,
                   vecCol: String, path: String, name: String,
                   bits: Int = 48, table: Int = 1,
-                  maxDim: Int = 1024): Boolean = {
+                  maxDim: Int = 1024): Boolean =
+    appendDeltaHooked(spark, docs, docId, textCol, vectors, vecId, vecCol,
+      path, name, bits, table, maxDim, () => ())
+
+  /** [[appendDelta]] with the [[AnnIndex.appendDeltaHooked]] test seam
+    * and the same absorber-side half of the concurrent-fold recheck:
+    * after the commit, the root re-resolves, and if an out-of-band
+    * [[compact]] published meanwhile without this name (folded,
+    * migrated, or burned), the append re-runs against the new root —
+    * identical bytes, every component being corpus-independent or
+    * disjoint-additive.
+    */
+  private[graft] def appendDeltaHooked(spark: SparkSession, docs: DataFrame,
+      docId: String, textCol: String, vectors: DataFrame, vecId: String,
+      vecCol: String, path: String, name: String, bits: Int, table: Int,
+      maxDim: Int, beforeCommit: () => Unit): Boolean = {
     require(DeltaLog.validName(name), s"bad delta name '$name'")
-    val root = IndexPublish.resolve(spark, path)
+    var root = IndexPublish.resolve(spark, path)
     requireIntegerSums(spark, root)
     if (DeltaLog.burned(spark, root).contains(name)) return false
-    writeComponents(spark, docs, docId, textCol, vectors, vecId, vecCol,
-      s"$root/deltas/$name", bits, table, maxDim)
-    DeltaLog.commit(spark, root, name)
+    var hook = beforeCommit
+    var rounds = 0
+    var done = false
+    while (!done) {
+      rounds += 1
+      if (rounds > 10) throw new IllegalStateException(
+        s"appendDelta($name): no stable version after $rounds rounds")
+      writeComponents(spark, docs, docId, textCol, vectors, vecId, vecCol,
+        s"$root/deltas/$name", bits, table, maxDim)
+      hook(); hook = () => () // the injected race fires once
+      DeltaLog.commit(spark, root, name)
+      val now = IndexPublish.resolve(spark, path)
+      if (now == root || DeltaLog.burned(spark, now).contains(name)) done = true
+      else root = now // a fold won the race: re-append against its root
+    }
     writeManifest(spark, root) // diagnostic counts; _DELTAS bears correctness
     true
   }
@@ -156,34 +183,58 @@ object HybridIndex {
     * `minDeltas`.
     */
   def compact(spark: SparkSession, path: String,
-              minDeltas: Int = 1): DataFrame = {
+              minDeltas: Int = 1): DataFrame =
+    compactHooked(spark, path, minDeltas, () => ())
+
+  /** [[compact]] with the [[AnnIndex.compactHooked]] test seam; like
+    * the ANN fold it pins ONE `_DELTAS` snapshot through every
+    * component write, publishes, then sweeps late-committed deltas
+    * into the new version ([[DeltaLog.migrateLate]]) — safe to run
+    * out-of-band while the absorb stream keeps committing.
+    */
+  private[graft] def compactHooked(spark: SparkSession, path: String,
+      minDeltas: Int, beforePublish: () => Unit): DataFrame = {
     val root = IndexPublish.resolve(spark, path)
     requireIntegerSums(spark, root)
     val deltas = DeltaLog.committed(spark, root)
     if (deltas.size < math.max(1, minDeltas))
       return spark.read.parquet(s"$root/manifest")
     val (newRoot, next, prev) = IndexPublish.begin(spark, path)
-    unionParts(spark, root, "postings", Seq("tok", "doc_id", "dl", "tf"))
+    unionPartsOf(spark, root, "postings",
+        Seq("tok", "doc_id", "dl", "tf"), deltas)
       .write.mode("overwrite").parquet(s"$newRoot/postings")
-    termstatsAll(spark, root)
+    unionPartsOf(spark, root, "termstats", Seq("tok", "df"), deltas)
+      .groupBy("tok").agg(sum("df").as("df"))
       .write.mode("overwrite").parquet(s"$newRoot/termstats")
-    unionParts(spark, root, "corpusstats",
-        Seq("n_docs", "nonempty_docs", "sum_dl"))
+    unionPartsOf(spark, root, "corpusstats",
+        Seq("n_docs", "nonempty_docs", "sum_dl"), deltas)
       .agg(sum("n_docs").as("n_docs"),
         sum("nonempty_docs").as("nonempty_docs"), sum("sum_dl").as("sum_dl"))
       .select(col("n_docs"), col("nonempty_docs"), col("sum_dl"),
         (col("sum_dl").cast("double") / col("nonempty_docs").cast("double"))
           .as("avgdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$newRoot/corpusstats")
-    unionParts(spark, root, "bqcodes", Seq("vec_id", "code"))
+    unionPartsOf(spark, root, "bqcodes", Seq("vec_id", "code"), deltas)
       .write.mode("overwrite").parquet(s"$newRoot/bqcodes")
-    unionParts(spark, root, "vectors", Seq("vec_id", "v", "n"))
+    unionPartsOf(spark, root, "vectors", Seq("vec_id", "v", "n"), deltas)
       .write.mode("overwrite").parquet(s"$newRoot/vectors")
     DeltaLog.writeAbsorbed(spark, newRoot,
       DeltaLog.absorbed(spark, root) ++ deltas)
-    val manifest = writeManifest(spark, newRoot)
+    beforePublish()
     IndexPublish.publish(spark, path, next, prev)
-    manifest
+    DeltaLog.migrateLate(spark, root, newRoot, deltas.toSet)
+    writeManifest(spark, newRoot)
+  }
+
+  /** Run a compaction when due — the out-of-band maintenance entry
+    * ([[AnnIndex.maintain]]'s lexical twin). Returns true when a fold
+    * ran.
+    */
+  def maintain(spark: SparkSession, path: String, minDeltas: Int = 8): Boolean = {
+    val due = DeltaLog.committed(spark,
+      IndexPublish.resolve(spark, path)).size >= math.max(1, minDeltas)
+    if (due) compact(spark, path, minDeltas)
+    due
   }
 
   // ---------------------------------------------------- served reading rule
@@ -192,10 +243,20 @@ object HybridIndex {
     * of the serving paths (the [[AnnIndex.vectorLists]] discipline).
     */
   private def unionParts(spark: SparkSession, root: String, component: String,
-                         cols: Seq[String]): DataFrame = {
+                         cols: Seq[String]): DataFrame =
+    unionPartsOf(spark, root, component, cols,
+      DeltaLog.committed(spark, root))
+
+  /** [[unionParts]] over an EXPLICIT delta snapshot — the compaction
+    * fold pins one `_DELTAS` read through all five component writes so
+    * a mid-fold commit cannot make them disagree.
+    */
+  private def unionPartsOf(spark: SparkSession, root: String,
+                           component: String, cols: Seq[String],
+                           deltas: Seq[String]): DataFrame = {
     val base = spark.read.parquet(s"$root/$component")
       .select(cols.map(col): _*)
-    DeltaLog.committed(spark, root).foldLeft(base) { (acc, d) =>
+    deltas.foldLeft(base) { (acc, d) =>
       acc.unionByName(spark.read.parquet(s"$root/deltas/$d/$component")
         .select(cols.map(col): _*))
     }

@@ -918,6 +918,15 @@ object Streams {
     * serialized foreachBatch; a crash between commit and compaction
     * just defers the fold to the next batch, and the `_ABSORBED`
     * ledger keeps replayed batch names exactly-once across it.
+    * AT SERVING SCALE prefer `compactEvery = 0` plus an OUT-OF-BAND
+    * [[indexMaintainer]] over [[graft.similarity.AnnIndex.maintain]]:
+    * the fold is index-body-linear, so the in-batch trigger stalls
+    * every `compactEvery`-th micro-batch by the full rewrite while
+    * shards queue, whereas the maintainer folds on its own thread and
+    * absorb latency stays flat — safe concurrently, because the
+    * compactor sweeps late-committed deltas into the new version after
+    * publishing and the absorber re-appends if a fold wins its race
+    * (the two-sided recheck, spec-pinned).
     */
   def annAbsorbStream(spark: SparkSession, dir: String, indexPath: String,
                       checkpointDir: String, assignNProbe: Int = 0,
@@ -984,6 +993,35 @@ object Streams {
         ()
       }
       .start()
+  }
+
+  /** OUT-OF-BAND index maintenance: run `fold` — an
+    * [[graft.similarity.AnnIndex.maintain]] /
+    * [[graft.similarity.HybridIndex.maintain]] closure — every
+    * `periodMs` on a DAEMON thread until the returned handle closes.
+    * This is the async form of the absorb streams' `compactEvery`
+    * trigger: the index-body-linear fold runs beside the micro-batches
+    * instead of inside them, so absorb latency stays flat across a
+    * compaction (the fold and the absorber reconcile through the
+    * two-sided late-delta recheck — [[graft.similarity.AnnIndex.compact]]).
+    * A failing fold is retried next period, never fatal to the stream.
+    * Daemon + explicit close: the thread can never hold a driver JVM
+    * open (the MiniHttp/MiniRedis lesson).
+    */
+  def indexMaintainer(periodMs: Long)(fold: () => Unit): AutoCloseable = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        try fold()
+        catch { case scala.util.control.NonFatal(_) => () }
+        val deadline = System.currentTimeMillis() + periodMs
+        while (!stop.get() && System.currentTimeMillis() < deadline)
+          Thread.sleep(25)
+      }
+    }, "graft-index-maintainer")
+    t.setDaemon(true)
+    t.start()
+    () => { stop.set(true); t.join(30000) }
   }
 
   /** Streaming WARC landing-directory ingestion — the `add_inputs`

@@ -285,5 +285,116 @@ class AnnIndexSpec extends SparkTestBase {
     assert(!AnnIndex.appendDelta(spark, extra, "vec_id", "embedding", p, "d3"))
   }
 
+  test("out-of-band compact: a delta committed DURING the fold migrates into the new version") {
+    val p = graft.io.IoScratch.dir + "/ann_compact_race1"
+    val ref = graft.io.IoScratch.dir + "/ann_compact_race1_ref"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(p, ref).foreach(d => new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(hconf).delete(new org.apache.hadoop.fs.Path(d), true))
+    val a = embs.filter(col("vec_id") < 300)
+    val b1 = embs.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val b2 = embs.filter(col("vec_id") >= 400)
+    AnnIndex.export(spark, a, "vec_id", "embedding", p,
+      cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    assert(AnnIndex.appendDelta(spark, b1, "vec_id", "embedding", p, "d1"))
+    // the fold's _DELTAS snapshot sees only d1; "late" commits into the
+    // OLD version while the fold is writing — the post-publish
+    // migration sweep must carry it into the new version
+    var lateCommitted = false
+    AnnIndex.compactHooked(spark, p, 1, () => {
+      lateCommitted = AnnIndex.appendDelta(spark, b2, "vec_id", "embedding",
+        p, "late")
+    })
+    assert(lateCommitted)
+    val v2 = AnnIndex.resolve(spark, p)
+    assert(v2.endsWith("/v2"), v2)
+    assert(AnnIndex.committedDeltas(spark, v2) == Seq("late"),
+      "the late delta must have migrated into the published fold")
+    assert(AnnIndex.pqCodes(spark, v2).count() == embs.count())
+    // exactly-once across the migration
+    assert(!AnnIndex.appendDelta(spark, b2, "vec_id", "embedding", p, "late"))
+    // served bits = the no-compaction reference (same frozen quantizers,
+    // same absorbed set => pure-function-of-set contract)
+    AnnIndex.export(spark, a, "vec_id", "embedding", ref,
+      cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    assert(AnnIndex.appendDelta(spark, b1, "vec_id", "embedding", ref, "d1"))
+    assert(AnnIndex.appendDelta(spark, b2, "vec_id", "embedding", ref, "late"))
+    val queries = embs.filter(col("vec_id") < 5)
+    def serve(at: String) = AnnIndex.servedTopK(spark, at, queries,
+        "vec_id", "embedding", k = 10, nProbe = 2)
+      .orderBy("query_id", "vec_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(serve(p) == serve(ref))
+  }
+
+  test("out-of-band compact: an absorb that loses the publish race re-appends into the winner") {
+    val p = graft.io.IoScratch.dir + "/ann_compact_race2"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(p), true)
+    val a = embs.filter(col("vec_id") < 300)
+    val b1 = embs.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val b2 = embs.filter(col("vec_id") >= 400)
+    AnnIndex.export(spark, a, "vec_id", "embedding", p,
+      cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    assert(AnnIndex.appendDelta(spark, b1, "vec_id", "embedding", p, "d1"))
+    // "racer" stages against v1, then a full fold (of d1 only — the
+    // stage is uncommitted, so invisible) publishes v2 BEFORE racer's
+    // commit lands: the commit goes into the dead version and the
+    // absorber's post-commit recheck must re-append into v2
+    assert(AnnIndex.appendDeltaHooked(spark, b2, "vec_id", "embedding",
+      p, "racer", 0, () => {
+        AnnIndex.compact(spark, p, minDeltas = 1); ()
+      }))
+    val v2 = AnnIndex.resolve(spark, p)
+    assert(v2.endsWith("/v2"), v2)
+    assert(AnnIndex.committedDeltas(spark, v2) == Seq("racer"),
+      "the raced absorb must land in the winning version")
+    assert(AnnIndex.pqCodes(spark, v2).count() == embs.count())
+    assert(!AnnIndex.appendDelta(spark, b2, "vec_id", "embedding", p, "racer"))
+  }
+
+  test("indexMaintainer: absorbs stay flat-path while folds run out-of-band; end state serves every shard") {
+    val p = graft.io.IoScratch.dir + "/ann_maintainer"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(p), true)
+    val a = embs.filter(col("vec_id") < 300)
+    AnnIndex.export(spark, a, "vec_id", "embedding", p,
+      cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+    // maintainer folds on its own daemon thread whenever >= 2 deltas
+    // accumulated; the "stream" keeps absorbing shards meanwhile — the
+    // batch path never calls compact (the flat-latency shape), and the
+    // two-sided recheck keeps every shard exactly-once whatever the
+    // interleaving
+    val maintainer = graft.streaming.Streams.indexMaintainer(50) { () =>
+      AnnIndex.maintain(spark, p, minDeltas = 2); ()
+    }
+    try {
+      (0 until 4).foreach { i =>
+        val shard = embs.filter(col("vec_id") >= 300 + i * 50 &&
+          col("vec_id") < 300 + (i + 1) * 50)
+        assert(AnnIndex.appendDelta(spark, shard, "vec_id", "embedding",
+          p, f"s$i%02d"))
+      }
+    } finally maintainer.close()
+    // one final fold so the end state is fully compacted
+    AnnIndex.compact(spark, p, minDeltas = 1)
+    val v = AnnIndex.resolve(spark, p)
+    val served = AnnIndex.pqCodes(spark, v).select("vec_id")
+      .as[Long].collect().toSet
+    val expect = embs.filter(col("vec_id") < 500).select("vec_id")
+      .as[Long].collect().toSet
+    assert(served == expect,
+      s"every absorbed shard must serve exactly once (missing: ${expect -- served}, extra: ${served -- expect})")
+    // every shard name stays burned
+    (0 until 4).foreach { i =>
+      val shard = embs.filter(col("vec_id") >= 300 + i * 50 &&
+        col("vec_id") < 300 + (i + 1) * 50)
+      assert(!AnnIndex.appendDelta(spark, shard, "vec_id", "embedding",
+        p, f"s$i%02d"))
+    }
+  }
+
   private val anyPublished = "_PUBLISHED"
 }

@@ -118,6 +118,60 @@ class HybridIndexSpec extends SparkTestBase {
     assert(serve(inc) == serve(full))
   }
 
+  test("out-of-band compact: late and raced hybrid deltas land exactly-once in the winner") {
+    val p = graft.io.IoScratch.dir + "/hybrid_compact_race"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(p), true)
+    val third1 = docs.filter(col("doc_id") % 3 === 0)
+    val third2 = docs.filter(col("doc_id") % 3 === 1)
+    val third3 = docs.filter(col("doc_id") % 3 === 2)
+    def vecsOf(d: org.apache.spark.sql.DataFrame) =
+      embs.join(d.select(col("doc_id").as("vec_id")), "vec_id")
+    HybridIndex.export(spark, third1, "doc_id", "text",
+      vecsOf(third1), "vec_id", "embedding", p)
+    assert(HybridIndex.appendDelta(spark, third2, "doc_id", "text",
+      vecsOf(third2), "vec_id", "embedding", p, "d1"))
+    // scenario A: "late" commits into the old version during the fold —
+    // the post-publish migration sweep carries it over
+    var late = false
+    HybridIndex.compactHooked(spark, p, 1, () => {
+      late = HybridIndex.appendDelta(spark, third3, "doc_id", "text",
+        vecsOf(third3), "vec_id", "embedding", p, "late")
+    })
+    assert(late)
+    val v2 = graft.similarity.AnnIndex.resolve(spark, p)
+    assert(v2.endsWith("/v2"), v2)
+    assert(graft.similarity.AnnIndex.committedDeltas(spark, v2) == Seq("late"))
+    assert(!HybridIndex.appendDelta(spark, third3, "doc_id", "text",
+      vecsOf(third3), "vec_id", "embedding", p, "late"))
+    // the served union equals the full one-shot export (disjoint-doc
+    // integer statistics -> bit-identical, the class contract)
+    val full = graft.io.IoScratch.dir + "/hybrid_compact_race_full"
+    HybridIndex.export(spark, docs, "doc_id", "text",
+      embs, "vec_id", "embedding", full)
+    val queries = embs.filter(col("vec_id").isin(1, 2, 3))
+    def serve(at: String) = HybridIndex.servedTopK(spark, at, lexQueries,
+        queries, "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(serve(p) == serve(full))
+    // scenario B: an absorb that loses the publish race re-appends into
+    // the winning version (its commit went to the dead v2)
+    val extraDocs = docs.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 50000L)
+    val extraVecs = embs.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 50000L)
+    assert(HybridIndex.appendDeltaHooked(spark, extraDocs, "doc_id", "text",
+      extraVecs, "vec_id", "embedding", p, "racer", 48, 1, 1024, () => {
+        HybridIndex.compact(spark, p, minDeltas = 1); ()
+      }))
+    val v4 = graft.similarity.AnnIndex.resolve(spark, p)
+    assert(graft.similarity.AnnIndex.committedDeltas(spark, v4) == Seq("racer"))
+    assert(!HybridIndex.appendDelta(spark, extraDocs, "doc_id", "text",
+      extraVecs, "vec_id", "embedding", p, "racer"))
+  }
+
   test("legacy 2-column corpusstats: serves read-only, mutations fail loudly") {
     // pre-round-16 exports stored corpusstats as (n_docs, avgdl) without
     // the integer sums the incremental merge needs: such an index must
