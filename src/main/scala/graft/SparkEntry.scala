@@ -3274,13 +3274,18 @@ object SparkEntry {
     // shared code). Results are bit-identical to the in-session
     // composition, so the oracle IS q_hybrid_search's oracle.
     "q_hybrid_served" -> ((s, dir) => {
+      import s.implicits._
       val path = graft.io.IoScratch.dir + "/hybrid_index_served"
       val e = Tables.embeddings(s, dir)
       graft.similarity.HybridIndex.export(s, Tables.documents(s, dir),
         "doc_id", "text", e, "vec_id", "embedding", path)
-      graft.similarity.HybridIndex.servedTopK(s, path,
-          Seq(1 -> Seq("scan", "column"), 2 -> Seq("window", "sort"),
-            3 -> Seq("stream", "batch")),
+      // the DataFrame query-batch entry (round 17): the (qid, tok)
+      // table is DATA, never a driver Seq — the million-query batch
+      // RAG-labeling shape; the Seq form flattens to the same plan
+      // (spec-pinned bit-parity)
+      graft.similarity.HybridIndex.servedTopKBatch(s, path,
+          Seq((1, "scan"), (1, "column"), (2, "window"), (2, "sort"),
+            (3, "stream"), (3, "batch")).toDF("qid", "tok"),
           e.filter(col("vec_id").isin(1, 2, 3)), "vec_id", "embedding",
           k = 10)
         .orderBy("query_id", "rank")

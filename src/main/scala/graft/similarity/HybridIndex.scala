@@ -348,11 +348,34 @@ object HybridIndex {
     require(lexQueries.nonEmpty && lexQueries.forall(_._2.nonEmpty),
       "servedTopK: empty lexical query batch")
     import spark.implicits._
+    servedTopKBatch(spark, path,
+      lexQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("qid", "tok"),
+      queryVecs, queryId, queryVec, k, legK, cands, k1, b, bits, table,
+      maxDim, k0)
+  }
+
+  /** [[servedTopK]] with the query batch as DATA — the
+    * [[AnnIndex.servedTopK]] DataFrame form, for the batch RAG-labeling
+    * job that scores a million STORED queries against the served index:
+    * `lexQueries` is a (qid, tok) table (one row per query term; the
+    * Seq entry flattens to exactly this and delegates here, so the two
+    * forms are the same plan — bit-parity is structural). The query
+    * batch never routes through the driver: the BM25 leg joins the
+    * postings on the DISTINCT term table (broadcast — vocabulary-grain,
+    * not query-grain, the [[graft.ops.TextOps.bm25TopK]] shape) and the
+    * vector leg is the usual code-table scan against `queryVecs`.
+    */
+  def servedTopKBatch(spark: SparkSession, path: String,
+                 lexQueries: DataFrame, queryVecs: DataFrame,
+                 queryId: String, queryVec: String, k: Int, legK: Int = 20,
+                 cands: Int = 100, k1: Double = 1.2, b: Double = 0.75,
+                 bits: Int = 48, table: Int = 1, maxDim: Int = 1024,
+                 k0: Int = 60): DataFrame = {
     // resolve ONCE so every component comes from the same version even if
     // a rebuild publishes mid-query
     val root = IndexPublish.resolve(spark, path)
-    val qt = lexQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
-      .toDF("qid", "tok")
+    val qt = lexQueries.select(col("qid"), col("tok"))
     val terms = qt.select("tok").distinct()
     val hits = unionParts(spark, root, "postings",
         Seq("tok", "doc_id", "dl", "tf"))

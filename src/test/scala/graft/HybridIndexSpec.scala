@@ -118,6 +118,26 @@ class HybridIndexSpec extends SparkTestBase {
     assert(serve(inc) == serve(full))
   }
 
+  test("servedTopKBatch (DataFrame query batch) is bit-identical to the Seq form") {
+    val path = graft.io.IoScratch.dir + "/hybrid_index_batchform"
+    HybridIndex.export(spark, docs, "doc_id", "text",
+      embs, "vec_id", "embedding", path)
+    val queries = embs.filter(col("vec_id").isin(1, 2, 3))
+    val viaSeq = HybridIndex.servedTopK(spark, path, lexQueries,
+        queries, "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // the batch form takes the SAME queries as a (qid, tok) table —
+    // the stored-query-set labeling shape, no driver Seq
+    val qdf = lexQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "tok").repartition(7) // partitioning must not matter
+    val viaDf = HybridIndex.servedTopKBatch(spark, path, qdf,
+        queries, "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(viaDf == viaSeq)
+  }
+
   test("out-of-band compact: late and raced hybrid deltas land exactly-once in the winner") {
     val p = graft.io.IoScratch.dir + "/hybrid_compact_race"
     val hconf = spark.sparkContext.hadoopConfiguration
