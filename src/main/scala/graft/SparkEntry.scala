@@ -1901,6 +1901,26 @@ object SparkEntry {
       TextOps.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id")),
 
+    // PII scrub (round 17): deterministic PII spans of EVERY pattern
+    // type planted into each document, then the Pii profile — per-type
+    // counts on the original text, the sequentially-redacted text
+    // beside them. The patterns live in the Java∩RE2 regex subset and
+    // the oracle SQL interpolates them from Pii.Patterns verbatim, so
+    // the op and its oracle cannot drift. Row-local codegen scan work,
+    // no shuffle before the final sort.
+    "q_pii_redact" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com tel 555-867-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" card 4111 1111 1111 1111 ssn 078-05-1120 ip 10.0.0."),
+          pmod(col("doc_id"), lit(256)).cast("string")).as("text"))
+      graft.ops.Pii.profile(planted, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // THE DATA CARD (round 10): the whole per-corpus report as ONE query
     // — scale counts, duplication, language share, Zipf spectrum health,
     // rule-gate and LM-gate keep rates — the (metric, value) table a
@@ -5660,6 +5680,29 @@ object SparkEntry {
         |        AND stops > 0
         |        AND CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE) <= 0.15) AS keep
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" -> {
+      val ps = graft.ops.Pii.Patterns
+      val planted = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example.com tel 555-867-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+        "' card 4111 1111 1111 1111 ssn 078-05-1120 ip 10.0.0.' || " +
+        "CAST(doc_id % 256 AS VARCHAR)"
+      val redacted = ps.foldLeft("t") { case (acc, (_, p, r)) =>
+        s"regexp_replace($acc, '$p', '$r', 'g')"
+      }
+      val counts = ps.map { case (n2, p, _) =>
+        s"CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_$n2"
+      }.mkString(",\n  ")
+      val total = ps.map { case (_, p, _) =>
+        s"len(regexp_extract_all(t, '$p'))"
+      }.mkString(" + ")
+      s"""WITH planted AS (SELECT doc_id, $planted AS t FROM documents)
+SELECT doc_id, $redacted AS text_redacted,
+  $counts,
+  CAST($total AS BIGINT) AS n_pii
+FROM planted ORDER BY doc_id"""
+    },
 
     "q_feature_hash" ->
       """WITH t AS (SELECT doc_id,

@@ -213,6 +213,56 @@ object KMeans {
       .select(col("id"), col("v"), col("m.cid").cast("int").as("cluster"))
   }
 
+  /** [[assignRoutedJoined]] with a POST-ARGMIN REJOIN instead of
+    * `first(v)` in the aggregation: the argmin leg ships only
+    * (id, best-struct) through its shuffle — the vector never enters
+    * the aggregation buffer — and the full rows come back by one
+    * id-equi join against a second scan of the source. Bit-identical
+    * assignments (same probe, kernel, tie-break; spec-pinned). The
+    * trade: the `first(v)` form scans the source once and relies on
+    * map-side partial aggregation to collapse the explode×nProbe
+    * duplicates of each vector before the wire (exact while the hash
+    * aggregate holds; a sort-fallback under memory pressure re-emits),
+    * while this form pays a second source scan + an id-shuffle join to
+    * guarantee each vector crosses the wire exactly once. Probed
+    * head-to-head (ScaleProbe `assign_joinform`/`assign_rejoin`,
+    * warmed protocol): the `first(v)` form wins at BOTH scales —
+    * 4.0 s vs 15.6 s at 50k, 105.3 s vs 116.9 s at 500k×256-dim/
+    * k=1024/nProbe=4 — because partial aggregation does collapse the
+    * duplicates (the vector crosses the wire ~once either way) and the
+    * rejoin's second scan + extra shuffle join is pure overhead. So
+    * [[assignRouted]] keeps dispatching to [[assignRoutedJoined]];
+    * this form remains the probed, bit-parity-pinned alternative.
+    */
+  private[graft] def assignRoutedJoinedRejoin(points: DataFrame, idCol: String,
+      vecCol: String, centers: Seq[Seq[Double]], nProbe: Int,
+      coarse: Seq[Seq[Double]],
+      nonEmpty: Seq[(Seq[Int], Int)]): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val v = asDouble(col(vecCol))
+    val probed = slice(array_sort(array(nonEmpty.map { case (_, j) =>
+      struct(sqDist(v, coarse(j)).as("d"), lit(j).as("cell"))
+    }: _*)), 1, nProbe)
+    val ctab = nonEmpty.flatMap { case (ids, j) =>
+      ids.map(i => (j, i, centers(i)))
+    }.toDF("cell", "cid", "cv")
+    val assigned = points
+      .select(col(idCol).as("id"),
+        explode_outer(when(v.isNotNull,
+          transform(probed, p => p.getField("cell")))).as("cell"),
+        v.as("v"))
+      .join(broadcast(ctab), Seq("cell"), "left")
+      .groupBy("id")
+      .agg(min(when(col("cid").isNotNull, struct(
+        graft.functions.VectorOps.vec_sqdist(col("v"), col("cv")).as("d"),
+        col("cid").as("cid")))).as("m"))
+      .select(col("id"), col("m.cid").cast("int").as("cluster"))
+    points.select(col(idCol).as("id"), v.as("v"))
+      .join(assigned, "id")
+      .select(col("id"), col("v"), col("cluster"))
+  }
+
   /** The routing tables: a deterministic driver-side Lloyd over the k
     * centers (init = first c, 3 rounds, lowest-index tie-break — the
     * [[run]] conventions), returning (coarse centers, member center ids

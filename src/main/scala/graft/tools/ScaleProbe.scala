@@ -124,6 +124,37 @@ object ScaleProbe {
       Similarity.semDedupSampledFit(embs, "vec_id", "embedding",
         tau = 0.999, k = math.max(8, (n / 500).toInt), fitRate = 0.1,
         assignNProbe = 2) }
+    // round-17 head-to-head: the large-k join-form assign's `first(v)`
+    // aggregation (vector in the agg buffer; map-side partial agg
+    // collapses the explode×nProbe duplicates before the wire) vs the
+    // post-argmin REJOIN (argmin shuffle ships (id, struct) only; the
+    // vectors come back by one id-join over a second source scan). Run
+    // at serving-shaped geometry — 256-dim, k = 1024 ≥ JoinedAssignK,
+    // nProbe 4 — so the vector-bytes-through-the-shuffle difference is
+    // the dominant term; bit-parity is spec-pinned, this row decides
+    // which form assignRouted dispatches to.
+    locally {
+      val dim = 256
+      val hiDim = spark.range(0, n).select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          pmod(hash(col("id"), d), lit(1000)).cast("double") / 500.0 - 1.0)
+          .as("v"))
+      val k = 1024
+      val centers: Seq[Seq[Double]] = (0 until k).map(i =>
+        (0 until dim).map(d => ((i * 31 + d * 7) % 1000) / 500.0 - 1.0))
+      val c = math.round(math.sqrt(k.toDouble)).toInt
+      val (coarse, members) = graft.chain.KMeans.routeTables(centers, c, 3)
+      val nonEmpty = members.zipWithIndex.filter(_._1.nonEmpty)
+      timed("assign_joinform") {
+        graft.chain.KMeans.assignRoutedJoined(hiDim, "id", "v", centers, 4,
+          coarse, nonEmpty).agg(max("cluster"), count(lit(1))) }
+      timed("assign_rejoin") {
+        graft.chain.KMeans.assignRoutedJoinedRejoin(hiDim, "id", "v",
+          centers, 4, coarse, nonEmpty).agg(max("cluster"), count(lit(1))) }
+    }
+    // round-17 PII scrub: five codegen regex passes per row — scan-
+    // shaped, must stay ~linear like the other quality filters
+    timed("pii_redact") { graft.ops.Pii.profile(docs, "doc_id", "text") }
     // quality/safety filters: scan-shaped, should stay ~linear
     timed("repetition") {
       graft.ops.TextOps.repetitionProfile(docs, "doc_id", "text", 2) }

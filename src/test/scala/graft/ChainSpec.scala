@@ -153,6 +153,10 @@ class ChainSpec extends SparkTestBase {
         coarse, nonEmpty)
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(joined == expr, "join-form assignments must be bit-identical")
+    val rejoined = KMeans.assignRoutedJoinedRejoin(pts, "id", "vec", centers, 2,
+        coarse, nonEmpty)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(rejoined == expr, "rejoin-form assignments must be bit-identical")
     val dispatched = KMeans.assignRouted(pts, "id", "vec", centers, nProbe = 2)
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(dispatched == expr)
@@ -188,11 +192,14 @@ class ChainSpec extends SparkTestBase {
       coarse, nonEmpty))
     val joined = pairs(KMeans.assignRoutedJoined(pts, "id", "vec", centers, 2,
       coarse, nonEmpty))
-    assert(exact.size == 100 && expr.size == 100 && joined.size == 100,
-      "no form may drop rows")
+    val rejoined = pairs(KMeans.assignRoutedJoinedRejoin(pts, "id", "vec",
+      centers, 2, coarse, nonEmpty))
+    assert(exact.size == 100 && expr.size == 100 && joined.size == 100 &&
+      rejoined.size == 100, "no form may drop rows")
     assert(exact.values.count(_.isEmpty) == nNull)
     assert(expr.values.count(_.isEmpty) == nNull)
     assert(joined == expr, "join/expression forms must agree with nulls present")
+    assert(rejoined == expr, "rejoin form must agree with nulls present")
   }
 
   test("NaiveBayes contingency math matches hand counts") {
