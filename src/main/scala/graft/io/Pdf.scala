@@ -33,10 +33,11 @@ import scala.util.Try
   * on the range our builder emits); composite `/Type0` fonts with
   * `/Encoding /Identity-H` read as 2-byte big-endian codes mapped
   * through the font's `/ToUnicode` CMap (§9.10.3 — bfchar, both
-  * bfrange forms, UTF-16BE destinations; a code the CMap does not
-  * cover rejects the document rather than guess; Identity-V vertical
-  * writing, other CMap encodings, and fonts WITHOUT a ToUnicode are
-  * out of scope and reject); encrypted documents under the STANDARD
+  * bfrange forms, UTF-16BE destinations; simple fonts carrying a
+  * 1-byte ToUnicode map byte-wise through it — the subsetted-font
+  * shape; a code the CMap does not cover rejects the document rather
+  * than guess; Identity-V vertical writing, other CMap encodings, and
+  * Type0 fonts WITHOUT a ToUnicode are out of scope and reject); encrypted documents under the STANDARD
   * security handler with the EMPTY user password — RC4-40/128 (V1/V2)
   * and AES-128-CBC (V4 `/CFM /AESV2`), key derivation and `/U`
   * verification per §7.6.3 in [[PdfCrypt]] (a real password,
@@ -801,9 +802,9 @@ object Pdf {
     /** The parsed `/ToUnicode` CMap of a font, cached by its indirect
       * object number (every page sharing the font reuses the parse).
       */
-    private val cmapCache = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
-    def toUnicodeOf(o: PObj): Map[Int, String] = {
-      def build(s: PObj): Map[Int, String] = s match {
+    private val cmapCache = scala.collection.mutable.Map.empty[Int, CMapTable]
+    def toUnicodeOf(o: PObj): CMapTable = {
+      def build(s: PObj): CMapTable = s match {
         case PStream(_, data) => parseToUnicode(data)
         case _                => fail("/ToUnicode is not a stream")
       }
@@ -820,14 +821,21 @@ object Pdf {
 
   // ------------------------------------------------------- fonts & CMaps
 
-  /** How a font's show-string bytes become text: simple 8-bit fonts read
-    * as Latin-1 (the documented scope); `/Type0` composite fonts with
-    * `/Encoding /Identity-H` read as 2-byte big-endian codes through the
-    * font's `/ToUnicode` mapping (§9.10.3).
+  /** How a font's show-string bytes become text: simple 8-bit fonts
+    * WITHOUT a `/ToUnicode` read as Latin-1 (the documented scope);
+    * simple fonts WITH one map byte-by-byte through their 1-byte CMap
+    * (the subsetted-Type1/TrueType shape, where raw bytes are glyph
+    * codes with no relation to Latin-1); `/Type0` composite fonts with
+    * `/Encoding /Identity-H` read as 2-byte big-endian codes through
+    * their 2-byte CMap (§9.10.3).
     */
   private sealed trait Font
   private case object SimpleFont extends Font
+  private final case class SimpleMapped(toUnicode: Map[Int, String]) extends Font
   private final case class Type0Font(toUnicode: Map[Int, String]) extends Font
+
+  /** A parsed ToUnicode CMap: source-code byte width (1 or 2) + map. */
+  private[graft] final case class CMapTable(width: Int, m: Map[Int, String])
 
   private def fontOf(doc: Doc, o: PObj): Font = o match {
     case fd: PDict if fd.m.get("Subtype").contains(PName("Type0")) =>
@@ -836,9 +844,17 @@ object Pdf {
         case PName("Identity-H") => ()
         case e => fail(s"Type0 encoding $e (only Identity-H in scope)")
       }
-      Type0Font(doc.toUnicodeOf(fd.m.getOrElse("ToUnicode",
-        fail("Type0 font without /ToUnicode (glyphs unmappable)"))))
-    case _: PDict => SimpleFont // simple 8-bit font: the Latin-1 read
+      val t = doc.toUnicodeOf(fd.m.getOrElse("ToUnicode",
+        fail("Type0 font without /ToUnicode (glyphs unmappable)")))
+      if (t.width != 2) fail("Type0 ToUnicode codes are not 2-byte (Identity-H)")
+      Type0Font(t.m)
+    case fd: PDict => fd.m.get("ToUnicode") match {
+      case None => SimpleFont // no CMap: the Latin-1 read
+      case Some(r) =>
+        val t = doc.toUnicodeOf(r)
+        if (t.width != 1) fail("simple-font ToUnicode codes are not 1-byte")
+        SimpleMapped(t.m)
+    }
     case _ => fail("font resource is not a dict")
   }
 
@@ -849,25 +865,34 @@ object Pdf {
     * grammar the content streams use; only `begincodespacerange`,
     * `beginbfchar`, and `beginbfrange` blocks are interpreted.
     *
-    * Scope (deterministic, all-or-nothing): source codes are 2-byte —
-    * the Identity-H geometry; destinations are UTF-16BE hex strings
-    * (multi-unit targets like ligatures and surrogate pairs included);
-    * the bfrange string-destination form increments the LAST UTF-16
-    * code unit (the convention every mainstream extractor applies) and
-    * must not overflow it; the array form must list exactly hi−lo+1
-    * destinations. The expanded mapping is capped at 70k entries (a
-    * 2-byte space holds 65 536) — any violation rejects the document.
+    * Scope (deterministic, all-or-nothing): source codes are 1-byte
+    * (simple subsetted fonts) or 2-byte (the Identity-H geometry) —
+    * ONE width per CMap, inferred from the first code seen and
+    * enforced across every entry; destinations are UTF-16BE hex
+    * strings (multi-unit targets like ligatures and surrogate pairs
+    * included); the bfrange string-destination form increments the
+    * LAST UTF-16 code unit (the convention every mainstream extractor
+    * applies) and must not overflow it; the array form must list
+    * exactly hi−lo+1 destinations. The expanded mapping is capped at
+    * 70k entries (a 2-byte space holds 65 536) — any violation rejects
+    * the document.
     */
-  private[graft] def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
+  private[graft] def parseToUnicode(data: Array[Byte]): CMapTable = {
     val lx = new Lex(data, 0)
     val out = scala.collection.mutable.Map.empty[Int, String]
+    var width = -1 // inferred from the first source code / codespace
     def put(code: Int, dst: String): Unit = {
       out(code) = dst
       if (out.size > 70000) fail("ToUnicode mapping too large")
     }
     def code2(o: PObj): Int = o match {
-      case PStr(b) if b.length == 2 => ((b(0) & 0xff) << 8) | (b(1) & 0xff)
-      case _ => fail("ToUnicode source code is not 2-byte (Identity-H scope)")
+      case PStr(b) if b.length == 1 || b.length == 2 =>
+        if (width < 0) width = b.length
+        else if (width != b.length)
+          fail(s"mixed ${b.length}-byte code in a $width-byte CMap")
+        if (b.length == 1) b(0) & 0xff
+        else ((b(0) & 0xff) << 8) | (b(1) & 0xff)
+      case _ => fail("ToUnicode source code is not 1- or 2-byte")
     }
     def utf16(b: Array[Byte]): String = {
       if (b.length % 2 != 0 || b.isEmpty)
@@ -894,8 +919,13 @@ object Pdf {
       } else lx.token() match {
         case "begincodespacerange" => block("endcodespacerange") { () =>
           (lx.obj(refs = false), lx.obj(refs = false)) match {
-            case (PStr(a), PStr(b)) if a.length == 2 && b.length == 2 => ()
-            case _ => fail("codespace range is not 2-byte (Identity-H scope)")
+            case (PStr(a), PStr(b))
+              if a.length == b.length &&
+                 (a.length == 1 || a.length == 2) =>
+              if (width < 0) width = a.length
+              else if (width != a.length)
+                fail(s"mixed ${a.length}-byte codespace in a $width-byte CMap")
+            case _ => fail("codespace range is not 1- or 2-byte")
           }
         }
         case "beginbfchar" => block("endbfchar") { () =>
@@ -936,7 +966,7 @@ object Pdf {
         case _ => () // PostScript wrapper keyword
       }
     }
-    out.toMap
+    CMapTable(if (width < 0) 2 else width, out.toMap)
   }
 
   // ----------------------------------------------------------- extraction
@@ -1041,8 +1071,9 @@ object Pdf {
     * show; TJ concatenates its strings (kern numbers ignored — scope).
     * `Tf` switches the active font: show strings decode per the SELECTED
     * font — Latin-1 for simple fonts (and when the name is not in the
-    * page's resources, the pre-Type0 behavior), 2-byte Identity-H codes
-    * through the ToUnicode CMap for Type0 fonts. The font is text state
+    * page's resources, the pre-Type0 behavior), byte-wise through a
+    * 1-byte ToUnicode CMap for subsetted simple fonts that carry one,
+    * 2-byte Identity-H codes through the CMap for Type0 fonts. The font is text state
     * that persists across BT/ET (q/Q graphics-state save/restore of the
     * font is out of scope — the builder never emits it).
     */
@@ -1056,6 +1087,14 @@ object Pdf {
     def show(s: Array[Byte]): Unit = {
       font match {
         case SimpleFont => cur.append(new String(s, ISO_8859_1))
+        case SimpleMapped(map) =>
+          var i = 0
+          while (i < s.length) {
+            val code = s(i) & 0xff
+            cur.append(map.getOrElse(code,
+              fail(s"ToUnicode CMap does not cover byte $code")))
+            i += 1
+          }
         case Type0Font(map) =>
           if (s.length % 2 != 0) fail("odd-length Identity-H show string")
           var i = 0

@@ -510,7 +510,9 @@ class PdfSpec extends SparkTestBase {
         |endcmap
         |end
         |""".stripMargin
-    val m = Pdf.parseToUnicode(cmap.getBytes(ISO_8859_1))
+    val t = Pdf.parseToUnicode(cmap.getBytes(ISO_8859_1))
+    assert(t.width == 2)
+    val m = t.m
     assert(m(1) == "ffi") // multi-unit ligature destination
     assert(m(2) == new String(Character.toChars(0x1f600))) // surrogate pair
     assert(m(0x10) == "a" && m(0x11) == "b" && m(0x12) == "c") // increment form
@@ -542,9 +544,57 @@ class PdfSpec extends SparkTestBase {
     bad("1 beginbfrange\n<0012> <0010> <0061>\nendbfrange") // inverted
     bad("1 beginbfrange\n<0010> <0012> [<0058> <0059>]\nendbfrange") // arity
     bad("1 beginbfrange\n<0001> <0003> <ffff>\nendbfrange") // unit overflow
-    bad("1 beginbfchar\n<01> <0048>\nendbfchar") // 1-byte source code
+    // a 1-byte CMap parses (the simple-font shape) but a Type0 font
+    // requires 2-byte codes -> document rejects at the font level
+    assert(Pdf.parseToUnicode(
+      "begincmap\n1 beginbfchar\n<01> <0048>\nendbfchar\nendcmap\n"
+        .getBytes(ISO_8859_1)).width == 1)
+    assert(Pdf.extract(type0Pdf(show,
+      "begincmap\n1 beginbfchar\n<01> <0048>\nendbfchar\nendcmap\n")).isEmpty)
     bad("1 beginbfchar\n<0001> <004800>\nendbfchar") // ragged UTF-16 dest
     bad("1 beginbfchar\n<0001> <0048>") // unterminated block
+  }
+
+  test("simple font with a 1-byte ToUnicode maps byte-wise (the subsetted-font shape)") {
+    // a subsetted simple font: raw show bytes are glyph codes 1..3 with
+    // no relation to Latin-1; the 1-byte CMap carries the real text
+    val cmap1 =
+      """begincmap
+        |1 begincodespacerange
+        |<00> <ff>
+        |endcodespacerange
+        |2 beginbfchar
+        |<01> <0048>
+        |<02> <0069>
+        |endbfchar
+        |1 beginbfrange
+        |<10> <12> <0061>
+        |endbfrange
+        |endcmap
+        |""".stripMargin
+    def simplePdf(content: String, cmapBody: String): Array[Byte] = pdf(Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n",
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n",
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n",
+      "5 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /SubsetX " +
+        "/ToUnicode 6 0 R >>\nendobj\n",
+      s"6 0 obj\n<< /Length ${cmapBody.length} >>\nstream\n$cmapBody\nendstream\nendobj\n"))
+    val got = Pdf.extractText(simplePdf(
+      "BT /F1 12 Tf 72 720 Td <0102101112> Tj ET", cmap1))
+    assert(got.contains("Hiabc"), s"got $got")
+    // an uncovered byte rejects (all-or-nothing, never Latin-1 fallback)
+    assert(Pdf.extract(simplePdf(
+      "BT /F1 12 Tf 72 720 Td <0103> Tj ET", cmap1)).isEmpty)
+    // a 2-byte CMap on a simple font is a width mismatch -> reject
+    assert(Pdf.extract(simplePdf(
+      "BT /F1 12 Tf 72 720 Td <0102> Tj ET", miniCmap)).isEmpty)
+    // mixed widths inside one CMap reject at parse
+    val mixed = "begincmap\n2 beginbfchar\n<01> <0048>\n<0002> <0069>\nendbfchar\nendcmap\n"
+    intercept[RuntimeException] { Pdf.parseToUnicode(mixed.getBytes(ISO_8859_1)) }
+    val t1 = Pdf.parseToUnicode(cmap1.getBytes(ISO_8859_1))
+    assert(t1.width == 1 && t1.m.size == 5)
   }
 
   test("builder CID layout: all four layout combinations extract identically") {
