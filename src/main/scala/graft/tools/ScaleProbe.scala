@@ -262,6 +262,26 @@ object ScaleProbe {
           graft.io.Pdf.extractText(graft.io.Pdf.build(t))
             .map(_.length).getOrElse(-1) }
         .agg(max(col("value"))) }
+    // round-17 Type0/CID leg: subsetter code table + ToUnicode CMap on
+    // the build side, CMap-mapped 2-byte decode on the extract side —
+    // still pure row-local byte work, must track pdf_extract's slope
+    timed("pdf_cid") {
+      import spark.implicits._
+      docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (_, t) =>
+          graft.io.Pdf.extractText(graft.io.Pdf.build(t, cidFont = true))
+            .map(_.length).getOrElse(-1) }
+        .agg(max(col("value"))) }
+    // round-17 encryption leg: AESV2 key derivation once per document +
+    // per-object MD5+AES over every stream, both directions — row-local,
+    // a constant-factor tax on pdf_extract, never a slope change
+    timed("pdf_encrypted") {
+      import spark.implicits._
+      docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (_, t) =>
+          graft.io.Pdf.extractText(graft.io.Pdf.build(t, encrypt = "aesv2"))
+            .map(_.length).getOrElse(-1) }
+        .agg(max(col("value"))) }
     // round-15 streaming-absorb unit: one shard (2% of n) delta-appended
     // against the probe export's frozen quantizers (routed assign) —
     // must track the SHARD, not the index (the daily-shard contract).
