@@ -29,8 +29,11 @@ import scala.util.Try
   * for compressed objects; stream filters none or FlateDecode (single
   * name or 1-element array) with optional PNG predictors (2-component
   * `/DecodeParms`, 8-bit, TIFF predictor 2 out of scope); simple 8-bit
-  * fonts read as Latin-1 (PDFDocEncoding and WinAnsi agree with Latin-1
-  * on the range our builder emits); composite `/Type0` fonts with
+  * fonts read per their `/Encoding` — `/WinAnsiEncoding` (CP1252) and
+  * `/MacRomanEncoding` via the JVM's canonical charset tables,
+  * `/Differences` glyph-name overlays (AGL uniXXXX/uXXXX forms + the
+  * Annex D Latin common names; a private `gNN` name rejects), Latin-1
+  * when no /Encoding entry names one; composite `/Type0` fonts with
   * `/Encoding /Identity-H` read as 2-byte big-endian codes mapped
   * through the font's `/ToUnicode` CMap (§9.10.3 — bfchar, both
   * bfrange forms, UTF-16BE destinations; simple fonts carrying a
@@ -849,13 +852,175 @@ object Pdf {
       if (t.width != 2) fail("Type0 ToUnicode codes are not 2-byte (Identity-H)")
       Type0Font(t.m)
     case fd: PDict => fd.m.get("ToUnicode") match {
-      case None => SimpleFont // no CMap: the Latin-1 read
-      case Some(r) =>
+      case Some(r) => // ToUnicode wins over any encoding entry (§9.10.3)
         val t = doc.toUnicodeOf(r)
         if (t.width != 1) fail("simple-font ToUnicode codes are not 1-byte")
         SimpleMapped(t.m)
+      case None => fd.m.get("Encoding").map(doc.resolve) match {
+        case None => SimpleFont // built-in encoding: the Latin-1 read (scope)
+        case Some(PName(n)) => SimpleMapped(Encodings.named(n))
+        case Some(ed: PDict) =>
+          val base = ed.m.get("BaseEncoding") match {
+            case None           => Encodings.latin1
+            case Some(PName(n)) => Encodings.named(n)
+            case Some(o)        => fail(s"bad /BaseEncoding $o")
+          }
+          SimpleMapped(Encodings.withDifferences(base,
+            ed.m.get("Differences").map(doc.resolve)))
+        case Some(o) => fail(s"bad simple-font /Encoding $o")
+      }
     }
     case _ => fail("font resource is not a dict")
+  }
+
+  /** Simple-font byte encodings (ISO 32000-1 Annex D). WinAnsi IS
+    * Windows code page 1252 and MacRoman IS Mac OS Roman, so the
+    * 256-entry tables come from the JVM's canonical charset
+    * implementations rather than a hand-typed annex (the only place
+    * they could drift is the JDK itself). An /Encoding DICT overlays
+    * `/Differences` glyph-name overrides on its `/BaseEncoding`:
+    * `uniXXXX`/`uXXXX[XX]` names decode algorithmically (Adobe Glyph
+    * List rules), a single ASCII letter names itself, and a curated
+    * common-name table covers the standard Latin set; any other glyph
+    * name rejects the document — a subset font's private `gNN` names
+    * carry no text and must never be guessed. A font whose dict has NO
+    * /Encoding key keeps the Latin-1 read (the documented
+    * built-in-encoding approximation). A ToUnicode CMap, when present,
+    * takes precedence over all of this.
+    */
+  private object Encodings {
+    private def charsetMap(cs: String): Map[Int, String] = {
+      val c = java.nio.charset.Charset.forName(cs)
+      (0 to 255).map(b => b -> new String(Array(b.toByte), c)).toMap
+    }
+    lazy val latin1: Map[Int, String] = charsetMap("ISO-8859-1")
+    private lazy val winAnsi = charsetMap("windows-1252")
+    private lazy val macRoman = charsetMap("x-MacRoman")
+    def named(n: String): Map[Int, String] = n match {
+      case "WinAnsiEncoding"  => winAnsi
+      case "MacRomanEncoding" => macRoman
+      case other => fail(s"simple-font encoding /$other (out of scope)")
+    }
+
+    /** The common glyph names of Annex D's Latin set (punctuation,
+      * digits, frequent accents/ligatures) — the names real
+      * /Differences arrays use when they are not uniXXXX form.
+      */
+    private val common: Map[String, String] = Map(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+      "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+      "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+      "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
+      "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
+      "eight" -> "8", "nine" -> "9", "colon" -> ":", "semicolon" -> ";",
+      "less" -> "<", "equal" -> "=", "greater" -> ">", "question" -> "?",
+      "at" -> "@", "bracketleft" -> "[", "backslash" -> "\\",
+      "bracketright" -> "]", "asciicircum" -> "^", "underscore" -> "_",
+      "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~",
+      "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotedblleft" -> "“", "quotedblright" -> "”",
+      "quotesinglbase" -> "‚", "quotedblbase" -> "„",
+      "guillemotleft" -> "«", "guillemotright" -> "»",
+      "guilsinglleft" -> "‹", "guilsinglright" -> "›",
+      "bullet" -> "•", "endash" -> "–", "emdash" -> "—",
+      "ellipsis" -> "…", "dagger" -> "†",
+      "daggerdbl" -> "‡", "periodcentered" -> "·",
+      "perthousand" -> "‰", "trademark" -> "™",
+      "copyright" -> "©", "registered" -> "®",
+      "degree" -> "°", "plusminus" -> "±",
+      "Euro" -> "€", "cent" -> "¢", "sterling" -> "£",
+      "yen" -> "¥", "currency" -> "¤", "section" -> "§",
+      "paragraph" -> "¶", "exclamdown" -> "¡",
+      "questiondown" -> "¿", "florin" -> "ƒ",
+      "fraction" -> "⁄", "fi" -> "ﬁ", "fl" -> "ﬂ",
+      "germandbls" -> "ß", "dotlessi" -> "ı",
+      "oe" -> "œ", "OE" -> "Œ", "ae" -> "æ",
+      "AE" -> "Æ", "oslash" -> "ø", "Oslash" -> "Ø",
+      "Lslash" -> "Ł", "lslash" -> "ł",
+      "Scaron" -> "Š", "scaron" -> "š",
+      "Zcaron" -> "Ž", "zcaron" -> "ž",
+      "Ydieresis" -> "Ÿ", "ydieresis" -> "ÿ",
+      "circumflex" -> "ˆ", "tilde" -> "˜",
+      "macron" -> "¯", "breve" -> "˘",
+      "dotaccent" -> "˙", "dieresis" -> "¨",
+      "ring" -> "˚", "cedilla" -> "¸",
+      "hungarumlaut" -> "˝", "ogonek" -> "˛",
+      "caron" -> "ˇ",
+      "agrave" -> "à", "aacute" -> "á",
+      "acircumflex" -> "â", "atilde" -> "ã",
+      "adieresis" -> "ä", "aring" -> "å",
+      "ccedilla" -> "ç", "egrave" -> "è",
+      "eacute" -> "é", "ecircumflex" -> "ê",
+      "edieresis" -> "ë", "igrave" -> "ì",
+      "iacute" -> "í", "icircumflex" -> "î",
+      "idieresis" -> "ï", "ntilde" -> "ñ",
+      "ograve" -> "ò", "oacute" -> "ó",
+      "ocircumflex" -> "ô", "otilde" -> "õ",
+      "odieresis" -> "ö", "divide" -> "÷",
+      "ugrave" -> "ù", "uacute" -> "ú",
+      "ucircumflex" -> "û", "udieresis" -> "ü",
+      "yacute" -> "ý", "thorn" -> "þ", "eth" -> "ð",
+      "Agrave" -> "À", "Aacute" -> "Á",
+      "Acircumflex" -> "Â", "Atilde" -> "Ã",
+      "Adieresis" -> "Ä", "Aring" -> "Å",
+      "Ccedilla" -> "Ç", "Egrave" -> "È",
+      "Eacute" -> "É", "Ecircumflex" -> "Ê",
+      "Edieresis" -> "Ë", "Igrave" -> "Ì",
+      "Iacute" -> "Í", "Icircumflex" -> "Î",
+      "Idieresis" -> "Ï", "Ntilde" -> "Ñ",
+      "Ograve" -> "Ò", "Oacute" -> "Ó",
+      "Ocircumflex" -> "Ô", "Otilde" -> "Õ",
+      "Odieresis" -> "Ö", "multiply" -> "×",
+      "Ugrave" -> "Ù", "Uacute" -> "Ú",
+      "Ucircumflex" -> "Û", "Udieresis" -> "Ü",
+      "Yacute" -> "Ý", "Thorn" -> "Þ", "Eth" -> "Ð",
+      "mu" -> "µ", "logicalnot" -> "¬", "brokenbar" -> "¦",
+      "ordfeminine" -> "ª", "ordmasculine" -> "º",
+      "onequarter" -> "¼", "onehalf" -> "½",
+      "threequarters" -> "¾", "onesuperior" -> "¹",
+      "twosuperior" -> "²", "threesuperior" -> "³",
+      "minus" -> "−", "nbspace" -> " ")
+
+    /** Glyph name → text per the Adobe Glyph List rules in scope. */
+    def glyphText(name: String): String = {
+      val isHex = (s: String) => s.nonEmpty && s.forall(c => Character.digit(c, 16) >= 0)
+      if (name.length == 1 && name.head.isLetter && name.head < 0x80)
+        name // A..Z a..z name themselves
+      else if (name.startsWith("uni") && (name.length - 3) % 4 == 0 &&
+               name.length > 3 && isHex(name.drop(3)))
+        name.drop(3).grouped(4)
+          .map(h => Integer.parseInt(h, 16).toChar).mkString
+      else if (name.head == 'u' && name.length >= 5 && name.length <= 7 &&
+               isHex(name.tail) &&
+               Character.isValidCodePoint(Integer.parseInt(name.tail, 16)))
+        new String(Character.toChars(Integer.parseInt(name.tail, 16)))
+      else common.getOrElse(name, fail(s"glyph name /$name (out of scope)"))
+    }
+
+    /** Overlay a /Differences array on a base table (§9.6.6.1: a
+      * number sets the next code, each following name fills codes
+      * upward).
+      */
+    def withDifferences(base: Map[Int, String],
+                        diffs: Option[PObj]): Map[Int, String] = diffs match {
+      case None => base
+      case Some(PArr(items)) =>
+        var code = -1
+        var m = base
+        items.foreach {
+          case PNum(x) if x == x.floor && x >= 0 && x <= 255 => code = x.toInt
+          case PName(n) =>
+            if (code < 0 || code > 255) fail("/Differences name without a code")
+            m = m.updated(code, glyphText(n))
+            code += 1
+          case o => fail(s"bad /Differences item $o")
+        }
+        m
+      case Some(o) => fail(s"bad /Differences $o")
+    }
   }
 
   /** Parse a `/ToUnicode` CMap stream (ISO 32000-1 §9.10.3) into the

@@ -597,6 +597,55 @@ class PdfSpec extends SparkTestBase {
     assert(t1.width == 1 && t1.m.size == 5)
   }
 
+  test("simple-font encodings: WinAnsi/MacRoman tables, /Differences overlays, ToUnicode precedence") {
+    def encPdf(content: String, fontBody: String,
+               extraObjs: Seq[String] = Seq.empty): Array[Byte] = pdf(Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n",
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n",
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n",
+      s"5 0 obj\n$fontBody\nendobj\n") ++ extraObjs)
+    val win = "<< /Type /Font /Subtype /TrueType /BaseFont /Arial " +
+      "/Encoding /WinAnsiEncoding >>"
+    // 0x93 0x48 0x69 0x94 = smart-quoted "Hi" in CP1252 — the bytes a
+    // Latin-1 read silently turns into C1 controls
+    val got = Pdf.extractText(encPdf(
+      "BT /F1 12 Tf 72 720 Td <93486994> Tj ET", win))
+    assert(got.contains("“Hi”"), s"got $got")
+    // MacRoman: 0xA5 is the bullet
+    val mac = "<< /Type /Font /Subtype /Type1 /BaseFont /Times " +
+      "/Encoding /MacRomanEncoding >>"
+    val gotMac = Pdf.extractText(encPdf(
+      "BT /F1 12 Tf 72 720 Td <48A549> Tj ET", mac))
+    assert(gotMac.contains("H•I"), s"got $gotMac")
+    // /Differences overlay on a named base: common name, uniXXXX, uXXXX
+    val diff = "<< /Type /Font /Subtype /Type1 /BaseFont /Sub " +
+      "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 65 /eacute /uni0058 /u0059 ] >> >>"
+    val gotDiff = Pdf.extractText(encPdf(
+      "BT /F1 12 Tf 72 720 Td <41424344> Tj ET", diff))
+    assert(gotDiff.contains("éXYD"), s"got $gotDiff")
+    // a subset font's private gNN names carry no text -> reject
+    val priv = "<< /Type /Font /Subtype /Type1 /BaseFont /Sub " +
+      "/Encoding << /Differences [ 65 /g42 ] >> >>"
+    assert(Pdf.extract(encPdf(
+      "BT /F1 12 Tf 72 720 Td <41> Tj ET", priv)).isEmpty)
+    // unsupported named encodings reject (never a silent Latin-1 guess)
+    val expert = "<< /Type /Font /Subtype /Type1 /BaseFont /X " +
+      "/Encoding /MacExpertEncoding >>"
+    assert(Pdf.extract(encPdf(
+      "BT /F1 12 Tf 72 720 Td <41> Tj ET", expert)).isEmpty)
+    // a ToUnicode CMap wins over the encoding entry
+    val both = "<< /Type /Font /Subtype /TrueType /BaseFont /Sub " +
+      "/Encoding /WinAnsiEncoding /ToUnicode 6 0 R >>"
+    val cm = "begincmap\n1 beginbfchar\n<93> <0041>\nendbfchar\nendcmap\n"
+    val gotBoth = Pdf.extractText(encPdf(
+      "BT /F1 12 Tf 72 720 Td <93> Tj ET", both,
+      Seq(s"6 0 obj\n<< /Length ${cm.length} >>\nstream\n$cm\nendstream\nendobj\n")))
+    assert(gotBoth.contains("A"), s"got $gotBoth")
+  }
+
   test("builder CID layout: all four layout combinations extract identically") {
     val text = ("abcdef zq cid font layout parity 0123456789 " * 45).trim + "!"
     val a = Pdf.extract(Pdf.build(text))
