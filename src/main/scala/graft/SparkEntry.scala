@@ -924,6 +924,99 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CAPSTONE v8 (round 17): the run6 mixed-media chain with the whole
+    // round-17 front door in the loop. The PDF legs cycle EVERY file/
+    // font/cipher layout — classic, 1.5 xref+object streams, Type0/CID
+    // with a generated ToUnicode CMap, AESV2- and RC4-128-encrypted
+    // (empty user password) — all format-invisible by contract; PII
+    // spans (email + phone) planted into a third of the documents ride
+    // the archive round-trip and are scrubbed by the Pii chain between
+    // normalize and the quality gate, with n_chars re-taken on the
+    // REDACTED text so the budget/pack arithmetic downstream sees what
+    // a release sink would. Oracle: the shared run6 CTE builders plus
+    // the PII plant + redact CTEs (patterns interpolated from
+    // Pii.Patterns — nothing can drift).
+    "q_corpus_run7" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, src, text) =>
+          val dirt = new StringBuilder(text)
+          if (id % 3 == 0 && id % 2 == 0) {
+            dirt.append(" caf")
+            var i = 0L; while (i < 1 + id % 4) { dirt.append("e\u0301"); i += 1 }
+          }
+          if (id % 4 == 0) dirt.append('\u0007').append('\u001f')
+          if (id % 5 == 0) dirt.append("  \t ")
+          if (id % 3 == 0) // the PII plant rides the whole front door
+            dirt.append(" mail u").append(id).append("@ex.org tel 555-123-")
+              .append(f"${id % 10000}%04d")
+          val (body, ctype) =
+            if (id % 2 == 0)
+              (htmlDirtScala(id, dirt.toString).getBytes("UTF-8"),
+                "text/html; charset=utf-8")
+            else // every round-17 PDF layout, cycled by id
+              (graft.io.Pdf.build(dirt.toString,
+                xrefStream = id % 4 == 3,
+                cidFont = id % 8 == 1,
+                encrypt = (id % 8: @annotation.switch) match {
+                  case 5 => "aesv2"; case 7 => "rc4-128"; case _ => ""
+                }),
+                "application/pdf")
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+          graft.io.Warc.WarcRecord("response", s"<urn:graft:doc:$id>",
+            "2026-01-01T00:00:00Z", Some(s"http://$src.test/doc/$id"), http)
+        }
+      val path = graft.io.IoScratch.dir + "/corpus_warc_mixed7"
+      graft.io.Warc.write(recs, path)
+      val parsed = graft.io.Warc.read(s, path + "/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("target_uri"), "^http://([^./]+)\\.test/", 1)
+            .as("source"),
+          col("content"))
+        .as[(Long, String, Array[Byte])]
+        .map { case (id, src, content) =>
+          val (kind, text) = graft.io.Warc.mediaText(content, pdfLineSep = "")
+          (id, src, kind, text)
+        }
+        .toDF("doc_id", "source", "kind", "payload")
+        .select(col("doc_id"), col("source"),
+          when(col("kind") === "html",
+            graft.ops.HtmlOps.htmlExtract(col("payload")))
+            .otherwise(col("payload")).as("text_raw"))
+        .localCheckpoint()
+      // normalize -> PII scrub -> n_chars on the REDACTED text
+      val docs0 = parsed.select("doc_id", "source")
+        .join(TextOps.normalizeText(parsed, "doc_id", "text_raw")
+          .select(col("id").as("doc_id"),
+            graft.ops.Pii.redactCol(col("text_clean")).as("text")), "doc_id")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val keep = TextOps.qualityRules(docs0, "doc_id", "text")
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val docs = docs0.join(keep, "doc_id").localCheckpoint()
+      val edges = Dedup.minhashLshEdges(docs, "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 4, tau = 0.8)
+      val kept = docs.join(Dedup.canonicalize(docs, "doc_id", edges), "doc_id")
+        .filter(col("doc_id") === col("canon_id"))
+        .select("doc_id", "source", "n_chars")
+      val train = Sampling.splitByHash(kept, col("doc_id"),
+          Seq(0.8, 0.1, 0.1), salt = "run")
+        .filter(col("split") === 0)
+        .withColumn("pri", Sampling.hashDraw(col("doc_id"), "runpri"))
+      val capped = graft.ops.PrefixSum.budgetCapPerGroup(
+          train.select("doc_id", "source", "n_chars", "pri"),
+          "source", Seq("pri", "doc_id"), "n_chars", budget = 3000L)
+        .select("doc_id", "n_chars")
+      graft.ops.PrefixSum.packShards(capped, "doc_id", "n_chars", budget = 8000L)
+        .select("doc_id", "cum", "shard")
+        .orderBy("doc_id")
+    }),
+
     // Sequential funnel: users completing view -> click -> purchase in
     // strict time order; per-step frontier joins, no whole-user windows.
     "q_funnel" -> ((s, dir) =>
@@ -5048,6 +5141,16 @@ object SparkEntry {
   private def CorpusGateAndPackSql(root: String): String =
     CorpusQualityGateSql(root) + "\n" + CorpusDedupAndPackSql("qdocs")
 
+  /** The PII redaction chain over `expr` — nested global
+    * regexp_replace in [[graft.ops.Pii.Patterns]] order, interpolated
+    * from the op's own pattern table (shared by q_pii_redact and the
+    * capstone oracle, so neither can drift from the Scala op).
+    */
+  private def PiiRedactSql(expr: String): String =
+    graft.ops.Pii.Patterns.foldLeft(expr) { case (acc, (_, p, r)) =>
+      s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+
   /** The 48-bit BQ code projection (the q_ann_lsh plane-sign replay at
     * table 1) over `src` rows (vec_id, v) — shared by the corpus and
     * query legs of [[HybridRrfSql]].
@@ -5688,9 +5791,7 @@ object SparkEntry {
         "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
         "' card 4111 1111 1111 1111 ssn 078-05-1120 ip 10.0.0.' || " +
         "CAST(doc_id % 256 AS VARCHAR)"
-      val redacted = ps.foldLeft("t") { case (acc, (_, p, r)) =>
-        s"regexp_replace($acc, '$p', '$r', 'g')"
-      }
+      val redacted = PiiRedactSql("t")
       val counts = ps.map { case (n2, p, _) =>
         s"CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_$n2"
       }.mkString(",\n  ")
@@ -7383,6 +7484,30 @@ FROM planted ORDER BY doc_id"""
            |  SELECT doc_id, source, t FROM wdirty WHERE doc_id % 2 = 1),""".stripMargin + "\n" +
         WarcCleanCtes("wx", "t") + "\n" +
         CorpusGateAndPackSql("wdocs")),
+
+    // capstone v8: run6's replay + the PII plant before the media build
+    // and the redact pass (patterns from Pii.Patterns) after the clean,
+    // with n_chars re-taken on the redacted text. The PDF cipher/font
+    // layouts are invisible by contract, so the SQL never models them.
+    "q_corpus_run7" ->
+      (WarcMixedDirtyCte + "\n" +
+        s"""wpd AS (SELECT doc_id, source, t ||
+           |    CASE WHEN doc_id % 3 = 0
+           |         THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org tel 555-123-' ||
+           |              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |         ELSE '' END AS t
+           |  FROM wdirty),
+           |wh AS (SELECT doc_id, source, ${htmlDirtSql("CAST(doc_id AS VARCHAR)", "t")} AS html
+           |  FROM wpd WHERE doc_id % 2 = 0),
+           |wx AS (SELECT doc_id, source, ${graft.ops.HtmlOps.htmlExtractSql("html")} AS t
+           |  FROM wh
+           |  UNION ALL
+           |  SELECT doc_id, source, t FROM wpd WHERE doc_id % 2 = 1),""".stripMargin + "\n" +
+        WarcCleanCtes("wx", "t") + "\n" +
+        s"""wred AS (SELECT doc_id, source, ${PiiRedactSql("text")} AS text FROM wclean),
+           |wrdocs AS (SELECT doc_id, source, text,
+           |    CAST(length(text) AS BIGINT) AS n_chars FROM wred),""".stripMargin + "\n" +
+        CorpusGateAndPackSql("wrdocs")),
 
     // FIM replayed: the same hash-drawn coin + split positions and the
     // same 1-based substring arithmetic; threshold interpolated from
