@@ -1399,6 +1399,24 @@ class StreamsSpec extends SparkTestBase {
     // a CORRUPT pdf must yield empty text for the gate to drop — never a
     // stream-killing throw
     bos.write(rec(4L, "not a pdf at all".getBytes("US-ASCII"), "application/pdf"))
+    // the round-17 layouts stream through the same dispatch untouched:
+    // Type0/CID fonts, AESV2 empty-password encryption, and the whole
+    // stack combined (encrypted 1.5 file with a CID font)
+    bos.write(rec(5L, Pdf.build(fluent, cidFont = true), "application/pdf"))
+    bos.write(rec(6L, Pdf.build(fluent, encrypt = "aesv2"), "application/pdf"))
+    bos.write(rec(7L, Pdf.build(fluent, xrefStream = true, cidFont = true,
+      encrypt = "rc4-128"), "application/pdf"))
+    // an encrypted doc a viewer would PROMPT for (non-empty password
+    // proof) is empty text for the gate — never a throw
+    val locked = {
+      val b = Pdf.build(fluent, encrypt = "rc4-128")
+      val s0 = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val at = s0.indexOf("/U <")
+      val c = s0.charAt(at + 4)
+      (s0.substring(0, at + 4) + (if (c == '0') '1' else '0') +
+        s0.substring(at + 5)).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    bos.write(rec(8L, locked, "application/pdf"))
     java.nio.file.Files.write(land.resolve("a.warc.gz"), bos.toByteArray)
     val q = Streams.warcIngest(spark, land.toString + "/*.warc.gz",
         mixedMedia = true)
@@ -1410,7 +1428,7 @@ class StreamsSpec extends SparkTestBase {
     val got = spark.read.parquet(outD.toString)
       .as[(Long, String, Long, Boolean)].collect()
       .map(r => r._1 -> r).toMap
-    assert(got.size == 4)
+    assert(got.size == 8)
     // the HTML leg extracted (markup gone), the PDF leg's layout line
     // breaks collapsed to spaces by normalize (the pdftotext convention —
     // real PDFs break lines between words; the fixture builder chunks
@@ -1423,6 +1441,13 @@ class StreamsSpec extends SparkTestBase {
     assert(got(2L)._2.replace(" ", "") == fluent.replace(" ", ""))
     assert(!got(3L)._4, "short pdf must be gated out")
     assert(got(4L)._2 == "" && !got(4L)._4, "corrupt pdf yields empty text")
+    // every round-17 layout extracts the same text as the classic one
+    Seq(5L, 6L, 7L).foreach { id =>
+      assert(got(id)._2 == expected2 && got(id)._4,
+        s"layout $id must match the classic extraction: ${got(id)}")
+    }
+    assert(got(8L)._2 == "" && !got(8L)._4,
+      "a password-locked pdf yields empty text for the gate")
   }
 
   test("streaming per-DOMAIN quota: raw URLs collapse to registrable domains, state spans batches") {
