@@ -834,11 +834,23 @@ object Pdf {
     */
   private sealed trait Font
   private case object SimpleFont extends Font
-  private final case class SimpleMapped(toUnicode: Map[Int, String]) extends Font
-  private final case class Type0Font(toUnicode: Map[Int, String]) extends Font
+  private final case class SimpleMapped(toUnicode: Array[String]) extends Font
+  private final case class Type0Font(toUnicode: Array[String]) extends Font
 
   /** A parsed ToUnicode CMap: source-code byte width (1 or 2) + map. */
-  private[graft] final case class CMapTable(width: Int, m: Map[Int, String])
+  private[graft] final case class CMapTable(width: Int, m: Map[Int, String]) {
+    /** Dense decode table (null = uncovered): show-string decoding is
+      * per-code hot-path work — a boxed Map lookup per glyph across a
+      * corpus is measurable, an array index is not. Built once per
+      * parsed CMap (the Doc-level cache holds the table, so every page
+      * sharing the font shares the array).
+      */
+    lazy val dense: Array[String] = {
+      val a = new Array[String](if (width == 1) 256 else 65536)
+      m.foreach { case (k, v) => if (k >= 0 && k < a.length) a(k) = v }
+      a
+    }
+  }
 
   private def fontOf(doc: Doc, o: PObj): Font = o match {
     case fd: PDict if fd.m.get("Subtype").contains(PName("Type0")) =>
@@ -850,23 +862,23 @@ object Pdf {
       val t = doc.toUnicodeOf(fd.m.getOrElse("ToUnicode",
         fail("Type0 font without /ToUnicode (glyphs unmappable)")))
       if (t.width != 2) fail("Type0 ToUnicode codes are not 2-byte (Identity-H)")
-      Type0Font(t.m)
+      Type0Font(t.dense)
     case fd: PDict => fd.m.get("ToUnicode") match {
       case Some(r) => // ToUnicode wins over any encoding entry (§9.10.3)
         val t = doc.toUnicodeOf(r)
         if (t.width != 1) fail("simple-font ToUnicode codes are not 1-byte")
-        SimpleMapped(t.m)
+        SimpleMapped(t.dense)
       case None => fd.m.get("Encoding").map(doc.resolve) match {
         case None => SimpleFont // built-in encoding: the Latin-1 read (scope)
-        case Some(PName(n)) => SimpleMapped(Encodings.named(n))
+        case Some(PName(n)) => SimpleMapped(Encodings.dense(Encodings.named(n)))
         case Some(ed: PDict) =>
           val base = ed.m.get("BaseEncoding") match {
             case None           => Encodings.latin1
             case Some(PName(n)) => Encodings.named(n)
             case Some(o)        => fail(s"bad /BaseEncoding $o")
           }
-          SimpleMapped(Encodings.withDifferences(base,
-            ed.m.get("Differences").map(doc.resolve)))
+          SimpleMapped(Encodings.dense(Encodings.withDifferences(base,
+            ed.m.get("Differences").map(doc.resolve))))
         case Some(o) => fail(s"bad simple-font /Encoding $o")
       }
     }
@@ -896,6 +908,15 @@ object Pdf {
     lazy val latin1: Map[Int, String] = charsetMap("ISO-8859-1")
     private lazy val winAnsi = charsetMap("windows-1252")
     private lazy val macRoman = charsetMap("x-MacRoman")
+
+    /** Dense 256-slot decode table (null = uncovered) — same hot-path
+      * rationale as [[CMapTable.dense]].
+      */
+    def dense(m: Map[Int, String]): Array[String] = {
+      val a = new Array[String](256)
+      m.foreach { case (k, v) => if (k >= 0 && k < 256) a(k) = v }
+      a
+    }
     def named(n: String): Map[Int, String] = n match {
       case "WinAnsiEncoding"  => winAnsi
       case "MacRomanEncoding" => macRoman
@@ -1256,8 +1277,9 @@ object Pdf {
           var i = 0
           while (i < s.length) {
             val code = s(i) & 0xff
-            cur.append(map.getOrElse(code,
-              fail(s"ToUnicode CMap does not cover byte $code")))
+            val u = map(code)
+            if (u == null) fail(s"ToUnicode CMap does not cover byte $code")
+            cur.append(u)
             i += 1
           }
         case Type0Font(map) =>
@@ -1265,8 +1287,9 @@ object Pdf {
           var i = 0
           while (i < s.length) {
             val code = ((s(i) & 0xff) << 8) | (s(i + 1) & 0xff)
-            cur.append(map.getOrElse(code,
-              fail(s"ToUnicode CMap does not cover code $code")))
+            val u = map(code)
+            if (u == null) fail(s"ToUnicode CMap does not cover code $code")
+            cur.append(u)
             i += 2
           }
       }
@@ -1402,8 +1425,29 @@ object Pdf {
     val codeOf: Map[Char, Int] =
       if (!cidFont) Map.empty
       else text.distinct.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
-    def hexShow(s: String): String =
-      "<" + s.map(c => f"${codeOf(c)}%04x").mkString + ">"
+    // dense twin of codeOf for the per-char show-string hot path (a
+    // format-interpolator + boxed Map lookup per glyph dominates the
+    // CID builder's profile); 0 = absent, codes are 1-based.
+    val codeArr: Array[Int] =
+      if (!cidFont) null
+      else {
+        val a = new Array[Int](65536)
+        codeOf.foreach { case (c, v) => a(c.toInt) = v }
+        a
+      }
+    val hexDigit = "0123456789abcdef".toCharArray
+    def hexShow(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length * 4 + 2)
+      sb.append('<')
+      var i = 0
+      while (i < s.length) {
+        val v = codeArr(s.charAt(i).toInt)
+        sb.append(hexDigit((v >> 12) & 0xf)).append(hexDigit((v >> 8) & 0xf))
+          .append(hexDigit((v >> 4) & 0xf)).append(hexDigit(v & 0xf))
+        i += 1
+      }
+      sb.append('>').toString
+    }
     def showStr(s: String): String = if (cidFont) hexShow(s) else s"(${esc(s)})"
 
     def contentStream(pageLines: Vector[String]): Array[Byte] = {
@@ -1705,8 +1749,13 @@ object Pdf {
     out.toByteArray
   }
 
+  /** BEST_SPEED: the builder is a fixture generator — the extractor must
+    * accept any conformant zlib stream, so the cheapest one is the right
+    * one to emit (CID content streams are 4x the bytes of the literal
+    * text and the deflate pass shows up in the corpus-scale profile).
+    */
   private def deflate(plain: Array[Byte]): Array[Byte] = {
-    val d = new Deflater()
+    val d = new Deflater(Deflater.BEST_SPEED)
     d.setInput(plain); d.finish()
     val out = new java.io.ByteArrayOutputStream(plain.length / 2 + 64)
     val buf = new Array[Byte](8192)
