@@ -584,7 +584,10 @@ object SparkEntry {
     // the quality gate may re-run at every dedup-closure reference.
     "q_corpus_run3" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir)
+      // fanOut: the archive-render map below is the expensive leg and a
+      // single-split scan would build every record on one task (and one
+      // output file would serialize the read-side parse the same way)
+      val recs = graft.ops.ScaleOps.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), col("source"), col("text"))
         .as[(Long, String, String)]
         .map { case (id, src, text) =>
@@ -728,7 +731,10 @@ object SparkEntry {
     // and gated docs are each materialized ONCE (localCheckpoint).
     "q_corpus_run4" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir)
+      // fanOut: the archive-render map below is the expensive leg and a
+      // single-split scan would build every record on one task (and one
+      // output file would serialize the read-side parse the same way)
+      val recs = graft.ops.ScaleOps.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), col("source"), col("text"))
         .as[(Long, String, String)]
         .map { case (id, src, text) =>
@@ -851,7 +857,10 @@ object SparkEntry {
     // closure + pack builders as run3/4.
     "q_corpus_run6" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir)
+      // fanOut: the archive-render map below is the expensive leg and a
+      // single-split scan would build every record on one task (and one
+      // output file would serialize the read-side parse the same way)
+      val recs = graft.ops.ScaleOps.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), col("source"), col("text"))
         .as[(Long, String, String)]
         .map { case (id, src, text) =>
@@ -938,7 +947,10 @@ object SparkEntry {
     // Pii.Patterns — nothing can drift).
     "q_corpus_run7" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir)
+      // fanOut: the archive-render map below is the expensive leg and a
+      // single-split scan would build every record on one task (and one
+      // output file would serialize the read-side parse the same way)
+      val recs = graft.ops.ScaleOps.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), col("source"), col("text"))
         .as[(Long, String, String)]
         .map { case (id, src, text) =>
@@ -4106,7 +4118,10 @@ object SparkEntry {
     // Common-Crawl-shaped ingestion format).
     "q_warc_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir)
+      // fanOut: the archive-render map below is the expensive leg and a
+      // single-split scan would build every record on one task (and one
+      // output file would serialize the read-side parse the same way)
+      val recs = graft.ops.ScaleOps.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val body = text.getBytes("UTF-8")
@@ -4150,7 +4165,9 @@ object SparkEntry {
     // production archives go through Warc.mediaText's extract-or-empty.
     "q_pdf_extract" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      // fanOut: the per-row build+extract below is the whole query's cost
+      // and a single-split scan would run it all on one task
+      graft.ops.ScaleOps.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val classic = graft.io.Pdf.extract(graft.io.Pdf.build(text))
@@ -4177,7 +4194,9 @@ object SparkEntry {
     // byte-work shape; the oracle stays pure page-count arithmetic.
     "q_pdf_cid" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      // fanOut: the per-row build+extract below is the whole query's cost
+      // and a single-split scan would run it all on one task
+      graft.ops.ScaleOps.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val cidClassic = graft.io.Pdf.extract(
@@ -4204,7 +4223,9 @@ object SparkEntry {
     // original text.
     "q_pdf_encrypted" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      // fanOut: the per-row build+extract below is the whole query's cost
+      // and a single-split scan would run it all on one task
+      graft.ops.ScaleOps.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val mode = (id % 3) match {
@@ -4231,7 +4252,10 @@ object SparkEntry {
     // the PDF leg verbatim (format invisible).
     "q_warc_mixed" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir)
+      // fanOut: the archive-render map below is the expensive leg and a
+      // single-split scan would build every record on one task (and one
+      // output file would serialize the read-side parse the same way)
+      val recs = graft.ops.ScaleOps.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val (body, ctype) =
@@ -4570,8 +4594,11 @@ object SparkEntry {
       // (doc-level presence), so repeated tokens are dead weight — dedupe
       // inside the row (~5x fewer generated rows) instead of shuffling
       // duplicates into train()'s distincts
-      val ev = d.select(col("doc_id").as("docId"), col("lang").as("cls"),
-        explode(array_distinct(TextAnalysis.tokensArr(col("text")))).as("feature"))
+      // fanOut: the tokenize+dedupe+explode feeds every downstream leg
+      // and is scan-side (single-task on a one-split input)
+      val ev = graft.ops.ScaleOps.fanOut(d)
+        .select(col("doc_id").as("docId"), col("lang").as("cls"),
+          explode(array_distinct(TextAnalysis.tokensArr(col("text")))).as("feature"))
       chain.NaiveBayes.train(ev)
         .select(col("cls"), col("feature"),
           round(col("ll_pair"), 6).as("ll_pair"),
@@ -4587,8 +4614,11 @@ object SparkEntry {
       // (doc-level presence), so repeated tokens are dead weight — dedupe
       // inside the row (~5x fewer generated rows) instead of shuffling
       // duplicates into train()'s distincts
-      val ev = d.select(col("doc_id").as("docId"), col("lang").as("cls"),
-        explode(array_distinct(TextAnalysis.tokensArr(col("text")))).as("feature"))
+      // fanOut: the tokenize+dedupe+explode feeds every downstream leg
+      // and is scan-side (single-task on a one-split input)
+      val ev = graft.ops.ScaleOps.fanOut(d)
+        .select(col("doc_id").as("docId"), col("lang").as("cls"),
+          explode(array_distinct(TextAnalysis.tokensArr(col("text")))).as("feature"))
       val model = chain.NaiveBayes.train(ev)
       // predict() dedupes (docId, feature) itself — binary-event model
       val scored = chain.NaiveBayes.predict(ev, model)

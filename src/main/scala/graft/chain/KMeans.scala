@@ -59,8 +59,12 @@ object KMeans {
       // without it ColumnPruning collapses the assignment into the explode
       // below and the k-sqdist argmin is recomputed PER EXPLODED ROW —
       // dim× the work (measured 24 s vs 2 s at n=50k, k=100, dim=64)
+      // LAZY checkpoint (round 17): the barrier semantics are identical
+      // (the plan roots at the checkpoint RDD either way) but the
+      // materialization rides the sums collect below — one job per
+      // iteration instead of two
       val assigned = assign(pts, "id", "v", centers)
-        .select("cluster", "v").localCheckpoint()
+        .select("cluster", "v").localCheckpoint(false)
       // per-dimension sums in DECIMAL(38,18): order-independent exact, so
       // centers are bit-identical at any partitioning / in any engine.
       // Shape matters: ONE decimal sum over exploded (cluster, d, x) rows —

@@ -108,7 +108,9 @@ object Dedup {
     * per-ROW dedupe only — pre-concatenate its text first.
     */
   def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
+    // fanOut: tokenize+dedupe+explode is scan-side work — spread a
+    // sub-core-count input before it (no-op at production widths)
+    graft.ops.ScaleOps.fanOut(df).select(col(idCol).as("id"),
       explode(array_distinct(TextAnalysis.tokensArr(col(textCol)))).as("tok"))
 
   /** All pairs (a < b) whose token-set Jaccard >= tau. Same result as the
@@ -294,7 +296,10 @@ object Dedup {
     * zero-shuffle rationale AND one-row-per-doc contract as [[tokenSet]].
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.tokensArr(col(textCol)).as("toks"))
+    // fanOut: the shingle explode + the md5 minhash work above it are
+    // scan-side — spread a sub-core-count input first (no-op at scale)
+    graft.ops.ScaleOps.fanOut(df)
+      .select(col(idCol).as("id"), TextAnalysis.tokensArr(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("id"),
         explode(array_distinct(TextAnalysis.ngramsArr(col("toks"), n))).as("shingle"))
@@ -607,7 +612,7 @@ object Dedup {
     */
   def substringDupStats(df: DataFrame, idCol: String, textCol: String,
                         w: Int, minDocs: Int = 2): DataFrame = {
-    val wins = df
+    val wins = graft.ops.ScaleOps.fanOut(df)
       .select(col(idCol).as("id"), TextAnalysis.tokensArr(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= w)
       .select(col("id"),
@@ -717,7 +722,7 @@ object Dedup {
     */
   def substringDedupRewrite(df: DataFrame, idCol: String, textCol: String,
                             w: Int, minDocs: Int = 2): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
+    val base = graft.ops.ScaleOps.fanOut(df).select(col(idCol).as("id"),
       TextAnalysis.tokensArr(col(textCol)).as("toks"))
     val wins = base.filter(size(col("toks")) >= w)
       .select(col("id"),

@@ -244,10 +244,34 @@ object Warc {
   def read(spark: SparkSession, glob: String,
            strict: Boolean = true): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(glob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
+    // Task-per-file, EXPLICITLY: gzip members are unsplittable, so the
+    // unit of decode parallelism is the archive file. The previous
+    // `binaryFile` scan bin-packed small files by open-cost (~32 files
+    // per 128 MB split), which serialized the expensive record decode +
+    // downstream media parse onto 1-2 tasks exactly when archives are
+    // small — the measured wall of every corpus_run WARC leg. Listing
+    // the glob and pinning one task per file keeps decode parallelism =
+    // file count at every scale; each task streams its OWN file through
+    // the Hadoop FS API, so no payload byte ever enters a shuffle (only
+    // the path strings are repartitioned).
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val fs = p.getFileSystem(conf.value)
+    val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile).map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"warc: no files match $glob")
+    spark.createDataset(files)
+      .repartition(files.size)
+      .flatMap { path =>
+        val fp = new org.apache.hadoop.fs.Path(path)
+        val pfs = fp.getFileSystem(conf.value)
+        val len = pfs.getFileStatus(fp).getLen
+        require(len <= Int.MaxValue, s"warc: $path exceeds 2 GB")
+        val bytes = new Array[Byte](len.toInt)
+        val in = pfs.open(fp)
+        try org.apache.hadoop.io.IOUtils.readFully(in, bytes, 0, bytes.length)
+        finally in.close()
         decodeFile(path, bytes, strict).map(r =>
           (path, r.warcType, r.recordId, r.date, r.targetUri.orNull, r.content))
       }

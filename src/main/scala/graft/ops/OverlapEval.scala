@@ -39,7 +39,11 @@ object OverlapEval {
     val sz = size(col("a"))
     val candLen = ceil(lit(CandFrac) * sz).cast("int")
     val refLen = ceil(lit(RefFrac) * sz).cast("int")
-    df.select(col(idCol).as("id"),
+    // fanOut BEFORE the tokenize + per-row gram/DP work: a single-split
+    // corpus scan would otherwise run every downstream explode and
+    // edit-distance kernel on one task (no-op at production widths)
+    graft.ops.ScaleOps.fanOut(df)
+      .select(col(idCol).as("id"),
         TextAnalysis.tokensArr(col(textCol)).as("a"))
       .select(col("id"),
         slice(col("a"), lit(1), candLen).as("cand"),
@@ -62,15 +66,22 @@ object OverlapEval {
       flatten(array((1 to maxN).map { n =>
         transform(gramsOf(c, n), g => struct(lit(n).as("n"), g.as("g")))
       }: _*))
-    def gramCounts(c: String, cnt: String) = pair
-      .select(col("id"), explode(gramStructs(col(c))).as("x"))
+    // ONE union pass + ONE keyed aggregation (round 17): cand grams
+    // carry (1,0), ref grams (0,1), and the per-(id,n,g) pair of sums
+    // replaces the old two aggregations + left equi-join — 2 Exchanges
+    // and a join collapse into 1 Exchange. Semantics are bit-equal:
+    // groups seen only in cand get rc=0 (= the old coalesce(rc,0)),
+    // groups seen only in ref get cc=0 so least()=0 (the old left join
+    // never emitted them, and adding zeros to a sum changes nothing);
+    // all arithmetic is exact integers.
+    def gramSide(c: String, cc: Int, rc: Int) = pair
+      .select(col("id"), explode(gramStructs(col(c))).as("x"),
+        lit(cc.toLong).as("_c"), lit(rc.toLong).as("_r"))
+    val clip = gramSide("cand", 1, 0).unionByName(gramSide("ref", 0, 1))
       .groupBy(col("id"), col("x.n").as("n"), col("x.g").as("g"))
-      .agg(count(lit(1)).as(cnt))
-    val cg = gramCounts("cand", "cc")
-    val rg = gramCounts("ref", "rc")
-    val clip = cg.join(rg, Seq("id", "n", "g"), "left")
+      .agg(sum(col("_c")).as("cc"), sum(col("_r")).as("rc"))
       .groupBy("n")
-      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("clipped"))
+      .agg(sum(least(col("cc"), col("rc"))).as("clipped"))
     val tot = pair
       .select(explode(array((1 to maxN).map(n =>
         struct(lit(n).as("n"),
@@ -99,16 +110,36 @@ object OverlapEval {
   /** [[ngramOverlap]] over CHARACTER n-grams of string pairs (id, cand,
     * ref strings) — the engine under [[chrF]].
     */
-  def charNgramOverlap(pairDf: DataFrame, maxN: Int): DataFrame =
-    overlapCore(pairDf, maxN,
-      gramsOf = (s, n) =>
-        // guard BEFORE sequence: sequence(1, 0) would DESCEND, not
-        // produce empty (same pitfall ngramsArr documents)
-        when(length(s) >= n,
-          transform(sequence(lit(1), length(s) - n + 1),
-            i => s.substr(i, lit(n))))
-          .otherwise(array().cast("array<string>")),
-      lenOf = s => length(s))
+  def charNgramOverlap(pairDf: DataFrame, maxN: Int): DataFrame = {
+    // [[charPair]] strings are single-space-joined [a-z0-9] tokens —
+    // single-byte ASCII — so a char n-gram of n <= 9 packs INJECTIVELY
+    // into one long (7 bits per char, big-endian). The count
+    // aggregation then groups/shuffles 8-byte longs instead of freshly
+    // allocated 1-6 char strings: same distinct keys, same counts
+    // (injective = no collisions, unlike a hash), roughly half the
+    // exchange bytes and no per-gram allocation. The ASCII code array
+    // is computed once per row; each gram is n element_at + shift-adds
+    // in codegen.
+    require(maxN >= 1 && maxN <= 9,
+      s"charNgramOverlap: maxN in [1,9] (got $maxN)")
+    def codes(c: Column): Column =
+      // guard BEFORE sequence: sequence(1, 0) would DESCEND, not
+      // produce empty (same pitfall ngramsArr documents)
+      when(length(c) >= 1,
+        transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1)))))
+        .otherwise(array().cast("array<int>"))
+    val prepped = pairDf.select(col("id"),
+      codes(col("cand")).as("cand"), codes(col("ref")).as("ref"))
+    overlapCore(prepped, maxN,
+      gramsOf = (arr, n) =>
+        when(size(arr) >= n,
+          transform(sequence(lit(1), size(arr) - n + 1),
+            i => (0 until n).map(j =>
+              shiftleft(element_at(arr, i + lit(j)).cast("long"),
+                7 * (n - 1 - j))).reduce(_ + _)))
+          .otherwise(array().cast("array<long>")),
+      lenOf = size)
+  }
 
   private def pRaw: Column =
     when(col("cand_total") > 0,

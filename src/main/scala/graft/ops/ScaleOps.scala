@@ -33,6 +33,29 @@ object ScaleOps {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Scale-adaptive fan-out for compute-heavy scan legs (optimization
+    * round 17). A single-file parquet table is ONE scan split (one row
+    * group), so everything before the first exchange — char-gram
+    * explodes, per-row edit-distance DP, archive rendering, media
+    * parsing — runs on ONE task no matter how many cores the session
+    * has. When the input has fewer partitions than
+    * `defaultParallelism`, spread the rows round-robin across the
+    * cores; at production partition counts (any input wider than the
+    * cluster's core count) this is a NO-OP, so no payload byte is ever
+    * shuffled at scale — the knob derives from input shape, never from
+    * a constant tuned for one deployment. Apply it BEFORE the per-row
+    * work, on the narrow source rows.
+    *
+    * Results are unchanged: every consumer is partitioning-invariant by
+    * the repo's order-independence discipline (decimal sums,
+    * fixed-order pivots, keyed aggregations), and round-robin
+    * repartition is retry-deterministic (sortBeforeRepartition).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Salted equi-join for skewed keys: explode the SMALL side `salt` ways,
     * scatter the big side's hot keys uniformly with a deterministic
     * per-row salt, join on (key, salt). Result-identical to the plain

@@ -538,7 +538,10 @@ object StatsOps {
         array_sort(collect_list(struct(col("i"), col("v")))).as("vs"))
       .select(transform(col("ms"), s => s.getField("mu")).as("mu"),
         transform(col("vs"), s => s.getField("v")).as("pc"))
-    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("x"))
+    // fanOut: the whiten transform (center + project + reconstruct per
+    // row) is scan-side — single-task on a one-split input otherwise
+    graft.ops.ScaleOps.fanOut(df)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("x"))
       .crossJoin(broadcast(mv))
       // bind cent/proj behind a projection boundary so the fold is not
       // re-evaluated per output element

@@ -579,8 +579,11 @@ object TextOps {
     */
   def compressibilityProfile(df: DataFrame, idCol: String,
                              textCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(textCol).as("t"),
-      length(col(textCol)).cast("long").as("n_chars"))
+    // fanOut: the per-row 8-gram distinct + char explode below are the
+    // whole cost and scan-side (single-task on a one-split input)
+    val base = ScaleOps.fanOut(df)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        length(col(textCol)).cast("long").as("n_chars"))
     // ONE pass, no join: characters come from a single split(t, "")
     // (substr(i, …) in a lambda walks the UTF8String from byte 0 per
     // position — O(n²) per doc, measured 2.4 s vs 0.8 s at sf0.1), the
@@ -647,7 +650,9 @@ object TextOps {
                          k: Int = 5, window: Int = 4): DataFrame = {
     require(k >= 2 && window >= 2, s"winnow needs k>=2, window>=2: $k/$window")
     val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
-    val base = df.select(col(idCol).as("id"), split(norm, "").as("cs"),
+    // fanOut: the per-position rolling-hash explode below is scan-side
+    val base = ScaleOps.fanOut(df)
+      .select(col(idCol).as("id"), split(norm, "").as("cs"),
         length(norm).cast("long").as("n"))
       .filter(col("n") >= k + window - 1)
     val grams = base.select(col("id"), col("n"),
@@ -842,7 +847,7 @@ object TextOps {
                    maxTopShare: Double = 0.15,
                    stopwords: Seq[String] = Stopwords)
       : DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    val toks = ScaleOps.fanOut(df).select(col(idCol).as("id"),
         explode(graft.functions.TextAnalysis.tokensArr(col(textCol))).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("c"))
     toks.groupBy("id").agg(
@@ -1075,14 +1080,16 @@ object TextOps {
     */
   def lmFrames(df: DataFrame, idCol: String, textCol: String,
                refCol: Column): (DataFrame, DataFrame) = {
-    val arr = df.select(col(idCol).as("id"), refCol.as("_ref"),
+    // fanOut once: both frames' tokenize/explode legs are scan-side
+    val wide = ScaleOps.fanOut(df)
+    val arr = wide.select(col(idCol).as("id"), refCol.as("_ref"),
         graft.functions.TextAnalysis.tokensArr(col(textCol)).as("a"))
       .filter(size(col("a")) >= 2)
     val bigr = arr.select(col("id"), col("_ref"),
         explode(graft.functions.TextAnalysis.ngramsArr(col("a"), 2)).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
-    val refTok = df.filter(refCol)
+    val refTok = wide.filter(refCol)
       .select(explode(graft.functions.TextAnalysis.tokensArr(col(textCol)))
         .as("tok"))
     (bigr, refTok)
@@ -1299,7 +1306,8 @@ object TextOps {
     val norm = concat(lit(" "),
       array_join(graft.functions.TextAnalysis.tokensArr(col(textCol)), " "),
       lit(" "))
-    val base = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+    val base = ScaleOps.fanOut(df)
+      .select(col(idCol).as("id"), col(langCol).as("lang"),
         trainPred.as("_train"), norm.as("_t"))
       .filter(length(col("_t")) >= n)
     val grams = base.select(col("id"), col("lang"), col("_train"),

@@ -344,11 +344,13 @@ object AnnIndex {
     (for { (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex }
       yield (s, j, c)).toDF("sub", "cluster", "v")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
-    Similarity.pqEncode(corpus, idCol, vecCol, cbs)
-      .withColumnRenamed("id", "vec_id")
-      .join(assigned.select(col("id").as("vec_id"),
-        col("cluster").as("cell")), "vec_id")
-      .select("vec_id", "cell", "codes", "recon_err")
+    // encode over the ALREADY-ASSIGNED rows (same (id, v) set, v already
+    // double-cast) carrying the cell through the projection — the old
+    // re-scan of `corpus` + vec_id equi-join (a full shuffle of both
+    // sides at scale) is gone; the encode is one projection
+    Similarity.pqEncode(assigned, "id", "v", cbs, carry = Seq("cluster"))
+      .select(col("id").as("vec_id"), col("cluster").as("cell"),
+        col("codes"), col("recon_err"))
       .write.mode("overwrite").parquet(s"$root/codes")
     val manifest = writeManifest(spark, root)
     IndexPublish.publish(spark, path, next, prev)
@@ -375,10 +377,12 @@ object AnnIndex {
       .unionByName(pqCodes(spark, root)
         .agg(count(lit(1)).as("rows"))
         .select(lit("codes").as("component"), lit(-1L).as("cell"), col("rows")))
-    val manifest = perCell.unionByName(flat).orderBy("component", "cell")
-      .localCheckpoint()
-    manifest.write.mode("overwrite").parquet(s"$root/manifest")
-    manifest
+    // ONE action: write the union plan directly and hand back the lazy
+    // read-back (the old checkpoint-then-write spent a second full pass
+    // per manifest refresh; every caller re-orders anyway)
+    perCell.unionByName(flat).orderBy("component", "cell")
+      .write.mode("overwrite").parquet(s"$root/manifest")
+    spark.read.parquet(s"$root/manifest")
   }
 
   /** INCREMENTAL index maintenance — the daily-shard path: append new
@@ -415,11 +419,11 @@ object AnnIndex {
         vec_norm(col("v")).as("n"), col("cluster").as("cell")),
       s"$root/vectors", centers.length, mode = "append")
     val cbs = loadCodebooks(spark, root)
-    Similarity.pqEncode(newVectors, idCol, vecCol, cbs)
-      .withColumnRenamed("id", "vec_id")
-      .join(assigned.select(col("id").as("vec_id"),
-        col("cluster").as("cell")), "vec_id")
-      .select("vec_id", "cell", "codes", "recon_err")
+    // same join-elimination as [[export]]: encode the assigned rows and
+    // carry the cell — one projection, no second scan, no shuffle
+    Similarity.pqEncode(assigned, "id", "v", cbs, carry = Seq("cluster"))
+      .select(col("id").as("vec_id"), col("cluster").as("cell"),
+        col("codes"), col("recon_err"))
       .write.mode("append").parquet(s"$root/codes")
     writeManifest(spark, root)
   }
@@ -494,11 +498,10 @@ object AnnIndex {
           vec_norm(col("v")).as("n"), col("cluster").as("cell")),
         s"$root/deltas/$name/vectors", centers.length)
       val cbs = loadCodebooks(spark, root)
-      Similarity.pqEncode(newVectors, idCol, vecCol, cbs)
-        .withColumnRenamed("id", "vec_id")
-        .join(assigned.select(col("id").as("vec_id"),
-          col("cluster").as("cell")), "vec_id")
-        .select("vec_id", "cell", "codes", "recon_err")
+      // same join-elimination as [[export]]: encode the assigned rows
+      Similarity.pqEncode(assigned, "id", "v", cbs, carry = Seq("cluster"))
+        .select(col("id").as("vec_id"), col("cluster").as("cell"),
+          col("codes"), col("recon_err"))
         .write.mode("overwrite").parquet(s"$root/deltas/$name/codes")
       hook(); hook = () => () // the injected race fires once
       DeltaLog.commit(spark, root, name)

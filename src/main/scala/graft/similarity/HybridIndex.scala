@@ -325,9 +325,11 @@ object HybridIndex {
       }
       df.agg(count(lit(1)).as("rows"))
         .select(lit(c).as("component"), col("rows"))
-    }.reduce(_ unionByName _).orderBy("component").localCheckpoint()
+    }.reduce(_ unionByName _).orderBy("component")
+    // ONE action (the AnnIndex.writeManifest treatment): write the plan,
+    // return the lazy read-back
     manifest.write.mode("overwrite").parquet(s"$root/manifest")
-    manifest
+    spark.read.parquet(s"$root/manifest")
   }
 
   /** Answer hybrid top-k FROM THE EXPORTED TABLES: the BM25 leg scores

@@ -663,11 +663,67 @@ object Similarity {
     val dim = df.select(size(asDouble(col(vecCol)))).head().getInt(0)
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
     val subDim = dim / m
-    (0 until m).map { s =>
-      val sub = df.select(col(idCol),
-        slice(asDouble(col(vecCol)), s * subDim + 1, subDim).as("_sub"))
-      graft.chain.KMeans.run(spark, sub, idCol, "_sub", ks, iterations)._1
+    // ALL m subspaces trained JOINTLY (round 17): one corpus pass per
+    // Lloyd iteration instead of m — the per-subspace arithmetic is
+    // unchanged (same first-ks-by-id init, same argmin tie-break, same
+    // DECIMAL(38,18) per-(cluster,d) sums, now keyed (s, cluster, d)),
+    // so the codebooks are bit-identical to m independent runs, but the
+    // m separate scans/caches/actions per iteration collapse into one.
+    // Past the codegen-safe expression budget (the m-branch CASE holds
+    // m*ks sqdist loops) fall back to the per-subspace loop.
+    if (m * ks > 512)
+      return (0 until m).map { s =>
+        val sub = df.select(col(idCol),
+          slice(asDouble(col(vecCol)), s * subDim + 1, subDim).as("_sub"))
+        graft.chain.KMeans.run(spark, sub, idCol, "_sub", ks, iterations)._1
+      }
+    val subs = df
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("v"), s * subDim + 1, subDim).as("sub"))): _*)).as("x"))
+      .select(col("x.s").as("s"), col("x.sub").as("sub"))
+      .cache()
+    // init: the first ks vectors by id, sliced — the same ks rows seed
+    // every subspace, so ONE bounded collect covers all m inits
+    var centers: Seq[Seq[Seq[Double]]] = {
+      val seed = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .orderBy("id").limit(ks)
+        .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+      (0 until m).map(s => seed.map(_.slice(s * subDim, (s + 1) * subDim)))
     }
+    for (_ <- 1 to iterations) {
+      // flat m-branch CASE (one CaseWhen node, acc appears once per arm);
+      // each arm is the [[graft.chain.KMeans.assign]] argmin verbatim
+      val clusterExpr = (0 until m).foldLeft(when(lit(false), lit(-1))) {
+        (acc, s) =>
+          val dists = array(centers(s).map(c =>
+            graft.functions.VectorOps.vec_sqdist(col("sub"), lit(c.toArray))): _*)
+          acc.when(col("s") === s,
+            (array_position(dists, array_min(dists)) - 1).cast("int"))
+      }
+      // LAZY localCheckpoint = the KMeans.run optimizer barrier (without
+      // it the argmin re-evaluates per exploded dimension row); lazy so
+      // the materialization rides the update collect — one job/iteration
+      val assigned = subs
+        .select(col("s"), clusterExpr.as("cluster"), col("sub"))
+        .localCheckpoint(false)
+      val updated = assigned
+        .select(col("s"), col("cluster"), posexplode(col("sub")).as(Seq("d", "x")))
+        .groupBy("s", "cluster", "d")
+        .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("m"),
+          count(lit(1)).as("n"))
+        .groupBy("s", "cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), (col("m") / col("n")).as("c")))),
+          e => e("c")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+      centers = (0 until m).map(s =>
+        centers(s).indices.map(j => updated.getOrElse((s, j), centers(s)(j))))
+    }
+    subs.unpersist(false)
+    centers
   }
 
   /** Encode each vector against trained codebooks: per subspace the
@@ -678,7 +734,8 @@ object Similarity {
     * nothing collected. Output: (id, codes array<int>, recon_err).
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-               codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+               codebooks: Seq[Seq[Seq[Double]]],
+               carry: Seq[String] = Nil): DataFrame = {
     val subDim = codebooks.head.head.length
     val v = asDouble(col(vecCol))
     val parts = codebooks.zipWithIndex.map { case (cb, s) =>
@@ -688,9 +745,12 @@ object Similarity {
       ((array_position(dists, array_min(dists)) - 1).cast("int"),
         array_min(dists))
     }
-    df.select(col(idCol).as("id"),
-      array(parts.map(_._1): _*).as("codes"),
-      parts.map(_._2).reduce(_ + _).as("recon_err"))
+    // `carry` rides extra input columns through the projection (e.g. the
+    // already-computed cell assignment) so callers holding them need no
+    // re-scan + equi-join to reattach — the encode stays one projection
+    df.select(col(idCol).as("id") +: carry.map(col) :+
+      array(parts.map(_._1): _*).as("codes") :+
+      parts.map(_._2).reduce(_ + _).as("recon_err"): _*)
   }
 
   /** ADC (asymmetric distance) top-k over a PQ-encoded corpus: the query
@@ -771,8 +831,8 @@ object Similarity {
       .localCheckpoint()
     val cbs = pqTrain(spark, res, "id", "r", m, ks, iterations)
     val subDim = cbs.head.head.length
-    val encoded = pqEncode(res, "id", "r", cbs)
-      .join(res.select(col("id"), col("cell")), "id")
+    // carry the cell through the encode projection — no self-join
+    val encoded = pqEncode(res, "id", "r", cbs, carry = Seq("cell"))
       .select("id", "cell", "codes")
     // route + LUT driver-side: per query, the nProbe nearest coarse cells
     // by the same (sqdist, cell) order the corpus assignment uses; per
