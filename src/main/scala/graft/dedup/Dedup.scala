@@ -491,15 +491,31 @@ object Dedup {
     // No distinct() on the undirected expansion: min-label propagation is
     // multiset-safe (min over duplicate edges = min over the set), and the
     // groupBy below dedupes per key anyway — one less shuffle per build.
-    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+    val und0 = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
+    // Scale-adaptive edge-list width (round 17): the union checkpoint
+    // inherits BOTH children's partitioning (the bench edge build left
+    // 64-66 near-empty partitions), and every propagation round then
+    // schedules that many tasks per stage — measured ~0.5 s/stage of
+    // pure scheduling on a ~5k-row list. Derive the width from the
+    // MATERIALIZED row count (~2M edge rows per task), floor 1, never
+    // wider than it already is; coalesce on a checkpointed frame is a
+    // narrow merge (no shuffle). A 100 TB edge list keeps its width.
+    val parts = math.min(und0.rdd.getNumPartitions.toLong,
+      und0.count() / 2000000L + 1L).toInt
+    val und = if (parts < und0.rdd.getNumPartitions) und0.coalesce(parts)
+      else und0
     // Init fused with round 1: label(id) = min(id, min neighbor id) in ONE
     // shuffle — the separate identity-label init plus a first propagation
     // round would spend two.
+    // the label-state checkpoints get the same size-derived width: a
+    // checkpoint materializes its plan's raw shuffle partitioning (AQE
+    // coalescing does not apply to the checkpoint job), so without the
+    // cap every round schedules shuffle-partition-count near-empty tasks
     var labels = und.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("lbl"))
-      .withColumnRenamed("src", "id").localCheckpoint()
+      .withColumnRenamed("src", "id").coalesce(parts).localCheckpoint()
     var changed = 1L
     var i = 1
     while (changed > 0 && i < maxIter) {
@@ -514,7 +530,8 @@ object Dedup {
         labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"),
             least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"),
-            (col("nbr") < col("lbl")).as("chg")))
+            (col("nbr") < col("lbl")).as("chg"))
+          .coalesce(parts))
       changed = next.filter(col("chg")).count()
       labels = next.select("id", "lbl")
       i += 1

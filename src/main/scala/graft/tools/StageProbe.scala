@@ -37,20 +37,23 @@ object StageProbe {
 
     case class St(id: Int, name: String, ms: Long, tasks: Int, site: String)
     val stages = mutable.ArrayBuffer.empty[St]
-    val jobDesc = mutable.Map.empty[Int, String]
+    val stageSite = mutable.Map.empty[Int, String]
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        jobDesc(j.jobId) = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .getOrElse("")
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        j.stageIds.foreach(id => stageSite(id) = site)
+      }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val ms = (for { s <- i.submissionTime; c <- i.completionTime }
           yield c - s).getOrElse(-1L)
+        val graftFrame = i.details.linesIterator
+          .find(l => l.contains("graft") && !l.contains("tools"))
+          .getOrElse("").trim
         stages += St(i.stageId, i.name.takeWhile(_ != '\n'), ms,
-          i.numTasks, i.details.linesIterator
-            .find(l => l.contains("graft") && !l.contains("tools"))
-            .getOrElse("").trim.take(140))
+          i.numTasks,
+          (stageSite.getOrElse(i.stageId, "") + " | " + graftFrame).take(150))
       }
     }
     names.foreach { q =>
