@@ -3434,10 +3434,14 @@ object SparkEntry {
       graft.similarity.HybridIndex.export(s,
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path)
+      // refreshManifest = false (round 18): the compact below recounts
+      // and rewrites the manifest from read-back either way; the
+      // per-delta diagnostic refresh re-counted the whole served index
+      // (5 component scans) for a table nothing here reads
       graft.similarity.HybridIndex.appendDelta(s,
         docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
         e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", path,
-        "shard1")
+        "shard1", refreshManifest = false)
       def serve() = graft.similarity.HybridIndex.servedTopK(s, path,
           Seq(1 -> Seq("scan", "column"), 2 -> Seq("window", "sort"),
             3 -> Seq("stream", "batch")),
@@ -3538,10 +3542,16 @@ object SparkEntry {
       graft.similarity.AnnIndex.export(s,
         e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path,
         cells = 4, lloydIters = 3, m = 4, ks = 4, pqIters = 3)
+      // refreshManifest = false (round 18): the compact below recounts
+      // and rewrites the manifest from read-back counts at the new root
+      // — the emitted manifest is identical; the two per-delta refreshes
+      // each re-counted base + deltas for a table nothing here reads
       graft.similarity.AnnIndex.appendDelta(s,
-        e.filter(col("vec_id") % 4 === 1), "vec_id", "embedding", path, "s1")
+        e.filter(col("vec_id") % 4 === 1), "vec_id", "embedding", path, "s1",
+        refreshManifest = false)
       graft.similarity.AnnIndex.appendDelta(s,
-        e.filter(col("vec_id") % 4 === 3), "vec_id", "embedding", path, "s2")
+        e.filter(col("vec_id") % 4 === 3), "vec_id", "embedding", path, "s2",
+        refreshManifest = false)
       def serve(): Seq[(Long, Long, Int, Double)] =
         graft.similarity.AnnIndex.servedTopK(s, path,
             e.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -4118,10 +4128,15 @@ object SparkEntry {
     // Common-Crawl-shaped ingestion format).
     "q_warc_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      // fanOut: the archive-render map below is the expensive leg and a
-      // single-split scan would build every record on one task (and one
-      // output file would serialize the read-side parse the same way)
-      val recs = graft.ops.ScaleOps.fanOut(Tables.documents(s, dir))
+      // fanOut with an explicit 128 KB/task floor (round 18): this
+      // render is a trivial per-row byte concat — unlike q_warc_mixed's
+      // per-row PDF build there is no heavy kernel — so the r17
+      // full-width spread cost MORE than it saved (+48% same-box: 32
+      // tiny archives to create, commit, list and re-open). The floor
+      // keeps a few-way spread on the fixture and the call stays a
+      // no-op at production widths.
+      val recs = graft.ops.ScaleOps.fanOut(Tables.documents(s, dir),
+          minBytesPerTask = 128L << 10)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val body = text.getBytes("UTF-8")

@@ -123,9 +123,20 @@ object OverlapEval {
     require(maxN >= 1 && maxN <= 9,
       s"charNgramOverlap: maxN in [1,9] (got $maxN)")
     def codes(c: Column): Column =
+      // ASCII guard (round 18, ADVICE r17): the pack is injective ONLY
+      // for codepoints < 128 — non-ASCII input must fail loudly, never
+      // silently collide grams. All-ASCII ⟺ UTF-8 byte length equals
+      // codepoint length, an O(1)-per-row comparison of two lengths the
+      // row computes anyway. Null text keeps the empty-gram path (the
+      // pre-guard behavior).
+      when(c.isNotNull && octet_length(c) =!= length(c),
+        raise_error(concat(lit("charNgramOverlap: non-ASCII input (the " +
+          "7-bit long-pack is injective only for codepoints < 128); " +
+          "normalize to [a-z0-9 ] first (charPair does) — offending " +
+          "value: "), substring(c, 1, 40))).cast("array<int>"))
       // guard BEFORE sequence: sequence(1, 0) would DESCEND, not
       // produce empty (same pitfall ngramsArr documents)
-      when(length(c) >= 1,
+      .when(length(c) >= 1,
         transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1)))))
         .otherwise(array().cast("array<int>"))
     val prepped = pairDf.select(col("id"),

@@ -33,27 +33,84 @@ object ScaleOps {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Default fan-out floor: never spread so wide that a task would see
+    * fewer input bytes than this (scan-estimated). Sized so the floor
+    * only bites on genuinely tiny inputs (a few-hundred-KB table still
+    * spreads to a full 32-core box: 16 KB × 32 = 512 KB), where 32-way
+    * task overhead measurably exceeds the per-row work saved
+    * (q_warc_roundtrip +48%, round-17 verdict). Sites whose per-row work
+    * is trivial may pass a larger floor explicitly.
+    */
+  val FanOutMinBytesPerTask: Long = 16L << 10
+
   /** Scale-adaptive fan-out for compute-heavy scan legs (optimization
     * round 17). A single-file parquet table is ONE scan split (one row
     * group), so everything before the first exchange — char-gram
     * explodes, per-row edit-distance DP, archive rendering, media
     * parsing — runs on ONE task no matter how many cores the session
-    * has. When the input has fewer partitions than
-    * `defaultParallelism`, spread the rows round-robin across the
-    * cores; at production partition counts (any input wider than the
-    * cluster's core count) this is a NO-OP, so no payload byte is ever
-    * shuffled at scale — the knob derives from input shape, never from
-    * a constant tuned for one deployment. Apply it BEFORE the per-row
-    * work, on the narrow source rows.
+    * has. When the input scan is narrower than `defaultParallelism`,
+    * spread the rows round-robin; at production partition counts (any
+    * input wider than the cluster's core count) this is a NO-OP, so no
+    * payload byte is ever shuffled at scale — the knob derives from
+    * input shape, never from a constant tuned for one deployment. Apply
+    * it BEFORE the per-row work, on the narrow source rows.
     *
-    * Results are unchanged: every consumer is partitioning-invariant by
-    * the repo's order-independence discipline (decimal sums,
-    * fixed-order pivots, keyed aggregations), and round-robin
-    * repartition is retry-deterministic (sortBeforeRepartition).
+    * Round-18 revisions (verdict items #2/#4):
+    *  - The width comes from the LOGICAL leaf scans, not
+    *    `df.rdd.getNumPartitions`: the `.rdd` probe forced a full
+    *    physical planning of `df` once for the probe and again for the
+    *    returned frame, and under AQE it would eagerly materialize
+    *    upstream shuffle stages for a non-scan input. The estimate is
+    *    Σ over leaf files of ceil(len / maxPartitionBytes) — the
+    *    FilePartition arithmetic minus open-cost packing, so it errs
+    *    HIGH on split count and a wide input is never re-shuffled.
+    *  - A bytes-per-task floor: a tiny input (sub-MB deltas, sf0.001
+    *    fixtures) no longer pays a full-core-count spread for per-row
+    *    work the spread overhead dwarfs; the width is
+    *    min(cores, floor(bytes / minBytesPerTask)), never below the
+    *    scan's own split count.
+    * Inputs whose leaves are not file scans (checkpointed frames, local
+    * relations) fall back to the materialized-RDD probe — cheap there,
+    * since a checkpointed plan is already physical.
+    *
+    * Results are unchanged AT ANY WIDTH: every consumer is
+    * partitioning-invariant by the repo's order-independence discipline
+    * (decimal sums, fixed-order pivots, keyed aggregations), and
+    * round-robin repartition is retry-deterministic
+    * (sortBeforeRepartition).
     */
-  def fanOut(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  def fanOut(df: DataFrame,
+             minBytesPerTask: Long = FanOutMinBytesPerTask): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val maxPB = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val fileLens: Option[Seq[Long]] =
+      if (leaves.forall {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        case _ => false
+      }) Some(leaves.flatMap {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.listFiles(Nil, Nil).flatMap(_.files.map(_.getLen))
+        case _ => Nil
+      })
+      else None
+    fileLens match {
+      case Some(lens) =>
+        val splits = lens.map(n => math.max(1L, (n + maxPB - 1) / maxPB)).sum
+        val bytes = lens.sum
+        val target = math.min(cores.toLong,
+          math.max(1L, bytes / math.max(1L, minBytesPerTask)))
+        if (splits >= target) df else df.repartition(target.toInt)
+      case None =>
+        // non-scan leaf (checkpointed/local): the RDD is already
+        // materialized, the probe is a partition-count read
+        if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    }
   }
 
   /** Salted equi-join for skewed keys: explode the SMALL side `salt` ways,

@@ -334,24 +334,28 @@ object AnnIndex {
       else if (assignNProbe > 0)
         graft.chain.KMeans.assignRouted(corpus, idCol, vecCol, centers, assignNProbe)
       else graft.chain.KMeans.assign(corpus, idCol, vecCol, centers)
-    centers.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-    writeClustered(
-      assigned.select(col("id").as("vec_id"), col("v"),
-        vec_norm(col("v")).as("n"), col("cluster").as("cell")),
-      s"$root/vectors", cells)
     val cbs = Similarity.pqTrain(spark, corpus, idCol, vecCol, m, ks, pqIters)
-    (for { (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex }
-      yield (s, j, c)).toDF("sub", "cluster", "v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
-    // encode over the ALREADY-ASSIGNED rows (same (id, v) set, v already
-    // double-cast) carrying the cell through the projection — the old
-    // re-scan of `corpus` + vec_id equi-join (a full shuffle of both
-    // sides at scale) is gone; the encode is one projection
-    Similarity.pqEncode(assigned, "id", "v", cbs, carry = Seq("cluster"))
-      .select(col("id").as("vec_id"), col("cluster").as("cell"),
-        col("codes"), col("recon_err"))
-      .write.mode("overwrite").parquet(s"$root/codes")
+    // both quantizers are trained; the four component writes are now
+    // independent (assigned is checkpoint-rooted, cbs is a driver value)
+    // and write disjoint paths — overlap their jobs (round 18, §2.6)
+    graft.core.Jobs.inParallel(Seq(
+      () => centers.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids"),
+      () => writeClustered(
+        assigned.select(col("id").as("vec_id"), col("v"),
+          vec_norm(col("v")).as("n"), col("cluster").as("cell")),
+        s"$root/vectors", cells),
+      () => (for { (cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex }
+        yield (s, j, c)).toDF("sub", "cluster", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks"),
+      // encode over the ALREADY-ASSIGNED rows (same (id, v) set, v already
+      // double-cast) carrying the cell through the projection — the old
+      // re-scan of `corpus` + vec_id equi-join (a full shuffle of both
+      // sides at scale) is gone; the encode is one projection
+      () => Similarity.pqEncode(assigned, "id", "v", cbs, carry = Seq("cluster"))
+        .select(col("id").as("vec_id"), col("cluster").as("cell"),
+          col("codes"), col("recon_err"))
+        .write.mode("overwrite").parquet(s"$root/codes")))
     val manifest = writeManifest(spark, root)
     IndexPublish.publish(spark, path, next, prev)
     manifest
@@ -377,12 +381,18 @@ object AnnIndex {
       .unionByName(pqCodes(spark, root)
         .agg(count(lit(1)).as("rows"))
         .select(lit("codes").as("component"), lit(-1L).as("cell"), col("rows")))
-    // ONE action: write the union plan directly and hand back the lazy
-    // read-back (the old checkpoint-then-write spent a second full pass
-    // per manifest refresh; every caller re-orders anyway)
-    perCell.unionByName(flat).orderBy("component", "cell")
-      .write.mode("overwrite").parquet(s"$root/manifest")
-    spark.read.parquet(s"$root/manifest")
+    // ONE counting action (round 18): collect the ≤ cells+3 summary rows,
+    // then write and return the LOCAL relation. The r17 lazy read-back
+    // made every consumer action re-read the manifest files — and a later
+    // refresh of the same root could delete them out from under a held
+    // reference (ADVICE r17); the collect-backed snapshot keeps the
+    // one-pass counting cost, makes the return immune to subsequent
+    // index mutations, and its write is a driver-local one-task job.
+    val plan = perCell.unionByName(flat).orderBy("component", "cell")
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(plan.collect(): _*), plan.schema)
+    local.write.mode("overwrite").parquet(s"$root/manifest")
+    local
   }
 
   /** INCREMENTAL index maintenance — the daily-shard path: append new
@@ -414,17 +424,21 @@ object AnnIndex {
         graft.chain.KMeans.assignRouted(newVectors, idCol, vecCol, centers,
           assignNProbe)
       else graft.chain.KMeans.assign(newVectors, idCol, vecCol, centers)
-    writeClustered(
-      assigned.select(col("id").as("vec_id"), col("v"),
-        vec_norm(col("v")).as("n"), col("cluster").as("cell")),
-      s"$root/vectors", centers.length, mode = "append")
     val cbs = loadCodebooks(spark, root)
-    // same join-elimination as [[export]]: encode the assigned rows and
-    // carry the cell — one projection, no second scan, no shuffle
-    Similarity.pqEncode(assigned, "id", "v", cbs, carry = Seq("cluster"))
-      .select(col("id").as("vec_id"), col("cluster").as("cell"),
-        col("codes"), col("recon_err"))
-      .write.mode("append").parquet(s"$root/codes")
+    // the list append and the code append write disjoint paths from the
+    // same assignment plan (each evaluated it before this change too —
+    // the assign is a codegen projection) — overlap them (round 18, §2.6)
+    graft.core.Jobs.inParallel(Seq(
+      () => writeClustered(
+        assigned.select(col("id").as("vec_id"), col("v"),
+          vec_norm(col("v")).as("n"), col("cluster").as("cell")),
+        s"$root/vectors", centers.length, mode = "append"),
+      // same join-elimination as [[export]]: encode the assigned rows and
+      // carry the cell — one projection, no second scan, no shuffle
+      () => Similarity.pqEncode(assigned, "id", "v", cbs, carry = Seq("cluster"))
+        .select(col("id").as("vec_id"), col("cluster").as("cell"),
+          col("codes"), col("recon_err"))
+        .write.mode("append").parquet(s"$root/codes")))
     writeManifest(spark, root)
   }
 
@@ -464,9 +478,10 @@ object AnnIndex {
     */
   def appendDelta(spark: SparkSession, newVectors: DataFrame, idCol: String,
                   vecCol: String, path: String, name: String,
-                  assignNProbe: Int = 0): Boolean =
+                  assignNProbe: Int = 0,
+                  refreshManifest: Boolean = true): Boolean =
     appendDeltaHooked(spark, newVectors, idCol, vecCol, path, name,
-      assignNProbe, () => ())
+      assignNProbe, () => (), refreshManifest)
 
   /** [[appendDelta]] with a test seam: `beforeCommit` runs after the
     * staging writes and before the `_DELTAS` commit — the window a
@@ -476,7 +491,8 @@ object AnnIndex {
   private[graft] def appendDeltaHooked(spark: SparkSession,
       newVectors: DataFrame, idCol: String, vecCol: String, path: String,
       name: String, assignNProbe: Int,
-      beforeCommit: () => Unit): Boolean = {
+      beforeCommit: () => Unit,
+      refreshManifest: Boolean = true): Boolean = {
     require(DeltaLog.validName(name), s"bad delta name '$name'")
     var root = resolve(spark, path)
     if (DeltaLog.burned(spark, root).contains(name)) return false
@@ -493,16 +509,19 @@ object AnnIndex {
           graft.chain.KMeans.assignRouted(newVectors, idCol, vecCol, centers,
             assignNProbe)
         else graft.chain.KMeans.assign(newVectors, idCol, vecCol, centers)
-      writeClustered(
-        assigned.select(col("id").as("vec_id"), col("v"),
-          vec_norm(col("v")).as("n"), col("cluster").as("cell")),
-        s"$root/deltas/$name/vectors", centers.length)
       val cbs = loadCodebooks(spark, root)
-      // same join-elimination as [[export]]: encode the assigned rows
-      Similarity.pqEncode(assigned, "id", "v", cbs, carry = Seq("cluster"))
-        .select(col("id").as("vec_id"), col("cluster").as("cell"),
-          col("codes"), col("recon_err"))
-        .write.mode("overwrite").parquet(s"$root/deltas/$name/codes")
+      // the two staging writes share the assignment plan and write
+      // disjoint paths — overlap them (round 18, §2.6)
+      graft.core.Jobs.inParallel(Seq(
+        () => writeClustered(
+          assigned.select(col("id").as("vec_id"), col("v"),
+            vec_norm(col("v")).as("n"), col("cluster").as("cell")),
+          s"$root/deltas/$name/vectors", centers.length),
+        // same join-elimination as [[export]]: encode the assigned rows
+        () => Similarity.pqEncode(assigned, "id", "v", cbs, carry = Seq("cluster"))
+          .select(col("id").as("vec_id"), col("cluster").as("cell"),
+            col("codes"), col("recon_err"))
+          .write.mode("overwrite").parquet(s"$root/deltas/$name/codes")))
       hook(); hook = () => () // the injected race fires once
       DeltaLog.commit(spark, root, name)
       val now = resolve(spark, path)
@@ -512,8 +531,12 @@ object AnnIndex {
     // refresh the diagnostic read-back manifest (counts base + committed
     // deltas). A crash between the commit above and this write leaves the
     // manifest stale until the next absorb — acceptable: `_DELTAS` is the
-    // correctness-bearing manifest, this one is counts.
-    writeManifest(spark, root)
+    // correctness-bearing manifest, this one is counts. Batch absorbers
+    // pass refreshManifest = false and refresh once per commit batch
+    // (round 18, §2.4 fewer actions): each refresh re-counts the WHOLE
+    // index (base + every committed delta), so per-delta refreshes cost
+    // deltas × index-size where one final refresh costs index-size.
+    if (refreshManifest) writeManifest(spark, root)
     true
   }
 
@@ -562,14 +585,17 @@ object AnnIndex {
     if (deltas.size < math.max(1, minDeltas))
       return spark.read.parquet(s"$root/manifest")
     val (newRoot, next, prev) = IndexPublish.begin(spark, path)
-    spark.read.parquet(s"$root/centroids").coalesce(1)
-      .write.mode("overwrite").parquet(s"$newRoot/centroids")
-    spark.read.parquet(s"$root/codebooks").coalesce(1)
-      .write.mode("overwrite").parquet(s"$newRoot/codebooks")
-    writeClustered(vectorListsOf(spark, root, deltas), s"$newRoot/vectors",
-      spark.read.parquet(s"$root/centroids").count().toInt)
-    pqCodesOf(spark, root, deltas)
-      .write.mode("overwrite").parquet(s"$newRoot/codes")
+    // the four component folds read disjoint stored tables and write
+    // disjoint paths — overlap their jobs (round 18, guide §2.6)
+    graft.core.Jobs.inParallel(Seq(
+      () => spark.read.parquet(s"$root/centroids").coalesce(1)
+        .write.mode("overwrite").parquet(s"$newRoot/centroids"),
+      () => spark.read.parquet(s"$root/codebooks").coalesce(1)
+        .write.mode("overwrite").parquet(s"$newRoot/codebooks"),
+      () => writeClustered(vectorListsOf(spark, root, deltas), s"$newRoot/vectors",
+        spark.read.parquet(s"$root/centroids").count().toInt),
+      () => pqCodesOf(spark, root, deltas)
+        .write.mode("overwrite").parquet(s"$newRoot/codes")))
     DeltaLog.writeAbsorbed(spark, newRoot,
       DeltaLog.absorbed(spark, root) ++ deltas)
     beforePublish()

@@ -90,33 +90,44 @@ object HybridIndex {
                               table: Int, maxDim: Int): Unit = {
     val base = docs.select(col(docId).as("doc_id"),
       graft.functions.TextAnalysis.tokensArr(col(textCol)).as("toks"))
-    val postings = base
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("tok"))
-      .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // 2 consumers: the sink + termstats
-    postings.write.mode("overwrite").parquet(s"$dir/postings")
-    postings.groupBy("tok").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$dir/termstats")
-    // n_docs over ALL documents (zero-token docs included); the other
-    // stats over documents with >= 1 token — the bm25TopK/oracle
-    // convention. dl comes from the CHECKPOINTED postings (exactly the
-    // >= 1-token docs, one row per (tok, doc)) — never a second
-    // tokenization scan. Integer sums stored; avgdl is one division.
-    docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(postings.select("doc_id", "dl").distinct()
-        .agg(count(lit(1)).as("nonempty_docs"), sum("dl").as("sum_dl")))
-      .select(col("n_docs"), col("nonempty_docs"), col("sum_dl"),
-        (col("sum_dl").cast("double") / col("nonempty_docs").cast("double"))
-          .as("avgdl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/corpusstats")
-    val vecs = vectors.select(col(vecId).as("vec_id"),
-      Similarity.asDouble(col(vecCol)).as("v"))
-    vecs.select(col("vec_id"),
-        Similarity.lshBucket(col("v"), bits, table, maxDim).as("code"))
-      .write.mode("overwrite").parquet(s"$dir/bqcodes")
-    vecs.withColumn("n", vec_norm(col("v")))
-      .write.mode("overwrite").parquet(s"$dir/vectors")
+    // the LEXICAL leg (postings + termstats + corpusstats, all fed by the
+    // checkpointed postings) and the VECTOR leg (bqcodes + vectors, fed by
+    // the embeddings table) touch disjoint inputs and write disjoint
+    // paths — run them concurrently (round 18, guide §2.6) so the five
+    // sequential component writes become two overlapped pipelines
+    val lexLeg = () => {
+      val postings = base
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("tok"))
+        .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // 2 consumers: the sink + termstats
+      postings.write.mode("overwrite").parquet(s"$dir/postings")
+      postings.groupBy("tok").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$dir/termstats")
+      // n_docs over ALL documents (zero-token docs included); the other
+      // stats over documents with >= 1 token — the bm25TopK/oracle
+      // convention. dl comes from the CHECKPOINTED postings (exactly the
+      // >= 1-token docs, one row per (tok, doc)) — never a second
+      // tokenization scan. Integer sums stored; avgdl is one division.
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(postings.select("doc_id", "dl").distinct()
+          .agg(count(lit(1)).as("nonempty_docs"), sum("dl").as("sum_dl")))
+        .select(col("n_docs"), col("nonempty_docs"), col("sum_dl"),
+          (col("sum_dl").cast("double") / col("nonempty_docs").cast("double"))
+            .as("avgdl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/corpusstats")
+    }
+    val vecLeg = () => {
+      val vecs = vectors.select(col(vecId).as("vec_id"),
+        Similarity.asDouble(col(vecCol)).as("v"))
+      vecs.select(col("vec_id"),
+          Similarity.lshBucket(col("v"), bits, table, maxDim).as("code"))
+        .write.mode("overwrite").parquet(s"$dir/bqcodes")
+      vecs.withColumn("n", vec_norm(col("v")))
+        .write.mode("overwrite").parquet(s"$dir/vectors")
+    }
+    graft.core.Jobs.inParallel(Seq(lexLeg, vecLeg))
+    ()
   }
 
   /** EXACTLY-ONCE incremental append — the lexical+vector twin of
@@ -132,9 +143,10 @@ object HybridIndex {
                   textCol: String, vectors: DataFrame, vecId: String,
                   vecCol: String, path: String, name: String,
                   bits: Int = 48, table: Int = 1,
-                  maxDim: Int = 1024): Boolean =
+                  maxDim: Int = 1024,
+                  refreshManifest: Boolean = true): Boolean =
     appendDeltaHooked(spark, docs, docId, textCol, vectors, vecId, vecCol,
-      path, name, bits, table, maxDim, () => ())
+      path, name, bits, table, maxDim, () => (), refreshManifest)
 
   /** [[appendDelta]] with the [[AnnIndex.appendDeltaHooked]] test seam
     * and the same absorber-side half of the concurrent-fold recheck:
@@ -147,7 +159,8 @@ object HybridIndex {
   private[graft] def appendDeltaHooked(spark: SparkSession, docs: DataFrame,
       docId: String, textCol: String, vectors: DataFrame, vecId: String,
       vecCol: String, path: String, name: String, bits: Int, table: Int,
-      maxDim: Int, beforeCommit: () => Unit): Boolean = {
+      maxDim: Int, beforeCommit: () => Unit,
+      refreshManifest: Boolean = true): Boolean = {
     require(DeltaLog.validName(name), s"bad delta name '$name'")
     var root = IndexPublish.resolve(spark, path)
     requireIntegerSums(spark, root)
@@ -167,7 +180,10 @@ object HybridIndex {
       if (now == root || DeltaLog.burned(spark, now).contains(name)) done = true
       else root = now // a fold won the race: re-append against its root
     }
-    writeManifest(spark, root) // diagnostic counts; _DELTAS bears correctness
+    // diagnostic counts; _DELTAS bears correctness. Batch absorbers pass
+    // refreshManifest = false and refresh once per commit batch (round
+    // 18, §2.4): each refresh re-counts the whole served index.
+    if (refreshManifest) writeManifest(spark, root)
     true
   }
 
@@ -200,24 +216,27 @@ object HybridIndex {
     if (deltas.size < math.max(1, minDeltas))
       return spark.read.parquet(s"$root/manifest")
     val (newRoot, next, prev) = IndexPublish.begin(spark, path)
-    unionPartsOf(spark, root, "postings",
-        Seq("tok", "doc_id", "dl", "tf"), deltas)
-      .write.mode("overwrite").parquet(s"$newRoot/postings")
-    unionPartsOf(spark, root, "termstats", Seq("tok", "df"), deltas)
-      .groupBy("tok").agg(sum("df").as("df"))
-      .write.mode("overwrite").parquet(s"$newRoot/termstats")
-    unionPartsOf(spark, root, "corpusstats",
-        Seq("n_docs", "nonempty_docs", "sum_dl"), deltas)
-      .agg(sum("n_docs").as("n_docs"),
-        sum("nonempty_docs").as("nonempty_docs"), sum("sum_dl").as("sum_dl"))
-      .select(col("n_docs"), col("nonempty_docs"), col("sum_dl"),
-        (col("sum_dl").cast("double") / col("nonempty_docs").cast("double"))
-          .as("avgdl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$newRoot/corpusstats")
-    unionPartsOf(spark, root, "bqcodes", Seq("vec_id", "code"), deltas)
-      .write.mode("overwrite").parquet(s"$newRoot/bqcodes")
-    unionPartsOf(spark, root, "vectors", Seq("vec_id", "v", "n"), deltas)
-      .write.mode("overwrite").parquet(s"$newRoot/vectors")
+    // the five component folds read disjoint stored tables and write
+    // disjoint paths — overlap their jobs (round 18, guide §2.6)
+    graft.core.Jobs.inParallel(Seq(
+      () => unionPartsOf(spark, root, "postings",
+          Seq("tok", "doc_id", "dl", "tf"), deltas)
+        .write.mode("overwrite").parquet(s"$newRoot/postings"),
+      () => unionPartsOf(spark, root, "termstats", Seq("tok", "df"), deltas)
+        .groupBy("tok").agg(sum("df").as("df"))
+        .write.mode("overwrite").parquet(s"$newRoot/termstats"),
+      () => unionPartsOf(spark, root, "corpusstats",
+          Seq("n_docs", "nonempty_docs", "sum_dl"), deltas)
+        .agg(sum("n_docs").as("n_docs"),
+          sum("nonempty_docs").as("nonempty_docs"), sum("sum_dl").as("sum_dl"))
+        .select(col("n_docs"), col("nonempty_docs"), col("sum_dl"),
+          (col("sum_dl").cast("double") / col("nonempty_docs").cast("double"))
+            .as("avgdl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$newRoot/corpusstats"),
+      () => unionPartsOf(spark, root, "bqcodes", Seq("vec_id", "code"), deltas)
+        .write.mode("overwrite").parquet(s"$newRoot/bqcodes"),
+      () => unionPartsOf(spark, root, "vectors", Seq("vec_id", "v", "n"), deltas)
+        .write.mode("overwrite").parquet(s"$newRoot/vectors")))
     DeltaLog.writeAbsorbed(spark, newRoot,
       DeltaLog.absorbed(spark, root) ++ deltas)
     beforePublish()
@@ -326,10 +345,15 @@ object HybridIndex {
       df.agg(count(lit(1)).as("rows"))
         .select(lit(c).as("component"), col("rows"))
     }.reduce(_ unionByName _).orderBy("component")
-    // ONE action (the AnnIndex.writeManifest treatment): write the plan,
-    // return the lazy read-back
-    manifest.write.mode("overwrite").parquet(s"$root/manifest")
-    spark.read.parquet(s"$root/manifest")
+    // ONE counting action (round 18, the AnnIndex.writeManifest
+    // treatment): collect the 5 summary rows, write and return the LOCAL
+    // relation — snapshot semantics (immune to later refreshes of the
+    // same path), no per-consumer re-read, and the write itself is a
+    // driver-local one-task job.
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(manifest.collect(): _*), manifest.schema)
+    local.write.mode("overwrite").parquet(s"$root/manifest")
+    local
   }
 
   /** Answer hybrid top-k FROM THE EXPORTED TABLES: the BM25 leg scores

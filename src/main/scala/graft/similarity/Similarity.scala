@@ -373,13 +373,17 @@ object Similarity {
     // each leg feeds TWO consumers (the candidate universe + its rank
     // join) — cut the |Q|·k-row lists once so the leg pipelines (BM25
     // scoring, ANN scans) run once, not twice (plan-guarded: the fused
-    // plan contains no leg re-evaluation)
-    val keyed = lists.zipWithIndex.map { case (l, i) =>
-      l.select(col("query_id").cast("long").as("query_id"),
-        col("doc_id").cast("long").as("doc_id"),
-        col("rank").cast("long").as(s"_r$i"))
-        .localCheckpoint()
-    }
+    // plan contains no leg re-evaluation). The legs are INDEPENDENT
+    // pipelines over different tables, so their checkpoint jobs overlap
+    // (round 18, guide §2.6): the lexical and vector legs materialize
+    // concurrently instead of back to back.
+    val keyed = graft.core.Jobs.inParallel(
+      lists.zipWithIndex.map { case (l, i) => () =>
+        l.select(col("query_id").cast("long").as("query_id"),
+          col("doc_id").cast("long").as("doc_id"),
+          col("rank").cast("long").as(s"_r$i"))
+          .localCheckpoint()
+      })
     val universe = keyed.map(_.select("query_id", "doc_id"))
       .reduce(_ unionByName _).distinct()
     val joined = keyed.foldLeft(universe)(
